@@ -1,0 +1,104 @@
+"""Indicator abstraction: a declarative (Spark exprs, SQL twin) pair.
+
+Each reference op (SURVEY.md §2) becomes a factory returning an
+``Indicator``:
+
+- ``stages``: ordered list of {temp_name: Column} — intermediate columns.
+  Multiple stages exist only because window functions cannot nest inside a
+  single expression; Catalyst still collapses every stage sharing the
+  (symbol, ts) window spec into one WindowExec chain after a single
+  exchange+sort, so stages are free at scale.
+- ``final``: {output_name: Column} — the reference-named outputs
+  (``RSI_14``, ``BBL_5_2.0``, ...).
+- ``sql_stages``/``sql_final``: the same pipeline as ANSI SQL expression
+  strings over the ``bars`` relation — compiled by ``oracle()`` into the
+  DuckDB oracle query for the driver's correctness gate.
+- ``kernel``: for EWM/KERNEL kinds — a pandas function run per-symbol via
+  one Arrow-batched ``applyInPandas`` pass (plans/kernels.py). Kernel ops
+  may still declare SQL twins (recursive CTE oracles) via ``sql_full``.
+
+Design note (not a port): the reference evaluates each indicator eagerly in
+pandas (``pandas_ta/core.py``); here an indicator is pure *plan* — nothing
+executes until an action, and a strategy of N indicators is one plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+
+ROUND_DECIMALS = 6  # float-determinism guard for the driver's value hash
+
+
+@dataclass
+class KernelSpec:
+    """A per-symbol pandas kernel: fn(pdf sorted by ts) -> pdf with the
+    output columns appended. Executed via groupBy('symbol').applyInPandas —
+    all kernels of a strategy run in ONE Arrow pass per group."""
+
+    fn: Callable  # (pd.DataFrame) -> pd.DataFrame (appends outputs)
+    outputs: list[str]
+    inputs: list[str]  # bar columns the kernel reads
+
+
+@dataclass
+class Indicator:
+    key: str  # registry/query key, e.g. "sma" (params in `params`)
+    outputs: list[str]  # reference-convention output column names
+    category: str
+    stages: list[dict[str, Column]] = field(default_factory=list)
+    final: dict[str, Column] = field(default_factory=dict)
+    sql_stages: list[dict[str, str]] | None = None
+    sql_final: dict[str, str] | None = None
+    sql_full: str | None = None  # overrides stage-compiled SQL (recursive CTEs)
+    kernel: KernelSpec | None = None
+
+    def apply(self, df: DataFrame, keep_temps: bool = False) -> DataFrame:
+        """Append output columns to a bars DataFrame (the reference's
+        ``append=True``; immutable here — returns a new DataFrame)."""
+        if self.kernel is not None:
+            from pandas_ta_spark.plans.kernels import run_kernels
+
+            df = run_kernels(df, [self.kernel])
+        temps: list[str] = []
+        for stage in self.stages:
+            df = df.withColumns(stage)
+            temps.extend(stage.keys())
+        if self.final:
+            df = df.withColumns(self.final)
+        if temps and not keep_temps:
+            df = df.drop(*temps)
+        return df
+
+    def oracle(self) -> str | None:
+        """DuckDB oracle SQL over the shared `bars` CTE (rounded outputs),
+        or None for non-SQL-expressible ops (driver does rows-only check)."""
+        from pandas_ta_spark.sources.bars import with_bars_cte
+
+        if self.sql_full is not None:
+            # builders of recursive-CTE oracles emit the complete query
+            # (including the bars CTE) themselves
+            return self.sql_full
+        if self.sql_final is None:
+            return None
+        rel = "bars"
+        for stage in self.sql_stages or []:
+            cols = ", ".join(f"({e}) AS {a}" for a, e in stage.items())
+            rel = f"(SELECT *, {cols} FROM {rel})"
+        outs = ", ".join(
+            f'round(({e}), {ROUND_DECIMALS}) AS "{a}"' for a, e in self.sql_final.items()
+        )
+        return with_bars_cte(f"SELECT symbol, ts, {outs} FROM {rel}")
+
+    def query(self, df: DataFrame) -> DataFrame:
+        """The driver-facing correctness query: symbol, ts + rounded outputs."""
+        from pyspark.sql import functions as F
+
+        out = self.apply(df)
+        return out.select(
+            "symbol",
+            "ts",
+            *[F.round(F.col(c), ROUND_DECIMALS).alias(c) for c in self.outputs],
+        )

@@ -1,0 +1,120 @@
+"""Bar (OHLCV) data model and loaders.
+
+The reference models one instrument per ``pandas.DataFrame`` with an
+ascending DatetimeIndex (``pandas_ta/core.py#AnalysisIndicators``,
+``#datetime_ordered``). The Spark-native model is ONE long DataFrame with an
+explicit partition key (SURVEY.md §1.2):
+
+    bars(symbol STRING, ts TIMESTAMP, open DOUBLE, high DOUBLE,
+         low DOUBLE, close DOUBLE, volume DOUBLE)
+
+Every indicator is computed per-symbol via
+``Window.partitionBy("symbol").orderBy("ts")`` or
+``groupBy("symbol").applyInPandas`` — that explicit key is what makes the
+same code run on 100 TB: symbols hash-partition across executors, the scan
+prunes columns, and a 50-indicator strategy needs one shuffle total.
+
+Since the driver test data has no native bars table, bars derive from the
+``events`` table (FIXTURES.md §2): symbol := event_type (5 symbols), hourly
+tumbling buckets, open/close via min_by/max_by on ts (``ts`` is unique in
+the test data, so this is deterministic). The SAME derivation is expressed
+in ANSI SQL (``BARS_FROM_EVENTS_SQL``) so DuckDB oracles see identical
+input — the oracle contract of ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType, TimestampType
+
+BAR_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("open", DoubleType(), True),
+        StructField("high", DoubleType(), True),
+        StructField("low", DoubleType(), True),
+        StructField("close", DoubleType(), True),
+        StructField("volume", DoubleType(), True),
+    ]
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    Parquet scan => Catalyst gets column pruning + predicate pushdown for
+    free; callers should ``select`` only needed columns so ReadSchema stays
+    narrow.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ANSI-SQL twin of bars_from_events, runnable by DuckDB on the
+# pre-registered `events` view. Keep in lockstep with bars_from_events().
+BARS_FROM_EVENTS_SQL = """
+SELECT
+    event_type AS symbol,
+    date_trunc('hour', ts) AS ts,
+    arg_min(value, ts) AS open,
+    max(value) AS high,
+    min(value) AS low,
+    arg_max(value, ts) AS close,
+    CAST(count(*) AS DOUBLE) AS volume
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
+def with_bars_cte(body_sql: str) -> str:
+    """Wrap an oracle query body with the shared bars derivation CTE."""
+    return f"WITH bars AS (\n{BARS_FROM_EVENTS_SQL}\n)\n{body_sql}"
+
+
+def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> DataFrame:
+    """Derive multi-symbol OHLCV bars from the events stream.
+
+    One aggregation = one shuffle on (symbol, bucket); at scale the events
+    scan prunes to 3 columns and the groupBy does map-side partial
+    aggregation before the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc(anchor, F.col("ts")).alias("ts"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).cast("double").alias("volume"),
+        )
+    )
+
+
+def bars_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate bar derivation: daily bars per order priority (FIXTURES.md §2)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice", "o_orderkey"
+    )
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        od.groupBy(
+            F.col("o_orderpriority").alias("symbol"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("ts"),
+        )
+        .agg(
+            F.min_by("o_totalprice", key).alias("open"),
+            F.max("o_totalprice").alias("high"),
+            F.min("o_totalprice").alias("low"),
+            F.max_by("o_totalprice", key).alias("close"),
+            F.count(F.lit(1)).cast("double").alias("volume"),
+        )
+    )
