@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Every implemented operator (SURVEY.md §2) is wired here through
+``pandas_ta_spark.registry.standard_suite()``: each op contributes one
+query (Spark window exprs / Arrow kernels over the shared bars
+derivation) and, where SQL-expressible, a DuckDB oracle (window SQL or
+recursive-CTE for EWM ops). LLM-pipeline extensions (dedup, similarity,
+text) contribute via ``pandas_ta_spark.ext``.
 """
 
 from __future__ import annotations
@@ -14,25 +20,93 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _suite():
+    """Instantiate the default-parameter indicator suite.
+
+    Column construction needs an active SparkContext, so callers must
+    ensure one exists (queries() defers to call time; oracle_sql()
+    bootstraps a local session if the driver hasn't yet).
+    """
+    from pandas_ta_spark.registry import standard_suite
+
+    return standard_suite()
+
+
+def _ensure_spark() -> None:
+    from pyspark.sql import SparkSession
+
+    if SparkSession.getActiveSession() is None:
+        SparkSession.builder.master("local[4]").appName("oracle-compile").getOrCreate()
+
+
+def _ext_suite():
+    try:
+        from pandas_ta_spark.ext import SUITE as EXT_SUITE
+
+        return EXT_SUITE
+    except ImportError:
+        return {}
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive multi-symbol OHLCV bars from sf0.001 events, run a
+    multi-indicator strategy as ONE plan (single shuffle; kernels batched
+    into one applyInPandas pass)."""
+    from pandas_ta_spark.plans.strategy import apply_strategy
+    from pandas_ta_spark.registry import make
+    from pandas_ta_spark.sources.bars import bars_from_events
+
+    bars = bars_from_events(spark, "/root/testdata/sf0.001")
+    inds = [
+        make("sma", length=20),
+        make("wma", length=10),
+        make("ema", length=10),
+        make("rsi", length=14) if _has("rsi") else make("hma", length=10),
+        make("bbands") if _has("bbands") else make("midprice", length=2),
+    ]
+    return apply_strategy(bars, inds)
+
+
+def _has(kind: str) -> bool:
+    from pandas_ta_spark.registry import _FACTORIES
+
+    return kind in _FACTORIES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Indicator expressions are built lazily inside each callable (Column
+    construction needs the caller's SparkSession to be active).
     """
-    return {}
+    from pandas_ta_spark.registry import _SUITE
+    from pandas_ta_spark.sources.bars import bars_from_events
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def bind(key):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ind = _SUITE[key]()
+            return ind.query(bars_from_events(spark, sf_dir))
+
+        return run
+
+    for key in _SUITE:
+        out[key] = bind(key)
+    for key, ext in _ext_suite().items():
+        out[key] = ext.query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle per query key; omitted keys get rows-only checks."""
+    _ensure_spark()
+    out: dict[str, str] = {}
+    for key, ind in _suite().items():
+        sql = ind.oracle()
+        if sql is not None:
+            out[key] = sql
+    for key, ext in _ext_suite().items():
+        if ext.oracle is not None:
+            out[key] = ext.oracle
+    return out

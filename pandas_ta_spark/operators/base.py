@@ -31,6 +31,35 @@ from pyspark.sql import Column, DataFrame
 
 ROUND_DECIMALS = 6  # float-determinism guard for the driver's value hash
 
+# Engine-native round() differs between Spark (BigDecimal HALF_UP) and
+# DuckDB (C-library) at representation boundaries, flipping the last digit
+# on ~1/1000 rows — enough to break the driver's exact value-hash. Both
+# sides therefore round with the SAME IEEE-double formula:
+#     floor(x * 1e6 + 0.5) / 1e6
+# evaluated identically (multiply, add, floor, divide) in both engines.
+_SCALE = 10.0 ** ROUND_DECIMALS
+
+
+def round_col(c, decimals: int = ROUND_DECIMALS):
+    """Deterministic cross-engine rounding of a Spark Column."""
+    from pyspark.sql import functions as F
+
+    s = 10.0 ** decimals
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
+def sql_round(e: str, decimals: int = ROUND_DECIMALS) -> str:
+    """The DuckDB twin of round_col — same ops, same order."""
+    s = 10.0 ** decimals
+    return f"floor(({e}) * {s!r} + 0.5) / {s!r}"
+
+
+def qcol(name: str):
+    """Column ref tolerant of dots in output names (ALMA_10_6.0_0.85)."""
+    from pyspark.sql import functions as F
+
+    return F.col(f"`{name}`")
+
 
 @dataclass
 class KernelSpec:
@@ -88,17 +117,15 @@ class Indicator:
             cols = ", ".join(f"({e}) AS {a}" for a, e in stage.items())
             rel = f"(SELECT *, {cols} FROM {rel})"
         outs = ", ".join(
-            f'round(({e}), {ROUND_DECIMALS}) AS "{a}"' for a, e in self.sql_final.items()
+            f'{sql_round(e)} AS "{a}"' for a, e in self.sql_final.items()
         )
         return with_bars_cte(f"SELECT symbol, ts, {outs} FROM {rel}")
 
     def query(self, df: DataFrame) -> DataFrame:
         """The driver-facing correctness query: symbol, ts + rounded outputs."""
-        from pyspark.sql import functions as F
-
         out = self.apply(df)
         return out.select(
             "symbol",
             "ts",
-            *[F.round(F.col(c), ROUND_DECIMALS).alias(c) for c in self.outputs],
+            *[round_col(qcol(c)).alias(c) for c in self.outputs],
         )

@@ -1,0 +1,116 @@
+"""Recursive-CTE DuckDB oracles for the EWM family.
+
+The engine's exponential smoothers standardize on the SMA-seeded recursive
+form (functions/pdkernels.py):
+
+    y = NULL                       while fewer than n source values seen
+    y[seed] = SMA(x, n)            at the n-th source value
+    y[t] = a*x[t] + (1-a)*y[t-1]   after
+
+That recursion is not a SQL window function, but it IS expressible as a
+recursive CTE: the anchor row is the seed (the unique row where the
+cumulative non-null count of x reaches n), and the recursive step walks
+rn -> rn+1 per symbol. DuckDB executes this exactly, giving the driver a
+true value-level oracle for EWM ops (instead of the weaker rows-only
+check). Chained smoothers (DEMA/TEMA/MACD signal, ... —
+pandas_ta/overlap/dema.py#dema, pandas_ta/momentum/macd.py#macd) compose:
+each stage's recursion reads the previous stage's output relation.
+
+Only used to GENERATE oracle strings; Spark execution runs the Arrow
+kernels in plans/kernels.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pandas_ta_spark.functions.windows import SQL_W_ORDER
+from pandas_ta_spark.operators.base import sql_round
+
+
+@dataclass
+class EwmStage:
+    """One smoother: out = EWM(src_sql, alpha) seeded by SMA(seed_n).
+
+    ``src_sql`` may reference bar columns, previously defined ``pre``
+    columns, or the outputs of earlier stages.
+    """
+
+    out: str
+    src_sql: str
+    alpha: float
+    seed_n: int
+
+
+def ewm_pipeline_sql(
+    stages: list[EwmStage],
+    final: dict[str, str],
+    pre: dict[str, str] | None = None,
+) -> str:
+    """Full DuckDB query: bars CTE -> optional pre-computed columns ->
+    chained recursive EWM stages -> SELECT symbol, ts, rounded finals.
+
+    ``final`` maps output alias -> SQL expr over bar/pre/stage columns.
+    """
+    from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
+
+    ctes = [f"bars AS (\n{BARS_FROM_EVENTS_SQL}\n)"]
+    base_cols = "*"
+    pre_sql = ""
+    if pre:
+        pre_sql = ", " + ", ".join(f"({e}) AS {a}" for a, e in pre.items())
+    ctes.append(
+        "base AS (SELECT *"
+        + pre_sql
+        + f", row_number() OVER ({SQL_W_ORDER}) AS _rn FROM bars)"
+    )
+    prev = "base"
+    for k, st in enumerate(stages):
+        a = repr(float(st.alpha))
+        n = st.seed_n
+        s_rel = f"s{k}"
+        p_rel = f"p{k}"
+        r_rel = f"r{k}"
+        o_rel = f"o{k}"
+        ctes.append(
+            f"{s_rel} AS (SELECT *, ({st.src_sql}) AS _x{k},"
+            f" count(({st.src_sql})) OVER (PARTITION BY symbol ORDER BY _rn) AS _nv{k},"
+            f" avg(({st.src_sql})) OVER (PARTITION BY symbol ORDER BY _rn"
+            f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS _sma{k}"
+            f" FROM {prev})"
+        )
+        # recursion walks a slim (symbol, rn, x) projection; wide bar
+        # columns rejoin only once at the end — keeps the per-iteration
+        # join cheap
+        ctes.append(
+            f"{p_rel} AS (SELECT symbol, _rn, _x{k}, _nv{k}, _sma{k} FROM {s_rel})"
+        )
+        ctes.append(
+            f"{r_rel} AS ("
+            f"SELECT symbol, _rn, _sma{k} AS _y FROM {p_rel} WHERE _nv{k} = {n}"
+            f" UNION ALL "
+            f"SELECT s.symbol, s._rn, {a} * s._x{k} + (1 - {a}) * r._y"
+            f" FROM {p_rel} s JOIN {r_rel} r"
+            f" ON s.symbol = r.symbol AND s._rn = r._rn + 1)"
+        )
+        ctes.append(
+            f"{o_rel} AS (SELECT s.*, r._y AS {st.out}"
+            f" FROM {s_rel} s LEFT JOIN {r_rel} r USING (symbol, _rn))"
+        )
+        prev = o_rel
+    outs = ", ".join(
+        f"{sql_round(e)} AS \"{a}\"" for a, e in final.items()
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT symbol, ts, {outs} FROM {prev}"
+    )
+
+
+def sql_ewm_simple(out: str, src_sql: str, alpha: float, seed_n: int) -> str:
+    """Oracle for a single SMA-seeded smoother of a bar column (ema/rma)."""
+    return ewm_pipeline_sql(
+        [EwmStage("_ewm0", src_sql, alpha, seed_n)],
+        {out: "_ewm0"},
+    )

@@ -105,17 +105,18 @@ def vwma(length: int = 10):
 
 
 def trima(length: int = 10):
-    """SMA(SMA(c, ceil(n/2)), floor(n/2)+1) — pandas_ta/overlap/trima.py#trima."""
+    """SMA(SMA(c, half), half), half = round(0.5*(n+1)) —
+    pandas_ta/overlap/trima.py#trima (same half-length for BOTH nested
+    SMAs, e.g. length=10 -> 6,6)."""
     out = name("TRIMA", length)
-    half = (length + 1) // 2  # ceil
-    outer = length // 2 + 1
+    half = round(0.5 * (length + 1))
     tmp = f"_trima_{length}_inner"
     return Indicator(
         "trima", [out], CAT,
         stages=[{tmp: roll(F.avg, "close", half)}],
-        final={out: roll(F.avg, tmp, outer)},
+        final={out: roll(F.avg, tmp, half)},
         sql_stages=[{tmp: sql_roll("avg", "close", half)}],
-        sql_final={out: sql_roll("avg", tmp, outer)},
+        sql_final={out: sql_roll("avg", tmp, half)},
     )
 
 
@@ -130,7 +131,7 @@ def linreg(length: int = 14, mode: str = "linreg"):
     """
     kind = {"linreg": "LR", "slope": "LRm", "intercept": "LRb", "tsf": "LRtsf", "r": "LRr"}[mode]
     out = name(kind, length)
-    tmp = f"_rn"
+    tmp = f"_linreg_{length}_rn"
     rn_col = F.row_number().over(w_order()).cast("double")
     x = F.col(tmp)
     slope_e = masked(F.regr_slope(F.col("close"), x).over(w_rows(length)), "close", length)
@@ -361,3 +362,24 @@ def zlma(length: int = 10):
         return pdf
 
     return _ewm_kernel("zlma", out, fn)
+
+
+FACTORIES = {
+    "hl2": hl2, "hlc3": hlc3, "ohlc4": ohlc4, "wcp": wcp, "sma": sma,
+    "midpoint": midpoint, "midprice": midprice, "vwma": vwma, "trima": trima,
+    "linreg": linreg, "wma": wma, "pwma": pwma, "fwma": fwma, "swma": swma,
+    "sinwma": sinwma, "alma": alma, "hma": hma, "vwap": vwap, "ema": ema,
+    "rma": rma, "dema": dema, "tema": tema, "t3": t3, "zlma": zlma,
+}
+
+# driver-facing default-parameter instances (queries()/oracle_sql() keys)
+SUITE = {
+    "hl2": hl2, "hlc3": hlc3, "ohlc4": ohlc4, "wcp": wcp,
+    "sma_20": lambda: sma(20), "midpoint_2": midpoint, "midprice_2": midprice,
+    "vwma_10": vwma, "trima_10": trima, "linreg_14": linreg,
+    "linreg_slope_14": lambda: linreg(14, "slope"),
+    "wma_10": wma, "pwma_10": pwma, "fwma_10": fwma, "swma_10": swma,
+    "sinwma_14": sinwma, "alma_10": alma, "hma_10": hma, "vwap": vwap,
+    "ema_10": ema, "rma_10": rma, "dema_10": dema, "tema_10": tema,
+    "t3_10": t3, "zlma_10": zlma,
+}

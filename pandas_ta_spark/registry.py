@@ -1,0 +1,84 @@
+"""Indicator registry + string dispatch.
+
+Twin of the reference's user API surface (``pandas_ta/core.py#Category``,
+``#AnalysisIndicators.__call__``, ``pandas_ta/overlap/ma.py#ma``): maps
+indicator names to factories so users can dispatch by string
+(``ta(df, "rsi", length=14)``), list available indicators, and batch many
+into one plan (plans/strategy.py).
+
+Each operators module exports ``FACTORIES`` (name -> factory returning an
+``Indicator``) and ``SUITE`` (driver-facing default-parameter instances
+keyed ``{name}_{params}`` used by __spark_entry__.py queries()/oracle_sql()).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from pandas_ta_spark.operators.base import Indicator
+
+
+def _modules():
+    import importlib
+
+    mods = []
+    for m in (
+        "overlap",
+        "momentum",
+        "statistics",
+        "performance",
+        "trend",
+        "volatility",
+        "volume",
+        "candles",
+    ):
+        try:
+            mods.append(importlib.import_module(f"pandas_ta_spark.operators.{m}"))
+        except ImportError:
+            pass
+    return mods
+
+
+def _build():
+    factories: dict[str, Callable[..., Indicator]] = {}
+    category: dict[str, list[str]] = {}
+    suite: dict[str, Callable[[], Indicator]] = {}
+    for mod in _modules():
+        cat = getattr(mod, "CAT", mod.__name__.rsplit(".", 1)[-1])
+        facs = getattr(mod, "FACTORIES", {})
+        factories.update(facs)
+        category.setdefault(cat, []).extend(sorted(facs))
+        suite.update(getattr(mod, "SUITE", {}))
+    return factories, category, suite
+
+
+_FACTORIES, Category, _SUITE = _build()
+
+
+def indicators() -> list[str]:
+    """All registered indicator names (pandas_ta/core.py#indicators)."""
+    return sorted(_FACTORIES)
+
+
+def get(kind: str) -> Callable[..., Indicator]:
+    try:
+        return _FACTORIES[kind.lower()]
+    except KeyError:
+        raise ValueError(f"unknown indicator: {kind!r} (see indicators())") from None
+
+
+def make(kind: str, **params) -> Indicator:
+    return get(kind)(**params)
+
+
+def run(df: DataFrame, kind: str, **params) -> DataFrame:
+    """String dispatch: append one indicator's outputs to a bars DataFrame
+    (the reference's ``df.ta(kind=..., append=True)``)."""
+    return make(kind, **params).apply(df)
+
+
+def standard_suite() -> dict[str, Indicator]:
+    """Default-parameter instance per op — the driver correctness surface."""
+    return {k: f() for k, f in _SUITE.items()}

@@ -51,16 +51,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scan => Catalyst gets column pruning + predicate pushdown for
     free; callers should ``select`` only needed columns so ReadSchema stays
     narrow.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long and truncate to microseconds —
+    exactly what DuckDB's ns->us cast does, so oracles see identical
+    timestamps.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 # ANSI-SQL twin of bars_from_events, runnable by DuckDB on the
 # pre-registered `events` view. Keep in lockstep with bars_from_events().
-BARS_FROM_EVENTS_SQL = """
+def bars_from_events_sql(anchor: str = "hour") -> str:
+    return f"""
 SELECT
     event_type AS symbol,
-    date_trunc('hour', ts) AS ts,
+    date_trunc('{anchor}', ts) AS ts,
     arg_min(value, ts) AS open,
     max(value) AS high,
     min(value) AS low,
@@ -69,6 +81,9 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """.strip()
+
+
+BARS_FROM_EVENTS_SQL = bars_from_events_sql()
 
 
 def with_bars_cte(body_sql: str) -> str:

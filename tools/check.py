@@ -1,0 +1,112 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs each __spark_entry__.queries() entry on sf0.01, runs the matching
+oracle_sql() in DuckDB (tables pre-registered as views), and compares
+row count / column names / values (exact match after both sides' rounding,
+NaN==NULL). Usage:
+
+    python tools/check.py [key ...]       # all keys, or a subset
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .appName("check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    if len(sdf) != len(odf):
+        return f"ROWS spark={len(sdf)} oracle={len(odf)}"
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"COLS spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    a, b = canon(sdf), canon(odf)
+    bad = []
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if np.issubdtype(x.dtype, np.number) or np.issubdtype(y.dtype, np.number):
+            x = pd.to_numeric(x, errors="coerce").astype(float)
+            y = pd.to_numeric(y, errors="coerce").astype(float)
+            neq = ~((x.isna() & y.isna()) | (x == y))
+            if neq.any():
+                d = (x - y).abs().max()
+                bad.append(f"{c}: {int(neq.sum())} diff (maxabs={d})")
+        else:
+            neq = ~(x.eq(y) | (x.isna() & y.isna()))
+            if neq.any():
+                bad.append(f"{c}: {int(neq.sum())} diff")
+    return "; ".join(bad) if bad else ""
+
+
+def main(keys: list[str]) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    spark = get_spark()
+    qs, orc = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    n_ok = n_bad = n_rowsonly = 0
+    for k in qs:
+        if keys and k not in keys:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[k](spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL  {k}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_bad += 1
+            continue
+        if k not in orc:
+            status = "rows-only" if len(sdf) > 0 else "ROWS-ONLY-EMPTY"
+            print(f"{'ok?  ' if len(sdf) else 'FAIL '} {k}: {status} rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(orc[k]).df()
+        except Exception as e:
+            print(f"FAIL  {k}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            n_bad += 1
+            continue
+        msg = compare(sdf, odf)
+        if msg:
+            print(f"FAIL  {k}: {msg} ({time.time()-t0:.1f}s)")
+            n_bad += 1
+        else:
+            print(f"OK    {k}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail, {n_rowsonly} rows-only")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
