@@ -43,29 +43,38 @@ class EwmStage:
 
 
 def ewm_pipeline_sql(
-    stages: list[EwmStage],
+    steps: list,
     final: dict[str, str],
     pre: dict[str, str] | None = None,
 ) -> str:
     """Full DuckDB query: bars CTE -> optional pre-computed columns ->
-    chained recursive EWM stages -> SELECT symbol, ts, rounded finals.
+    interleaved steps -> SELECT symbol, ts, rounded finals.
 
-    ``final`` maps output alias -> SQL expr over bar/pre/stage columns.
+    Each step is either an ``EwmStage`` (recursive smoother) or a plain
+    ``dict[name, sql_expr]`` (projection/window CTE over the previous
+    relation — used for e.g. the MACD line between its EMAs and its
+    signal smoother, or rolling sums after a smoother chain).
+    ``final`` maps output alias -> SQL expr over bar/pre/step columns.
     """
     from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
 
-    ctes = [f"bars AS (\n{BARS_FROM_EVENTS_SQL}\n)"]
-    base_cols = "*"
+    ctes = [f"bars AS MATERIALIZED (\n{BARS_FROM_EVENTS_SQL}\n)"]
     pre_sql = ""
     if pre:
         pre_sql = ", " + ", ".join(f"({e}) AS {a}" for a, e in pre.items())
     ctes.append(
-        "base AS (SELECT *"
+        "base AS MATERIALIZED (SELECT *"
         + pre_sql
         + f", row_number() OVER ({SQL_W_ORDER}) AS _rn FROM bars)"
     )
     prev = "base"
-    for k, st in enumerate(stages):
+    for k, step in enumerate(steps):
+        if isinstance(step, dict):
+            cols = ", ".join(f"({e}) AS {a}" for a, e in step.items())
+            ctes.append(f"e{k} AS MATERIALIZED (SELECT *, {cols} FROM {prev})")
+            prev = f"e{k}"
+            continue
+        st = step
         a = repr(float(st.alpha))
         n = st.seed_n
         s_rel = f"s{k}"
@@ -73,7 +82,7 @@ def ewm_pipeline_sql(
         r_rel = f"r{k}"
         o_rel = f"o{k}"
         ctes.append(
-            f"{s_rel} AS (SELECT *, ({st.src_sql}) AS _x{k},"
+            f"{s_rel} AS MATERIALIZED (SELECT *, ({st.src_sql}) AS _x{k},"
             f" count(({st.src_sql})) OVER (PARTITION BY symbol ORDER BY _rn) AS _nv{k},"
             f" avg(({st.src_sql})) OVER (PARTITION BY symbol ORDER BY _rn"
             f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS _sma{k}"
@@ -83,7 +92,7 @@ def ewm_pipeline_sql(
         # columns rejoin only once at the end — keeps the per-iteration
         # join cheap
         ctes.append(
-            f"{p_rel} AS (SELECT symbol, _rn, _x{k}, _nv{k}, _sma{k} FROM {s_rel})"
+            f"{p_rel} AS MATERIALIZED (SELECT symbol, _rn, _x{k}, _nv{k}, _sma{k} FROM {s_rel})"
         )
         ctes.append(
             f"{r_rel} AS ("
@@ -94,7 +103,7 @@ def ewm_pipeline_sql(
             f" ON s.symbol = r.symbol AND s._rn = r._rn + 1)"
         )
         ctes.append(
-            f"{o_rel} AS (SELECT s.*, r._y AS {st.out}"
+            f"{o_rel} AS MATERIALIZED (SELECT s.*, r._y AS {st.out}"
             f" FROM {s_rel} s LEFT JOIN {r_rel} r USING (symbol, _rn))"
         )
         prev = o_rel

@@ -1,0 +1,791 @@
+"""momentum/ package ops (SURVEY.md §2.1).
+
+Window-expressible ops (ROLL/WROLL/PROJ) compile to Catalyst window
+expressions over the shared (symbol, ts) spec; the RSI/MACD families are
+SMA-seeded exponential recursions (functions/pdkernels.py) run in the
+batched Arrow kernel pass, each with an exact recursive-CTE DuckDB oracle
+(operators/ewm_sql.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.functions import mathutils as mu
+from pandas_ta_spark.functions.naming import name
+from pandas_ta_spark.functions.pdkernels import ema_pd, rma_pd
+from pandas_ta_spark.functions.windows import (
+    SQL_W_ORDER,
+    diff,
+    masked,
+    roll,
+    shift,
+    sql_diff,
+    sql_masked,
+    sql_roll,
+    sql_shift,
+    sql_w_rows,
+    sql_wroll,
+    w_order,
+    w_rows,
+    wroll,
+)
+from pandas_ta_spark.operators.base import Indicator, KernelSpec
+from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
+
+CAT = "momentum"
+
+EPS = 2.220446049250313e-16  # float64 machine eps (utils/_core.py#non_zero_range)
+
+
+def _nzr(a, b):
+    """a - b, zeros replaced by machine eps (non_zero_range)."""
+    d = a - b
+    return d + F.when(d == 0, F.lit(EPS)).otherwise(F.lit(0.0))
+
+
+def _sql_nzr(a: str, b: str) -> str:
+    d = f"(({a}) - ({b}))"
+    return f"({d} + CASE WHEN {d} = 0 THEN {EPS!r} ELSE 0.0 END)"
+
+
+# ------------------------------------------------------------ PROJ/ROLL ----
+
+def mom(length: int = 10):
+    """c - c.shift(n) — pandas_ta/momentum/mom.py#mom."""
+    out = name("MOM", length)
+    return Indicator("mom", [out], CAT,
+                     final={out: diff("close", length)},
+                     sql_final={out: sql_diff("close", length)})
+
+
+def roc(length: int = 10):
+    """100*(c - c.shift(n))/c.shift(n) — pandas_ta/momentum/roc.py#roc."""
+    out = name("ROC", length)
+    prev = shift("close", length)
+    return Indicator("roc", [out], CAT,
+                     final={out: 100 * (F.col("close") - prev) / prev},
+                     sql_final={out: f"100 * ({sql_diff('close', length)}) / ({sql_shift('close', length)})"})
+
+
+def slope(length: int = 1, as_angle: bool = False):
+    """(c - c.shift(n))/n — pandas_ta/momentum/slope.py#slope."""
+    out = name("ANGLEd" if as_angle else "SLOPE", length)
+    e = diff("close", length) / length
+    s = f"({sql_diff('close', length)}) / {length}"
+    if as_angle:
+        e = F.degrees(F.atan(e))
+        s = f"degrees(atan({s}))"
+    return Indicator("slope", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def bop(scalar: float = 1.0):
+    """(c-o)/(h-l) — pandas_ta/momentum/bop.py#bop."""
+    out = "BOP"
+    e = F.lit(scalar) * (F.col("close") - F.col("open")) / _nzr(F.col("high"), F.col("low"))
+    s = f"{scalar!r} * (close - open) / {_sql_nzr('high', 'low')}"
+    return Indicator("bop", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def ao(fast: int = 5, slow: int = 34):
+    """SMA(hl2,fast) - SMA(hl2,slow) — pandas_ta/momentum/ao.py#ao."""
+    out = name("AO", fast, slow)
+    med = f"_ao_med"
+    return Indicator(
+        "ao", [out], CAT,
+        stages=[{med: (F.col("high") + F.col("low")) / 2}],
+        final={out: roll(F.avg, med, fast) - roll(F.avg, med, slow)},
+        sql_stages=[{med: "(high + low) / 2"}],
+        sql_final={out: f"({sql_roll('avg', med, fast)}) - ({sql_roll('avg', med, slow)})"},
+    )
+
+
+def apo(fast: int = 12, slow: int = 26):
+    """SMA(c,fast) - SMA(c,slow) (default mamode=sma) —
+    pandas_ta/momentum/apo.py#apo."""
+    out = name("APO", fast, slow)
+    e = roll(F.avg, "close", fast) - roll(F.avg, "close", slow)
+    s = f"({sql_roll('avg', 'close', fast)}) - ({sql_roll('avg', 'close', slow)})"
+    return Indicator("apo", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def bias(length: int = 26):
+    """c/SMA(c,n) - 1 — pandas_ta/momentum/bias.py#bias."""
+    out = name("BIAS", "SMA", length)
+    e = F.col("close") / roll(F.avg, "close", length) - 1
+    s = f"close / ({sql_roll('avg', 'close', length)}) - 1"
+    return Indicator("bias", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def brar(length: int = 26):
+    """AR = 100*sum(h-o)/sum(o-l); BR uses prev close —
+    pandas_ta/momentum/brar.py#brar."""
+    ar, br = name("AR", length), name("BR", length)
+    ho = F.col("high") - F.col("open")
+    ol = F.col("open") - F.col("low")
+    prevc = shift("close", 1)
+    hcy = F.when(prevc.isNull(), None).otherwise(F.greatest(F.lit(0.0), F.col("high") - prevc))
+    cyl = F.when(prevc.isNull(), None).otherwise(F.greatest(F.lit(0.0), prevc - F.col("low")))
+    sp = sql_shift("close", 1)
+    s_hcy = f"CASE WHEN {sp} IS NULL THEN NULL ELSE greatest(0.0, high - {sp}) END"
+    s_cyl = f"CASE WHEN {sp} IS NULL THEN NULL ELSE greatest(0.0, {sp} - low) END"
+    t = {"_brar_ho": ho, "_brar_ol": ol, "_brar_hcy": hcy, "_brar_cyl": cyl}
+    ts = {"_brar_ho": "(high - open)", "_brar_ol": "(open - low)",
+          "_brar_hcy": s_hcy, "_brar_cyl": s_cyl}
+    return Indicator(
+        "brar", [ar, br], CAT,
+        stages=[t],
+        final={
+            ar: 100 * roll(F.sum, "_brar_ho", length) / roll(F.sum, "_brar_ol", length),
+            br: 100 * roll(F.sum, "_brar_hcy", length) / roll(F.sum, "_brar_cyl", length),
+        },
+        sql_stages=[ts],
+        sql_final={
+            ar: f"100 * ({sql_roll('sum', '_brar_ho', length)}) / ({sql_roll('sum', '_brar_ol', length)})",
+            br: f"100 * ({sql_roll('sum', '_brar_hcy', length)}) / ({sql_roll('sum', '_brar_cyl', length)})",
+        },
+    )
+
+
+def cci(length: int = 14, c: float = 0.015):
+    """(hlc3 - SMA(hlc3,n)) / (c * MAD(hlc3,n)) —
+    pandas_ta/momentum/cci.py#cci. Frame-mean-inside MAD via HOF list."""
+    out = name("CCI", length, c)
+    tp, m = "_cci_tp", f"_cci_{length}_mean"
+    mad_e = (
+        F.aggregate(
+            F.collect_list(tp).over(w_rows(length)),
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x - F.col(m)),
+        )
+        / length
+    )
+    e = masked((F.col(tp) - F.col(m)) / (F.lit(c) * mad_e), tp, length)
+    s_mad = (
+        f"(list_sum(list_transform(list({tp}) OVER ({sql_w_rows(length)}),"
+        f" x -> abs(x - {m}))) / {length})"
+    )
+    s = sql_masked(f"(({tp}) - {m}) / ({c!r} * {s_mad})", tp, length)
+    return Indicator(
+        "cci", [out], CAT,
+        stages=[{tp: (F.col("high") + F.col("low") + F.col("close")) / 3},
+                {m: roll(F.avg, tp, length)}],
+        final={out: e},
+        sql_stages=[{tp: "(high + low + close) / 3"},
+                    {m: sql_roll("avg", tp, length)}],
+        sql_final={out: s},
+    )
+
+
+def cfo(length: int = 9):
+    """Chande Forecast Osc: 100*(c - linreg(c,n))/c —
+    pandas_ta/momentum/cfo.py#cfo."""
+    out = name("CFO", length)
+    rn = f"_cfo_rn"
+    x = F.col(rn)
+    sl = masked(F.regr_slope(F.col("close"), x).over(w_rows(length)), "close", length)
+    ic = masked(F.regr_intercept(F.col("close"), x).over(w_rows(length)), "close", length)
+    fit = ic + sl * x
+    wr = sql_w_rows(length)
+    s_sl = sql_masked(f"regr_slope(close, {rn}) OVER ({wr})", "close", length)
+    s_ic = sql_masked(f"regr_intercept(close, {rn}) OVER ({wr})", "close", length)
+    s_fit = f"(({s_ic}) + ({s_sl}) * {rn})"
+    return Indicator(
+        "cfo", [out], CAT,
+        stages=[{rn: F.row_number().over(w_order()).cast("double")}],
+        final={out: 100 * (F.col("close") - fit) / F.col("close")},
+        sql_stages=[{rn: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
+        sql_final={out: f"100 * (close - {s_fit}) / close"},
+    )
+
+
+def cg(length: int = 10):
+    """Center of Gravity: -sum((i+1)*x_{t-i}) / sum(x) —
+    pandas_ta/momentum/cg.py#cg (weights n..1 oldest..newest)."""
+    out = name("CG", length)
+    weights = [float(i + 1) for i in range(length)]  # lag i gets i+1
+    num = wroll("close", weights, normalize=False)
+    e = -num / roll(F.sum, "close", length)
+    s = f"-({sql_wroll('close', weights, normalize=False)}) / ({sql_roll('sum', 'close', length)})"
+    return Indicator("cg", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cmo(length: int = 14, drift: int = 1):
+    """100*(Su - Sd)/(Su + Sd), pandas (non-talib) path —
+    pandas_ta/momentum/cmo.py#cmo."""
+    out = name("CMO", length)
+    d = "_cmo_d"
+    up = F.when(F.col(d).isNull(), None).otherwise(F.greatest(F.col(d), F.lit(0.0)))
+    dn = F.when(F.col(d).isNull(), None).otherwise(F.greatest(-F.col(d), F.lit(0.0)))
+    su = roll(F.sum, up, length)
+    sd = roll(F.sum, dn, length)
+    s_up = f"CASE WHEN {d} IS NULL THEN NULL ELSE greatest({d}, 0.0) END"
+    s_dn = f"CASE WHEN {d} IS NULL THEN NULL ELSE greatest(-{d}, 0.0) END"
+    s_su = sql_masked(f"sum({s_up}) OVER ({sql_w_rows(length)})", s_up, length)
+    s_sd = sql_masked(f"sum({s_dn}) OVER ({sql_w_rows(length)})", s_dn, length)
+    return Indicator(
+        "cmo", [out], CAT,
+        stages=[{d: diff("close", drift)}],
+        final={out: 100 * (su - sd) / (su + sd)},
+        sql_stages=[{d: sql_diff("close", drift)}],
+        sql_final={out: f"100 * (({s_su}) - ({s_sd})) / (({s_su}) + ({s_sd}))"},
+    )
+
+
+def coppock(length: int = 10, fast: int = 11, slow: int = 14):
+    """WMA(ROC(c,fast) + ROC(c,slow), length) —
+    pandas_ta/momentum/coppock.py#coppock."""
+    out = name("COPC", fast, slow, length)
+    t = "_copc_roc"
+    rf = 100 * (F.col("close") - shift("close", fast)) / shift("close", fast)
+    rs = 100 * (F.col("close") - shift("close", slow)) / shift("close", slow)
+    ws = list(reversed(mu.linear_weights(length)))
+    s_rf = f"100 * ({sql_diff('close', fast)}) / ({sql_shift('close', fast)})"
+    s_rs = f"100 * ({sql_diff('close', slow)}) / ({sql_shift('close', slow)})"
+    return Indicator(
+        "coppock", [out], CAT,
+        stages=[{t: rf + rs}],
+        final={out: wroll(t, ws)},
+        sql_stages=[{t: f"({s_rf}) + ({s_rs})"}],
+        sql_final={out: sql_wroll(t, ws)},
+    )
+
+
+def cti(length: int = 12):
+    """Correlation Trend Indicator: rolling corr(c, bar index) —
+    pandas_ta/momentum/cti.py#cti."""
+    out = name("CTI", length)
+    rn = "_cti_rn"
+    e = masked(F.corr(F.col("close"), F.col(rn)).over(w_rows(length)), "close", length)
+    s = sql_masked(f"corr(close, {rn}) OVER ({sql_w_rows(length)})", "close", length)
+    return Indicator(
+        "cti", [out], CAT,
+        stages=[{rn: F.row_number().over(w_order()).cast("double")}],
+        final={out: e},
+        sql_stages=[{rn: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
+        sql_final={out: s},
+    )
+
+
+def er(length: int = 10, drift: int = 1):
+    """Efficiency Ratio: |c - c.shift(n)| / sum(|diff|, n) —
+    pandas_ta/momentum/er.py#er."""
+    out = name("ER", length)
+    ad = "_er_absd"
+    e = F.abs(diff("close", length)) / roll(F.sum, ad, length)
+    s = f"abs({sql_diff('close', length)}) / ({sql_roll('sum', ad, length)})"
+    return Indicator(
+        "er", [out], CAT,
+        stages=[{ad: F.abs(diff("close", drift))}],
+        final={out: e},
+        sql_stages=[{ad: f"abs({sql_diff('close', drift)})"}],
+        sql_final={out: s},
+    )
+
+
+def kst(r1=10, r2=15, r3=20, r4=30, s1=10, s2=10, s3=10, s4=15, signal=9):
+    """Know Sure Thing — pandas_ta/momentum/kst.py#kst."""
+    out = name("KST", r1, r2, r3, r4, s1, s2, s3, s4)
+    outs = name("KSTs", signal)
+    rocs, stages, sql_stages = [], {}, {}
+    for i, (r, s) in enumerate(zip((r1, r2, r3, r4), (s1, s2, s3, s4))):
+        t = f"_kst_roc{i}"
+        stages[t] = 100 * diff("close", r) / shift("close", r)
+        sql_stages[t] = f"100 * ({sql_diff('close', r)}) / ({sql_shift('close', r)})"
+        rocs.append((t, s))
+    kst_e = sum(
+        ((i + 1) * roll(F.avg, t, s) for i, (t, s) in enumerate(rocs)),
+        start=F.lit(0.0),
+    )
+    kst_s = " + ".join(
+        f"({i + 1} * ({sql_roll('avg', t, s)}))" for i, (t, s) in enumerate(rocs)
+    )
+    kcol = "_kst_line"
+    return Indicator(
+        "kst", [out, outs], CAT,
+        stages=[stages, {kcol: kst_e}],
+        final={out: F.col(kcol), outs: roll(F.avg, kcol, signal)},
+        sql_stages=[sql_stages, {kcol: kst_s}],
+        sql_final={out: kcol, outs: sql_roll("avg", kcol, signal)},
+    )
+
+
+def psl(length: int = 12, drift: int = 1):
+    """Psych Line: 100 * count(diff > 0) / n —
+    pandas_ta/momentum/psl.py#psl."""
+    out = name("PSL", length)
+    d = "_psl_pos"
+    e = 100 * roll(F.sum, d, length) / length
+    s = f"100 * ({sql_roll('sum', d, length)}) / {length}"
+    return Indicator(
+        "psl", [out], CAT,
+        stages=[{d: F.when(diff("close", drift) > 0, 1.0).otherwise(0.0)}],
+        final={out: e},
+        sql_stages=[{d: f"CASE WHEN ({sql_diff('close', drift)}) > 0 THEN 1.0 ELSE 0.0 END"}],
+        sql_final={out: s},
+    )
+
+
+def stoch(k: int = 14, d: int = 3, smooth_k: int = 3):
+    """%K/%D stochastic (sma smoothing) —
+    pandas_ta/momentum/stoch.py#stoch."""
+    outk = name("STOCHk", k, d, smooth_k)
+    outd = name("STOCHd", k, d, smooth_k)
+    raw = "_stoch_raw"
+    kcol = "_stoch_k"
+    ll = roll(F.min, "low", k)
+    hh = roll(F.max, "high", k)
+    raw_e = 100 * (F.col("close") - ll) / _nzr(hh, ll)
+    s_ll = sql_roll("min", "low", k)
+    s_hh = sql_roll("max", "high", k)
+    s_raw = f"100 * (close - ({s_ll})) / {_sql_nzr(s_hh, s_ll)}"
+    return Indicator(
+        "stoch", [outk, outd], CAT,
+        stages=[{raw: raw_e}, {kcol: roll(F.avg, raw, smooth_k)}],
+        final={outk: F.col(kcol), outd: roll(F.avg, kcol, d)},
+        sql_stages=[{raw: s_raw}, {kcol: sql_roll("avg", raw, smooth_k)}],
+        sql_final={outk: kcol, outd: sql_roll("avg", kcol, d)},
+    )
+
+
+def willr(length: int = 14):
+    """%R = -100*(HH-c)/(HH-LL) — pandas_ta/momentum/willr.py#willr."""
+    out = name("WILLR", length)
+    ll = roll(F.min, "low", length)
+    hh = roll(F.max, "high", length)
+    e = 100 * ((F.col("close") - ll) / _nzr(hh, ll) - 1)
+    s_ll = sql_roll("min", "low", length)
+    s_hh = sql_roll("max", "high", length)
+    s = f"100 * ((close - ({s_ll})) / {_sql_nzr(s_hh, s_ll)} - 1)"
+    return Indicator("willr", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def uo(fast: int = 7, medium: int = 14, slow: int = 28):
+    """Ultimate Oscillator — pandas_ta/momentum/uo.py#uo."""
+    out = name("UO", fast, medium, slow)
+    prevc = shift("close", 1)
+    sp = sql_shift("close", 1)
+    bp = F.when(prevc.isNull(), None).otherwise(
+        F.col("close") - F.least(F.col("low"), prevc)
+    )
+    tr = F.when(prevc.isNull(), None).otherwise(
+        F.greatest(F.col("high"), prevc) - F.least(F.col("low"), prevc)
+    )
+    s_bp = f"CASE WHEN {sp} IS NULL THEN NULL ELSE close - least(low, {sp}) END"
+    s_tr = f"CASE WHEN {sp} IS NULL THEN NULL ELSE greatest(high, {sp}) - least(low, {sp}) END"
+    b, t = "_uo_bp", "_uo_tr"
+    avgs = [roll(F.sum, b, n) / roll(F.sum, t, n) for n in (fast, medium, slow)]
+    s_avgs = [
+        f"(({sql_roll('sum', b, n)}) / ({sql_roll('sum', t, n)}))"
+        for n in (fast, medium, slow)
+    ]
+    e = 100 * (4 * avgs[0] + 2 * avgs[1] + avgs[2]) / 7
+    s = f"100 * (4 * {s_avgs[0]} + 2 * {s_avgs[1]} + {s_avgs[2]}) / 7"
+    return Indicator(
+        "uo", [out], CAT,
+        stages=[{b: bp, t: tr}],
+        final={out: e},
+        sql_stages=[{b: s_bp, t: s_tr}],
+        sql_final={out: s},
+    )
+
+
+def td_seq():
+    """Tom DeMark Sequential: consecutive count of c vs c.shift(4), reset
+    on flip — pandas_ta/momentum/td_seq.py#td_seq. Sessionization trick:
+    streak = rn - last rn where the condition failed (no kernel)."""
+    from pandas_ta_spark.functions.windows import SQL_W_ALL, w_all
+
+    up_o, dn_o = "TD_SEQ_UPa", "TD_SEQ_DNa"
+    c4 = shift("close", 4)
+    s4 = sql_shift("close", 4)
+    # stage 1: rn + condition flags (lag windows); stage 2: streak via
+    # max-over-all window — two stages because windows cannot nest
+    rn_c, up_c, dn_c = "_td_rn", "_td_up", "_td_dn"
+    stage1 = {
+        rn_c: F.row_number().over(w_order()),
+        up_c: ((F.col("close") > c4) & c4.isNotNull()).cast("int"),
+        dn_c: ((F.col("close") < c4) & c4.isNotNull()).cast("int"),
+    }
+    s_stage1 = {
+        rn_c: f"row_number() OVER ({SQL_W_ORDER})",
+        up_c: f"CAST((close > ({s4}) AND ({s4}) IS NOT NULL) AS INT)",
+        dn_c: f"CAST((close < ({s4}) AND ({s4}) IS NOT NULL) AS INT)",
+    }
+    # streak = rn - (last rn where the condition failed); a failing current
+    # row resets to 0 because rn - rn = 0
+    up_last = F.max(F.when(F.col(up_c) == 0, F.col(rn_c))).over(w_all())
+    dn_last = F.max(F.when(F.col(dn_c) == 0, F.col(rn_c))).over(w_all())
+    up_e = (F.col(rn_c) - F.coalesce(up_last, F.lit(0))).cast("double")
+    dn_e = (F.col(rn_c) - F.coalesce(dn_last, F.lit(0))).cast("double")
+    s_up = (f"CAST({rn_c} - coalesce(max(CASE WHEN {up_c} = 0 THEN {rn_c} END)"
+            f" OVER ({SQL_W_ALL}), 0) AS DOUBLE)")
+    s_dn = (f"CAST({rn_c} - coalesce(max(CASE WHEN {dn_c} = 0 THEN {rn_c} END)"
+            f" OVER ({SQL_W_ALL}), 0) AS DOUBLE)")
+    return Indicator(
+        "td_seq", [up_o, dn_o], CAT,
+        stages=[stage1],
+        final={up_o: up_e, dn_o: dn_e},
+        sql_stages=[s_stage1],
+        sql_final={up_o: s_up, dn_o: s_dn},
+    )
+
+
+# ------------------------------------------------------------ EWM family ----
+
+def rsi(length: int = 14, scalar: float = 100.0, drift: int = 1):
+    """RSI = scalar * RMA(gains)/(RMA(gains) + RMA(losses)) —
+    pandas_ta/momentum/rsi.py#rsi (Wilder RMA, SMA-seeded — see
+    functions/pdkernels.py semantics note)."""
+    out = name("RSI", length)
+    a = 1.0 / length
+
+    def fn(pdf):
+        d = pdf["close"].diff(drift)
+        pg = rma_pd(d.clip(lower=0), length)
+        pl = rma_pd((-d).clip(lower=0), length)
+        pdf[out] = scalar * pg / (pg + pl)
+        return pdf
+
+    d = "_d"
+    up = f"CASE WHEN {d} IS NULL THEN NULL ELSE greatest({d}, 0.0) END"
+    dn = f"CASE WHEN {d} IS NULL THEN NULL ELSE greatest(-{d}, 0.0) END"
+    sql = ewm_pipeline_sql(
+        [EwmStage("_pg", up, a, length), EwmStage("_pl", dn, a, length)],
+        {out: f"{scalar!r} * _pg / (_pg + _pl)"},
+        pre={d: sql_diff("close", drift)},
+    )
+    return Indicator("rsi", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"]), sql_full=sql)
+
+
+def macd(fast: int = 12, slow: int = 26, signal: int = 9):
+    """MACD/MACDh/MACDs — pandas_ta/momentum/macd.py#macd."""
+    suffix = f"{fast}_{slow}_{signal}"
+    om, oh, os_ = f"MACD_{suffix}", f"MACDh_{suffix}", f"MACDs_{suffix}"
+
+    def fn(pdf):
+        ef = ema_pd(pdf["close"], fast)
+        es = ema_pd(pdf["close"], slow)
+        line = ef - es
+        sig = ema_pd(line, signal)
+        pdf[om] = line
+        pdf[oh] = line - sig
+        pdf[os_] = sig
+        return pdf
+
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_ef", "close", 2.0 / (fast + 1), fast),
+            EwmStage("_es", "close", 2.0 / (slow + 1), slow),
+            {"_line": "_ef - _es"},
+            EwmStage("_sig", "_line", 2.0 / (signal + 1), signal),
+        ],
+        {om: "_line", oh: "_line - _sig", os_: "_sig"},
+    )
+    return Indicator("macd", [om, oh, os_], CAT,
+                     kernel=KernelSpec(fn, [om, oh, os_], ["close"]),
+                     sql_full=sql)
+
+
+def trix(length: int = 30, signal: int = 9, scalar: float = 100.0, drift: int = 1):
+    """TRIX = scalar*ROC1(EMA^3(c,n)); signal = SMA —
+    pandas_ta/momentum/trix.py#trix."""
+    out = name("TRIX", length, signal)
+    outs = name("TRIXs", length, signal)
+
+    def fn(pdf):
+        e3 = ema_pd(ema_pd(ema_pd(pdf["close"], length), length), length)
+        t = scalar * e3.diff(drift) / e3.shift(drift)
+        pdf[out] = t
+        pdf[outs] = t.rolling(signal).mean()
+        return pdf
+
+    n = length
+    a = 2.0 / (n + 1)
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_e1", "close", a, n),
+            EwmStage("_e2", "_e1", a, n),
+            EwmStage("_e3", "_e2", a, n),
+            {"_trix": f"{scalar!r} * (_e3 - ({sql_shift('_e3', drift)}))"
+                      f" / ({sql_shift('_e3', drift)})"},
+        ],
+        {out: "_trix", outs: sql_roll("avg", "_trix", signal)},
+    )
+    return Indicator("trix", [out, outs], CAT,
+                     kernel=KernelSpec(fn, [out, outs], ["close"]),
+                     sql_full=sql)
+
+
+def tsi(fast: int = 13, slow: int = 25, signal: int = 13, scalar: float = 100.0):
+    """TSI = scalar*EMA(EMA(diff,slow),fast)/EMA(EMA(|diff|,slow),fast);
+    signal = EMA(tsi, signal) — pandas_ta/momentum/tsi.py#tsi."""
+    out = name("TSI", fast, slow, signal)
+    outs = name("TSIs", fast, slow, signal)
+
+    def fn(pdf):
+        d = pdf["close"].diff(1)
+        num = ema_pd(ema_pd(d, slow), fast)
+        den = ema_pd(ema_pd(d.abs(), slow), fast)
+        t = scalar * num / den
+        pdf[out] = t
+        pdf[outs] = ema_pd(t, signal)
+        return pdf
+
+    af, asl, asig = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_n1", "_d", asl, slow),
+            EwmStage("_n2", "_n1", af, fast),
+            EwmStage("_a1", "abs(_d)", asl, slow),
+            EwmStage("_a2", "_a1", af, fast),
+            {"_tsi": f"{scalar!r} * _n2 / _a2"},
+            EwmStage("_sg", "_tsi", asig, signal),
+        ],
+        {out: "_tsi", outs: "_sg"},
+        pre={"_d": sql_diff("close", 1)},
+    )
+    return Indicator("tsi", [out, outs], CAT,
+                     kernel=KernelSpec(fn, [out, outs], ["close"]),
+                     sql_full=sql)
+
+
+def dm(length: int = 14):
+    """±DM smoothed by RMA — pandas_ta/momentum/dm.py#dm."""
+    op, on_ = name("DMP", length), name("DMN", length)
+    a = 1.0 / length
+
+    def fn(pdf):
+        up = pdf["high"].diff(1)
+        dn = -pdf["low"].diff(1)
+        pos = up.where((up > dn) & (up > 0), 0.0)
+        neg = dn.where((dn > up) & (dn > 0), 0.0)
+        pos[up.isna()] = float("nan")
+        neg[dn.isna()] = float("nan")
+        pdf[op] = rma_pd(pos, length)
+        pdf[on_] = rma_pd(neg, length)
+        return pdf
+
+    s_up = sql_diff("high", 1)
+    s_dn = f"(-({sql_diff('low', 1)}))"
+    pos = (f"CASE WHEN ({s_up}) IS NULL THEN NULL"
+           f" WHEN ({s_up}) > ({s_dn}) AND ({s_up}) > 0 THEN ({s_up}) ELSE 0.0 END")
+    neg = (f"CASE WHEN ({s_dn}) IS NULL THEN NULL"
+           f" WHEN ({s_dn}) > ({s_up}) AND ({s_dn}) > 0 THEN ({s_dn}) ELSE 0.0 END")
+    sql = ewm_pipeline_sql(
+        [EwmStage("_dmp", "_pos", a, length), EwmStage("_dmn", "_neg", a, length)],
+        {op: "_dmp", on_: "_dmn"},
+        pre={"_pos": pos, "_neg": neg},
+    )
+    return Indicator("dm", [op, on_], CAT,
+                     kernel=KernelSpec(fn, [op, on_], ["high", "low"]),
+                     sql_full=sql)
+
+
+def eri(length: int = 13):
+    """Elder Ray: bull = h - EMA(c,n), bear = l - EMA(c,n) —
+    pandas_ta/momentum/eri.py#eri."""
+    ob, os_ = name("BULLP", length), name("BEARP", length)
+
+    def fn(pdf):
+        e = ema_pd(pdf["close"], length)
+        pdf[ob] = pdf["high"] - e
+        pdf[os_] = pdf["low"] - e
+        return pdf
+
+    sql = ewm_pipeline_sql(
+        [EwmStage("_e", "close", 2.0 / (length + 1), length)],
+        {ob: "high - _e", os_: "low - _e"},
+    )
+    return Indicator("eri", [ob, os_], CAT,
+                     kernel=KernelSpec(fn, [ob, os_], ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def kdj(length: int = 9, signal: int = 3):
+    """KDJ: RMA-smoothed stochastic — pandas_ta/momentum/kdj.py#kdj."""
+    ok, od, oj = name("K", length, signal), name("D", length, signal), name("J", length, signal)
+    a = 1.0 / signal
+
+    def fn(pdf):
+        ll = pdf["low"].rolling(length).min()
+        hh = pdf["high"].rolling(length).max()
+        rng = hh - ll
+        rng = rng.mask(rng == 0, EPS)
+        raw = 100 * (pdf["close"] - ll) / rng
+        k = rma_pd(raw, signal)
+        d = rma_pd(k, signal)
+        pdf[ok] = k
+        pdf[od] = d
+        pdf[oj] = 3 * k - 2 * d
+        return pdf
+
+    s_ll = sql_roll("min", "low", length)
+    s_hh = sql_roll("max", "high", length)
+    raw = f"100 * (close - ({s_ll})) / {_sql_nzr(s_hh, s_ll)}"
+    sql = ewm_pipeline_sql(
+        [EwmStage("_k", "_raw", a, signal), EwmStage("_dd", "_k", a, signal)],
+        {ok: "_k", od: "_dd", oj: "3 * _k - 2 * _dd"},
+        pre={"_raw": raw},
+    )
+    return Indicator("kdj", [ok, od, oj], CAT,
+                     kernel=KernelSpec(fn, [ok, od, oj], ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def pgo(length: int = 14):
+    """Pretty Good Osc: (c - SMA(c,n)) / EMA(TR,n) —
+    pandas_ta/momentum/pgo.py#pgo."""
+    out = name("PGO", length)
+
+    def fn(pdf):
+        prevc = pdf["close"].shift(1)
+        tr = pd_true_range(pdf, prevc)
+        pdf[out] = (pdf["close"] - pdf["close"].rolling(length).mean()) / ema_pd(tr, length)
+        return pdf
+
+    s_tr = _sql_true_range()
+    sql = ewm_pipeline_sql(
+        [EwmStage("_etr", "_tr", 2.0 / (length + 1), length)],
+        {out: f"(close - ({sql_roll('avg', 'close', length)})) / _etr"},
+        pre={"_tr": s_tr},
+    )
+    return Indicator("pgo", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def pd_true_range(pdf, prevc):
+    """pandas true range with NaN first row (volatility twin)."""
+    import pandas as pd
+
+    tr = pd.concat(
+        [pdf["high"] - pdf["low"], (pdf["high"] - prevc).abs(), (pdf["low"] - prevc).abs()],
+        axis=1,
+    ).max(axis=1)
+    return tr.where(prevc.notna())
+
+
+def _sql_true_range(drift: int = 1) -> str:
+    sp = sql_shift("close", drift)
+    return (f"CASE WHEN ({sp}) IS NULL THEN NULL ELSE"
+            f" greatest(high - low, abs(high - ({sp})), abs(low - ({sp}))) END")
+
+
+def ppo(fast: int = 12, slow: int = 26, signal: int = 9, scalar: float = 100.0):
+    """PPO (sma mamode) + EMA signal — pandas_ta/momentum/ppo.py#ppo."""
+    suffix = f"{fast}_{slow}_{signal}"
+    op, oh, os_ = f"PPO_{suffix}", f"PPOh_{suffix}", f"PPOs_{suffix}"
+
+    def fn(pdf):
+        mf = pdf["close"].rolling(fast).mean()
+        ms = pdf["close"].rolling(slow).mean()
+        line = scalar * (mf - ms) / ms
+        sig = ema_pd(line, signal)
+        pdf[op] = line
+        pdf[oh] = line - sig
+        pdf[os_] = sig
+        return pdf
+
+    s_f = sql_roll("avg", "close", fast)
+    s_s = sql_roll("avg", "close", slow)
+    sql = ewm_pipeline_sql(
+        [
+            {"_line": f"{scalar!r} * (({s_f}) - ({s_s})) / ({s_s})"},
+            EwmStage("_sig", "_line", 2.0 / (signal + 1), signal),
+        ],
+        {op: "_line", oh: "_line - _sig", os_: "_sig"},
+    )
+    return Indicator("ppo", [op, oh, os_], CAT,
+                     kernel=KernelSpec(fn, [op, oh, os_], ["close"]),
+                     sql_full=sql)
+
+
+def pvo(fast: int = 12, slow: int = 26, signal: int = 9, scalar: float = 100.0):
+    """PVO: MACD-style on volume — pandas_ta/momentum/pvo.py#pvo."""
+    suffix = f"{fast}_{slow}_{signal}"
+    op, oh, os_ = f"PVO_{suffix}", f"PVOh_{suffix}", f"PVOs_{suffix}"
+
+    def fn(pdf):
+        ef = ema_pd(pdf["volume"], fast)
+        es = ema_pd(pdf["volume"], slow)
+        line = scalar * (ef - es) / es
+        sig = ema_pd(line, signal)
+        pdf[op] = line
+        pdf[oh] = line - sig
+        pdf[os_] = sig
+        return pdf
+
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_ef", "volume", 2.0 / (fast + 1), fast),
+            EwmStage("_es", "volume", 2.0 / (slow + 1), slow),
+            {"_line": f"{scalar!r} * (_ef - _es) / _es"},
+            EwmStage("_sig", "_line", 2.0 / (signal + 1), signal),
+        ],
+        {op: "_line", oh: "_line - _sig", os_: "_sig"},
+    )
+    return Indicator("pvo", [op, oh, os_], CAT,
+                     kernel=KernelSpec(fn, [op, oh, os_], ["volume"]),
+                     sql_full=sql)
+
+
+def stochrsi(length: int = 14, rsi_length: int = 14, k: int = 3, d: int = 3):
+    """Stochastic of RSI — pandas_ta/momentum/stochrsi.py#stochrsi."""
+    suffix = f"{length}_{rsi_length}_{k}_{d}"
+    ok, od = f"STOCHRSIk_{suffix}", f"STOCHRSId_{suffix}"
+
+    def fn(pdf):
+        dd = pdf["close"].diff(1)
+        pg = rma_pd(dd.clip(lower=0), rsi_length)
+        pl = rma_pd((-dd).clip(lower=0), rsi_length)
+        r = 100 * pg / (pg + pl)
+        ll = r.rolling(length).min()
+        hh = r.rolling(length).max()
+        raw = 100 * (r - ll) / (hh - ll).mask((hh - ll) == 0, EPS)
+        kline = raw.rolling(k).mean()
+        pdf[ok] = kline
+        pdf[od] = kline.rolling(d).mean()
+        return pdf
+
+    a = 1.0 / rsi_length
+    up = "CASE WHEN _d IS NULL THEN NULL ELSE greatest(_d, 0.0) END"
+    dn = "CASE WHEN _d IS NULL THEN NULL ELSE greatest(-_d, 0.0) END"
+    s_ll = sql_roll("min", "_rsi", length)
+    s_hh = sql_roll("max", "_rsi", length)
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_pg", up, a, rsi_length),
+            EwmStage("_pl", dn, a, rsi_length),
+            {"_rsi": "100 * _pg / (_pg + _pl)"},
+            {"_raw": f"100 * (_rsi - ({s_ll})) / {_sql_nzr(s_hh, s_ll)}"},
+            {"_k": sql_roll("avg", "_raw", k)},
+        ],
+        {ok: "_k", od: sql_roll("avg", "_k", d)},
+        pre={"_d": sql_diff("close", 1)},
+    )
+    return Indicator("stochrsi", [ok, od], CAT,
+                     kernel=KernelSpec(fn, [ok, od], ["close"]),
+                     sql_full=sql)
+
+
+FACTORIES = {
+    "mom": mom, "roc": roc, "slope": slope, "bop": bop, "ao": ao, "apo": apo,
+    "bias": bias, "brar": brar, "cci": cci, "cfo": cfo, "cg": cg, "cmo": cmo,
+    "coppock": coppock, "cti": cti, "er": er, "kst": kst, "psl": psl,
+    "stoch": stoch, "willr": willr, "uo": uo, "td_seq": td_seq, "rsi": rsi,
+    "macd": macd, "trix": trix, "tsi": tsi, "dm": dm, "eri": eri, "kdj": kdj,
+    "pgo": pgo, "ppo": ppo, "pvo": pvo, "stochrsi": stochrsi,
+}
+
+SUITE = {
+    "mom_10": mom, "roc_10": roc, "slope_1": slope, "bop": bop, "ao_5_34": ao,
+    "apo_12_26": apo, "bias_26": bias, "brar_26": brar, "cci_14": cci,
+    "cfo_9": cfo, "cg_10": cg, "cmo_14": cmo, "coppock": coppock,
+    "cti_12": cti, "er_10": er, "kst": kst, "psl_12": psl, "stoch_14_3_3": stoch,
+    "willr_14": willr, "uo_7_14_28": uo, "td_seq": td_seq, "rsi_14": rsi,
+    "macd_12_26_9": macd, "trix_30_9": trix, "tsi_13_25_13": tsi, "dm_14": dm,
+    "eri_13": eri, "kdj_9_3": kdj, "pgo_14": pgo, "ppo_12_26_9": ppo,
+    "pvo_12_26_9": pvo, "stochrsi_14": stochrsi,
+}

@@ -1,0 +1,251 @@
+"""statistics/ package ops (SURVEY.md §2.4) — rolling statistical moments.
+
+All pure window SQL (ROLL kind). The parity traps (SURVEY.md §4.3.5):
+pandas uses *unbiased* skew (adjusted Fisher-Pearson G1) and kurtosis
+(G2) estimators while Spark/DuckDB natives are population estimators, and
+stdev/variance take a ddof parameter. skew/kurt/mad therefore compute from
+explicit frame lists via higher-order functions — the same evaluation
+order in both engines — instead of engine-native aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.functions.naming import name
+from pandas_ta_spark.functions.windows import (
+    SQL_W_ORDER,
+    masked,
+    roll,
+    sql_masked,
+    sql_roll,
+    sql_w_rows,
+    w_order,
+    w_rows,
+)
+from pandas_ta_spark.operators.base import Indicator
+
+CAT = "statistics"
+
+
+def stdev(length: int = 30, ddof: int = 1, src: str = "close"):
+    """Rolling std with ddof — pandas_ta/statistics/stdev.py#stdev."""
+    out = name("STDEV", length)
+    fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+    agg = "stddev_samp" if ddof == 1 else "stddev_pop"
+    return Indicator("stdev", [out], CAT,
+                     final={out: roll(fn, src, length)},
+                     sql_final={out: sql_roll(agg, src, length)})
+
+
+def variance(length: int = 30, ddof: int = 1, src: str = "close"):
+    """Rolling variance — pandas_ta/statistics/variance.py#variance."""
+    out = name("VAR", length)
+    fn = F.var_samp if ddof == 1 else F.var_pop
+    agg = "var_samp" if ddof == 1 else "var_pop"
+    return Indicator("variance", [out], CAT,
+                     final={out: roll(fn, src, length)},
+                     sql_final={out: sql_roll(agg, src, length)})
+
+
+def zscore(length: int = 30, std: float = 1.0):
+    """(c - SMA)/(std*STDEV) — pandas_ta/statistics/zscore.py#zscore."""
+    out = name("ZS", length)
+    e = (F.col("close") - roll(F.avg, "close", length)) / (
+        F.lit(std) * roll(F.stddev_samp, "close", length)
+    )
+    s = (f"(close - ({sql_roll('avg', 'close', length)}))"
+         f" / ({std!r} * ({sql_roll('stddev_samp', 'close', length)}))")
+    return Indicator("zscore", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def median(length: int = 30):
+    """Rolling median (linear interpolation both engines) —
+    pandas_ta/statistics/median.py#median."""
+    out = name("MEDIAN", length)
+    e = masked(F.percentile(F.col("close"), F.lit(0.5)).over(w_rows(length)),
+               "close", length)
+    s = sql_masked(f"quantile_cont(close, 0.5) OVER ({sql_w_rows(length)})",
+                   "close", length)
+    return Indicator("median", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def quantile(length: int = 30, q: float = 0.5):
+    """Rolling quantile — pandas_ta/statistics/quantile.py#quantile."""
+    out = name("QTL", length, q)
+    e = masked(F.percentile(F.col("close"), F.lit(q)).over(w_rows(length)),
+               "close", length)
+    s = sql_masked(f"quantile_cont(close, {q!r}) OVER ({sql_w_rows(length)})",
+                   "close", length)
+    return Indicator("quantile", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def mad(length: int = 30):
+    """Rolling mean absolute deviation around the frame mean —
+    pandas_ta/statistics/mad.py#mad. Frame-mean-inside-the-sum needs the
+    explicit frame list (HOF over collect_list; same order both engines)."""
+    out = name("MAD", length)
+    m = f"_mad_{length}_mean"
+    e = masked(
+        F.aggregate(
+            F.collect_list("close").over(w_rows(length)),
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x - F.col(m)),
+        ) / length,
+        "close", length,
+    )
+    s = sql_masked(
+        f"list_sum(list_transform(list(close) OVER ({sql_w_rows(length)}),"
+        f" x -> abs(x - {m}))) / {length}",
+        "close", length,
+    )
+    return Indicator(
+        "mad", [out], CAT,
+        stages=[{m: roll(F.avg, "close", length)}],
+        final={out: e},
+        sql_stages=[{m: sql_roll("avg", "close", length)}],
+        sql_final={out: s},
+    )
+
+
+def _central_moment_hof(k: int, length: int, mcol: str):
+    """sum((x-m)^k)/n over the frame list (Spark side)."""
+    return (
+        F.aggregate(
+            F.collect_list("close").over(w_rows(length)),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x - F.col(mcol), float(k)),
+        )
+        / length
+    )
+
+
+def _sql_central_moment(k: int, length: int, mcol: str) -> str:
+    return (
+        f"list_sum(list_transform(list(close) OVER ({sql_w_rows(length)}),"
+        f" x -> (x - {mcol}) ** {k})) / {length}"
+    )
+
+
+def skew(length: int = 30):
+    """Rolling skew, pandas unbiased G1 = sqrt(n(n-1))/(n-2) * m3/m2^1.5 —
+    pandas_ta/statistics/skew.py#skew."""
+    out = name("SKEW", length)
+    n = length
+    m = f"_skew_{n}_mean"
+    adj = (n * (n - 1)) ** 0.5 / (n - 2)
+    m2 = _central_moment_hof(2, n, m)
+    m3 = _central_moment_hof(3, n, m)
+    e = masked(F.lit(adj) * m3 / F.pow(m2, 1.5), "close", n)
+    s2 = _sql_central_moment(2, n, m)
+    s3 = _sql_central_moment(3, n, m)
+    s = sql_masked(f"{adj!r} * ({s3}) / (({s2}) ** 1.5)", "close", n)
+    return Indicator(
+        "skew", [out], CAT,
+        stages=[{m: roll(F.avg, "close", n)}],
+        final={out: e},
+        sql_stages=[{m: sql_roll("avg", "close", n)}],
+        sql_final={out: s},
+    )
+
+
+def kurtosis(length: int = 30):
+    """Rolling excess kurtosis, pandas unbiased G2 —
+    pandas_ta/statistics/kurtosis.py#kurtosis.
+    G2 = [n(n+1)/((n-1)(n-2)(n-3))] * sum((x-m)^4)/s^4
+         - 3(n-1)^2/((n-2)(n-3)),  s^2 = sum((x-m)^2)/(n-1)
+    """
+    out = name("KURT", length)
+    n = length
+    m = f"_kurt_{n}_mean"
+    c1 = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))
+    c2 = 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+    sum4 = _central_moment_hof(4, n, m) * n  # sum, not mean
+    s2 = _central_moment_hof(2, n, m) * n / (n - 1)  # sample variance
+    e = masked(F.lit(c1) * sum4 / F.pow(s2, 2.0) - F.lit(c2), "close", n)
+    q4 = f"(({_sql_central_moment(4, n, m)}) * {n})"
+    qv = f"(({_sql_central_moment(2, n, m)}) * {n} / {n - 1})"
+    s = sql_masked(f"{c1!r} * {q4} / ({qv} ** 2) - {c2!r}", "close", n)
+    return Indicator(
+        "kurtosis", [out], CAT,
+        stages=[{m: roll(F.avg, "close", n)}],
+        final={out: e},
+        sql_stages=[{m: sql_roll("avg", "close", n)}],
+        sql_final={out: s},
+    )
+
+
+def entropy(length: int = 10, base: float = 2.0):
+    """Rolling Shannon entropy of p = c/sum(c, n) —
+    pandas_ta/statistics/entropy.py#entropy: two chained window sums."""
+    import math
+
+    out = name("ENTP", length)
+    scol = f"_entp_{length}_sum"
+    tcol = f"_entp_{length}_term"
+    p = F.col("close") / F.col(scol)
+    term = -p * F.log(p) / math.log(base)
+    sp = f"(close / {scol})"
+    sterm = f"(-{sp} * ln({sp}) / {math.log(base)!r})"
+    return Indicator(
+        "entropy", [out], CAT,
+        stages=[{scol: roll(F.sum, "close", length)}, {tcol: term}],
+        final={out: roll(F.sum, tcol, length)},
+        sql_stages=[{scol: sql_roll("sum", "close", length)}, {tcol: sterm}],
+        sql_final={out: sql_roll("sum", tcol, length)},
+    )
+
+
+def tos_stdevall(stds: tuple = (1, 2, 3)):
+    """TD Ameritrade 'stdev all': whole-series per-symbol linreg line ±
+    k*sigma bands — pandas_ta/statistics/tos_stdevall.py#tos_stdevall.
+    Whole-partition window aggregates (no ORDER BY -> full frame): one
+    WindowExec, no extra shuffle beyond the shared symbol exchange."""
+    from pyspark.sql import Window
+
+    base = "TOS_STDEVALL"
+    outs = [f"{base}_LR"] + [f"{base}_{s}_{d}" for d in stds for s in ("L", "U")]
+    w_full = Window.partitionBy("symbol").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rncol = f"_tos_rn"
+    x = F.col(rncol)
+    slope = F.regr_slope(F.col("close"), x).over(w_full)
+    icpt = F.regr_intercept(F.col("close"), x).over(w_full)
+    sd = F.stddev_samp("close").over(w_full)
+    lr = icpt + slope * x
+    final = {outs[0]: lr}
+    sql_w = "PARTITION BY symbol"
+    s_slope = f"regr_slope(close, {rncol}) OVER ({sql_w})"
+    s_icpt = f"regr_intercept(close, {rncol}) OVER ({sql_w})"
+    s_sd = f"stddev_samp(close) OVER ({sql_w})"
+    s_lr = f"(({s_icpt}) + ({s_slope}) * {rncol})"
+    sql_final = {outs[0]: s_lr}
+    i = 1
+    for d in stds:
+        final[outs[i]] = lr - d * sd
+        sql_final[outs[i]] = f"({s_lr} - {d} * ({s_sd}))"
+        final[outs[i + 1]] = lr + d * sd
+        sql_final[outs[i + 1]] = f"({s_lr} + {d} * ({s_sd}))"
+        i += 2
+    return Indicator(
+        "tos_stdevall", outs, CAT,
+        stages=[{rncol: F.row_number().over(w_order()).cast("double")}],
+        final=final,
+        sql_stages=[{rncol: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
+        sql_final=sql_final,
+    )
+
+
+FACTORIES = {
+    "stdev": stdev, "variance": variance, "zscore": zscore, "median": median,
+    "quantile": quantile, "mad": mad, "skew": skew, "kurtosis": kurtosis,
+    "entropy": entropy, "tos_stdevall": tos_stdevall,
+}
+
+SUITE = {
+    "stdev_30": stdev, "variance_30": variance, "zscore_30": zscore,
+    "median_30": median, "quantile_30_0.5": quantile, "mad_30": mad,
+    "skew_30": skew, "kurtosis_30": kurtosis, "entropy_10": entropy,
+    "tos_stdevall": tos_stdevall,
+}
