@@ -91,6 +91,30 @@ def diff(src: Column | str, k: int = 1) -> Column:
     return src_col - shift(src_col, k)
 
 
+CUM_SCALE = 1e8
+
+
+def cumsum_fixed(term: Column, scale: float = CUM_SCALE) -> Column:
+    """Deterministic expanding sum: quantize terms to 1/scale integers
+    (shared floor formula), sum exactly as BIGINT, divide back.
+
+    Float summation is association-order-dependent — Spark and DuckDB (and
+    two runs of a distributed engine with different partition merge orders)
+    disagree in the last ulp, which breaks exact value-hash comparison and
+    run-to-run reproducibility at 100 TB. Integer summation is exact and
+    associative, so every engine/ordering produces bit-identical results.
+    Costs 1e-8 absolute quantization per term (documented tolerance for
+    golden-parity tests of CUM ops)."""
+    q = F.floor(term * scale + F.lit(0.5)).cast("long")
+    return F.sum(q).over(w_all()) / F.lit(scale)
+
+
+def sql_cumsum_fixed(term_sql: str, scale: float = CUM_SCALE) -> str:
+    """DuckDB twin of cumsum_fixed — same quantization, exact BIGINT sum."""
+    return (f"(sum(CAST(floor(({term_sql}) * {scale!r} + 0.5) AS BIGINT))"
+            f" OVER ({SQL_W_ALL}) / {scale!r})")
+
+
 def rn() -> Column:
     """1-based row position within the instrument (warmup masks, argmax tricks)."""
     return F.row_number().over(w_order())

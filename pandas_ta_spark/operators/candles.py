@@ -1,0 +1,149 @@
+"""candles/ + cycles/ package ops (SURVEY.md §2.8).
+
+cdl_doji/cdl_inside/cdl_z are lag/window projections; ha (Heikin-Ashi)
+carries a per-row open recursion and ebsw a band-pass IIR loop — both run
+as Arrow kernels (rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.functions.naming import name
+from pandas_ta_spark.functions.windows import (
+    diff,
+    roll,
+    shift,
+    sql_diff,
+    sql_roll,
+    sql_shift,
+)
+from pandas_ta_spark.operators.base import Indicator, KernelSpec
+
+CAT = "candles"
+
+
+def cdl_doji(length: int = 10, factor: float = 10.0):
+    """Doji: |c-o| < factor% of SMA(h-l, n); encoded 100/0 —
+    pandas_ta/candles/cdl_doji.py#cdl_doji."""
+    out = f"CDL_DOJI_{length}_{factor / 100}"
+    t = "_doji_rng"
+    body = F.abs(F.col("close") - F.col("open"))
+    avg_rng = roll(F.avg, t, length)
+    e = F.when(avg_rng.isNull(), None).otherwise(
+        F.when(body < F.lit(factor / 100) * avg_rng, 100.0).otherwise(0.0)
+    )
+    s_avg = sql_roll("avg", t, length)
+    s = (f"CASE WHEN ({s_avg}) IS NULL THEN NULL"
+         f" WHEN abs(close - open) < {factor / 100!r} * ({s_avg})"
+         f" THEN 100.0 ELSE 0.0 END")
+    return Indicator(
+        "cdl_doji", [out], CAT,
+        stages=[{t: F.col("high") - F.col("low")}],
+        final={out: e},
+        sql_stages=[{t: "(high - low)"}],
+        sql_final={out: s},
+    )
+
+
+def cdl_inside(asbool: bool = False):
+    """Inside bar signed by candle color —
+    pandas_ta/candles/cdl_inside.py#cdl_inside."""
+    out = "CDL_INSIDE"
+    inside = (diff("high", 1) < 0) & (diff("low", 1) > 0)
+    color = F.when(F.col("close") >= F.col("open"), 1.0).otherwise(-1.0)
+    e = F.when(inside, color).otherwise(0.0)
+    s_in = f"(({sql_diff('high', 1)}) < 0 AND ({sql_diff('low', 1)}) > 0)"
+    s_color = "CASE WHEN close >= open THEN 1.0 ELSE -1.0 END"
+    s = f"CASE WHEN coalesce({s_in}, false) THEN ({s_color}) ELSE 0.0 END"
+    return Indicator("cdl_inside", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_z(length: int = 30):
+    """Z-scored OHLC — pandas_ta/candles/cdl_z.py#cdl_z."""
+    cols = ["open", "high", "low", "close"]
+    outs = [f"{c}_Z_{length}" for c in cols]
+    final, sql_final = {}, {}
+    for c, o in zip(cols, outs):
+        final[o] = (F.col(c) - roll(F.avg, c, length)) / roll(F.stddev_samp, c, length)
+        sql_final[o] = (f"({c} - ({sql_roll('avg', c, length)}))"
+                        f" / ({sql_roll('stddev_samp', c, length)})")
+    return Indicator("cdl_z", outs, CAT, final=final, sql_final=sql_final)
+
+
+def ha():
+    """Heikin-Ashi: ha_open is a per-row recursion —
+    pandas_ta/candles/ha.py#ha (Arrow kernel; vectorized except the open
+    chain, which is a first-order average recursion)."""
+    outs = ["HA_open", "HA_high", "HA_low", "HA_close"]
+
+    def fn(pdf):
+        import numpy as np
+
+        o = pdf["open"].to_numpy()
+        h = pdf["high"].to_numpy()
+        low = pdf["low"].to_numpy()
+        c = pdf["close"].to_numpy()
+        n = len(pdf)
+        hc = (o + h + low + c) / 4
+        ho = np.empty(n)
+        if n:
+            ho[0] = (o[0] + c[0]) / 2
+            for i in range(1, n):
+                ho[i] = (ho[i - 1] + hc[i - 1]) / 2
+        pdf[outs[0]] = ho
+        pdf[outs[1]] = np.maximum.reduce([h, ho, hc])
+        pdf[outs[2]] = np.minimum.reduce([low, ho, hc])
+        pdf[outs[3]] = hc
+        return pdf
+
+    return Indicator("ha", outs, CAT,
+                     kernel=KernelSpec(fn, outs, ["open", "high", "low", "close"]))
+
+
+def ebsw(length: int = 40, bars: int = 10):
+    """Ehlers Even Better SineWave: recursive band-pass —
+    pandas_ta/cycles/ebsw.py#ebsw (sequential IIR; Arrow kernel)."""
+    import math
+
+    out = name("EBSW", length, bars)
+
+    def fn(pdf):
+        import numpy as np
+
+        c = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        if n >= length:
+            last_close = c[0]
+            last_hp = 0.0
+            filt_hist = [0.0, 0.0]
+            alpha1 = (1 - math.sin(2 * math.pi / length)) / math.cos(2 * math.pi / length)
+            angle = math.sqrt(2) * math.pi / bars
+            a1 = math.exp(-angle)
+            b1 = 2 * a1 * math.cos(angle)
+            c2, c3 = b1, -a1 * a1
+            c1 = 1 - c2 - c3
+            for i in range(1, n):
+                hp = 0.5 * (1 + alpha1) * (c[i] - last_close) + alpha1 * last_hp
+                filt = c1 * (hp + last_hp) / 2 + c2 * filt_hist[1] + c3 * filt_hist[0]
+                wave = (filt + filt_hist[1] + filt_hist[0]) / 3
+                pwr = (filt ** 2 + filt_hist[1] ** 2 + filt_hist[0] ** 2) / 3
+                res[i] = wave / math.sqrt(pwr) if pwr > 0 else float("nan")
+                filt_hist = [filt_hist[1], filt]
+                last_close, last_hp = c[i], hp
+        pdf[out] = res
+        return pdf
+
+    return Indicator("ebsw", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+FACTORIES = {
+    "cdl_doji": cdl_doji, "cdl_inside": cdl_inside, "cdl_z": cdl_z,
+    "ha": ha, "ebsw": ebsw,
+}
+
+SUITE = {
+    "cdl_doji_10": cdl_doji, "cdl_inside": cdl_inside, "cdl_z_30": cdl_z,
+    "ha": ha, "ebsw_40": ebsw,
+}

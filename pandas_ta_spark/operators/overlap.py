@@ -257,11 +257,15 @@ def vwap(anchor: str = "day"):
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    e = F.sum(tp * F.col("volume")).over(w) / F.sum("volume").over(w)
+    # fixed-point numerator: deterministic across engines/partition orders
+    # (see functions/windows.py cumsum_fixed); volume sums are integers
+    # already and stay exact
+    q = F.floor(tp * F.col("volume") * 1e8 + F.lit(0.5)).cast("long")
+    e = (F.sum(q).over(w) / F.lit(1e8)) / F.sum("volume").over(w)
     sw = (f"PARTITION BY symbol, date_trunc('{anchor}', ts) ORDER BY ts "
           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
-    s = (f"sum((high + low + close) / 3 * volume) OVER ({sw})"
-         f" / sum(volume) OVER ({sw})")
+    s = (f"(sum(CAST(floor((high + low + close) / 3 * volume * 1e8 + 0.5) AS BIGINT))"
+         f" OVER ({sw}) / 1e8) / sum(volume) OVER ({sw})")
     return Indicator("vwap", [out], CAT, final={out: e}, sql_final={out: s})
 
 

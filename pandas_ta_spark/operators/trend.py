@@ -1,0 +1,492 @@
+"""trend/ package ops (SURVEY.md §2.5).
+
+aroon uses the reversed-argmax window trick (functions/windows.py
+bars_since_extreme); decay uses the monotone-transform rewrite that turns
+the per-row recursion into a single expanding max (exact for non-negative
+series — SURVEY.md §2.5 decay row); adx/cksp/amat smooth with the shared
+EWM kernel pass + recursive-CTE oracles; psar is the flagship per-row
+state machine (plans/kernels.py, rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.functions.naming import name
+from pandas_ta_spark.functions.pdkernels import ema_pd, rma_pd
+from pandas_ta_spark.functions.windows import (
+    SQL_W_ALL,
+    SQL_W_ORDER,
+    bars_since_extreme,
+    diff,
+    masked,
+    roll,
+    shift,
+    sql_diff,
+    sql_masked,
+    sql_roll,
+    sql_shift,
+    sql_w_rows,
+    w_all,
+    w_order,
+    w_rows,
+)
+from pandas_ta_spark.operators.base import Indicator, KernelSpec
+from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
+from pandas_ta_spark.operators.momentum import _sql_true_range, pd_true_range
+
+CAT = "trend"
+
+
+def aroon(length: int = 14, scalar: float = 100.0):
+    """AROONU/D = scalar*(n - bars_since_extreme)/n over n+1 rows —
+    pandas_ta/trend/aroon.py#aroon (recent_maximum_index, latest tie wins)."""
+    up_o, dn_o = name("AROONU", length), name("AROOND", length)
+    osc_o = name("AROONOSC", length)
+    rn_c = "_aroon_rn"
+    hh_c, ll_c = "_aroon_hh", "_aroon_ll"
+    w = w_rows(length + 1)
+
+    def dist(val: str, is_max: bool):
+        v = F.col(val) if is_max else -F.col(val)
+        best = F.max_by(F.col(rn_c), F.struct(v, F.col(rn_c))).over(w)
+        return masked(F.col(rn_c) - best, val, length + 1)
+
+    up = F.lit(scalar) * (length - F.col(hh_c)) / length
+    dn = F.lit(scalar) * (length - F.col(ll_c)) / length
+    # SQL twin of bars_since_extreme: distance to latest max = 1-based
+    # position of the frame max in the REVERSED frame list, minus 1
+    # (first occurrence in reversed order == latest tie, matching the
+    # reference's reversed argmax and Spark's max_by(rn, struct(v, rn)))
+    wr = sql_w_rows(length + 1)
+
+    def s_dist(val: str, is_max: bool) -> str:
+        agg = "max" if is_max else "min"
+        lst = f"list({val}) OVER ({wr})"
+        inner = (f"list_position(list_reverse({lst}),"
+                 f" list_aggregate({lst}, '{agg}')) - 1")
+        return sql_masked(f"CAST(({inner}) AS BIGINT)", val, length + 1)
+
+    return Indicator(
+        "aroon", [dn_o, up_o, osc_o], CAT,
+        stages=[{rn_c: F.row_number().over(w_order())},
+                {hh_c: dist("high", True), ll_c: dist("low", False)}],
+        final={dn_o: dn, up_o: up, osc_o: up - dn},
+        sql_stages=[{rn_c: f"row_number() OVER ({SQL_W_ORDER})"},
+                    {hh_c: s_dist("high", True), ll_c: s_dist("low", False)}],
+        sql_final={
+            dn_o: f"{scalar!r} * ({length} - {ll_c}) / {length}",
+            up_o: f"{scalar!r} * ({length} - {hh_c}) / {length}",
+            osc_o: (f"{scalar!r} * ({length} - {hh_c}) / {length}"
+                    f" - {scalar!r} * ({length} - {ll_c}) / {length}"),
+        },
+    )
+
+
+def chop(length: int = 14, atr_length: int = 1, scalar: float = 100.0):
+    """Choppiness: scalar*log10(sum(TR,n)/(HH-LL))/log10(n) —
+    pandas_ta/trend/chop.py#chop."""
+    out = name("CHOP", length, atr_length, scalar)
+    tr_c = "_chop_tr"
+    hh = roll(F.max, "high", length)
+    ll = roll(F.min, "low", length)
+    e = (
+        F.lit(scalar)
+        * F.log10(roll(F.sum, tr_c, length) / (hh - ll))
+        / F.log10(F.lit(float(length)))
+    )
+    s_hh = sql_roll("max", "high", length)
+    s_ll = sql_roll("min", "low", length)
+    s = (f"{scalar!r} * log10(({sql_roll('sum', tr_c, length)})"
+         f" / (({s_hh}) - ({s_ll}))) / log10({float(length)!r})")
+    return Indicator(
+        "chop", [out], CAT,
+        stages=[{tr_c: _spark_true_range()}],
+        final={out: e},
+        sql_stages=[{tr_c: _sql_true_range()}],
+        sql_final={out: s},
+    )
+
+
+def _spark_true_range(drift: int = 1):
+    prevc = shift("close", drift)
+    return F.when(prevc.isNull(), None).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prevc),
+            F.abs(F.col("low") - prevc),
+        )
+    )
+
+
+def decay(length: int = 5, mode: str = "linear"):
+    """Linear decay: out_t = max(c_t, out_{t-1} - 1/n, 0) —
+    pandas_ta/trend/decay.py#decay. Monotone-transform rewrite: with
+    m_t = max_{i<=t}(c_i + rn_i/n), out_t = max(m_t - rn_t/n, 0) — exact
+    for the non-negative series the engine handles (0-floor commutes);
+    one expanding max instead of a sequential kernel."""
+    out = name("LDECAY", length)
+    t = "_decay_aug"
+    rn = F.row_number().over(w_order())
+    e = F.greatest(F.max(t).over(w_all()) - rn / F.lit(float(length)), F.lit(0.0))
+    s_rn = f"row_number() OVER ({SQL_W_ORDER})"
+    s = (f"greatest(max({t}) OVER ({SQL_W_ALL})"
+         f" - ({s_rn}) / {float(length)!r}, 0.0)")
+    return Indicator(
+        "decay", [out], CAT,
+        stages=[{t: F.col("close") + F.row_number().over(w_order()) / F.lit(float(length))}],
+        final={out: e},
+        sql_stages=[{t: f"close + ({s_rn}) / {float(length)!r}"}],
+        sql_final={out: s},
+    )
+
+
+def _creasing(increasing_: bool, length: int = 1, strict: bool = False, asint: bool = True):
+    """increasing/decreasing — pandas_ta/trend/increasing.py,
+    decreasing.py. NaN diff compares False (0), matching pandas."""
+    kind = "INC" if increasing_ else "DEC"
+    out = name(kind, length)
+    d = diff("close", length)
+    cond = (d > 0) if increasing_ else (d < 0)
+    e = F.when(cond, 1.0).otherwise(0.0)
+    s_d = sql_diff("close", length)
+    op = ">" if increasing_ else "<"
+    s = f"CASE WHEN ({s_d}) {op} 0 THEN 1.0 ELSE 0.0 END"
+    return Indicator(kind.lower(), [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def increasing(length: int = 1, **kw):
+    return _creasing(True, length, **kw)
+
+
+def decreasing(length: int = 1, **kw):
+    return _creasing(False, length, **kw)
+
+
+def dpo(length: int = 20, centered: bool = True):
+    """Detrended Price Osc (centered default => documented look-ahead) —
+    pandas_ta/trend/dpo.py#dpo: dpo_u = c_u - lead(SMA(c,n), n/2+1)."""
+    out = name("DPO", length)
+    t = length // 2 + 1
+    sma_c = "_dpo_sma"
+    if centered:
+        e = F.col("close") - F.lead(sma_c, t).over(w_order())
+        s = f"close - lead({sma_c}, {t}) OVER ({SQL_W_ORDER})"
+    else:
+        e = F.col("close") - shift(sma_c, t)
+        s = f"close - ({sql_shift(sma_c, t)})"
+    return Indicator(
+        "dpo", [out], CAT,
+        stages=[{sma_c: roll(F.avg, "close", length)}],
+        final={out: e},
+        sql_stages=[{sma_c: sql_roll("avg", "close", length)}],
+        sql_final={out: s},
+    )
+
+
+def qstick(length: int = 10):
+    """SMA(c - o, n) — pandas_ta/trend/qstick.py#qstick."""
+    out = name("QS", length)
+    t = "_qs_co"
+    return Indicator(
+        "qstick", [out], CAT,
+        stages=[{t: F.col("close") - F.col("open")}],
+        final={out: roll(F.avg, t, length)},
+        sql_stages=[{t: "(close - open)"}],
+        sql_final={out: sql_roll("avg", t, length)},
+    )
+
+
+def ttm_trend(length: int = 6):
+    """close vs SMA(hl2, n): 1/-1 — pandas_ta/trend/ttm_trend.py."""
+    out = name("TTM_TRND", length)
+    t = "_ttm_avg"
+    hl2 = (F.col("high") + F.col("low")) / 2
+    avg = F.col(t)
+    e = F.when(avg.isNull(), None).when(F.col("close") > avg, 1.0).otherwise(-1.0)
+    s = (f"CASE WHEN {t} IS NULL THEN NULL"
+         f" WHEN close > {t} THEN 1.0 ELSE -1.0 END")
+    return Indicator(
+        "ttm_trend", [out], CAT,
+        stages=[{t: masked(F.avg(hl2).over(w_rows(length)), "close", length)}],
+        final={out: e},
+        sql_stages=[{t: sql_masked(
+            f"avg((high + low) / 2) OVER ({sql_w_rows(length)})", "close", length)}],
+        sql_final={out: s},
+    )
+
+
+def vhf(length: int = 28, drift: int = 1):
+    """Vertical Horizontal Filter: |HH-LL| / sum(|diff|) —
+    pandas_ta/trend/vhf.py#vhf (on close)."""
+    out = name("VHF", length)
+    t = "_vhf_absd"
+    hh = roll(F.max, "close", length)
+    ll = roll(F.min, "close", length)
+    e = F.abs(hh - ll) / roll(F.sum, t, length)
+    s_hh = sql_roll("max", "close", length)
+    s_ll = sql_roll("min", "close", length)
+    s = f"abs(({s_hh}) - ({s_ll})) / ({sql_roll('sum', t, length)})"
+    return Indicator(
+        "vhf", [out], CAT,
+        stages=[{t: F.abs(diff("close", drift))}],
+        final={out: e},
+        sql_stages=[{t: f"abs({sql_diff('close', drift)})"}],
+        sql_final={out: s},
+    )
+
+
+def vortex(length: int = 14, drift: int = 1):
+    """VI+ = sum(|h - l.shift|)/sum(TR); VI- mirrored —
+    pandas_ta/trend/vortex.py#vortex."""
+    op, om = name("VTXP", length), name("VTXM", length)
+    tr_c, vp_c, vm_c = "_vtx_tr", "_vtx_p", "_vtx_m"
+    pl = shift("low", drift)
+    ph = shift("high", drift)
+    vmp = F.when(pl.isNull(), None).otherwise(F.abs(F.col("high") - pl))
+    vmm = F.when(ph.isNull(), None).otherwise(F.abs(F.col("low") - ph))
+    s_pl, s_ph = sql_shift("low", drift), sql_shift("high", drift)
+    s_vmp = f"CASE WHEN ({s_pl}) IS NULL THEN NULL ELSE abs(high - ({s_pl})) END"
+    s_vmm = f"CASE WHEN ({s_ph}) IS NULL THEN NULL ELSE abs(low - ({s_ph})) END"
+    str_ = roll(F.sum, tr_c, length)
+    s_str = sql_roll("sum", tr_c, length)
+    return Indicator(
+        "vortex", [op, om], CAT,
+        stages=[{tr_c: _spark_true_range(drift), vp_c: vmp, vm_c: vmm}],
+        final={op: roll(F.sum, vp_c, length) / str_,
+               om: roll(F.sum, vm_c, length) / str_},
+        sql_stages=[{tr_c: _sql_true_range(drift), vp_c: s_vmp, vm_c: s_vmm}],
+        sql_final={op: f"({sql_roll('sum', vp_c, length)}) / ({s_str})",
+                   om: f"({sql_roll('sum', vm_c, length)}) / ({s_str})"},
+    )
+
+
+def adx(length: int = 14, lensig: int | None = None, scalar: float = 100.0):
+    """ADX/DMP/DMN via RMA chains — pandas_ta/trend/adx.py#adx."""
+    lensig = lensig or length
+    oa = name("ADX", lensig)
+    op, om = name("DMP", length), name("DMN", length)
+    a = 1.0 / length
+
+    def fn(pdf):
+        import numpy as np
+
+        atr_ = rma_pd(pd_true_range(pdf, pdf["close"].shift(1)), length)
+        up = pdf["high"].diff(1)
+        dn = -pdf["low"].diff(1)
+        pos = up.where((up > dn) & (up > 0), 0.0)
+        neg = dn.where((dn > up) & (dn > 0), 0.0)
+        pos[up.isna()] = np.nan
+        neg[dn.isna()] = np.nan
+        k = scalar / atr_
+        dmp = k * rma_pd(pos, length)
+        dmn = k * rma_pd(neg, length)
+        dx = scalar * (dmp - dmn).abs() / (dmp + dmn)
+        pdf[oa] = rma_pd(dx, lensig)
+        pdf[op] = dmp
+        pdf[om] = dmn
+        return pdf
+
+    s_up = sql_diff("high", 1)
+    s_dn = f"(-({sql_diff('low', 1)}))"
+    pos = (f"CASE WHEN ({s_up}) IS NULL THEN NULL"
+           f" WHEN ({s_up}) > ({s_dn}) AND ({s_up}) > 0 THEN ({s_up}) ELSE 0.0 END")
+    neg = (f"CASE WHEN ({s_dn}) IS NULL THEN NULL"
+           f" WHEN ({s_dn}) > ({s_up}) AND ({s_dn}) > 0 THEN ({s_dn}) ELSE 0.0 END")
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_atr", "_tr", a, length),
+            EwmStage("_rp", "_pos", a, length),
+            EwmStage("_rn2", "_neg", a, length),
+            {"_dmp": f"{scalar!r} / _atr * _rp", "_dmn": f"{scalar!r} / _atr * _rn2"},
+            {"_dx": f"{scalar!r} * abs(_dmp - _dmn) / (_dmp + _dmn)"},
+            EwmStage("_adx", "_dx", 1.0 / lensig, lensig),
+        ],
+        {oa: "_adx", op: "_dmp", om: "_dmn"},
+        pre={"_tr": _sql_true_range(), "_pos": pos, "_neg": neg},
+    )
+    return Indicator("adx", [oa, op, om], CAT,
+                     kernel=KernelSpec(fn, [oa, op, om], ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def cksp(p: int = 10, x: float = 1.0, q: int = 9):
+    """Chande Kroll Stop — pandas_ta/trend/cksp.py#cksp."""
+    ol, os_ = name("CKSPl", p, x, q), name("CKSPs", p, x, q)
+
+    def fn(pdf):
+        atr_ = rma_pd(pd_true_range(pdf, pdf["close"].shift(1)), p)
+        ls0 = pdf["high"].rolling(p).max() - x * atr_
+        ss0 = pdf["low"].rolling(p).min() + x * atr_
+        pdf[ol] = ls0.rolling(q).max()
+        pdf[os_] = ss0.rolling(q).min()
+        return pdf
+
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_atr", "_tr", 1.0 / p, p),
+            {"_ls0": f"({sql_roll('max', 'high', p)}) - {x!r} * _atr",
+             "_ss0": f"({sql_roll('min', 'low', p)}) + {x!r} * _atr"},
+        ],
+        {ol: sql_roll("max", "_ls0", q), os_: sql_roll("min", "_ss0", q)},
+        pre={"_tr": _sql_true_range()},
+    )
+    return Indicator("cksp", [ol, os_], CAT,
+                     kernel=KernelSpec(fn, [ol, os_], ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def amat(fast: int = 8, slow: int = 21, lookback: int = 2):
+    """Archer MA Trends: long_run/short_run of EMA(fast) vs EMA(slow) —
+    pandas_ta/trend/amat.py#amat, trend/long_run.py#long_run."""
+    ol = f"AMATe_LR_{fast}_{slow}_{lookback}"
+    os_ = f"AMATe_SR_{fast}_{slow}_{lookback}"
+
+    def fn(pdf):
+        ef = ema_pd(pdf["close"], fast)
+        es = ema_pd(pdf["close"], slow)
+        fi = ef.diff(lookback) > 0
+        fd = ef.diff(lookback) < 0
+        si = es.diff(lookback) > 0
+        sd = es.diff(lookback) < 0
+        pdf[ol] = ((fi & sd) | (fi & si)).astype(float)
+        pdf[os_] = ((fd & si) | (fd & sd)).astype(float)
+        return pdf
+
+    def s_d(col):
+        return f"({col} - lag({col}, {lookback}) OVER (PARTITION BY symbol ORDER BY _rn))"
+
+    fi, fd = f"({s_d('_ef')} > 0)", f"({s_d('_ef')} < 0)"
+    si, sd = f"({s_d('_es')} > 0)", f"({s_d('_es')} < 0)"
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_ef", "close", 2.0 / (fast + 1), fast),
+            EwmStage("_es", "close", 2.0 / (slow + 1), slow),
+        ],
+        # coalesce: pandas bool-of-NaN compares False (0.0) in warmup
+        {ol: f"CAST(coalesce(({fi} AND {sd}) OR ({fi} AND {si}), false) AS DOUBLE)",
+         os_: f"CAST(coalesce(({fd} AND {si}) OR ({fd} AND {sd}), false) AS DOUBLE)"},
+    )
+    return Indicator("amat", [ol, os_], CAT,
+                     kernel=KernelSpec(fn, [ol, os_], ["close"]),
+                     sql_full=sql)
+
+
+def tsignals(fast: int = 8, slow: int = 21):
+    """Trend signals of trend := SMA(fast) > SMA(slow) —
+    pandas_ta/trend/tsignals.py#tsignals (trend input bound to the classic
+    MA-cross for the driver suite; any boolean Column works via
+    ``tsignals_of``)."""
+    trend = masked(F.avg("close").over(w_rows(fast)), "close", fast) > masked(
+        F.avg("close").over(w_rows(slow)), "close", slow
+    )
+    s_trend = (f"(({sql_roll('avg', 'close', fast)}) >"
+               f" ({sql_roll('avg', 'close', slow)}))")
+    return tsignals_of(trend, s_trend)
+
+
+def tsignals_of(trend, s_trend: str):
+    """TS_Trends/TS_Trades/TS_Entries/TS_Exits from a boolean trend."""
+    outs = ["TS_Trends", "TS_Trades", "TS_Entries", "TS_Exits"]
+    t = "_ts_trend"
+    cur = F.col(t)
+    prev = shift(t, 1)
+    trades = cur - F.coalesce(prev, F.lit(0.0))
+    s_prev = sql_shift(t, 1)
+    s_trades = f"({t} - coalesce({s_prev}, 0.0))"
+    return Indicator(
+        "tsignals", outs, CAT,
+        stages=[{t: trend.cast("double")}],
+        final={
+            outs[0]: cur,
+            outs[1]: trades,
+            outs[2]: (trades == 1).cast("double"),
+            outs[3]: (trades == -1).cast("double"),
+        },
+        sql_stages=[{t: f"CAST({s_trend} AS DOUBLE)"}],
+        sql_final={
+            outs[0]: t,
+            outs[1]: s_trades,
+            outs[2]: f"CAST({s_trades} = 1 AS DOUBLE)",
+            outs[3]: f"CAST({s_trades} = -1 AS DOUBLE)",
+        },
+    )
+
+
+def psar(af0: float = 0.02, af: float = 0.02, max_af: float = 0.2):
+    """Parabolic SAR state machine — pandas_ta/trend/psar.py#psar.
+    Per-row data-dependent recursion: Arrow kernel per symbol (the one
+    class of op that is genuinely sequential; rows-only check)."""
+    suffix = f"{af}_{max_af}"
+    outs = [f"PSARl_{suffix}", f"PSARs_{suffix}", f"PSARaf_{suffix}", f"PSARr_{suffix}"]
+
+    def fn(pdf):
+        import numpy as np
+
+        high = pdf["high"].to_numpy()
+        low = pdf["low"].to_numpy()
+        close = pdf["close"].to_numpy()
+        n = len(pdf)
+        psar_l = np.full(n, np.nan)
+        psar_s = np.full(n, np.nan)
+        af_arr = np.full(n, np.nan)
+        rev = np.zeros(n)
+        if n < 2:
+            pdf[outs[0]], pdf[outs[1]] = psar_l, psar_s
+            pdf[outs[2]], pdf[outs[3]] = af_arr, rev
+            return pdf
+        falling = (high[0] + low[0]) / 2 > close[1] if n > 1 else False
+        cur_af = af0
+        sar = high[0] if falling else low[0]
+        ep = low[0] if falling else high[0]
+        af_arr[0] = af0
+        for i in range(1, n):
+            sar = sar + cur_af * (ep - sar)
+            if falling:
+                reverse = high[i] > sar
+                if low[i] < ep:
+                    ep = low[i]
+                    cur_af = min(cur_af + af, max_af)
+                sar = max(sar, high[i - 1], high[i - 2] if i > 1 else high[i - 1])
+            else:
+                reverse = low[i] < sar
+                if high[i] > ep:
+                    ep = high[i]
+                    cur_af = min(cur_af + af, max_af)
+                sar = min(sar, low[i - 1], low[i - 2] if i > 1 else low[i - 1])
+            if reverse:
+                sar = ep
+                ep = low[i] if not falling else high[i]
+                falling = not falling
+                cur_af = af0
+                ep = low[i] if falling else high[i]
+            if falling:
+                psar_s[i] = sar
+            else:
+                psar_l[i] = sar
+            af_arr[i] = cur_af
+            rev[i] = float(reverse)
+        pdf[outs[0]] = psar_l
+        pdf[outs[1]] = psar_s
+        pdf[outs[2]] = af_arr
+        pdf[outs[3]] = rev
+        return pdf
+
+    return Indicator("psar", outs, CAT,
+                     kernel=KernelSpec(fn, outs, ["high", "low", "close"]))
+
+
+FACTORIES = {
+    "aroon": aroon, "chop": chop, "decay": decay, "increasing": increasing,
+    "decreasing": decreasing, "dpo": dpo, "qstick": qstick,
+    "ttm_trend": ttm_trend, "vhf": vhf, "vortex": vortex, "adx": adx,
+    "cksp": cksp, "amat": amat, "tsignals": tsignals, "psar": psar,
+}
+
+SUITE = {
+    "aroon_14": aroon, "chop_14": chop, "decay_5": decay,
+    "increasing_1": increasing, "decreasing_1": decreasing, "dpo_20": dpo,
+    "qstick_10": qstick, "ttm_trend_6": ttm_trend, "vhf_28": vhf,
+    "vortex_14": vortex, "adx_14": adx, "cksp_10_1_9": cksp,
+    "amat_8_21_2": amat, "tsignals_8_21": tsignals, "psar": psar,
+}
