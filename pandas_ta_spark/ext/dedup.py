@@ -1,0 +1,307 @@
+"""Deduplication operators over the documents table (SURVEY.md §7.5).
+
+Scale design (100 TB): exact dedup is one hash-groupBy (map-side partial,
+no skew — md5 keys are uniform). Near-dup NEVER compares all pairs:
+MinHash signatures band into buckets (one shuffle on band key), only
+bucket-mates are verified with true Jaccard. SimHash gives a second,
+cheaper blocking key. The n-gram Jaccard entry verifies within
+(lang, source) blocks — the exact-but-blocked baseline the LSH variants
+approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery  # noqa: TID252  (package root)
+from pandas_ta_spark.sources.bars import load_table
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_K = 3  # word 3-grams
+JACCARD_THRESHOLD = 0.5
+
+
+# --------------------------------------------------------------- exact ----
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.groupBy(h.alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""".strip()
+
+
+# ------------------------------------------------------------- shingles ----
+
+def _shingle_sql(rel: str = "documents") -> str:
+    """DuckDB: distinct word-3-gram shingles per doc (list_transform over
+    an index range — lateral range() joins are unsupported)."""
+    return f"""
+tok AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM {rel}
+),
+shl AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sl
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl
+)
+""".strip()
+
+
+def _shingles_spark(docs: DataFrame) -> DataFrame:
+    """Spark: distinct word-3-gram shingles per doc (explode over index
+    sequence — stays JVM-side, no Python)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    df = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SHINGLE_K  # Spark sequence() descends if start>stop
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.size("toks") - SHINGLE_K)).alias("i")
+    df = df.select("doc_id", "toks", idx)
+    shingle = F.concat_ws(
+        " ", *[F.col("toks")[F.col("i") + k] for k in range(SHINGLE_K)]
+    )
+    return df.select("doc_id", shingle.alias("shingle")).distinct()
+
+
+# -------------------------------------------------------- minhash + LSH ----
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidates + true-Jaccard verification.
+
+    Signature: 16 md5-seeded min-hashes (hex strings; lexicographic min ==
+    numeric min for fixed-width hex). 4 bands x 4 rows -> bucket join ->
+    verify. At 100 TB the band self-join replaces the quadratic all-pairs
+    scan; bucket sizes stay bounded because md5 is uniform.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingles_spark(docs)
+    mins = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 8)).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey")))
+    banded = bands[0]
+    for other in bands[1:]:
+        banded = banded.unionAll(other)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with true shingle Jaccard
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
+    inter = (
+        cand.join(sha, "doc_a").join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})
+    nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})
+    out = (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min(substr(md5('{j}|' || shingle), 1, 8)) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_rows = []
+    for b in range(N_BANDS):
+        key = " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_shingle_sql()},
+sig AS (
+    SELECT doc_id, {mins}
+    FROM sh GROUP BY doc_id
+),
+banded AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+""".strip()
+
+
+# --------------------------------------------------- exact blocked jaccard ----
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= threshold within (source) blocks — the
+    blocked-exact baseline the LSH path approximates. Quadratic within a
+    block only; blocks are bounded by construction at scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sh = _shingles_spark(docs)
+    blocks = docs.select("doc_id", "source")
+    sha = (sh.join(blocks, "doc_id")
+           .select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src"),
+                   F.col("shingle").alias("s")))
+    shb = (sh.join(blocks, "doc_id")
+           .select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src"),
+                   F.col("shingle").alias("s")))
+    inter = (
+        sha.join(shb, ["src", "s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})
+    nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_shingle_sql()},
+blk AS (SELECT doc_id, source FROM documents),
+j AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN blk ba ON ba.doc_id = a.doc_id
+    JOIN blk bb ON bb.source = ba.source
+    JOIN sh b ON b.doc_id = bb.doc_id AND b.shingle = a.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT j.doc_a, j.doc_b, j.n_inter,
+       j.n_inter / (na.n_sh + nb.n_sh - j.n_inter) AS jaccard
+FROM j
+JOIN sizes na ON na.doc_id = j.doc_a
+JOIN sizes nb ON nb.doc_id = j.doc_b
+WHERE j.n_inter / (na.n_sh + nb.n_sh - j.n_inter) >= 0.2
+""".strip()
+
+
+# -------------------------------------------------------------- simhash ----
+
+def _simhash_bits():
+    """16-bit simhash from the first 4 hex chars of md5(token): per bit,
+    sign of sum over tokens of (bit set ? +1 : -1). Pure integer
+    arithmetic — identical in both engines."""
+    terms = []
+    for nib in range(4):  # hex char position 1..4
+        for bit in range(4):
+            terms.append((nib, bit))
+    return terms
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    h = F.substring(F.md5("tok"), 1, 4)
+    nibs = [
+        F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"nib{i}")
+        for i in range(4)
+    ]
+    toks = toks.select("doc_id", *nibs)
+    sums = []
+    for nib, bit in _simhash_bits():
+        b = (F.floor(F.col(f"nib{nib}") / (2 ** bit)) % 2)
+        sums.append(F.sum(F.when(b == 1, 1).otherwise(-1)).alias(f"s{nib}_{bit}"))
+    agg = toks.groupBy("doc_id").agg(*sums)
+    bits = [
+        F.when(F.col(f"s{nib}_{bit}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for nib, bit in _simhash_bits()
+    ]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash16"))
+
+
+def _simhash_oracle() -> str:
+    hexmap = "0123456789abcdef"
+    nib_cols = ", ".join(
+        f"strpos('{hexmap}', substr(h, {i + 1}, 1)) - 1 AS nib{i}" for i in range(4)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (CAST(floor(nib{nib} / {2 ** bit}) AS BIGINT) % 2) = 1"
+        f" THEN 1 ELSE -1 END) AS s{nib}_{bit}"
+        for nib, bit in _simhash_bits()
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{nib}_{bit} >= 0 THEN '1' ELSE '0' END"
+        for nib, bit in _simhash_bits()
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+    FROM documents
+),
+hx AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h FROM tok),
+nibs AS (SELECT doc_id, {nib_cols} FROM hx),
+agg AS (SELECT doc_id, {sums} FROM nibs GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash16 FROM agg
+""".strip()
+
+
+SUITE = {
+    "dedup_exact": ExtQuery(_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": ExtQuery(_dedup_minhash, _minhash_oracle()),
+    "dedup_ngram_jaccard": ExtQuery(_dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_simhash": ExtQuery(_dedup_simhash, _simhash_oracle()),
+}

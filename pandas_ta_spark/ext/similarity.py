@@ -1,0 +1,239 @@
+"""Similarity search over the embeddings table (SURVEY.md §7.5).
+
+Brute-force cosine top-k is the correctness baseline; the LSH variant
+(random-hyperplane signs -> bucket join) is the 100 TB path: candidates
+shrink from |Q|x|N| to bucket-mates only, one shuffle on the bucket key.
+
+Determinism: dot products and norms are emitted as explicit
+left-associated term sums — the identical IEEE addition order makes
+Spark and DuckDB produce bit-identical doubles, so rank ties and rounded
+scores agree. Hyperplanes are fixed literals derived from md5 (same text
+baked into both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.sources.bars import load_table
+
+DIM = 64
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 4  # 16 LSH buckets
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    from public code alone, identical literals on both engines."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
+            row.append(round(int(h[:8], 16) / 0xFFFFFFFF - 0.5, 6))
+        planes.append(row)
+    return planes
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Explicit left-associated dot product (1-based indexing)."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, DIM + 1))
+
+
+def _plane_dot_sql(e: str, plane: list[float]) -> str:
+    return " + ".join(f"{e}[{i}] * ({plane[i - 1]!r})" for i in range(1, DIM + 1))
+
+
+def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.select("vec_id", e.alias("e"))
+    # norm via the same left-associated sum as the SQL twin (0-based here)
+    dot_self = F.col("e")[0] * F.col("e")[0]
+    for i in range(1, DIM):
+        dot_self = dot_self + F.col("e")[i] * F.col("e")[i]
+    return df.select("vec_id", "e", F.sqrt(dot_self).alias("nrm"))
+
+
+def _spark_dot(a: str, b: str):
+    acc = F.col(a)[0] * F.col(b)[0]
+    for i in range(1, DIM):
+        acc = acc + F.col(a)[i] * F.col(b)[i]
+    return acc
+
+
+def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: |Q| queries x N corpus, rank by score.
+    The broadcast of the small query side keeps this a map-side join."""
+    from pyspark.sql import Window
+
+    v = _spark_vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = v.select(F.col("vec_id").alias("match_id"), F.col("e").alias("ce"),
+                 F.col("nrm").alias("cn"))
+    joined = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("match_id"))
+    score = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("match_id")
+    )
+    return (
+        joined.select("query_id", "match_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "rank",
+                (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
+    )
+
+
+def _topk_oracle() -> str:
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ({_dot_sql('q.e', 'c.e')}) / (q.nrm * c.nrm) AS score
+    FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, match_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, match_id) AS rank
+    FROM scored
+)
+SELECT query_id, match_id, rank, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM ranked WHERE rank <= {TOP_K}
+""".strip()
+
+
+def _topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-of-hyperplane-dot bucket key, candidates =
+    bucket-mates only. The scale path: one shuffle on (bucket), no |Q|xN
+    blowup; recall traded for cost, measured against the brute-force
+    baseline."""
+    from pyspark.sql import Window
+
+    v = _spark_vectors(spark, sf_dir)
+    planes = _planes()
+    bits = []
+    for p in range(N_PLANES):
+        acc = F.col("e")[0] * F.lit(planes[p][0])
+        for i in range(1, DIM):
+            acc = acc + F.col("e")[i] * F.lit(planes[p][i])
+        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
+    v = v.select("vec_id", "e", "nrm", F.concat(*bits).alias("bucket"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = v.select(F.col("vec_id").alias("match_id"), F.col("e").alias("ce"),
+                 F.col("nrm").alias("cn"), "bucket")
+    joined = q.join(c, "bucket").filter(F.col("query_id") != F.col("match_id"))
+    score = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("match_id")
+    )
+    return (
+        joined.select("query_id", "match_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "rank",
+                (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
+    )
+
+
+def _topk_lsh_oracle() -> str:
+    planes = _planes()
+    bits = " || ".join(
+        f"CASE WHEN ({_plane_dot_sql('e', planes[p])}) >= 0 THEN '1' ELSE '0' END"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {bits} AS bucket FROM v
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           ({_dot_sql('q.e', 'c.e')}) / (q.nrm * c.nrm) AS score
+    FROM n q JOIN n c ON q.bucket = c.bucket
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, match_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, match_id) AS rank
+    FROM scored
+)
+SELECT query_id, match_id, rank, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM ranked WHERE rank <= {TOP_K}
+""".strip()
+
+
+def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.99) via LSH buckets —
+    the embedding-space analogue of MinHash dedup."""
+    v = _spark_vectors(spark, sf_dir)
+    planes = _planes()
+    bits = []
+    for p in range(N_PLANES):
+        acc = F.col("e")[0] * F.lit(planes[p][0])
+        for i in range(1, DIM):
+            acc = acc + F.col("e")[i] * F.lit(planes[p][i])
+        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
+    v = v.select("vec_id", "e", "nrm", F.concat(*bits).alias("bucket"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                 F.col("nrm").alias("na"), "bucket")
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                 F.col("nrm").alias("nb"), "bucket")
+    joined = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    score = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        joined.select("vec_a", "vec_b", score.alias("score"))
+        .filter(F.col("score") >= 0.99)
+        .select("vec_a", "vec_b",
+                (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
+    )
+
+
+def _neardup_oracle() -> str:
+    planes = _planes()
+    bits = " || ".join(
+        f"CASE WHEN ({_plane_dot_sql('e', planes[p])}) >= 0 THEN '1' ELSE '0' END"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {bits} AS bucket FROM v
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({_dot_sql('a.e', 'b.e')}) / (a.nrm * b.nrm) AS score
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM pairs WHERE score >= 0.99
+""".strip()
+
+
+SUITE = {
+    "topk_cosine": ExtQuery(_topk_cosine, _topk_oracle()),
+    "topk_cosine_lsh": ExtQuery(_topk_lsh, _topk_lsh_oracle()),
+    "neardup_cosine_lsh": ExtQuery(_neardup_cosine, _neardup_oracle()),
+}

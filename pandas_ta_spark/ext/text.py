@@ -1,0 +1,256 @@
+"""Text analysis over the documents table (SURVEY.md §7.5).
+
+Token counting, quality scoring, n-gram-heuristic language ID, and
+document fingerprinting — all pure built-in functions (split/filter/md5),
+no UDFs: at 100 TB these run inside whole-stage codegen on a pruned
+2-column scan. Ratios divide exact integers, so both engines produce
+identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.sources.bars import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def _toks():
+    return F.split(F.lower(F.trim(F.col("text"))), " ")
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_uniq / n_tok).alias("type_token_ratio"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        ((n_chars - (n_tok - 1)) / n_tok).alias("avg_token_len"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stopwords,
+       len(list_distinct(toks)) / len(toks) AS type_token_ratio,
+       len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks) AS stopword_ratio,
+       (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len
+FROM t
+""".strip()
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: stopword-marker hit counts per
+    language, argmax with deterministic tiebreak (en > de > fr)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = _toks()
+
+    def marker_count(markers):
+        # closure factory: a single-arg lambda (a 2-arg lambda with a
+        # default is treated as the (x, i) form by PySpark)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).cast("int").alias("lang_match"),
+    )
+
+
+def _lang_sql() -> str:
+    s = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (f"CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en'"
+            f" WHEN {s['de']} >= {s['fr']} THEN 'de' ELSE 'fr' END")
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       {s['en']} AS score_en,
+       {s['de']} AS score_de,
+       {s['fr']} AS score_fr,
+       {pred} AS lang_pred,
+       CAST(({pred}) = lang AS INT) AS lang_match
+FROM t
+""".strip()
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score: bounded combination of length, diversity, and
+    stopword signals (C4/Gopher-style rule scoring, integer-exact)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    len_ok = (n_tok >= 10) & (n_tok <= 1000)
+    ttr = n_uniq / n_tok
+    stop_ratio = n_stop / n_tok
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(ttr >= 0.2, 0.3).otherwise(0.0)
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= 0.7).cast("int").alias("keep"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, len(toks) AS n_tok,
+           len(list_distinct(toks)) / len(toks) AS ttr,
+           len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks) AS sr
+    FROM t
+)
+SELECT doc_id, n_tok AS n_tokens,
+       (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN ttr >= 0.2 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN sr >= 0.01 AND sr <= 0.5 THEN 0.3 ELSE 0.0 END) AS quality_score,
+       CAST((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN ttr >= 0.2 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN sr >= 0.01 AND sr <= 0.5 THEN 0.3 ELSE 0.0 END) >= 0.7 AS INT) AS keep
+FROM m
+""".strip()
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc hash + min-shingle rolling-hash
+    fingerprint (winnowing-lite: min over word-4-gram hashes)."""
+    from pandas_ta_spark.ext.dedup import _shingles_spark
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    whole = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("doc_hash")
+    )
+    sh = _shingles_spark(docs)
+    minsh = sh.groupBy("doc_id").agg(
+        F.min(F.substring(F.md5("shingle"), 1, 16)).alias("min_shingle_fp")
+    )
+    return whole.join(minsh, "doc_id", "left")
+
+
+def _fingerprint_sql() -> str:
+    from pandas_ta_spark.ext.dedup import _shingle_sql
+
+    return f"""
+WITH {_shingle_sql()},
+m AS (
+    SELECT doc_id, min(substr(md5(shingle), 1, 16)) AS min_shingle_fp
+    FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, md5(lower(trim(d.text))) AS doc_hash, m.min_shingle_fp
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+""".strip()
+
+
+def _lang_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per (lang, source): doc counts + exact-integer char
+    stats — map-side partial aggregation, the canonical 100 TB reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+LANG_SOURCE_AGG_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(n_chars) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2
+""".strip()
+
+
+def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column handling: parse events.props JSON into a typed map
+    (from_json) and aggregate — the multimodal-metadata pattern."""
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    k = m["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k") / F.count("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = r"""
+WITH e AS (
+    SELECT event_type,
+           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+    FROM events
+)
+SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
+       sum(k) / count(k) AS avg_k, min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY 1
+""".strip()
+
+
+SUITE = {
+    "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
+    "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
+    "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),
+    "text_fingerprint": ExtQuery(_fingerprint, _fingerprint_sql()),
+    "lang_source_agg": ExtQuery(_lang_source_agg, LANG_SOURCE_AGG_SQL),
+    "events_props_agg": ExtQuery(_events_props, EVENTS_PROPS_SQL),
+}

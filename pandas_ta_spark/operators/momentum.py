@@ -770,13 +770,401 @@ def stochrsi(length: int = 14, rsi_length: int = 14, k: int = 3, d: int = 3):
                      sql_full=sql)
 
 
+def rvgi(length: int = 14, swma_length: int = 4):
+    """Relative Vigor: SWMA4(c-o) summed / SWMA4(h-l) summed + SWMA signal
+    — pandas_ta/momentum/rvgi.py#rvgi."""
+    o_r = name("RVGI", length, swma_length)
+    o_s = name("RVGIs", length, swma_length)
+    ws = mu.symmetric_triangle(swma_length)
+    co_c, hl_c, line_c = "_rvgi_co", "_rvgi_hl", "_rvgi_line"
+    num = roll(F.sum, co_c, length)
+    den = roll(F.sum, hl_c, length)
+    s_num = sql_roll("sum", co_c, length)
+    s_den = sql_roll("sum", hl_c, length)
+    return Indicator(
+        "rvgi", [o_r, o_s], CAT,
+        stages=[{co_c: wroll(F.col("close") - F.col("open"), ws),
+                 hl_c: wroll(F.col("high") - F.col("low"), ws)},
+                {line_c: num / den}],
+        final={o_r: F.col(line_c), o_s: wroll(line_c, ws)},
+        sql_stages=[{co_c: sql_wroll("(close - open)", ws),
+                     hl_c: sql_wroll("(high - low)", ws)},
+                    {line_c: f"({s_num}) / ({s_den})"}],
+        sql_final={o_r: line_c, o_s: sql_wroll(line_c, ws)},
+    )
+
+
+def inertia(length: int = 20, rvi_length: int = 14):
+    """Inertia: linreg(RVI, n) endpoint — pandas_ta/momentum/inertia.py."""
+    out = name("INERTIA", length, rvi_length)
+
+    def fn(pdf):
+        import numpy as np
+
+        sd = pdf["close"].rolling(rvi_length).std()
+        d = pdf["close"].diff(1)
+        pos = sd.where(d > 0, 0.0)
+        neg = sd.where(d <= 0, 0.0)
+        nan = sd.isna() | d.isna()
+        pos[nan] = np.nan
+        neg[nan] = np.nan
+        p = ema_pd(pos, rvi_length)
+        nn = ema_pd(neg, rvi_length)
+        r = 100 * p / (p + nn)
+        x = np.arange(1.0, length + 1)
+        sx = x.sum()
+        den = (x * x).sum() * length - sx * sx
+
+        def lr_endpoint(w):
+            if np.isnan(w).any():
+                return np.nan
+            sy = w.sum()
+            sxy = (x * w).sum()
+            slope_ = (length * sxy - sx * sy) / den
+            icpt = (sy - slope_ * sx) / length
+            return icpt + slope_ * length
+
+        pdf[out] = r.rolling(length).apply(lr_endpoint, raw=True)
+        return pdf
+
+    from pandas_ta_spark.functions.windows import sql_w_rows as _swr
+
+    s_sd = sql_roll("stddev_samp", "close", rvi_length)
+    s_d = sql_diff("close", 1)
+    pos = (f"CASE WHEN ({s_sd}) IS NULL OR ({s_d}) IS NULL THEN NULL"
+           f" WHEN ({s_d}) > 0 THEN ({s_sd}) ELSE 0.0 END")
+    neg = (f"CASE WHEN ({s_sd}) IS NULL OR ({s_d}) IS NULL THEN NULL"
+           f" WHEN ({s_d}) <= 0 THEN ({s_sd}) ELSE 0.0 END")
+    a = 2.0 / (rvi_length + 1)
+    wr = _swr(length)
+    ww = f"PARTITION BY symbol ORDER BY _rn ROWS BETWEEN {length - 1} PRECEDING AND CURRENT ROW"
+    s_slope = f"regr_slope(_rvi, _rn) OVER ({ww})"
+    s_icpt = f"regr_intercept(_rvi, _rn) OVER ({ww})"
+    fit = (f"CASE WHEN count(_rvi) OVER ({ww}) >= {length}"
+           f" THEN ({s_icpt}) + ({s_slope}) * _rn END")
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_p", "_pos", a, rvi_length),
+            EwmStage("_n", "_neg", a, rvi_length),
+            {"_rvi": "100 * _p / (_p + _n)"},
+        ],
+        {out: fit},
+        pre={"_pos": pos, "_neg": neg},
+    )
+    return Indicator("inertia", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
+
+
+def smi(fast: int = 5, slow: int = 20, signal: int = 5, scalar: float = 1.0):
+    """SMI Ergodic = TSI(fast, slow) + EMA signal + oscillator —
+    pandas_ta/momentum/smi.py#smi."""
+    o = name("SMI", fast, slow, signal)
+    o_s = name("SMIs", fast, slow, signal)
+    o_o = name("SMIo", fast, slow, signal)
+
+    def fn(pdf):
+        d = pdf["close"].diff(1)
+        num = ema_pd(ema_pd(d, slow), fast)
+        den = ema_pd(ema_pd(d.abs(), slow), fast)
+        line = scalar * 100 * num / den
+        sig = ema_pd(line, signal)
+        pdf[o] = line
+        pdf[o_s] = sig
+        pdf[o_o] = line - sig
+        return pdf
+
+    af, asl, asig = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
+    sql = ewm_pipeline_sql(
+        [
+            EwmStage("_n1", "_d", asl, slow),
+            EwmStage("_n2", "_n1", af, fast),
+            EwmStage("_a1", "abs(_d)", asl, slow),
+            EwmStage("_a2", "_a1", af, fast),
+            {"_smi": f"{scalar!r} * 100 * _n2 / _a2"},
+            EwmStage("_sg", "_smi", asig, signal),
+        ],
+        {o: "_smi", o_s: "_sg", o_o: "_smi - _sg"},
+        pre={"_d": sql_diff("close", 1)},
+    )
+    return Indicator("smi", [o, o_s, o_o], CAT,
+                     kernel=KernelSpec(fn, [o, o_s, o_o], ["close"]),
+                     sql_full=sql)
+
+
+def squeeze(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
+            kc_scalar: float = 1.5, mom_length: int = 12, mom_smooth: int = 6):
+    """TTM Squeeze (mamode=sma variant): BB-inside-KC flags + linreg
+    momentum — pandas_ta/momentum/squeeze.py#squeeze. Pure window SQL."""
+    suffix = f"{bb_length}_{bb_std}_{kc_length}_{kc_scalar}"
+    o_sqz = f"SQZ_{suffix}"
+    o_on, o_off, o_no = "SQZ_ON", "SQZ_OFF", "SQZ_NO"
+    tr_c, rn_c, m_c = "_sqz_tr", "_sqz_rn", "_sqz_mom"
+    mid = roll(F.avg, "close", bb_length)
+    sd = roll(F.stddev_pop, "close", bb_length)
+    bbl, bbu = mid - bb_std * sd, mid + bb_std * sd
+    kmid = roll(F.avg, "close", kc_length)
+    kband = roll(F.avg, tr_c, kc_length)
+    kcl, kcu = kmid - kc_scalar * kband, kmid + kc_scalar * kband
+    mom_e = diff("close", mom_length)
+    x = F.col(rn_c)
+    sl = masked(F.regr_slope(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
+    ic = masked(F.regr_intercept(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
+    sqz_e = ic + sl * x
+    on_e = ((bbl > kcl) & (bbu < kcu)).cast("double")
+    off_e = ((bbl < kcl) & (bbu > kcu)).cast("double")
+    s_mid = sql_roll("avg", "close", bb_length)
+    s_sd = sql_roll("stddev_pop", "close", bb_length)
+    s_bbl, s_bbu = f"(({s_mid}) - {bb_std!r} * ({s_sd}))", f"(({s_mid}) + {bb_std!r} * ({s_sd}))"
+    s_kmid = sql_roll("avg", "close", kc_length)
+    s_kband = sql_roll("avg", tr_c, kc_length)
+    s_kcl = f"(({s_kmid}) - {kc_scalar!r} * ({s_kband}))"
+    s_kcu = f"(({s_kmid}) + {kc_scalar!r} * ({s_kband}))"
+    wr = sql_w_rows(mom_smooth)
+    s_sl = sql_masked(f"regr_slope({m_c}, {rn_c}) OVER ({wr})", m_c, mom_smooth)
+    s_ic = sql_masked(f"regr_intercept({m_c}, {rn_c}) OVER ({wr})", m_c, mom_smooth)
+    s_on = f"CAST((({s_bbl}) > ({s_kcl})) AND (({s_bbu}) < ({s_kcu})) AS DOUBLE)"
+    s_off = f"CAST((({s_bbl}) < ({s_kcl})) AND (({s_bbu}) > ({s_kcu})) AS DOUBLE)"
+    return Indicator(
+        "squeeze", [o_sqz, o_on, o_off, o_no], CAT,
+        stages=[{tr_c: F.when(shift("close", 1).isNull(), None).otherwise(
+                    F.greatest(F.col("high") - F.col("low"),
+                               F.abs(F.col("high") - shift("close", 1)),
+                               F.abs(F.col("low") - shift("close", 1)))),
+                 rn_c: F.row_number().over(w_order()).cast("double"),
+                 m_c: mom_e}],
+        final={o_sqz: sqz_e, o_on: on_e, o_off: off_e,
+               o_no: ((on_e == 0) & (off_e == 0)).cast("double")},
+        sql_stages=[{tr_c: _sql_true_range(), m_c: sql_diff("close", mom_length),
+                     rn_c: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
+        sql_final={
+            o_sqz: f"(({s_ic}) + ({s_sl}) * {rn_c})",
+            o_on: s_on, o_off: s_off,
+            o_no: f"CAST(({s_on}) = 0 AND ({s_off}) = 0 AS DOUBLE)",
+        },
+    )
+
+
+def fisher(length: int = 9, signal: int = 1):
+    """Fisher Transform: per-row value recursion —
+    pandas_ta/momentum/fisher.py#fisher (Arrow kernel)."""
+    o_f, o_s = name("FISHERT", length, signal), name("FISHERTs", length, signal)
+
+    def fn(pdf):
+        import numpy as np
+
+        hl2_ = ((pdf["high"] + pdf["low"]) / 2)
+        hh = hl2_.rolling(length).max().to_numpy()
+        ll = hl2_.rolling(length).min().to_numpy()
+        x = hl2_.to_numpy()
+        n = len(pdf)
+        fish = np.full(n, np.nan)
+        v = 0.0
+        prev_f = 0.0
+        for i in range(n):
+            if np.isnan(hh[i]):
+                continue
+            rng = hh[i] - ll[i]
+            if rng == 0:
+                rng = 0.001
+            v = 0.66 * ((x[i] - ll[i]) / rng - 0.5) + 0.67 * v
+            v = max(min(v, 0.999), -0.999)
+            f = 0.5 * (np.log((1 + v) / (1 - v)) + prev_f)
+            fish[i] = f
+            prev_f = f
+        pdf[o_f] = fish
+        pdf[o_s] = pd_shift(fish, signal)
+        return pdf
+
+    return Indicator("fisher", [o_f, o_s], CAT,
+                     kernel=KernelSpec(fn, [o_f, o_s], ["high", "low"]))
+
+
+def pd_shift(arr, k: int):
+    import numpy as np
+
+    out = np.full(len(arr), np.nan)
+    if k < len(arr):
+        out[k:] = arr[: len(arr) - k]
+    return out
+
+
+def rsx(length: int = 14):
+    """Jurik RSX: noise-free RSI (multi-stage IIR loop) —
+    pandas_ta/momentum/rsx.py#rsx."""
+    out = name("RSX", length)
+
+    def fn(pdf):
+        import numpy as np
+
+        c = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        f8 = f10 = v8 = 0.0
+        f28 = f30 = f38 = f40 = f48 = f50 = f58 = f60 = f68 = f70 = f78 = f80 = 0.0
+        f90 = f88 = 0.0
+        for i in range(n):
+            if f90 == 0.0:
+                f90, f0 = 1.0, 0.0
+                f88 = length - 1.0 if length - 1.0 >= 5 else 5.0
+                f8 = 100.0 * c[i]
+                f18 = 3.0 / (length + 2.0)
+                f20 = 1.0 - f18
+            else:
+                f90 = f88 + 1 if f88 <= f90 else f90 + 1
+                f10 = f8
+                f8 = 100.0 * c[i]
+                v8 = f8 - f10
+                f28 = f20 * f28 + f18 * v8
+                f30 = f18 * f28 + f20 * f30
+                vc = 1.5 * f28 - 0.5 * f30
+                f38 = f20 * f38 + f18 * vc
+                f40 = f18 * f38 + f20 * f40
+                v10 = 1.5 * f38 - 0.5 * f40
+                f48 = f20 * f48 + f18 * v10
+                f50 = f18 * f48 + f20 * f50
+                v14 = 1.5 * f48 - 0.5 * f50
+                f58 = f20 * f58 + f18 * abs(v8)
+                f60 = f18 * f58 + f20 * f60
+                v18 = 1.5 * f58 - 0.5 * f60
+                f68 = f20 * f68 + f18 * v18
+                f70 = f18 * f68 + f20 * f70
+                v1x = 1.5 * f68 - 0.5 * f70
+                f78 = f20 * f78 + f18 * v1x
+                f80 = f18 * f78 + f20 * f80
+                v3x = 1.5 * f78 - 0.5 * f80
+                if f88 >= f90 and f8 != f10:
+                    f0 = 1.0
+                if f88 == f90 and f0 == 0.0:
+                    f90 = 0.0
+                if f88 < f90 and v3x > 1e-10:
+                    v4 = (v14 / v3x + 1.0) * 50.0
+                    v4 = min(max(v4, 0.0), 100.0)
+                    res[i] = v4
+        pdf[out] = res
+        return pdf
+
+    return Indicator("rsx", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def stc(tclength: int = 10, fast: int = 12, slow: int = 26, factor: float = 0.5):
+    """Schaff Trend Cycle: double recursive stochastic of MACD —
+    pandas_ta/momentum/stc.py#stc."""
+    suffix = f"{tclength}_{fast}_{slow}_{factor}"
+    o, o_m, o_s = f"STC_{suffix}", f"STCmacd_{suffix}", f"STCstoch_{suffix}"
+
+    def fn(pdf):
+        import numpy as np
+
+        line = (ema_pd(pdf["close"], fast) - ema_pd(pdf["close"], slow)).to_numpy()
+        n = len(pdf)
+        import pandas as pd
+
+        s = pd.Series(line)
+        ll = s.rolling(tclength).min().to_numpy()
+        hh = s.rolling(tclength).max().to_numpy()
+        stoch1 = np.full(n, np.nan)
+        pf = np.full(n, np.nan)
+        prev_pf = np.nan
+        for i in range(n):
+            if np.isnan(hh[i]):
+                continue
+            rng = hh[i] - ll[i]
+            stoch1[i] = 100 * (line[i] - ll[i]) / rng if rng > 0 else (
+                prev_pf if not np.isnan(prev_pf) else 0.0)
+            prev_pf = (stoch1[i] if np.isnan(prev_pf)
+                       else prev_pf + factor * (stoch1[i] - prev_pf))
+            pf[i] = prev_pf
+        s2 = pd.Series(pf)
+        ll2 = s2.rolling(tclength).min().to_numpy()
+        hh2 = s2.rolling(tclength).max().to_numpy()
+        stc_arr = np.full(n, np.nan)
+        prev = np.nan
+        for i in range(n):
+            if np.isnan(hh2[i]):
+                continue
+            rng = hh2[i] - ll2[i]
+            raw = 100 * (pf[i] - ll2[i]) / rng if rng > 0 else (
+                prev if not np.isnan(prev) else 0.0)
+            prev = raw if np.isnan(prev) else prev + factor * (raw - prev)
+            stc_arr[i] = prev
+        pdf[o] = stc_arr
+        pdf[o_m] = line
+        pdf[o_s] = pf
+        return pdf
+
+    return Indicator("stc", [o, o_m, o_s], CAT,
+                     kernel=KernelSpec(fn, [o, o_m, o_s], ["close"]))
+
+
+def qqe(length: int = 14, smooth: int = 5, factor: float = 4.236):
+    """QQE: RSI -> EMA -> ATR-of-RSI trailing stop state machine —
+    pandas_ta/momentum/qqe.py#qqe."""
+    suffix = f"{length}_{smooth}_{factor}"
+    o, o_r, o_l, o_s = (f"QQE_{suffix}", f"QQE_{suffix}_RSIMA",
+                        f"QQEl_{suffix}", f"QQEs_{suffix}")
+
+    def fn(pdf):
+        import numpy as np
+
+        d = pdf["close"].diff(1)
+        pg = rma_pd(d.clip(lower=0), length)
+        pl = rma_pd((-d).clip(lower=0), length)
+        rsi_ = (100 * pg / (pg + pl))
+        rsi_ma = ema_pd(rsi_, smooth)
+        atr_rsi = (rsi_ma.diff(1)).abs()
+        wilders = 2 * length - 1
+        ma_atr = ema_pd(atr_rsi, wilders)
+        dar = (ema_pd(ma_atr, wilders) * factor).to_numpy()
+        m = rsi_ma.to_numpy()
+        n = len(pdf)
+        long_band = np.full(n, np.nan)
+        short_band = np.full(n, np.nan)
+        trend = np.full(n, np.nan)
+        qqe_line = np.full(n, np.nan)
+        lb = sb = 0.0
+        tr_ = 1
+        started = False
+        for i in range(n):
+            if np.isnan(m[i]) or np.isnan(dar[i]):
+                continue
+            nl = m[i] - dar[i]
+            ns = m[i] + dar[i]
+            if started:
+                prev_m = m[i - 1]
+                lb = max(lb, nl) if prev_m > lb else nl
+                sb = min(sb, ns) if prev_m < sb else ns
+                if m[i] > sb_prev:
+                    tr_ = 1
+                elif m[i] < lb_prev:
+                    tr_ = -1
+            else:
+                lb, sb = nl, ns
+                started = True
+            lb_prev, sb_prev = lb, sb
+            trend[i] = tr_
+            qqe_line[i] = lb if tr_ == 1 else sb
+            long_band[i] = lb
+            short_band[i] = sb
+        pdf[o] = qqe_line
+        pdf[o_r] = rsi_ma
+        pdf[o_l] = long_band
+        pdf[o_s] = short_band
+        return pdf
+
+    return Indicator("qqe", [o, o_r, o_l, o_s], CAT,
+                     kernel=KernelSpec(fn, [o, o_r, o_l, o_s], ["close"]))
+
+
 FACTORIES = {
     "mom": mom, "roc": roc, "slope": slope, "bop": bop, "ao": ao, "apo": apo,
     "bias": bias, "brar": brar, "cci": cci, "cfo": cfo, "cg": cg, "cmo": cmo,
     "coppock": coppock, "cti": cti, "er": er, "kst": kst, "psl": psl,
     "stoch": stoch, "willr": willr, "uo": uo, "td_seq": td_seq, "rsi": rsi,
     "macd": macd, "trix": trix, "tsi": tsi, "dm": dm, "eri": eri, "kdj": kdj,
-    "pgo": pgo, "ppo": ppo, "pvo": pvo, "stochrsi": stochrsi,
+    "pgo": pgo, "ppo": ppo, "pvo": pvo, "stochrsi": stochrsi, "rvgi": rvgi,
+    "inertia": inertia, "smi": smi, "squeeze": squeeze, "fisher": fisher,
+    "rsx": rsx, "stc": stc, "qqe": qqe,
 }
 
 SUITE = {
@@ -787,5 +1175,7 @@ SUITE = {
     "willr_14": willr, "uo_7_14_28": uo, "td_seq": td_seq, "rsi_14": rsi,
     "macd_12_26_9": macd, "trix_30_9": trix, "tsi_13_25_13": tsi, "dm_14": dm,
     "eri_13": eri, "kdj_9_3": kdj, "pgo_14": pgo, "ppo_12_26_9": ppo,
-    "pvo_12_26_9": pvo, "stochrsi_14": stochrsi,
+    "pvo_12_26_9": pvo, "stochrsi_14": stochrsi, "rvgi_14_4": rvgi,
+    "inertia_20_14": inertia, "smi_5_20_5": smi, "squeeze_20": squeeze,
+    "fisher_9_1": fisher, "rsx_14": rsx, "stc_10_12_26": stc, "qqe_14_5": qqe,
 }

@@ -307,7 +307,10 @@ def rma(length: int = 10):
 
 def dema(length: int = 10):
     """2*EMA - EMA(EMA) — pandas_ta/overlap/dema.py#dema."""
+    from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
+
     out = name("DEMA", length)
+    a = 2.0 / (length + 1)
 
     def fn(pdf):
         e1 = ema_pd(pdf["close"], length)
@@ -315,12 +318,19 @@ def dema(length: int = 10):
         pdf[out] = 2 * e1 - e2
         return pdf
 
-    return _ewm_kernel("dema", out, fn)
+    sql = ewm_pipeline_sql(
+        [EwmStage("_e1", "close", a, length), EwmStage("_e2", "_e1", a, length)],
+        {out: "2 * _e1 - _e2"},
+    )
+    return _ewm_kernel("dema", out, fn, sql_full=sql)
 
 
 def tema(length: int = 10):
     """3*(EMA1-EMA2) + EMA3 — pandas_ta/overlap/tema.py#tema."""
+    from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
+
     out = name("TEMA", length)
+    a = 2.0 / (length + 1)
 
     def fn(pdf):
         e1 = ema_pd(pdf["close"], length)
@@ -329,17 +339,25 @@ def tema(length: int = 10):
         pdf[out] = 3 * (e1 - e2) + e3
         return pdf
 
-    return _ewm_kernel("tema", out, fn)
+    sql = ewm_pipeline_sql(
+        [EwmStage("_e1", "close", a, length), EwmStage("_e2", "_e1", a, length),
+         EwmStage("_e3", "_e2", a, length)],
+        {out: "3 * (_e1 - _e2) + _e3"},
+    )
+    return _ewm_kernel("tema", out, fn, sql_full=sql)
 
 
 def t3(length: int = 10, a: float = 0.7):
     """Tillson T3: six chained EMAs, vfactor polynomial combine —
     pandas_ta/overlap/t3.py#t3."""
+    from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
+
     out = name("T3", length, a)
     c1 = -(a ** 3)
     c2 = 3 * a * a + 3 * a ** 3
     c3 = -6 * a * a - 3 * a - 3 * a ** 3
     c4 = a ** 3 + 3 * a * a + 3 * a + 1
+    al = 2.0 / (length + 1)
 
     def fn(pdf):
         e = pdf["close"]
@@ -351,12 +369,21 @@ def t3(length: int = 10, a: float = 0.7):
         pdf[out] = c1 * e6 + c2 * e5 + c3 * e4 + c4 * e3
         return pdf
 
-    return _ewm_kernel("t3", out, fn)
+    stages = [EwmStage("_e1", "close", al, length)]
+    for i in range(2, 7):
+        stages.append(EwmStage(f"_e{i}", f"_e{i - 1}", al, length))
+    sql = ewm_pipeline_sql(
+        stages,
+        {out: f"{c1!r} * _e6 + {c2!r} * _e5 + {c3!r} * _e4 + {c4!r} * _e3"},
+    )
+    return _ewm_kernel("t3", out, fn, sql_full=sql)
 
 
 def zlma(length: int = 10):
     """Zero-lag EMA: EMA(2c - c.shift(lag)), lag=(n-1)//2 —
     pandas_ta/overlap/zlma.py#zlma."""
+    from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
+
     out = name("ZL_EMA", length)
     lag = (length - 1) // 2
 
@@ -365,7 +392,341 @@ def zlma(length: int = 10):
         pdf[out] = ema_pd(src, length)
         return pdf
 
-    return _ewm_kernel("zlma", out, fn)
+    sql = ewm_pipeline_sql(
+        [EwmStage("_e", "_src", 2.0 / (length + 1), length)],
+        {out: "_e"},
+        pre={"_src": f"2 * close - ({sql_shift('close', lag)})"},
+    )
+    return _ewm_kernel("zlma", out, fn, sql_full=sql)
+
+
+# ------------------------------------------------------- KERNEL / misc ----
+
+def hilo(high_length: int = 13, low_length: int = 21):
+    """Gann HiLo Activator — pandas_ta/overlap/hilo.py#hilo. No kernel:
+    band events (close crossing yesterday's MA band) emit values, the
+    in-between rows hold the last value via last(ignorenulls) (SURVEY.md
+    §2.2 hilo trick)."""
+    suffix = f"{high_length}_{low_length}"
+    o, ol, os_ = f"HILO_{suffix}", f"HILOl_{suffix}", f"HILOs_{suffix}"
+    mhi_c, mlo_c, ev_c, st_c = "_hilo_mhi", "_hilo_mlo", "_hilo_ev", "_hilo_st"
+    up_ev = F.col("close") > shift(mhi_c, 1)
+    dn_ev = F.col("close") < shift(mlo_c, 1)
+    ev = F.when(up_ev, F.col(mlo_c)).when(dn_ev, F.col(mhi_c))
+    st = F.when(up_ev, 1.0).when(dn_ev, -1.0)
+    from pandas_ta_spark.functions.windows import SQL_W_ALL, w_all
+
+    band = F.last(ev_c, ignorenulls=True).over(w_all())
+    state = F.last(st_c, ignorenulls=True).over(w_all())
+    s_mhi_p, s_mlo_p = sql_shift(mhi_c, 1), sql_shift(mlo_c, 1)
+    s_up = f"(close > ({s_mhi_p}))"
+    s_dn = f"(close < ({s_mlo_p}))"
+    s_ev = f"CASE WHEN {s_up} THEN {mlo_c} WHEN {s_dn} THEN {mhi_c} END"
+    s_st = f"CASE WHEN {s_up} THEN 1.0 WHEN {s_dn} THEN -1.0 END"
+    s_band = f"last_value({ev_c} IGNORE NULLS) OVER ({SQL_W_ALL})"
+    s_state = f"last_value({st_c} IGNORE NULLS) OVER ({SQL_W_ALL})"
+    return Indicator(
+        "hilo", [o, ol, os_], CAT,
+        stages=[{mhi_c: roll(F.avg, "high", high_length),
+                 mlo_c: roll(F.avg, "low", low_length)},
+                {ev_c: ev, st_c: st}],
+        final={
+            o: band,
+            ol: F.when(state == 1.0, band),
+            os_: F.when(state == -1.0, band),
+        },
+        sql_stages=[{mhi_c: sql_roll("avg", "high", high_length),
+                     mlo_c: sql_roll("avg", "low", low_length)},
+                    {ev_c: s_ev, st_c: s_st}],
+        sql_final={
+            o: s_band,
+            ol: f"CASE WHEN ({s_state}) = 1.0 THEN ({s_band}) END",
+            os_: f"CASE WHEN ({s_state}) = -1.0 THEN ({s_band}) END",
+        },
+    )
+
+
+def ichimoku(tenkan: int = 9, kijun: int = 26, senkou: int = 52):
+    """Ichimoku (historical frame): ITS/IKS/ISA/ISB/ICS —
+    pandas_ta/overlap/ichimoku.py#ichimoku. Pure window SQL; the 26-row
+    forward span extension is out of frame (documented deviation), the
+    chikou column is the reference's non-causal lead."""
+    its_o, iks_o = name("ITS", tenkan), name("IKS", kijun)
+    isa_o, isb_o = name("ISA", tenkan), name("ISB", kijun)
+    ics_o = name("ICS", kijun)
+    its_c, iks_c, isb_raw = "_ichi_its", "_ichi_iks", "_ichi_isbr"
+
+    def midprice_e(n):
+        return (roll(F.max, "high", n) + roll(F.min, "low", n)) / 2
+
+    def s_midprice(n):
+        return (f"(({sql_roll('max', 'high', n)}) +"
+                f" ({sql_roll('min', 'low', n)})) / 2")
+
+    return Indicator(
+        "ichimoku", [isa_o, isb_o, its_o, iks_o, ics_o], CAT,
+        stages=[{its_c: midprice_e(tenkan), iks_c: midprice_e(kijun),
+                 isb_raw: midprice_e(senkou)}],
+        final={
+            isa_o: shift((F.col(its_c) + F.col(iks_c)) / 2, kijun - 1),
+            isb_o: shift(isb_raw, kijun - 1),
+            its_o: F.col(its_c),
+            iks_o: F.col(iks_c),
+            ics_o: F.lead("close", kijun - 1).over(w_order()),
+        },
+        sql_stages=[{its_c: s_midprice(tenkan), iks_c: s_midprice(kijun),
+                     isb_raw: s_midprice(senkou)}],
+        sql_final={
+            isa_o: sql_shift(f"(({its_c} + {iks_c}) / 2)", kijun - 1),
+            isb_o: sql_shift(isb_raw, kijun - 1),
+            its_o: its_c,
+            iks_o: iks_c,
+            ics_o: f"lead(close, {kijun - 1}) OVER ({SQL_W_ORDER})",
+        },
+    )
+
+
+def supertrend(length: int = 7, multiplier: float = 3.0):
+    """SuperTrend: ATR bands + direction-flip state machine —
+    pandas_ta/overlap/supertrend.py#supertrend (flagship KERNEL op;
+    genuinely sequential, Arrow kernel per symbol, rows-only check)."""
+    suffix = f"{length}_{multiplier}"
+    outs = [f"SUPERT_{suffix}", f"SUPERTd_{suffix}",
+            f"SUPERTl_{suffix}", f"SUPERTs_{suffix}"]
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.operators.momentum import pd_true_range
+
+        h, l, c = (pdf[k].to_numpy() for k in ("high", "low", "close"))
+        hl2_ = (h + l) / 2
+        atr_ = rma_pd(pd_true_range(pdf, pdf["close"].shift(1)), length).to_numpy()
+        n = len(pdf)
+        ub = hl2_ + multiplier * atr_
+        lb = hl2_ - multiplier * atr_
+        trend = np.full(n, np.nan)
+        direction = np.full(n, np.nan)
+        long_ = np.full(n, np.nan)
+        short = np.full(n, np.nan)
+        dir_ = 1
+        fub, flb = ub.copy(), lb.copy()
+        start = length  # first row with valid ATR
+        for i in range(start + 1, n):
+            # final bands carry forward unless price breaks them
+            if not np.isnan(fub[i - 1]):
+                if ub[i] < fub[i - 1] or c[i - 1] > fub[i - 1]:
+                    fub[i] = ub[i]
+                else:
+                    fub[i] = fub[i - 1]
+                if lb[i] > flb[i - 1] or c[i - 1] < flb[i - 1]:
+                    flb[i] = lb[i]
+                else:
+                    flb[i] = flb[i - 1]
+            if c[i] > fub[i - 1]:
+                dir_ = 1
+            elif c[i] < flb[i - 1]:
+                dir_ = -1
+            direction[i] = dir_
+            if dir_ == 1:
+                trend[i] = flb[i]
+                long_[i] = flb[i]
+            else:
+                trend[i] = fub[i]
+                short[i] = fub[i]
+        pdf[outs[0]], pdf[outs[1]] = trend, direction
+        pdf[outs[2]], pdf[outs[3]] = long_, short
+        return pdf
+
+    return Indicator("supertrend", outs, CAT,
+                     kernel=KernelSpec(fn, outs, ["high", "low", "close"]))
+
+
+def kama(length: int = 10, fast: int = 2, slow: int = 30):
+    """Kaufman Adaptive MA: ER-scaled variable-alpha recursion —
+    pandas_ta/overlap/kama.py#kama (data-dependent alpha => kernel)."""
+    out = name("KAMA", length, fast, slow)
+    fr, sr = 2.0 / (fast + 1), 2.0 / (slow + 1)
+
+    def fn(pdf):
+        import numpy as np
+
+        c = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        if n > length:
+            d = np.abs(np.diff(c, prepend=c[0]))
+            vol = np.convolve(d, np.ones(length), mode="full")[: n]  # rolling sum
+            y = c[: length + 1].mean()  # seed
+            res[length] = y
+            for i in range(length + 1, n):
+                change = abs(c[i] - c[i - length])
+                v = vol[i]
+                er = change / v if v != 0 else 0.0
+                sc = (er * (fr - sr) + sr) ** 2
+                y = sc * c[i] + (1 - sc) * y
+                res[i] = y
+        pdf[out] = res
+        return pdf
+
+    return Indicator("kama", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def mcgd(length: int = 10, c: float = 1.0):
+    """McGinley Dynamic: md += (x - md)/(c*n*(x/md)^4) —
+    pandas_ta/overlap/mcgd.py#mcgd."""
+    out = name("MCGD", length)
+
+    def fn(pdf):
+        import numpy as np
+
+        x = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        if n:
+            md = x[0]
+            res[0] = md
+            for i in range(1, n):
+                md = md + (x[i] - md) / (c * length * (x[i] / md) ** 4)
+                res[i] = md
+        pdf[out] = res
+        return pdf
+
+    return Indicator("mcgd", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def vidya(length: int = 14):
+    """VIDYA: CMO-scaled variable-alpha recursion —
+    pandas_ta/overlap/vidya.py#vidya."""
+    out = name("VIDYA", length)
+    a = 2.0 / (length + 1)
+
+    def fn(pdf):
+        import numpy as np
+
+        c = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        if n > length:
+            d = np.diff(c, prepend=c[0])
+            up = np.where(d > 0, d, 0.0)
+            dn = np.where(d < 0, -d, 0.0)
+            k = np.ones(length)
+            su = np.convolve(up, k, mode="full")[: n]
+            sd = np.convolve(dn, k, mode="full")[: n]
+            denom = su + sd
+            cmo_abs = np.abs(np.divide(su - sd, denom, out=np.zeros_like(denom),
+                                       where=denom != 0))
+            y = c[length - 1]
+            res[length - 1] = y
+            for i in range(length, n):
+                al = a * cmo_abs[i]
+                y = al * c[i] + (1 - al) * y
+                res[i] = y
+        pdf[out] = res
+        return pdf
+
+    return Indicator("vidya", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def ssf(length: int = 10, poles: int = 2):
+    """Ehlers Super Smoother (2/3-pole IIR) —
+    pandas_ta/overlap/ssf.py#ssf."""
+    import math
+
+    out = name("SSF", length, poles)
+
+    def fn(pdf):
+        import numpy as np
+
+        x = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = x.astype(float).copy()
+        if poles == 3:
+            a = math.exp(-math.pi / length)
+            b = 2 * a * math.cos(1.738 * math.pi / length)
+            c = a * a
+            c2 = b + c
+            c3 = -(c + b * c)
+            c4 = c * c
+            c1 = 1 - c2 - c3 - c4
+            for i in range(3, n):
+                res[i] = (c1 * x[i] + c2 * res[i - 1] + c3 * res[i - 2]
+                          + c4 * res[i - 3])
+        else:
+            a = math.exp(-math.sqrt(2) * math.pi / length)
+            b = 2 * a * math.cos(math.sqrt(2) * math.pi / length)
+            c2, c3 = b, -a * a
+            c1 = 1 - c2 - c3
+            for i in range(2, n):
+                res[i] = c1 * x[i] + c2 * res[i - 1] + c3 * res[i - 2]
+        pdf[out] = res
+        return pdf
+
+    return Indicator("ssf", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def hwma(na: float = 0.2, nb: float = 0.1, nc: float = 0.1):
+    """Holt-Winter MA: level/trend/season triple recursion —
+    pandas_ta/overlap/hwma.py#hwma."""
+    out = f"HWMA_{na}_{nb}_{nc}"
+
+    def fn(pdf):
+        import numpy as np
+
+        x = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        last_a = last_v = 0.0
+        last_f = x[0] if n else 0.0
+        for i in range(n):
+            fl = (1 - na) * (last_f + last_v + 0.5 * last_a) + na * x[i]
+            v = (1 - nb) * (last_v + last_a) + nb * (fl - last_f)
+            a2 = (1 - nc) * last_a + nc * (v - last_v)
+            res[i] = fl + v + 0.5 * a2
+            last_f, last_v, last_a = fl, v, a2
+        pdf[out] = res
+        return pdf
+
+    return Indicator("hwma", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def jma(length: int = 7, phase: float = 0.0):
+    """Jurik MA: adaptive multi-stage IIR —
+    pandas_ta/overlap/jma.py#jma (public JMA recursion form)."""
+    out = name("JMA", length, phase)
+
+    def fn(pdf):
+        import numpy as np
+
+        x = pdf["close"].to_numpy()
+        n = len(pdf)
+        res = np.full(n, np.nan)
+        if n:
+            beta = 0.45 * (length - 1) / (0.45 * (length - 1) + 2)
+            pr = 0.5 if phase < -100 else (2.5 if phase > 100 else phase / 100 + 1.5)
+            alpha = beta ** 2  # power=2 default
+            e0 = e1 = e2 = 0.0
+            jm = x[0]
+            res[0] = jm
+            e0, e1 = x[0], 0.0
+            for i in range(1, n):
+                e0 = (1 - alpha) * x[i] + alpha * e0
+                e1 = (x[i] - e0) * (1 - beta) + beta * e1
+                e2 = (e0 + pr * e1 - jm) * (1 - alpha) ** 2 + alpha ** 2 * e2
+                jm = jm + e2
+                res[i] = jm
+        pdf[out] = res
+        return pdf
+
+    return Indicator("jma", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+
+
+def ma(name_: str = "sma", **params):
+    """MA dispatcher — pandas_ta/overlap/ma.py#ma."""
+    from pandas_ta_spark import registry
+
+    return registry.make(name_, **params)
 
 
 FACTORIES = {
@@ -374,6 +735,9 @@ FACTORIES = {
     "linreg": linreg, "wma": wma, "pwma": pwma, "fwma": fwma, "swma": swma,
     "sinwma": sinwma, "alma": alma, "hma": hma, "vwap": vwap, "ema": ema,
     "rma": rma, "dema": dema, "tema": tema, "t3": t3, "zlma": zlma,
+    "hilo": hilo, "ichimoku": ichimoku, "supertrend": supertrend,
+    "kama": kama, "mcgd": mcgd, "vidya": vidya, "ssf": ssf, "hwma": hwma,
+    "jma": jma,
 }
 
 # driver-facing default-parameter instances (queries()/oracle_sql() keys)
@@ -385,5 +749,7 @@ SUITE = {
     "wma_10": wma, "pwma_10": pwma, "fwma_10": fwma, "swma_10": swma,
     "sinwma_14": sinwma, "alma_10": alma, "hma_10": hma, "vwap": vwap,
     "ema_10": ema, "rma_10": rma, "dema_10": dema, "tema_10": tema,
-    "t3_10": t3, "zlma_10": zlma,
+    "t3_10": t3, "zlma_10": zlma, "hilo_13_21": hilo, "ichimoku": ichimoku,
+    "supertrend_7": supertrend, "kama_10": kama, "mcgd_10": mcgd,
+    "vidya_14": vidya, "ssf_10": ssf, "hwma": hwma, "jma_7": jma,
 }

@@ -360,13 +360,49 @@ def aberration(length: int = 5, atr_length: int = 15):
                      sql_full=sql)
 
 
+def hwc(na: float = 0.2, nb: float = 0.1, nc: float = 0.1, nd: float = 0.1,
+        scalar: float = 1.0):
+    """Holt-Winter Channel: hwma recursion ± scaled variance channel —
+    pandas_ta/volatility/hwc.py#hwc (sequential; Arrow kernel)."""
+    outs = ["HWM", "HWU", "HWL"]
+
+    def fn(pdf):
+        import numpy as np
+
+        x = pdf["close"].to_numpy()
+        n = len(pdf)
+        mid = np.full(n, np.nan)
+        up = np.full(n, np.nan)
+        lo = np.full(n, np.nan)
+        last_a = last_v = var = 0.0
+        last_f = x[0] if n else 0.0
+        last_price = x[0] if n else 0.0
+        for i in range(n):
+            fl = (1 - na) * (last_f + last_v + 0.5 * last_a) + na * x[i]
+            v = (1 - nb) * (last_v + last_a) + nb * (fl - last_f)
+            a2 = (1 - nc) * last_a + nc * (v - last_v)
+            m = fl + v + 0.5 * a2
+            var = (1 - nd) * var + nd * (last_price - m) ** 2
+            stddev = var ** 0.5
+            mid[i] = m
+            up[i] = m + scalar * stddev
+            lo[i] = m - scalar * stddev
+            last_f, last_v, last_a, last_price = fl, v, a2, x[i]
+        pdf[outs[0]], pdf[outs[1]], pdf[outs[2]] = mid, up, lo
+        return pdf
+
+    return Indicator("hwc", outs, CAT, kernel=KernelSpec(fn, outs, ["close"]))
+
+
 FACTORIES = {
+    "hwc": hwc,
     "true_range": true_range, "atr": atr, "natr": natr, "bbands": bbands,
     "donchian": donchian, "kc": kc, "massi": massi, "pdist": pdist, "ui": ui,
     "accbands": accbands, "rvi": rvi, "thermo": thermo, "aberration": aberration,
 }
 
 SUITE = {
+    "hwc": hwc,
     "true_range": true_range, "atr_14": atr, "natr_14": natr,
     "bbands_5_2.0": bbands, "donchian_20": donchian, "kc_20": kc,
     "massi_9_25": massi, "pdist": pdist, "ui_14": ui, "accbands_20": accbands,

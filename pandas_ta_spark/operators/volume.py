@@ -294,14 +294,87 @@ def pvt(drift: int = 1):
     )
 
 
+def aobv(fast: int = 4, slow: int = 12, max_lookback: int = 2,
+         min_lookback: int = 2):
+    """Archer OBV: OBV + rolling min/max + fast/slow EMAs + long/short_run
+    — pandas_ta/volume/aobv.py#aobv."""
+    outs = ["OBV", f"OBV_min_{min_lookback}", f"OBV_max_{max_lookback}",
+            f"OBVe_{fast}", f"OBVe_{slow}",
+            f"AOBV_LR_{max_lookback}", f"AOBV_SR_{max_lookback}"]
+
+    def fn(pdf):
+        import numpy as np
+
+        d = pdf["close"].diff(1)
+        sgn = np.sign(d)
+        sgn.iloc[0] = 1.0
+        obv_line = (sgn * pdf["volume"]).cumsum()
+        ef = ema_pd(obv_line, fast)
+        es = ema_pd(obv_line, slow)
+        fi = ef.diff(max_lookback) > 0
+        fd = ef.diff(max_lookback) < 0
+        si = es.diff(max_lookback) > 0
+        sd = es.diff(max_lookback) < 0
+        pdf[outs[0]] = obv_line
+        pdf[outs[1]] = obv_line.rolling(min_lookback).min()
+        pdf[outs[2]] = obv_line.rolling(max_lookback).max()
+        pdf[outs[3]] = ef
+        pdf[outs[4]] = es
+        pdf[outs[5]] = ((fi & sd) | (fi & si)).astype(float)
+        pdf[outs[6]] = ((fd & si) | (fd & sd)).astype(float)
+        return pdf
+
+    s_rn = "row_number() OVER (PARTITION BY symbol ORDER BY _rn)"
+    s_sgn = f"CASE WHEN _rn = 1 THEN 1.0 ELSE sign({sql_diff('close', 1)}) END"
+
+    def s_d(col):
+        return (f"({col} - lag({col}, {max_lookback})"
+                f" OVER (PARTITION BY symbol ORDER BY _rn))")
+
+    fi, fd = f"({s_d('_ef')} > 0)", f"({s_d('_ef')} < 0)"
+    si, sd_ = f"({s_d('_es')} > 0)", f"({s_d('_es')} < 0)"
+    sql = ewm_pipeline_sql(
+        [
+            {"_sv": f"({s_sgn}) * volume"},
+            {"_obv": f"sum(_sv) OVER (PARTITION BY symbol ORDER BY _rn"
+                     f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"},
+            EwmStage("_ef", "_obv", 2.0 / (fast + 1), fast),
+            EwmStage("_es", "_obv", 2.0 / (slow + 1), slow),
+        ],
+        {
+            outs[0]: "_obv",
+            outs[1]: (f"min(_obv) OVER (PARTITION BY symbol ORDER BY _rn"
+                      f" ROWS BETWEEN {min_lookback - 1} PRECEDING AND CURRENT ROW)"),
+            outs[2]: (f"max(_obv) OVER (PARTITION BY symbol ORDER BY _rn"
+                      f" ROWS BETWEEN {max_lookback - 1} PRECEDING AND CURRENT ROW)"),
+            outs[3]: "_ef",
+            outs[4]: "_es",
+            outs[5]: f"CAST(coalesce(({fi} AND {sd_}) OR ({fi} AND {si}), false) AS DOUBLE)",
+            outs[6]: f"CAST(coalesce(({fd} AND {si}) OR ({fd} AND {sd_}), false) AS DOUBLE)",
+        },
+    )
+    return Indicator("aobv", outs, CAT,
+                     kernel=KernelSpec(fn, outs, ["close", "volume"]),
+                     sql_full=sql)
+
+
+def vp(width: int = 10):
+    """Volume Profile: per-symbol close-range buckets with up/down volume
+    split — pandas_ta/volume/vp.py#vp. The one AGG op: returns a small
+    table (symbol, bucket, mean_close, pos/neg/total volume), not a
+    per-row series. Scale shape: two window-free aggregations (min/max +
+    bucketed groupBy), both map-side partial."""
+    raise NotImplementedError("vp is exposed via ext-style suite (see ext/agg.py)")
+
+
 FACTORIES = {
     "obv": obv, "ad": ad, "adosc": adosc, "cmf": cmf, "efi": efi, "eom": eom,
     "kvo": kvo, "mfi": mfi, "nvi": nvi, "pvi": pvi, "pvol": pvol, "pvr": pvr,
-    "pvt": pvt,
+    "pvt": pvt, "aobv": aobv,
 }
 
 SUITE = {
     "obv": obv, "ad": ad, "adosc_3_10": adosc, "cmf_20": cmf, "efi_13": efi,
     "eom_14": eom, "kvo_34_55_13": kvo, "mfi_14": mfi, "nvi_1": nvi,
-    "pvi_1": pvi, "pvol": pvol, "pvr": pvr, "pvt": pvt,
+    "pvi_1": pvi, "pvol": pvol, "pvr": pvr, "pvt": pvt, "aobv": aobv,
 }
