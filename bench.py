@@ -1,0 +1,144 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>, ...}.
+
+Query set mirrors BASELINE.md's kernel benchmarks at the same scale:
+- tick_strategy: 24 indicators (ROLL/WROLL/CUM + EWM/KERNEL batch) over
+  the 100k-row per-event series in ONE plan — the window-collapse +
+  batched-kernel design under test (BASELINE.md: pandas does one such
+  kernel at 1.6-5.6 ms/100k rows single-core; the strategy amortizes
+  Spark's fixed overhead across all 24).
+- bars_strategy: same shape over hourly bars.
+- flagships: sma/ema/rsi/bbands/supertrend individually (per-query
+  overhead floor).
+- LLM-pipeline: exact+MinHash dedup, cosine top-k, text stats.
+
+Full evaluation is forced with the noop sink (count() would let Catalyst
+prune the indicator columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def tick_bars(spark, sf_dir, buckets: int = 0):
+    """Per-event tick series: the 100k-row (at sf0.1) series matching
+    BASELINE.md's input scale.
+
+    ``buckets`` > 0 salts the symbol with a user_id bucket (event_type x
+    bucket sub-series): the testdata has only 5 event types, capping
+    window parallelism at 5 of 32 cores — real deployments have
+    thousands of instruments, which salting simulates (the 100 TB
+    answer to per-symbol window skew)."""
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.sources.bars import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value", "user_id")
+    sym = (
+        F.concat("event_type", F.lit("_"), F.pmod(F.col("user_id"), F.lit(buckets)))
+        if buckets
+        else F.col("event_type")
+    )
+    return ev.select(
+        sym.alias("symbol"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts")) + F.col("event_id") % 1000
+        ).alias("ts"),  # unique, stable ordering at tick level
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        F.lit(1.0).alias("volume"),
+    )
+
+
+def strategy_indicators():
+    from pandas_ta_spark.operators import momentum, overlap, statistics, trend, volatility, volume
+
+    return [
+        overlap.sma(20), overlap.wma(10), overlap.hma(10), overlap.trima(10),
+        overlap.ema(10), overlap.dema(10), overlap.vwap(),
+        momentum.rsi(14), momentum.macd(), momentum.stoch(), momentum.willr(14),
+        momentum.mom(10), momentum.roc(10), momentum.cci(14),
+        statistics.stdev(30), statistics.zscore(30), statistics.median(30),
+        volatility.bbands(), volatility.atr(14), volatility.donchian(),
+        volume.obv(), volume.mfi(14),
+        trend.aroon(14), trend.adx(14),
+    ]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .appName("pandas-ta-spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pandas_ta_spark.ext import SUITE as EXT
+    from pandas_ta_spark.plans.strategy import apply_strategy
+    from pandas_ta_spark.registry import make
+    from pandas_ta_spark.sources.bars import bars_from_events
+
+    ticks = tick_bars(spark, sf_dir)
+    bars = bars_from_events(spark, sf_dir)
+    ticks.cache().count()  # warm: scan + JVM
+    bars.cache().count()
+
+    ticks_salted = tick_bars(spark, sf_dir, buckets=8)  # 40 sub-series
+    queries = {
+        "tick_strategy_24ind": lambda: apply_strategy(ticks, strategy_indicators()),
+        "tick_strategy_24ind_salted40": lambda: apply_strategy(
+            ticks_salted, strategy_indicators()),
+        "bars_strategy_24ind": lambda: apply_strategy(bars, strategy_indicators()),
+        "sma_20": lambda: make("sma", length=20).apply(ticks),
+        "ema_10": lambda: make("ema", length=10).apply(ticks),
+        "rsi_14": lambda: make("rsi", length=14).apply(ticks),
+        "bbands_5": lambda: make("bbands").apply(ticks),
+        "supertrend_7": lambda: make("supertrend").apply(ticks),
+        "dedup_exact": lambda: EXT["dedup_exact"].query(spark, sf_dir),
+        "dedup_minhash_lsh": lambda: EXT["dedup_minhash_lsh"].query(spark, sf_dir),
+        "topk_cosine": lambda: EXT["topk_cosine"].query(spark, sf_dir),
+        "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
+    }
+
+    times = {}
+    for name, build in queries.items():
+        t0 = time.time()
+        force(build())
+        times[name] = round(time.time() - t0, 3)
+
+    n_ticks = ticks.count()
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_tick_series": n_ticks,
+        "tick_strategy_rows_per_sec": round(n_ticks / times["tick_strategy_24ind"])
+        if times["tick_strategy_24ind"] else None,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,11 +42,21 @@ def w_all() -> WindowSpec:
     return w_order().rowsBetween(Window.unboundedPreceding, 0)
 
 
+BAR_COLS = frozenset({"open", "high", "low", "close", "volume"})
+
+
 def masked(expr: Column, src: Column | str, n: int, min_periods: int | None = None) -> Column:
     """NULL-mask warmup rows: emit expr only once >= min_periods non-null
     source values are inside the trailing n-row frame (pandas min_periods).
+
+    For base bar columns (never NULL by schema) the count-in-frame test
+    reduces to ``row_number() >= n`` — one shared ranking function across
+    every op in a strategy instead of one count-window per op. Staged
+    columns (which may carry warmup NULLs) keep the exact count test.
     """
     mp = n if min_periods is None else min_periods
+    if isinstance(src, str) and src in BAR_COLS and mp == n:
+        return F.when(rn() >= n, expr)
     src_col = F.col(src) if isinstance(src, str) else src
     return F.when(F.count(src_col).over(w_rows(n)) >= mp, expr)
 
@@ -74,7 +84,7 @@ def wroll(src: Column | str, weights: list[float], normalize: bool = True) -> Co
     for i, w in enumerate(weights):
         term = src_col if i == 0 else F.lag(src_col, i).over(w_order())
         acc = acc + F.lit(w / total) * term
-    return masked(acc, src_col, n)
+    return masked(acc, src if isinstance(src, str) else src_col, n)
 
 
 def shift(src: Column | str, k: int = 1) -> Column:

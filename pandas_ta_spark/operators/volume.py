@@ -343,10 +343,12 @@ def aobv(fast: int = 4, slow: int = 12, max_lookback: int = 2,
         ],
         {
             outs[0]: "_obv",
-            outs[1]: (f"min(_obv) OVER (PARTITION BY symbol ORDER BY _rn"
-                      f" ROWS BETWEEN {min_lookback - 1} PRECEDING AND CURRENT ROW)"),
-            outs[2]: (f"max(_obv) OVER (PARTITION BY symbol ORDER BY _rn"
-                      f" ROWS BETWEEN {max_lookback - 1} PRECEDING AND CURRENT ROW)"),
+            outs[1]: (f"CASE WHEN _rn >= {min_lookback} THEN"
+                      f" min(_obv) OVER (PARTITION BY symbol ORDER BY _rn"
+                      f" ROWS BETWEEN {min_lookback - 1} PRECEDING AND CURRENT ROW) END"),
+            outs[2]: (f"CASE WHEN _rn >= {max_lookback} THEN"
+                      f" max(_obv) OVER (PARTITION BY symbol ORDER BY _rn"
+                      f" ROWS BETWEEN {max_lookback - 1} PRECEDING AND CURRENT ROW) END"),
             outs[3]: "_ef",
             outs[4]: "_es",
             outs[5]: f"CAST(coalesce(({fi} AND {sd_}) OR ({fi} AND {si}), false) AS DOUBLE)",

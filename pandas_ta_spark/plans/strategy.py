@@ -25,17 +25,31 @@ from pandas_ta_spark.plans.kernels import run_kernels
 
 
 def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = False) -> DataFrame:
-    """Append every indicator's output columns in one composite plan."""
+    """Append every indicator's output columns in one composite plan.
+
+    Stage maps are merged ACROSS indicators layer by layer (an
+    indicator's stage k only references its own stages < k or bar
+    columns), so 24 indicators with 2 stages each become 3 projection
+    layers, not 48 — fewer Window/Project nodes, one codegen span per
+    layer, same single exchange+sort."""
     kernels = [i.kernel for i in inds if i.kernel is not None]
     if kernels:
         df = run_kernels(df, kernels)
     temps: list[str] = []
+    max_stages = max((len(i.stages) for i in inds), default=0)
+    for k in range(max_stages):
+        layer: dict = {}
+        for ind in inds:
+            if len(ind.stages) > k:
+                layer.update(ind.stages[k])
+        if layer:
+            df = df.withColumns(layer)
+            temps.extend(c for c in layer if c not in temps)
+    finals: dict = {}
     for ind in inds:
-        for stage in ind.stages:
-            df = df.withColumns(stage)
-            temps.extend(k for k in stage if k not in temps)
-        if ind.final:
-            df = df.withColumns(ind.final)
+        finals.update(ind.final)
+    if finals:
+        df = df.withColumns(finals)
     if temps and not keep_temps:
         df = df.drop(*temps)
     return df

@@ -56,7 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read nanos as long and truncate to microseconds —
     exactly what DuckDB's ns->us cast does, so oracles see identical
     timestamps.
+
+    ANSI mode is disabled for this session: indicators divide by prices
+    and ranges that can legitimately be zero; Spark 4's ANSI default
+    throws there, while non-ANSI Spark and DuckDB both yield NULL — the
+    engine's documented zero-denominator semantics (pandas yields inf).
     """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -1,0 +1,163 @@
+"""Registry/strategy API tests + LLM-pipeline ext tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_registry_dispatch(bars):
+    import pandas_ta_spark as pts
+    from pandas_ta_spark.registry import Category, make
+
+    names = pts.indicators()
+    assert len(names) >= 100
+    assert "rsi" in names and "supertrend" in names
+    out = pts.ta(bars, "sma", length=5)
+    assert "SMA_5" in out.columns
+    assert set(Category) >= {"overlap", "momentum", "trend", "volatility",
+                             "volume", "statistics", "performance", "candles"}
+    with pytest.raises(ValueError, match="unknown indicator"):
+        make("nope")
+
+
+def test_strategy_single_plan(bars):
+    """A multi-indicator strategy stays ONE plan: exactly one
+    applyInPandas pass for all kernels, shared window exchange."""
+    from pandas_ta_spark.operators import momentum, overlap, volatility
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    inds = [overlap.sma(20), overlap.ema(10), momentum.rsi(14),
+            momentum.macd(), volatility.bbands()]
+    out = apply_strategy(bars, inds)
+    for col in ("SMA_20", "EMA_10", "RSI_14", "MACD_12_26_9", "BBL_5_2.0"):
+        assert col in out.columns, col
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1  # kernels batched
+    assert out.count() == 550
+
+
+def test_ma_dispatcher(bars):
+    from pandas_ta_spark.operators.overlap import ma
+
+    out = ma("wma", length=5).apply(bars)
+    assert "WMA_5" in out.columns
+
+
+def test_signals(bars):
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.functions import signals
+    from pandas_ta_spark.functions.windows import roll
+
+    df = bars.withColumn("sma5", roll(F.avg, "close", 5)).withColumn(
+        "xa", signals.cross("close", "sma5", above=True)
+    )
+    pdf = df.orderBy("symbol", "ts").toPandas()
+    assert set(pdf["xa"].dropna().unique()) <= {0, 1}
+    assert pdf["xa"].sum() > 0  # crossings exist in a random walk
+
+
+def test_dedup_exact_finds_injected_dup(spark, tmp_path):
+    import duckdb
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta gamma", "unique doc here",
+                 "  Alpha beta GAMMA  ", "another one"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [16, 15, 20, 11],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.dedup import SUITE
+
+    out = SUITE["dedup_exact"].query(spark, sf).toPandas()
+    dups = out[out["n_dups"] == 2]
+    assert len(dups) == 1
+    assert dups["keeper_doc_id"].iloc[0] == 0  # case/whitespace-insensitive
+
+
+def test_minhash_catches_near_dup(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base.replace("today", "tomorrow"),
+                 "completely different words about spark window functions here"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [len(base)] * 3,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.dedup import SUITE
+
+    out = SUITE["dedup_minhash_lsh"].query(spark, sf).toPandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_topk_cosine_finds_nearest(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 64).astype(np.float32)
+    rows = []
+    for i in range(30):
+        if i == 7:
+            v = base + rng.normal(0, 0.01, 64).astype(np.float32)  # near query 0
+        elif i == 0:
+            v = base
+        else:
+            v = rng.normal(0, 1, 64).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": i % 3})
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/embeddings.parquet")
+    from pandas_ta_spark.ext.similarity import SUITE
+
+    out = SUITE["topk_cosine"].query(spark, str(tmp_path)).toPandas()
+    top1 = out[(out["query_id"] == 0) & (out["rank"] == 1)]
+    assert top1["match_id"].iloc[0] == 7
+    assert top1["score"].iloc[0] > 0.99
+
+
+def test_text_stats_values(spark, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [0],
+        "text": ["the cat and the hat"],
+        "lang": ["en"], "source": ["s"], "n_chars": [19],
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    from pandas_ta_spark.ext.text import SUITE
+
+    out = SUITE["text_stats"].query(spark, str(tmp_path)).toPandas().iloc[0]
+    assert out["n_tokens"] == 5
+    assert out["n_unique_tokens"] == 4
+    assert out["n_stopwords"] == 3  # the, and, the
+    assert abs(out["stopword_ratio"] - 0.6) < 1e-12
+
+
+def test_media_features_pipeline(spark, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["abc", "defgh"],
+        "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [3, 5],
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    from pandas_ta_spark.ext.media import SUITE
+
+    out = SUITE["media_features"].query(spark, str(tmp_path)).toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_bytes"]) == [3, 5]
+    assert out["mean_byte"].between(0, 255).all()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    q, o = E.queries(), E.oracle_sql()
+    assert len(q) >= 130
+    assert len(o) >= 120
+    assert set(o) <= set(q)

@@ -1,0 +1,228 @@
+"""Golden-parity tests: Spark indicator output vs plain pandas formulas
+on the same bars (SURVEY.md §5 two-tier tolerance: exact for FIR window
+ops, corr >= 0.99 for IIR/state ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_close, one_symbol
+
+from pandas_ta_spark.functions.pdkernels import ema_pd, rma_pd
+from pandas_ta_spark.operators import (
+    candles,
+    momentum,
+    overlap,
+    performance,
+    statistics,
+    trend,
+    volatility,
+    volume,
+)
+
+
+def run(bars, ind) -> pd.DataFrame:
+    return ind.apply(bars).toPandas()
+
+
+# ------------------------------------------------------------- overlap ----
+
+def test_sma_wma_parity(bars, pdf_bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = apply_strategy(bars, [overlap.sma(20), overlap.wma(10), overlap.trima(10)])
+    got = one_symbol(out.toPandas())
+    ref = one_symbol(pdf_bars)
+    c = ref["close"]
+    assert_close(got["SMA_20"], c.rolling(20).mean(), name="sma")
+    w = np.arange(1, 11, dtype=float)
+    assert_close(
+        got["WMA_10"],
+        c.rolling(10).apply(lambda x: (x * w).sum() / w.sum(), raw=True),
+        tol=1e-8, name="wma",
+    )
+    half = round(0.5 * (10 + 1))
+    assert_close(got["TRIMA_10"],
+                 c.rolling(half).mean().rolling(half).mean(), name="trima")
+
+
+def test_ema_seeded_parity(bars, pdf_bars):
+    got = one_symbol(run(bars, overlap.ema(10)))
+    c = one_symbol(pdf_bars)["close"]
+    assert_close(got["EMA_10"], ema_pd(c.reset_index(drop=True), 10),
+                 name="ema-seeded")
+    # IIR tier: converges to pandas default ewm
+    default = c.ewm(span=10, adjust=False).mean()
+    corr = np.corrcoef(got["EMA_10"][20:], default[20:])[0, 1]
+    assert corr >= 0.99
+
+
+def test_vwap_hma(bars, pdf_bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(bars, [overlap.hma(10), overlap.vwap()]).toPandas())
+    ref = one_symbol(pdf_bars)
+    tp = (ref["high"] + ref["low"] + ref["close"]) / 3
+    day = ref["ts"].dt.floor("D")
+    pv = (tp * ref["volume"]).groupby(day).cumsum()
+    vv = ref["volume"].groupby(day).cumsum()
+    assert_close(out["VWAP_D"], pv / vv, tol=1e-6, name="vwap")
+    assert out["HMA_10"].notna().sum() > 200
+
+
+# ------------------------------------------------------------ momentum ----
+
+def test_rsi_parity(bars, pdf_bars):
+    got = one_symbol(run(bars, momentum.rsi(14)))
+    c = one_symbol(pdf_bars)["close"].reset_index(drop=True)
+    d = c.diff(1)
+    pg = rma_pd(d.clip(lower=0), 14)
+    pl = rma_pd((-d).clip(lower=0), 14)
+    assert_close(got["RSI_14"], 100 * pg / (pg + pl), tol=1e-8, name="rsi")
+    vals = got["RSI_14"].dropna()
+    assert ((vals >= 0) & (vals <= 100)).all()
+
+
+def test_macd_stoch_willr(bars, pdf_bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(
+        bars, [momentum.macd(), momentum.stoch(), momentum.willr(14)]).toPandas())
+    ref = one_symbol(pdf_bars)
+    c = ref["close"].reset_index(drop=True)
+    line = ema_pd(c, 12) - ema_pd(c, 26)
+    assert_close(out["MACD_12_26_9"], line, tol=1e-8, name="macd")
+    assert_close(out["MACDs_12_26_9"], ema_pd(line, 9), tol=1e-8, name="macds")
+    ll = ref["low"].rolling(14).min()
+    hh = ref["high"].rolling(14).max()
+    willr = 100 * ((ref["close"] - ll) / (hh - ll) - 1)
+    assert_close(out["WILLR_14"], willr, tol=1e-8, name="willr")
+    raw = 100 * (ref["close"] - ll) / (hh - ll)
+    k = raw.rolling(3).mean()
+    assert_close(out["STOCHk_14_3_3"], k, tol=1e-8, name="stochk")
+    assert_close(out["STOCHd_14_3_3"], k.rolling(3).mean(), tol=1e-8, name="stochd")
+
+
+def test_mom_roc_warmup_nulls(bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(bars, [momentum.mom(10), momentum.roc(10)]).toPandas())
+    assert out["MOM_10"].isna().sum() == 10
+    assert out["ROC_10"].isna().sum() == 10
+
+
+# ---------------------------------------------------------- statistics ----
+
+def test_statistics_parity(bars, pdf_bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(
+        bars,
+        [statistics.stdev(30), statistics.zscore(30), statistics.skew(30),
+         statistics.kurtosis(30), statistics.median(30)]).toPandas())
+    c = one_symbol(pdf_bars)["close"]
+    assert_close(out["STDEV_30"], c.rolling(30).std(), tol=1e-8, name="stdev")
+    z = (c - c.rolling(30).mean()) / c.rolling(30).std()
+    assert_close(out["ZS_30"], z, tol=1e-8, name="zscore")
+    assert_close(out["SKEW_30"], c.rolling(30).skew(), tol=1e-7, name="skew")
+    assert_close(out["KURT_30"], c.rolling(30).kurt(), tol=1e-6, name="kurt")
+    assert_close(out["MEDIAN_30"], c.rolling(30).median(), tol=1e-9, name="median")
+
+
+# ---------------------------------------------------------- volatility ----
+
+def test_volatility_parity(bars, pdf_bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(
+        bars, [volatility.bbands(5, 2.0), volatility.true_range(),
+               volatility.atr(14), volatility.donchian()]).toPandas())
+    ref = one_symbol(pdf_bars)
+    c = ref["close"]
+    mid = c.rolling(5).mean()
+    sd = c.rolling(5).std(ddof=0)
+    assert_close(out["BBM_5_2.0"], mid, name="bbm")
+    assert_close(out["BBL_5_2.0"], mid - 2 * sd, tol=1e-8, name="bbl")
+    assert_close(out["BBU_5_2.0"], mid + 2 * sd, tol=1e-8, name="bbu")
+    prevc = c.shift(1)
+    tr = pd.concat([ref["high"] - ref["low"], (ref["high"] - prevc).abs(),
+                    (ref["low"] - prevc).abs()], axis=1).max(axis=1).where(prevc.notna())
+    assert_close(out["TRUERANGE_1"], tr, name="tr")
+    assert_close(out["ATRr_14"], rma_pd(tr.reset_index(drop=True), 14),
+                 tol=1e-8, name="atr")
+    assert_close(out["DCU_20_20"], ref["high"].rolling(20).max(), name="dcu")
+
+
+# -------------------------------------------------------------- volume ----
+
+def test_volume_parity(bars, pdf_bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(bars, [volume.obv(), volume.ad(),
+                                           volume.mfi(14)]).toPandas())
+    ref = one_symbol(pdf_bars)
+    sgn = np.sign(ref["close"].diff(1))
+    sgn.iloc[0] = 1.0
+    assert_close(out["OBV"], (sgn * ref["volume"]).cumsum(), tol=1e-6, name="obv")
+    mfv = ((2 * ref["close"] - ref["high"] - ref["low"])
+           / (ref["high"] - ref["low"]) * ref["volume"])
+    # quantized deterministic cumsum: 1e-8-per-term tolerance
+    assert_close(out["AD"], mfv.cumsum(), tol=1e-4, name="ad")
+    vals = out["MFI_14"].dropna()
+    assert ((vals >= 0) & (vals <= 100)).all()
+
+
+# --------------------------------------------------------------- trend ----
+
+def test_decay_matches_recursion(bars, pdf_bars):
+    got = one_symbol(run(bars, trend.decay(5)))
+    c = one_symbol(pdf_bars)["close"].to_numpy()
+    ref = np.empty(len(c))
+    prev = 0.0
+    for i, x in enumerate(c):
+        prev = max(x, prev - 1 / 5, 0.0)
+        ref[i] = prev
+    assert_close(got["LDECAY_5"], pd.Series(ref), tol=1e-9, name="decay")
+
+
+def test_aroon_bounds_and_warmup(bars):
+    got = one_symbol(run(bars, trend.aroon(14)))
+    vals = got[["AROONU_14", "AROOND_14"]].dropna()
+    assert ((vals >= 0) & (vals <= 100)).all().all()
+    assert got["AROONU_14"].isna().sum() == 14
+
+
+def test_supertrend_psar_shapes(bars):
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    out = one_symbol(apply_strategy(bars, [overlap.supertrend(), trend.psar()]).toPandas())
+    d = out["SUPERTd_7_3.0"].dropna()
+    assert set(d.unique()) <= {1.0, -1.0}
+    # one of long/short band set per row after warmup
+    st = out.iloc[20:]
+    assert ((st["PSARl_0.02_0.2"].notna() | st["PSARs_0.02_0.2"].notna())).all()
+
+
+# ------------------------------------------------------------- candles ----
+
+def test_ha_recursion(bars, pdf_bars):
+    got = one_symbol(run(bars, candles.ha()))
+    ref = one_symbol(pdf_bars)
+    hc = (ref["open"] + ref["high"] + ref["low"] + ref["close"]) / 4
+    assert_close(got["HA_close"], hc, name="ha_close")
+    ho = np.empty(len(ref))
+    ho[0] = (ref["open"].iloc[0] + ref["close"].iloc[0]) / 2
+    for i in range(1, len(ref)):
+        ho[i] = (ho[i - 1] + hc.iloc[i - 1]) / 2
+    assert_close(got["HA_open"], pd.Series(ho), name="ha_open")
+
+
+# --------------------------------------------------------- performance ----
+
+def test_drawdown(bars, pdf_bars):
+    got = one_symbol(run(bars, performance.drawdown()))
+    c = one_symbol(pdf_bars)["close"]
+    assert_close(got["DD"], c.cummax() - c, name="dd")
+    assert_close(got["DD_PCT"], 1 - c / c.cummax(), tol=1e-9, name="dd_pct")
