@@ -21,9 +21,12 @@ Layout:
     plans/      strategy planner + batched applyInPandas kernel runner
     ext/        LLM-data-pipeline extensions (dedup, similarity, text, media)
     streaming/  Structured Streaming variants (applyInPandasWithState)
+    custom.py   user-defined indicator loading (pandas_ta/custom.py twin)
 """
 
 from pandas_ta_spark.version import __version__
-from pandas_ta_spark.registry import Category, indicators, run as ta
+from pandas_ta_spark.registry import Category, indicators, make, run as ta
+from pandas_ta_spark.custom import bind, create_dir, import_dir
 
-__all__ = ["__version__", "Category", "indicators", "ta"]
+__all__ = ["__version__", "Category", "indicators", "make", "ta",
+           "bind", "create_dir", "import_dir"]

@@ -84,9 +84,15 @@ class Indicator:
     sql_full: str | None = None  # overrides stage-compiled SQL (recursive CTEs)
     kernel: KernelSpec | None = None
 
-    def apply(self, df: DataFrame, keep_temps: bool = False) -> DataFrame:
+    def apply(self, df: DataFrame, keep_temps: bool = False, offset: int = 0,
+              fillna=None, fill_method: str | None = None) -> DataFrame:
         """Append output columns to a bars DataFrame (the reference's
-        ``append=True``; immutable here — returns a new DataFrame)."""
+        ``append=True``; immutable here — returns a new DataFrame).
+
+        ``offset`` shifts every output by k rows and ``fillna``/
+        ``fill_method`` patch warmup NULLs — the reference's universal
+        post-processing kwargs (pandas_ta/utils/_core.py#get_offset,
+        every indicator's ``# Handle fills`` block)."""
         if self.kernel is not None:
             from pandas_ta_spark.plans.kernels import run_kernels
 
@@ -99,6 +105,29 @@ class Indicator:
             df = df.withColumns(self.final)
         if temps and not keep_temps:
             df = df.drop(*temps)
+        post = {}
+        if offset:
+            from pandas_ta_spark.functions.windows import shift
+
+            post.update({c: shift(qcol(c), offset) for c in self.outputs})
+        if post:
+            df = df.withColumns(post)
+            post = {}
+        if fill_method == "ffill":
+            from pyspark.sql import functions as F
+
+            from pandas_ta_spark.functions.windows import w_all
+
+            post.update({
+                c: F.last(qcol(c), ignorenulls=True).over(w_all())
+                for c in self.outputs
+            })
+        elif fillna is not None:
+            from pyspark.sql import functions as F
+
+            post.update({c: F.coalesce(qcol(c), F.lit(fillna)) for c in self.outputs})
+        if post:
+            df = df.withColumns(post)
         return df
 
     def oracle(self) -> str | None:

@@ -138,12 +138,40 @@ def ebsw(length: int = 40, bars: int = 10):
     return Indicator("ebsw", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
 
 
+ALL_PATTERNS = ["doji", "inside"]  # native set (candles/cdl_pattern.py#ALL_PATTERNS fallback)
+
+
+def cdl_pattern(name_: str = "all"):
+    """Candle pattern dispatcher — pandas_ta/candles/cdl_pattern.py.
+    The reference's non-TA-Lib fallback natively implements doji and
+    inside; 'all' combines them (the 60 TA-Lib CDL_* patterns are a
+    documented backlog — each is lag-window boolean logic)."""
+    names = ALL_PATTERNS if name_ == "all" else [name_]
+    parts = []
+    for n in names:
+        if n == "doji":
+            parts.append(cdl_doji())
+        elif n == "inside":
+            parts.append(cdl_inside())
+        else:
+            raise ValueError(f"unsupported pattern {n!r}; native set: {ALL_PATTERNS}")
+    stages, sql_stages, final, sql_final, outs = [], [], {}, {}, []
+    for p in parts:
+        stages.extend(p.stages)
+        sql_stages.extend(p.sql_stages or [])
+        final.update(p.final)
+        sql_final.update(p.sql_final or {})
+        outs.extend(p.outputs)
+    return Indicator("cdl_pattern", outs, CAT, stages=stages, final=final,
+                     sql_stages=sql_stages, sql_final=sql_final)
+
+
 FACTORIES = {
     "cdl_doji": cdl_doji, "cdl_inside": cdl_inside, "cdl_z": cdl_z,
-    "ha": ha, "ebsw": ebsw,
+    "ha": ha, "ebsw": ebsw, "cdl_pattern": cdl_pattern,
 }
 
 SUITE = {
     "cdl_doji_10": cdl_doji, "cdl_inside": cdl_inside, "cdl_z_30": cdl_z,
-    "ha": ha, "ebsw_40": ebsw,
+    "ha": ha, "ebsw_40": ebsw, "cdl_pattern_all": cdl_pattern,
 }

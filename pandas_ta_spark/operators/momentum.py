@@ -945,6 +945,70 @@ def squeeze(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
     )
 
 
+def squeeze_pro(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
+                kc_scalar_wide: float = 2.0, kc_scalar_normal: float = 1.5,
+                kc_scalar_narrow: float = 1.0, mom_length: int = 12,
+                mom_smooth: int = 6):
+    """TTM Squeeze Pro: three KC multiplier tiers (wide/normal/narrow) —
+    pandas_ta/momentum/squeeze_pro.py#squeeze_pro (sma variant)."""
+    suffix = f"{bb_length}_{bb_std}_{kc_length}_{kc_scalar_wide}_{kc_scalar_normal}_{kc_scalar_narrow}"
+    o_sqz = f"SQZPRO_{suffix}"
+    o_wide, o_norm, o_narrow = "SQZPRO_ON_WIDE", "SQZPRO_ON_NORMAL", "SQZPRO_ON_NARROW"
+    o_off, o_no = "SQZPRO_OFF", "SQZPRO_NO"
+    tr_c, rn_c, m_c = "_sqzp_tr", "_sqzp_rn", "_sqzp_mom"
+    mid = roll(F.avg, "close", bb_length)
+    sd = roll(F.stddev_pop, "close", bb_length)
+    bbl, bbu = mid - bb_std * sd, mid + bb_std * sd
+    kmid = roll(F.avg, "close", kc_length)
+    kband = roll(F.avg, tr_c, kc_length)
+
+    def on_flag(scalar):
+        return ((bbl > kmid - scalar * kband) & (bbu < kmid + scalar * kband)).cast("double")
+
+    off_e = ((bbl < kmid - kc_scalar_wide * kband)
+             & (bbu > kmid + kc_scalar_wide * kband)).cast("double")
+    x = F.col(rn_c)
+    sl = masked(F.regr_slope(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
+    ic = masked(F.regr_intercept(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
+    s_mid = sql_roll("avg", "close", bb_length)
+    s_sd = sql_roll("stddev_pop", "close", bb_length)
+    s_bbl, s_bbu = f"(({s_mid}) - {bb_std!r} * ({s_sd}))", f"(({s_mid}) + {bb_std!r} * ({s_sd}))"
+    s_kmid = sql_roll("avg", "close", kc_length)
+    s_kband = sql_roll("avg", tr_c, kc_length)
+
+    def s_on(scalar):
+        return (f"CAST((({s_bbl}) > (({s_kmid}) - {scalar!r} * ({s_kband})))"
+                f" AND (({s_bbu}) < (({s_kmid}) + {scalar!r} * ({s_kband}))) AS DOUBLE)")
+
+    s_off = (f"CAST((({s_bbl}) < (({s_kmid}) - {kc_scalar_wide!r} * ({s_kband})))"
+             f" AND (({s_bbu}) > (({s_kmid}) + {kc_scalar_wide!r} * ({s_kband}))) AS DOUBLE)")
+    wr = sql_w_rows(mom_smooth)
+    s_sl = sql_masked(f"regr_slope({m_c}, {rn_c}) OVER ({wr})", m_c, mom_smooth)
+    s_ic = sql_masked(f"regr_intercept({m_c}, {rn_c}) OVER ({wr})", m_c, mom_smooth)
+    outs = [o_sqz, o_wide, o_norm, o_narrow, o_off, o_no]
+    on_w, on_n, on_nr = on_flag(kc_scalar_wide), on_flag(kc_scalar_normal), on_flag(kc_scalar_narrow)
+    s_on_w, s_on_n, s_on_nr = s_on(kc_scalar_wide), s_on(kc_scalar_normal), s_on(kc_scalar_narrow)
+    return Indicator(
+        "squeeze_pro", outs, CAT,
+        stages=[{tr_c: F.when(shift("close", 1).isNull(), None).otherwise(
+                    F.greatest(F.col("high") - F.col("low"),
+                               F.abs(F.col("high") - shift("close", 1)),
+                               F.abs(F.col("low") - shift("close", 1)))),
+                 rn_c: F.row_number().over(w_order()).cast("double"),
+                 m_c: diff("close", mom_length)}],
+        final={o_sqz: ic + sl * x, o_wide: on_w, o_norm: on_n, o_narrow: on_nr,
+               o_off: off_e,
+               o_no: ((on_w == 0) & (off_e == 0)).cast("double")},
+        sql_stages=[{tr_c: _sql_true_range(), m_c: sql_diff("close", mom_length),
+                     rn_c: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
+        sql_final={
+            o_sqz: f"(({s_ic}) + ({s_sl}) * {rn_c})",
+            o_wide: s_on_w, o_norm: s_on_n, o_narrow: s_on_nr, o_off: s_off,
+            o_no: f"CAST(({s_on_w}) = 0 AND ({s_off}) = 0 AS DOUBLE)",
+        },
+    )
+
+
 def fisher(length: int = 9, signal: int = 1):
     """Fisher Transform: per-row value recursion —
     pandas_ta/momentum/fisher.py#fisher (Arrow kernel)."""
@@ -1164,7 +1228,7 @@ FACTORIES = {
     "macd": macd, "trix": trix, "tsi": tsi, "dm": dm, "eri": eri, "kdj": kdj,
     "pgo": pgo, "ppo": ppo, "pvo": pvo, "stochrsi": stochrsi, "rvgi": rvgi,
     "inertia": inertia, "smi": smi, "squeeze": squeeze, "fisher": fisher,
-    "rsx": rsx, "stc": stc, "qqe": qqe,
+    "rsx": rsx, "stc": stc, "qqe": qqe, "squeeze_pro": squeeze_pro,
 }
 
 SUITE = {
@@ -1178,4 +1242,5 @@ SUITE = {
     "pvo_12_26_9": pvo, "stochrsi_14": stochrsi, "rvgi_14_4": rvgi,
     "inertia_20_14": inertia, "smi_5_20_5": smi, "squeeze_20": squeeze,
     "fisher_9_1": fisher, "rsx_14": rsx, "stc_10_12_26": stc, "qqe_14_5": qqe,
+    "squeeze_pro_20": squeeze_pro,
 }

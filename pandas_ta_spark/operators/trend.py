@@ -413,6 +413,100 @@ def tsignals_of(trend, s_trend: str):
     )
 
 
+def _run_bools(increasing_first: bool, fast_n: int, slow_n: int, length: int):
+    """Shared long_run/short_run machinery over the classic SMA pair —
+    pandas_ta/trend/long_run.py#long_run, #short_run. NaN diffs compare
+    False (0.0), matching pandas."""
+    f_c, s_c = f"_run_f{fast_n}", f"_run_s{slow_n}"
+    fd = F.col(f_c) - shift(f_c, length)
+    sd = F.col(s_c) - shift(s_c, length)
+    fi, fde = fd > 0, fd < 0
+    si, sde = sd > 0, sd < 0
+    if increasing_first:  # long: potential bottom or both rising
+        e = (fi & sde) | (fi & si)
+    else:  # short: potential top or both falling
+        e = (fde & si) | (fde & sde)
+    s_fd = f"({f_c} - ({sql_shift(f_c, length)}))"
+    s_sd = f"({s_c} - ({sql_shift(s_c, length)}))"
+    s_fi, s_fde = f"({s_fd} > 0)", f"({s_fd} < 0)"
+    s_si, s_sde = f"({s_sd} > 0)", f"({s_sd} < 0)"
+    if increasing_first:
+        s_e = f"(({s_fi} AND {s_sde}) OR ({s_fi} AND {s_si}))"
+    else:
+        s_e = f"(({s_fde} AND {s_si}) OR ({s_fde} AND {s_sde}))"
+    stages = [{f_c: roll(F.avg, "close", fast_n), s_c: roll(F.avg, "close", slow_n)}]
+    sql_stages = [{f_c: sql_roll("avg", "close", fast_n),
+                   s_c: sql_roll("avg", "close", slow_n)}]
+    return e, s_e, stages, sql_stages
+
+
+def long_run(fast_n: int = 8, slow_n: int = 21, length: int = 2):
+    out = name("LR", length)
+    e, s_e, stages, sql_stages = _run_bools(True, fast_n, slow_n, length)
+    return Indicator(
+        "long_run", [out], CAT, stages=stages,
+        final={out: F.coalesce(e.cast("double"), F.lit(0.0))},
+        sql_stages=sql_stages,
+        sql_final={out: f"CAST(coalesce({s_e}, false) AS DOUBLE)"},
+    )
+
+
+def short_run(fast_n: int = 8, slow_n: int = 21, length: int = 2):
+    out = name("SR", length)
+    e, s_e, stages, sql_stages = _run_bools(False, fast_n, slow_n, length)
+    return Indicator(
+        "short_run", [out], CAT, stages=stages,
+        final={out: F.coalesce(e.cast("double"), F.lit(0.0))},
+        sql_stages=sql_stages,
+        sql_final={out: f"CAST(coalesce({s_e}, false) AS DOUBLE)"},
+    )
+
+
+def xsignals(length: int = 30, xa: float = 1.0, xb: float = -1.0):
+    """Cross signals — pandas_ta/trend/xsignals.py#xsignals: enter when
+    the signal (here zscore(close, n), any window signal works) crosses
+    above xa, exit when it crosses below xb. State held between events
+    via last(ignorenulls) — no kernel."""
+    from pandas_ta_spark.functions.windows import SQL_W_ALL, w_all
+
+    outs = ["XS_Trends", "XS_Trades", "XS_Entries", "XS_Exits"]
+    sig_c, ev_c, st_c = "_xs_sig", "_xs_ev", "_xs_state"
+    sig = (F.col("close") - roll(F.avg, "close", length)) / roll(
+        F.stddev_samp, "close", length
+    )
+    prev = shift(sig_c, 1)
+    up = (F.col(sig_c) > xa) & (prev <= xa)
+    dn = (F.col(sig_c) < xb) & (prev >= xb)
+    ev = F.when(up, 1.0).when(dn, 0.0)
+    state = F.coalesce(F.last(ev_c, ignorenulls=True).over(w_all()), F.lit(0.0))
+    trades = state - F.coalesce(shift(st_c, 1), F.lit(0.0))
+    s_sig = (f"((close - ({sql_roll('avg', 'close', length)}))"
+             f" / ({sql_roll('stddev_samp', 'close', length)}))")
+    s_prev = sql_shift(sig_c, 1)
+    s_up = f"({sig_c} > {xa!r} AND ({s_prev}) <= {xa!r})"
+    s_dn = f"({sig_c} < {xb!r} AND ({s_prev}) >= {xb!r})"
+    s_ev = f"CASE WHEN {s_up} THEN 1.0 WHEN {s_dn} THEN 0.0 END"
+    s_state = f"coalesce(last_value({ev_c} IGNORE NULLS) OVER ({SQL_W_ALL}), 0.0)"
+    s_trades = f"({st_c} - coalesce({sql_shift(st_c, 1)}, 0.0))"
+    return Indicator(
+        "xsignals", outs, CAT,
+        stages=[{sig_c: sig}, {ev_c: ev}, {st_c: state}],
+        final={
+            outs[0]: F.col(st_c),
+            outs[1]: trades,
+            outs[2]: (trades == 1).cast("double"),
+            outs[3]: (trades == -1).cast("double"),
+        },
+        sql_stages=[{sig_c: s_sig}, {ev_c: s_ev}, {st_c: s_state}],
+        sql_final={
+            outs[0]: st_c,
+            outs[1]: s_trades,
+            outs[2]: f"CAST({s_trades} = 1 AS DOUBLE)",
+            outs[3]: f"CAST({s_trades} = -1 AS DOUBLE)",
+        },
+    )
+
+
 def psar(af0: float = 0.02, af: float = 0.02, max_af: float = 0.2):
     """Parabolic SAR state machine — pandas_ta/trend/psar.py#psar.
     Per-row data-dependent recursion: Arrow kernel per symbol (the one
@@ -481,6 +575,7 @@ FACTORIES = {
     "decreasing": decreasing, "dpo": dpo, "qstick": qstick,
     "ttm_trend": ttm_trend, "vhf": vhf, "vortex": vortex, "adx": adx,
     "cksp": cksp, "amat": amat, "tsignals": tsignals, "psar": psar,
+    "long_run": long_run, "short_run": short_run, "xsignals": xsignals,
 }
 
 SUITE = {
@@ -489,4 +584,6 @@ SUITE = {
     "qstick_10": qstick, "ttm_trend_6": ttm_trend, "vhf_28": vhf,
     "vortex_14": vortex, "adx_14": adx, "cksp_10_1_9": cksp,
     "amat_8_21_2": amat, "tsignals_8_21": tsignals, "psar": psar,
+    "long_run_8_21": long_run, "short_run_8_21": short_run,
+    "xsignals_z30": xsignals,
 }

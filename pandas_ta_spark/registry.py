@@ -33,6 +33,7 @@ def _modules():
         "volatility",
         "volume",
         "candles",
+        "signal_ops",
     ):
         try:
             mods.append(importlib.import_module(f"pandas_ta_spark.operators.{m}"))

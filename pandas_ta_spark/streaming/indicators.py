@@ -1,0 +1,118 @@
+"""Structured Streaming variants (SURVEY.md §2.10 extension path).
+
+The reference is batch-only; these are the streaming extension: ordered
+windows don't exist in Structured Streaming, so
+
+- bars derive from event streams via watermarked tumbling windows
+  (``F.window`` + event-time watermark for late data);
+- stateful indicators (the EWM/KERNEL class) run per symbol via
+  ``applyInPandasWithState``: each micro-batch updates the carried
+  recursion state (seed buffer + last smoothed value), emitting exactly
+  the batch engine's SMA-seeded semantics (functions/pdkernels.py).
+
+At scale state is per-symbol (bounded), shuffles hash on symbol, and
+late events beyond the watermark are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_bars(events: DataFrame, anchor: str = "1 hour",
+                watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window OHLCV bars from an event stream —
+    the streaming twin of sources/bars.py::bars_from_events."""
+    ev = events.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.window("ts", anchor).alias("w"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).cast("double").alias("volume"),
+        )
+        .select("symbol", F.col("w.start").alias("ts"),
+                "open", "high", "low", "close", "volume")
+    )
+
+
+EMA_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("close", DoubleType()),
+    StructField("ema", DoubleType()),
+])
+
+# carried recursion state: seed buffer (csv of pending values) + last ema
+EMA_STATE_SCHEMA = StructType([
+    StructField("pending", StringType()),
+    StructField("last_ema", DoubleType()),
+])
+
+
+def streaming_ema(ticks: DataFrame, length: int = 10,
+                  watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming EMA per symbol (applyInPandasWithState).
+
+    Exact batch parity: NULL until ``length`` values arrive, then the
+    SMA seed, then the alpha recursion — state carries the seed buffer
+    and last smoothed value across micro-batches."""
+    alpha = 2.0 / (length + 1)
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            pending_s, last = state.get
+            pending = [float(x) for x in pending_s.split(",") if x != ""]
+            if last is not None and math.isnan(last):
+                last = None  # NaN encodes "still seeding" in the state row
+        else:
+            pending, last = [], None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            out_ts, out_close, out_ema = [], [], []
+            for ts, close in zip(pdf["ts"], pdf["close"]):
+                if last is None:
+                    pending.append(float(close))
+                    if len(pending) >= length:
+                        last = sum(pending) / len(pending)
+                        val = last
+                    else:
+                        val = None
+                else:
+                    last = alpha * float(close) + (1 - alpha) * last
+                    val = last
+                out_ts.append(ts)
+                out_close.append(float(close))
+                out_ema.append(val)
+            yield pd.DataFrame({
+                "symbol": key[0], "ts": out_ts,
+                "close": out_close, "ema": out_ema,
+            })
+        state.update((",".join(str(x) for x in pending[:length]),
+                      last if last is not None else float("nan")))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=EMA_OUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

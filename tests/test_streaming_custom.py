@@ -1,0 +1,107 @@
+"""Streaming variants, custom-op loading, offset/fillna post-processing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_close, one_symbol
+
+
+def test_streaming_ema_matches_batch(spark, pdf_bars, tmp_path):
+    """Stateful streaming EMA (applyInPandasWithState, availableNow file
+    stream, two parquet chunks => state carried across micro-batches)
+    must equal the batch SMA-seeded kernel."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "close"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")  # ns parquet needs nanosAsLong
+    a.iloc[:120].to_parquet(src / "part1.parquet")
+    a.iloc[120:].to_parquet(src / "part2.parquet")
+
+    from pandas_ta_spark.streaming import streaming_ema
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_ema(stream, length=10)
+    q = (
+        out.writeStream.format("memory").queryName("ema_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM ema_stream").toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == len(a)
+    from pandas_ta_spark.functions.pdkernels import ema_pd
+
+    ref = ema_pd(a["close"].reset_index(drop=True), 10)
+    assert_close(got["ema"], ref, tol=1e-9, name="streaming-ema")
+
+
+def test_stream_bars_schema(spark, pdf_bars, tmp_path):
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ev = one_symbol(pdf_bars).rename(columns={"symbol": "event_type", "close": "value"})
+    ev = ev[["event_type", "ts", "value"]].copy()
+    ev["ts"] = ev["ts"].astype("datetime64[ms]")
+    ev.to_parquet(src / "p.parquet")
+    from pandas_ta_spark.streaming import stream_bars
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .parquet(str(src))
+    )
+    bars = stream_bars(stream)
+    q = (
+        bars.writeStream.format("memory").queryName("bars_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM bars_stream").toPandas()
+    assert set(got.columns) == {"symbol", "ts", "open", "high", "low", "close", "volume"}
+    assert len(got) > 0
+    assert (got["high"] >= got["low"]).all()
+
+
+def test_custom_import_dir(spark, bars, tmp_path):
+    (tmp_path / "double_sma.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "from pandas_ta_spark.functions.windows import roll, sql_roll\n"
+        "from pandas_ta_spark.operators.base import Indicator\n"
+        "def double_sma(length=10):\n"
+        "    out = f'DSMA_{length}'\n"
+        "    return Indicator('double_sma', [out], 'custom',\n"
+        "                     final={out: 2 * roll(F.avg, 'close', length)},\n"
+        "                     sql_final={out: f\"2 * ({sql_roll('avg', 'close', length)})\"})\n"
+    )
+    import pandas_ta_spark as pts
+    from pandas_ta_spark.custom import import_dir
+
+    names = import_dir(str(tmp_path))
+    assert names == ["double_sma"]
+    assert "double_sma" in pts.indicators()
+    out = pts.ta(bars, "double_sma", length=5)
+    assert "DSMA_5" in out.columns
+    pdf = one_symbol(out.toPandas())
+    assert_close(pdf["DSMA_5"],
+                 2 * pdf["close"].rolling(5).mean(), name="custom-op")
+
+
+def test_offset_and_fillna(bars, pdf_bars):
+    from pandas_ta_spark.operators.overlap import sma
+
+    ind = sma(5)
+    got = one_symbol(ind.apply(bars, offset=2).toPandas())
+    ref = one_symbol(pdf_bars)["close"].rolling(5).mean().shift(2)
+    assert_close(got["SMA_5"], ref, name="offset")
+    got2 = one_symbol(sma(5).apply(bars, fillna=0.0).toPandas())
+    assert got2["SMA_5"].isna().sum() == 0
+    assert (got2["SMA_5"].iloc[:4] == 0.0).all()
+    got3 = one_symbol(sma(5).apply(bars, fill_method="ffill").toPandas())
+    assert got3["SMA_5"].isna().sum() == 4  # nothing before first value
