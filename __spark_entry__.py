@@ -61,16 +61,12 @@ def entry(spark: SparkSession) -> DataFrame:
         make("sma", length=20),
         make("wma", length=10),
         make("ema", length=10),
-        make("rsi", length=14) if _has("rsi") else make("hma", length=10),
-        make("bbands") if _has("bbands") else make("midprice", length=2),
+        make("rsi", length=14),
+        make("macd"),
+        make("bbands"),
+        make("supertrend"),
     ]
     return apply_strategy(bars, inds)
-
-
-def _has(kind: str) -> bool:
-    from pandas_ta_spark.registry import _FACTORIES
-
-    return kind in _FACTORIES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

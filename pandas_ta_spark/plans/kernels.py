@@ -31,6 +31,13 @@ def run_kernels(df: DataFrame, specs: list[KernelSpec]) -> DataFrame:
     """Append every spec's output columns in a single applyInPandas pass."""
     if not specs:
         return df
+    # applyInPandas resolves pass-through columns by unquoted name; dotted
+    # names (BBL_5_2.0) break it — rename around the pass
+    dotted = {c: c.replace(".", "․") for c in df.columns if "." in c}
+    if dotted:
+        df = df.withColumnsRenamed(dotted)
+        out = run_kernels(df, specs)
+        return out.withColumnsRenamed({v: k for k, v in dotted.items()})
     existing = set(df.columns)
     new_fields = []
     seen: set[str] = set()

@@ -32,9 +32,6 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     columns), so 24 indicators with 2 stages each become 3 projection
     layers, not 48 — fewer Window/Project nodes, one codegen span per
     layer, same single exchange+sort."""
-    kernels = [i.kernel for i in inds if i.kernel is not None]
-    if kernels:
-        df = run_kernels(df, kernels)
     temps: list[str] = []
     max_stages = max((len(i.stages) for i in inds), default=0)
     for k in range(max_stages):
@@ -52,4 +49,12 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
         df = df.withColumns(finals)
     if temps and not keep_temps:
         df = df.drop(*temps)
+    # kernels LAST: groupBy(symbol).applyInPandas's ClusteredDistribution
+    # is satisfied by the window stage's hash(symbol) partitioning, saving
+    # one full shuffle (kernel-first would re-exchange for the windows —
+    # measured 3 vs 2 Exchange nodes). No indicator's window stages read
+    # kernel outputs, so the reorder is safe.
+    kernels = [i.kernel for i in inds if i.kernel is not None]
+    if kernels:
+        df = run_kernels(df, kernels)
     return df
