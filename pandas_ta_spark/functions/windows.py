@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 SYMBOL = "symbol"
 TS = "ts"
+CUM_SCALE = 1e8
 
 
 def w_order() -> WindowSpec:
@@ -68,6 +69,28 @@ def roll(agg_fn, src: Column | str, n: int, min_periods: int | None = None) -> C
     return masked(agg_fn(src_col).over(w_rows(n)), src_col, n, min_periods)
 
 
+# Sliding-frame aggregates recompute O(w) work per row in WindowExec; for
+# large windows the cumsum-difference rewrite (SURVEY §4.3.2) computes the
+# same sum in O(1)/row from running totals. Combined with fixed-point
+# quantization the difference is EXACT (integer arithmetic — no
+# cancellation), so the rewrite is numerically safe at any window size.
+LARGE_WINDOW_THRESHOLD = 128
+
+
+def cumsum_int(src: Column | str, scale: float = CUM_SCALE) -> Column:
+    """Stage 1 of the rewrite: expanding BIGINT sum of quantized terms
+    (exact, associative). Window functions cannot nest, so the difference
+    step lives in a later stage — see overlap.sma(large=True)."""
+    src_col = F.col(src) if isinstance(src, str) else src
+    q = F.floor(src_col * scale + F.lit(0.5)).cast("long")
+    return F.sum(q).over(w_all())
+
+
+def sql_cumsum_int(src_sql: str, scale: float = CUM_SCALE) -> str:
+    return (f"sum(CAST(floor(({src_sql}) * {scale!r} + 0.5) AS BIGINT))"
+            f" OVER ({SQL_W_ALL})")
+
+
 def wroll(src: Column | str, weights: list[float], normalize: bool = True) -> Column:
     """Weighted rolling dot-product (WROLL kind: wma/pwma/fwma/sinwma/alma/
     cg/swma families — SURVEY.md §2 legend).
@@ -99,9 +122,6 @@ def diff(src: Column | str, k: int = 1) -> Column:
     """pandas Series.diff(k)."""
     src_col = F.col(src) if isinstance(src, str) else src
     return src_col - shift(src_col, k)
-
-
-CUM_SCALE = 1e8
 
 
 def cumsum_fixed(term: Column, scale: float = CUM_SCALE) -> Column:

@@ -68,12 +68,41 @@ def wcp():
 
 # ---------------------------------------------------------------- ROLL ----
 
-def sma(length: int = 10, src: str = "close"):
-    """Rolling mean — pandas_ta/overlap/sma.py#sma."""
+def sma(length: int = 10, src: str = "close", large: bool | None = None):
+    """Rolling mean — pandas_ta/overlap/sma.py#sma.
+
+    For large windows (n >= 128, or large=True) the O(w)-per-row sliding
+    frame is rewritten as an exact integer cumsum difference
+    (SURVEY §4.3.2): sum[t-n+1, t] = S_t - S_{t-n} with S an expanding
+    BIGINT sum of 1e-8-quantized terms — O(1)/row, zero cancellation,
+    deterministic across engines and partition orders."""
+    from pandas_ta_spark.functions.windows import (
+        CUM_SCALE,
+        LARGE_WINDOW_THRESHOLD,
+        SQL_W_ORDER,
+        cumsum_int,
+        sql_cumsum_int,
+    )
+
     out = name("SMA", length)
-    return Indicator("sma", [out], CAT,
-                     final={out: roll(F.avg, src, length)},
-                     sql_final={out: sql_roll("avg", src, length)})
+    if large is None:
+        large = length >= LARGE_WINDOW_THRESHOLD
+    if not large:
+        return Indicator("sma", [out], CAT,
+                         final={out: roll(F.avg, src, length)},
+                         sql_final={out: sql_roll("avg", src, length)})
+    s_c = f"_sma_{length}_cum"
+    prev = F.lag(s_c, length).over(w_order())
+    win = (F.col(s_c) - F.coalesce(prev, F.lit(0))) / F.lit(CUM_SCALE) / length
+    s_prev = f"lag({s_c}, {length}) OVER ({SQL_W_ORDER})"
+    s_win = f"(({s_c}) - coalesce({s_prev}, 0)) / {CUM_SCALE!r} / {length}"
+    return Indicator(
+        "sma", [out], CAT,
+        stages=[{s_c: cumsum_int(src)}],
+        final={out: masked(win, src, length)},
+        sql_stages=[{s_c: sql_cumsum_int(src)}],
+        sql_final={out: sql_masked(s_win, src, length)},
+    )
 
 
 def midpoint(length: int = 2):
@@ -743,7 +772,8 @@ FACTORIES = {
 # driver-facing default-parameter instances (queries()/oracle_sql() keys)
 SUITE = {
     "hl2": hl2, "hlc3": hlc3, "ohlc4": ohlc4, "wcp": wcp,
-    "sma_20": lambda: sma(20), "midpoint_2": midpoint, "midprice_2": midprice,
+    "sma_20": lambda: sma(20), "sma_200_large": lambda: sma(200),
+    "midpoint_2": midpoint, "midprice_2": midprice,
     "vwma_10": vwma, "trima_10": trima, "linreg_14": linreg,
     "linreg_slope_14": lambda: linreg(14, "slope"),
     "wma_10": wma, "pwma_10": pwma, "fwma_10": fwma, "swma_10": swma,

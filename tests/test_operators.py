@@ -48,6 +48,15 @@ def test_sma_wma_parity(bars, pdf_bars):
                  c.rolling(half).mean().rolling(half).mean(), name="trima")
 
 
+def test_sma_large_window_rewrite(bars, pdf_bars):
+    """Cumsum-difference rewrite (O(1)/row) must match the direct frame
+    aggregate within the 1e-8 term quantization."""
+    got = one_symbol(run(bars, overlap.sma(100, large=True)))
+    c = one_symbol(pdf_bars)["close"]
+    assert_close(got["SMA_100"], c.rolling(100).mean(), tol=1e-6,
+                 name="sma-large")
+
+
 def test_ema_seeded_parity(bars, pdf_bars):
     got = one_symbol(run(bars, overlap.ema(10)))
     c = one_symbol(pdf_bars)["close"]
