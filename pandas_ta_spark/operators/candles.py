@@ -97,8 +97,24 @@ def ha():
         pdf[outs[3]] = hc
         return pdf
 
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    sql = recursive_oracle(
+        pre={"_hc": "(open + high + low + close) / 4"},
+        anchor_where="b._rn = 1",
+        anchor_state={"_y": "(b.open + b.close) / 2", "_hcp": "b._hc"},
+        step_state={"_y": "(r._y + r._hcp) / 2", "_hcp": "b._hc"},
+        step_inputs=["_hc"],
+        final={
+            outs[0]: "_y",
+            outs[1]: "greatest(b.high, _y, b._hc)",
+            outs[2]: "least(b.low, _y, b._hc)",
+            outs[3]: "b._hc",
+        },
+    )
     return Indicator("ha", outs, CAT,
-                     kernel=KernelSpec(fn, outs, ["open", "high", "low", "close"]))
+                     kernel=KernelSpec(fn, outs, ["open", "high", "low", "close"]),
+                     sql_full=sql)
 
 
 def ebsw(length: int = 40, bars: int = 10):
@@ -135,7 +151,36 @@ def ebsw(length: int = 40, bars: int = 10):
         pdf[out] = res
         return pdf
 
-    return Indicator("ebsw", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    alpha1 = (1 - math.sin(2 * math.pi / length)) / math.cos(2 * math.pi / length)
+    angle = math.sqrt(2) * math.pi / bars
+    a1 = math.exp(-angle)
+    b1 = 2 * a1 * math.cos(angle)
+    c2, c3 = b1, -a1 * a1
+    c1 = 1 - c2 - c3
+    al = repr(alpha1)
+    hp = f"(0.5 * (1 + {al}) * (b.close - r._lc) + {al} * r._lhp)"
+    filt = f"({c1!r} * ({hp} + r._lhp) / 2 + {c2!r} * r._f1 + {c3!r} * r._f0)"
+    wave = f"(({filt} + r._f1 + r._f0) / 3)"
+    pwr = f"(({filt} ** 2 + r._f1 ** 2 + r._f0 ** 2) / 3)"
+    sql = recursive_oracle(
+        pre={},
+        anchor_where="b._rn = 1",
+        anchor_state={"_lc": "b.close", "_lhp": "0.0", "_f0": "0.0",
+                      "_f1": "0.0", "_out": "CAST(NULL AS DOUBLE)"},
+        step_state={
+            "_lc": "b.close",
+            "_lhp": hp,
+            "_f0": "r._f1",
+            "_f1": filt,
+            "_out": f"CASE WHEN {pwr} > 0 THEN {wave} / sqrt({pwr}) END",
+        },
+        step_inputs=["close"],
+        final={out: "_out"},
+    )
+    return Indicator("ebsw", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 ALL_PATTERNS = ["doji", "inside"]  # native set (candles/cdl_pattern.py#ALL_PATTERNS fallback)

@@ -67,8 +67,25 @@ def ewm_pipeline_sql(
         + pre_sql
         + f", row_number() OVER ({SQL_W_ORDER}) AS _rn FROM bars)"
     )
-    prev = "base"
+    prev = _emit_ewm_ctes(steps, "base", ctes)
+    outs = ", ".join(
+        f"{sql_round(e)} AS \"{a}\"" for a, e in final.items()
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"\nSELECT symbol, ts, {outs} FROM {prev}"
+    )
+
+
+def _emit_ewm_ctes(steps: list, start_rel: str, ctes: list[str],
+                   tag: str = "") -> str:
+    """Append the CTE chain for interleaved EWM/projection steps; returns
+    the name of the final relation. Shared by ewm_pipeline_sql and
+    recursive_oracle (state machines fed by smoother chains)."""
+    prev = start_rel
     for k, step in enumerate(steps):
+        k = f"{tag}{k}"
         if isinstance(step, dict):
             cols = ", ".join(f"({e}) AS {a}" for a, e in step.items())
             ctes.append(f"e{k} AS MATERIALIZED (SELECT *, {cols} FROM {prev})")
@@ -107,14 +124,75 @@ def ewm_pipeline_sql(
             f" FROM {s_rel} s LEFT JOIN {r_rel} r USING (symbol, _rn))"
         )
         prev = o_rel
-    outs = ", ".join(
-        f"{sql_round(e)} AS \"{a}\"" for a, e in final.items()
+    return prev
+
+
+def recursive_oracle(
+    pre: dict[str, str],
+    anchor_where: str,
+    anchor_state: dict[str, str],
+    step_state: dict[str, str],
+    final: dict[str, str],
+    step_inputs: list[str] | None = None,
+    pre2: dict[str, str] | None = None,
+    ewm_steps: list | None = None,
+) -> str:
+    """General per-symbol recursion oracle for KERNEL-class state machines
+    (Heikin-Ashi open chain, McGinley, Super Smoother, Holt-Winter, KAMA,
+    VIDYA, ...).
+
+    - ``pre``: window/projection columns computed on the base relation
+      (rolling sums, diffs — anything the state update reads);
+    - ``pre2``: a second projection layer over ``pre`` (for window
+      functions of ``pre`` columns — windows cannot nest);
+    - ``anchor_where``: predicate (over base ``b``) selecting each
+      symbol's single seed row;
+    - ``anchor_state``: state columns at the seed row (exprs over base);
+    - ``step_state``: state columns at row t from current row ``b.*`` and
+      previous state ``r.*``;
+    - ``final``: outputs over the base row joined with its state row.
+    """
+    from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
+
+    pre_sql = ""
+    if pre:
+        pre_sql = ", " + ", ".join(f"({e}) AS {a}" for a, e in pre.items())
+    state_cols = list(anchor_state)
+    assert list(step_state) == state_cols, "anchor/step state columns must match"
+    # the anchor fixes the recursion's column types: bare literals would
+    # type as narrow DECIMALs and overflow on later iterations
+    anchor = ", ".join(
+        f"CAST(({e}) AS DOUBLE) AS {c}" for c, e in anchor_state.items()
     )
-    return (
-        "WITH RECURSIVE "
-        + ",\n".join(ctes)
-        + f"\nSELECT symbol, ts, {outs} FROM {prev}"
-    )
+    step = ", ".join(f"({e}) AS {c}" for c, e in step_state.items())
+    outs = ", ".join(f"{sql_round(e)} AS \"{a}\"" for a, e in final.items())
+    # recursion iterates once per row: keep the per-iteration join slim by
+    # projecting only the columns the step actually reads
+    slim_cols = ", ".join(["symbol", "_rn"] + (step_inputs or []))
+    base_rel = "base"
+    extra_ctes: list[str] = []
+    if ewm_steps:
+        base_rel = _emit_ewm_ctes(ewm_steps, base_rel, extra_ctes, tag="w")
+    if pre2:
+        cols2 = ", ".join(f"({e}) AS {a}" for a, e in pre2.items())
+        extra_ctes.append(
+            f"base2 AS MATERIALIZED (SELECT *, {cols2} FROM {base_rel})"
+        )
+        base_rel = "base2"
+    extra = ("".join(c + ",\n" for c in extra_ctes))
+    return f"""WITH RECURSIVE bars AS MATERIALIZED (
+{BARS_FROM_EVENTS_SQL}
+),
+base AS MATERIALIZED (SELECT *{pre_sql}, row_number() OVER ({SQL_W_ORDER}) AS _rn FROM bars),
+{extra}slim AS MATERIALIZED (SELECT {slim_cols} FROM {base_rel}),
+r AS (
+    SELECT b.symbol, b._rn, {anchor} FROM {base_rel} b WHERE {anchor_where}
+    UNION ALL
+    SELECT b.symbol, b._rn, {step}
+    FROM slim b JOIN r ON b.symbol = r.symbol AND b._rn = r._rn + 1
+)
+SELECT b.symbol, b.ts, {outs}
+FROM {base_rel} b LEFT JOIN r USING (symbol, _rn)"""
 
 
 def sql_ewm_simple(out: str, src_sql: str, alpha: float, seed_n: int) -> str:

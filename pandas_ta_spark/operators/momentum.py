@@ -1040,8 +1040,36 @@ def fisher(length: int = 9, signal: int = 1):
         pdf[o_s] = pd_shift(fish, signal)
         return pdf
 
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    rng = "(CASE WHEN (b._hh - b._ll) = 0 THEN 0.001 ELSE b._hh - b._ll END)"
+
+    def v_expr(prev_v: str) -> str:
+        raw = f"(0.66 * ((b._hl2 - b._ll) / {rng} - 0.5) + 0.67 * {prev_v})"
+        return f"greatest(least({raw}, 0.999), -0.999)"
+
+    def f_expr(v: str, prev_f: str) -> str:
+        return f"(0.5 * (ln((1 + {v}) / (1 - {v})) + {prev_f}))"
+
+    wr = sql_w_rows(length).replace("ORDER BY ts", "ORDER BY ts")
+    sql = recursive_oracle(
+        pre={"_hl2": "(high + low) / 2"},
+        pre2={
+            "_hh": f"max(_hl2) OVER ({sql_w_rows(length)})",
+            "_ll": f"min(_hl2) OVER ({sql_w_rows(length)})",
+        },
+        anchor_where=f"b._rn = {length}",
+        anchor_state={"_v": v_expr("0.0"), "_f": f_expr(v_expr("0.0"), "0.0")},
+        step_state={"_v": v_expr("r._v"), "_f": f_expr(v_expr("r._v"), "r._f")},
+        step_inputs=["_hl2", "_hh", "_ll"],
+        final={
+            o_f: "_f",
+            o_s: f"lag(_f, {signal}) OVER (PARTITION BY b.symbol ORDER BY b._rn)",
+        },
+    )
     return Indicator("fisher", [o_f, o_s], CAT,
-                     kernel=KernelSpec(fn, [o_f, o_s], ["high", "low"]))
+                     kernel=KernelSpec(fn, [o_f, o_s], ["high", "low"]),
+                     sql_full=sql)
 
 
 def pd_shift(arr, k: int):
@@ -1108,7 +1136,61 @@ def rsx(length: int = 14):
         pdf[out] = res
         return pdf
 
-    return Indicator("rsx", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    sql = _rsx_oracle(out, length)
+    return Indicator("rsx", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
+
+
+def _rsx_oracle(out: str, length: int) -> str:
+    """RSX 15-float-state cascade as one recursion; smoother updates are
+    inlined in the kernel's exact order (each stage reads the NEW value
+    of the one before it). The f90 re-init branch (constant-price warmup)
+    is not modeled — it cannot trigger once any price changes."""
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    f88 = int(length - 1 if length - 1 >= 5 else 5)
+    f18 = repr(3.0 / (length + 2.0))
+    f20 = repr(1.0 - 3.0 / (length + 2.0))
+    v8 = "(100.0 * b.close - r._f8)"
+    f28 = f"({f20} * r._f28 + {f18} * {v8})"
+    f30 = f"({f18} * {f28} + {f20} * r._f30)"
+    vc = f"(1.5 * {f28} - 0.5 * {f30})"
+    f38 = f"({f20} * r._f38 + {f18} * {vc})"
+    f40 = f"({f18} * {f38} + {f20} * r._f40)"
+    f48v = f"({f20} * r._f48 + {f18} * (1.5 * {f38} - 0.5 * {f40}))"
+    f50 = f"({f18} * {f48v} + {f20} * r._f50)"
+    f58 = f"({f20} * r._f58 + {f18} * abs({v8}))"
+    f60 = f"({f18} * {f58} + {f20} * r._f60)"
+    f68 = f"({f20} * r._f68 + {f18} * (1.5 * {f58} - 0.5 * {f60}))"
+    f70 = f"({f18} * {f68} + {f20} * r._f70)"
+    f78 = f"({f20} * r._f78 + {f18} * (1.5 * {f68} - 0.5 * {f70}))"
+    f80 = f"({f18} * {f78} + {f20} * r._f80)"
+    f90a = f"(CASE WHEN {f88} <= r._f90 THEN {f88 + 1} ELSE r._f90 + 1 END)"
+    f0n = (f"(CASE WHEN {f88} >= {f90a} AND 100.0 * b.close <> r._f8"
+           f" THEN 1.0 ELSE r._f0 END)")
+    v14 = "(1.5 * _f48 - 0.5 * _f50)"
+    v3x = "(1.5 * _f78 - 0.5 * _f80)"
+    zero = {c: "0.0" for c in
+            ("_f28", "_f30", "_f38", "_f40", "_f48", "_f50", "_f58",
+             "_f60", "_f68", "_f70", "_f78", "_f80")}
+    return recursive_oracle(
+        pre={},
+        anchor_where="b._rn = 1",
+        anchor_state={"_f8": "100.0 * b.close", "_f90": "1.0", "_f0": "0.0",
+                      **zero},
+        step_state={
+            "_f8": "100.0 * b.close",
+            "_f90": f90a,
+            "_f0": f0n,
+            "_f28": f28, "_f30": f30, "_f38": f38, "_f40": f40,
+            "_f48": f48v, "_f50": f50, "_f58": f58, "_f60": f60,
+            "_f68": f68, "_f70": f70, "_f78": f78, "_f80": f80,
+        },
+        step_inputs=["close"],
+        final={out: (f"CASE WHEN {f88} < _f90 AND {v3x} > 1e-10 THEN"
+                     f" least(greatest(({v14} / {v3x} + 1.0) * 50.0, 0.0),"
+                     f" 100.0) END")},
+    )
 
 
 def stc(tclength: int = 10, fast: int = 12, slow: int = 26, factor: float = 0.5):
@@ -1157,8 +1239,94 @@ def stc(tclength: int = 10, fast: int = 12, slow: int = 26, factor: float = 0.5)
         pdf[o_s] = pf
         return pdf
 
+    sql = _stc_oracle(o, o_m, o_s, tclength, fast, slow, factor)
     return Indicator("stc", [o, o_m, o_s], CAT,
-                     kernel=KernelSpec(fn, [o, o_m, o_s], ["close"]))
+                     kernel=KernelSpec(fn, [o, o_m, o_s], ["close"]),
+                     sql_full=sql)
+
+
+def _stc_oracle(o, o_m, o_s, tclength, fast, slow, factor) -> str:
+    """STC: MACD-line EWM chain -> first %K recursion (factor-smoothed,
+    range-zero fallback to previous) -> second stochastic of the smoothed
+    series -> second recursion. Three recursions total, chained CTEs."""
+    from pandas_ta_spark.operators.base import sql_round
+    from pandas_ta_spark.operators.ewm_sql import EwmStage, _emit_ewm_ctes
+    from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
+
+    f = repr(float(factor))
+    n = tclength
+    wo = "PARTITION BY symbol ORDER BY _rn"
+    wr = f"{wo} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+    ctes: list[str] = [f"bars AS MATERIALIZED (\n{BARS_FROM_EVENTS_SQL}\n)"]
+    ctes.append(
+        "base AS MATERIALIZED (SELECT *, row_number() OVER"
+        " (PARTITION BY symbol ORDER BY ts) AS _rn FROM bars)"
+    )
+    prev = _emit_ewm_ctes(
+        [
+            EwmStage("_ef", "close", 2.0 / (fast + 1), fast),
+            EwmStage("_es", "close", 2.0 / (slow + 1), slow),
+            {"_line": "_ef - _es"},
+        ],
+        "base", ctes, tag="m",
+    )
+    ctes.append(
+        f"w1 AS MATERIALIZED (SELECT symbol, ts, _rn, _line,"
+        f" CASE WHEN count(_line) OVER ({wr}) >= {n}"
+        f" THEN min(_line) OVER ({wr}) END AS _ll,"
+        f" CASE WHEN count(_line) OVER ({wr}) >= {n}"
+        f" THEN max(_line) OVER ({wr}) END AS _hh FROM {prev})"
+    )
+    ctes.append(
+        f"w1b AS MATERIALIZED (SELECT *, lag(_hh) OVER ({wo}) AS _hhp FROM w1)"
+    )
+    raw1_anchor = ("CASE WHEN (b._hh - b._ll) > 0"
+                   " THEN 100 * (b._line - b._ll) / (b._hh - b._ll)"
+                   " ELSE 0.0 END")
+    raw1_step = ("CASE WHEN (b._hh - b._ll) > 0"
+                 " THEN 100 * (b._line - b._ll) / (b._hh - b._ll)"
+                 " ELSE r._pf END")
+    ctes.append(
+        f"r1 AS (SELECT b.symbol, b._rn, CAST(({raw1_anchor}) AS DOUBLE) AS _pf"
+        f" FROM w1b b WHERE b._hh IS NOT NULL AND b._hhp IS NULL"
+        f" UNION ALL"
+        f" SELECT b.symbol, b._rn, r._pf + {f} * (({raw1_step}) - r._pf)"
+        f" FROM w1b b JOIN r1 r ON b.symbol = r.symbol AND b._rn = r._rn + 1)"
+    )
+    ctes.append(
+        "pfr AS MATERIALIZED (SELECT w.symbol, w.ts, w._rn, w._line, r._pf"
+        " FROM w1b w LEFT JOIN r1 r USING (symbol, _rn))"
+    )
+    ctes.append(
+        f"w2 AS MATERIALIZED (SELECT *,"
+        f" CASE WHEN count(_pf) OVER ({wr}) >= {n}"
+        f" THEN min(_pf) OVER ({wr}) END AS _ll2,"
+        f" CASE WHEN count(_pf) OVER ({wr}) >= {n}"
+        f" THEN max(_pf) OVER ({wr}) END AS _hh2 FROM pfr)"
+    )
+    ctes.append(
+        f"w2b AS MATERIALIZED (SELECT *, lag(_hh2) OVER ({wo}) AS _hh2p FROM w2)"
+    )
+    raw2_anchor = ("CASE WHEN (b._hh2 - b._ll2) > 0"
+                   " THEN 100 * (b._pf - b._ll2) / (b._hh2 - b._ll2)"
+                   " ELSE 0.0 END")
+    raw2_step = ("CASE WHEN (b._hh2 - b._ll2) > 0"
+                 " THEN 100 * (b._pf - b._ll2) / (b._hh2 - b._ll2)"
+                 " ELSE r._stc END")
+    ctes.append(
+        f"r2 AS (SELECT b.symbol, b._rn, CAST(({raw2_anchor}) AS DOUBLE) AS _stc"
+        f" FROM w2b b WHERE b._hh2 IS NOT NULL AND b._hh2p IS NULL"
+        f" UNION ALL"
+        f" SELECT b.symbol, b._rn, r._stc + {f} * (({raw2_step}) - r._stc)"
+        f" FROM w2b b JOIN r2 r ON b.symbol = r.symbol AND b._rn = r._rn + 1)"
+    )
+    finals = {o: "r2._stc", o_m: "b._line", o_s: "b._pf"}
+    outs = ", ".join(f"{sql_round(e)} AS \"{a}\"" for a, e in finals.items())
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"\nSELECT b.symbol, b.ts, {outs}"
+        f"\nFROM w2b b LEFT JOIN r2 USING (symbol, _rn)"
+    )
 
 
 def qqe(length: int = 14, smooth: int = 5, factor: float = 4.236):
@@ -1216,8 +1384,49 @@ def qqe(length: int = 14, smooth: int = 5, factor: float = 4.236):
         pdf[o_s] = short_band
         return pdf
 
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    wilders = 2 * length - 1
+    a_rma = 1.0 / length
+    up = "CASE WHEN _d IS NULL THEN NULL ELSE greatest(_d, 0.0) END"
+    dn = "CASE WHEN _d IS NULL THEN NULL ELSE greatest(-_d, 0.0) END"
+    wo = "PARTITION BY symbol ORDER BY _rn"
+    nl = "(b._m - b._dar)"
+    ns = "(b._m + b._dar)"
+    new_lb = (f"CASE WHEN b._mp > r._lb THEN greatest(r._lb, {nl})"
+              f" ELSE {nl} END")
+    new_sb = (f"CASE WHEN b._mp < r._sb THEN least(r._sb, {ns})"
+              f" ELSE {ns} END")
+    new_tr = ("CASE WHEN b._m > r._sb THEN 1.0"
+              " WHEN b._m < r._lb THEN -1.0 ELSE r._tr END")
+    sql = recursive_oracle(
+        pre={"_d": sql_diff("close", 1)},
+        ewm_steps=[
+            EwmStage("_pg", up, a_rma, length),
+            EwmStage("_pl", dn, a_rma, length),
+            {"_rsi": "100 * _pg / (_pg + _pl)"},
+            EwmStage("_m", "_rsi", 2.0 / (smooth + 1), smooth),
+            {"_ar": f"abs(_m - lag(_m) OVER ({wo}))"},
+            EwmStage("_ma", "_ar", 2.0 / (wilders + 1), wilders),
+            EwmStage("_dar0", "_ma", 2.0 / (wilders + 1), wilders),
+            {"_dar": f"_dar0 * {factor!r}"},
+        ],
+        pre2={"_darp": f"lag(_dar) OVER ({wo})",
+              "_mp": f"lag(_m) OVER ({wo})"},
+        anchor_where="b._dar IS NOT NULL AND b._darp IS NULL",
+        anchor_state={"_lb": nl, "_sb": ns, "_tr": "1.0"},
+        step_state={"_lb": new_lb, "_sb": new_sb, "_tr": new_tr},
+        step_inputs=["_m", "_mp", "_dar"],
+        final={
+            o: "CASE WHEN _tr = 1.0 THEN _lb ELSE _sb END",
+            o_r: "b._m",
+            o_l: "_lb",
+            o_s: "_sb",
+        },
+    )
     return Indicator("qqe", [o, o_r, o_l, o_s], CAT,
-                     kernel=KernelSpec(fn, [o, o_r, o_l, o_s], ["close"]))
+                     kernel=KernelSpec(fn, [o, o_r, o_l, o_s], ["close"]),
+                     sql_full=sql)
 
 
 FACTORIES = {

@@ -567,8 +567,80 @@ def supertrend(length: int = 7, multiplier: float = 3.0):
         pdf[outs[2]], pdf[outs[3]] = long_, short
         return pdf
 
+    sql = _supertrend_oracle(outs, length, multiplier)
     return Indicator("supertrend", outs, CAT,
-                     kernel=KernelSpec(fn, outs, ["high", "low", "close"]))
+                     kernel=KernelSpec(fn, outs, ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def _supertrend_oracle(outs, length: int, multiplier: float) -> str:
+    """Two chained recursions in one WITH RECURSIVE: the ATR (Wilder RMA)
+    recursion feeding the band-carry / direction-flip state machine —
+    value-level oracle for the flagship KERNEL op."""
+    from pandas_ta_spark.operators.base import sql_round
+    from pandas_ta_spark.operators.momentum import _sql_true_range
+    from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
+
+    a = repr(1.0 / length)
+    m = repr(float(multiplier))
+    n = length
+    # state step: band carry unless broken, then direction flip
+    fub = ("CASE WHEN b._ub < r._fub OR b._pc > r._fub"
+           " THEN b._ub ELSE r._fub END")
+    flb = ("CASE WHEN b._lb > r._flb OR b._pc < r._flb"
+           " THEN b._lb ELSE r._flb END")
+    dir_ = ("CASE WHEN b.close > r._fub THEN 1"
+            " WHEN b.close < r._flb THEN -1 ELSE r._dir END")
+    # anchor (first row after warmup): previous 'final' bands are the raw
+    # bands of the seed row
+    a_fub = "CASE WHEN b._ub < b._ubp OR b._pc > b._ubp THEN b._ub ELSE b._ubp END"
+    a_flb = "CASE WHEN b._lb > b._lbp OR b._pc < b._lbp THEN b._lb ELSE b._lbp END"
+    a_dir = ("CASE WHEN b.close > b._ubp THEN 1"
+             " WHEN b.close < b._lbp THEN -1 ELSE 1 END")
+    finals = {
+        outs[0]: "CASE WHEN r._dir = 1 THEN r._flb ELSE r._fub END",
+        outs[1]: "CAST(r._dir AS DOUBLE)",
+        outs[2]: "CASE WHEN r._dir = 1 THEN r._flb END",
+        outs[3]: "CASE WHEN r._dir = -1 THEN r._fub END",
+    }
+    out_sql = ", ".join(f"{sql_round(e)} AS \"{al}\"" for al, e in finals.items())
+    wo = "PARTITION BY symbol ORDER BY _rn"
+    return f"""WITH RECURSIVE bars AS MATERIALIZED (
+{BARS_FROM_EVENTS_SQL}
+),
+base AS MATERIALIZED (SELECT *, ({_sql_true_range()}) AS _tr,
+    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS _rn FROM bars),
+satr AS MATERIALIZED (SELECT symbol, _rn, _tr,
+    count(_tr) OVER ({wo}) AS _nv,
+    avg(_tr) OVER ({wo} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS _sma
+    FROM base),
+ratr AS (
+    SELECT symbol, _rn, _sma AS _atr FROM satr WHERE _nv = {n}
+    UNION ALL
+    SELECT s.symbol, s._rn, {a} * s._tr + (1 - {a}) * r._atr
+    FROM satr s JOIN ratr r ON s.symbol = r.symbol AND s._rn = r._rn + 1
+),
+wb AS MATERIALIZED (
+    SELECT b.symbol, b.ts, b._rn, b.close,
+           (b.high + b.low) / 2 + {m} * r._atr AS _ub,
+           (b.high + b.low) / 2 - {m} * r._atr AS _lb
+    FROM base b LEFT JOIN ratr r USING (symbol, _rn)
+),
+wb2 AS MATERIALIZED (
+    SELECT *, lag(_ub) OVER ({wo}) AS _ubp, lag(_lb) OVER ({wo}) AS _lbp,
+           lag(close) OVER ({wo}) AS _pc
+    FROM wb
+),
+rst AS (
+    SELECT b.symbol, b._rn, ({a_fub}) AS _fub, ({a_flb}) AS _flb,
+           ({a_dir}) AS _dir
+    FROM wb2 b WHERE b._rn = {n + 2}
+    UNION ALL
+    SELECT b.symbol, b._rn, ({fub}) AS _fub, ({flb}) AS _flb, ({dir_}) AS _dir
+    FROM wb2 b JOIN rst r ON b.symbol = r.symbol AND b._rn = r._rn + 1
+)
+SELECT b.symbol, b.ts, {out_sql}
+FROM wb2 b LEFT JOIN rst r USING (symbol, _rn)"""
 
 
 def kama(length: int = 10, fast: int = 2, slow: int = 30):
@@ -598,7 +670,31 @@ def kama(length: int = 10, fast: int = 2, slow: int = 30):
         pdf[out] = res
         return pdf
 
-    return Indicator("kama", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    s_d = f"abs(coalesce(close - lag(close, 1) OVER ({SQL_W_ORDER}), 0.0))"
+    wr = _wr(length)
+    er = "CASE WHEN b._vol <> 0 THEN b._chg / b._vol ELSE 0.0 END"
+    sc = f"(({er}) * ({fr!r} - {sr!r}) + {sr!r}) ** 2"
+    sql = recursive_oracle(
+        pre={
+            "_ad": s_d,
+            "_chg": f"abs(close - lag(close, {length}) OVER ({SQL_W_ORDER}))",
+        },
+        pre2={
+            "_vol": f"sum(_ad) OVER ({wr})",
+            # seed: mean of the first n+1 closes, read at the anchor row
+            "_seed": (f"avg(close) OVER ({SQL_W_ORDER}"
+                      f" ROWS BETWEEN {length} PRECEDING AND CURRENT ROW)"),
+        },
+        anchor_where=f"b._rn = {length + 1}",
+        anchor_state={"_y": "b._seed"},
+        step_state={"_y": f"({sc}) * b.close + (1 - ({sc})) * r._y"},
+        step_inputs=["close", "_chg", "_vol"],
+        final={out: "_y"},
+    )
+    return Indicator("kama", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 def mcgd(length: int = 10, c: float = 1.0):
@@ -621,6 +717,9 @@ def mcgd(length: int = 10, c: float = 1.0):
         pdf[out] = res
         return pdf
 
+    # rows-only check: on wide-range series (x/md)^4 can underflow to 0,
+    # where numpy yields inf but SQL division yields NULL — the recursion
+    # is numerically unstable either way, so no value oracle is honest
     return Indicator("mcgd", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
 
 
@@ -655,7 +754,30 @@ def vidya(length: int = 14):
         pdf[out] = res
         return pdf
 
-    return Indicator("vidya", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    s_d = f"coalesce(close - lag(close, 1) OVER ({SQL_W_ORDER}), 0.0)"
+    wr = _wr(length)
+    cmo = ("CASE WHEN (b._su + b._sd) = 0 THEN 0.0"
+           " ELSE abs((b._su - b._sd) / (b._su + b._sd)) END")
+    al = f"({a!r} * {cmo})"
+    sql = recursive_oracle(
+        pre={
+            "_up": f"greatest({s_d}, 0.0)",
+            "_dn": f"greatest(-({s_d}), 0.0)",
+        },
+        pre2={
+            "_su": f"sum(_up) OVER ({wr})",
+            "_sd": f"sum(_dn) OVER ({wr})",
+        },
+        anchor_where=f"b._rn = {length}",
+        anchor_state={"_y": "b.close"},
+        step_state={"_y": f"{al} * b.close + (1 - {al}) * r._y"},
+        step_inputs=["close", "_su", "_sd"],
+        final={out: "_y"},
+    )
+    return Indicator("vidya", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 def ssf(length: int = 10, poles: int = 2):
@@ -692,7 +814,26 @@ def ssf(length: int = 10, poles: int = 2):
         pdf[out] = res
         return pdf
 
-    return Indicator("ssf", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    sql = None
+    if poles == 2:
+        from pandas_ta_spark.functions.windows import SQL_W_ORDER
+        from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+        a = math.exp(-math.sqrt(2) * math.pi / length)
+        b_ = 2 * a * math.cos(math.sqrt(2) * math.pi / length)
+        c2, c3 = b_, -a * a
+        c1 = 1 - c2 - c3
+        sql = recursive_oracle(
+            pre={"_prevc": f"lag(close, 1) OVER ({SQL_W_ORDER})"},
+            anchor_where="b._rn = 2",
+            anchor_state={"_y": "b.close", "_yp": "b._prevc"},
+            step_state={"_y": f"{c1!r} * b.close + {c2!r} * r._y + {c3!r} * r._yp",
+                        "_yp": "r._y"},
+            step_inputs=["close"],
+            final={out: "coalesce(_y, b.close)"},  # row 1 passes through
+        )
+    return Indicator("ssf", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 def hwma(na: float = 0.2, nb: float = 0.1, nc: float = 0.1):
@@ -717,7 +858,28 @@ def hwma(na: float = 0.2, nb: float = 0.1, nc: float = 0.1):
         pdf[out] = res
         return pdf
 
-    return Indicator("hwma", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    # anchor mirrors the kernel's first iteration from state
+    # (f=x0, v=0, a=0). Step expressions are fully inlined: a bare alias
+    # in the recursive SELECT binds to relation columns (r._f) before
+    # lateral aliases, silently reading the OLD state.
+    a_f0 = f"((1 - {na!r}) * (b.close + 0 + 0.5 * 0) + {na!r} * b.close)"
+    a_v0 = f"((1 - {nb!r}) * (0 + 0) + {nb!r} * ({a_f0} - b.close))"
+    a_a0 = f"((1 - {nc!r}) * 0 + {nc!r} * ({a_v0} - 0))"
+    s_f = f"((1 - {na!r}) * (r._f + r._v + 0.5 * r._a) + {na!r} * b.close)"
+    s_v = f"((1 - {nb!r}) * (r._v + r._a) + {nb!r} * ({s_f} - r._f))"
+    s_a = f"((1 - {nc!r}) * r._a + {nc!r} * ({s_v} - r._v))"
+    sql = recursive_oracle(
+        pre={},
+        anchor_where="b._rn = 1",
+        anchor_state={"_f": a_f0, "_v": a_v0, "_a": a_a0},
+        step_state={"_f": s_f, "_v": s_v, "_a": s_a},
+        step_inputs=["close"],
+        final={out: "_f + _v + 0.5 * _a"},
+    )
+    return Indicator("hwma", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 def jma(length: int = 7, phase: float = 0.0):
@@ -748,7 +910,28 @@ def jma(length: int = 7, phase: float = 0.0):
         pdf[out] = res
         return pdf
 
-    return Indicator("jma", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    beta = 0.45 * (length - 1) / (0.45 * (length - 1) + 2)
+    pr = 0.5 if phase < -100 else (2.5 if phase > 100 else phase / 100 + 1.5)
+    alpha = beta ** 2
+    al, be, prr = repr(alpha), repr(beta), repr(pr)
+    e0 = f"((1 - {al}) * b.close + {al} * r._e0)"
+    e1 = f"((b.close - {e0}) * (1 - {be}) + {be} * r._e1)"
+    e2 = (f"(({e0} + {prr} * {e1} - r._jm) * (1 - {al}) ** 2"
+          f" + {al} ** 2 * r._e2)")
+    sql = recursive_oracle(
+        pre={},
+        anchor_where="b._rn = 1",
+        anchor_state={"_e0": "b.close", "_e1": "0.0", "_e2": "0.0",
+                      "_jm": "b.close"},
+        step_state={"_e0": e0, "_e1": e1, "_e2": e2,
+                    "_jm": f"(r._jm + {e2})"},
+        step_inputs=["close"],
+        final={out: "_jm"},
+    )
+    return Indicator("jma", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 def ma(name_: str = "sma", **params):

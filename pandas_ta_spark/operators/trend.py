@@ -566,8 +566,72 @@ def psar(af0: float = 0.02, af: float = 0.02, max_af: float = 0.2):
         pdf[outs[3]] = rev
         return pdf
 
+    sql = _psar_oracle(outs, af0, af, max_af)
     return Indicator("psar", outs, CAT,
-                     kernel=KernelSpec(fn, outs, ["high", "low", "close"]))
+                     kernel=KernelSpec(fn, outs, ["high", "low", "close"]),
+                     sql_full=sql)
+
+
+def _psar_oracle(outs, af0: float, af: float, max_af: float) -> str:
+    """PSAR state machine as a recursive CTE: state (falling, sar, ep,
+    af, rev) mirrors the kernel's exact update sequencing (accelerate ->
+    clamp vs two prior extremes -> reverse), fully inlined (no lateral
+    aliases)."""
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    a0, ai, am = repr(float(af0)), repr(float(af)), repr(float(max_af))
+    sar_mid = "(r._sar + r._af * (r._ep - r._sar))"
+    falling = "(r._falling = 1)"
+    reverse = (f"(CASE WHEN {falling} THEN b.high > {sar_mid}"
+               f" ELSE b.low < {sar_mid} END)")
+    ep_upd = (f"(CASE WHEN {falling} THEN"
+              f" (CASE WHEN b.low < r._ep THEN b.low ELSE r._ep END)"
+              f" ELSE (CASE WHEN b.high > r._ep THEN b.high ELSE r._ep END) END)")
+    af_upd = (f"(CASE WHEN {falling} THEN"
+              f" (CASE WHEN b.low < r._ep THEN least(r._af + {ai}, {am}) ELSE r._af END)"
+              f" ELSE (CASE WHEN b.high > r._ep THEN least(r._af + {ai}, {am}) ELSE r._af END) END)")
+    sar_clamp = (f"(CASE WHEN {falling}"
+                 f" THEN greatest({sar_mid}, b._hp1, coalesce(b._hp2, b._hp1))"
+                 f" ELSE least({sar_mid}, b._lp1, coalesce(b._lp2, b._lp1)) END)")
+    new_falling = (f"(CASE WHEN {reverse} THEN 1 - r._falling"
+                   f" ELSE r._falling END)")
+    sar_fin = f"(CASE WHEN {reverse} THEN {ep_upd} ELSE {sar_clamp} END)"
+    ep_fin = (f"(CASE WHEN {reverse} THEN"
+              f" (CASE WHEN {new_falling} = 1 THEN b.low ELSE b.high END)"
+              f" ELSE {ep_upd} END)")
+    af_fin = f"(CASE WHEN {reverse} THEN {a0} ELSE {af_upd} END)"
+    wo = "PARTITION BY symbol ORDER BY ts"
+    return recursive_oracle(
+        pre={
+            "_c1": f"lead(close, 1) OVER ({wo})",
+            "_hp1": f"lag(high, 1) OVER ({wo})",
+            "_hp2": f"lag(high, 2) OVER ({wo})",
+            "_lp1": f"lag(low, 1) OVER ({wo})",
+            "_lp2": f"lag(low, 2) OVER ({wo})",
+        },
+        anchor_where="b._rn = 1",
+        anchor_state={
+            "_falling": "CASE WHEN (b.high + b.low) / 2 > b._c1 THEN 1 ELSE 0 END",
+            "_sar": "CASE WHEN (b.high + b.low) / 2 > b._c1 THEN b.high ELSE b.low END",
+            "_ep": "CASE WHEN (b.high + b.low) / 2 > b._c1 THEN b.low ELSE b.high END",
+            "_af": a0,
+            "_rev": "0.0",
+        },
+        step_state={
+            "_falling": new_falling,
+            "_sar": sar_fin,
+            "_ep": ep_fin,
+            "_af": af_fin,
+            "_rev": f"CAST({reverse} AS DOUBLE)",
+        },
+        step_inputs=["high", "low", "_hp1", "_hp2", "_lp1", "_lp2"],
+        final={
+            outs[0]: "CASE WHEN b._rn > 1 AND _falling = 0 THEN _sar END",
+            outs[1]: "CASE WHEN b._rn > 1 AND _falling = 1 THEN _sar END",
+            outs[2]: "_af",
+            outs[3]: "CASE WHEN b._rn = 1 THEN 0.0 ELSE _rev END",
+        },
+    )
 
 
 FACTORIES = {

@@ -391,7 +391,36 @@ def hwc(na: float = 0.2, nb: float = 0.1, nc: float = 0.1, nd: float = 0.1,
         pdf[outs[0]], pdf[outs[1]], pdf[outs[2]] = mid, up, lo
         return pdf
 
-    return Indicator("hwc", outs, CAT, kernel=KernelSpec(fn, outs, ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    # anchor mirrors i=0 from (f=x0, v=0, a=0, var=0, last_price=x0);
+    # all step expressions fully inlined (no lateral aliases)
+    a_f0 = f"((1 - {na!r}) * (b.close + 0 + 0.5 * 0) + {na!r} * b.close)"
+    a_v0 = f"((1 - {nb!r}) * (0 + 0) + {nb!r} * ({a_f0} - b.close))"
+    a_a0 = f"((1 - {nc!r}) * 0 + {nc!r} * ({a_v0} - 0))"
+    a_m0 = f"({a_f0} + {a_v0} + 0.5 * {a_a0})"
+    a_var0 = f"((1 - {nd!r}) * 0 + {nd!r} * (b.close - {a_m0}) ** 2)"
+    s_f = f"((1 - {na!r}) * (r._f + r._v + 0.5 * r._a) + {na!r} * b.close)"
+    s_v = f"((1 - {nb!r}) * (r._v + r._a) + {nb!r} * ({s_f} - r._f))"
+    s_a = f"((1 - {nc!r}) * r._a + {nc!r} * ({s_v} - r._v))"
+    s_m = f"({s_f} + {s_v} + 0.5 * {s_a})"
+    s_var = f"((1 - {nd!r}) * r._var + {nd!r} * (b._pc - {s_m}) ** 2)"
+    sd = "(_var ** 0.5)"  # kernel uses var ** 0.5, not sqrt
+    m_out = "(_f + _v + 0.5 * _a)"
+    sql = recursive_oracle(
+        pre={"_pc": "lag(close, 1) OVER (PARTITION BY symbol ORDER BY ts)"},
+        anchor_where="b._rn = 1",
+        anchor_state={"_f": a_f0, "_v": a_v0, "_a": a_a0, "_var": a_var0},
+        step_state={"_f": s_f, "_v": s_v, "_a": s_a, "_var": s_var},
+        step_inputs=["close", "_pc"],
+        final={
+            outs[0]: m_out,
+            outs[1]: f"({m_out} + {scalar!r} * {sd})",
+            outs[2]: f"({m_out} - {scalar!r} * {sd})",
+        },
+    )
+    return Indicator("hwc", outs, CAT, kernel=KernelSpec(fn, outs, ["close"]),
+                     sql_full=sql)
 
 
 FACTORIES = {
