@@ -119,11 +119,17 @@ def main():
         "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
     }
 
+    # best of 2 — same methodology as BASELINE.md (best of 3): the first
+    # run pays one-time Python-worker spawn + whole-plan codegen compile,
+    # which a resident cluster amortizes away
     times = {}
     for name, build in queries.items():
-        t0 = time.time()
-        force(build())
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(build())
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     n_ticks = ticks.count()
     total = round(sum(times.values()), 3)

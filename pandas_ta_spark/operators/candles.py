@@ -183,23 +183,120 @@ def ebsw(length: int = 40, bars: int = 10):
                      sql_full=sql)
 
 
-ALL_PATTERNS = ["doji", "inside"]  # native set (candles/cdl_pattern.py#ALL_PATTERNS fallback)
+def _body():
+    return F.abs(F.col("close") - F.col("open"))
+
+
+def _color():
+    return F.when(F.col("close") >= F.col("open"), 1.0).otherwise(-1.0)
+
+
+_S_BODY = "abs(close - open)"
+_S_COLOR = "CASE WHEN close >= open THEN 1.0 ELSE -1.0 END"
+
+
+def cdl_engulfing():
+    """Engulfing: current body engulfs the previous opposite-color body;
+    +-100 by direction (TA-Lib CDL_ENGULFING semantics)."""
+    out = "CDL_ENGULFING"
+    po, pc = shift("open", 1), shift("close", 1)
+    bull = (pc < po) & (F.col("close") > F.col("open")) & \
+        (F.col("open") <= pc) & (F.col("close") >= po)
+    bear = (pc > po) & (F.col("close") < F.col("open")) & \
+        (F.col("open") >= pc) & (F.col("close") <= po)
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_bull = (f"(({spc}) < ({spo}) AND close > open"
+              f" AND open <= ({spc}) AND close >= ({spo}))")
+    s_bear = (f"(({spc}) > ({spo}) AND close < open"
+              f" AND open >= ({spc}) AND close <= ({spo}))")
+    s = (f"CASE WHEN coalesce({s_bull}, false) THEN 100.0"
+         f" WHEN coalesce({s_bear}, false) THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_engulfing", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_harami():
+    """Harami: current body inside the previous opposite-color body."""
+    out = "CDL_HARAMI"
+    po, pc = shift("open", 1), shift("close", 1)
+    bull = (pc < po) & (F.col("close") > F.col("open")) & \
+        (F.col("open") > pc) & (F.col("close") < po)
+    bear = (pc > po) & (F.col("close") < F.col("open")) & \
+        (F.col("open") < pc) & (F.col("close") > po)
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_bull = (f"(({spc}) < ({spo}) AND close > open"
+              f" AND open > ({spc}) AND close < ({spo}))")
+    s_bear = (f"(({spc}) > ({spo}) AND close < open"
+              f" AND open < ({spc}) AND close > ({spo}))")
+    s = (f"CASE WHEN coalesce({s_bull}, false) THEN 100.0"
+         f" WHEN coalesce({s_bear}, false) THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_harami", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_hammer():
+    """Hammer: long lower shadow (>= 2x body), tiny upper shadow."""
+    out = "CDL_HAMMER"
+    body = _body()
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    e = F.when((body > 0) & (lower >= 2 * body) & (upper <= body), 100.0).otherwise(0.0)
+    s_low = "(least(open, close) - low)"
+    s_up = "(high - greatest(open, close))"
+    s = (f"CASE WHEN {_S_BODY} > 0 AND {s_low} >= 2 * {_S_BODY}"
+         f" AND {s_up} <= {_S_BODY} THEN 100.0 ELSE 0.0 END")
+    return Indicator("cdl_hammer", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_shooting_star():
+    """Shooting star: long upper shadow (>= 2x body), tiny lower shadow."""
+    out = "CDL_SHOOTINGSTAR"
+    body = _body()
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    e = F.when((body > 0) & (upper >= 2 * body) & (lower <= body), -100.0).otherwise(0.0)
+    s_low = "(least(open, close) - low)"
+    s_up = "(high - greatest(open, close))"
+    s = (f"CASE WHEN {_S_BODY} > 0 AND {s_up} >= 2 * {_S_BODY}"
+         f" AND {s_low} <= {_S_BODY} THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_shooting_star", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_marubozu(factor: float = 0.95):
+    """Marubozu: body >= factor of full range, signed by color."""
+    out = "CDL_MARUBOZU"
+    rng = F.col("high") - F.col("low")
+    e = F.when((rng > 0) & (_body() >= factor * rng), 100.0 * _color()).otherwise(0.0)
+    s = (f"CASE WHEN (high - low) > 0 AND {_S_BODY} >= {factor!r} * (high - low)"
+         f" THEN 100.0 * ({_S_COLOR}) ELSE 0.0 END")
+    return Indicator("cdl_marubozu", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+# native set: the reference's non-TA-Lib fallback is doji+inside
+# (candles/cdl_pattern.py#ALL_PATTERNS); the rest are this engine's
+# native extensions of the TA-Lib CDL_* inventory
+ALL_PATTERNS = ["doji", "inside", "engulfing", "harami", "hammer",
+                "shootingstar", "marubozu"]
+
+_PATTERN_FACTORIES = {
+    "doji": cdl_doji,
+    "inside": cdl_inside,
+    "engulfing": cdl_engulfing,
+    "harami": cdl_harami,
+    "hammer": cdl_hammer,
+    "shootingstar": cdl_shooting_star,
+    "marubozu": cdl_marubozu,
+}
 
 
 def cdl_pattern(name_: str = "all"):
-    """Candle pattern dispatcher — pandas_ta/candles/cdl_pattern.py.
-    The reference's non-TA-Lib fallback natively implements doji and
-    inside; 'all' combines them (the 60 TA-Lib CDL_* patterns are a
-    documented backlog — each is lag-window boolean logic)."""
+    """Candle pattern dispatcher — pandas_ta/candles/cdl_pattern.py."""
     names = ALL_PATTERNS if name_ == "all" else [name_]
     parts = []
     for n in names:
-        if n == "doji":
-            parts.append(cdl_doji())
-        elif n == "inside":
-            parts.append(cdl_inside())
-        else:
+        if n not in _PATTERN_FACTORIES:
             raise ValueError(f"unsupported pattern {n!r}; native set: {ALL_PATTERNS}")
+        parts.append(_PATTERN_FACTORIES[n]())
     stages, sql_stages, final, sql_final, outs = [], [], {}, {}, []
     for p in parts:
         stages.extend(p.stages)
@@ -214,6 +311,9 @@ def cdl_pattern(name_: str = "all"):
 FACTORIES = {
     "cdl_doji": cdl_doji, "cdl_inside": cdl_inside, "cdl_z": cdl_z,
     "ha": ha, "ebsw": ebsw, "cdl_pattern": cdl_pattern,
+    "cdl_engulfing": cdl_engulfing, "cdl_harami": cdl_harami,
+    "cdl_hammer": cdl_hammer, "cdl_shooting_star": cdl_shooting_star,
+    "cdl_marubozu": cdl_marubozu,
 }
 
 SUITE = {

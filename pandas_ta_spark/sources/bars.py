@@ -120,6 +120,31 @@ def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> 
     )
 
 
+def datetime_ordered(df: DataFrame) -> bool:
+    """Per-symbol ascending-ts check — the reference's
+    ``df.ta.datetime_ordered`` (pandas_ta/core.py#datetime_ordered).
+    One window pass counting out-of-order rows; True iff zero."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol").orderBy("ts")
+    bad = df.select(
+        (F.col("ts") < F.lag("ts", 1).over(w)).cast("int").alias("o")
+    ).agg(F.sum("o").alias("n")).collect()[0]["n"]
+    return not bad
+
+
+def reverse(df: DataFrame) -> DataFrame:
+    """Descending-time view — the reference's ``df.ta.reverse``
+    (pandas_ta/core.py#reverse). Spark has no index: this is an ORDER BY,
+    for presentation only (indicators always order by their window spec)."""
+    return df.orderBy("symbol", F.col("ts").desc())
+
+
+def constants(df: DataFrame, values: dict) -> DataFrame:
+    """Inject constant columns — pandas_ta/core.py#constants."""
+    return df.withColumns({k: F.lit(v) for k, v in values.items()})
+
+
 def bars_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alternate bar derivation: daily bars per order priority (FIXTURES.md §2)."""
     od = load_table(spark, sf_dir, "orders").select(
