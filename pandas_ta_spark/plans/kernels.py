@@ -21,10 +21,18 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from pandas_ta_spark.operators.base import KernelSpec
+
+# per-(symbol) group memory bound (SURVEY §4.3.4): a whole group must fit
+# one executor. 20M rows x ~8 cols x 8B ~= 1.3 GB — beyond that, chunk by
+# (symbol, epoch) and carry seed state (see streaming/indicators.py for
+# the state-carry pattern).
+MAX_GROUP_ROWS = int(os.environ.get("PTS_MAX_KERNEL_GROUP_ROWS", 20_000_000))
 
 
 def run_kernels(df: DataFrame, specs: list[KernelSpec]) -> DataFrame:
@@ -51,6 +59,12 @@ def run_kernels(df: DataFrame, specs: list[KernelSpec]) -> DataFrame:
     fns = [s.fn for s in specs]
 
     def runner(pdf):
+        if len(pdf) > MAX_GROUP_ROWS:
+            raise ValueError(
+                f"kernel group of {len(pdf)} rows exceeds the per-executor "
+                f"bound ({MAX_GROUP_ROWS}); chunk the symbol by epoch and "
+                f"carry seed state (PTS_MAX_KERNEL_GROUP_ROWS overrides)"
+            )
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         for fn in fns:
             pdf = fn(pdf)

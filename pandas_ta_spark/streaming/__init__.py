@@ -1,3 +1,7 @@
-from pandas_ta_spark.streaming.indicators import stream_bars, streaming_ema
+from pandas_ta_spark.streaming.indicators import (
+    stream_bars,
+    streaming_ema,
+    streaming_rsi,
+)
 
-__all__ = ["stream_bars", "streaming_ema"]
+__all__ = ["stream_bars", "streaming_ema", "streaming_rsi"]

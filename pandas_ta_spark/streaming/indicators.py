@@ -116,3 +116,88 @@ def streaming_ema(ticks: DataFrame, length: int = 10,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+RSI_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("close", DoubleType()),
+    StructField("rsi", DoubleType()),
+])
+
+# carried: last close, pending gain/loss seed buffers, both RMA values
+RSI_STATE_SCHEMA = StructType([
+    StructField("last_close", DoubleType()),
+    StructField("pending_g", StringType()),
+    StructField("pending_l", StringType()),
+    StructField("pg", DoubleType()),
+    StructField("pl", DoubleType()),
+])
+
+
+def streaming_rsi(ticks: DataFrame, length: int = 14,
+                  watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming RSI per symbol: the two Wilder RMA recursions
+    carried across micro-batches, exact batch-kernel parity
+    (momentum.rsi semantics)."""
+    alpha = 1.0 / length
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def parse(s):
+            return [float(x) for x in s.split(",") if x != ""]
+
+        if state.exists:
+            last_close, pg_s, pl_s, pg, pl = state.get
+            gains, losses = parse(pg_s), parse(pl_s)
+            if pg is not None and math.isnan(pg):
+                pg = pl = None
+        else:
+            last_close, gains, losses, pg, pl = None, [], [], None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            out_ts, out_close, out_rsi = [], [], []
+            for ts, close in zip(pdf["ts"], pdf["close"]):
+                close = float(close)
+                val = None
+                if last_close is not None:
+                    d = close - last_close
+                    g, l = max(d, 0.0), max(-d, 0.0)
+                    if pg is None:
+                        gains.append(g)
+                        losses.append(l)
+                        if len(gains) >= length:
+                            pg = sum(gains) / len(gains)
+                            pl = sum(losses) / len(losses)
+                    else:
+                        pg = alpha * g + (1 - alpha) * pg
+                        pl = alpha * l + (1 - alpha) * pl
+                    if pg is not None and (pg + pl):
+                        val = 100.0 * pg / (pg + pl)
+                last_close = close
+                out_ts.append(ts)
+                out_close.append(close)
+                out_rsi.append(val)
+            yield pd.DataFrame({
+                "symbol": key[0], "ts": out_ts,
+                "close": out_close, "rsi": out_rsi,
+            })
+        state.update((
+            last_close,
+            ",".join(str(x) for x in gains[:length]),
+            ",".join(str(x) for x in losses[:length]),
+            pg if pg is not None else float("nan"),
+            pl if pl is not None else float("nan"),
+        ))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=RSI_OUT_SCHEMA,
+        stateStructType=RSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

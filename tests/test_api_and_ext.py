@@ -35,7 +35,34 @@ def test_strategy_single_plan(bars):
         assert col in out.columns, col
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1  # kernels batched
+    # windows + the single kernel pass share one hash(symbol) exchange
+    # (input is an in-memory repartition here, so only that one appears)
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
     assert out.count() == 550
+
+
+def test_short_symbol_groups_survive(spark):
+    """verify_series analogue: groups shorter than the window/seed emit
+    NULLs, never crash — kernels and windows alike."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "symbol": ["X"] * 3 + ["Y"],
+        "ts": pd.date_range("2024-01-01", periods=4, freq="h"),
+        "open": 1.0, "high": 2.0, "low": 0.5, "close": [1.0, 1.1, 0.9, 1.2],
+        "volume": 10.0,
+    })
+    bars = spark.createDataFrame(pdf)
+    from pandas_ta_spark.plans.strategy import apply_strategy
+    from pandas_ta_spark.registry import make
+
+    out = apply_strategy(
+        bars, [make("sma", length=14), make("rsi", length=14),
+               make("supertrend"), make("macd")]
+    ).toPandas()
+    assert len(out) == 4
+    assert out["SMA_14"].isna().all()
+    assert out["RSI_14"].isna().all()
 
 
 def test_ma_dispatcher(bars):

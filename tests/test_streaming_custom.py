@@ -44,6 +44,40 @@ def test_streaming_ema_matches_batch(spark, pdf_bars, tmp_path):
     assert_close(got["ema"], ref, tol=1e-9, name="streaming-ema")
 
 
+def test_streaming_rsi_matches_batch(spark, pdf_bars, tmp_path):
+    src = tmp_path / "rsi_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "close"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")
+    a.iloc[:100].to_parquet(src / "p1.parquet")
+    a.iloc[100:].to_parquet(src / "p2.parquet")
+    from pandas_ta_spark.streaming import streaming_rsi
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_rsi(stream, length=14)
+        .writeStream.format("memory").queryName("rsi_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM rsi_stream").toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    from pandas_ta_spark.functions.pdkernels import rma_pd
+
+    c = a["close"].reset_index(drop=True)
+    d = c.diff(1)
+    pg = rma_pd(d.clip(lower=0), 14)
+    pl = rma_pd((-d).clip(lower=0), 14)
+    ref = 100 * pg / (pg + pl)
+    assert_close(got["rsi"], ref, tol=1e-9, name="streaming-rsi")
+
+
 def test_stream_bars_schema(spark, pdf_bars, tmp_path):
     src = tmp_path / "ev_src"
     src.mkdir()
