@@ -299,7 +299,75 @@ SELECT doc_id, {bits} AS simhash16 FROM agg
 """.strip()
 
 
+def _dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational pipeline query: which documents survive exact +
+    near-duplicate removal. keep = exact-group keeper AND not the higher
+    doc_id of a verified near-dup pair."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    keepers = (
+        docs.groupBy(h.alias("hh"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near = _dedup_minhash(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = keepers.join(near, "doc_id", "left_anti")
+    return docs.select("doc_id").join(
+        kept.withColumn("kept", F.lit(1)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("kept", F.lit(0)).alias("kept"))
+
+
+def _keep_list_oracle() -> str:
+    mins = ", ".join(
+        f"min(substr(md5('{j}|' || shingle), 1, 8)) AS mh{j}"
+        for j in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_shingle_sql()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT DISTINCT i.doc_b AS doc_id
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+keepers AS (
+    SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY md5(lower(trim(text)))
+)
+SELECT d.doc_id,
+       CASE WHEN k.doc_id IS NOT NULL AND n.doc_id IS NULL
+            THEN 1 ELSE 0 END AS kept
+FROM documents d
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+""".strip()
+
+
 SUITE = {
+    "dedup_keep_list": ExtQuery(_dedup_keep_list, _keep_list_oracle()),
     "dedup_exact": ExtQuery(_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": ExtQuery(_dedup_minhash, _minhash_oracle()),
     "dedup_ngram_jaccard": ExtQuery(_dedup_jaccard, DEDUP_JACCARD_SQL),

@@ -246,7 +246,37 @@ FROM e GROUP BY 1
 """.strip()
 
 
+BPE_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: words + digit runs + punctuation as
+    separate tokens (the pre-tokenizer regex shape of byte-pair
+    encoders), alongside whitespace tokens for comparison."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    low = F.lower(F.col("text"))
+    bpe = F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), F.lit(0)))
+    ws = F.size(F.split(F.trim(low), r"\s+"))
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_tokens_bpe"),
+        ws.alias("n_tokens_ws"),
+        (bpe / ws).alias("bpe_to_ws_ratio"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_tokens_bpe,
+       len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+           / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS bpe_to_ws_ratio
+FROM documents
+""".strip()
+
+
 SUITE = {
+    "token_count_bpe": ExtQuery(_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
     "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
     "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),

@@ -360,14 +360,9 @@ def aobv(fast: int = 4, slow: int = 12, max_lookback: int = 2,
                      sql_full=sql)
 
 
-def vp(width: int = 10):
-    """Volume Profile: per-symbol close-range buckets with up/down volume
-    split — pandas_ta/volume/vp.py#vp. The one AGG op: returns a small
-    table (symbol, bucket, mean_close, pos/neg/total volume), not a
-    per-row series. Scale shape: two window-free aggregations (min/max +
-    bucketed groupBy), both map-side partial."""
-    raise NotImplementedError("vp is exposed via ext-style suite (see ext/agg.py)")
-
+# vp (volume profile), the one AGG-shaped op, lives in ext/agg.py: it
+# returns a small bucketed table rather than a per-row series, so it uses
+# the ext query shape instead of the Indicator (symbol, ts, cols) contract.
 
 FACTORIES = {
     "obv": obv, "ad": ad, "adosc": adosc, "cmf": cmf, "efi": efi, "eom": eom,
