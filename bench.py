@@ -103,7 +103,25 @@ def main():
     bars.cache().count()
 
     ticks_salted = tick_bars(spark, sf_dir, buckets=8)  # 40 sub-series
+
+    # scale demo: 20x-replicated series (2M rows, 100 independent
+    # sub-series) — the throughput question the 100 TB design answers:
+    # fixed overhead amortizes, window work parallelizes across series
+    from pyspark.sql import functions as F
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+    ticks_x20 = (
+        ticks.select("*", rep)
+        .select(
+            F.concat("symbol", F.lit("#"), F.col("rep")).alias("symbol"),
+            "ts", "open", "high", "low", "close", "volume",
+        )
+    )
+    ticks_x20.cache().count()
+
     queries = {
+        "tick_strategy_24ind_x20scale": lambda: apply_strategy(
+            ticks_x20, strategy_indicators()),
         "tick_strategy_24ind": lambda: apply_strategy(ticks, strategy_indicators()),
         "tick_strategy_24ind_salted40": lambda: apply_strategy(
             ticks_salted, strategy_indicators()),
@@ -142,6 +160,9 @@ def main():
         "rows_tick_series": n_ticks,
         "tick_strategy_rows_per_sec": round(n_ticks / times["tick_strategy_24ind"])
         if times["tick_strategy_24ind"] else None,
+        "x20_scale_rows_per_sec": round(20 * n_ticks
+                                        / times["tick_strategy_24ind_x20scale"])
+        if times.get("tick_strategy_24ind_x20scale") else None,
         "cpus": int(cpus),
     }))
 
