@@ -64,9 +64,3 @@ def rma_pd(x: pd.Series, length: int) -> pd.Series:
     return ewm_seeded(x, 1.0 / length, length)
 
 
-def ewm_chain_warmup(*series: pd.Series) -> int:
-    """Rows of NULL warmup accumulated by chained smoothers (for masks)."""
-    total = 0
-    for s in series:
-        total += int(s.isna().sum())
-    return total

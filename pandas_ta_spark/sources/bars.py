@@ -120,6 +120,32 @@ def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> 
     )
 
 
+def write_bars(df: DataFrame, path: str, partition_days: bool = True) -> None:
+    """Parquet sink for bars: date-partitioned layout
+    (``.../date=YYYY-MM-DD/``) so time-range queries partition-prune.
+    Partitioning by symbol directly would explode into millions of tiny
+    files at scale — date + within-file symbol sort gives pruning AND
+    locality."""
+    if partition_days:
+        out = df.withColumn("date", F.to_date("ts"))
+        (out.repartition("date")
+            .sortWithinPartitions("symbol", "ts")
+            .write.mode("overwrite").partitionBy("date").parquet(path))
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def write_bars_bucketed(df: DataFrame, table: str, buckets: int = 64) -> None:
+    """Bucketed managed-table sink: bucketBy(symbol) pre-shuffles once at
+    write time, so every later window/kernel/join on symbol reads
+    co-located data with NO exchange — the bucketing story for repeated
+    100 TB scans."""
+    (df.write.mode("overwrite")
+       .bucketBy(buckets, "symbol")
+       .sortBy("symbol", "ts")
+       .saveAsTable(table))
+
+
 def datetime_ordered(df: DataFrame) -> bool:
     """Per-symbol ascending-ts check — the reference's
     ``df.ta.datetime_ordered`` (pandas_ta/core.py#datetime_ordered).

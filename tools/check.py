@@ -10,6 +10,7 @@ NaN==NULL). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def get_spark():
