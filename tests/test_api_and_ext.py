@@ -182,15 +182,17 @@ def test_media_features_pipeline(spark, tmp_path):
 def test_bucketed_sink_eliminates_exchange(spark, bars, tmp_path):
     """bucketBy(symbol) managed table: subsequent window queries read
     co-located data with ZERO exchanges — the repeated-scan story."""
-    spark.conf.set("spark.sql.warehouse.dir", str(tmp_path / "wh"))
     from pandas_ta_spark.registry import make
     from pandas_ta_spark.sources.bars import write_bars_bucketed
 
-    write_bars_bucketed(bars, "bars_bucketed_test", buckets=4)
-    t = spark.table("bars_bucketed_test")
-    plan = make("sma", length=5).apply(t)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 0, plan
-    spark.sql("DROP TABLE bars_bucketed_test")
+    try:
+        write_bars_bucketed(bars, "bars_bucketed_test", buckets=4)
+        t = spark.table("bars_bucketed_test")
+        plan = (make("sma", length=5).apply(t)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 0, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bars_bucketed_test")
 
 
 def test_entry_contract(spark):
