@@ -150,13 +150,15 @@ def trima(length: int = 10):
 
 
 def linreg(length: int = 14, mode: str = "linreg"):
-    """Rolling OLS vs bar position 1..n — pandas_ta/overlap/linreg.py#linreg.
+    """Rolling OLS vs bar position — pandas_ta/overlap/linreg.py#linreg.
 
-    The regression runs against the global per-symbol row number: an affine
-    shift of the reference's 1..n x-axis, so slope and the fitted endpoint
-    value are identical. modes: linreg (endpoint), slope, intercept*, tsf.
-    (*intercept differs from the reference by the slope*(rn-n) shift; we
-    expose the endpoint-consistent value: fitted line at window start.)
+    The regression runs against the global per-symbol row number, an
+    affine shift of the reference's 0-based window x-axis
+    (utils/_math.py#linear_regression, x = arange(n)); every mode maps
+    back exactly: slope and r are shift-invariant, endpoint = fit at
+    x_local=n-1 = icpt_g + slope*rn, intercept = fit at x_local=0 =
+    icpt_g + slope*(rn-n+1), tsf = fit at x_local=n = icpt_g +
+    slope*(rn+1). modes: linreg (endpoint), slope, intercept, r, tsf.
     """
     kind = {"linreg": "LR", "slope": "LRm", "intercept": "LRb", "tsf": "LRtsf", "r": "LRr"}[mode]
     out = name(kind, length)
@@ -512,6 +514,35 @@ def ichimoku(tenkan: int = 9, kijun: int = 26, senkou: int = 52):
             iks_o: iks_c,
             ics_o: f"lead(close, {kijun - 1}) OVER ({SQL_W_ORDER})",
         },
+    )
+
+
+def ichimoku_forward(df, tenkan: int = 9, kijun: int = 26, senkou: int = 52,
+                     interval: str = "hour"):
+    """The reference's SECOND return frame: the kijun-1-row forward cloud
+    (span A/B projected ahead of the last bar) —
+    pandas_ta/overlap/ichimoku.py#ichimoku. Takes the last kijun-1 rows'
+    unshifted span values per symbol and advances ts by kijun-1 bar
+    intervals; pass the bar ``interval`` unit explicitly (Spark has no
+    index freq to infer)."""
+    from pyspark.sql import Window
+
+    its = (roll(F.max, "high", tenkan) + roll(F.min, "low", tenkan)) / 2
+    iks = (roll(F.max, "high", kijun) + roll(F.min, "low", kijun)) / 2
+    isb = (roll(F.max, "high", senkou) + roll(F.min, "low", senkou)) / 2
+    w = Window.partitionBy("symbol")
+    out = df.select(
+        "symbol", "ts",
+        ((its + iks) / 2).alias(name("ISA", tenkan)),
+        isb.alias(name("ISB", kijun)),
+        F.row_number().over(w_order()).alias("_rn"),
+        F.max(F.row_number().over(w_order())).over(w).alias("_mx"),
+    )
+    shift_expr = F.expr(f"ts + INTERVAL {kijun - 1} {interval}")
+    return (
+        out.filter(F.col("_rn") > F.col("_mx") - (kijun - 1))
+        .select("symbol", shift_expr.alias("ts"),
+                name("ISA", tenkan), name("ISB", kijun))
     )
 
 
