@@ -72,6 +72,22 @@ def strategy_indicators():
     ]
 
 
+def all_indicators():
+    """Every default-suite indicator whose outputs don't collide (dm and
+    adx both emit DMP/DMN_14; cdl_pattern_all duplicates cdl_doji/inside)
+    — the everything-in-one-plan strategy."""
+    from pandas_ta_spark.registry import standard_suite
+
+    seen: set[str] = set()
+    inds = []
+    for key, ind in standard_suite().items():
+        if any(o in seen for o in ind.outputs):
+            continue
+        seen.update(ind.outputs)
+        inds.append(ind)
+    return inds
+
+
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -120,6 +136,7 @@ def main():
     ticks_x20.cache().count()
 
     queries = {
+        "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_indicators()),
         "tick_strategy_24ind_x20scale": lambda: apply_strategy(
             ticks_x20, strategy_indicators()),
         "tick_strategy_24ind": lambda: apply_strategy(ticks, strategy_indicators()),
