@@ -214,6 +214,50 @@ def test_supertrend_psar_shapes(bars):
     assert ((st["PSARl_0.02_0.2"].notna() | st["PSARs_0.02_0.2"].notna())).all()
 
 
+def test_td_seq_matches_loop(bars, pdf_bars):
+    """Sessionization trick (streak = rn - last failing rn) must equal
+    the literal per-row counter loop."""
+    got = one_symbol(run(bars, momentum.td_seq()))
+    c = one_symbol(pdf_bars)["close"].to_numpy()
+    up = np.zeros(len(c))
+    dn = np.zeros(len(c))
+    for i in range(len(c)):
+        if i >= 4 and c[i] > c[i - 4]:
+            up[i] = up[i - 1] + 1
+        if i >= 4 and c[i] < c[i - 4]:
+            dn[i] = dn[i - 1] + 1
+    assert_close(got["TD_SEQ_UPa"], pd.Series(up), name="td_up")
+    assert_close(got["TD_SEQ_DNa"], pd.Series(dn), name="td_dn")
+
+
+def test_hilo_matches_loop(bars, pdf_bars):
+    """last(ignorenulls) band-hold trick must equal the literal loop."""
+    got = one_symbol(run(bars, overlap.hilo(13, 21)))
+    ref = one_symbol(pdf_bars)
+    mhi = ref["high"].rolling(13).mean().to_numpy()
+    mlo = ref["low"].rolling(21).mean().to_numpy()
+    c = ref["close"].to_numpy()
+    n = len(c)
+    band = np.full(n, np.nan)
+    prev = np.nan
+    for i in range(1, n):
+        if c[i] > mhi[i - 1]:
+            prev = mlo[i]
+        elif c[i] < mlo[i - 1]:
+            prev = mhi[i]
+        band[i] = prev
+    assert_close(got["HILO_13_21"], pd.Series(band), tol=1e-9, name="hilo")
+
+
+def test_xsignals_consistency(bars):
+    got = one_symbol(run(bars, trend.xsignals(30)))
+    ent = got["XS_Entries"].fillna(0)
+    ext = got["XS_Exits"].fillna(0)
+    # entries and exits alternate: cumulative entries - exits stays in {0,1}
+    state = (ent - ext).cumsum()
+    assert state.isin([0, 1]).all()
+
+
 # ------------------------------------------------------------- candles ----
 
 def test_ha_recursion(bars, pdf_bars):
