@@ -272,11 +272,87 @@ def cdl_marubozu(factor: float = 0.95):
     return Indicator("cdl_marubozu", [out], CAT, final={out: e}, sql_final={out: s})
 
 
+def cdl_piercing():
+    """Piercing line: red candle, then a green that opens below its close
+    and closes above its body midpoint (but below its open)."""
+    out = "CDL_PIERCING"
+    po, pc = shift("open", 1), shift("close", 1)
+    mid = (po + pc) / 2
+    bull = (pc < po) & (F.col("close") > F.col("open")) & \
+        (F.col("open") < pc) & (F.col("close") > mid) & (F.col("close") < po)
+    e = F.when(bull, 100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_mid = f"((({spo}) + ({spc})) / 2)"
+    s_bull = (f"(({spc}) < ({spo}) AND close > open AND open < ({spc})"
+              f" AND close > {s_mid} AND close < ({spo}))")
+    s = f"CASE WHEN coalesce({s_bull}, false) THEN 100.0 ELSE 0.0 END"
+    return Indicator("cdl_piercing", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_dark_cloud_cover():
+    """Dark cloud cover: the bearish mirror of the piercing line."""
+    out = "CDL_DARKCLOUDCOVER"
+    po, pc = shift("open", 1), shift("close", 1)
+    mid = (po + pc) / 2
+    bear = (pc > po) & (F.col("close") < F.col("open")) & \
+        (F.col("open") > pc) & (F.col("close") < mid) & (F.col("close") > po)
+    e = F.when(bear, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_mid = f"((({spo}) + ({spc})) / 2)"
+    s_bear = (f"(({spc}) > ({spo}) AND close < open AND open > ({spc})"
+              f" AND close < {s_mid} AND close > ({spo}))")
+    s = f"CASE WHEN coalesce({s_bear}, false) THEN -100.0 ELSE 0.0 END"
+    return Indicator("cdl_dark_cloud_cover", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def _three_in_a_row(bullish: bool):
+    kind = "CDL_3WHITESOLDIERS" if bullish else "CDL_3BLACKCROWS"
+    sign = 100.0 if bullish else -100.0
+
+    def green(o, c):
+        return (c > o) if bullish else (c < o)
+
+    o0, c0 = F.col("open"), F.col("close")
+    o1, c1 = shift("open", 1), shift("close", 1)
+    o2, c2 = shift("open", 2), shift("close", 2)
+    stair = (c0 > c1) & (c1 > c2) if bullish else (c0 < c1) & (c1 < c2)
+    inside = (
+        (o0 > F.least(o1, c1)) & (o0 < F.greatest(o1, c1))
+        & (o1 > F.least(o2, c2)) & (o1 < F.greatest(o2, c2))
+    )
+    cond = green(o0, c0) & green(o1, c1) & green(o2, c2) & stair & inside
+    e = F.when(cond, F.lit(sign)).otherwise(0.0)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    so2, sc2 = sql_shift("open", 2), sql_shift("close", 2)
+    op = ">" if bullish else "<"
+    s_green = (f"(close {op} open AND ({sc1}) {op} ({so1})"
+               f" AND ({sc2}) {op} ({so2}))")
+    s_stair = f"(close {op} ({sc1}) AND ({sc1}) {op} ({sc2}))"
+    s_inside = (
+        f"(open > least(({so1}), ({sc1})) AND open < greatest(({so1}), ({sc1}))"
+        f" AND ({so1}) > least(({so2}), ({sc2}))"
+        f" AND ({so1}) < greatest(({so2}), ({sc2})))"
+    )
+    s = (f"CASE WHEN coalesce({s_green} AND {s_stair} AND {s_inside}, false)"
+         f" THEN {sign!r} ELSE 0.0 END")
+    return Indicator(kind.lower(), [kind], CAT, final={kind: e}, sql_final={kind: s})
+
+
+def cdl_3whitesoldiers():
+    return _three_in_a_row(True)
+
+
+def cdl_3blackcrows():
+    return _three_in_a_row(False)
+
+
 # native set: the reference's non-TA-Lib fallback is doji+inside
 # (candles/cdl_pattern.py#ALL_PATTERNS); the rest are this engine's
 # native extensions of the TA-Lib CDL_* inventory
 ALL_PATTERNS = ["doji", "inside", "engulfing", "harami", "hammer",
-                "shootingstar", "marubozu"]
+                "shootingstar", "marubozu", "piercing", "darkcloudcover",
+                "3whitesoldiers", "3blackcrows"]
 
 _PATTERN_FACTORIES = {
     "doji": cdl_doji,
@@ -286,6 +362,10 @@ _PATTERN_FACTORIES = {
     "hammer": cdl_hammer,
     "shootingstar": cdl_shooting_star,
     "marubozu": cdl_marubozu,
+    "piercing": cdl_piercing,
+    "darkcloudcover": cdl_dark_cloud_cover,
+    "3whitesoldiers": cdl_3whitesoldiers,
+    "3blackcrows": cdl_3blackcrows,
 }
 
 
@@ -313,7 +393,10 @@ FACTORIES = {
     "ha": ha, "ebsw": ebsw, "cdl_pattern": cdl_pattern,
     "cdl_engulfing": cdl_engulfing, "cdl_harami": cdl_harami,
     "cdl_hammer": cdl_hammer, "cdl_shooting_star": cdl_shooting_star,
-    "cdl_marubozu": cdl_marubozu,
+    "cdl_marubozu": cdl_marubozu, "cdl_piercing": cdl_piercing,
+    "cdl_dark_cloud_cover": cdl_dark_cloud_cover,
+    "cdl_3whitesoldiers": cdl_3whitesoldiers,
+    "cdl_3blackcrows": cdl_3blackcrows,
 }
 
 SUITE = {
