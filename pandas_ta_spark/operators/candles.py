@@ -347,12 +347,191 @@ def cdl_3blackcrows():
     return _three_in_a_row(False)
 
 
+def _star(bullish: bool):
+    """Morning/evening star: big candle against the trend, a small-body
+    star gapping past its close, then a reversal candle closing beyond the
+    first body's midpoint (TA-Lib CDL_MORNINGSTAR/CDL_EVENINGSTAR shape,
+    body-gap variant)."""
+    kind = "CDL_MORNINGSTAR" if bullish else "CDL_EVENINGSTAR"
+    sign = 100.0 if bullish else -100.0
+    o0, c0 = F.col("open"), F.col("close")
+    o1, c1 = shift("open", 1), shift("close", 1)
+    o2, c2 = shift("open", 2), shift("close", 2)
+    mid2 = (o2 + c2) / 2
+    if bullish:
+        cond = (c2 < o2) & (F.greatest(o1, c1) < c2) & (c0 > o0) & (c0 > mid2)
+    else:
+        cond = (c2 > o2) & (F.least(o1, c1) > c2) & (c0 < o0) & (c0 < mid2)
+    e = F.when(cond, F.lit(sign)).otherwise(0.0)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    so2, sc2 = sql_shift("open", 2), sql_shift("close", 2)
+    s_mid2 = f"((({so2}) + ({sc2})) / 2)"
+    if bullish:
+        s_cond = (f"(({sc2}) < ({so2}) AND greatest(({so1}), ({sc1})) < ({sc2})"
+                  f" AND close > open AND close > {s_mid2})")
+    else:
+        s_cond = (f"(({sc2}) > ({so2}) AND least(({so1}), ({sc1})) > ({sc2})"
+                  f" AND close < open AND close < {s_mid2})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN {sign!r} ELSE 0.0 END"
+    return Indicator(kind.lower(), [kind], CAT, final={kind: e}, sql_final={kind: s})
+
+
+def cdl_morning_star():
+    return _star(True)
+
+
+def cdl_evening_star():
+    return _star(False)
+
+
+def cdl_hanging_man():
+    """Hanging man: hammer shape (long lower shadow) appearing after a
+    green candle — bearish reversal context proxy."""
+    out = "CDL_HANGINGMAN"
+    body = _body()
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    prev_green = shift("close", 1) > shift("open", 1)
+    e = F.when((body > 0) & (lower >= 2 * body) & (upper <= body) & prev_green,
+               -100.0).otherwise(0.0)
+    s_low = "(least(open, close) - low)"
+    s_up = "(high - greatest(open, close))"
+    s_prev = f"(({sql_shift('close', 1)}) > ({sql_shift('open', 1)}))"
+    s = (f"CASE WHEN coalesce({_S_BODY} > 0 AND {s_low} >= 2 * {_S_BODY}"
+         f" AND {s_up} <= {_S_BODY} AND {s_prev}, false)"
+         f" THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_hanging_man", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_inverted_hammer():
+    """Inverted hammer: shooting-star shape after a red candle — bullish
+    reversal context proxy."""
+    out = "CDL_INVERTEDHAMMER"
+    body = _body()
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    prev_red = shift("close", 1) < shift("open", 1)
+    e = F.when((body > 0) & (upper >= 2 * body) & (lower <= body) & prev_red,
+               100.0).otherwise(0.0)
+    s_low = "(least(open, close) - low)"
+    s_up = "(high - greatest(open, close))"
+    s_prev = f"(({sql_shift('close', 1)}) < ({sql_shift('open', 1)}))"
+    s = (f"CASE WHEN coalesce({_S_BODY} > 0 AND {s_up} >= 2 * {_S_BODY}"
+         f" AND {s_low} <= {_S_BODY} AND {s_prev}, false)"
+         f" THEN 100.0 ELSE 0.0 END")
+    return Indicator("cdl_inverted_hammer", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def _long_legged_doji(bullish: bool, body_pct: float = 0.05,
+                      shadow_pct: float = 0.6, tiny_pct: float = 0.1):
+    """Dragonfly (open=close=high, long lower shadow) / gravestone
+    (open=close=low, long upper shadow) doji, range-relative thresholds."""
+    kind = "CDL_DRAGONFLYDOJI" if bullish else "CDL_GRAVESTONEDOJI"
+    sign = 100.0 if bullish else -100.0
+    rng = F.col("high") - F.col("low")
+    body = _body()
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    big, small = (lower, upper) if bullish else (upper, lower)
+    cond = ((rng > 0) & (body <= body_pct * rng)
+            & (small <= tiny_pct * rng) & (big >= shadow_pct * rng))
+    e = F.when(cond, F.lit(sign)).otherwise(0.0)
+    s_low = "(least(open, close) - low)"
+    s_up = "(high - greatest(open, close))"
+    s_big, s_small = (s_low, s_up) if bullish else (s_up, s_low)
+    s_cond = (f"((high - low) > 0 AND {_S_BODY} <= {body_pct!r} * (high - low)"
+              f" AND {s_small} <= {tiny_pct!r} * (high - low)"
+              f" AND {s_big} >= {shadow_pct!r} * (high - low))")
+    s = f"CASE WHEN {s_cond} THEN {sign!r} ELSE 0.0 END"
+    return Indicator(kind.lower(), [kind], CAT, final={kind: e}, sql_final={kind: s})
+
+
+def cdl_dragonfly_doji():
+    return _long_legged_doji(True)
+
+
+def cdl_gravestone_doji():
+    return _long_legged_doji(False)
+
+
+def _tweezers(bottom: bool, tol_pct: float = 0.1):
+    """Tweezers top/bottom: two opposite-color candles with matching
+    highs (top) or lows (bottom), tolerance relative to the prior range."""
+    kind = "CDL_TWEEZERSBOTTOM" if bottom else "CDL_TWEEZERSTOP"
+    sign = 100.0 if bottom else -100.0
+    ext, s_ext = ("low", "low") if bottom else ("high", "high")
+    e0, e1 = F.col(ext), shift(ext, 1)
+    prev_rng = shift("high", 1) - shift("low", 1)
+    o0, c0 = F.col("open"), F.col("close")
+    o1, c1 = shift("open", 1), shift("close", 1)
+    colors = ((c1 < o1) & (c0 > o0)) if bottom else ((c1 > o1) & (c0 < o0))
+    cond = (prev_rng > 0) & (F.abs(e0 - e1) <= tol_pct * prev_rng) & colors
+    e = F.when(cond, F.lit(sign)).otherwise(0.0)
+    se1 = sql_shift(s_ext, 1)
+    s_rng = f"(({sql_shift('high', 1)}) - ({sql_shift('low', 1)}))"
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    s_colors = (f"(({sc1}) < ({so1}) AND close > open)" if bottom
+                else f"(({sc1}) > ({so1}) AND close < open)")
+    s_cond = (f"({s_rng} > 0 AND abs({s_ext} - ({se1})) <= {tol_pct!r} * {s_rng}"
+              f" AND {s_colors})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN {sign!r} ELSE 0.0 END"
+    return Indicator(kind.lower(), [kind], CAT, final={kind: e}, sql_final={kind: s})
+
+
+def cdl_tweezers_top():
+    return _tweezers(False)
+
+
+def cdl_tweezers_bottom():
+    return _tweezers(True)
+
+
+def _three_inside(up: bool):
+    """3-inside-up/down: harami (small t-1 body inside the big t-2 body,
+    opposite colors) confirmed by t closing beyond the t-2 open."""
+    kind = "CDL_3INSIDEUP" if up else "CDL_3INSIDEDOWN"
+    sign = 100.0 if up else -100.0
+    o0, c0 = F.col("open"), F.col("close")
+    o1, c1 = shift("open", 1), shift("close", 1)
+    o2, c2 = shift("open", 2), shift("close", 2)
+    if up:
+        harami = (c2 < o2) & (c1 > o1) & (o1 > c2) & (c1 < o2)
+        confirm = (c0 > o0) & (c0 > o2)
+    else:
+        harami = (c2 > o2) & (c1 < o1) & (o1 < c2) & (c1 > o2)
+        confirm = (c0 < o0) & (c0 < o2)
+    e = F.when(harami & confirm, F.lit(sign)).otherwise(0.0)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    so2, sc2 = sql_shift("open", 2), sql_shift("close", 2)
+    if up:
+        s_cond = (f"(({sc2}) < ({so2}) AND ({sc1}) > ({so1})"
+                  f" AND ({so1}) > ({sc2}) AND ({sc1}) < ({so2})"
+                  f" AND close > open AND close > ({so2}))")
+    else:
+        s_cond = (f"(({sc2}) > ({so2}) AND ({sc1}) < ({so1})"
+                  f" AND ({so1}) < ({sc2}) AND ({sc1}) > ({so2})"
+                  f" AND close < open AND close < ({so2}))")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN {sign!r} ELSE 0.0 END"
+    return Indicator(kind.lower(), [kind], CAT, final={kind: e}, sql_final={kind: s})
+
+
+def cdl_3inside_up():
+    return _three_inside(True)
+
+
+def cdl_3inside_down():
+    return _three_inside(False)
+
+
 # native set: the reference's non-TA-Lib fallback is doji+inside
 # (candles/cdl_pattern.py#ALL_PATTERNS); the rest are this engine's
 # native extensions of the TA-Lib CDL_* inventory
 ALL_PATTERNS = ["doji", "inside", "engulfing", "harami", "hammer",
                 "shootingstar", "marubozu", "piercing", "darkcloudcover",
-                "3whitesoldiers", "3blackcrows"]
+                "3whitesoldiers", "3blackcrows",
+                "morningstar", "eveningstar", "hangingman", "invertedhammer",
+                "dragonflydoji", "gravestonedoji", "tweezerstop",
+                "tweezersbottom", "3insideup", "3insidedown"]
 
 _PATTERN_FACTORIES = {
     "doji": cdl_doji,
@@ -366,6 +545,16 @@ _PATTERN_FACTORIES = {
     "darkcloudcover": cdl_dark_cloud_cover,
     "3whitesoldiers": cdl_3whitesoldiers,
     "3blackcrows": cdl_3blackcrows,
+    "morningstar": cdl_morning_star,
+    "eveningstar": cdl_evening_star,
+    "hangingman": cdl_hanging_man,
+    "invertedhammer": cdl_inverted_hammer,
+    "dragonflydoji": cdl_dragonfly_doji,
+    "gravestonedoji": cdl_gravestone_doji,
+    "tweezerstop": cdl_tweezers_top,
+    "tweezersbottom": cdl_tweezers_bottom,
+    "3insideup": cdl_3inside_up,
+    "3insidedown": cdl_3inside_down,
 }
 
 
@@ -397,6 +586,16 @@ FACTORIES = {
     "cdl_dark_cloud_cover": cdl_dark_cloud_cover,
     "cdl_3whitesoldiers": cdl_3whitesoldiers,
     "cdl_3blackcrows": cdl_3blackcrows,
+    "cdl_morning_star": cdl_morning_star,
+    "cdl_evening_star": cdl_evening_star,
+    "cdl_hanging_man": cdl_hanging_man,
+    "cdl_inverted_hammer": cdl_inverted_hammer,
+    "cdl_dragonfly_doji": cdl_dragonfly_doji,
+    "cdl_gravestone_doji": cdl_gravestone_doji,
+    "cdl_tweezers_top": cdl_tweezers_top,
+    "cdl_tweezers_bottom": cdl_tweezers_bottom,
+    "cdl_3inside_up": cdl_3inside_up,
+    "cdl_3inside_down": cdl_3inside_down,
 }
 
 SUITE = {

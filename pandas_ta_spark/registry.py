@@ -23,23 +23,23 @@ from pandas_ta_spark.operators.base import Indicator
 def _modules():
     import importlib
 
-    mods = []
-    for m in (
-        "overlap",
-        "momentum",
-        "statistics",
-        "performance",
-        "trend",
-        "volatility",
-        "volume",
-        "candles",
-        "signal_ops",
-    ):
-        try:
-            mods.append(importlib.import_module(f"pandas_ta_spark.operators.{m}"))
-        except ImportError:
-            pass
-    return mods
+    # A broken operators module must fail LOUDLY: swallowing ImportError
+    # here silently shrinks queries()/oracle_sql() and the driver's gate
+    # would just check fewer operators (round 1's failure mode).
+    return [
+        importlib.import_module(f"pandas_ta_spark.operators.{m}")
+        for m in (
+            "overlap",
+            "momentum",
+            "statistics",
+            "performance",
+            "trend",
+            "volatility",
+            "volume",
+            "candles",
+            "signal_ops",
+        )
+    ]
 
 
 def _build():

@@ -201,6 +201,14 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() > 0
     q, o = E.queries(), E.oracle_sql()
-    assert len(q) >= 130
-    assert len(o) >= 120
+    # Pinned exactly: a silently-missing operators module must fail here,
+    # not just shrink the driver's gate. Bump deliberately when adding ops.
+    assert len(q) == 166
+    assert len(o) == 164
     assert set(o) <= set(q)
+    # Truncation insurance: every kind-class + ext anchor in the first 50.
+    first50 = list(q)[:50]
+    for must in ("rsi_14", "macd_12_26_9", "supertrend_7", "psar",
+                 "dedup_minhash_lsh", "topk_cosine", "cdl_pattern_all",
+                 "atr_14", "obv", "ha", "text_stats"):
+        assert must in first50, must

@@ -214,6 +214,22 @@ def test_supertrend_psar_shapes(bars):
     assert ((st["PSARl_0.02_0.2"].notna() | st["PSARs_0.02_0.2"].notna())).all()
 
 
+def test_mcgd_matches_recursion(bars, pdf_bars):
+    """Golden parity for McGinley Dynamic (the one op with no SQL oracle:
+    (x/md)^4 underflows on wide-range series, so value evidence lives
+    here): plain-Python recursion from pandas_ta/overlap/mcgd.py#mcgd vs
+    the Arrow kernel, 1e-9 on the well-conditioned fixture."""
+    got = one_symbol(run(bars, overlap.mcgd(10)))
+    x = one_symbol(pdf_bars)["close"].to_numpy()
+    exp = np.empty(len(x))
+    md = x[0]
+    exp[0] = md
+    for i in range(1, len(x)):
+        md = md + (x[i] - md) / (1.0 * 10 * (x[i] / md) ** 4)
+        exp[i] = md
+    assert_close(got["MCGD_10"], pd.Series(exp), tol=1e-9, name="mcgd")
+
+
 def test_td_seq_matches_loop(bars, pdf_bars):
     """Sessionization trick (streak = rn - last failing rn) must equal
     the literal per-row counter loop."""
