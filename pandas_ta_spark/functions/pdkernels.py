@@ -64,3 +64,108 @@ def rma_pd(x: pd.Series, length: int) -> pd.Series:
     return ewm_seeded(x, 1.0 / length, length)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Rolling-primitive kernels (ROLL absorption, SURVEY.md §4.2): order-stat /
+# frame-list window aggregates (median, MAD, argmax-distance) cost O(w) or
+# O(w log w) PER ROW in JVM WindowExec — the dominant term of a multi-
+# indicator strategy. Inside the already-paid Arrow kernel pass the same
+# aggregates run vectorized at 40-100M rows/s, so the heavy ROLL ops
+# compute here and keep their ANSI-SQL oracle twins unchanged.
+# ---------------------------------------------------------------------------
+
+# sliding_window_view materializes (rows x window) temporaries; block the
+# computation so peak extra memory stays ~BLOCK*window*8B regardless of
+# group size (the 20M-row kernel groups of SURVEY §4.3.4).
+_SWV_BLOCK = 1_000_000
+
+
+def _swv_apply(v: np.ndarray, window: int, fn) -> np.ndarray:
+    """Apply fn(block_view) -> 1-D over sliding windows, blocked; output
+    aligned to the window END (first window-1 slots NaN)."""
+    n = len(v)
+    out = np.full(n, np.nan)
+    if n < window:
+        return out
+    swv = np.lib.stride_tricks.sliding_window_view
+    for start in range(0, n - window + 1, _SWV_BLOCK):
+        stop = min(start + _SWV_BLOCK, n - window + 1)
+        block = swv(v[start:stop + window - 1], window)
+        out[start + window - 1:stop + window - 1] = fn(block)
+    return out
+
+
+# mean/sum recompute per frame (swv) rather than pandas' online rolling
+# accumulator: the online path's last-ulp output depends on where the
+# series STARTS, which would break exact chunk-and-carry equality
+# (plans/kernels.py _run_chunked) and run-to-run determinism under
+# repartitioning. Per-frame recompute is start-point independent.
+def roll_mean_pd(x: pd.Series, n: int) -> pd.Series:
+    v = x.to_numpy(dtype="float64")
+    return pd.Series(_swv_apply(v, n, lambda w: w.mean(axis=1)), index=x.index)
+
+
+def roll_sum_pd(x: pd.Series, n: int) -> pd.Series:
+    v = x.to_numpy(dtype="float64")
+    return pd.Series(_swv_apply(v, n, lambda w: w.sum(axis=1)), index=x.index)
+
+
+def roll_min_pd(x: pd.Series, n: int) -> pd.Series:
+    return x.rolling(n, min_periods=n).min()
+
+
+def roll_max_pd(x: pd.Series, n: int) -> pd.Series:
+    return x.rolling(n, min_periods=n).max()
+
+
+def roll_quantile_pd(x: pd.Series, n: int, q: float) -> pd.Series:
+    """Linear-interpolated rolling quantile — same h=(n-1)q formula as
+    Spark percentile() and DuckDB quantile_cont()."""
+    return x.rolling(n, min_periods=n).quantile(q, interpolation="linear")
+
+
+def roll_mad_pd(x: pd.Series, n: int) -> pd.Series:
+    """Mean absolute deviation around the frame mean (the HOF-list
+    aggregate of statistics/mad.py and momentum/cci.py)."""
+    v = x.to_numpy(dtype="float64")
+    mad = _swv_apply(v, n, lambda w: np.abs(w - w.mean(axis=1, keepdims=True)).mean(axis=1))
+    return pd.Series(mad, index=x.index)
+
+
+def dist_to_extreme_pd(x: pd.Series, window: int, is_max: bool) -> pd.Series:
+    """Rows back to the latest max/min in the trailing `window`-row frame
+    (latest tie wins — the reference's reversed argmax,
+    utils/_core.py#recent_maximum_index; twin of windows.bars_since_extreme)."""
+    v = x.to_numpy(dtype="float64")
+    pick = np.argmax if is_max else np.argmin
+
+    def fn(w):
+        return pick(w[:, ::-1], axis=1).astype("float64")
+
+    return pd.Series(_swv_apply(v, window, fn), index=x.index)
+
+
+def roll_std_pd(x: pd.Series, n: int, ddof: int = 1) -> pd.Series:
+    """Rolling std via per-frame two-pass numpy (exact frame recompute —
+    same association as the engines' windowed stddev, no online drift)."""
+    v = x.to_numpy(dtype="float64")
+    out = _swv_apply(v, n, lambda w: w.std(axis=1, ddof=ddof))
+    return pd.Series(out, index=x.index)
+
+
+def roll_var_pd(x: pd.Series, n: int, ddof: int = 1) -> pd.Series:
+    v = x.to_numpy(dtype="float64")
+    out = _swv_apply(v, n, lambda w: w.var(axis=1, ddof=ddof))
+    return pd.Series(out, index=x.index)
+
+
+def roll_cmom_pd(x: pd.Series, n: int, k: int) -> pd.Series:
+    """Rolling k-th central moment mean((x - frame_mean)^k) — the HOF-list
+    aggregate of statistics/skew.py and kurtosis.py."""
+    v = x.to_numpy(dtype="float64")
+
+    def fn(w):
+        return ((w - w.mean(axis=1, keepdims=True)) ** k).mean(axis=1)
+
+    return pd.Series(_swv_apply(v, n, fn), index=x.index)

@@ -65,11 +65,19 @@ def qcol(name: str):
 class KernelSpec:
     """A per-symbol pandas kernel: fn(pdf sorted by ts) -> pdf with the
     output columns appended. Executed via groupBy('symbol').applyInPandas —
-    all kernels of a strategy run in ONE Arrow pass per group."""
+    all kernels of a strategy run in ONE Arrow pass per group.
+
+    ``carry_rows``: finite history bound — the kernel's output at row t is
+    exactly determined by rows [t - carry_rows, t] (FIR/rolling kernels).
+    Lets plans/kernels.py split huge symbol groups into (symbol, epoch)
+    chunks with a carried overlap (SURVEY §4.3.4) — bounded memory AND
+    within-symbol parallelism. None = unbounded state (IIR recursions,
+    state machines): whole-group execution, or streaming/ for unbounded."""
 
     fn: Callable  # (pd.DataFrame) -> pd.DataFrame (appends outputs)
     outputs: list[str]
     inputs: list[str]  # bar columns the kernel reads
+    carry_rows: int | None = None
 
 
 @dataclass

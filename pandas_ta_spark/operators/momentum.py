@@ -152,15 +152,16 @@ def cci(length: int = 14, c: float = 0.015):
     pandas_ta/momentum/cci.py#cci. Frame-mean-inside MAD via HOF list."""
     out = name("CCI", length, c)
     tp, m = "_cci_tp", f"_cci_{length}_mean"
-    mad_e = (
-        F.aggregate(
-            F.collect_list(tp).over(w_rows(length)),
-            F.lit(0.0),
-            lambda acc, x: acc + F.abs(x - F.col(m)),
-        )
-        / length
-    )
-    e = masked((F.col(tp) - F.col(m)) / (F.lit(c) * mad_e), tp, length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mad_pd, roll_mean_pd
+
+        tpv = (pdf["high"] + pdf["low"] + pdf["close"]) / 3
+        mean = roll_mean_pd(tpv, length)
+        madv = roll_mad_pd(tpv, length)
+        pdf[out] = (tpv - mean) / (c * madv)
+        return pdf
+
     s_mad = (
         f"(list_sum(list_transform(list({tp}) OVER ({sql_w_rows(length)}),"
         f" x -> abs(x - {m}))) / {length})"
@@ -168,9 +169,7 @@ def cci(length: int = 14, c: float = 0.015):
     s = sql_masked(f"(({tp}) - {m}) / ({c!r} * {s_mad})", tp, length)
     return Indicator(
         "cci", [out], CAT,
-        stages=[{tp: (F.col("high") + F.col("low") + F.col("close")) / 3},
-                {m: roll(F.avg, tp, length)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["high", "low", "close"], carry_rows=length - 1),
         sql_stages=[{tp: "(high + low + close) / 3"},
                     {m: sql_roll("avg", tp, length)}],
         sql_final={out: s},
@@ -333,16 +332,31 @@ def stoch(k: int = 14, d: int = 3, smooth_k: int = 3):
     outd = name("STOCHd", k, d, smooth_k)
     raw = "_stoch_raw"
     kcol = "_stoch_k"
-    ll = roll(F.min, "low", k)
-    hh = roll(F.max, "high", k)
-    raw_e = 100 * (F.col("close") - ll) / _nzr(hh, ll)
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import (
+            roll_max_pd, roll_mean_pd, roll_min_pd,
+        )
+
+        ll = roll_min_pd(pdf["low"], k)
+        hh = roll_max_pd(pdf["high"], k)
+        rng = hh - ll
+        rng = rng + np.where(rng == 0, EPS, 0.0)
+        raw_v = 100 * (pdf["close"] - ll) / rng
+        kv = roll_mean_pd(raw_v, smooth_k)
+        pdf[outk] = kv
+        pdf[outd] = roll_mean_pd(kv, d)
+        return pdf
+
     s_ll = sql_roll("min", "low", k)
     s_hh = sql_roll("max", "high", k)
     s_raw = f"100 * (close - ({s_ll})) / {_sql_nzr(s_hh, s_ll)}"
     return Indicator(
         "stoch", [outk, outd], CAT,
-        stages=[{raw: raw_e}, {kcol: roll(F.avg, raw, smooth_k)}],
-        final={outk: F.col(kcol), outd: roll(F.avg, kcol, d)},
+        kernel=KernelSpec(fn, [outk, outd], ["high", "low", "close"],
+                          carry_rows=(k - 1) + (smooth_k - 1) + (d - 1)),
         sql_stages=[{raw: s_raw}, {kcol: sql_roll("avg", raw, smooth_k)}],
         sql_final={outk: kcol, outd: sql_roll("avg", kcol, d)},
     )
@@ -351,13 +365,26 @@ def stoch(k: int = 14, d: int = 3, smooth_k: int = 3):
 def willr(length: int = 14):
     """%R = -100*(HH-c)/(HH-LL) — pandas_ta/momentum/willr.py#willr."""
     out = name("WILLR", length)
-    ll = roll(F.min, "low", length)
-    hh = roll(F.max, "high", length)
-    e = 100 * ((F.col("close") - ll) / _nzr(hh, ll) - 1)
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_max_pd, roll_min_pd
+
+        ll = roll_min_pd(pdf["low"], length)
+        hh = roll_max_pd(pdf["high"], length)
+        rng = hh - ll
+        rng = rng + np.where(rng == 0, EPS, 0.0)
+        pdf[out] = 100 * ((pdf["close"] - ll) / rng - 1)
+        return pdf
+
     s_ll = sql_roll("min", "low", length)
     s_hh = sql_roll("max", "high", length)
     s = f"100 * ((close - ({s_ll})) / {_sql_nzr(s_hh, s_ll)} - 1)"
-    return Indicator("willr", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("willr", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["high", "low", "close"],
+                                       carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def uo(fast: int = 7, medium: int = 14, slow: int = 28):

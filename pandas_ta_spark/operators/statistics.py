@@ -23,77 +23,114 @@ from pandas_ta_spark.functions.windows import (
     w_order,
     w_rows,
 )
-from pandas_ta_spark.operators.base import Indicator
+from pandas_ta_spark.operators.base import Indicator, KernelSpec
 
 CAT = "statistics"
 
 
 def stdev(length: int = 30, ddof: int = 1, src: str = "close"):
-    """Rolling std with ddof — pandas_ta/statistics/stdev.py#stdev."""
+    """Rolling std with ddof — pandas_ta/statistics/stdev.py#stdev
+    (Arrow rolling kernel; O(w)/row frame recompute leaves WindowExec)."""
     out = name("STDEV", length)
-    fn = F.stddev_samp if ddof == 1 else F.stddev_pop
     agg = "stddev_samp" if ddof == 1 else "stddev_pop"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_std_pd
+
+        pdf[out] = roll_std_pd(pdf[src], length, ddof)
+        return pdf
+
     return Indicator("stdev", [out], CAT,
-                     final={out: roll(fn, src, length)},
+                     kernel=KernelSpec(fn, [out], [src], carry_rows=length - 1),
                      sql_final={out: sql_roll(agg, src, length)})
 
 
 def variance(length: int = 30, ddof: int = 1, src: str = "close"):
     """Rolling variance — pandas_ta/statistics/variance.py#variance."""
     out = name("VAR", length)
-    fn = F.var_samp if ddof == 1 else F.var_pop
     agg = "var_samp" if ddof == 1 else "var_pop"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_var_pd
+
+        pdf[out] = roll_var_pd(pdf[src], length, ddof)
+        return pdf
+
     return Indicator("variance", [out], CAT,
-                     final={out: roll(fn, src, length)},
+                     kernel=KernelSpec(fn, [out], [src], carry_rows=length - 1),
                      sql_final={out: sql_roll(agg, src, length)})
 
 
 def zscore(length: int = 30, std: float = 1.0):
     """(c - SMA)/(std*STDEV) — pandas_ta/statistics/zscore.py#zscore."""
     out = name("ZS", length)
-    e = (F.col("close") - roll(F.avg, "close", length)) / (
-        F.lit(std) * roll(F.stddev_samp, "close", length)
-    )
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_pd, roll_std_pd
+
+        pdf[out] = (pdf["close"] - roll_mean_pd(pdf["close"], length)) / (
+            std * roll_std_pd(pdf["close"], length, 1)
+        )
+        return pdf
+
     s = (f"(close - ({sql_roll('avg', 'close', length)}))"
          f" / ({std!r} * ({sql_roll('stddev_samp', 'close', length)}))")
-    return Indicator("zscore", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("zscore", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def median(length: int = 30):
     """Rolling median (linear interpolation both engines) —
-    pandas_ta/statistics/median.py#median."""
+    pandas_ta/statistics/median.py#median. Order statistics cost
+    O(w log w)/row in WindowExec -> Arrow rolling kernel (pdkernels)."""
     out = name("MEDIAN", length)
-    e = masked(F.percentile(F.col("close"), F.lit(0.5)).over(w_rows(length)),
-               "close", length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_quantile_pd
+
+        pdf[out] = roll_quantile_pd(pdf["close"], length, 0.5)
+        return pdf
+
     s = sql_masked(f"quantile_cont(close, 0.5) OVER ({sql_w_rows(length)})",
                    "close", length)
-    return Indicator("median", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("median", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def quantile(length: int = 30, q: float = 0.5):
-    """Rolling quantile — pandas_ta/statistics/quantile.py#quantile."""
+    """Rolling quantile — pandas_ta/statistics/quantile.py#quantile
+    (Arrow rolling kernel, same h=(n-1)q interpolation as quantile_cont)."""
     out = name("QTL", length, q)
-    e = masked(F.percentile(F.col("close"), F.lit(q)).over(w_rows(length)),
-               "close", length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_quantile_pd
+
+        pdf[out] = roll_quantile_pd(pdf["close"], length, q)
+        return pdf
+
     s = sql_masked(f"quantile_cont(close, {q!r}) OVER ({sql_w_rows(length)})",
                    "close", length)
-    return Indicator("quantile", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("quantile", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def mad(length: int = 30):
     """Rolling mean absolute deviation around the frame mean —
-    pandas_ta/statistics/mad.py#mad. Frame-mean-inside-the-sum needs the
-    explicit frame list (HOF over collect_list; same order both engines)."""
+    pandas_ta/statistics/mad.py#mad. The frame-mean-inside-the-sum makes
+    this an O(w)/row list aggregate in WindowExec -> Arrow rolling kernel;
+    the DuckDB oracle keeps the explicit HOF-list form."""
     out = name("MAD", length)
     m = f"_mad_{length}_mean"
-    e = masked(
-        F.aggregate(
-            F.collect_list("close").over(w_rows(length)),
-            F.lit(0.0),
-            lambda acc, x: acc + F.abs(x - F.col(m)),
-        ) / length,
-        "close", length,
-    )
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mad_pd
+
+        pdf[out] = roll_mad_pd(pdf["close"], length)
+        return pdf
+
     s = sql_masked(
         f"list_sum(list_transform(list(close) OVER ({sql_w_rows(length)}),"
         f" x -> abs(x - {m}))) / {length}",
@@ -101,8 +138,7 @@ def mad(length: int = 30):
     )
     return Indicator(
         "mad", [out], CAT,
-        stages=[{m: roll(F.avg, "close", length)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
         sql_stages=[{m: sql_roll("avg", "close", length)}],
         sql_final={out: s},
     )
@@ -134,16 +170,21 @@ def skew(length: int = 30):
     n = length
     m = f"_skew_{n}_mean"
     adj = (n * (n - 1)) ** 0.5 / (n - 2)
-    m2 = _central_moment_hof(2, n, m)
-    m3 = _central_moment_hof(3, n, m)
-    e = masked(F.lit(adj) * m3 / F.pow(m2, 1.5), "close", n)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_cmom_pd
+
+        m2 = roll_cmom_pd(pdf["close"], n, 2)
+        m3 = roll_cmom_pd(pdf["close"], n, 3)
+        pdf[out] = adj * m3 / m2 ** 1.5
+        return pdf
+
     s2 = _sql_central_moment(2, n, m)
     s3 = _sql_central_moment(3, n, m)
     s = sql_masked(f"{adj!r} * ({s3}) / (({s2}) ** 1.5)", "close", n)
     return Indicator(
         "skew", [out], CAT,
-        stages=[{m: roll(F.avg, "close", n)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=n - 1),
         sql_stages=[{m: sql_roll("avg", "close", n)}],
         sql_final={out: s},
     )
@@ -160,16 +201,21 @@ def kurtosis(length: int = 30):
     m = f"_kurt_{n}_mean"
     c1 = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))
     c2 = 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
-    sum4 = _central_moment_hof(4, n, m) * n  # sum, not mean
-    s2 = _central_moment_hof(2, n, m) * n / (n - 1)  # sample variance
-    e = masked(F.lit(c1) * sum4 / F.pow(s2, 2.0) - F.lit(c2), "close", n)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_cmom_pd
+
+        sum4 = roll_cmom_pd(pdf["close"], n, 4) * n
+        s2 = roll_cmom_pd(pdf["close"], n, 2) * n / (n - 1)
+        pdf[out] = c1 * sum4 / s2 ** 2 - c2
+        return pdf
+
     q4 = f"(({_sql_central_moment(4, n, m)}) * {n})"
     qv = f"(({_sql_central_moment(2, n, m)}) * {n} / {n - 1})"
     s = sql_masked(f"{c1!r} * {q4} / ({qv} ** 2) - {c2!r}", "close", n)
     return Indicator(
         "kurtosis", [out], CAT,
-        stages=[{m: roll(F.avg, "close", n)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=n - 1),
         sql_stages=[{m: sql_roll("avg", "close", n)}],
         sql_final={out: s},
     )
@@ -183,14 +229,22 @@ def entropy(length: int = 10, base: float = 2.0):
     out = name("ENTP", length)
     scol = f"_entp_{length}_sum"
     tcol = f"_entp_{length}_term"
-    p = F.col("close") / F.col(scol)
-    term = -p * F.log(p) / math.log(base)
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_sum_pd
+
+        p = pdf["close"] / roll_sum_pd(pdf["close"], length)
+        term = -p * np.log(p) / math.log(base)
+        pdf[out] = roll_sum_pd(term, length)
+        return pdf
+
     sp = f"(close / {scol})"
     sterm = f"(-{sp} * ln({sp}) / {math.log(base)!r})"
     return Indicator(
         "entropy", [out], CAT,
-        stages=[{scol: roll(F.sum, "close", length)}, {tcol: term}],
-        final={out: roll(F.sum, tcol, length)},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=2 * (length - 1)),
         sql_stages=[{scol: sql_roll("sum", "close", length)}, {tcol: sterm}],
         sql_final={out: sql_roll("sum", tcol, length)},
     )

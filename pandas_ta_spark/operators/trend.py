@@ -45,15 +45,17 @@ def aroon(length: int = 14, scalar: float = 100.0):
     osc_o = name("AROONOSC", length)
     rn_c = "_aroon_rn"
     hh_c, ll_c = "_aroon_hh", "_aroon_ll"
-    w = w_rows(length + 1)
 
-    def dist(val: str, is_max: bool):
-        v = F.col(val) if is_max else -F.col(val)
-        best = F.max_by(F.col(rn_c), F.struct(v, F.col(rn_c))).over(w)
-        return masked(F.col(rn_c) - best, val, length + 1)
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import dist_to_extreme_pd
 
-    up = F.lit(scalar) * (length - F.col(hh_c)) / length
-    dn = F.lit(scalar) * (length - F.col(ll_c)) / length
+        dh = dist_to_extreme_pd(pdf["high"], length + 1, True)
+        dl = dist_to_extreme_pd(pdf["low"], length + 1, False)
+        pdf[dn_o] = scalar * (length - dl) / length
+        pdf[up_o] = scalar * (length - dh) / length
+        pdf[osc_o] = pdf[up_o] - pdf[dn_o]
+        return pdf
+
     # SQL twin of bars_since_extreme: distance to latest max = 1-based
     # position of the frame max in the REVERSED frame list, minus 1
     # (first occurrence in reversed order == latest tie, matching the
@@ -69,9 +71,7 @@ def aroon(length: int = 14, scalar: float = 100.0):
 
     return Indicator(
         "aroon", [dn_o, up_o, osc_o], CAT,
-        stages=[{rn_c: F.row_number().over(w_order())},
-                {hh_c: dist("high", True), ll_c: dist("low", False)}],
-        final={dn_o: dn, up_o: up, osc_o: up - dn},
+        kernel=KernelSpec(fn, [dn_o, up_o, osc_o], ["high", "low"], carry_rows=length),
         sql_stages=[{rn_c: f"row_number() OVER ({SQL_W_ORDER})"},
                     {hh_c: s_dist("high", True), ll_c: s_dist("low", False)}],
         sql_final={

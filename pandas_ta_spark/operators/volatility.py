@@ -97,24 +97,31 @@ def bbands(length: int = 5, std: float = 2.0, ddof: int = 0):
     suffix = f"{length}_{std}"
     outs = [f"BB{x}_{suffix}" for x in ("L", "M", "U", "B", "P")]
     mid_c, sd_c = f"_bb_mid", f"_bb_sd"
-    sd_fn = F.stddev_pop if ddof == 0 else F.stddev_samp
     sd_agg = "stddev_pop" if ddof == 0 else "stddev_samp"
-    mid, sd = F.col(mid_c), F.col(sd_c)
-    low = mid - std * sd
-    up = mid + std * sd
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_mean_pd, roll_std_pd
+
+        mid = roll_mean_pd(pdf["close"], length)
+        sd = roll_std_pd(pdf["close"], length, ddof)
+        low = mid - std * sd
+        up = mid + std * sd
+        rng = up - low
+        rng = rng + np.where(rng == 0, EPS, 0.0)
+        pdf[outs[0]] = low
+        pdf[outs[1]] = mid
+        pdf[outs[2]] = up
+        pdf[outs[3]] = 100 * (up - low) / mid
+        pdf[outs[4]] = (pdf["close"] - low) / rng
+        return pdf
+
     s_low = f"({mid_c} - {std!r} * {sd_c})"
     s_up = f"({mid_c} + {std!r} * {sd_c})"
     return Indicator(
         "bbands", outs, CAT,
-        stages=[{mid_c: roll(F.avg, "close", length),
-                 sd_c: roll(sd_fn, "close", length)}],
-        final={
-            outs[0]: low,
-            outs[1]: mid,
-            outs[2]: up,
-            outs[3]: 100 * (up - low) / mid,
-            outs[4]: (F.col("close") - low) / _nzr(up, low),
-        },
+        kernel=KernelSpec(fn, outs, ["close"], carry_rows=length - 1),
         sql_stages=[{mid_c: sql_roll("avg", "close", length),
                      sd_c: sql_roll(sd_agg, "close", length)}],
         sql_final={
@@ -131,13 +138,23 @@ def donchian(lower_length: int = 20, upper_length: int = 20):
     """DCL/DCM/DCU — pandas_ta/volatility/donchian.py#donchian."""
     suffix = f"{lower_length}_{upper_length}"
     outs = [f"DC{x}_{suffix}" for x in ("L", "M", "U")]
-    ll = roll(F.min, "low", lower_length)
-    hh = roll(F.max, "high", upper_length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_max_pd, roll_min_pd
+
+        ll = roll_min_pd(pdf["low"], lower_length)
+        hh = roll_max_pd(pdf["high"], upper_length)
+        pdf[outs[0]] = ll
+        pdf[outs[1]] = (ll + hh) / 2
+        pdf[outs[2]] = hh
+        return pdf
+
     s_ll = sql_roll("min", "low", lower_length)
     s_hh = sql_roll("max", "high", upper_length)
     return Indicator(
         "donchian", outs, CAT,
-        final={outs[0]: ll, outs[1]: (ll + hh) / 2, outs[2]: hh},
+        kernel=KernelSpec(fn, outs, ["high", "low"],
+                          carry_rows=max(lower_length, upper_length) - 1),
         sql_final={outs[0]: s_ll,
                    outs[1]: f"(({s_ll}) + ({s_hh})) / 2",
                    outs[2]: s_hh},

@@ -195,23 +195,33 @@ def mfi(length: int = 14, drift: int = 1):
     """Money Flow Index — pandas_ta/volume/mfi.py#mfi."""
     out = name("MFI", length)
     tp_c, pos_c, neg_c = "_mfi_tp", "_mfi_pos", "_mfi_neg"
-    tp = (F.col("high") + F.col("low") + F.col("close")) / 3
-    d = F.col(tp_c) - shift(tp_c, drift)
-    raw = F.col(tp_c) * F.col("volume")
-    pos = F.when(d.isNull(), None).otherwise(F.when(d > 0, raw).otherwise(0.0))
-    neg = F.when(d.isNull(), None).otherwise(F.when(d < 0, raw).otherwise(0.0))
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_ta_spark.functions.pdkernels import roll_sum_pd
+
+        tp = (pdf["high"] + pdf["low"] + pdf["close"]) / 3
+        d = tp.diff(drift)
+        raw = tp * pdf["volume"]
+        pos = np.where(d > 0, raw, 0.0) + np.where(d.isna(), np.nan, 0.0)
+        neg = np.where(d < 0, raw, 0.0) + np.where(d.isna(), np.nan, 0.0)
+        sp = roll_sum_pd(pd.Series(pos, index=tp.index), length)
+        sn = roll_sum_pd(pd.Series(neg, index=tp.index), length)
+        pdf[out] = 100 * sp / (sp + sn)
+        return pdf
+
     s_d = f"({tp_c} - ({sql_shift(tp_c, drift)}))"
     s_raw = f"({tp_c} * volume)"
     s_pos = f"CASE WHEN {s_d} IS NULL THEN NULL WHEN {s_d} > 0 THEN {s_raw} ELSE 0.0 END"
     s_neg = f"CASE WHEN {s_d} IS NULL THEN NULL WHEN {s_d} < 0 THEN {s_raw} ELSE 0.0 END"
-    sp = roll(F.sum, pos_c, length)
-    sn = roll(F.sum, neg_c, length)
     s_sp = sql_roll("sum", pos_c, length)
     s_sn = sql_roll("sum", neg_c, length)
     return Indicator(
         "mfi", [out], CAT,
-        stages=[{tp_c: tp}, {pos_c: pos, neg_c: neg}],
-        final={out: 100 * sp / (sp + sn)},
+        kernel=KernelSpec(fn, [out], ["high", "low", "close", "volume"],
+                          carry_rows=drift + length - 1),
         sql_stages=[{tp_c: "((high + low + close) / 3)"},
                     {pos_c: s_pos, neg_c: s_neg}],
         sql_final={out: f"100 * ({s_sp}) / (({s_sp}) + ({s_sn}))"},

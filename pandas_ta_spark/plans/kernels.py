@@ -35,17 +35,16 @@ from pandas_ta_spark.operators.base import KernelSpec
 MAX_GROUP_ROWS = int(os.environ.get("PTS_MAX_KERNEL_GROUP_ROWS", 20_000_000))
 
 
-def run_kernels(df: DataFrame, specs: list[KernelSpec]) -> DataFrame:
-    """Append every spec's output columns in a single applyInPandas pass."""
-    if not specs:
-        return df
-    # applyInPandas resolves pass-through columns by unquoted name; dotted
-    # names (BBL_5_2.0) break it — rename around the pass
-    dotted = {c: c.replace(".", "․") for c in df.columns if "." in c}
-    if dotted:
-        df = df.withColumnsRenamed(dotted)
-        out = run_kernels(df, specs)
-        return out.withColumnsRenamed({v: k for k, v in dotted.items()})
+# Epoch-chunked execution: when every kernel in the pass declares a finite
+# carry (FIR/rolling kernels), a symbol group larger than this splits into
+# (symbol, epoch) chunks of CHUNK_ROWS rows; the trailing max(carry) rows
+# of each epoch are duplicated into the next as warm-up context and their
+# outputs dropped — results are EXACTLY the unchunked ones, memory is
+# bounded per task, and one hot symbol parallelizes across executors.
+CHUNK_ROWS = int(os.environ.get("PTS_KERNEL_CHUNK_ROWS", 5_000_000))
+
+
+def _out_schema(df: DataFrame, specs: list[KernelSpec]) -> StructType:
     existing = set(df.columns)
     new_fields = []
     seen: set[str] = set()
@@ -55,15 +54,36 @@ def run_kernels(df: DataFrame, specs: list[KernelSpec]) -> DataFrame:
                 raise ValueError(f"kernel output column collision: {o}")
             seen.add(o)
             new_fields.append(StructField(o, DoubleType(), True))
-    out_schema = StructType(list(df.schema.fields) + new_fields)
+    return StructType(list(df.schema.fields) + new_fields)
+
+
+def run_kernels(
+    df: DataFrame, specs: list[KernelSpec], chunk_rows: int | None = None
+) -> DataFrame:
+    """Append every spec's output columns in a single applyInPandas pass."""
+    if not specs:
+        return df
+    # applyInPandas resolves pass-through columns by unquoted name; dotted
+    # names (BBL_5_2.0) break it — rename around the pass
+    dotted = {c: c.replace(".", "․") for c in df.columns if "." in c}
+    if dotted:
+        df = df.withColumnsRenamed(dotted)
+        out = run_kernels(df, specs, chunk_rows)
+        return out.withColumnsRenamed({v: k for k, v in dotted.items()})
+    carries = [s.carry_rows for s in specs]
+    chunk = CHUNK_ROWS if chunk_rows is None else chunk_rows
+    if all(c is not None for c in carries) and chunk > max(carries, default=0):
+        return _run_chunked(df, specs, chunk, max(carries))
+    out_schema = _out_schema(df, specs)
     fns = [s.fn for s in specs]
 
     def runner(pdf):
         if len(pdf) > MAX_GROUP_ROWS:
             raise ValueError(
                 f"kernel group of {len(pdf)} rows exceeds the per-executor "
-                f"bound ({MAX_GROUP_ROWS}); chunk the symbol by epoch and "
-                f"carry seed state (PTS_MAX_KERNEL_GROUP_ROWS overrides)"
+                f"bound ({MAX_GROUP_ROWS}); unbounded-state kernels in this "
+                f"pass prevent epoch chunking — use streaming/ for such "
+                f"series (PTS_MAX_KERNEL_GROUP_ROWS overrides)"
             )
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         for fn in fns:
@@ -71,3 +91,44 @@ def run_kernels(df: DataFrame, specs: list[KernelSpec]) -> DataFrame:
         return pdf
 
     return df.groupBy("symbol").applyInPandas(runner, out_schema)
+
+
+def _run_chunked(
+    df: DataFrame, specs: list[KernelSpec], chunk: int, carry: int
+) -> DataFrame:
+    """Exact chunk-and-carry for finite-carry kernels (SURVEY §4.3.4).
+
+    epoch(row) = rank div chunk; the last `carry` rows of epoch e are
+    UNIONed into epoch e+1 flagged _pts_carry, so each chunk computes with
+    full warm-up context; carried rows' outputs are dropped afterwards.
+    Declarative all the way: one row_number window (shares the symbol
+    exchange) + a filtered union (carry/chunk overhead ratio) + one
+    groupBy(symbol, epoch) pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("symbol").orderBy("ts")
+    rn0 = F.row_number().over(w) - 1
+    tagged = df.withColumn("_pts_rn0", rn0)
+    base = tagged.withColumn(
+        "_pts_epoch", (F.col("_pts_rn0") / chunk).cast("long")
+    ).withColumn("_pts_carry", F.lit(False))
+    spill = (
+        tagged.filter((F.col("_pts_rn0") % chunk) >= chunk - carry)
+        .withColumn("_pts_epoch", (F.col("_pts_rn0") / chunk).cast("long") + 1)
+        .withColumn("_pts_carry", F.lit(True))
+    )
+    u = base.unionByName(spill)
+    out_schema = _out_schema(u, specs)
+    fns = [s.fn for s in specs]
+
+    def runner(pdf):
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        for fn in fns:
+            pdf = fn(pdf)
+        return pdf
+
+    out = u.groupBy("symbol", "_pts_epoch").applyInPandas(runner, out_schema)
+    return out.filter(~F.col("_pts_carry")).drop(
+        "_pts_rn0", "_pts_epoch", "_pts_carry"
+    )

@@ -2,6 +2,8 @@ from pandas_ta_spark.streaming.indicators import (
     stream_bars,
     streaming_ema,
     streaming_rsi,
+    streaming_supertrend,
 )
 
-__all__ = ["stream_bars", "streaming_ema", "streaming_rsi"]
+__all__ = ["stream_bars", "streaming_ema", "streaming_rsi",
+           "streaming_supertrend"]

@@ -201,3 +201,109 @@ def streaming_rsi(ticks: DataFrame, length: int = 14,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+ST_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("close", DoubleType()),
+    StructField("supert", DoubleType()),
+    StructField("supertd", DoubleType()),
+    StructField("supertl", DoubleType()),
+    StructField("superts", DoubleType()),
+])
+
+# carried: last close (TR), TR seed buffer, Wilder ATR, final bands, dir
+ST_STATE_SCHEMA = StructType([
+    StructField("last_close", DoubleType()),
+    StructField("pending_tr", StringType()),
+    StructField("atr", DoubleType()),
+    StructField("prev_fub", DoubleType()),
+    StructField("prev_flb", DoubleType()),
+    StructField("direction", DoubleType()),
+])
+
+
+def streaming_supertrend(ticks: DataFrame, length: int = 7,
+                         multiplier: float = 3.0,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming SuperTrend per symbol — the genuinely-sequential
+    band/flip state machine (overlap.supertrend's Arrow kernel,
+    pandas_ta/overlap/supertrend.py#supertrend) carried across
+    micro-batches: state = (last close, TR seed buffer, Wilder ATR, final
+    upper/lower bands, direction). Exact batch parity row-for-row."""
+    alpha = 1.0 / length
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            last_close, pend_s, atr, pfub, pflb, dir_ = state.get
+            pending = [float(x) for x in pend_s.split(",") if x != ""]
+            atr = None if (atr is not None and math.isnan(atr)) else atr
+            pfub = None if (pfub is not None and math.isnan(pfub)) else pfub
+            pflb = None if (pflb is not None and math.isnan(pflb)) else pflb
+        else:
+            last_close, pending, atr, pfub, pflb, dir_ = None, [], None, None, None, 1.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            rows = {k: [] for k in ("ts", "close", "supert", "supertd",
+                                    "supertl", "superts")}
+            for ts, h, l, c in zip(pdf["ts"], pdf["high"], pdf["low"], pdf["close"]):
+                h, l, c = float(h), float(l), float(c)
+                trend = d_out = long_ = short = None
+                if last_close is not None:
+                    tr = max(h - l, abs(h - last_close), abs(l - last_close))
+                    if atr is None:
+                        pending.append(tr)
+                        if len(pending) >= length:
+                            atr = sum(pending) / len(pending)
+                    else:
+                        atr = alpha * tr + (1 - alpha) * atr
+                if atr is not None:
+                    hl2 = (h + l) / 2
+                    ub = hl2 + multiplier * atr
+                    lb = hl2 - multiplier * atr
+                    if pfub is None:
+                        fub, flb = ub, lb  # first valid-ATR row: no output yet
+                    else:
+                        fub = ub if (ub < pfub or last_close > pfub) else pfub
+                        flb = lb if (lb > pflb or last_close < pflb) else pflb
+                        if c > pfub:
+                            dir_ = 1.0
+                        elif c < pflb:
+                            dir_ = -1.0
+                        d_out = dir_
+                        if dir_ == 1.0:
+                            trend = long_ = flb
+                        else:
+                            trend = short = fub
+                    pfub, pflb = fub, flb
+                last_close = c
+                rows["ts"].append(ts)
+                rows["close"].append(c)
+                rows["supert"].append(trend)
+                rows["supertd"].append(d_out)
+                rows["supertl"].append(long_)
+                rows["superts"].append(short)
+            yield pd.DataFrame({"symbol": key[0], **rows})
+        nan = float("nan")
+        state.update((
+            last_close,
+            ",".join(repr(x) for x in pending[:length]),
+            atr if atr is not None else nan,
+            pfub if pfub is not None else nan,
+            pflb if pflb is not None else nan,
+            dir_,
+        ))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=ST_OUT_SCHEMA,
+        stateStructType=ST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

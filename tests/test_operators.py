@@ -295,3 +295,32 @@ def test_drawdown(bars, pdf_bars):
     c = one_symbol(pdf_bars)["close"]
     assert_close(got["DD"], c.cummax() - c, name="dd")
     assert_close(got["DD_PCT"], 1 - c / c.cummax(), tol=1e-9, name="dd_pct")
+
+
+# ------------------------------------------------------ kernel chunking ----
+
+def test_chunked_kernels_match_unchunked(bars):
+    """Epoch-chunked execution (plans/kernels.py _run_chunked) must be
+    EXACTLY the unchunked result: chunk=80 forces 4 chunks on the 300-row
+    symbol A / 250-row symbol B fixture across every finite-carry kernel
+    family (order stats, moments, min/max, argmax-distance, chained rolls)."""
+    from pandas_ta_spark.plans.kernels import run_kernels
+    from pandas_ta_spark.operators import momentum, statistics, trend, volatility, volume
+
+    inds = [statistics.median(30), statistics.stdev(30), statistics.mad(30),
+            statistics.entropy(10), statistics.skew(30),
+            momentum.stoch(), momentum.cci(14),
+            trend.aroon(14), volatility.donchian(), volatility.bbands(),
+            volume.mfi(14)]
+    specs = [i.kernel for i in inds]
+    assert all(s.carry_rows is not None for s in specs)
+    cols = sorted(o for s in specs for o in s.outputs)
+    whole = run_kernels(bars, specs, chunk_rows=10**9)
+    chunked = run_kernels(bars, specs, chunk_rows=80)
+    a = whole.orderBy("symbol", "ts").toPandas()[cols]
+    b = chunked.orderBy("symbol", "ts").toPandas()[cols]
+    assert len(a) == len(b) == 550
+    for c in cols:
+        x, y = a[c].to_numpy(float), b[c].to_numpy(float)
+        same = (np.isnan(x) & np.isnan(y)) | (x == y)
+        assert same.all(), f"{c}: {int((~same).sum())} rows differ"

@@ -139,3 +139,44 @@ def test_offset_and_fillna(bars, pdf_bars):
     assert (got2["SMA_5"].iloc[:4] == 0.0).all()
     got3 = one_symbol(sma(5).apply(bars, fill_method="ffill").toPandas())
     assert got3["SMA_5"].isna().sum() == 4  # nothing before first value
+
+
+def test_streaming_supertrend_matches_batch(spark, pdf_bars, tmp_path):
+    """The sequential band/flip state machine carried across micro-batches
+    (3 file-chunks => state crosses two batch boundaries) must equal the
+    batch Arrow kernel row-for-row."""
+    src = tmp_path / "st_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "high", "low", "close"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")
+    a.iloc[:90].to_parquet(src / "p1.parquet")
+    a.iloc[90:200].to_parquet(src / "p2.parquet")
+    a.iloc[200:].to_parquet(src / "p3.parquet")
+    from pandas_ta_spark.streaming import streaming_supertrend
+
+    stream = (
+        spark.readStream
+        .schema("symbol string, ts timestamp, high double, low double, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_supertrend(stream, length=7, multiplier=3.0)
+        .writeStream.format("memory").queryName("st_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM st_stream").toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == len(a)
+    from pandas_ta_spark.operators.overlap import supertrend
+
+    ref = supertrend(7, 3.0).kernel.fn(
+        one_symbol(pdf_bars)[["symbol", "ts", "open", "high", "low", "close",
+                              "volume"]].reset_index(drop=True).copy())
+    assert_close(got["supert"], ref["SUPERT_7_3.0"], tol=1e-9, name="st-trend")
+    assert_close(got["supertd"], ref["SUPERTd_7_3.0"], tol=1e-9, name="st-dir")
+    assert_close(got["supertl"], ref["SUPERTl_7_3.0"], tol=1e-9, name="st-long")
+    assert_close(got["superts"], ref["SUPERTs_7_3.0"], tol=1e-9, name="st-short")
