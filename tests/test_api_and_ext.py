@@ -212,3 +212,19 @@ def test_entry_contract(spark):
                  "dedup_minhash_lsh", "topk_cosine", "cdl_pattern_all",
                  "atr_14", "obv", "ha", "text_stats"):
         assert must in first50, must
+
+
+def test_readme_counts_match_registry():
+    """Docs can't drift: README's gate-size claim must match the suite."""
+    import re
+
+    import __spark_entry__ as E
+
+    _ensure = E._ensure_spark()
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"\((\d+) queries: (\d+) value-checked, (\d+) rows-only\)", text)
+    assert m, "README gate-size sentence missing"
+    q, o = E.queries(), E.oracle_sql()
+    assert int(m.group(1)) == len(q)
+    assert int(m.group(2)) == len(o)
+    assert int(m.group(3)) == len(q) - len(o)
