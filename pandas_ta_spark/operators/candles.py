@@ -523,6 +523,391 @@ def cdl_3inside_down():
     return _three_inside(False)
 
 
+_S_RNG = "(high - low)"
+_S_LOWER = "(least(open, close) - low)"
+_S_UPPER = "(high - greatest(open, close))"
+
+
+def _rng():
+    return F.col("high") - F.col("low")
+
+
+def _lower():
+    return F.least(F.col("open"), F.col("close")) - F.col("low")
+
+
+def _upper():
+    return F.col("high") - F.greatest(F.col("open"), F.col("close"))
+
+
+def cdl_spinning_top():
+    """Spinning top: small body, both shadows longer than the body,
+    signed by color (TA-Lib CDL_SPINNINGTOP shape)."""
+    out = "CDL_SPINNINGTOP"
+    body = _body()
+    cond = (body > 0) & (_upper() > body) & (_lower() > body)
+    e = F.when(cond, 100.0 * _color()).otherwise(0.0)
+    s = (f"CASE WHEN {_S_BODY} > 0 AND {_S_UPPER} > {_S_BODY}"
+         f" AND {_S_LOWER} > {_S_BODY}"
+         f" THEN 100.0 * ({_S_COLOR}) ELSE 0.0 END")
+    return Indicator("cdl_spinning_top", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_highwave():
+    """High wave: tiny body (<=10% of range) with both shadows >=30% of
+    range — indecision, signed by color."""
+    out = "CDL_HIGHWAVE"
+    rng = _rng()
+    cond = ((rng > 0) & (_body() <= 0.1 * rng)
+            & (_upper() >= 0.3 * rng) & (_lower() >= 0.3 * rng))
+    e = F.when(cond, 100.0 * _color()).otherwise(0.0)
+    s = (f"CASE WHEN {_S_RNG} > 0 AND {_S_BODY} <= 0.1 * {_S_RNG}"
+         f" AND {_S_UPPER} >= 0.3 * {_S_RNG} AND {_S_LOWER} >= 0.3 * {_S_RNG}"
+         f" THEN 100.0 * ({_S_COLOR}) ELSE 0.0 END")
+    return Indicator("cdl_highwave", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_longleggeddoji():
+    """Long-legged doji: doji body (<=5% of range), both shadows >=30%
+    of range; unsigned 100."""
+    out = "CDL_LONGLEGGEDDOJI"
+    rng = _rng()
+    cond = ((rng > 0) & (_body() <= 0.05 * rng)
+            & (_upper() >= 0.3 * rng) & (_lower() >= 0.3 * rng))
+    e = F.when(cond, 100.0).otherwise(0.0)
+    s = (f"CASE WHEN {_S_RNG} > 0 AND {_S_BODY} <= 0.05 * {_S_RNG}"
+         f" AND {_S_UPPER} >= 0.3 * {_S_RNG} AND {_S_LOWER} >= 0.3 * {_S_RNG}"
+         f" THEN 100.0 ELSE 0.0 END")
+    return Indicator("cdl_longleggeddoji", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_rickshawman():
+    """Rickshaw man: long-legged doji whose body midpoint sits near the
+    middle of the range (within 10%)."""
+    out = "CDL_RICKSHAWMAN"
+    rng = _rng()
+    mid_off = F.abs((F.col("open") + F.col("close")) / 2
+                    - (F.col("high") + F.col("low")) / 2)
+    cond = ((rng > 0) & (_body() <= 0.05 * rng)
+            & (_upper() >= 0.3 * rng) & (_lower() >= 0.3 * rng)
+            & (mid_off <= 0.1 * rng))
+    e = F.when(cond, 100.0).otherwise(0.0)
+    s_mid = "abs((open + close) / 2 - (high + low) / 2)"
+    s = (f"CASE WHEN {_S_RNG} > 0 AND {_S_BODY} <= 0.05 * {_S_RNG}"
+         f" AND {_S_UPPER} >= 0.3 * {_S_RNG} AND {_S_LOWER} >= 0.3 * {_S_RNG}"
+         f" AND {s_mid} <= 0.1 * {_S_RNG} THEN 100.0 ELSE 0.0 END")
+    return Indicator("cdl_rickshawman", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_takuri():
+    """Takuri: dragonfly doji with an exceptionally long lower shadow
+    (>=80% of range)."""
+    out = "CDL_TAKURI"
+    rng = _rng()
+    cond = ((rng > 0) & (_body() <= 0.05 * rng)
+            & (_upper() <= 0.1 * rng) & (_lower() >= 0.8 * rng))
+    e = F.when(cond, 100.0).otherwise(0.0)
+    s = (f"CASE WHEN {_S_RNG} > 0 AND {_S_BODY} <= 0.05 * {_S_RNG}"
+         f" AND {_S_UPPER} <= 0.1 * {_S_RNG} AND {_S_LOWER} >= 0.8 * {_S_RNG}"
+         f" THEN 100.0 ELSE 0.0 END")
+    return Indicator("cdl_takuri", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_belthold():
+    """Belt hold: long body (>=50% of range) opening at its extreme —
+    green with no lower shadow (+100) or red with no upper shadow (-100),
+    shadow tolerance 5% of range."""
+    out = "CDL_BELTHOLD"
+    rng = _rng()
+    body = _body()
+    long_body = (rng > 0) & (body >= 0.5 * rng)
+    bull = long_body & (F.col("close") > F.col("open")) & (_lower() <= 0.05 * rng)
+    bear = long_body & (F.col("close") < F.col("open")) & (_upper() <= 0.05 * rng)
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    s_long = f"({_S_RNG} > 0 AND {_S_BODY} >= 0.5 * {_S_RNG})"
+    s = (f"CASE WHEN {s_long} AND close > open AND {_S_LOWER} <= 0.05 * {_S_RNG}"
+         f" THEN 100.0"
+         f" WHEN {s_long} AND close < open AND {_S_UPPER} <= 0.05 * {_S_RNG}"
+         f" THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_belthold", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_closing_marubozu():
+    """Closing marubozu: long body (>=50% of range) with no shadow on the
+    closing side (5% tolerance), signed by color."""
+    out = "CDL_CLOSINGMARUBOZU"
+    rng = _rng()
+    long_body = (rng > 0) & (_body() >= 0.5 * rng)
+    bull = long_body & (F.col("close") > F.col("open")) & (_upper() <= 0.05 * rng)
+    bear = long_body & (F.col("close") < F.col("open")) & (_lower() <= 0.05 * rng)
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    s_long = f"({_S_RNG} > 0 AND {_S_BODY} >= 0.5 * {_S_RNG})"
+    s = (f"CASE WHEN {s_long} AND close > open AND {_S_UPPER} <= 0.05 * {_S_RNG}"
+         f" THEN 100.0"
+         f" WHEN {s_long} AND close < open AND {_S_LOWER} <= 0.05 * {_S_RNG}"
+         f" THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_closing_marubozu", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def cdl_counterattack(tol_pct: float = 0.1):
+    """Counterattack: opposite-color candles with (near-)equal closes,
+    tolerance relative to the prior range."""
+    out = "CDL_COUNTERATTACK"
+    po, pc = shift("open", 1), shift("close", 1)
+    prev_rng = shift("high", 1) - shift("low", 1)
+    near = (prev_rng > 0) & (F.abs(F.col("close") - pc) <= tol_pct * prev_rng)
+    bull = near & (pc < po) & (F.col("close") > F.col("open"))
+    bear = near & (pc > po) & (F.col("close") < F.col("open"))
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_rng = f"(({sql_shift('high', 1)}) - ({sql_shift('low', 1)}))"
+    s_near = f"({s_rng} > 0 AND abs(close - ({spc})) <= {tol_pct!r} * {s_rng})"
+    s = (f"CASE WHEN coalesce({s_near} AND ({spc}) < ({spo}) AND close > open,"
+         f" false) THEN 100.0"
+         f" WHEN coalesce({s_near} AND ({spc}) > ({spo}) AND close < open,"
+         f" false) THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_counterattack", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def cdl_homing_pigeon():
+    """Homing pigeon: two red candles, the second body inside the first
+    body — bullish 100."""
+    out = "CDL_HOMINGPIGEON"
+    po, pc = shift("open", 1), shift("close", 1)
+    cond = ((pc < po) & (F.col("close") < F.col("open"))
+            & (F.col("open") <= po) & (F.col("close") >= pc))
+    e = F.when(cond, 100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_cond = (f"(({spc}) < ({spo}) AND close < open"
+              f" AND open <= ({spo}) AND close >= ({spc}))")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN 100.0 ELSE 0.0 END"
+    return Indicator("cdl_homing_pigeon", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def cdl_matching_low(tol_pct: float = 0.05):
+    """Matching low: two red candles closing at (near-)equal lows —
+    support, bullish 100."""
+    out = "CDL_MATCHINGLOW"
+    po, pc = shift("open", 1), shift("close", 1)
+    prev_rng = shift("high", 1) - shift("low", 1)
+    cond = ((pc < po) & (F.col("close") < F.col("open")) & (prev_rng > 0)
+            & (F.abs(F.col("close") - pc) <= tol_pct * prev_rng))
+    e = F.when(cond, 100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_rng = f"(({sql_shift('high', 1)}) - ({sql_shift('low', 1)}))"
+    s_cond = (f"(({spc}) < ({spo}) AND close < open AND {s_rng} > 0"
+              f" AND abs(close - ({spc})) <= {tol_pct!r} * {s_rng})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN 100.0 ELSE 0.0 END"
+    return Indicator("cdl_matching_low", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def cdl_stick_sandwich(tol_pct: float = 0.1):
+    """Stick sandwich: red, green trading above, red closing back at the
+    first red close (tolerance vs the t-2 range) — bullish 100."""
+    out = "CDL_STICKSANDWICH"
+    o1, c1 = shift("open", 1), shift("close", 1)
+    o2, c2 = shift("open", 2), shift("close", 2)
+    rng2 = shift("high", 2) - shift("low", 2)
+    cond = ((c2 < o2) & (c1 > o1) & (c1 > c2)
+            & (F.col("close") < F.col("open")) & (rng2 > 0)
+            & (F.abs(F.col("close") - c2) <= tol_pct * rng2))
+    e = F.when(cond, 100.0).otherwise(0.0)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    so2, sc2 = sql_shift("open", 2), sql_shift("close", 2)
+    s_rng2 = f"(({sql_shift('high', 2)}) - ({sql_shift('low', 2)}))"
+    s_cond = (f"(({sc2}) < ({so2}) AND ({sc1}) > ({so1}) AND ({sc1}) > ({sc2})"
+              f" AND close < open AND {s_rng2} > 0"
+              f" AND abs(close - ({sc2})) <= {tol_pct!r} * {s_rng2})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN 100.0 ELSE 0.0 END"
+    return Indicator("cdl_stick_sandwich", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def _three_outside(up: bool):
+    """3-outside-up/down: engulfing at t-1 confirmed by t closing beyond
+    the t-1 close."""
+    kind = "CDL_3OUTSIDEUP" if up else "CDL_3OUTSIDEDOWN"
+    sign = 100.0 if up else -100.0
+    c0 = F.col("close")
+    o1, c1 = shift("open", 1), shift("close", 1)
+    o2, c2 = shift("open", 2), shift("close", 2)
+    if up:
+        engulf = (c2 < o2) & (c1 > o1) & (o1 <= c2) & (c1 >= o2)
+        confirm = c0 > c1
+    else:
+        engulf = (c2 > o2) & (c1 < o1) & (o1 >= c2) & (c1 <= o2)
+        confirm = c0 < c1
+    e = F.when(engulf & confirm, F.lit(sign)).otherwise(0.0)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    so2, sc2 = sql_shift("open", 2), sql_shift("close", 2)
+    if up:
+        s_cond = (f"(({sc2}) < ({so2}) AND ({sc1}) > ({so1})"
+                  f" AND ({so1}) <= ({sc2}) AND ({sc1}) >= ({so2})"
+                  f" AND close > ({sc1}))")
+    else:
+        s_cond = (f"(({sc2}) > ({so2}) AND ({sc1}) < ({so1})"
+                  f" AND ({so1}) >= ({sc2}) AND ({sc1}) <= ({so2})"
+                  f" AND close < ({sc1}))")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN {sign!r} ELSE 0.0 END"
+    return Indicator(kind.lower(), [kind], CAT, final={kind: e}, sql_final={kind: s})
+
+
+def cdl_3outside_up():
+    return _three_outside(True)
+
+
+def cdl_3outside_down():
+    return _three_outside(False)
+
+
+def cdl_kicking(factor: float = 0.95):
+    """Kicking: opposite-color marubozus separated by a full gap —
+    +100 when the white marubozu gaps above the black, -100 mirrored."""
+    out = "CDL_KICKING"
+    rng = _rng()
+    rng1 = shift("high", 1) - shift("low", 1)
+    body1 = F.abs(shift("close", 1) - shift("open", 1))
+    maru0 = (rng > 0) & (_body() >= factor * rng)
+    maru1 = (rng1 > 0) & (body1 >= factor * rng1)
+    green0 = F.col("close") > F.col("open")
+    red1 = shift("close", 1) < shift("open", 1)
+    bull = maru0 & maru1 & green0 & red1 & (F.col("low") > shift("high", 1))
+    bear = (maru0 & maru1 & ~green0 & ~red1
+            & (F.col("high") < shift("low", 1)))
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    sh1, sl1 = sql_shift("high", 1), sql_shift("low", 1)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    s_rng1 = f"(({sh1}) - ({sl1}))"
+    s_body1 = f"abs(({sc1}) - ({so1}))"
+    s_maru0 = f"({_S_RNG} > 0 AND {_S_BODY} >= {factor!r} * {_S_RNG})"
+    s_maru1 = f"({s_rng1} > 0 AND {s_body1} >= {factor!r} * {s_rng1})"
+    s = (f"CASE WHEN coalesce({s_maru0} AND {s_maru1} AND close > open"
+         f" AND ({sc1}) < ({so1}) AND low > ({sh1}), false) THEN 100.0"
+         f" WHEN coalesce({s_maru0} AND {s_maru1} AND close <= open"
+         f" AND ({sc1}) >= ({so1}) AND high < ({sl1}), false) THEN -100.0"
+         f" ELSE 0.0 END")
+    return Indicator("cdl_kicking", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_separating_lines(tol_pct: float = 0.05):
+    """Separating lines: opposite-color candle pair sharing the open
+    (tolerance vs the prior range); the second continues the trend its
+    color implies."""
+    out = "CDL_SEPARATINGLINES"
+    po, pc = shift("open", 1), shift("close", 1)
+    prev_rng = shift("high", 1) - shift("low", 1)
+    same_open = (prev_rng > 0) & (F.abs(F.col("open") - po) <= tol_pct * prev_rng)
+    bull = same_open & (pc < po) & (F.col("close") > F.col("open"))
+    bear = same_open & (pc > po) & (F.col("close") < F.col("open"))
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_rng = f"(({sql_shift('high', 1)}) - ({sql_shift('low', 1)}))"
+    s_open = f"({s_rng} > 0 AND abs(open - ({spo})) <= {tol_pct!r} * {s_rng})"
+    s = (f"CASE WHEN coalesce({s_open} AND ({spc}) < ({spo}) AND close > open,"
+         f" false) THEN 100.0"
+         f" WHEN coalesce({s_open} AND ({spc}) > ({spo}) AND close < open,"
+         f" false) THEN -100.0 ELSE 0.0 END")
+    return Indicator("cdl_separating_lines", [out], CAT,
+                     final={out: e}, sql_final={out: s})
+
+
+def cdl_thrusting():
+    """Thrusting: red candle, then a green opening below its close that
+    closes above the prior close but under the body midpoint — bearish
+    continuation -100."""
+    out = "CDL_THRUSTING"
+    po, pc = shift("open", 1), shift("close", 1)
+    mid = (po + pc) / 2
+    cond = ((pc < po) & (F.col("close") > F.col("open"))
+            & (F.col("open") < pc) & (F.col("close") > pc)
+            & (F.col("close") < mid))
+    e = F.when(cond, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    s_mid = f"((({spo}) + ({spc})) / 2)"
+    s_cond = (f"(({spc}) < ({spo}) AND close > open AND open < ({spc})"
+              f" AND close > ({spc}) AND close < {s_mid})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN -100.0 ELSE 0.0 END"
+    return Indicator("cdl_thrusting", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_onneck(tol_pct: float = 0.05):
+    """On-neck: red candle, then a green opening below its low and
+    closing back at that low (tolerance vs the prior range) — bearish
+    continuation -100."""
+    out = "CDL_ONNECK"
+    po, pc = shift("open", 1), shift("close", 1)
+    pl = shift("low", 1)
+    prev_rng = shift("high", 1) - pl
+    cond = ((pc < po) & (F.col("close") > F.col("open"))
+            & (F.col("open") < pl) & (prev_rng > 0)
+            & (F.abs(F.col("close") - pl) <= tol_pct * prev_rng))
+    e = F.when(cond, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    spl = sql_shift("low", 1)
+    s_rng = f"(({sql_shift('high', 1)}) - ({spl}))"
+    s_cond = (f"(({spc}) < ({spo}) AND close > open AND open < ({spl})"
+              f" AND {s_rng} > 0"
+              f" AND abs(close - ({spl})) <= {tol_pct!r} * {s_rng})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN -100.0 ELSE 0.0 END"
+    return Indicator("cdl_onneck", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_inneck(tol_pct: float = 0.1):
+    """In-neck: red candle, then a green opening below its low and
+    closing just inside the prior close (within tol of the prior range
+    above it) — bearish continuation -100."""
+    out = "CDL_INNECK"
+    po, pc = shift("open", 1), shift("close", 1)
+    pl = shift("low", 1)
+    prev_rng = shift("high", 1) - pl
+    cond = ((pc < po) & (F.col("close") > F.col("open"))
+            & (F.col("open") < pl) & (prev_rng > 0)
+            & (F.col("close") >= pc)
+            & (F.col("close") <= pc + tol_pct * prev_rng))
+    e = F.when(cond, -100.0).otherwise(0.0)
+    spo, spc = sql_shift("open", 1), sql_shift("close", 1)
+    spl = sql_shift("low", 1)
+    s_rng = f"(({sql_shift('high', 1)}) - ({spl}))"
+    s_cond = (f"(({spc}) < ({spo}) AND close > open AND open < ({spl})"
+              f" AND {s_rng} > 0 AND close >= ({spc})"
+              f" AND close <= ({spc}) + {tol_pct!r} * {s_rng})")
+    s = f"CASE WHEN coalesce({s_cond}, false) THEN -100.0 ELSE 0.0 END"
+    return Indicator("cdl_inneck", [out], CAT, final={out: e}, sql_final={out: s})
+
+
+def cdl_doji_star():
+    """Doji star: long candle, then a doji whose body gaps beyond the
+    prior close — +100 after a red candle (gap down), -100 after a green
+    (gap up)."""
+    out = "CDL_DOJISTAR"
+    rng = _rng()
+    rng1 = shift("high", 1) - shift("low", 1)
+    body1 = F.abs(shift("close", 1) - shift("open", 1))
+    doji0 = (rng > 0) & (_body() <= 0.05 * rng)
+    long1 = (rng1 > 0) & (body1 >= 0.5 * rng1)
+    pc = shift("close", 1)
+    red1 = pc < shift("open", 1)
+    green1 = pc > shift("open", 1)
+    bull = doji0 & long1 & red1 & (F.greatest(F.col("open"), F.col("close")) < pc)
+    bear = doji0 & long1 & green1 & (F.least(F.col("open"), F.col("close")) > pc)
+    e = F.when(bull, 100.0).when(bear, -100.0).otherwise(0.0)
+    so1, sc1 = sql_shift("open", 1), sql_shift("close", 1)
+    s_rng1 = f"(({sql_shift('high', 1)}) - ({sql_shift('low', 1)}))"
+    s_body1 = f"abs(({sc1}) - ({so1}))"
+    s_doji0 = f"({_S_RNG} > 0 AND {_S_BODY} <= 0.05 * {_S_RNG})"
+    s_long1 = f"({s_rng1} > 0 AND {s_body1} >= 0.5 * {s_rng1})"
+    s = (f"CASE WHEN coalesce({s_doji0} AND {s_long1} AND ({sc1}) < ({so1})"
+         f" AND greatest(open, close) < ({sc1}), false) THEN 100.0"
+         f" WHEN coalesce({s_doji0} AND {s_long1} AND ({sc1}) > ({so1})"
+         f" AND least(open, close) > ({sc1}), false) THEN -100.0"
+         f" ELSE 0.0 END")
+    return Indicator("cdl_doji_star", [out], CAT, final={out: e}, sql_final={out: s})
+
+
 # native set: the reference's non-TA-Lib fallback is doji+inside
 # (candles/cdl_pattern.py#ALL_PATTERNS); the rest are this engine's
 # native extensions of the TA-Lib CDL_* inventory
@@ -531,7 +916,12 @@ ALL_PATTERNS = ["doji", "inside", "engulfing", "harami", "hammer",
                 "3whitesoldiers", "3blackcrows",
                 "morningstar", "eveningstar", "hangingman", "invertedhammer",
                 "dragonflydoji", "gravestonedoji", "tweezerstop",
-                "tweezersbottom", "3insideup", "3insidedown"]
+                "tweezersbottom", "3insideup", "3insidedown",
+                "spinningtop", "highwave", "longleggeddoji", "rickshawman",
+                "takuri", "belthold", "closingmarubozu", "counterattack",
+                "homingpigeon", "matchinglow", "sticksandwich",
+                "3outsideup", "3outsidedown", "kicking", "separatinglines",
+                "thrusting", "onneck", "inneck", "dojistar"]
 
 _PATTERN_FACTORIES = {
     "doji": cdl_doji,
@@ -555,6 +945,25 @@ _PATTERN_FACTORIES = {
     "tweezersbottom": cdl_tweezers_bottom,
     "3insideup": cdl_3inside_up,
     "3insidedown": cdl_3inside_down,
+    "spinningtop": cdl_spinning_top,
+    "highwave": cdl_highwave,
+    "longleggeddoji": cdl_longleggeddoji,
+    "rickshawman": cdl_rickshawman,
+    "takuri": cdl_takuri,
+    "belthold": cdl_belthold,
+    "closingmarubozu": cdl_closing_marubozu,
+    "counterattack": cdl_counterattack,
+    "homingpigeon": cdl_homing_pigeon,
+    "matchinglow": cdl_matching_low,
+    "sticksandwich": cdl_stick_sandwich,
+    "3outsideup": cdl_3outside_up,
+    "3outsidedown": cdl_3outside_down,
+    "kicking": cdl_kicking,
+    "separatinglines": cdl_separating_lines,
+    "thrusting": cdl_thrusting,
+    "onneck": cdl_onneck,
+    "inneck": cdl_inneck,
+    "dojistar": cdl_doji_star,
 }
 
 
@@ -596,6 +1005,25 @@ FACTORIES = {
     "cdl_tweezers_bottom": cdl_tweezers_bottom,
     "cdl_3inside_up": cdl_3inside_up,
     "cdl_3inside_down": cdl_3inside_down,
+    "cdl_spinning_top": cdl_spinning_top,
+    "cdl_highwave": cdl_highwave,
+    "cdl_longleggeddoji": cdl_longleggeddoji,
+    "cdl_rickshawman": cdl_rickshawman,
+    "cdl_takuri": cdl_takuri,
+    "cdl_belthold": cdl_belthold,
+    "cdl_closing_marubozu": cdl_closing_marubozu,
+    "cdl_counterattack": cdl_counterattack,
+    "cdl_homing_pigeon": cdl_homing_pigeon,
+    "cdl_matching_low": cdl_matching_low,
+    "cdl_stick_sandwich": cdl_stick_sandwich,
+    "cdl_3outside_up": cdl_3outside_up,
+    "cdl_3outside_down": cdl_3outside_down,
+    "cdl_kicking": cdl_kicking,
+    "cdl_separating_lines": cdl_separating_lines,
+    "cdl_thrusting": cdl_thrusting,
+    "cdl_onneck": cdl_onneck,
+    "cdl_inneck": cdl_inneck,
+    "cdl_doji_star": cdl_doji_star,
 }
 
 SUITE = {

@@ -307,3 +307,179 @@ def streaming_supertrend(ticks: DataFrame, length: int = 7,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+ATR_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("close", DoubleType()),
+    StructField("atr", DoubleType()),
+])
+
+# carried: last close (for TR), TR seed buffer, Wilder RMA value
+ATR_STATE_SCHEMA = StructType([
+    StructField("last_close", DoubleType()),
+    StructField("pending_tr", StringType()),
+    StructField("atr", DoubleType()),
+])
+
+
+def streaming_atr(ticks: DataFrame, length: int = 14,
+                  watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming ATR per symbol: Wilder RMA of the true range
+    carried across micro-batches, exact batch parity with
+    volatility.atr (TR is NULL on the first row, so the SMA seed covers
+    TR rows 2..length+1 and the first ATR lands on row length+1)."""
+    alpha = 1.0 / length
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            last_close, pend_s, atr = state.get
+            pending = [float(x) for x in pend_s.split(",") if x != ""]
+            atr = None if (atr is not None and math.isnan(atr)) else atr
+        else:
+            last_close, pending, atr = None, [], None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            out_ts, out_close, out_atr = [], [], []
+            for ts, h, l, c in zip(pdf["ts"], pdf["high"], pdf["low"], pdf["close"]):
+                h, l, c = float(h), float(l), float(c)
+                if last_close is not None:
+                    tr = max(h - l, abs(h - last_close), abs(l - last_close))
+                    if atr is None:
+                        pending.append(tr)
+                        if len(pending) >= length:
+                            atr = sum(pending) / len(pending)
+                    else:
+                        atr = alpha * tr + (1 - alpha) * atr
+                last_close = c
+                out_ts.append(ts)
+                out_close.append(c)
+                out_atr.append(atr)
+            yield pd.DataFrame({
+                "symbol": key[0], "ts": out_ts,
+                "close": out_close, "atr": out_atr,
+            })
+        state.update((
+            last_close,
+            ",".join(repr(x) for x in pending[:length]),
+            atr if atr is not None else float("nan"),
+        ))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=ATR_OUT_SCHEMA,
+        stateStructType=ATR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+MACD_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("close", DoubleType()),
+    StructField("macd", DoubleType()),
+    StructField("macdh", DoubleType()),
+    StructField("macds", DoubleType()),
+])
+
+# carried: close seed buffer (shared by fast/slow), both EMAs, the MACD-
+# line seed buffer for the signal EMA, and the signal value
+MACD_STATE_SCHEMA = StructType([
+    StructField("pending_close", StringType()),
+    StructField("nseen", DoubleType()),
+    StructField("ef", DoubleType()),
+    StructField("es", DoubleType()),
+    StructField("pending_line", StringType()),
+    StructField("sig", DoubleType()),
+])
+
+
+def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
+                   signal: int = 9, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming MACD per symbol: three SMA-seeded EMA
+    recursions (fast, slow, signal-on-line) carried across micro-batches,
+    exact batch parity with momentum.macd. The close seed buffer is
+    shared — fast seeds on its first ``fast`` closes, slow on the first
+    ``slow``; the signal EMA seeds on the first ``signal`` MACD-line
+    values (which begin once slow is seeded)."""
+    af, as_, ag = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def parse(s):
+            return [float(x) for x in s.split(",") if x != ""]
+
+        def denan(x):
+            return None if (x is not None and math.isnan(x)) else x
+
+        if state.exists:
+            pc_s, nseen, ef, es, pl_s, sig = state.get
+            closes, lines = parse(pc_s), parse(pl_s)
+            nseen = int(nseen)
+            ef, es, sig = denan(ef), denan(es), denan(sig)
+        else:
+            closes, lines, nseen, ef, es, sig = [], [], 0, None, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            rows = {k: [] for k in ("ts", "close", "macd", "macdh", "macds")}
+            for ts, c in zip(pdf["ts"], pdf["close"]):
+                c = float(c)
+                nseen += 1
+                if es is None:
+                    closes.append(c)
+                if ef is None:
+                    if nseen >= fast:
+                        ef = sum(closes[:fast]) / fast
+                else:
+                    ef = af * c + (1 - af) * ef
+                if es is None:
+                    if nseen >= slow:
+                        es = sum(closes[:slow]) / slow
+                        closes = []
+                else:
+                    es = as_ * c + (1 - as_) * es
+                line = hist = None
+                if es is not None:
+                    line = ef - es
+                    if sig is None:
+                        lines.append(line)
+                        if len(lines) >= signal:
+                            sig = sum(lines[:signal]) / signal
+                    else:
+                        sig = ag * line + (1 - ag) * sig
+                    if sig is not None:
+                        hist = line - sig
+                rows["ts"].append(ts)
+                rows["close"].append(c)
+                rows["macd"].append(line)
+                rows["macdh"].append(hist)
+                rows["macds"].append(sig if es is not None else None)
+            yield pd.DataFrame({"symbol": key[0], **rows})
+        nan = float("nan")
+        state.update((
+            ",".join(repr(x) for x in closes[:slow]),
+            float(nseen),
+            ef if ef is not None else nan,
+            es if es is not None else nan,
+            ",".join(repr(x) for x in lines[:signal]),
+            sig if sig is not None else nan,
+        ))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=MACD_OUT_SCHEMA,
+        stateStructType=MACD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -180,3 +180,77 @@ def test_streaming_supertrend_matches_batch(spark, pdf_bars, tmp_path):
     assert_close(got["supertd"], ref["SUPERTd_7_3.0"], tol=1e-9, name="st-dir")
     assert_close(got["supertl"], ref["SUPERTl_7_3.0"], tol=1e-9, name="st-long")
     assert_close(got["superts"], ref["SUPERTs_7_3.0"], tol=1e-9, name="st-short")
+
+
+def test_streaming_atr_matches_batch(spark, pdf_bars, tmp_path):
+    """Wilder-RMA-of-TR state carried across micro-batches must equal the
+    batch volatility.atr kernel row-for-row."""
+    src = tmp_path / "atr_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "high", "low", "close"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")
+    a.iloc[:80].to_parquet(src / "p1.parquet")
+    a.iloc[80:].to_parquet(src / "p2.parquet")
+    from pandas_ta_spark.streaming import streaming_atr
+
+    stream = (
+        spark.readStream
+        .schema("symbol string, ts timestamp, high double, low double, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_atr(stream, length=14)
+        .writeStream.format("memory").queryName("atr_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM atr_stream").toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == len(a)
+    from pandas_ta_spark.operators.volatility import atr
+
+    ref = atr(14).kernel.fn(
+        one_symbol(pdf_bars)[["symbol", "ts", "open", "high", "low", "close",
+                              "volume"]].reset_index(drop=True).copy())
+    assert_close(got["atr"], ref["ATRr_14"], tol=1e-9, name="streaming-atr")
+
+
+def test_streaming_macd_matches_batch(spark, pdf_bars, tmp_path):
+    """Three SMA-seeded EMA recursions (fast/slow/signal) carried across
+    micro-batches must equal the batch momentum.macd kernel."""
+    src = tmp_path / "macd_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "close"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")
+    a.iloc[:70].to_parquet(src / "p1.parquet")
+    a.iloc[70:150].to_parquet(src / "p2.parquet")
+    a.iloc[150:].to_parquet(src / "p3.parquet")
+    from pandas_ta_spark.streaming import streaming_macd
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_macd(stream, fast=12, slow=26, signal=9)
+        .writeStream.format("memory").queryName("macd_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM macd_stream").toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == len(a)
+    from pandas_ta_spark.operators.momentum import macd
+
+    ref = macd().kernel.fn(
+        one_symbol(pdf_bars)[["symbol", "ts", "open", "high", "low", "close",
+                              "volume"]].reset_index(drop=True).copy())
+    assert_close(got["macd"], ref["MACD_12_26_9"], tol=1e-9, name="streaming-macd")
+    assert_close(got["macdh"], ref["MACDh_12_26_9"], tol=1e-9, name="streaming-macdh")
+    assert_close(got["macds"], ref["MACDs_12_26_9"], tol=1e-9, name="streaming-macds")
