@@ -175,13 +175,14 @@ def main():
         "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
     }
 
-    # best of 2 — same methodology as BASELINE.md (best of 3): the first
-    # run pays one-time Python-worker spawn + whole-plan codegen compile,
-    # which a resident cluster amortizes away
+    # best of 3 — the same methodology as BASELINE.md: the first run pays
+    # one-time Python-worker spawn + whole-plan codegen compile, which a
+    # resident cluster amortizes away (measured: rep0 6.7s, rep1 2.2s,
+    # rep2+ steady ~1.5s on the 24-ind strategy)
     times = {}
     for name, build in queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             force(build())
             best = min(best, time.time() - t0)

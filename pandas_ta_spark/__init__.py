@@ -25,8 +25,9 @@ Layout:
 """
 
 from pandas_ta_spark.version import __version__
+from pandas_ta_spark.accessor import TA
 from pandas_ta_spark.registry import Category, indicators, make, run as ta
 from pandas_ta_spark.custom import bind, create_dir, import_dir
 
-__all__ = ["__version__", "Category", "indicators", "make", "ta",
+__all__ = ["__version__", "Category", "indicators", "make", "ta", "TA",
            "bind", "create_dir", "import_dir"]

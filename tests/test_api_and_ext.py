@@ -228,3 +228,50 @@ def test_readme_counts_match_registry():
     assert int(m.group(1)) == len(q)
     assert int(m.group(2)) == len(o)
     assert int(m.group(3)) == len(q) - len(o)
+
+
+def test_ta_accessor(spark, bars, pdf_bars):
+    """The df.ta-style accessor: properties + dispatch + strategy parity
+    (pandas_ta/core.py#AnalysisIndicators surface)."""
+    from pandas_ta_spark import TA, __version__
+    from tests.conftest import assert_close, one_symbol
+
+    t = TA(bars)
+    assert t.version == __version__
+    assert t.exchange == "NYSE"
+    assert "momentum" in t.categories and "overlap" in t.categories
+    assert t.cores > 0
+    t.cores = 8
+    assert t.cores == 8
+    assert t.last_run is None
+    assert t.datetime_ordered is True
+    assert 0.0 < t.time_range < 10.0
+    assert "rsi" in t.indicators()
+
+    out = t(kind="sma", length=5)
+    assert "SMA_5" in out.columns
+    assert t.last_run is not None
+
+    # adjusted-close substitution feeds every later call
+    t.adjusted = "open"
+    got = one_symbol(t(kind="sma", length=5).toPandas())
+    ref = one_symbol(pdf_bars)["open"].rolling(5).mean()
+    assert_close(got["SMA_5"], ref, name="adjusted-sma")
+    t.adjusted = None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.adjusted = "nope"
+    with _pytest.raises(ValueError):
+        t.exchange = "XXX"
+
+    # strategy batches into one plan and stamps last_run
+    from pandas_ta_spark.operators.overlap import ema, sma
+    out2 = t.strategy([sma(10), ema(10)])
+    assert {"SMA_10", "EMA_10"} <= set(out2.columns)
+
+    # to_utc shifts NYSE (-4) wall time forward 4 hours
+    import pandas as pd
+    a = one_symbol(pdf_bars)["ts"].iloc[0]
+    b = one_symbol(t.to_utc().toPandas())["ts"].iloc[0]
+    assert (pd.Timestamp(b) - pd.Timestamp(a)) == pd.Timedelta(hours=4)
