@@ -908,6 +908,458 @@ def cdl_doji_star():
     return Indicator("cdl_doji_star", [out], CAT, final={out: e}, sql_final={out: s})
 
 
+# ---------------------------------------------------------------------------
+# Tranche 4: paired-expression builder. Every remaining TA-Lib-inventory
+# pattern is lag-window boolean logic; defining each condition ONCE as a
+# (Spark Column, SQL string) pair keeps the two engines mirror-exact by
+# construction instead of by hand.
+# ---------------------------------------------------------------------------
+
+
+class _P:
+    """Paired (Spark Column, ANSI-SQL string) expression."""
+
+    __slots__ = ("c", "s")
+
+    def __init__(self, c, s):
+        self.c, self.s = c, s
+
+    @staticmethod
+    def wrap(v):
+        return v if isinstance(v, _P) else _P(F.lit(float(v)), repr(float(v)))
+
+    def _bin(self, other, fc, op, flip: bool = False):
+        o = _P.wrap(other)
+        a, b = (o, self) if flip else (self, o)
+        return _P(fc(a.c, b.c), f"({a.s} {op} {b.s})")
+
+    def __add__(self, o): return self._bin(o, lambda a, b: a + b, "+")
+    def __radd__(self, o): return self._bin(o, lambda a, b: a + b, "+", True)
+    def __sub__(self, o): return self._bin(o, lambda a, b: a - b, "-")
+    def __rsub__(self, o): return self._bin(o, lambda a, b: a - b, "-", True)
+    def __mul__(self, o): return self._bin(o, lambda a, b: a * b, "*")
+    def __rmul__(self, o): return self._bin(o, lambda a, b: a * b, "*", True)
+    def __truediv__(self, o): return self._bin(o, lambda a, b: a / b, "/")
+    def __lt__(self, o): return self._bin(o, lambda a, b: a < b, "<")
+    def __le__(self, o): return self._bin(o, lambda a, b: a <= b, "<=")
+    def __gt__(self, o): return self._bin(o, lambda a, b: a > b, ">")
+    def __ge__(self, o): return self._bin(o, lambda a, b: a >= b, ">=")
+    def __and__(self, o): return self._bin(o, lambda a, b: a & b, "AND")
+    def __or__(self, o): return self._bin(o, lambda a, b: a | b, "OR")
+
+    def __invert__(self):
+        return _P(~self.c, f"(NOT {self.s})")
+
+
+def _pc(col: str, k: int = 0) -> _P:
+    if k == 0:
+        return _P(F.col(col), col)
+    return _P(shift(col, k), f"({sql_shift(col, k)})")
+
+
+def _pabs(p: _P) -> _P:
+    return _P(F.abs(p.c), f"abs({p.s})")
+
+
+def _pleast(*ps: _P) -> _P:
+    return _P(F.least(*[p.c for p in ps]),
+              f"least({', '.join(p.s for p in ps)})")
+
+
+def _pgreatest(*ps: _P) -> _P:
+    return _P(F.greatest(*[p.c for p in ps]),
+              f"greatest({', '.join(p.s for p in ps)})")
+
+
+class _Bar:
+    """Candle anatomy at lag ``k`` as paired expressions."""
+
+    def __init__(self, k: int = 0):
+        self.o = _pc("open", k)
+        self.h = _pc("high", k)
+        self.l = _pc("low", k)
+        self.c = _pc("close", k)
+
+    @property
+    def body(self): return _pabs(self.c - self.o)
+
+    @property
+    def rng(self): return self.h - self.l
+
+    @property
+    def green(self): return self.c > self.o
+
+    @property
+    def red(self): return self.c < self.o
+
+    @property
+    def top(self): return _pgreatest(self.o, self.c)
+
+    @property
+    def bot(self): return _pleast(self.o, self.c)
+
+    @property
+    def upsh(self): return self.h - self.top
+
+    @property
+    def losh(self): return self.bot - self.l
+
+    @property
+    def mid(self): return 0.5 * (self.o + self.c)
+
+    def doji(self, pct: float = 0.05):
+        return (self.rng > 0) & (self.body <= pct * self.rng)
+
+    def marubozu(self, factor: float = 0.95):
+        return (self.rng > 0) & (self.body >= factor * self.rng)
+
+    def long_body(self, factor: float = 0.5):
+        return (self.rng > 0) & (self.body >= factor * self.rng)
+
+
+def _signed(name_: str, out: str, bull: _P | None = None,
+            bear: _P | None = None, stages=None, sql_stages=None):
+    """Emit a +-100/0 pattern Indicator from paired conditions."""
+    e = F.lit(0.0)
+    parts = []
+    if bull is not None:
+        parts.append(f"WHEN coalesce({bull.s}, false) THEN 100.0")
+    if bear is not None:
+        parts.append(f"WHEN coalesce({bear.s}, false) THEN -100.0")
+    s = "CASE " + " ".join(parts) + " ELSE 0.0 END"
+    if bull is not None and bear is not None:
+        e = F.when(bull.c, 100.0).when(bear.c, -100.0).otherwise(0.0)
+    elif bull is not None:
+        e = F.when(bull.c, 100.0).otherwise(0.0)
+    elif bear is not None:
+        e = F.when(bear.c, -100.0).otherwise(0.0)
+    return Indicator(name_, [out], CAT, final={out: e}, sql_final={out: s},
+                     stages=stages or [], sql_stages=sql_stages or [])
+
+
+def cdl_2crows():
+    """Two crows: long green, then a red gapping above it, then a second
+    red opening inside the first red's body and closing into the green
+    body (TA-Lib CDL_2CROWS shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bear = (b2.green & (b2.body > 0) & b1.red & (b1.bot > b2.c)
+            & b0.red & (b0.o > b1.c) & (b0.o < b1.o)
+            & (b0.c < b2.c) & (b0.c > b2.o))
+    return _signed("cdl_2crows", "CDL_2CROWS", bear=bear)
+
+
+def cdl_tristar():
+    """Tristar: three dojis; the middle one's body gaps below both
+    neighbors (bull) or above both (bear) — TA-Lib CDL_TRISTAR shape."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    dojis = b0.doji() & b1.doji() & b2.doji()
+    bull = dojis & (b1.top < b0.bot) & (b1.top < b2.bot)
+    bear = dojis & (b1.bot > b0.top) & (b1.bot > b2.top)
+    return _signed("cdl_tristar", "CDL_TRISTAR", bull=bull, bear=bear)
+
+
+def cdl_harami_cross():
+    """Harami cross: a doji contained inside the previous opposite-color
+    body (TA-Lib CDL_HARAMICROSS shape)."""
+    b0, b1 = _Bar(0), _Bar(1)
+    bull = b1.red & b0.doji() & (b0.top < b1.o) & (b0.bot > b1.c)
+    bear = b1.green & b0.doji() & (b0.top < b1.c) & (b0.bot > b1.o)
+    return _signed("cdl_harami_cross", "CDL_HARAMICROSS", bull=bull, bear=bear)
+
+
+def cdl_hikkake():
+    """Hikkake: inside bar then a false breakout — breakdown below the
+    inside bar flags bullish, breakup flags bearish (TA-Lib CDL_HIKKAKE
+    shape; the 3-bar confirmation leg that TA-Lib appends as +-200 is
+    intentionally omitted — this engine flags at the trigger bar)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    inside1 = (b1.h < b2.h) & (b1.l > b2.l)
+    bull = inside1 & (b0.h < b1.h) & (b0.l < b1.l)
+    bear = inside1 & (b0.h > b1.h) & (b0.l > b1.l)
+    return _signed("cdl_hikkake", "CDL_HIKKAKE", bull=bull, bear=bear)
+
+
+def cdl_hikkake_mod():
+    """Modified hikkake: hikkake whose inside bar closes in the third of
+    its range nearest the coming fake move (TA-Lib CDL_HIKKAKEMOD shape,
+    same confirmation-leg omission as cdl_hikkake)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    third = 1.0 / 3.0
+    inside1 = (b1.h < b2.h) & (b1.l > b2.l) & (b1.rng > 0)
+    bull = (inside1 & (b0.h < b1.h) & (b0.l < b1.l)
+            & (b1.c <= b1.l + third * b1.rng))
+    bear = (inside1 & (b0.h > b1.h) & (b0.l > b1.l)
+            & (b1.c >= b1.h - third * b1.rng))
+    return _signed("cdl_hikkake_mod", "CDL_HIKKAKEMOD", bull=bull, bear=bear)
+
+
+def cdl_3linestrike():
+    """Three-line strike: three stacked same-color candles then an
+    opposite candle engulfing all three closes back past the first open;
+    sign follows the three-candle trend (TA-Lib CDL_3LINESTRIKE)."""
+    b0, b1, b2, b3 = _Bar(0), _Bar(1), _Bar(2), _Bar(3)
+    bull = (b3.green & b2.green & b1.green & (b1.c > b2.c) & (b2.c > b3.c)
+            & b0.red & (b0.o > b1.c) & (b0.c < b3.o))
+    bear = (b3.red & b2.red & b1.red & (b1.c < b2.c) & (b2.c < b3.c)
+            & b0.green & (b0.o < b1.c) & (b0.c > b3.o))
+    return _signed("cdl_3linestrike", "CDL_3LINESTRIKE", bull=bull, bear=bear)
+
+
+def cdl_3starsinsouth():
+    """Three stars in the south: shrinking red candles with drying lower
+    shadows, the last inside its predecessor (TA-Lib CDL_3STARSINSOUTH
+    shape; bullish only)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bull = (b2.red & (b2.losh > b2.body)
+            & b1.red & (b1.body < b2.body) & (b1.l > b2.l)
+            & b0.red & (b0.body < b1.body)
+            & (b0.h <= b1.h) & (b0.l >= b1.l))
+    return _signed("cdl_3starsinsouth", "CDL_3STARSINSOUTH", bull=bull)
+
+
+def cdl_abandonedbaby():
+    """Abandoned baby: a doji whose whole RANGE gaps away from both
+    neighbors, then a reversal past the first candle's midpoint
+    (TA-Lib CDL_ABANDONEDBABY shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bull = (b2.red & b1.doji() & (b1.h < b2.l)
+            & b0.green & (b0.l > b1.h) & (b0.c > b2.mid))
+    bear = (b2.green & b1.doji() & (b1.l > b2.h)
+            & b0.red & (b0.h < b1.l) & (b0.c < b2.mid))
+    return _signed("cdl_abandonedbaby", "CDL_ABANDONEDBABY",
+                   bull=bull, bear=bear)
+
+
+def cdl_advanceblock():
+    """Advance block: three rising greens with shrinking bodies and a
+    growing upper shadow — a stalling advance (TA-Lib CDL_ADVANCEBLOCK
+    shape; bearish warning only)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bear = (b0.green & b1.green & b2.green
+            & (b0.c > b1.c) & (b1.c > b2.c)
+            & (b0.o > b1.o) & (b0.o < b1.c)
+            & (b1.o > b2.o) & (b1.o < b2.c)
+            & (b0.body < b1.body) & (b1.body < b2.body)
+            & (b0.upsh > b1.upsh))
+    return _signed("cdl_advanceblock", "CDL_ADVANCEBLOCK", bear=bear)
+
+
+def cdl_breakaway():
+    """Breakaway: long candle, a body gap continuing the move, two drift
+    bars, then a reversal closing inside the gap (TA-Lib CDL_BREAKAWAY
+    shape)."""
+    b0, b1, b2, b3, b4 = _Bar(0), _Bar(1), _Bar(2), _Bar(3), _Bar(4)
+    bull = (b4.red & (b4.body > 0) & b3.red & (b3.top < b4.c)
+            & (b2.c < b3.c) & (b1.c < b2.c)
+            & b0.green & (b0.c > b3.top) & (b0.c < b4.bot))
+    bear = (b4.green & (b4.body > 0) & b3.green & (b3.bot > b4.c)
+            & (b2.c > b3.c) & (b1.c > b2.c)
+            & b0.red & (b0.c < b3.bot) & (b0.c > b4.top))
+    return _signed("cdl_breakaway", "CDL_BREAKAWAY", bull=bull, bear=bear)
+
+
+def cdl_concealbabyswall():
+    """Concealing baby swallow: two red marubozus, a red gapping down
+    whose high pokes back into the prior body, then a red engulfing it
+    entirely (TA-Lib CDL_CONCEALBABYSWALL shape; bullish only)."""
+    b0, b1, b2, b3 = _Bar(0), _Bar(1), _Bar(2), _Bar(3)
+    bull = (b3.red & b3.marubozu() & b2.red & b2.marubozu()
+            & b1.red & (b1.top < b2.c) & (b1.h > b2.c)
+            & b0.red & (b0.h > b1.h) & (b0.c < b1.l))
+    return _signed("cdl_concealbabyswall", "CDL_CONCEALBABYSWALL", bull=bull)
+
+
+def cdl_morning_doji_star():
+    """Morning doji star: morning star whose middle candle is a doji
+    (TA-Lib CDL_MORNINGDOJISTAR shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bull = (b2.red & b1.doji() & (b1.top < b2.c)
+            & b0.green & (b0.c > b2.mid))
+    return _signed("cdl_morning_doji_star", "CDL_MORNINGDOJISTAR", bull=bull)
+
+
+def cdl_evening_doji_star():
+    """Evening doji star: evening star whose middle candle is a doji
+    (TA-Lib CDL_EVENINGDOJISTAR shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bear = (b2.green & b1.doji() & (b1.bot > b2.c)
+            & b0.red & (b0.c < b2.mid))
+    return _signed("cdl_evening_doji_star", "CDL_EVENINGDOJISTAR", bear=bear)
+
+
+def cdl_gapsidesidewhite(tol: float = 0.5):
+    """Up/down-gap side-by-side white lines: two similar green candles
+    both gapping the same way from the bar before them; signed by gap
+    direction (TA-Lib CDL_GAPSIDESIDEWHITE shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    similar = ((_pabs(b0.body - b1.body) <= tol * b1.body)
+               & (_pabs(b0.o - b1.o) <= tol * b1.body))
+    greens = b0.green & b1.green & (b1.body > 0)
+    bull = greens & similar & (b1.bot > b2.top) & (b0.bot > b2.top)
+    bear = greens & similar & (b1.top < b2.bot) & (b0.top < b2.bot)
+    return _signed("cdl_gapsidesidewhite", "CDL_GAPSIDESIDEWHITE",
+                   bull=bull, bear=bear)
+
+
+def cdl_identical3crows(tol: float = 0.1):
+    """Identical three crows: three reds, each opening at (within
+    ``tol`` of range of) the prior close and closing lower
+    (TA-Lib CDL_IDENTICAL3CROWS shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bear = (b2.red & b1.red & b0.red
+            & (b1.c < b2.c) & (b0.c < b1.c)
+            & (b2.rng > 0) & (b1.rng > 0)
+            & (_pabs(b1.o - b2.c) <= tol * b2.rng)
+            & (_pabs(b0.o - b1.c) <= tol * b1.rng))
+    return _signed("cdl_identical3crows", "CDL_IDENTICAL3CROWS", bear=bear)
+
+
+def cdl_kicking_by_length(factor: float = 0.95):
+    """Kicking, signed by the LONGER marubozu's direction
+    (TA-Lib CDL_KICKINGBYLENGTH shape)."""
+    b0, b1 = _Bar(0), _Bar(1)
+    base_bull = (b0.marubozu(factor) & b1.marubozu(factor)
+                 & b0.green & b1.red & (b0.l > b1.h))
+    base_bear = (b0.marubozu(factor) & b1.marubozu(factor)
+                 & b0.red & b1.green & (b0.h < b1.l))
+    longer0 = b0.rng >= b1.rng
+    bull = (base_bull & longer0) | (base_bear & ~longer0)
+    bear = (base_bear & longer0) | (base_bull & ~longer0)
+    return _signed("cdl_kicking_by_length", "CDL_KICKINGBYLENGTH",
+                   bull=bull, bear=bear)
+
+
+def cdl_ladderbottom():
+    """Ladder bottom: three descending reds, a red with a real upper
+    shadow, then a green opening above the prior open
+    (TA-Lib CDL_LADDERBOTTOM shape; bullish only)."""
+    b0, b1, b2, b3, b4 = _Bar(0), _Bar(1), _Bar(2), _Bar(3), _Bar(4)
+    bull = (b4.red & b3.red & b2.red & (b3.c < b4.c) & (b2.c < b3.c)
+            & b1.red & (b1.rng > 0) & (b1.upsh > 0.05 * b1.rng)
+            & b0.green & (b0.o > b1.o))
+    return _signed("cdl_ladderbottom", "CDL_LADDERBOTTOM", bull=bull)
+
+
+def _line(long_: bool, length: int = 10):
+    kind = "CDL_LONGLINE" if long_ else "CDL_SHORTLINE"
+    t = "_line_body"
+    avg = _P(roll(F.avg, t, length), f"({sql_roll('avg', t, length)})")
+    b0 = _Bar(0)
+    size = (b0.body > avg) if long_ else (b0.body < avg)
+    cond = size & (b0.body > 0) & (b0.upsh < b0.body) & (b0.losh < b0.body)
+    ind = _signed(kind.lower(), kind,
+                  bull=cond & b0.green, bear=cond & b0.red,
+                  stages=[{t: _body()}], sql_stages=[{t: _S_BODY}])
+    return ind
+
+
+def cdl_longline(length: int = 10):
+    """Long line: body above its rolling average with both shadows
+    shorter than the body; signed by color (TA-Lib CDL_LONGLINE shape)."""
+    return _line(True, length)
+
+
+def cdl_shortline(length: int = 10):
+    """Short line: body below its rolling average with both shadows
+    shorter than the body; signed by color (TA-Lib CDL_SHORTLINE shape)."""
+    return _line(False, length)
+
+
+def cdl_mathold():
+    """Mat hold: long green, a small red gapping up, a drift holding
+    above the first midpoint, then a green breaking the drift's highs
+    (TA-Lib CDL_MATHOLD shape; bullish only)."""
+    b0, b1, b2, b3, b4 = _Bar(0), _Bar(1), _Bar(2), _Bar(3), _Bar(4)
+    bull = (b4.green & b4.long_body() & b3.red & (b3.bot > b4.c)
+            & (b2.l > b4.mid) & (b1.l > b4.mid)
+            & b0.green & (b0.c > _pgreatest(b3.h, b2.h, b1.h)))
+    return _signed("cdl_mathold", "CDL_MATHOLD", bull=bull)
+
+
+def cdl_risefall3methods():
+    """Rising/falling three methods: long candle, three small
+    counter-color bars held inside its range, then a continuation close
+    beyond the first close (TA-Lib CDL_RISEFALL3METHODS shape)."""
+    b0, b1, b2, b3, b4 = _Bar(0), _Bar(1), _Bar(2), _Bar(3), _Bar(4)
+
+    def held(b):
+        return (b.h <= b4.h) & (b.l >= b4.l)
+
+    bull = (b4.green & b4.long_body() & b3.red & b2.red & b1.red
+            & held(b3) & held(b2) & held(b1)
+            & (b2.c < b3.c) & (b1.c < b2.c)
+            & b0.green & (b0.c > b4.c))
+    bear = (b4.red & b4.long_body() & b3.green & b2.green & b1.green
+            & held(b3) & held(b2) & held(b1)
+            & (b2.c > b3.c) & (b1.c > b2.c)
+            & b0.red & (b0.c < b4.c))
+    return _signed("cdl_risefall3methods", "CDL_RISEFALL3METHODS",
+                   bull=bull, bear=bear)
+
+
+def cdl_stalledpattern(tol: float = 0.2):
+    """Stalled pattern (deliberation): two advancing greens then a small
+    green riding the prior shoulder (TA-Lib CDL_STALLEDPATTERN shape;
+    bearish warning only)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bear = (b0.green & b1.green & b2.green
+            & (b0.c > b1.c) & (b1.c > b2.c) & (b1.body > 0)
+            & (b0.body < 0.5 * b1.body)
+            & (_pabs(b0.o - b1.c) <= tol * b1.body))
+    return _signed("cdl_stalledpattern", "CDL_STALLEDPATTERN", bear=bear)
+
+
+def cdl_tasukigap():
+    """Tasuki gap: a body gap in trend direction, then a counter candle
+    opening inside the gapping body and closing inside the gap WITHOUT
+    filling it (TA-Lib CDL_TASUKIGAP shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bull = (b2.green & b1.green & (b1.bot > b2.top)
+            & b0.red & (b0.o > b1.bot) & (b0.o < b1.top)
+            & (b0.c < b1.bot) & (b0.c > b2.top))
+    bear = (b2.red & b1.red & (b1.top < b2.bot)
+            & b0.green & (b0.o < b1.top) & (b0.o > b1.bot)
+            & (b0.c > b1.top) & (b0.c < b2.bot))
+    return _signed("cdl_tasukigap", "CDL_TASUKIGAP", bull=bull, bear=bear)
+
+
+def cdl_unique3river():
+    """Unique three river: long red, a red harami making a new low, then
+    a small green holding above that low (TA-Lib CDL_UNIQUE3RIVER shape;
+    bullish only)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bull = (b2.red & b2.long_body()
+            & b1.red & (b1.top < b2.top) & (b1.bot > b2.bot) & (b1.l < b2.l)
+            & b0.green & (b0.body < b1.body) & (b0.o > b1.l) & (b0.c < b1.c))
+    return _signed("cdl_unique3river", "CDL_UNIQUE3RIVER", bull=bull)
+
+
+def cdl_upsidegap2crows():
+    """Upside gap two crows: long green, a red gapping above it, then a
+    red engulfing that red but closing above the green close — the gap
+    survives (TA-Lib CDL_UPSIDEGAP2CROWS shape; bearish only)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bear = (b2.green & b2.long_body() & b1.red & (b1.bot > b2.c)
+            & b0.red & (b0.o > b1.o) & (b0.c < b1.c) & (b0.c > b2.c))
+    return _signed("cdl_upsidegap2crows", "CDL_UPSIDEGAP2CROWS", bear=bear)
+
+
+def cdl_xsidegap3methods():
+    """Up/downside gap three methods: a body gap in trend direction, then
+    a counter candle opening inside the gapping body and closing INSIDE
+    the first body — filling the gap (TA-Lib CDL_XSIDEGAP3METHODS
+    shape)."""
+    b0, b1, b2 = _Bar(0), _Bar(1), _Bar(2)
+    bull = (b2.green & b1.green & (b1.bot > b2.top)
+            & b0.red & (b0.o > b1.bot) & (b0.o < b1.top)
+            & (b0.c < b2.top) & (b0.c > b2.bot))
+    bear = (b2.red & b1.red & (b1.top < b2.bot)
+            & b0.green & (b0.o < b1.top) & (b0.o > b1.bot)
+            & (b0.c > b2.bot) & (b0.c < b2.top))
+    return _signed("cdl_xsidegap3methods", "CDL_XSIDEGAP3METHODS",
+                   bull=bull, bear=bear)
+
+
 # native set: the reference's non-TA-Lib fallback is doji+inside
 # (candles/cdl_pattern.py#ALL_PATTERNS); the rest are this engine's
 # native extensions of the TA-Lib CDL_* inventory
@@ -921,7 +1373,15 @@ ALL_PATTERNS = ["doji", "inside", "engulfing", "harami", "hammer",
                 "takuri", "belthold", "closingmarubozu", "counterattack",
                 "homingpigeon", "matchinglow", "sticksandwich",
                 "3outsideup", "3outsidedown", "kicking", "separatinglines",
-                "thrusting", "onneck", "inneck", "dojistar"]
+                "thrusting", "onneck", "inneck", "dojistar",
+                "2crows", "tristar", "haramicross", "hikkake", "hikkakemod",
+                "3linestrike", "3starsinsouth", "abandonedbaby",
+                "advanceblock", "breakaway", "concealbabyswall",
+                "morningdojistar", "eveningdojistar", "gapsidesidewhite",
+                "identical3crows", "kickingbylength", "ladderbottom",
+                "longline", "shortline", "mathold", "risefall3methods",
+                "stalledpattern", "tasukigap", "unique3river",
+                "upsidegap2crows", "xsidegap3methods"]
 
 _PATTERN_FACTORIES = {
     "doji": cdl_doji,
@@ -964,6 +1424,32 @@ _PATTERN_FACTORIES = {
     "onneck": cdl_onneck,
     "inneck": cdl_inneck,
     "dojistar": cdl_doji_star,
+    "2crows": cdl_2crows,
+    "tristar": cdl_tristar,
+    "haramicross": cdl_harami_cross,
+    "hikkake": cdl_hikkake,
+    "hikkakemod": cdl_hikkake_mod,
+    "3linestrike": cdl_3linestrike,
+    "3starsinsouth": cdl_3starsinsouth,
+    "abandonedbaby": cdl_abandonedbaby,
+    "advanceblock": cdl_advanceblock,
+    "breakaway": cdl_breakaway,
+    "concealbabyswall": cdl_concealbabyswall,
+    "morningdojistar": cdl_morning_doji_star,
+    "eveningdojistar": cdl_evening_doji_star,
+    "gapsidesidewhite": cdl_gapsidesidewhite,
+    "identical3crows": cdl_identical3crows,
+    "kickingbylength": cdl_kicking_by_length,
+    "ladderbottom": cdl_ladderbottom,
+    "longline": cdl_longline,
+    "shortline": cdl_shortline,
+    "mathold": cdl_mathold,
+    "risefall3methods": cdl_risefall3methods,
+    "stalledpattern": cdl_stalledpattern,
+    "tasukigap": cdl_tasukigap,
+    "unique3river": cdl_unique3river,
+    "upsidegap2crows": cdl_upsidegap2crows,
+    "xsidegap3methods": cdl_xsidegap3methods,
 }
 
 
@@ -1024,6 +1510,32 @@ FACTORIES = {
     "cdl_onneck": cdl_onneck,
     "cdl_inneck": cdl_inneck,
     "cdl_doji_star": cdl_doji_star,
+    "cdl_2crows": cdl_2crows,
+    "cdl_tristar": cdl_tristar,
+    "cdl_harami_cross": cdl_harami_cross,
+    "cdl_hikkake": cdl_hikkake,
+    "cdl_hikkake_mod": cdl_hikkake_mod,
+    "cdl_3linestrike": cdl_3linestrike,
+    "cdl_3starsinsouth": cdl_3starsinsouth,
+    "cdl_abandonedbaby": cdl_abandonedbaby,
+    "cdl_advanceblock": cdl_advanceblock,
+    "cdl_breakaway": cdl_breakaway,
+    "cdl_concealbabyswall": cdl_concealbabyswall,
+    "cdl_morning_doji_star": cdl_morning_doji_star,
+    "cdl_evening_doji_star": cdl_evening_doji_star,
+    "cdl_gapsidesidewhite": cdl_gapsidesidewhite,
+    "cdl_identical3crows": cdl_identical3crows,
+    "cdl_kicking_by_length": cdl_kicking_by_length,
+    "cdl_ladderbottom": cdl_ladderbottom,
+    "cdl_longline": cdl_longline,
+    "cdl_shortline": cdl_shortline,
+    "cdl_mathold": cdl_mathold,
+    "cdl_risefall3methods": cdl_risefall3methods,
+    "cdl_stalledpattern": cdl_stalledpattern,
+    "cdl_tasukigap": cdl_tasukigap,
+    "cdl_unique3river": cdl_unique3river,
+    "cdl_upsidegap2crows": cdl_upsidegap2crows,
+    "cdl_xsidegap3methods": cdl_xsidegap3methods,
 }
 
 SUITE = {
