@@ -75,22 +75,52 @@ def run_kernels(
     if all(c is not None for c in carries) and chunk > max(carries, default=0):
         return _run_chunked(df, specs, chunk, max(carries))
     out_schema = _out_schema(df, specs)
+    runner = _make_runner(specs, MAX_GROUP_ROWS)
+    return df.groupBy("symbol").applyInPandas(runner, out_schema)
+
+
+def _make_runner(specs: list[KernelSpec], max_rows: int | None = None):
+    """Build the per-group pandas function for a kernel pass.
+
+    Kernels execute on a NARROW working frame (ts + the union of declared
+    bar inputs), not on the full pass-through frame: inside a strategy the
+    incoming group carries 200+ window-stage columns, and 60 kernels each
+    inserting 1-4 columns into a frame that wide re-consolidates the pandas
+    block manager per insert (O(width) memcpy x kernels — measured 15s of
+    a 32s all-indicator pass at sf0.1). Outputs are spliced back with ONE
+    concat. numpy warnings are silenced: warmup NaN/div-by-zero is defined
+    behavior (reference emits NaN there too), and each emitted warning is
+    worker-stderr IPC."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
     fns = [s.fn for s in specs]
+    need = ["ts"]
+    for s in specs:
+        for c in s.inputs:
+            if c not in need:
+                need.append(c)
+    out_cols = [o for s in specs for o in s.outputs]
 
     def runner(pdf):
-        if len(pdf) > MAX_GROUP_ROWS:
+        if max_rows is not None and len(pdf) > max_rows:
             raise ValueError(
                 f"kernel group of {len(pdf)} rows exceeds the per-executor "
-                f"bound ({MAX_GROUP_ROWS}); unbounded-state kernels in this "
+                f"bound ({max_rows}); unbounded-state kernels in this "
                 f"pass prevent epoch chunking — use streaming/ for such "
                 f"series (PTS_MAX_KERNEL_GROUP_ROWS overrides)"
             )
         pdf = pdf.sort_values("ts").reset_index(drop=True)
-        for fn in fns:
-            pdf = fn(pdf)
-        return pdf
+        work = pdf[[c for c in need if c in pdf.columns]].copy()
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for fn in fns:
+                work = fn(work)
+        return pd.concat([pdf, work[out_cols]], axis=1)
 
-    return df.groupBy("symbol").applyInPandas(runner, out_schema)
+    return runner
 
 
 def _run_chunked(
@@ -120,13 +150,7 @@ def _run_chunked(
     )
     u = base.unionByName(spill)
     out_schema = _out_schema(u, specs)
-    fns = [s.fn for s in specs]
-
-    def runner(pdf):
-        pdf = pdf.sort_values("ts").reset_index(drop=True)
-        for fn in fns:
-            pdf = fn(pdf)
-        return pdf
+    runner = _make_runner(specs)
 
     out = u.groupBy("symbol", "_pts_epoch").applyInPandas(runner, out_schema)
     return out.filter(~F.col("_pts_carry")).drop(
