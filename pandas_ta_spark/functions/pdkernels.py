@@ -169,3 +169,25 @@ def roll_cmom_pd(x: pd.Series, n: int, k: int) -> pd.Series:
         return ((w - w.mean(axis=1, keepdims=True)) ** k).mean(axis=1)
 
     return pd.Series(_swv_apply(v, n, fn), index=x.index)
+
+
+def linreg_end_pd(x: pd.Series, n: int) -> pd.Series:
+    """Rolling OLS fitted value at the frame's last row (the reference's
+    ``linear_regression`` smoother — pandas_ta/overlap/linreg.py#linreg,
+    momentum/squeeze.py's mom smoothing). Closed-form least squares per
+    frame over local x = 1..n; the fitted endpoint is parameterization-
+    invariant, so it equals the SQL twin's regr_slope/regr_intercept over
+    the global row_number. NaN until the frame holds n non-null values."""
+    v = x.to_numpy(dtype="float64")
+    xs = np.arange(1.0, n + 1)
+    sx = xs.sum()
+    den = n * (xs * xs).sum() - sx * sx
+
+    def fn(w):
+        sy = w.sum(axis=1)
+        sxy = w @ xs
+        slope = (n * sxy - sx * sy) / den
+        icpt = (sy - slope * sx) / n
+        return icpt + slope * n
+
+    return pd.Series(_swv_apply(v, n, fn), index=x.index)

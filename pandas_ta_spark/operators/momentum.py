@@ -838,20 +838,9 @@ def inertia(length: int = 20, rvi_length: int = 14):
         p = ema_pd(pos, rvi_length)
         nn = ema_pd(neg, rvi_length)
         r = 100 * p / (p + nn)
-        x = np.arange(1.0, length + 1)
-        sx = x.sum()
-        den = (x * x).sum() * length - sx * sx
+        from pandas_ta_spark.functions.pdkernels import linreg_end_pd
 
-        def lr_endpoint(w):
-            if np.isnan(w).any():
-                return np.nan
-            sy = w.sum()
-            sxy = (x * w).sum()
-            slope_ = (length * sxy - sx * sy) / den
-            icpt = (sy - slope_ * sx) / length
-            return icpt + slope_ * length
-
-        pdf[out] = r.rolling(length).apply(lr_endpoint, raw=True)
+        pdf[out] = linreg_end_pd(r, length)
         return pdf
 
     from pandas_ta_spark.functions.windows import sql_w_rows as _swr
@@ -922,24 +911,35 @@ def smi(fast: int = 5, slow: int = 20, signal: int = 5, scalar: float = 1.0):
 def squeeze(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
             kc_scalar: float = 1.5, mom_length: int = 12, mom_smooth: int = 6):
     """TTM Squeeze (mamode=sma variant): BB-inside-KC flags + linreg
-    momentum — pandas_ta/momentum/squeeze.py#squeeze. Pure window SQL."""
+    momentum — pandas_ta/momentum/squeeze.py#squeeze. Arrow kernel (its
+    ~30 masked window expressions were the single most expensive Window
+    chain in the all-indicator strategy); SQL twin unchanged."""
     suffix = f"{bb_length}_{bb_std}_{kc_length}_{kc_scalar}"
     o_sqz = f"SQZ_{suffix}"
     o_on, o_off, o_no = "SQZ_ON", "SQZ_OFF", "SQZ_NO"
     tr_c, rn_c, m_c = "_sqz_tr", "_sqz_rn", "_sqz_mom"
-    mid = roll(F.avg, "close", bb_length)
-    sd = roll(F.stddev_pop, "close", bb_length)
-    bbl, bbu = mid - bb_std * sd, mid + bb_std * sd
-    kmid = roll(F.avg, "close", kc_length)
-    kband = roll(F.avg, tr_c, kc_length)
-    kcl, kcu = kmid - kc_scalar * kband, kmid + kc_scalar * kband
-    mom_e = diff("close", mom_length)
-    x = F.col(rn_c)
-    sl = masked(F.regr_slope(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
-    ic = masked(F.regr_intercept(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
-    sqz_e = ic + sl * x
-    on_e = ((bbl > kcl) & (bbu < kcu)).cast("double")
-    off_e = ((bbl < kcl) & (bbu > kcu)).cast("double")
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            linreg_end_pd, roll_mean_pd, roll_std_pd)
+
+        c = pdf["close"]
+        tr = pd_true_range(pdf, c.shift(1))
+        mid = roll_mean_pd(c, bb_length)
+        sd = roll_std_pd(c, bb_length, ddof=0)
+        bbl, bbu = mid - bb_std * sd, mid + bb_std * sd
+        kmid = roll_mean_pd(c, kc_length)
+        kband = roll_mean_pd(tr, kc_length)
+        kcl, kcu = kmid - kc_scalar * kband, kmid + kc_scalar * kband
+        ok = bbl.notna() & kcl.notna()  # both NULL-comparisons null together
+        on = ((bbl > kcl) & (bbu < kcu)).astype(float).where(ok)
+        off = ((bbl < kcl) & (bbu > kcu)).astype(float).where(ok)
+        pdf[o_sqz] = linreg_end_pd(c.diff(mom_length), mom_smooth)
+        pdf[o_on] = on
+        pdf[o_off] = off
+        pdf[o_no] = ((on == 0) & (off == 0)).astype(float).where(ok)
+        return pdf
+
     s_mid = sql_roll("avg", "close", bb_length)
     s_sd = sql_roll("stddev_pop", "close", bb_length)
     s_bbl, s_bbu = f"(({s_mid}) - {bb_std!r} * ({s_sd}))", f"(({s_mid}) + {bb_std!r} * ({s_sd}))"
@@ -954,14 +954,9 @@ def squeeze(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
     s_off = f"CAST((({s_bbl}) < ({s_kcl})) AND (({s_bbu}) > ({s_kcu})) AS DOUBLE)"
     return Indicator(
         "squeeze", [o_sqz, o_on, o_off, o_no], CAT,
-        stages=[{tr_c: F.when(shift("close", 1).isNull(), None).otherwise(
-                    F.greatest(F.col("high") - F.col("low"),
-                               F.abs(F.col("high") - shift("close", 1)),
-                               F.abs(F.col("low") - shift("close", 1)))),
-                 rn_c: F.row_number().over(w_order()).cast("double"),
-                 m_c: mom_e}],
-        final={o_sqz: sqz_e, o_on: on_e, o_off: off_e,
-               o_no: ((on_e == 0) & (off_e == 0)).cast("double")},
+        kernel=KernelSpec(
+            fn, [o_sqz, o_on, o_off, o_no], ["high", "low", "close"],
+            carry_rows=max(bb_length, kc_length + 1, mom_length + mom_smooth)),
         sql_stages=[{tr_c: _sql_true_range(), m_c: sql_diff("close", mom_length),
                      rn_c: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={
@@ -977,26 +972,42 @@ def squeeze_pro(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
                 kc_scalar_narrow: float = 1.0, mom_length: int = 12,
                 mom_smooth: int = 6):
     """TTM Squeeze Pro: three KC multiplier tiers (wide/normal/narrow) —
-    pandas_ta/momentum/squeeze_pro.py#squeeze_pro (sma variant)."""
+    pandas_ta/momentum/squeeze_pro.py#squeeze_pro (sma variant). Arrow
+    kernel like squeeze; SQL twin unchanged."""
     suffix = f"{bb_length}_{bb_std}_{kc_length}_{kc_scalar_wide}_{kc_scalar_normal}_{kc_scalar_narrow}"
     o_sqz = f"SQZPRO_{suffix}"
     o_wide, o_norm, o_narrow = "SQZPRO_ON_WIDE", "SQZPRO_ON_NORMAL", "SQZPRO_ON_NARROW"
     o_off, o_no = "SQZPRO_OFF", "SQZPRO_NO"
     tr_c, rn_c, m_c = "_sqzp_tr", "_sqzp_rn", "_sqzp_mom"
-    mid = roll(F.avg, "close", bb_length)
-    sd = roll(F.stddev_pop, "close", bb_length)
-    bbl, bbu = mid - bb_std * sd, mid + bb_std * sd
-    kmid = roll(F.avg, "close", kc_length)
-    kband = roll(F.avg, tr_c, kc_length)
 
-    def on_flag(scalar):
-        return ((bbl > kmid - scalar * kband) & (bbu < kmid + scalar * kband)).cast("double")
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            linreg_end_pd, roll_mean_pd, roll_std_pd)
 
-    off_e = ((bbl < kmid - kc_scalar_wide * kband)
-             & (bbu > kmid + kc_scalar_wide * kband)).cast("double")
-    x = F.col(rn_c)
-    sl = masked(F.regr_slope(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
-    ic = masked(F.regr_intercept(F.col(m_c), x).over(w_rows(mom_smooth)), m_c, mom_smooth)
+        c = pdf["close"]
+        tr = pd_true_range(pdf, c.shift(1))
+        mid = roll_mean_pd(c, bb_length)
+        sd = roll_std_pd(c, bb_length, ddof=0)
+        bbl, bbu = mid - bb_std * sd, mid + bb_std * sd
+        kmid = roll_mean_pd(c, kc_length)
+        kband = roll_mean_pd(tr, kc_length)
+        ok = bbl.notna() & kmid.notna() & kband.notna()
+
+        def on_flag(scalar):
+            return ((bbl > kmid - scalar * kband)
+                    & (bbu < kmid + scalar * kband)).astype(float).where(ok)
+
+        on_w = on_flag(kc_scalar_wide)
+        off = ((bbl < kmid - kc_scalar_wide * kband)
+               & (bbu > kmid + kc_scalar_wide * kband)).astype(float).where(ok)
+        pdf[o_sqz] = linreg_end_pd(c.diff(mom_length), mom_smooth)
+        pdf[o_wide] = on_w
+        pdf[o_norm] = on_flag(kc_scalar_normal)
+        pdf[o_narrow] = on_flag(kc_scalar_narrow)
+        pdf[o_off] = off
+        pdf[o_no] = ((on_w == 0) & (off == 0)).astype(float).where(ok)
+        return pdf
+
     s_mid = sql_roll("avg", "close", bb_length)
     s_sd = sql_roll("stddev_pop", "close", bb_length)
     s_bbl, s_bbu = f"(({s_mid}) - {bb_std!r} * ({s_sd}))", f"(({s_mid}) + {bb_std!r} * ({s_sd}))"
@@ -1013,19 +1024,12 @@ def squeeze_pro(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
     s_sl = sql_masked(f"regr_slope({m_c}, {rn_c}) OVER ({wr})", m_c, mom_smooth)
     s_ic = sql_masked(f"regr_intercept({m_c}, {rn_c}) OVER ({wr})", m_c, mom_smooth)
     outs = [o_sqz, o_wide, o_norm, o_narrow, o_off, o_no]
-    on_w, on_n, on_nr = on_flag(kc_scalar_wide), on_flag(kc_scalar_normal), on_flag(kc_scalar_narrow)
     s_on_w, s_on_n, s_on_nr = s_on(kc_scalar_wide), s_on(kc_scalar_normal), s_on(kc_scalar_narrow)
     return Indicator(
         "squeeze_pro", outs, CAT,
-        stages=[{tr_c: F.when(shift("close", 1).isNull(), None).otherwise(
-                    F.greatest(F.col("high") - F.col("low"),
-                               F.abs(F.col("high") - shift("close", 1)),
-                               F.abs(F.col("low") - shift("close", 1)))),
-                 rn_c: F.row_number().over(w_order()).cast("double"),
-                 m_c: diff("close", mom_length)}],
-        final={o_sqz: ic + sl * x, o_wide: on_w, o_norm: on_n, o_narrow: on_nr,
-               o_off: off_e,
-               o_no: ((on_w == 0) & (off_e == 0)).cast("double")},
+        kernel=KernelSpec(
+            fn, outs, ["high", "low", "close"],
+            carry_rows=max(bb_length, kc_length + 1, mom_length + mom_smooth)),
         sql_stages=[{tr_c: _sql_true_range(), m_c: sql_diff("close", mom_length),
                      rn_c: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={

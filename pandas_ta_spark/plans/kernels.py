@@ -112,15 +112,44 @@ def _make_runner(specs: list[KernelSpec], max_rows: int | None = None):
                 f"pass prevent epoch chunking — use streaming/ for such "
                 f"series (PTS_MAX_KERNEL_GROUP_ROWS overrides)"
             )
-        pdf = pdf.sort_values("ts").reset_index(drop=True)
-        work = pdf[[c for c in need if c in pdf.columns]].copy()
+        # Sort the NARROW frame only and splice outputs back through the
+        # inverse permutation: gathering the wide pass-through frame
+        # (Arrow gives one block per column) costs ~0.8s/group at 127
+        # cols, and inside a strategy rows already arrive ts-sorted from
+        # the window stage, so the common case skips the sort entirely.
+        # Row order of the returned group is irrelevant to Spark.
+        ts = pdf["ts"].to_numpy()
+        perm = None if _is_sorted(ts) else np.argsort(ts, kind="stable")
+        work = pdf[[c for c in need if c in pdf.columns]]
+        if perm is not None:
+            work = work.take(perm)
+        work = work.reset_index(drop=True)
         with np.errstate(all="ignore"), warnings.catch_warnings():
             warnings.simplefilter("ignore")
             for fn in fns:
                 work = fn(work)
-        return pd.concat([pdf, work[out_cols]], axis=1)
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            # per-column numpy gather: DataFrame.take would consolidate
+            # the ~100-block work frame first
+            outs = pd.DataFrame(
+                {o: work[o].to_numpy()[inv] for o in out_cols}, index=pdf.index
+            )
+        else:
+            outs = work[out_cols]
+            outs.index = pdf.index
+        # copy=False keeps per-column blocks — Arrow serializes column-
+        # by-column, so consolidating the 250-col result is pure waste
+        return pd.concat([pdf, outs], axis=1, copy=False)
 
     return runner
+
+
+def _is_sorted(a) -> bool:
+    import numpy as np
+
+    return len(a) < 2 or bool(np.all(a[:-1] <= a[1:]))
 
 
 def _run_chunked(
