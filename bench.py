@@ -154,16 +154,10 @@ def main():
     ticks_x100 = replicate(100)
     ticks_x100.cache().count()
 
+    # ordered cheap -> expensive: the multi-GB replication queries perturb
+    # JVM/worker state for seconds afterwards, which would inflate the
+    # sub-second queries' best-of-3 if they ran later
     queries = {
-        "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_indicators()),
-        "tick_strategy_24ind_x20scale": lambda: apply_strategy(
-            ticks_x20, strategy_indicators()),
-        "tick_strategy_24ind_x100scale": lambda: apply_strategy(
-            ticks_x100, strategy_indicators()),
-        "tick_strategy_24ind": lambda: apply_strategy(ticks, strategy_indicators()),
-        "tick_strategy_24ind_salted40": lambda: apply_strategy(
-            ticks_salted, strategy_indicators()),
-        "bars_strategy_24ind": lambda: apply_strategy(bars, strategy_indicators()),
         "sma_20": lambda: make("sma", length=20).apply(ticks),
         "ema_10": lambda: make("ema", length=10).apply(ticks),
         "rsi_14": lambda: make("rsi", length=14).apply(ticks),
@@ -173,6 +167,15 @@ def main():
         "dedup_minhash_lsh": lambda: EXT["dedup_minhash_lsh"].query(spark, sf_dir),
         "topk_cosine": lambda: EXT["topk_cosine"].query(spark, sf_dir),
         "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
+        "tick_strategy_24ind": lambda: apply_strategy(ticks, strategy_indicators()),
+        "tick_strategy_24ind_salted40": lambda: apply_strategy(
+            ticks_salted, strategy_indicators()),
+        "bars_strategy_24ind": lambda: apply_strategy(bars, strategy_indicators()),
+        "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_indicators()),
+        "tick_strategy_24ind_x20scale": lambda: apply_strategy(
+            ticks_x20, strategy_indicators()),
+        "tick_strategy_24ind_x100scale": lambda: apply_strategy(
+            ticks_x100, strategy_indicators()),
     }
 
     # best of 3 — the same methodology as BASELINE.md: the first run pays
