@@ -171,6 +171,19 @@ def roll_cmom_pd(x: pd.Series, n: int, k: int) -> pd.Series:
     return pd.Series(_swv_apply(v, n, fn), index=x.index)
 
 
+def wroll_pd(x: pd.Series, weights: list[float], normalize: bool = True) -> pd.Series:
+    """Elementwise twin of windows.wroll: left-associated
+    0 + (w0/T)*x + (w1/T)*x.shift(1) + ... — identical float-op order, so
+    results are bit-equal to the Catalyst lag-sum expression; shift-NaN
+    poisoning reproduces the count>=n warmup mask for prefix-NaN series."""
+    total = sum(weights) if normalize else 1.0
+    acc = 0.0
+    for i, w in enumerate(weights):
+        term = x if i == 0 else x.shift(i)
+        acc = acc + (w / total) * term
+    return acc
+
+
 def linreg_end_pd(x: pd.Series, n: int) -> pd.Series:
     """Rolling OLS fitted value at the frame's last row (the reference's
     ``linear_regression`` smoother — pandas_ta/overlap/linreg.py#linreg,

@@ -78,6 +78,11 @@ class KernelSpec:
     outputs: list[str]
     inputs: list[str]  # bar columns the kernel reads
     carry_rows: int | None = None
+    # forward dependency bound: output at row t also reads rows
+    # (t, t + lead_rows] (non-causal columns, e.g. ichimoku's chikou
+    # lead). Chunked execution carries this many LEADING rows of epoch
+    # e+1 back into epoch e (plans/kernels.py _run_chunked).
+    lead_rows: int = 0
 
 
 @dataclass

@@ -60,15 +60,28 @@ def cdl_inside(asbool: bool = False):
 
 
 def cdl_z(length: int = 30):
-    """Z-scored OHLC — pandas_ta/candles/cdl_z.py#cdl_z."""
+    """Z-scored OHLC — pandas_ta/candles/cdl_z.py#cdl_z (Arrow kernel:
+    8 sliding mean/stddev frames, same per-frame recompute as the
+    absorbed statistics ops; SQL twin unchanged)."""
     cols = ["open", "high", "low", "close"]
     outs = [f"{c}_Z_{length}" for c in cols]
-    final, sql_final = {}, {}
+    sql_final = {}
     for c, o in zip(cols, outs):
-        final[o] = (F.col(c) - roll(F.avg, c, length)) / roll(F.stddev_samp, c, length)
         sql_final[o] = (f"({c} - ({sql_roll('avg', c, length)}))"
                         f" / ({sql_roll('stddev_samp', c, length)})")
-    return Indicator("cdl_z", outs, CAT, final=final, sql_final=sql_final)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_pd, roll_std_pd
+
+        for c, o in zip(cols, outs):
+            x = pdf[c]
+            pdf[o] = (x - roll_mean_pd(x, length)) / roll_std_pd(x, length)
+        return pdf
+
+    return Indicator(
+        "cdl_z", outs, CAT,
+        kernel=KernelSpec(fn, outs, cols, carry_rows=length - 1),
+        sql_final=sql_final)
 
 
 def ha():

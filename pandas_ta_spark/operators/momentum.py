@@ -121,24 +121,29 @@ def brar(length: int = 26):
     """AR = 100*sum(h-o)/sum(o-l); BR uses prev close —
     pandas_ta/momentum/brar.py#brar."""
     ar, br = name("AR", length), name("BR", length)
-    ho = F.col("high") - F.col("open")
-    ol = F.col("open") - F.col("low")
-    prevc = shift("close", 1)
-    hcy = F.when(prevc.isNull(), None).otherwise(F.greatest(F.lit(0.0), F.col("high") - prevc))
-    cyl = F.when(prevc.isNull(), None).otherwise(F.greatest(F.lit(0.0), prevc - F.col("low")))
     sp = sql_shift("close", 1)
     s_hcy = f"CASE WHEN {sp} IS NULL THEN NULL ELSE greatest(0.0, high - {sp}) END"
     s_cyl = f"CASE WHEN {sp} IS NULL THEN NULL ELSE greatest(0.0, {sp} - low) END"
-    t = {"_brar_ho": ho, "_brar_ol": ol, "_brar_hcy": hcy, "_brar_cyl": cyl}
     ts = {"_brar_ho": "(high - open)", "_brar_ol": "(open - low)",
           "_brar_hcy": s_hcy, "_brar_cyl": s_cyl}
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_sum_pd
+
+        h, low, o, c = pdf["high"], pdf["low"], pdf["open"], pdf["close"]
+        prevc = c.shift(1)
+        hcy = np.maximum(0.0, h - prevc)  # NaN-propagating greatest
+        cyl = np.maximum(0.0, prevc - low)
+        pdf[ar] = 100 * roll_sum_pd(h - o, length) / roll_sum_pd(o - low, length)
+        pdf[br] = 100 * roll_sum_pd(hcy, length) / roll_sum_pd(cyl, length)
+        return pdf
+
     return Indicator(
         "brar", [ar, br], CAT,
-        stages=[t],
-        final={
-            ar: 100 * roll(F.sum, "_brar_ho", length) / roll(F.sum, "_brar_ol", length),
-            br: 100 * roll(F.sum, "_brar_hcy", length) / roll(F.sum, "_brar_cyl", length),
-        },
+        kernel=KernelSpec(fn, [ar, br], ["open", "high", "low", "close"],
+                          carry_rows=length),
         sql_stages=[ts],
         sql_final={
             ar: f"100 * ({sql_roll('sum', '_brar_ho', length)}) / ({sql_roll('sum', '_brar_ol', length)})",
@@ -286,24 +291,33 @@ def kst(r1=10, r2=15, r3=20, r4=30, s1=10, s2=10, s3=10, s4=15, signal=9):
     """Know Sure Thing — pandas_ta/momentum/kst.py#kst."""
     out = name("KST", r1, r2, r3, r4, s1, s2, s3, s4)
     outs = name("KSTs", signal)
-    rocs, stages, sql_stages = [], {}, {}
+    rocs, sql_stages = [], {}
     for i, (r, s) in enumerate(zip((r1, r2, r3, r4), (s1, s2, s3, s4))):
         t = f"_kst_roc{i}"
-        stages[t] = 100 * diff("close", r) / shift("close", r)
         sql_stages[t] = f"100 * ({sql_diff('close', r)}) / ({sql_shift('close', r)})"
         rocs.append((t, s))
-    kst_e = sum(
-        ((i + 1) * roll(F.avg, t, s) for i, (t, s) in enumerate(rocs)),
-        start=F.lit(0.0),
-    )
     kst_s = " + ".join(
         f"({i + 1} * ({sql_roll('avg', t, s)}))" for i, (t, s) in enumerate(rocs)
     )
     kcol = "_kst_line"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_pd
+
+        c = pdf["close"]
+        line = 0.0
+        for i, (r, s) in enumerate(zip((r1, r2, r3, r4), (s1, s2, s3, s4))):
+            sh = c.shift(r)
+            line = line + (i + 1) * roll_mean_pd(100 * (c - sh) / sh, s)
+        pdf[out] = line
+        pdf[outs] = roll_mean_pd(line, signal)
+        return pdf
+
+    carry = max(r + s - 1 for r, s in zip((r1, r2, r3, r4), (s1, s2, s3, s4)))
     return Indicator(
         "kst", [out, outs], CAT,
-        stages=[stages, {kcol: kst_e}],
-        final={out: F.col(kcol), outs: roll(F.avg, kcol, signal)},
+        kernel=KernelSpec(fn, [out, outs], ["close"],
+                          carry_rows=carry + signal - 1),
         sql_stages=[sql_stages, {kcol: kst_s}],
         sql_final={out: kcol, outs: sql_roll("avg", kcol, signal)},
     )
@@ -390,28 +404,34 @@ def willr(length: int = 14):
 def uo(fast: int = 7, medium: int = 14, slow: int = 28):
     """Ultimate Oscillator — pandas_ta/momentum/uo.py#uo."""
     out = name("UO", fast, medium, slow)
-    prevc = shift("close", 1)
     sp = sql_shift("close", 1)
-    bp = F.when(prevc.isNull(), None).otherwise(
-        F.col("close") - F.least(F.col("low"), prevc)
-    )
-    tr = F.when(prevc.isNull(), None).otherwise(
-        F.greatest(F.col("high"), prevc) - F.least(F.col("low"), prevc)
-    )
     s_bp = f"CASE WHEN {sp} IS NULL THEN NULL ELSE close - least(low, {sp}) END"
     s_tr = f"CASE WHEN {sp} IS NULL THEN NULL ELSE greatest(high, {sp}) - least(low, {sp}) END"
     b, t = "_uo_bp", "_uo_tr"
-    avgs = [roll(F.sum, b, n) / roll(F.sum, t, n) for n in (fast, medium, slow)]
     s_avgs = [
         f"(({sql_roll('sum', b, n)}) / ({sql_roll('sum', t, n)}))"
         for n in (fast, medium, slow)
     ]
-    e = 100 * (4 * avgs[0] + 2 * avgs[1] + avgs[2]) / 7
     s = f"100 * (4 * {s_avgs[0]} + 2 * {s_avgs[1]} + {s_avgs[2]}) / 7"
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_sum_pd
+
+        h, low, c = pdf["high"], pdf["low"], pdf["close"]
+        prevc = c.shift(1)
+        lo_m = np.minimum(low, prevc)
+        bp = c - lo_m
+        tr = np.maximum(h, prevc) - lo_m
+        a = [roll_sum_pd(bp, n) / roll_sum_pd(tr, n) for n in (fast, medium, slow)]
+        pdf[out] = 100 * (4 * a[0] + 2 * a[1] + a[2]) / 7
+        return pdf
+
     return Indicator(
         "uo", [out], CAT,
-        stages=[{b: bp, t: tr}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["high", "low", "close"],
+                          carry_rows=slow),
         sql_stages=[{b: s_bp, t: s_tr}],
         sql_final={out: s},
     )
@@ -804,16 +824,23 @@ def rvgi(length: int = 14, swma_length: int = 4):
     o_s = name("RVGIs", length, swma_length)
     ws = mu.symmetric_triangle(swma_length)
     co_c, hl_c, line_c = "_rvgi_co", "_rvgi_hl", "_rvgi_line"
-    num = roll(F.sum, co_c, length)
-    den = roll(F.sum, hl_c, length)
     s_num = sql_roll("sum", co_c, length)
     s_den = sql_roll("sum", hl_c, length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_sum_pd, wroll_pd
+
+        co = wroll_pd(pdf["close"] - pdf["open"], ws)
+        hl = wroll_pd(pdf["high"] - pdf["low"], ws)
+        line = roll_sum_pd(co, length) / roll_sum_pd(hl, length)
+        pdf[o_r] = line
+        pdf[o_s] = wroll_pd(line, ws)
+        return pdf
+
     return Indicator(
         "rvgi", [o_r, o_s], CAT,
-        stages=[{co_c: wroll(F.col("close") - F.col("open"), ws),
-                 hl_c: wroll(F.col("high") - F.col("low"), ws)},
-                {line_c: num / den}],
-        final={o_r: F.col(line_c), o_s: wroll(line_c, ws)},
+        kernel=KernelSpec(fn, [o_r, o_s], ["open", "high", "low", "close"],
+                          carry_rows=length - 1 + 2 * (swma_length - 1)),
         sql_stages=[{co_c: sql_wroll("(close - open)", ws),
                      hl_c: sql_wroll("(high - low)", ws)},
                     {line_c: f"({s_num}) / ({s_den})"}],

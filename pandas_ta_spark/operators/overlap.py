@@ -479,16 +479,36 @@ def hilo(high_length: int = 13, low_length: int = 21):
 
 def ichimoku(tenkan: int = 9, kijun: int = 26, senkou: int = 52):
     """Ichimoku (historical frame): ITS/IKS/ISA/ISB/ICS —
-    pandas_ta/overlap/ichimoku.py#ichimoku. Pure window SQL; the 26-row
-    forward span extension is out of frame (documented deviation), the
-    chikou column is the reference's non-causal lead."""
+    pandas_ta/overlap/ichimoku.py#ichimoku. The 26-row forward span
+    extension is out of frame (documented deviation); the chikou column
+    is the reference's non-causal lead.
+
+    Runs in the Arrow kernel pass: six sliding max/min frames cost
+    O(n*w) per window function in JVM WindowExec (the single heaviest
+    window indicator, ~1.6s of the sf0.1 all-indicator strategy) but are
+    deque-O(n) in pandas rolling — and max/min/shift are bit-exact, so
+    the ANSI window-SQL oracle twin is unchanged. ``lead_rows`` keeps
+    the chikou lead chunk-safe (plans/kernels.py forward carry)."""
     its_o, iks_o = name("ITS", tenkan), name("IKS", kijun)
     isa_o, isb_o = name("ISA", tenkan), name("ISB", kijun)
     ics_o = name("ICS", kijun)
     its_c, iks_c, isb_raw = "_ichi_its", "_ichi_iks", "_ichi_isbr"
 
-    def midprice_e(n):
-        return (roll(F.max, "high", n) + roll(F.min, "low", n)) / 2
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_max_pd, roll_min_pd
+
+        hi, lo = pdf["high"], pdf["low"]
+
+        def midprice(n):
+            return (roll_max_pd(hi, n) + roll_min_pd(lo, n)) / 2
+
+        its, iks, isb = midprice(tenkan), midprice(kijun), midprice(senkou)
+        pdf[isa_o] = ((its + iks) / 2).shift(kijun - 1)
+        pdf[isb_o] = isb.shift(kijun - 1)
+        pdf[its_o] = its
+        pdf[iks_o] = iks
+        pdf[ics_o] = pdf["close"].shift(-(kijun - 1))
+        return pdf
 
     def s_midprice(n):
         return (f"(({sql_roll('max', 'high', n)}) +"
@@ -496,15 +516,10 @@ def ichimoku(tenkan: int = 9, kijun: int = 26, senkou: int = 52):
 
     return Indicator(
         "ichimoku", [isa_o, isb_o, its_o, iks_o, ics_o], CAT,
-        stages=[{its_c: midprice_e(tenkan), iks_c: midprice_e(kijun),
-                 isb_raw: midprice_e(senkou)}],
-        final={
-            isa_o: shift((F.col(its_c) + F.col(iks_c)) / 2, kijun - 1),
-            isb_o: shift(isb_raw, kijun - 1),
-            its_o: F.col(its_c),
-            iks_o: F.col(iks_c),
-            ics_o: F.lead("close", kijun - 1).over(w_order()),
-        },
+        kernel=KernelSpec(
+            fn, [isa_o, isb_o, its_o, iks_o, ics_o], ["high", "low", "close"],
+            carry_rows=senkou - 1 + kijun - 1, lead_rows=kijun - 1,
+        ),
         sql_stages=[{its_c: s_midprice(tenkan), iks_c: s_midprice(kijun),
                      isb_raw: s_midprice(senkou)}],
         sql_final={

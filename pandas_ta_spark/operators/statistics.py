@@ -253,22 +253,42 @@ def entropy(length: int = 10, base: float = 2.0):
 def tos_stdevall(stds: tuple = (1, 2, 3)):
     """TD Ameritrade 'stdev all': whole-series per-symbol linreg line ±
     k*sigma bands — pandas_ta/statistics/tos_stdevall.py#tos_stdevall.
-    Whole-partition window aggregates (no ORDER BY -> full frame): one
-    WindowExec, no extra shuffle beyond the shared symbol exchange."""
-    from pyspark.sql import Window
 
+    Runs in the Arrow kernel pass: the seven whole-partition regr_*/
+    stddev window aggregates were the second-heaviest window indicator
+    (~1.7s of the sf0.1 all-indicator strategy, ImperativeAggregate per
+    row x 7 functions); closed-form least squares over x = 1..n is one
+    numpy pass. The window-SQL oracle twin is unchanged; whole-series
+    dependency means unbounded carry (no epoch chunking — inherent to
+    the op's semantics, it regresses over the ENTIRE series)."""
     base = "TOS_STDEVALL"
     outs = [f"{base}_LR"] + [f"{base}_{s}_{d}" for d in stds for s in ("L", "U")]
-    w_full = Window.partitionBy("symbol").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     rncol = f"_tos_rn"
-    x = F.col(rncol)
-    slope = F.regr_slope(F.col("close"), x).over(w_full)
-    icpt = F.regr_intercept(F.col("close"), x).over(w_full)
-    sd = F.stddev_samp("close").over(w_full)
-    lr = icpt + slope * x
-    final = {outs[0]: lr}
+
+    def fn(pdf):
+        import numpy as np
+
+        y = pdf["close"].to_numpy(dtype="float64")
+        n = len(y)
+        x = np.arange(1.0, n + 1)
+        if n < 2:
+            lr = np.full(n, np.nan)
+            sd = np.nan
+        else:
+            mx, my = x.mean(), y.mean()
+            dx = x - mx
+            slope = (dx * (y - my)).sum() / (dx * dx).sum()
+            icpt = my - slope * mx
+            lr = icpt + slope * x
+            sd = y.std(ddof=1)
+        pdf[outs[0]] = lr
+        i = 1
+        for d in stds:
+            pdf[outs[i]] = lr - d * sd
+            pdf[outs[i + 1]] = lr + d * sd
+            i += 2
+        return pdf
+
     sql_w = "PARTITION BY symbol"
     s_slope = f"regr_slope(close, {rncol}) OVER ({sql_w})"
     s_icpt = f"regr_intercept(close, {rncol}) OVER ({sql_w})"
@@ -277,15 +297,12 @@ def tos_stdevall(stds: tuple = (1, 2, 3)):
     sql_final = {outs[0]: s_lr}
     i = 1
     for d in stds:
-        final[outs[i]] = lr - d * sd
         sql_final[outs[i]] = f"({s_lr} - {d} * ({s_sd}))"
-        final[outs[i + 1]] = lr + d * sd
         sql_final[outs[i + 1]] = f"({s_lr} + {d} * ({s_sd}))"
         i += 2
     return Indicator(
         "tos_stdevall", outs, CAT,
-        stages=[{rncol: F.row_number().over(w_order()).cast("double")}],
-        final=final,
+        kernel=KernelSpec(fn, outs, ["close"], carry_rows=None),
         sql_stages=[{rncol: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final=sql_final,
     )

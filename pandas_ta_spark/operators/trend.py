@@ -241,20 +241,25 @@ def vortex(length: int = 14, drift: int = 1):
     pandas_ta/trend/vortex.py#vortex."""
     op, om = name("VTXP", length), name("VTXM", length)
     tr_c, vp_c, vm_c = "_vtx_tr", "_vtx_p", "_vtx_m"
-    pl = shift("low", drift)
-    ph = shift("high", drift)
-    vmp = F.when(pl.isNull(), None).otherwise(F.abs(F.col("high") - pl))
-    vmm = F.when(ph.isNull(), None).otherwise(F.abs(F.col("low") - ph))
     s_pl, s_ph = sql_shift("low", drift), sql_shift("high", drift)
     s_vmp = f"CASE WHEN ({s_pl}) IS NULL THEN NULL ELSE abs(high - ({s_pl})) END"
     s_vmm = f"CASE WHEN ({s_ph}) IS NULL THEN NULL ELSE abs(low - ({s_ph})) END"
-    str_ = roll(F.sum, tr_c, length)
     s_str = sql_roll("sum", tr_c, length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_sum_pd
+
+        h, low, c = pdf["high"], pdf["low"], pdf["close"]
+        tr = pd_true_range(pdf, c.shift(drift))
+        str_ = roll_sum_pd(tr, length)
+        pdf[op] = roll_sum_pd((h - low.shift(drift)).abs(), length) / str_
+        pdf[om] = roll_sum_pd((low - h.shift(drift)).abs(), length) / str_
+        return pdf
+
     return Indicator(
         "vortex", [op, om], CAT,
-        stages=[{tr_c: _spark_true_range(drift), vp_c: vmp, vm_c: vmm}],
-        final={op: roll(F.sum, vp_c, length) / str_,
-               om: roll(F.sum, vm_c, length) / str_},
+        kernel=KernelSpec(fn, [op, om], ["high", "low", "close"],
+                          carry_rows=length - 1 + drift),
         sql_stages=[{tr_c: _sql_true_range(drift), vp_c: s_vmp, vm_c: s_vmm}],
         sql_final={op: f"({sql_roll('sum', vp_c, length)}) / ({s_str})",
                    om: f"({sql_roll('sum', vm_c, length)}) / ({s_str})"},

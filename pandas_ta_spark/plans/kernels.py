@@ -71,9 +71,12 @@ def run_kernels(
         out = run_kernels(df, specs, chunk_rows)
         return out.withColumnsRenamed({v: k for k, v in dotted.items()})
     carries = [s.carry_rows for s in specs]
+    leads = [s.lead_rows for s in specs]
     chunk = CHUNK_ROWS if chunk_rows is None else chunk_rows
-    if all(c is not None for c in carries) and chunk > max(carries, default=0):
-        return _run_chunked(df, specs, chunk, max(carries))
+    if (all(c is not None for c in carries)
+            and chunk > max(carries, default=0)
+            and chunk > max(leads, default=0)):
+        return _run_chunked(df, specs, chunk, max(carries), max(leads))
     out_schema = _out_schema(df, specs)
     runner = _make_runner(specs, MAX_GROUP_ROWS)
     return df.groupBy("symbol").applyInPandas(runner, out_schema)
@@ -153,15 +156,18 @@ def _is_sorted(a) -> bool:
 
 
 def _run_chunked(
-    df: DataFrame, specs: list[KernelSpec], chunk: int, carry: int
+    df: DataFrame, specs: list[KernelSpec], chunk: int, carry: int,
+    lead: int = 0,
 ) -> DataFrame:
     """Exact chunk-and-carry for finite-carry kernels (SURVEY §4.3.4).
 
     epoch(row) = rank div chunk; the last `carry` rows of epoch e are
     UNIONed into epoch e+1 flagged _pts_carry, so each chunk computes with
     full warm-up context; carried rows' outputs are dropped afterwards.
+    When a spec declares ``lead_rows`` (non-causal columns), the first
+    `lead` rows of epoch e+1 are symmetrically carried BACK into epoch e.
     Declarative all the way: one row_number window (shares the symbol
-    exchange) + a filtered union (carry/chunk overhead ratio) + one
+    exchange) + filtered unions (carry/chunk overhead ratio) + one
     groupBy(symbol, epoch) pass."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -178,6 +184,17 @@ def _run_chunked(
         .withColumn("_pts_carry", F.lit(True))
     )
     u = base.unionByName(spill)
+    if lead > 0:
+        back = (
+            tagged.filter(
+                ((F.col("_pts_rn0") % chunk) < lead) & (F.col("_pts_rn0") >= chunk)
+            )
+            .withColumn(
+                "_pts_epoch", (F.col("_pts_rn0") / chunk).cast("long") - 1
+            )
+            .withColumn("_pts_carry", F.lit(True))
+        )
+        u = u.unionByName(back)
     out_schema = _out_schema(u, specs)
     runner = _make_runner(specs)
 

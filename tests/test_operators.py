@@ -324,3 +324,25 @@ def test_chunked_kernels_match_unchunked(bars):
         x, y = a[c].to_numpy(float), b[c].to_numpy(float)
         same = (np.isnan(x) & np.isnan(y)) | (x == y)
         assert same.all(), f"{c}: {int((~same).sum())} rows differ"
+
+
+def test_chunked_kernel_forward_carry(bars):
+    """lead_rows chunking: ichimoku's chikou column reads kijun-1 FUTURE
+    rows, so epoch e must receive the leading rows of epoch e+1
+    (plans/kernels.py _run_chunked backward spill). chunk=80 > carry=77
+    and > lead=25 forces the chunked path; equality must be exact."""
+    from pandas_ta_spark.operators.overlap import ichimoku
+    from pandas_ta_spark.plans.kernels import run_kernels
+
+    spec = ichimoku().kernel
+    assert spec.carry_rows is not None and spec.lead_rows > 0
+    cols = sorted(spec.outputs)
+    whole = run_kernels(bars, [spec], chunk_rows=10**9)
+    chunked = run_kernels(bars, [spec], chunk_rows=80)
+    a = whole.orderBy("symbol", "ts").toPandas()[cols]
+    b = chunked.orderBy("symbol", "ts").toPandas()[cols]
+    assert len(a) == len(b) == 550
+    for c in cols:
+        x, y = a[c].to_numpy(float), b[c].to_numpy(float)
+        same = (np.isnan(x) & np.isnan(y)) | (x == y)
+        assert same.all(), f"{c}: {int((~same).sum())} rows differ"
