@@ -92,23 +92,43 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. At 100 TB the band self-join replaces the quadratic all-pairs
     scan; bucket sizes stay bounded because md5 is uniform.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _shingles_spark(docs)
+    # The shingle set feeds THREE consumers (signatures+sizes, and both
+    # sides of the intersection join). Without persist, Catalyst inlines
+    # the scan+split+explode+distinct pipeline into every consumer —
+    # measured 12 FileScans / 19 Exchanges for this query, i.e. reading
+    # the 100 TB corpus 12x. One disk-spillable materialization is the
+    # scale answer (a temp-table checkpoint in a multi-session pipeline).
+    sh = _shingles_spark(docs).persist(StorageLevel.MEMORY_AND_DISK)
     mins = [
         F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 8)).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    # one groupBy produces signature AND shingle count — not two passes;
+    # persisted: consumed by both self-join sides and both size lookups,
+    # and it is tiny (doc_id + 16 hex minhashes + a count per doc)
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+    # band fan-out via explode (one scan of sig), not a 4-way union
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
         )
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey")))
-    banded = bands[0]
-    for other in bands[1:]:
-        banded = banded.unionAll(other)
+        for b in range(N_BANDS)
+    ])
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("p"))
+        .select("doc_id", "p.band", "p.bkey")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -118,7 +138,7 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify candidates with true shingle Jaccard
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
     inter = (
