@@ -160,7 +160,11 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _minhash_oracle() -> str:
+def _pair_ctes() -> str:
+    """Shared DuckDB CTE chain producing the verified near-dup pair set
+    `pairs(doc_a, doc_b, n_inter, jaccard)` — the SQL twin of
+    ``_dedup_minhash``. Reused by the pair query, the keep-list, and the
+    connected-components clustering oracle."""
     mins = ",\n           ".join(
         f"min(substr(md5('{j}|' || shingle), 1, 8)) AS mh{j}"
         for j in range(N_HASHES)
@@ -171,8 +175,7 @@ def _minhash_oracle() -> str:
         key = " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
     bands = " UNION ALL ".join(band_rows)
-    return f"""
-WITH {_shingle_sql()},
+    return f"""{_shingle_sql()},
 sig AS (
     SELECT doc_id, {mins}
     FROM sh GROUP BY doc_id
@@ -190,13 +193,21 @@ inter AS (
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
     GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b, i.n_inter,
-       i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_pair_ctes()}
+SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
 """.strip()
 
 
@@ -338,40 +349,10 @@ def _dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _keep_list_oracle() -> str:
-    mins = ", ".join(
-        f"min(substr(md5('{j}|' || shingle), 1, 8)) AS mh{j}"
-        for j in range(N_HASHES)
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
-        + " AS bkey FROM sig"
-        for b in range(N_BANDS)
-    )
     return f"""
-WITH {_shingle_sql()},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-banded AS ({bands}),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY 1, 2
-),
+WITH {_pair_ctes()},
 near AS (
-    SELECT DISTINCT i.doc_b AS doc_id
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+    SELECT DISTINCT doc_b AS doc_id FROM pairs
 ),
 keepers AS (
     SELECT min(doc_id) AS doc_id FROM documents
@@ -386,8 +367,96 @@ LEFT JOIN near n ON n.doc_id = d.doc_id
 """.strip()
 
 
+# ---------------------------------------------- connected components ----
+
+CC_MAX_ITERS = 20
+
+
+def _dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster ids via connected components over the verified
+    near-dup pair graph: cluster_id = min doc_id reachable through any
+    chain of near-dup pairs (A~B, B~C => {A,B,C} one cluster, which the
+    pairwise keep-list cannot express).
+
+    Algorithm: min-label propagation to fixpoint. Each round is one
+    distributed join+groupBy (labels propagate along edges); the driver
+    only reads a scalar convergence count per round — the canonical
+    Pregel-style loop (GraphX/GraphFrames do the same). Rounds needed =
+    graph diameter, which for dup clusters is tiny (chains of near-identical
+    docs); the CC_MAX_ITERS cap turns a pathological input into a loud
+    error instead of an infinite loop. At 100 TB each round shuffles only
+    the pair graph (orders of magnitude smaller than the corpus), and the
+    label frame is persisted per round with lineage truncated.
+    """
+    pairs = _dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected: propagate min labels both ways
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage: O(1) plan depth per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} rounds")
+    edges.unpersist()
+    members = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(members, "cluster_id")
+        .select("doc_id", "cluster_id", "n_members")
+    )
+
+
+def _cc_oracle() -> str:
+    """Transitive closure via recursive CTE: reach(s, t) = t reachable
+    from s; cluster_id = min(t). UNION (not UNION ALL) dedups rows so the
+    recursion terminates on cycles."""
+    return f"""
+WITH RECURSIVE {_pair_ctes()},
+edges AS MATERIALIZED (
+    SELECT doc_a AS s, doc_b AS t FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS t FROM pairs
+),
+reach(s, t) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+),
+lab AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+members AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, m.n_members
+FROM lab l JOIN members m ON m.cluster_id = l.cluster_id
+""".strip()
+
+
 SUITE = {
     "dedup_keep_list": ExtQuery(_dedup_keep_list, _keep_list_oracle()),
+    "dedup_cc_clusters": ExtQuery(_dedup_cc, _cc_oracle()),
     "dedup_exact": ExtQuery(_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": ExtQuery(_dedup_minhash, _minhash_oracle()),
     "dedup_ngram_jaccard": ExtQuery(_dedup_jaccard, DEDUP_JACCARD_SQL),

@@ -127,6 +127,32 @@ def test_minhash_catches_near_dup(spark, tmp_path):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_cc_clusters_merge_chain(spark, tmp_path):
+    # doc0~doc1 and doc1~doc2 are near-dup pairs but doc0~doc2 may not
+    # be: only transitive closure puts all three in ONE cluster
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today while the sun shines bright over the green hills")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base,
+                 base.replace("today", "tomorrow"),
+                 base.replace("today", "tomorrow").replace("quick", "slow"),
+                 "completely different words about spark window functions"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [len(base)] * 4,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.dedup import SUITE
+
+    out = SUITE["dedup_cc_clusters"].query(spark, sf).toPandas()
+    by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_doc[0] == by_doc[1] == by_doc[2] == 0  # one cluster, min label
+    assert 3 not in by_doc  # isolated doc is not in any cluster
+    assert set(out[out["cluster_id"] == 0]["n_members"]) == {3}
+
+
 def test_topk_cosine_finds_nearest(spark, tmp_path):
     rng = np.random.default_rng(3)
     base = rng.normal(0, 1, 64).astype(np.float32)
