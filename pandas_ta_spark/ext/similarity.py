@@ -232,8 +232,202 @@ FROM pairs WHERE score >= 0.99
 """.strip()
 
 
+# ------------------------------------------------------------- IVF ANN ----
+
+K_CENTROIDS = 8
+NPROBE = 2
+
+
+def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: train a coarse quantizer (K seed vectors +
+    one spherical-Lloyd update step), assign the corpus to inverted lists,
+    probe only the NPROBE nearest lists per query. The third ANN regime
+    next to brute force (exact, |Q|xN) and LSH (hash buckets): scan cost
+    drops to ~NPROBE/K of the corpus while recall stays tunable via NPROBE.
+
+    Cross-engine determinism of the TRAINED centroids: per-dimension means
+    are computed as exact BIGINT sums of 1e-6-quantized components, then
+    one double division — integer addition is order-independent, so Spark's
+    arbitrary aggregation order and DuckDB's agree bit-for-bit (the same
+    fixed-point trick as functions/windows.py cumsum_fixed).
+
+    100 TB shape: centroids are K rows — every assignment join is a
+    broadcast; the per-vector argmax here is a row_number window (shared
+    with the SQL twin); at scale you'd swap it for max_by(struct) to get a
+    map-side-combinable aggregation with no sort.
+    """
+    from pyspark.sql import Window
+
+    v = _spark_vectors(spark, sf_dir).persist()
+    seeds = (
+        v.filter((F.col("vec_id") >= N_QUERIES)
+                 & (F.col("vec_id") < N_QUERIES + K_CENTROIDS))
+        .select((F.col("vec_id") - N_QUERIES).alias("centroid_id"),
+                F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "centroid_id",
+            (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "centroid_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "centroid_id")
+        )
+
+    # one Lloyd step: fixed-point per-dim means over the seed assignment
+    q6 = assign(seeds).join(v, "vec_id").select(
+        "centroid_id",
+        *[(F.floor(F.col("e")[i] * F.lit(1e6) + F.lit(0.5))).cast("long").alias(f"q{i}")
+          for i in range(DIM)],
+    )
+    cm = q6.groupBy("centroid_id").agg(
+        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    comps = [
+        F.col(f"s{i}").cast("double") / F.lit(1e6) / F.col("cnt").cast("double")
+        for i in range(DIM)
+    ]
+    cent = cm.select("centroid_id", F.array(*comps).alias("ce"))
+    cnorm = F.col("ce")[0] * F.col("ce")[0]
+    for i in range(1, DIM):
+        cnorm = cnorm + F.col("ce")[i] * F.col("ce")[i]
+    centn = cent.select("centroid_id", "ce", F.sqrt(cnorm).alias("cn")).persist()
+
+    lists = assign(centn)  # the inverted file
+
+    qp = v.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(centn)).select(
+        F.col("vec_id").alias("query_id"), "centroid_id",
+        (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "centroid_id")
+    probes = (
+        qp.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("match_id"))
+    )
+    qv = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+                  F.col("nrm").alias("qn"))
+    mv = v.select(F.col("vec_id").alias("match_id"), F.col("e").alias("me"),
+                  F.col("nrm").alias("mn"))
+    scored = cands.join(qv, "query_id").join(mv, "match_id").select(
+        "query_id", "match_id",
+        (_spark_dot("qe", "me") / (F.col("qn") * F.col("mn"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "match_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "rank",
+                (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6).alias("score"))
+    )
+
+
+def _topk_ivf_oracle() -> str:
+    q6 = ", ".join(
+        f"CAST(floor(e[{i}] * 1000000.0 + 0.5) AS BIGINT) AS q{i}"
+        for i in range(1, DIM + 1)
+    )
+    sums = ", ".join(f"sum(q{i}) AS s{i}" for i in range(1, DIM + 1))
+    comps = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v
+),
+seeds AS (
+    SELECT vec_id - {N_QUERIES} AS centroid_id, e AS ce, nrm AS cn
+    FROM n WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
+),
+sc0 AS (
+    SELECT x.vec_id, s.centroid_id,
+           ({_dot_sql('x.e', 's.ce')}) / (x.nrm * s.cn) AS score
+    FROM n x CROSS JOIN seeds s
+),
+a0 AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, centroid_id) AS rk
+        FROM sc0) WHERE rk = 1
+),
+q6 AS (
+    SELECT a0.centroid_id, {q6}
+    FROM a0 JOIN n USING (vec_id)
+),
+cm AS (
+    SELECT centroid_id, {sums}, count(*) AS cnt FROM q6 GROUP BY centroid_id
+),
+cent AS (
+    SELECT centroid_id, [{comps}] AS ce FROM cm
+),
+centn AS (
+    SELECT centroid_id, ce, sqrt({_dot_sql('ce', 'ce')}) AS cn FROM cent
+),
+sc1 AS (
+    SELECT x.vec_id, c.centroid_id,
+           ({_dot_sql('x.e', 'c.ce')}) / (x.nrm * c.cn) AS score
+    FROM n x CROSS JOIN centn c
+),
+lists AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, centroid_id) AS rk
+        FROM sc1) WHERE rk = 1
+),
+qp AS (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           ({_dot_sql('q.e', 'c.ce')}) / (q.nrm * c.cn) AS score
+    FROM n q CROSS JOIN centn c WHERE q.vec_id < {N_QUERIES}
+),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, centroid_id) AS prk
+        FROM qp) WHERE prk <= {NPROBE}
+),
+cands AS (
+    SELECT p.query_id, l.vec_id AS match_id
+    FROM probes p JOIN lists l USING (centroid_id)
+    WHERE l.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.match_id,
+           ({_dot_sql('q.e', 'm.e')}) / (q.nrm * m.nrm) AS score
+    FROM cands c
+    JOIN n q ON q.vec_id = c.query_id
+    JOIN n m ON m.vec_id = c.match_id
+),
+ranked AS (
+    SELECT query_id, match_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, match_id) AS rank
+    FROM scored
+)
+SELECT query_id, match_id, rank, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM ranked WHERE rank <= {TOP_K}
+""".strip()
+
+
 SUITE = {
     "topk_cosine": ExtQuery(_topk_cosine, _topk_oracle()),
     "topk_cosine_lsh": ExtQuery(_topk_lsh, _topk_lsh_oracle()),
+    "topk_cosine_ivf": ExtQuery(_topk_ivf, _topk_ivf_oracle()),
     "neardup_cosine_lsh": ExtQuery(_neardup_cosine, _neardup_oracle()),
 }

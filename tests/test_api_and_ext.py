@@ -174,6 +174,33 @@ def test_topk_cosine_finds_nearest(spark, tmp_path):
     assert top1["score"].iloc[0] > 0.99
 
 
+def test_topk_ivf_finds_nearest(spark, tmp_path):
+    # same planted-neighbor setup as the brute-force test: IVF must keep
+    # the true top-1 (query 0 and its near-copy land in the same inverted
+    # list because they are near-identical vectors)
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 64).astype(np.float32)
+    rows = []
+    for i in range(30):
+        if i == 7:
+            v = base + rng.normal(0, 0.01, 64).astype(np.float32)
+        elif i == 0:
+            v = base
+        else:
+            v = rng.normal(0, 1, 64).astype(np.float32)
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": i % 3})
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/embeddings.parquet")
+    from pandas_ta_spark.ext.similarity import SUITE
+
+    out = SUITE["topk_cosine_ivf"].query(spark, str(tmp_path)).toPandas()
+    top1 = out[(out["query_id"] == 0) & (out["rank"] == 1)]
+    assert top1["match_id"].iloc[0] == 7
+    assert top1["score"].iloc[0] > 0.99
+    # every query returns at most TOP_K rows and probes cut the corpus:
+    # no query may rank more matches than the brute-force TOP_K
+    assert out.groupby("query_id")["rank"].max().le(5).all()
+
+
 def test_text_stats_values(spark, tmp_path):
     docs = pd.DataFrame({
         "doc_id": [0],
