@@ -34,10 +34,10 @@ class ExtQuery:
 
 
 def _build():
-    from pandas_ta_spark.ext import agg, dedup, media, similarity, text
+    from pandas_ta_spark.ext import agg, dedup, media, sampling, similarity, text
 
     suite: dict[str, ExtQuery] = {}
-    for mod in (dedup, similarity, text, media, agg):
+    for mod in (dedup, similarity, text, media, agg, sampling):
         suite.update(mod.SUITE)
     return suite
 

@@ -1,0 +1,165 @@
+"""Training-data curation ops: deterministic sampling + shard packing.
+
+The corpus-side complement to dedup/similarity (SURVEY.md §7.5): once a
+100 TB corpus is deduped and quality-filtered, a training pipeline still
+needs (a) reproducible downsampling — per-source rates, no RNG state, any
+re-run or backfill selects the SAME documents; (b) stratified quotas —
+bounded doc counts per (lang, source) cell; (c) packing documents into
+fixed token-budget shards for sequence-packing data loaders.
+
+Determinism rules: selection is by md5 (identical hex in both engines),
+compared LEXICOGRAPHICALLY (no portable hex->int across engines — see
+ext/__init__ docstring); shard cumsums are exact BIGINT token counts, so
+partition merge order cannot change a shard boundary.
+
+100 TB shape: hash sampling and quota filters are one scan + one window
+or filter (no shuffle for the hash filter — it pushes into the scan
+stage); shard packing shuffles once on the pack key (source) and runs one
+window cumsum per partition. All pure built-ins — whole-stage codegen,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.sources.bars import load_table
+
+# per-source keep thresholds on the first 2 hex chars of md5(doc key):
+# substr(md5,1,2) is uniform over 256 values; threshold 'T' keeps
+# int('T',16)/256 of the source's docs (src0 -> 20%, src1 -> 80%, ...).
+SAMPLE_THRESHOLDS = {"src0": "33", "src1": "cc", "src2": "80", "src3": "1a"}
+SAMPLE_DEFAULT = "66"
+QUOTA_PER_CELL = 3
+SHARD_TOKEN_BUDGET = 500
+
+
+def _doc_hash():
+    # hash the doc_id rendered as a string with a fixed salt: independent
+    # of text content (a near-identical doc pair must not co-select), and
+    # identical int->string rendering in both engines
+    return F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+
+
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source downsampling: keep iff the first 2 hex
+    chars of md5('sample|' || doc_id) sort below the source's threshold.
+    A pure filter — pipelines into the scan, no shuffle, and any executor
+    count or re-run selects the identical document set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h2 = F.substring(_doc_hash(), 1, 2)
+    thr = F.lit(SAMPLE_DEFAULT)
+    for src, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
+    return (
+        docs.select("doc_id", "source", (h2 < thr).cast("int").alias("sampled"))
+    )
+
+
+def _sample_hash_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{t}'" for s, t in SAMPLE_THRESHOLDS.items()
+    )
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 < (CASE {cases} ELSE '{SAMPLE_DEFAULT}' END)
+            THEN 1 ELSE 0 END AS sampled
+FROM documents
+""".strip()
+
+
+def _sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota: at most QUOTA_PER_CELL docs per (lang, source)
+    cell, chosen by hash order (deterministic shuffle) with doc_id as the
+    final tiebreak. One window over the cell key — at scale the cells are
+    the natural partition and the quota bounds every cell's output."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy(_doc_hash(), "doc_id")
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= QUOTA_PER_CELL)
+        .select("doc_id", "lang", "source", "pick")
+    )
+
+
+def _sample_quota_oracle() -> str:
+    return f"""
+SELECT doc_id, lang, source, pick FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pick
+    FROM documents
+) WHERE pick <= {QUOTA_PER_CELL}
+""".strip()
+
+
+def _shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget shards per source: docs are
+    laid out in doc_id order, shard_id = exclusive-prefix-sum(tokens) div
+    budget — the streaming-friendly first-fit layout a sequence-packing
+    loader consumes. Token counts are exact BIGINTs, so the window cumsum
+    is order-stable across engines and executor merges. Output is the
+    shard manifest (docs + tokens per shard)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    per_doc = (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .select(
+            "doc_id", "source", "n_tok",
+            F.floor(excl / F.lit(SHARD_TOKEN_BUDGET)).cast("long").alias("shard_id"),
+        )
+    )
+    return (
+        per_doc.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+def _shard_pack_oracle() -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+    FROM documents
+),
+placed AS (
+    SELECT doc_id, source, n_tok,
+           CAST(floor(
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {SHARD_TOKEN_BUDGET}
+           ) AS BIGINT) AS shard_id
+    FROM tok
+)
+SELECT source, shard_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM placed GROUP BY source, shard_id
+""".strip()
+
+
+SUITE = {
+    "sample_hash_deterministic": ExtQuery(_sample_hash, _sample_hash_oracle()),
+    "sample_stratified_quota": ExtQuery(_sample_quota, _sample_quota_oracle()),
+    "shard_pack_tokens": ExtQuery(_shard_pack, _shard_pack_oracle()),
+}

@@ -201,6 +201,49 @@ def test_topk_ivf_finds_nearest(spark, tmp_path):
     assert out.groupby("query_id")["rank"].max().le(5).all()
 
 
+def test_shard_pack_boundaries(spark, tmp_path):
+    # 3 docs x 10 tokens, budget 500 -> all one shard? no: use texts sized
+    # so the exclusive prefix sum crosses one budget boundary exactly
+    import pandas_ta_spark.ext.sampling as S
+
+    ten = " ".join(["tok"] * 10)
+    big = " ".join(["tok"] * (S.SHARD_TOKEN_BUDGET - 5))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [big, ten, ten],  # excl sums: 0, B-5, B+5 -> shards 0,0,1
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [len(big), len(ten), len(ten)],
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    out = (S.SUITE["shard_pack_tokens"].query(spark, str(tmp_path))
+           .toPandas().sort_values("shard_id").reset_index(drop=True))
+    assert list(out["shard_id"]) == [0, 1]
+    assert list(out["n_docs"]) == [2, 1]
+    assert list(out["n_tokens"]) == [S.SHARD_TOKEN_BUDGET + 5, 10]
+    assert list(out["first_doc_id"]) == [0, 2]
+
+
+def test_sample_hash_is_stable(spark, tmp_path):
+    # the same doc_ids must select identically regardless of which other
+    # rows are present (pure per-row decision — the reproducibility claim)
+    import pandas_ta_spark.ext.sampling as S
+
+    def mk(ids):
+        pd.DataFrame({
+            "doc_id": ids, "text": ["x y z"] * len(ids),
+            "lang": ["en"] * len(ids), "source": ["src0"] * len(ids),
+            "n_chars": [5] * len(ids),
+        }).to_parquet(f"{tmp_path}/documents.parquet")
+        out = S.SUITE["sample_hash_deterministic"].query(spark, str(tmp_path)).toPandas()
+        return dict(zip(out["doc_id"], out["sampled"]))
+
+    full = mk(list(range(200)))
+    half = mk(list(range(0, 200, 2)))
+    assert all(full[i] == half[i] for i in range(0, 200, 2))
+    assert 0 < sum(full.values()) < 200  # threshold actually splits
+
+
 def test_text_stats_values(spark, tmp_path):
     docs = pd.DataFrame({
         "doc_id": [0],
