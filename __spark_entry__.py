@@ -77,19 +77,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # insurance that a capped artifact still evidences every operator family.
 _PRIORITY = [
     "rsi_14", "macd_12_26_9", "supertrend_7", "psar",
-    "dedup_minhash_lsh", "topk_cosine",
+    "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
+    "topk_cosine_ivf", "sample_hash_deterministic", "shard_pack_tokens",
     "sma_20", "ema_10", "wma_10", "vwap", "ichimoku", "kama_10",
     "jma_7", "hilo_13_21", "mcgd_10",
     "stoch_14_3_3", "cci_14", "fisher_9_1", "rsx_14", "stc_10_12_26",
     "qqe_14_5", "td_seq", "squeeze_20",
-    "stdev_30", "zscore_30", "entropy_10", "mad_30", "quantile_30_0.5",
+    "stdev_30", "zscore_30", "entropy_10", "quantile_30_0.5",
     "drawdown", "cum_log_return",
     "adx_14", "aroon_14", "tsignals_8_21", "xsignals_z30",
     "atr_14", "bbands_5_2.0", "donchian_20", "hwc",
-    "obv", "mfi_14", "adosc_3_10",
-    "cdl_pattern_all", "ha", "cdl_z_30",
+    "obv", "mfi_14",
+    "cdl_pattern_all", "ha",
     "cross_above_sma_20",
-    "dedup_exact", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_simhash",
     "topk_cosine_lsh", "text_stats",
 ]
 

@@ -299,13 +299,15 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 166
-    assert len(o) == 164
+    assert len(q) == 171
+    assert len(o) == 169
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50.
     first50 = list(q)[:50]
     for must in ("rsi_14", "macd_12_26_9", "supertrend_7", "psar",
-                 "dedup_minhash_lsh", "topk_cosine", "cdl_pattern_all",
+                 "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
+                 "topk_cosine_ivf", "sample_hash_deterministic",
+                 "shard_pack_tokens", "cdl_pattern_all",
                  "atr_14", "obv", "ha", "text_stats"):
         assert must in first50, must
 
