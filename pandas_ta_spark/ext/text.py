@@ -114,10 +114,11 @@ FROM t
 """.strip()
 
 
-def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score: bounded combination of length, diversity, and
-    stopword signals (C4/Gopher-style rule scoring, integer-exact)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def quality_exprs() -> dict:
+    """Quality-score Columns over a `text` column: bounded combination of
+    length, diversity, and stopword signals (C4/Gopher-style rule scoring,
+    integer-exact). Shared by the batch query and the streaming filter —
+    every expression is stateless, so it is streaming-safe by construction."""
     toks = _toks()
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
@@ -130,11 +131,21 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(ttr >= 0.2, 0.3).otherwise(0.0)
         + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 0.3).otherwise(0.0)
     )
+    return {
+        "n_tokens": n_tok,
+        "quality_score": score,
+        "keep": (score >= 0.7).cast("int"),
+    }
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_exprs()
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        score.alias("quality_score"),
-        (score >= 0.7).cast("int").alias("keep"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        q["keep"].alias("keep"),
     )
 
 

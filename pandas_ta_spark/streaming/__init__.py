@@ -1,3 +1,8 @@
+from pandas_ta_spark.streaming.corpus import (
+    stream_dedup_exact,
+    stream_quality_keep,
+    stream_token_rate,
+)
 from pandas_ta_spark.streaming.indicators import (
     stream_bars,
     streaming_atr,
@@ -8,4 +13,5 @@ from pandas_ta_spark.streaming.indicators import (
 )
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
-           "streaming_macd", "streaming_rsi", "streaming_supertrend"]
+           "streaming_macd", "streaming_rsi", "streaming_supertrend",
+           "stream_dedup_exact", "stream_quality_keep", "stream_token_rate"]

@@ -254,3 +254,127 @@ def test_streaming_macd_matches_batch(spark, pdf_bars, tmp_path):
     assert_close(got["macd"], ref["MACD_12_26_9"], tol=1e-9, name="streaming-macd")
     assert_close(got["macdh"], ref["MACDh_12_26_9"], tol=1e-9, name="streaming-macdh")
     assert_close(got["macds"], ref["MACDs_12_26_9"], tol=1e-9, name="streaming-macds")
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must drop a dup arriving in a
+    LATER micro-batch (file) than its first copy."""
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    f1 = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta", "unique one", "  ALPHA beta "],  # 0==2 normalized
+        "ingest_ts": [ts, ts, ts + pd.Timedelta(minutes=1)],
+    })
+    f2 = pd.DataFrame({
+        "doc_id": [3, 4],
+        "text": ["alpha beta", "fresh text"],  # 3 dups batch-1's hash
+        "ingest_ts": [ts + pd.Timedelta(minutes=2), ts + pd.Timedelta(minutes=3)],
+    })
+    for df in (f1, f2):
+        df["ingest_ts"] = df["ingest_ts"].astype("datetime64[ms]")
+    f1.to_parquet(src / "a1.parquet")
+    f2.to_parquet(src / "a2.parquet")
+
+    from pandas_ta_spark.streaming import stream_dedup_exact
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    # 5 docs, 3 distinct normalized hashes -> exactly 3 survivors,
+    # one per hash, and the cross-batch dup (doc 3) must be gone
+    assert len(got) == 3
+    assert got["text_hash"].nunique() == 3
+    assert 3 not in set(got["doc_id"])
+    assert {1, 4} <= set(got["doc_id"])
+
+
+def test_stream_quality_matches_batch(spark, tmp_path):
+    """The streaming quality filter must emit exactly the batch query's
+    keepers with identical scores (same Column exprs by construction)."""
+    rng = np.random.default_rng(5)
+    words = ["the", "of", "lorem", "ipsum", "data", "spark", "stream",
+             "quality", "token", "corpus"]
+    texts = [" ".join(rng.choice(words, size=n))
+             for n in rng.integers(3, 60, size=40)]
+    docs = pd.DataFrame({
+        "doc_id": range(40), "text": texts,
+        "lang": ["en"] * 40, "source": ["s"] * 40, "n_chars": [1] * 40,
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    src = tmp_path / "q_src"
+    src.mkdir()
+    d = docs.copy()
+    d["ingest_ts"] = pd.Timestamp("2026-01-01").as_unit("ms")
+    d[["doc_id", "text", "ingest_ts"]].to_parquet(src / "b1.parquet")
+
+    from pandas_ta_spark.ext.text import SUITE
+    from pandas_ta_spark.streaming import stream_quality_keep
+
+    batch = SUITE["text_quality"].query(spark, str(tmp_path)).toPandas()
+    batch_keep = batch[batch["keep"] == 1].set_index("doc_id")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    q = (
+        stream_quality_keep(stream)
+        .writeStream.format("memory").queryName("quality_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quality_stream").toPandas().set_index("doc_id")
+    assert set(got.index) == set(batch_keep.index)
+    assert np.allclose(got["quality_score"].sort_index(),
+                       batch_keep["quality_score"].sort_index())
+
+
+def test_stream_token_rate_windows(spark, tmp_path):
+    src = tmp_path / "rate_src"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:30:00")
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["a b c", "d e", "f", "g h i j", "k", "l m"],
+        "source": ["s1", "s1", "s2", "s1", "s2", "s2"],
+        "ingest_ts": [ts, ts, ts,
+                      ts + pd.Timedelta(hours=1),
+                      ts + pd.Timedelta(hours=1),
+                      ts + pd.Timedelta(hours=3)],  # 3rd window, flushes w1+w2
+    })
+    docs["ingest_ts"] = docs["ingest_ts"].astype("datetime64[ms]")
+    docs.to_parquet(src / "r1.parquet")
+
+    from pandas_ta_spark.streaming import stream_token_rate
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, source string, ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    q = (
+        stream_token_rate(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory").queryName("rate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM rate_stream").toPandas()
+        .set_index(["source", "window_start"]).sort_index()
+    )
+    w0 = pd.Timestamp("2026-01-01 00:00:00")
+    assert got.loc[("s1", w0), "n_tokens"] == 5  # "a b c" + "d e"
+    assert got.loc[("s1", w0), "n_docs"] == 2
+    assert got.loc[("s2", w0), "n_tokens"] == 1
+    assert got.loc[("s1", w0 + pd.Timedelta(hours=1)), "n_tokens"] == 4
