@@ -158,8 +158,106 @@ FROM placed GROUP BY source, shard_id
 """.strip()
 
 
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composed query:
+
+        survivors = dedup keep-list  ∧  quality keep  ∧  hash sample
+        output    = survivors packed into token-budget shards
+
+    Each stage is the already-oracled operator reused verbatim — the point
+    is composition: Catalyst fuses the quality/sample filters into one
+    scan-side projection and the pipeline stays a single plan (no
+    intermediate materialization a hand-rolled pipeline would pay).
+    """
+    from pandas_ta_spark.ext.dedup import _dedup_keep_list
+    from pandas_ta_spark.ext.text import quality_exprs
+
+    kept = _dedup_keep_list(spark, sf_dir).filter(F.col("kept") == 1).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = quality_exprs()
+    h2 = F.substring(_doc_hash(), 1, 2)
+    thr = F.lit(SAMPLE_DEFAULT)
+    for src, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
+    survivors = (
+        docs.join(kept, "doc_id")
+        .filter((q["keep"] == 1) & (h2 < thr))
+        .select("doc_id", "source", q["n_tokens"].cast("long").alias("n_tok"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    placed = survivors.select(
+        "doc_id", "source", "n_tok",
+        F.floor(excl / F.lit(SHARD_TOKEN_BUDGET)).cast("long").alias("shard_id"),
+    )
+    return placed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def _curation_pipeline_oracle() -> str:
+    from pandas_ta_spark.ext.dedup import _pair_ctes
+    from pandas_ta_spark.ext.text import _STOP_IN
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{t}'" for s, t in SAMPLE_THRESHOLDS.items()
+    )
+    return f"""
+WITH {_pair_ctes()},
+near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+keepers AS (
+    SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY md5(lower(trim(text)))
+),
+quality AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           (CASE WHEN len(toks) >= 10 AND len(toks) <= 1000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN len(list_distinct(toks)) / len(toks) >= 0.2
+                   THEN 0.3 ELSE 0.0 END
+            + CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks)
+                        BETWEEN 0.01 AND 0.5
+                   THEN 0.3 ELSE 0.0 END) AS score
+    FROM tok
+),
+survivors AS (
+    SELECT d.doc_id, d.source, q.n_tok
+    FROM documents d
+    JOIN keepers k ON k.doc_id = d.doc_id
+    JOIN quality q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM near)
+      AND q.score >= 0.7
+      AND substr(md5('sample|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+            < (CASE {cases} ELSE '{SAMPLE_DEFAULT}' END)
+),
+placed AS (
+    SELECT doc_id, source, n_tok,
+           CAST(floor(
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {SHARD_TOKEN_BUDGET}
+           ) AS BIGINT) AS shard_id
+    FROM survivors
+)
+SELECT source, shard_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM placed GROUP BY source, shard_id
+""".strip()
+
+
 SUITE = {
     "sample_hash_deterministic": ExtQuery(_sample_hash, _sample_hash_oracle()),
     "sample_stratified_quota": ExtQuery(_sample_quota, _sample_quota_oracle()),
     "shard_pack_tokens": ExtQuery(_shard_pack, _shard_pack_oracle()),
+    "curation_pipeline": ExtQuery(_curation_pipeline, _curation_pipeline_oracle()),
 }

@@ -54,17 +54,18 @@ def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = emb.select("vec_id", e.alias("e"))
     # norm via the same left-associated sum as the SQL twin (0-based here)
-    dot_self = F.col("e")[0] * F.col("e")[0]
-    for i in range(1, DIM):
-        dot_self = dot_self + F.col("e")[i] * F.col("e")[i]
-    return df.select("vec_id", "e", F.sqrt(dot_self).alias("nrm"))
+    return df.select("vec_id", "e", F.sqrt(_spark_dot("e", "e")).alias("nrm"))
 
 
 def _spark_dot(a: str, b: str):
-    acc = F.col(a)[0] * F.col(b)[0]
-    for i in range(1, DIM):
-        acc = acc + F.col(a)[i] * F.col(b)[i]
-    return acc
+    """Left-associated dot product as ONE parsed expression. Building the
+    128-term chain via Column operators costs ~256 py4j round-trips PER
+    DOT PRODUCT (measured: multi-second driver-side plan construction for
+    the IVF query, which embeds five of them); a single F.expr string is
+    one call and the SQL parser folds `+` left-associatively — the exact
+    same tree, so cross-engine bit-identity is unchanged. No literals
+    appear, so no Spark-vs-DuckDB literal-typing divergence."""
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(DIM)))
 
 
 def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,15 +268,23 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cent: DataFrame) -> DataFrame:
+        # argmax as max(struct(score, -centroid_id, centroid_id)): struct
+        # comparison is lexicographic, so ties on score resolve to the
+        # SMALLEST centroid_id — the same selection as the SQL twin's
+        # row_number(ORDER BY score DESC, centroid_id). A hash aggregate
+        # with map-side partials: no sort, no window shuffle — the shape
+        # that survives a 100 TB corpus.
         scored = v.crossJoin(F.broadcast(cent)).select(
             "vec_id", "centroid_id",
             (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "centroid_id")
+        best = F.max(F.struct(
+            F.col("score"), (-F.col("centroid_id")).alias("neg"),
+            F.col("centroid_id").alias("cid"),
+        )).alias("b")
         return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "centroid_id")
+            scored.groupBy("vec_id").agg(best)
+            .select("vec_id", F.col("b.cid").alias("centroid_id"))
         )
 
     # one Lloyd step: fixed-point per-dim means over the seed assignment
