@@ -103,14 +103,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bars derivation is checkpoint-cached per (session, sf_dir) so the gate
     pays the events scan+agg once, not once per query.
     """
-    from pandas_ta_spark.registry import _SUITE
+    from pandas_ta_spark.registry import _SUITE, default_instance
     from pandas_ta_spark.sources.bars import bars_from_events_cached
 
     unordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     def bind(key):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            ind = _SUITE[key]()
+            ind = default_instance(key)
             return ind.query(bars_from_events_cached(spark, sf_dir))
 
         return run

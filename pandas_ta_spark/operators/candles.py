@@ -7,6 +7,8 @@ as Arrow kernels (rows-only checks).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.functions.naming import name
@@ -1467,7 +1469,16 @@ _PATTERN_FACTORIES = {
 
 
 def cdl_pattern(name_: str = "all"):
-    """Candle pattern dispatcher — pandas_ta/candles/cdl_pattern.py."""
+    """Candle pattern dispatcher — pandas_ta/candles/cdl_pattern.py.
+
+    Memoized per pattern-set: building all 66 patterns' expressions costs
+    ~6s of py4j round-trips and the Indicator is immutable by convention,
+    so one instance per process serves every caller."""
+    return _cdl_pattern_cached(name_)
+
+
+@functools.lru_cache(maxsize=None)
+def _cdl_pattern_cached(name_: str):
     names = ALL_PATTERNS if name_ == "all" else [name_]
     parts = []
     for n in names:

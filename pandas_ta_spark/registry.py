@@ -80,6 +80,25 @@ def run(df: DataFrame, kind: str, **params) -> DataFrame:
     return make(kind, **params).apply(df)
 
 
+def default_instance(key: str) -> Indicator:
+    """Memoized default-parameter instance for a suite key.
+
+    Building an Indicator is pure driver-side expression construction
+    (hundreds of py4j calls for the wide ones — the 66-pattern candle
+    dispatcher alone cost ~6s per build), and the result is immutable by
+    convention (apply()/apply_strategy only read stages/final/kernel), so
+    one instance per process is correct. Unresolved Columns stay valid for
+    the lifetime of the JVM backing the py4j gateway — i.e. any number of
+    SparkSessions in one process."""
+    inst = _DEFAULTS.get(key)
+    if inst is None:
+        inst = _DEFAULTS[key] = _SUITE[key]()
+    return inst
+
+
+_DEFAULTS: dict[str, Indicator] = {}
+
+
 def standard_suite() -> dict[str, Indicator]:
     """Default-parameter instance per op — the driver correctness surface."""
-    return {k: f() for k, f in _SUITE.items()}
+    return {k: default_instance(k) for k in _SUITE}
