@@ -157,6 +157,13 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+    # The verified pair set is tiny (dup pairs only). Materialize it and
+    # release the two big intermediates — a long-lived session (the gate
+    # runs ~170 queries; _dedup_cc re-enters this fn) must not accumulate
+    # a corpus-sized shingle cache per invocation.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    sig.unpersist()
     return out
 
 

@@ -152,7 +152,8 @@ placed AS (
            ) AS BIGINT) AS shard_id
     FROM tok
 )
-SELECT source, shard_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+SELECT source, shard_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
 FROM placed GROUP BY source, shard_id
 """.strip()
@@ -249,7 +250,8 @@ placed AS (
            ) AS BIGINT) AS shard_id
     FROM survivors
 )
-SELECT source, shard_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+SELECT source, shard_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
 FROM placed GROUP BY source, shard_id
 """.strip()

@@ -50,8 +50,12 @@ def stream_quality_keep(docs: DataFrame) -> DataFrame:
             "doc_id",
             q["n_tokens"].alias("n_tokens"),
             q["quality_score"].alias("quality_score"),
+            q["keep"].alias("keep"),
         )
-        .filter(F.col("quality_score") >= 0.7)
+        # reuse the batch-side keep expression verbatim: batch/stream
+        # parity holds by construction even if the threshold changes
+        .filter(F.col("keep") == 1)
+        .drop("keep")
     )
 
 
