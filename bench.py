@@ -47,7 +47,10 @@ def tick_bars(spark, sf_dir, buckets: int = 0):
     return ev.select(
         sym.alias("symbol"),
         F.timestamp_micros(
-            F.unix_micros(F.col("ts")) + F.col("event_id") % 1000
+            # .cast("timestamp"): the testdata parquet stores ts as
+            # timestamp[us] without a zone, which Spark 4 reads as
+            # TIMESTAMP_NTZ; unix_micros only accepts TIMESTAMP
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.col("event_id") % 1000
         ).alias("ts"),  # unique, stable ordering at tick level
         F.col("value").alias("open"),
         F.col("value").alias("high"),
