@@ -80,7 +80,7 @@ _PRIORITY = [
     "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
     "topk_cosine_ivf", "sample_hash_deterministic", "shard_pack_tokens",
     "sma_20", "ema_10", "wma_10", "vwap", "ichimoku", "kama_10",
-    "jma_7", "hilo_13_21", "mcgd_10",
+    "asof_join_bars", "sessionize_30m", "mcgd_10",
     "stoch_14_3_3", "cci_14", "fisher_9_1", "rsx_14", "stc_10_12_26",
     "qqe_14_5", "td_seq", "squeeze_20",
     "stdev_30", "entropy_10", "quantile_30_0.5", "curation_pipeline",

@@ -34,10 +34,18 @@ class ExtQuery:
 
 
 def _build():
-    from pandas_ta_spark.ext import agg, dedup, media, sampling, similarity, text
+    from pandas_ta_spark.ext import (
+        agg,
+        dedup,
+        media,
+        relational,
+        sampling,
+        similarity,
+        text,
+    )
 
     suite: dict[str, ExtQuery] = {}
-    for mod in (dedup, similarity, text, media, agg, sampling):
+    for mod in (dedup, similarity, text, media, agg, sampling, relational):
         suite.update(mod.SUITE)
     return suite
 

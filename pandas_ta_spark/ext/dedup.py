@@ -461,8 +461,73 @@ FROM lab l JOIN members m ON m.cluster_id = l.cluster_id
 """.strip()
 
 
+# ----------------------------------------------- benchmark contamination ----
+
+EVAL_SOURCE = "src19"  # held-out "benchmark" slice of the corpus
+
+
+def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: for every training document, the
+    count and fraction of its word-3-grams that appear anywhere in the
+    held-out eval set (source == EVAL_SOURCE).
+
+    100 TB shape: eval suites are tiny next to a training corpus, so the
+    distinct eval n-gram set is BROADCAST and the whole scan is one
+    map-side join over the training shingles + one groupBy — the corpus
+    is read once, never self-joined. The fraction divides exact BIGINTs,
+    so both engines emit identical doubles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sh = _shingles_spark(docs.select("doc_id", "text"))
+    eval_ids = docs.filter(F.col("source") == EVAL_SOURCE).select("doc_id")
+    train_ids = docs.filter(F.col("source") != EVAL_SOURCE).select("doc_id")
+    eval_sh = sh.join(eval_ids, "doc_id").select("shingle").distinct()
+    tr_sh = sh.join(train_ids, "doc_id")
+    sizes = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_cont = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_cont.alias("n_contaminated"),
+            (n_cont / F.col("n_shingles")).alias("contaminated_frac"),
+        )
+    )
+
+
+def _contamination_oracle() -> str:
+    return f"""
+WITH {_shingle_sql()},
+ev AS (
+    SELECT DISTINCT s.shingle
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.source = '{EVAL_SOURCE}'
+),
+tr AS (
+    SELECT s.doc_id, s.shingle
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.source <> '{EVAL_SOURCE}'
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+hits AS (
+    SELECT t.doc_id, count(*) AS n_hit
+    FROM tr t JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT z.doc_id, z.n_shingles,
+       coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_contaminated,
+       coalesce(h.n_hit, CAST(0 AS BIGINT)) / z.n_shingles AS contaminated_frac
+FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+""".strip()
+
+
 SUITE = {
     "dedup_keep_list": ExtQuery(_dedup_keep_list, _keep_list_oracle()),
+    "contamination_ngrams": ExtQuery(_contamination, _contamination_oracle()),
     "dedup_cc_clusters": ExtQuery(_dedup_cc, _cc_oracle()),
     "dedup_exact": ExtQuery(_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": ExtQuery(_dedup_minhash, _minhash_oracle()),

@@ -1,0 +1,171 @@
+"""Relational time-series operators Spark lacks as built-ins: as-of join
+and gap sessionization (SURVEY.md §7.5 "custom operators" tier).
+
+Both are implemented as compositions of existing DataFrame ops — one
+shuffle each, no range-predicate blow-up, no UDFs:
+
+- As-of join uses the union-and-carry trick: tag bar rows and event rows,
+  sort each symbol partition once on (ts, tag), and carry the last bar
+  forward with ``last(..., ignorenulls=True)``. This is the distributed
+  rewrite of a MergeJoin-based point-in-time join: cost is one shuffle on
+  the join key + one sort, independent of how many events share a bar
+  (an inequality-join plan would degenerate to broadcast-nested-loop).
+- Sessionization is two stacked windows (lag -> running sum) plus one
+  aggregation, the canonical gap-based session assignment.
+
+DuckDB oracles use the engine's *native* ``ASOF JOIN`` operator and plain
+window SQL — independent implementations of the same semantics.
+
+Timestamps: testdata parquet stores ts as timestamp[us] without a zone
+(Spark TIMESTAMP_NTZ / DuckDB naive TIMESTAMP); all arithmetic uses
+``timestampdiff(MICROSECOND, ..)`` / ``date_diff('microsecond', ..)``,
+which are exact integer microsecond differences in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.sources.bars import (
+    bars_from_events_cached,
+    load_table,
+    with_bars_cte,
+)
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+# ------------------------------------------------------------ as-of join ----
+
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event gets the latest COMPLETED hourly bar
+    (bar_ts strictly before the event's own hour — a bar's close is only
+    knowable once its hour has ended, so same-hour matches would leak the
+    future).
+
+    Union-and-carry plan: bar rows sort after event rows at the same
+    ordering timestamp (tag column), so ``last(bar, ignorenulls=True)``
+    over (symbol ORDER BY ord_ts, tag) carries exactly the bars with
+    ts < date_trunc(hour, event.ts). ONE shuffle on symbol; scales with
+    rows, not with events-per-bar (reference has no such operator; DuckDB
+    ships it natively as ASOF JOIN — used as the oracle).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("symbol"), "ts", "value"
+    )
+    bars = bars_from_events_cached(spark, sf_dir)
+    e = ev.select(
+        "symbol",
+        F.date_trunc("hour", F.col("ts")).alias("ord_ts"),
+        F.lit(0).alias("is_bar"),
+        "event_id", "ts", "value",
+    )
+    b = bars.select(
+        "symbol",
+        F.col("ts").alias("ord_ts"),
+        F.lit(1).alias("is_bar"),
+        F.struct(F.col("ts").alias("bar_ts"), F.col("close").alias("bar_close")).alias("bar"),
+    )
+    u = e.unionByName(b, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("ord_ts", "is_bar")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("b", F.last("bar", ignorenulls=True).over(w))
+        .filter(F.col("is_bar") == 0)
+        .select(
+            "event_id", "symbol", "ts", "value",
+            F.col("b.bar_ts").alias("bar_ts"),
+            F.col("b.bar_close").alias("bar_close"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = with_bars_cte("""
+SELECT e.event_id, e.event_type AS symbol, e.ts, e.value,
+       b.ts AS bar_ts, b.close AS bar_close
+FROM events e
+ASOF LEFT JOIN bars b
+  ON e.event_type = b.symbol AND b.ts < date_trunc('hour', e.ts)
+""".strip())
+
+
+# --------------------------------------------------------- sessionization ----
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds 30 min. lag -> running sum assigns session
+    numbers in one window pass; a groupBy emits the session manifest.
+    Everything shuffles ONCE on user_id (the window and the groupBy share
+    the partitioning, so AQE reuses the exchange)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, ts) > {SESSION_GAP_US}")
+    sess = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "_new_s",
+            F.when(F.col("_prev_ts").isNull() | gap, 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("_new_s").over(w).cast("long"))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        # integer `div` on the exact microsecond difference — bit-identical
+        # to the oracle's `//` (no double rounding)
+        .withColumn(
+            "duration_sec",
+            F.expr("timestampdiff(MICROSECOND, session_start, session_end)"
+                   " div 1000000"),
+        )
+        .select("user_id", "session_no", "n_events", "session_start",
+                "session_end", "duration_sec", "n_event_types")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH o AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+f AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM o
+),
+s AS (
+    SELECT user_id, ts, event_type,
+           CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS session_no
+    FROM f
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       date_diff('microsecond', min(ts), max(ts)) // 1000000 AS duration_sec,
+       count(DISTINCT event_type) AS n_event_types
+FROM s GROUP BY 1, 2
+""".strip()
+
+
+SUITE = {
+    "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
+    "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),
+}

@@ -257,8 +257,56 @@ FROM placed GROUP BY source, shard_id
 """.strip()
 
 
+def _mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced mixture: downsample every language to the size of
+    the SMALLEST language (uniform mixing weights), picking docs by
+    deterministic hash order. Unlike ``sample_hash`` (fixed thresholds),
+    the keep quota is COMPUTED from the data: one tiny aggregate
+    (count per lang -> min) broadcast against the ranked corpus. At scale
+    that aggregate is a few rows regardless of corpus size; the only real
+    shuffle is the per-lang ranking window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quota = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .agg(F.min("n_lang").alias("quota"))
+    )
+    w = Window.partitionBy("lang").orderBy(_doc_hash(), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .select(
+            "doc_id", "lang",
+            (F.col("rk") <= F.col("quota")).cast("int").alias("picked"),
+        )
+    )
+
+
+def _mix_rebalance_oracle() -> str:
+    return """
+WITH q AS (
+    SELECT min(n_lang) AS quota
+    FROM (SELECT count(*) AS n_lang FROM documents GROUP BY lang)
+),
+r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= q.quota THEN 1 ELSE 0 END AS picked
+FROM r, q
+""".strip()
+
+
 SUITE = {
     "sample_hash_deterministic": ExtQuery(_sample_hash, _sample_hash_oracle()),
+    "mix_rebalance_lang": ExtQuery(_mix_rebalance, _mix_rebalance_oracle()),
     "sample_stratified_quota": ExtQuery(_sample_quota, _sample_quota_oracle()),
     "shard_pack_tokens": ExtQuery(_shard_pack, _shard_pack_oracle()),
     "curation_pipeline": ExtQuery(_curation_pipeline, _curation_pipeline_oracle()),

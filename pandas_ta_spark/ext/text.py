@@ -286,8 +286,97 @@ FROM documents
 """.strip()
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: max term frequency (degenerate
+    docs repeat one token), its ratio to doc length, and the duplicate-
+    bigram fraction (boilerplate detector).
+
+    Term frequencies go through explode -> two-level groupBy (map-side
+    partial aggregation both levels); bigram stats stay entirely inside
+    array expressions on the pruned 2-column scan — no shuffle for that
+    branch, one broadcast-free join on doc_id at the end. All ratios
+    divide exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks()
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("max_tf"),
+        )
+    )
+    # bigram list via transform over an index sequence (JVM-side, no UDF);
+    # guarded: Spark's sequence() DESCENDS when start > stop
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(0, size(split(lower(trim(text)), ' ')) - 2),"
+            " i -> concat(split(lower(trim(text)), ' ')[i], ' ',"
+            "             split(lower(trim(text)), ' ')[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgs = docs.select(
+        "doc_id",
+        F.size(bg).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("long").alias("n_distinct_bigrams"),
+    )
+    dup_frac = F.when(
+        F.col("n_bigrams") > 0,
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")) / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        tf.join(bgs, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "n_distinct_tokens", "max_tf",
+            (F.col("max_tf") / F.col("n_tokens")).alias("top_token_ratio"),
+            "n_bigrams", "n_distinct_bigrams",
+            dup_frac.alias("dup_bigram_frac"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY 1, 2
+),
+a AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens, max(c) AS max_tf
+    FROM tf GROUP BY 1
+),
+bg AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+    FROM t
+),
+b AS (
+    SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct_bigrams
+    FROM bg
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct_tokens, a.max_tf,
+       a.max_tf / a.n_tokens AS top_token_ratio,
+       b.n_bigrams, b.n_distinct_bigrams,
+       CASE WHEN b.n_bigrams > 0
+            THEN (b.n_bigrams - b.n_distinct_bigrams) / b.n_bigrams
+            ELSE 0.0 END AS dup_bigram_frac
+FROM a JOIN b ON b.doc_id = a.doc_id
+""".strip()
+
+
 SUITE = {
     "token_count_bpe": ExtQuery(_token_count_bpe, TOKEN_COUNT_BPE_SQL),
+    "text_repetition": ExtQuery(_text_repetition, TEXT_REPETITION_SQL),
     "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
     "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
     "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),

@@ -299,16 +299,21 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 172
-    assert len(o) == 170
+    assert len(q) == 177
+    assert len(o) == 175
     assert set(o) <= set(q)
-    # Truncation insurance: every kind-class + ext anchor in the first 50.
+    # Truncation insurance: every kind-class + ext anchor in the first 50,
+    # and EVERY pinned key must still exist — a renamed pinned key would
+    # otherwise silently fall out of the gate window (ADVICE r4).
+    assert set(E._PRIORITY) <= set(q)
+    assert list(q)[: len(E._PRIORITY)] == E._PRIORITY
     first50 = list(q)[:50]
     for must in ("rsi_14", "macd_12_26_9", "supertrend_7", "psar",
                  "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
                  "topk_cosine_ivf", "sample_hash_deterministic",
                  "shard_pack_tokens", "cdl_pattern_all",
-                 "atr_14", "obv", "ha", "text_stats"):
+                 "atr_14", "obv", "ha", "text_stats",
+                 "asof_join_bars", "sessionize_30m"):
         assert must in first50, must
 
 
