@@ -57,6 +57,11 @@ def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", "e", F.sqrt(_spark_dot("e", "e")).alias("nrm"))
 
 
+def _dot_str(a: str, b: str) -> str:
+    """0-based left-associated dot product string for Spark F.expr."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(DIM))
+
+
 def _spark_dot(a: str, b: str):
     """Left-associated dot product as ONE parsed expression. Building the
     128-term chain via Column operators costs ~256 py4j round-trips PER
@@ -65,7 +70,23 @@ def _spark_dot(a: str, b: str):
     one call and the SQL parser folds `+` left-associatively — the exact
     same tree, so cross-engine bit-identity is unchanged. No literals
     appear, so no Spark-vs-DuckDB literal-typing divergence."""
-    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(DIM)))
+    return F.expr(_dot_str(a, b))
+
+
+def _bucket_expr(e: str):
+    """All N_PLANES sign bits + concat as ONE parsed expression (the
+    Column-operator equivalent costs ~1000 py4j round-trips). Plane
+    literals are CAST(<repr> AS DOUBLE): correctly-rounded to the same
+    double that F.lit(python_float) and the DuckDB oracle's literal
+    produce, so bucket assignment is bit-identical cross-engine."""
+    planes = _planes()
+    cases = ", ".join(
+        "CASE WHEN ("
+        + " + ".join(f"{e}[{i}] * CAST({p[i]!r} AS DOUBLE)" for i in range(DIM))
+        + ") >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return F.expr(f"concat({cases})")
 
 
 def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,14 +147,7 @@ def _topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = _spark_vectors(spark, sf_dir)
-    planes = _planes()
-    bits = []
-    for p in range(N_PLANES):
-        acc = F.col("e")[0] * F.lit(planes[p][0])
-        for i in range(1, DIM):
-            acc = acc + F.col("e")[i] * F.lit(planes[p][i])
-        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
-    v = v.select("vec_id", "e", "nrm", F.concat(*bits).alias("bucket"))
+    v = v.select("vec_id", "e", "nrm", _bucket_expr("e").alias("bucket"))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nrm").alias("qn"), "bucket",
@@ -188,14 +202,7 @@ def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.99) via LSH buckets —
     the embedding-space analogue of MinHash dedup."""
     v = _spark_vectors(spark, sf_dir)
-    planes = _planes()
-    bits = []
-    for p in range(N_PLANES):
-        acc = F.col("e")[0] * F.lit(planes[p][0])
-        for i in range(1, DIM):
-            acc = acc + F.col("e")[i] * F.lit(planes[p][i])
-        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
-    v = v.select("vec_id", "e", "nrm", F.concat(*bits).alias("bucket"))
+    v = v.select("vec_id", "e", "nrm", _bucket_expr("e").alias("bucket"))
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
                  F.col("nrm").alias("na"), "bucket")
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
@@ -287,25 +294,27 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("b.cid").alias("centroid_id"))
         )
 
-    # one Lloyd step: fixed-point per-dim means over the seed assignment
-    q6 = assign(seeds).join(v, "vec_id").select(
+    # one Lloyd step: fixed-point per-dim means over the seed assignment.
+    # All per-dimension expressions are parsed SQL strings — the Column-
+    # operator versions cost ~1500 py4j round-trips and dominated the
+    # query's wall time with driver-side plan construction.
+    q6 = assign(seeds).join(v, "vec_id").selectExpr(
         "centroid_id",
-        *[(F.floor(F.col("e")[i] * F.lit(1e6) + F.lit(0.5))).cast("long").alias(f"q{i}")
+        *[f"CAST(floor(e[{i}] * 1e6 + 0.5) AS BIGINT) AS q{i}"
           for i in range(DIM)],
     )
     cm = q6.groupBy("centroid_id").agg(
-        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
-        F.count(F.lit(1)).alias("cnt"),
+        F.expr("sum(q0) AS s0"),
+        *[F.expr(f"sum(q{i}) AS s{i}") for i in range(1, DIM)],
+        F.expr("count(*) AS cnt"),
     )
-    comps = [
-        F.col(f"s{i}").cast("double") / F.lit(1e6) / F.col("cnt").cast("double")
-        for i in range(DIM)
-    ]
-    cent = cm.select("centroid_id", F.array(*comps).alias("ce"))
-    cnorm = F.col("ce")[0] * F.col("ce")[0]
-    for i in range(1, DIM):
-        cnorm = cnorm + F.col("ce")[i] * F.col("ce")[i]
-    centn = cent.select("centroid_id", "ce", F.sqrt(cnorm).alias("cn")).persist()
+    comps = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / 1e6 / CAST(cnt AS DOUBLE)" for i in range(DIM)
+    )
+    cent = cm.selectExpr("centroid_id", f"array({comps}) AS ce")
+    centn = cent.selectExpr(
+        "centroid_id", "ce", f"sqrt({_dot_str('ce', 'ce')}) AS cn"
+    ).persist()
 
     lists = assign(centn)  # the inverted file
 
