@@ -106,6 +106,10 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # strict > matches Spark's native session_window(gap) merge rule (an
+    # event at exactly prev + gap still MERGES; only a strictly larger gap
+    # splits) — keeps the streaming twin (streaming/sessions.py)
+    # row-compatible with this batch op
     gap = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, ts) > {SESSION_GAP_US}")
     sess = (
         ev.withColumn("_prev_ts", F.lag("ts").over(w))

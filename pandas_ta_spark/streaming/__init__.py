@@ -3,6 +3,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_quality_keep,
     stream_token_rate,
 )
+from pandas_ta_spark.streaming.sessions import stream_sessions
 from pandas_ta_spark.streaming.indicators import (
     stream_bars,
     streaming_atr,
@@ -14,4 +15,5 @@ from pandas_ta_spark.streaming.indicators import (
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
-           "stream_dedup_exact", "stream_quality_keep", "stream_token_rate"]
+           "stream_dedup_exact", "stream_quality_keep", "stream_token_rate",
+           "stream_sessions"]

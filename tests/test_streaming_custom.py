@@ -378,3 +378,75 @@ def test_stream_token_rate_windows(spark, tmp_path):
     assert got.loc[("s1", w0), "n_docs"] == 2
     assert got.loc[("s2", w0), "n_tokens"] == 1
     assert got.loc[("s1", w0 + pd.Timedelta(hours=1)), "n_tokens"] == 4
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Native session_window streaming sessionization must agree with the
+    batch lag->running-sum sessionize (ext/relational.py) row-for-row:
+    same session boundaries (only a gap strictly > threshold splits), same
+    per-session aggregates. Two parquet chunks force cross-micro-batch
+    session-state merging; complete output mode emits every session."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    t = {u: base for u in range(4)}
+    for i in range(300):
+        u = int(rng.integers(0, 4))
+        # mix of small intra-session gaps and >30min session breaks,
+        # including one exact-1800s boundary gap per user
+        gap_s = [60.0, 120.5, 1800.0, 2400.0][int(rng.integers(0, 4))]
+        t[u] = t[u] + pd.Timedelta(seconds=gap_s)
+        rows.append((i, u, t[u], f"et{int(rng.integers(0, 3))}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[ms]")
+    pdf.iloc[:150].to_parquet(src / "p1.parquet")
+    pdf.iloc[150:].to_parquet(src / "p2.parquet")
+
+    from pandas_ta_spark.streaming import stream_sessions
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_sessions(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory").queryName("sess_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM sess_stream").toPandas()
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+
+    # batch twin over the same rows (same >= gap rule)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(str(src))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts) > 1800000000")
+    sess = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_new_s", F.when(F.col("_prev_ts").isNull() | gap, 1).otherwise(0))
+        .withColumn("session_no", F.sum("_new_s").over(w))
+    )
+    exp = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for col in ["user_id", "n_events", "session_start", "session_end",
+                "n_event_types"]:
+        assert (got[col] == exp[col]).all(), col
