@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.operators.base import round_col, sql_round
 from pandas_ta_spark.sources.bars import (
     bars_from_events_cached,
     load_table,
@@ -169,7 +170,91 @@ FROM s GROUP BY 1, 2
 """.strip()
 
 
+# ------------------------------------------------- multi-timeframe asof ----
+
+MTF_SMA_N = 20
+
+
+def _mtf_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-timeframe composition: an hourly-bar indicator (SMA-20 of
+    close) attached to every raw event by as-of join — tick-level signals
+    conditioned on a higher-timeframe trend, the standard MTF pattern the
+    reference leaves to the user (pandas_ta docs suggest manual resample
+    + merge_asof).
+
+    Same union-and-carry plan as ``_asof_join``: the bar side first runs
+    its window aggregate per symbol, then both sides share ONE shuffle on
+    symbol for the carry window. Strictly past bars only (no intra-hour
+    leakage)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("symbol"), "ts", "value"
+    )
+    bars = bars_from_events_cached(spark, sf_dir)
+    wb = (
+        Window.partitionBy("symbol")
+        .orderBy("ts")
+        .rowsBetween(-(MTF_SMA_N - 1), 0)
+    )
+    sma = F.when(
+        F.count("close").over(wb) >= MTF_SMA_N, F.avg("close").over(wb)
+    )
+    b = bars.select(
+        "symbol",
+        F.col("ts").alias("ord_ts"),
+        F.lit(1).alias("is_bar"),
+        F.struct(
+            F.col("ts").alias("bar_ts"), sma.alias("sma_1h")
+        ).alias("bar"),
+    )
+    e = ev.select(
+        "symbol",
+        F.date_trunc("hour", F.col("ts")).alias("ord_ts"),
+        F.lit(0).alias("is_bar"),
+        "event_id", "ts", "value",
+    )
+    u = e.unionByName(b, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("ord_ts", "is_bar")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("b", F.last("bar", ignorenulls=True).over(w))
+        .filter(F.col("is_bar") == 0)
+        .select(
+            "event_id", "symbol", "ts", "value",
+            F.col("b.bar_ts").alias("bar_ts"),
+            # shared 1e-6 rounding: DuckDB evaluates sliding-window avg
+            # with a segment tree (pairwise sums), Spark with a running
+            # accumulator — last-ulp divergence (~1e-14) is expected
+            round_col(F.col("b.sma_1h")).alias("sma_1h"),
+        )
+    )
+
+
+MTF_SMA_SQL = with_bars_cte(f"""
+, bsma AS (
+    SELECT symbol, ts,
+           CASE WHEN count(close) OVER (
+                    PARTITION BY symbol ORDER BY ts
+                    ROWS BETWEEN {MTF_SMA_N - 1} PRECEDING AND CURRENT ROW
+                ) >= {MTF_SMA_N}
+                THEN avg(close) OVER (
+                    PARTITION BY symbol ORDER BY ts
+                    ROWS BETWEEN {MTF_SMA_N - 1} PRECEDING AND CURRENT ROW
+                ) END AS sma_1h
+    FROM bars
+)
+SELECT e.event_id, e.event_type AS symbol, e.ts, e.value,
+       b.ts AS bar_ts, {sql_round('b.sma_1h')} AS sma_1h
+FROM events e
+ASOF LEFT JOIN bsma b
+  ON e.event_type = b.symbol AND b.ts < date_trunc('hour', e.ts)
+""".strip())
+
+
 SUITE = {
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
     "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),
+    "mtf_sma_asof": ExtQuery(_mtf_sma, MTF_SMA_SQL),
 }

@@ -374,9 +374,64 @@ FROM a JOIN b ON b.doc_id = a.doc_id
 """.strip()
 
 
+RARE_THRESHOLD = 50  # corpus occurrences below this => "rare" token
+
+
+def _corpus_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring: per document, how rare its
+    vocabulary is relative to the WHOLE corpus (out-of-distribution /
+    noise detector — the exact-arithmetic stand-in for unigram-LM
+    perplexity, whose log() last-ulp behavior differs across engines).
+
+    Two aggregation scopes in one plan: a corpus-wide token frequency
+    table (vocabulary-sized — shuffle-joined on token, NOT broadcast: at
+    100 TB the vocabulary does not fit one executor) feeding a per-doc
+    rollup. All outputs are exact BIGINT counts and int/int ratios."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") < RARE_THRESHOLD, 1).otherwise(0))
+            .alias("n_rare"),
+            F.min("cnt").alias("min_tok_freq"),
+            F.sum("cnt").alias("sum_tok_freq"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_rare",
+            (F.col("n_rare") / F.col("n_tokens")).alias("rare_ratio"),
+            "min_tok_freq",
+            (F.col("sum_tok_freq") / F.col("n_tokens")).alias("mean_tok_freq"),
+        )
+    )
+
+
+CORPUS_RARITY_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+    FROM documents
+),
+freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN f.cnt < {RARE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+       CAST(sum(CASE WHEN f.cnt < {RARE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           / count(*) AS rare_ratio,
+       min(f.cnt) AS min_tok_freq,
+       CAST(sum(f.cnt) AS BIGINT) / count(*) AS mean_tok_freq
+FROM tok t JOIN freq f ON f.tok = t.tok
+GROUP BY t.doc_id
+""".strip()
+
+
 SUITE = {
     "token_count_bpe": ExtQuery(_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_repetition": ExtQuery(_text_repetition, TEXT_REPETITION_SQL),
+    "corpus_rarity": ExtQuery(_corpus_rarity, CORPUS_RARITY_SQL),
     "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
     "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
     "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),
