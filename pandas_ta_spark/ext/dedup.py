@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_ta_spark.ckpt import materialize
 from pandas_ta_spark.ext import ExtQuery  # noqa: TID252  (package root)
 from pandas_ta_spark.sources.bars import load_table
 
@@ -161,7 +162,7 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release the two big intermediates — a long-lived session (the gate
     # runs ~170 queries; _dedup_cc re-enters this fn) must not accumulate
     # a corpus-sized shingle cache per invocation.
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out)
     sh.unpersist()
     sig.unpersist()
     return out
@@ -451,13 +452,13 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # materialize: truncate lineage -> O(1) plan depth per round
+        new_labels = materialize(
             labels.join(prop, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage: O(1) plan depth per round
         )
         changed = (
             new_labels.alias("n")

@@ -137,7 +137,9 @@ def bars_from_events_cached(
     key = (id(spark.sparkContext), sf_dir, anchor)
     df = _BARS_CACHE.get(key)
     if df is None:
-        df = bars_from_events(spark, sf_dir, anchor).localCheckpoint(eager=True)
+        from pandas_ta_spark.ckpt import materialize
+
+        df = materialize(bars_from_events(spark, sf_dir, anchor))
         _BARS_CACHE[key] = df
     return df
 
