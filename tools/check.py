@@ -28,6 +28,7 @@ def get_spark():
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
         .config("spark.driver.memory", "8g")
         .appName("check")
         .getOrCreate()
