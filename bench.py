@@ -183,6 +183,8 @@ def main():
         "topk_cosine_ivf": lambda: EXT["topk_cosine_ivf"].query(spark, sf_dir),
         "shard_pack_tokens": lambda: EXT["shard_pack_tokens"].query(spark, sf_dir),
         "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
+        "asof_join_bars": lambda: EXT["asof_join_bars"].query(spark, sf_dir),
+        "sessionize_30m": lambda: EXT["sessionize_30m"].query(spark, sf_dir),
         "tick_strategy_24ind": lambda: apply_strategy(ticks, strat24),
         "tick_strategy_24ind_salted40": lambda: apply_strategy(
             ticks_salted, strat24),

