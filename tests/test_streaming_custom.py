@@ -450,3 +450,23 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     for col in ["user_id", "n_events", "session_start", "session_end",
                 "n_event_types"]:
         assert (got[col] == exp[col]).all(), col
+
+
+def test_zz_materialize_reliable_checkpoint(spark, tmp_path):
+    """materialize() upgrades to a RELIABLE checkpoint when the session
+    has a checkpoint dir (cluster deployments: survives executor loss);
+    without one it localCheckpoints. Runs LAST in the suite: setting a
+    checkpoint dir on the shared session is irreversible."""
+    from pandas_ta_spark.ckpt import materialize
+
+    df0 = spark.range(5)
+    out0 = materialize(df0)  # no dir yet -> localCheckpoint path
+    assert out0.count() == 5
+
+    ckdir = tmp_path / "reliable_ck"
+    spark.sparkContext.setCheckpointDir(str(ckdir))
+    out = materialize(spark.range(7))
+    assert out.count() == 7
+    # reliable checkpoints write RDD files under the configured dir
+    files = list(ckdir.rglob("*"))
+    assert any(p.is_file() for p in files), files
