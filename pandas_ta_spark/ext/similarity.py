@@ -485,8 +485,54 @@ FROM q GROUP BY 1, 2
 """.strip()
 
 
+# ---------------------------------------------------------- IVF recall ----
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality: per query, recall@k of the IVF index against
+    the exact brute-force top-k. The "measure, don't guess" telemetry any
+    production ANN deployment runs when tuning NPROBE/K_CENTROIDS — and
+    at 100 TB you run it on a sampled query set exactly like this one
+    (both sides are the already-oracled operators, composed)."""
+    brute = _topk_cosine(spark, sf_dir).select("query_id", "match_id")
+    ivf = _topk_ivf(spark, sf_dir).select("query_id", "match_id")
+    hits = (
+        brute.join(ivf, ["query_id", "match_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return (
+        brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "k", n_hit.alias("n_hit"),
+            (n_hit / F.col("k")).alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    # both standalone oracles embed their own WITH chains; nest them as
+    # parenthesized derived tables (legal DuckDB)
+    return f"""
+SELECT b.query_id, b.k, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       coalesce(h.n_hit, CAST(0 AS BIGINT)) / b.k AS recall
+FROM (
+    SELECT query_id, count(*) AS k FROM ({_topk_oracle()}) GROUP BY 1
+) b
+LEFT JOIN (
+    SELECT bb.query_id, count(*) AS n_hit
+    FROM ({_topk_oracle()}) bb
+    JOIN ({_topk_ivf_oracle()}) ii
+      ON ii.query_id = bb.query_id AND ii.match_id = bb.match_id
+    GROUP BY 1
+) h ON h.query_id = b.query_id
+""".strip()
+
+
 SUITE = {
     "embedding_label_centroids": ExtQuery(_label_centroids, LABEL_CENTROIDS_SQL),
+    "topk_ivf_recall": ExtQuery(_ivf_recall, _ivf_recall_oracle()),
     "topk_cosine": ExtQuery(_topk_cosine, _topk_oracle()),
     "topk_cosine_lsh": ExtQuery(_topk_lsh, _topk_lsh_oracle()),
     "topk_cosine_ivf": ExtQuery(_topk_ivf, _topk_ivf_oracle()),
