@@ -253,8 +253,115 @@ ASOF LEFT JOIN bsma b
 """.strip())
 
 
+# --------------------------------------------------- retention cohorts ----
+
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    by day-offset of subsequent activity — the standard engagement rollup
+    over an event log. Two aggregations: per-user first-seen (map-side
+    combinable min), then (cohort, offset) distinct-user counts. All
+    exact integers; day arithmetic via date_trunc/datediff, identical in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    days = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first AS (
+    SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM days d JOIN first f ON f.user_id = d.user_id
+GROUP BY 1, 2
+""".strip()
+
+
+# ------------------------------------------------------- funnel analysis ----
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click AFTER
+    that view, first purchase AFTER that click (strict event-time order —
+    unordered membership would overcount). One groupBy(user) with
+    conditional min aggregates chained via two self-stage joins kept
+    narrow; output is a per-user stage vector the cohort rollup consumes.
+    Exact: only min() over timestamps and null checks."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    users = ev.select("user_id").distinct()
+    out = (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    return out.select(
+        "user_id", "t_view", "t_click", "t_purchase",
+        (F.col("t_view").isNotNull().cast("int")
+         + F.col("t_click").isNotNull().cast("int")
+         + F.col("t_purchase").isNotNull().cast("int")).alias("stages_reached"),
+    )
+
+
+FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY 1
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       (CASE WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stages_reached
+FROM u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+""".strip()
+
+
 SUITE = {
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
+    "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
     "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),
     "mtf_sma_asof": ExtQuery(_mtf_sma, MTF_SMA_SQL),
+    "retention_cohorts": ExtQuery(_retention_cohorts, RETENTION_SQL),
 }
