@@ -378,3 +378,56 @@ def test_ta_accessor(spark, bars, pdf_bars):
     a = one_symbol(pdf_bars)["ts"].iloc[0]
     b = one_symbol(t.to_utc().toPandas())["ts"].iloc[0]
     assert (pd.Timestamp(b) - pd.Timestamp(a)) == pd.Timedelta(hours=4)
+
+
+def test_asof_join_property(spark):
+    """Property-based check of the union-and-carry as-of join: for random
+    event layouts (gaps, bursts, multiple symbols), every event must get
+    the close of the LATEST bar strictly before its own hour — verified
+    against a brute-force pandas scan."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 72 * 3600)),
+        min_size=1, max_size=60, unique=True,
+    ))
+    def check(evts):
+        pdf = pd.DataFrame({
+            "event_id": range(len(evts)),
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+                   for _, s in evts],
+            "user_id": 0,
+            "event_type": [sym for sym, _ in evts],
+            "value": [float(i * 7 % 13) + 0.5 for i in range(len(evts))],
+            "props": "{}",
+        })
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        with tempfile.TemporaryDirectory() as sf:
+            pdf.to_parquet(f"{sf}/events.parquet")
+            from pandas_ta_spark.ext.relational import _asof_join
+
+            got = (_asof_join(spark, sf).toPandas()
+                   .sort_values("event_id").reset_index(drop=True))
+        # brute-force reference: hourly close per (symbol, hour) = value of
+        # the max-ts event; latest bar strictly before the event's hour
+        ref = pdf.copy()
+        ref["hour"] = ref["ts"].dt.floor("h")
+        bars = (ref.sort_values("ts").groupby(["event_type", "hour"])
+                .agg(close=("value", "last")).reset_index())
+        for _, r in ref.iterrows():
+            prev = bars[(bars["event_type"] == r["event_type"])
+                        & (bars["hour"] < r["hour"])]
+            row = got[got["event_id"] == r["event_id"]].iloc[0]
+            if len(prev):
+                want = prev.sort_values("hour").iloc[-1]
+                assert row["bar_ts"] == want["hour"], r["event_id"]
+                assert row["bar_close"] == want["close"], r["event_id"]
+            else:
+                assert pd.isna(row["bar_ts"]), r["event_id"]
+
+    check()
