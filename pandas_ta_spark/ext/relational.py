@@ -300,32 +300,41 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel per user: first view, first click AFTER
     that view, first purchase AFTER that click (strict event-time order —
-    unordered membership would overcount). One groupBy(user) with
-    conditional min aggregates chained via two self-stage joins kept
-    narrow; output is a per-user stage vector the cohort rollup consumes.
-    Exact: only min() over timestamps and null checks."""
+    unordered membership would overcount).
+
+    The three stage timestamps are CHAINED WINDOW MINIMA over ONE
+    hash(user_id) partitioning: stage k's conditional min reads stage
+    k-1's column, so Catalyst stacks three Window nodes behind a single
+    Exchange (the staged-join formulation costs 12). One final
+    aggregation dedups to a per-user stage vector. Exact: only min() over
+    timestamps and null checks."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
-    c = (ev.filter(F.col("event_type") == "click")
-         .join(v, "user_id")
-         .filter(F.col("ts") > F.col("t_view"))
-         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .join(c, "user_id")
-         .filter(F.col("ts") > F.col("t_click"))
-         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
-    users = ev.select("user_id").distinct()
-    out = (
-        users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-    )
-    return out.select(
-        "user_id", "t_view", "t_click", "t_purchase",
-        (F.col("t_view").isNotNull().cast("int")
-         + F.col("t_click").isNotNull().cast("int")
-         + F.col("t_purchase").isNotNull().cast("int")).alias("stages_reached"),
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+               F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when((F.col("event_type") == "purchase")
+               & (F.col("ts") > F.col("t_click")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (F.col("t_view").isNotNull().cast("int")
+             + F.col("t_click").isNotNull().cast("int")
+             + F.col("t_purchase").isNotNull().cast("int")).alias("stages_reached"),
+        )
     )
 
 
