@@ -258,22 +258,24 @@ ASOF LEFT JOIN bsma b
 def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day, counted
     by day-offset of subsequent activity — the standard engagement rollup
-    over an event log. Two aggregations: per-user first-seen (map-side
-    combinable min), then (cohort, offset) distinct-user counts. All
+    over an event log. Distinct (user, day) -> window-min cohort (no
+    self-join) -> (cohort, offset) counts: three exchanges total. All
     exact integers; day arithmetic via date_trunc/datediff, identical in
     both engines."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     days = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
-    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # first-seen as a window min (no self-join); (user, day) is distinct,
+    # so (user, day_offset) is unique and count(*) == count(DISTINCT user)
+    # without the expand of a distinct aggregate
+    w = Window.partitionBy("user_id")
     return (
-        days.join(first, "user_id")
+        days.withColumn("cohort_day", F.min("day").over(w))
         .select(
             "cohort_day",
             F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
-            "user_id",
         )
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -281,13 +283,13 @@ RETENTION_SQL = """
 WITH days AS (
     SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
 ),
-first AS (
-    SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+coh AS (
+    SELECT day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM days
 )
-SELECT f.cohort_day,
-       CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
-       count(DISTINCT d.user_id) AS n_users
-FROM days d JOIN first f ON f.user_id = d.user_id
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM coh
 GROUP BY 1, 2
 """.strip()
 
