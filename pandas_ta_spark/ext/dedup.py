@@ -522,8 +522,14 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side join over the training shingles + one groupBy — the corpus
     is read once, never self-joined. The fraction divides exact BIGINTs,
     so both engines emit identical doubles."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    sh = _shingles_spark(docs.select("doc_id", "text"))
+    # one persisted shingle relation feeds THREE consumers (eval set, train
+    # sizes, train hits) — without it Catalyst re-derives the scan+explode
+    # pipeline per consumer (audited: 10 exchanges, corpus read 3x)
+    sh = _shingles_spark(docs.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     eval_ids = docs.filter(F.col("source") == EVAL_SOURCE).select("doc_id")
     train_ids = docs.filter(F.col("source") != EVAL_SOURCE).select("doc_id")
     eval_sh = sh.join(eval_ids, "doc_id").select("shingle").distinct()
@@ -535,7 +541,7 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     n_cont = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
-    return (
+    out = (
         sizes.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -544,6 +550,9 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_cont / F.col("n_shingles")).alias("contaminated_frac"),
         )
     )
+    out = materialize(out)
+    sh.unpersist()
+    return out
 
 
 def _contamination_oracle() -> str:
