@@ -369,7 +369,25 @@ LEFT JOIN p ON p.user_id = u.user_id
 """.strip()
 
 
+# ----------------------------------------------------- daily resampling ----
+
+def _bars_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-anchor OHLCV resampling — the same single-aggregation
+    derivation as the hourly bars every indicator consumes, exercised at
+    a coarser anchor (the reference's resample-to-timeframe path)."""
+    from pandas_ta_spark.sources.bars import bars_from_events
+
+    return bars_from_events(spark, sf_dir, anchor="day")
+
+
+def _bars_daily_oracle() -> str:
+    from pandas_ta_spark.sources.bars import bars_from_events_sql
+
+    return bars_from_events_sql("day")
+
+
 SUITE = {
+    "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
     "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),
