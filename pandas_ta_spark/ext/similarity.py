@@ -57,6 +57,26 @@ def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", "e", F.sqrt(_spark_dot("e", "e")).alias("nrm"))
 
 
+# The normalized vector relation feeds every similarity query (brute, LSH,
+# near-dup, IVF train/assign/probe, recall) — materialize it once per
+# (SparkContext, sf_dir) like sources.bars._BARS_CACHE instead of letting
+# each query (and each IVF phase) re-derive cast+norm from the scan, or
+# leak a per-invocation persist. At 100 TB this is the persisted
+# "embedding table + norms" any resident vector engine keeps.
+_VECS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _spark_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandas_ta_spark.ckpt import materialize
+
+    key = (id(spark.sparkContext), sf_dir)
+    df = _VECS_CACHE.get(key)
+    if df is None:
+        df = materialize(_spark_vectors(spark, sf_dir))
+        _VECS_CACHE[key] = df
+    return df
+
+
 def _dot_str(a: str, b: str) -> str:
     """0-based left-associated dot product string for Spark F.expr."""
     return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(DIM))
@@ -94,7 +114,7 @@ def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The broadcast of the small query side keeps this a map-side join."""
     from pyspark.sql import Window
 
-    v = _spark_vectors(spark, sf_dir)
+    v = _spark_vectors_cached(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -146,7 +166,7 @@ def _topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline."""
     from pyspark.sql import Window
 
-    v = _spark_vectors(spark, sf_dir)
+    v = _spark_vectors_cached(spark, sf_dir)
     v = v.select("vec_id", "e", "nrm", _bucket_expr("e").alias("bucket"))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
@@ -201,7 +221,7 @@ FROM ranked WHERE rank <= {TOP_K}
 def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.99) via LSH buckets —
     the embedding-space analogue of MinHash dedup."""
-    v = _spark_vectors(spark, sf_dir)
+    v = _spark_vectors_cached(spark, sf_dir)
     v = v.select("vec_id", "e", "nrm", _bucket_expr("e").alias("bucket"))
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
                  F.col("nrm").alias("na"), "bucket")
@@ -266,7 +286,7 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    v = _spark_vectors(spark, sf_dir).persist()
+    v = _spark_vectors_cached(spark, sf_dir)
     seeds = (
         v.filter((F.col("vec_id") >= N_QUERIES)
                  & (F.col("vec_id") < N_QUERIES + K_CENTROIDS))
