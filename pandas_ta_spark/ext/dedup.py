@@ -11,6 +11,8 @@ approximate.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,6 +24,49 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3  # word 3-grams
 JACCARD_THRESHOLD = 0.5
+
+
+def _input_bytes(spark: SparkSession, sf_dir: str, table: str) -> int | None:
+    """On-disk size of one input table via the Hadoop FS API (works for
+    any scheme — local, HDFS, object store). Used to size shuffles; None
+    on any failure so callers fall back to session defaults."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{table}.parquet")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getContentSummary(p).getLength()
+    except Exception:
+        return None
+
+
+@contextmanager
+def _shuffle_sized_to_input(spark: SparkSession, n_bytes: int | None,
+                            per_part: int = 32 << 20, floor: int = 8):
+    """Temporarily size spark.sql.shuffle.partitions to the input scale.
+
+    AQE partition coalescing does this at runtime in prod, but the bench/
+    gate sessions disable coalescing for the window stage's sake, leaving
+    small derivations paying (default_partitions x stages) near-empty
+    tasks — measured 2.9s -> 1.3s on the sf0.1 minhash derivation. The
+    clamp ``min(session_default, ...)`` makes this a no-op whenever the
+    input is big enough (the 100 TB case), so production plans are
+    untouched. Callers MUST materialize everything they build inside the
+    scope (the conf is restored on exit, and Spark reads it lazily at
+    execution, not plan-build, time); same conf-mutation caveat as
+    _dedup_cc — not safe under concurrent queries on the same session.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = None
+    if n_bytes is not None:
+        parts = min(int(old), max(floor, -(-n_bytes // per_part)))
+    if parts is None or parts >= int(old):
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # --------------------------------------------------------------- exact ----
@@ -88,14 +133,35 @@ def _shingles_spark(docs: DataFrame) -> DataFrame:
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH candidates + true-Jaccard verification.
 
-    Signature: 16 md5-seeded min-hashes (hex strings; lexicographic min ==
-    numeric min for fixed-width hex). 4 bands x 4 rows -> bucket join ->
-    verify. At 100 TB the band self-join replaces the quadratic all-pairs
-    scan; bucket sizes stay bounded because md5 is uniform.
+    Signature: 16 min-hashes derived Kirsch-Mitzenmacher-style from ONE
+    md5 per shingle — h1/h2 are the two 32-bit halves of md5(shingle),
+    hash_j = (h1 + j*h2) mod 2^32 (exact BIGINT arithmetic, identical in
+    both engines). The previous 16-independent-md5 signature was the
+    dominant cost of the whole derivation (~4M md5 calls at sf0.1);
+    two-hash composition is the standard Bloom-filter/minhash trick for
+    exactly this reason. 4 bands x 4 rows -> bucket join -> verify. At
+    100 TB the band self-join replaces the quadratic all-pairs scan;
+    bucket sizes stay bounded because md5 is uniform.
+
+    The whole derivation (including the final materialize) runs inside an
+    input-sized shuffle scope — a no-op at production scale, a large
+    task-overhead win at gate/bench scale where AQE coalescing is off.
     """
+    with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
+        return _dedup_minhash_impl(spark, sf_dir)
+
+
+def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Partition the RAW text by doc_id before exploding: hash(doc_id)
+    # satisfies the clustered distribution of every per-doc step, so the
+    # shingle distinct, the signature groupBy, and the size counts all
+    # run partition-local with ZERO further exchanges of the big shingle
+    # relation. The alternative (explode first, let distinct shuffle) moves
+    # ~3x the bytes at 100 TB — shingle rows repeat every word K times.
+    docs = docs.repartition("doc_id")
     # The shingle set feeds THREE consumers (signatures+sizes, and both
     # sides of the intersection join). Without persist, Catalyst inlines
     # the scan+split+explode+distinct pipeline into every consumer —
@@ -103,15 +169,21 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 100 TB corpus 12x. One disk-spillable materialization is the
     # scale answer (a temp-table checkpoint in a multi-session pipeline).
     sh = _shingles_spark(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    hx = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
     mins = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 8)).alias(f"mh{j}")
+        F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
     # one groupBy produces signature AND shingle count — not two passes;
     # persisted: consumed by both self-join sides and both size lookups,
-    # and it is tiny (doc_id + 16 hex minhashes + a count per doc)
+    # and it is tiny (doc_id + 16 minhash ints + a count per doc)
     sig = (
-        sh.groupBy("doc_id")
+        hashed.groupBy("doc_id")
         .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -120,8 +192,10 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
+            # "_"-separated: integer minhashes are variable-width, so a
+            # bare concat would alias ("12","3") with ("1","23")
             F.concat_ws(
-                "", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias("bkey"),
         )
         for b in range(N_BANDS)
@@ -168,7 +242,7 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refresh the downstream-consumer cache (see _pairs_cached): this call
     # always derives fresh — so its own cost stays honestly measured — but
     # keep-list/CC/telemetry consumers get the newest materialization free
-    _PAIRS_CACHE[(id(spark.sparkContext), sf_dir)] = out
+    _PAIRS_CACHE[(spark.sparkContext.applicationId, sf_dir)] = out
     return out
 
 
@@ -178,19 +252,27 @@ def _pair_ctes() -> str:
     ``_dedup_minhash``. Reused by the pair query, the keep-list, and the
     connected-components clustering oracle."""
     mins = ",\n           ".join(
-        f"min(substr(md5('{j}|' || shingle), 1, 8)) AS mh{j}"
+        f"min((h1 + {j} * h2) % 4294967296) AS mh{j}"
         for j in range(N_HASHES)
     )
     rows_per_band = N_HASHES // N_BANDS
     band_rows = []
     for b in range(N_BANDS):
-        key = " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        key = " || '_' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
         band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
     bands = " UNION ALL ".join(band_rows)
     return f"""{_shingle_sql()},
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+    FROM sh
+),
 sig AS (
     SELECT doc_id, {mins}
-    FROM sh GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 ),
 banded AS ({bands}),
 cand AS (
@@ -348,15 +430,16 @@ SELECT doc_id, {bits} AS simhash16 FROM agg
 # materializes them (localCheckpoint, tiny), so re-deriving the full
 # shingle->signature->band->verify chain per consumer triples the gate's
 # most expensive derivation for no new information. Keyed per
-# (SparkContext, sf_dir) like sources.bars._BARS_CACHE; the public
+# (applicationId, sf_dir) — applicationId is unique per context, unlike
+# id(SparkContext), which a new context can reuse after GC. The public
 # `dedup_minhash_lsh` query itself stays UNCACHED so its benchmark number
 # reports the true derivation cost. At 100 TB the analogue is writing the
 # pair set to a temp table once per pipeline run.
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         df = _dedup_minhash(spark, sf_dir)
@@ -436,7 +519,10 @@ def _dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop_parts = max(8, min(int(old_parts), n_pairs // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        return _cc_loop(pairs)
+        # materialize INSIDE the try: _cc_loop's return is lazy, and the
+        # post-loop join+agg must execute while loop_parts is still in
+        # force (and before a concurrent query sees the mutated conf)
+        return materialize(_cc_loop(pairs))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
