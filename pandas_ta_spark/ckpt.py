@@ -12,6 +12,15 @@ and falls back to eager localCheckpoint otherwise.
 Call sites: the gate's shared bars derivation (sources/bars.py), the
 verified near-dup pair set and the CC label-propagation rounds
 (ext/dedup.py).
+
+Cleanup: reliable checkpoint files are NOT removed automatically —
+``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to false,
+and iterative callers (the CC loop checkpoints every round; the gate
+runs ~185 queries) would accumulate files without bound on a long-lived
+session. Cluster setup that configures a checkpoint dir MUST also set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean the
+directory between pipeline runs); localCheckpoint blocks are cleaned by
+the ContextCleaner on GC and need no such setting.
 """
 
 from __future__ import annotations

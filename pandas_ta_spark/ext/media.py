@@ -92,33 +92,51 @@ def decode_stub(payload: bytes, kind: str = "image"):
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
-    mapInPandas: each Arrow batch becomes a pandas frame; the stubbed
-    decoder path degrades to byte statistics, the real one would emit
-    image tensors / audio frames with the same batch shape."""
+    mapInPandas: each Arrow batch becomes a pandas frame. The decoder is
+    probed ONCE per batch; with no decoder available the fallback
+    computes byte statistics VECTORIZED across the whole batch (one
+    buffer concat + one int64 cumsum, per-row sums by offset difference —
+    no per-row Python loop). Only the real-decoder branch iterates
+    per asset, because decoders are inherently per-asset."""
     import hashlib
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
         for pdf in batches:
-            payloads = pdf["content"]
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], payloads):
-                try:
-                    decode_stub(bytes(payload))  # real decoder hook
-                    raise AssertionError("unreachable in this container")
-                except NotImplementedError:
-                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                    rows.append({
-                        "doc_id": int(doc_id),
-                        "n_bytes": int(arr.size),
-                        "mean_byte": float(np.floor(arr.mean() * 1e6 + 0.5) / 1e6)
-                        if arr.size else 0.0,
-                        "frame_count": int(arr.size // 16),
-                        "first_frame_hash": hashlib.md5(bytes(payload[:16])).hexdigest(),
-                    })
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payloads = [bytes(p) for p in pdf["content"]]
+            try:
+                decode_stub(payloads[0] if payloads else b"")
+                # REAL DECODER BRANCH (unreachable in this container):
+                # per-asset loop is correct here — decoding is per-asset
+                rows = [decode_stub(p) for p in payloads]
+                yield pd.DataFrame(rows, columns=cols)
+                continue
+            except NotImplementedError:
+                pass
+            # vectorized fallback: exact integer byte sums via cumsum
+            # differences (no reduceat zero-length edge cases)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(concat, dtype=np.int64)))
+            ends = np.cumsum(lens)
+            sums = csum[ends] - csum[ends - lens]
+            mean = np.zeros(len(lens), dtype=np.float64)
+            nz = lens > 0
+            mean[nz] = np.floor(sums[nz] / lens[nz] * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": lens,
+                "mean_byte": mean,
+                "frame_count": (lens // 16).astype("int32"),
+                # md5 is per-row by nature; hashing 16-byte slices is cheap
+                "first_frame_hash": [
+                    hashlib.md5(p[:16]).hexdigest() for p in payloads
+                ],
+            }, columns=cols)
 
     return df.mapInPandas(gen, FEATURE_SCHEMA)
 
@@ -128,7 +146,26 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_media_column(docs))
 
 
+# Oracle for the decoder-independent fallback features. The test payload
+# is utf-8 text and the corpus is pure ASCII (verified: octet_length ==
+# char length across testdata), so byte positions == char positions and
+# every fallback column is plain SQL: octet_length, per-char ord() sum,
+# md5 of the 16-byte prefix. A real-decoder deployment would drop back to
+# rows-only for tensor outputs.
+MEDIA_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           floor(list_sum(list_transform(range(1, length(text) + 1),
+                                         i -> ord(substr(text, i, 1))))
+                 / length(text) * 1e6 + 0.5) / 1e6 END AS mean_byte,
+       CAST(octet_length(encode(text)) // 16 AS INT) AS frame_count,
+       md5(substr(text, 1, 16)) AS first_frame_hash
+FROM documents
+""".strip()
+
+
 SUITE = {
     "media_meta": ExtQuery(_media_meta, MEDIA_META_SQL),
-    "media_features": ExtQuery(_media_features, None),  # rows-only: stubbed decode
+    "media_features": ExtQuery(_media_features, MEDIA_FEATURES_SQL),
 }

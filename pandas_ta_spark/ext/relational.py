@@ -386,8 +386,49 @@ def _bars_daily_oracle() -> str:
     return bars_from_events_sql("day")
 
 
+# ----------------------------------------------------- forward ichimoku ----
+
+def _ichimoku_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ichimoku's SECOND return frame (the kijun-1-row
+    forward cloud per symbol) as a suite query — the historical frame is
+    oracled under the `ichimoku` key; this value-checks the projection
+    (row subsetting + ts advancement) too."""
+    from pandas_ta_spark.operators.overlap import ichimoku_forward
+
+    bars = bars_from_events_cached(spark, sf_dir)
+    out = ichimoku_forward(bars)
+    return out.select(
+        "symbol", "ts",
+        round_col(F.col("ISA_9")).alias("ISA_9"),
+        round_col(F.col("ISB_26")).alias("ISB_26"),
+    )
+
+
+def _ichimoku_fwd_oracle() -> str:
+    from pandas_ta_spark.functions.windows import sql_roll
+
+    def mid(n: int) -> str:
+        return (f"((({sql_roll('max', 'high', n)}) +"
+                f" ({sql_roll('min', 'low', n)})) / 2)")
+
+    body = f""", aug AS (
+    SELECT symbol, ts,
+           (({mid(9)}) + ({mid(26)})) / 2 AS isa,
+           {mid(52)} AS isb,
+           row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+           count(*) OVER (PARTITION BY symbol) AS mx
+    FROM bars
+)
+SELECT symbol, ts + INTERVAL 25 HOUR AS ts,
+       {sql_round('isa')} AS "ISA_9",
+       {sql_round('isb')} AS "ISB_26"
+FROM aug WHERE rn > mx - 25"""
+    return with_bars_cte(body)
+
+
 SUITE = {
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
+    "ichimoku_forward": ExtQuery(_ichimoku_fwd, _ichimoku_fwd_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
     "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),

@@ -18,6 +18,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pandas_ta_spark.ckpt import materialize
 from pandas_ta_spark.ext import ExtQuery
 from pandas_ta_spark.sources.bars import load_table
 
@@ -59,17 +60,15 @@ def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The normalized vector relation feeds every similarity query (brute, LSH,
 # near-dup, IVF train/assign/probe, recall) — materialize it once per
-# (SparkContext, sf_dir) like sources.bars._BARS_CACHE instead of letting
+# (applicationId, sf_dir) — unique per context, unlike id() — instead of letting
 # each query (and each IVF phase) re-derive cast+norm from the scan, or
 # leak a per-invocation persist. At 100 TB this is the persisted
 # "embedding table + norms" any resident vector engine keeps.
-_VECS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_VECS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _spark_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pandas_ta_spark.ckpt import materialize
-
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _VECS_CACHE.get(key)
     if df is None:
         df = materialize(_spark_vectors(spark, sf_dir))
@@ -332,9 +331,13 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(s{i} AS DOUBLE) / 1e6 / CAST(cnt AS DOUBLE)" for i in range(DIM)
     )
     cent = cm.selectExpr("centroid_id", f"array({comps}) AS ce")
-    centn = cent.selectExpr(
+    # materialize, not persist: the K-row centroid table is consumed by
+    # both the inverted-file build and the probe scoring, and a persist
+    # here would outlive the query (the returned plan references it
+    # lazily, so there is no safe unpersist point inside this function)
+    centn = materialize(cent.selectExpr(
         "centroid_id", "ce", f"sqrt({_dot_str('ce', 'ce')}) AS cn"
-    ).persist()
+    ))
 
     lists = assign(centn)  # the inverted file
 

@@ -141,17 +141,51 @@ def decay(length: int = 5, mode: str = "linear"):
     )
 
 
-def _creasing(increasing_: bool, length: int = 1, strict: bool = False, asint: bool = True):
+def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
+              asint: bool = True, percent: float | None = None,
+              drift: int = 1):
     """increasing/decreasing — pandas_ta/trend/increasing.py,
-    decreasing.py. NaN diff compares False (0), matching pandas."""
+    decreasing.py. NaN diff compares False (0), matching pandas.
+
+    ``strict``: every consecutive ``drift``-step move across the
+    ``length`` lookback satisfies the comparison — SURVEY §2.5's
+    "monotone each step", expressed as a windowed min over per-step 0/1
+    flags (one window pass, no shift chain). ``percent`` scales the
+    lagged side of the strict comparison by (1 ± percent/100); in the
+    non-strict length-diff the scaling multiplies both ends and cancels,
+    so only the output name changes — same as the reference. ``asint``
+    False emits booleans instead of 0/1."""
     kind = "INC" if increasing_ else "DEC"
-    out = name(kind, length)
+    pct = float(percent) if percent else None
+    props = f"_{length}_{pct}" if pct is not None else f"_{length}"
+    out = f"{'S' if strict else ''}{kind}{props}"
+    op = ">" if increasing_ else "<"
+    if strict:
+        scale = None if pct is None else (
+            (1 + 0.01 * pct) if increasing_ else (1 - 0.01 * pct))
+        lag = shift("close", drift)
+        rhs = lag * F.lit(scale) if scale is not None else lag
+        cond = (F.col("close") > rhs) if increasing_ else (F.col("close") < rhs)
+        t = "_creasing_step"
+        s_lag = sql_shift("close", drift)
+        s_rhs = f"({s_lag}) * {scale!r}" if scale is not None else f"({s_lag})"
+        flag = F.min(t).over(w_rows(length))
+        s_flag = f"min({t}) OVER ({sql_w_rows(length)})"
+        e = flag if asint else (flag == 1.0)
+        s = s_flag if asint else f"({s_flag}) = 1.0"
+        return Indicator(
+            kind.lower(), [out], CAT,
+            stages=[{t: F.when(cond, 1.0).otherwise(0.0)}],
+            final={out: e},
+            sql_stages=[{t: f"CASE WHEN close {op} {s_rhs} THEN 1.0 ELSE 0.0 END"}],
+            sql_final={out: s},
+        )
     d = diff("close", length)
     cond = (d > 0) if increasing_ else (d < 0)
-    e = F.when(cond, 1.0).otherwise(0.0)
+    e = F.when(cond, 1.0).otherwise(0.0) if asint else F.coalesce(cond, F.lit(False))
     s_d = sql_diff("close", length)
-    op = ">" if increasing_ else "<"
-    s = f"CASE WHEN ({s_d}) {op} 0 THEN 1.0 ELSE 0.0 END"
+    s = (f"CASE WHEN ({s_d}) {op} 0 THEN 1.0 ELSE 0.0 END" if asint
+         else f"coalesce(({s_d}) {op} 0, FALSE)")
     return Indicator(kind.lower(), [out], CAT, final={out: e}, sql_final={out: s})
 
 
@@ -649,7 +683,10 @@ FACTORIES = {
 
 SUITE = {
     "aroon_14": aroon, "chop_14": chop, "decay_5": decay,
-    "increasing_1": increasing, "decreasing_1": decreasing, "dpo_20": dpo,
+    "increasing_1": increasing, "decreasing_1": decreasing,
+    "increasing_strict_4": lambda: increasing(4, strict=True),
+    "decreasing_strict_4": lambda: decreasing(4, strict=True),
+    "dpo_20": dpo,
     "qstick_10": qstick, "ttm_trend_6": ttm_trend, "vhf_28": vhf,
     "vortex_14": vortex, "adx_14": adx, "cksp_10_1_9": cksp,
     "amat_8_21_2": amat, "tsignals_8_21": tsignals, "psar": psar,

@@ -123,18 +123,18 @@ def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> 
 # Correctness-gate cache: the driver runs ~166 queries against the SAME
 # derived bars table; re-running the events scan+agg per query dominates
 # gate wall time. An eager localCheckpoint materializes the derivation
-# once per (SparkContext, sf_dir) and truncates lineage, so each gate
+# once per (applicationId, sf_dir) and truncates lineage, so each gate
 # query starts from in-memory partitions. Production paths still call
 # bars_from_events directly — the cache is only for the many-queries-over-
 # one-small-table gate shape (at 100 TB you'd persist to a bucketed table
 # instead, see write_bars_bucketed).
-_BARS_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_BARS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def bars_from_events_cached(
     spark: SparkSession, sf_dir: str, anchor: str = "hour"
 ) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, anchor)
+    key = (spark.sparkContext.applicationId, sf_dir, anchor)
     df = _BARS_CACHE.get(key)
     if df is None:
         from pandas_ta_spark.ckpt import materialize

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 185
-    assert len(o) == 183
+    assert len(q) == 188
+    assert len(o) == 187
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50,
     # and EVERY pinned key must still exist — a renamed pinned key would
@@ -313,7 +313,9 @@ def test_entry_contract(spark):
                  "topk_cosine_ivf", "sample_hash_deterministic",
                  "shard_pack_tokens", "cdl_pattern_all",
                  "atr_14", "obv", "ha", "text_stats",
-                 "asof_join_bars", "sessionize_30m"):
+                 "asof_join_bars", "sessionize_30m",
+                 # r6 rotation: displaced keys back in the window
+                 "zscore_30", "jma_7", "hilo_13_21"):
         assert must in first50, must
 
 

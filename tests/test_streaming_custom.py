@@ -452,21 +452,36 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         assert (got[col] == exp[col]).all(), col
 
 
-def test_zz_materialize_reliable_checkpoint(spark, tmp_path):
+def test_materialize_reliable_checkpoint(tmp_path):
     """materialize() upgrades to a RELIABLE checkpoint when the session
     has a checkpoint dir (cluster deployments: survives executor loss);
-    without one it localCheckpoints. Runs LAST in the suite: setting a
-    checkpoint dir on the shared session is irreversible."""
-    from pandas_ta_spark.ckpt import materialize
+    without one it localCheckpoints. Runs in a SUBPROCESS with its own
+    SparkContext: setCheckpointDir is irreversible, and setting it on the
+    shared session fixture would silently flip every test that happens to
+    run later onto the reliable-checkpoint path (ordering-dependent)."""
+    import subprocess
+    import sys
+    import textwrap
 
-    df0 = spark.range(5)
-    out0 = materialize(df0)  # no dir yet -> localCheckpoint path
-    assert out0.count() == 5
+    ckdir = str(tmp_path / "reliable_ck")
+    script = textwrap.dedent(f"""
+        import pathlib
+        from pyspark.sql import SparkSession
+        from pandas_ta_spark.ckpt import materialize
 
-    ckdir = tmp_path / "reliable_ck"
-    spark.sparkContext.setCheckpointDir(str(ckdir))
-    out = materialize(spark.range(7))
-    assert out.count() == 7
-    # reliable checkpoints write RDD files under the configured dir
-    files = list(ckdir.rglob("*"))
-    assert any(p.is_file() for p in files), files
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .appName("ckpt-isolated-test").getOrCreate())
+        assert materialize(spark.range(5)).count() == 5  # localCheckpoint path
+        spark.sparkContext.setCheckpointDir({ckdir!r})
+        assert materialize(spark.range(7)).count() == 7
+        # reliable checkpoints write RDD files under the configured dir
+        files = [p for p in pathlib.Path({ckdir!r}).rglob("*") if p.is_file()]
+        assert files, "no reliable checkpoint files written"
+        spark.stop()
+        print("CKPT_OK")
+    """)
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, cwd="/root/repo", timeout=300)
+    assert "CKPT_OK" in r.stdout, r.stderr[-2000:]
