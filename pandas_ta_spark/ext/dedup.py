@@ -212,19 +212,25 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with true shingle Jaccard
+    # verify candidates with true shingle Jaccard. The candidate pair set
+    # is orders of magnitude smaller than the shingle relation (dup-heavy
+    # corpora excepted — then LSH banding itself needs retuning), so
+    # BROADCAST it: the big sha side streams from cache with no exchange,
+    # and the hint skips an AQE re-plan round.
     sizes = sig.select("doc_id", "n_sh")
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
     inter = (
-        cand.join(sha, "doc_a").join(shb, ["doc_b", "s"])
+        F.broadcast(cand).join(sha, "doc_a").join(shb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})
     nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})
+    # same direction: inter (verified-pair counts) is the small side;
+    # sizes is per-doc, i.e. corpus-sized at scale — never broadcast it
     out = (
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        F.broadcast(inter).join(na, "doc_a").join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
