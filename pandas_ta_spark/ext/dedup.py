@@ -721,8 +721,51 @@ GROUP BY d.source
 """.strip()
 
 
+# ------------------------------------------- cross-source overlap matrix ----
+
+def _dup_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES duplicate each other: verified near-dup pairs rolled
+    up to unordered (source, source) cells with pair counts and the
+    strongest overlap. The curation dashboard that tells you one crawl
+    mirrors another — consumes the shared materialized pair set, so at
+    100 TB it costs two broadcast joins over the (tiny) pair relation
+    plus one aggregation. max() over jaccard is order-insensitive, so the
+    rollup is deterministic under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _pairs_cached(spark, sf_dir)
+    sa = docs.withColumnsRenamed({"doc_id": "doc_a", "source": "source_a"})
+    sb = docs.withColumnsRenamed({"doc_id": "doc_b", "source": "source_b"})
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _dup_overlap_oracle() -> str:
+    return f"""
+WITH {_pair_ctes()}
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       count(*) AS n_pairs,
+       max(p.jaccard) AS max_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+""".strip()
+
+
 SUITE = {
     "dedup_keep_list": ExtQuery(_dedup_keep_list, _keep_list_oracle()),
+    "dedup_overlap_by_source_pair": ExtQuery(
+        _dup_overlap_sources, _dup_overlap_oracle()),
     "dedup_rate_by_source": ExtQuery(_dup_rate_by_source, _dup_rate_oracle()),
     "contamination_ngrams": ExtQuery(_contamination, _contamination_oracle()),
     "dedup_cc_clusters": ExtQuery(_dedup_cc, _cc_oracle()),

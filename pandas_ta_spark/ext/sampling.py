@@ -304,8 +304,55 @@ FROM r, q
 """.strip()
 
 
+# --------------------------------------------------- train/val/test split ----
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # remainder is test
+
+
+def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = the first 8 hex
+    chars of md5('split|' || doc_id) mod 100. A pure projection — no
+    shuffle, pushes into the scan, identical on any rerun/executor count,
+    and independent of the sampling salt so split and sampling decisions
+    are uncorrelated. The eval-leakage complement to the dedup keep-list:
+    assignment by content-independent id hash never moves a doc between
+    splits when its text is edited."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    bucket = (h % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", bucket)
+        .select("doc_id", "source", split.alias("split"))
+    )
+
+
+def _split_assign_oracle() -> str:
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN b < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, source,
+           CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 AS b
+    FROM documents
+)
+""".strip()
+
+
 SUITE = {
     "sample_hash_deterministic": ExtQuery(_sample_hash, _sample_hash_oracle()),
+    "split_assign": ExtQuery(_split_assign, _split_assign_oracle()),
     "mix_rebalance_lang": ExtQuery(_mix_rebalance, _mix_rebalance_oracle()),
     "sample_stratified_quota": ExtQuery(_sample_quota, _sample_quota_oracle()),
     "shard_pack_tokens": ExtQuery(_shard_pack, _shard_pack_oracle()),

@@ -236,14 +236,16 @@ def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _neardup_oracle() -> str:
+def _neardup_ctes() -> str:
+    """Shared DuckDB CTE chain ending in `pairs(vec_a, vec_b, score)` —
+    the SQL twin of ``_neardup_cosine``'s bucketed pair derivation.
+    Reused by the pair query and the SemDeDup keep-list oracle."""
     planes = _planes()
     bits = " || ".join(
         f"CASE WHEN ({_plane_dot_sql('e', planes[p])}) >= 0 THEN '1' ELSE '0' END"
         for p in range(N_PLANES)
     )
-    return f"""
-WITH v AS (
+    return f"""v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 n AS (
@@ -253,9 +255,52 @@ pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ({_dot_sql('a.e', 'b.e')}) / (a.nrm * b.nrm) AS score
     FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+)"""
+
+
+def _neardup_oracle() -> str:
+    return f"""
+WITH {_neardup_ctes()}
 SELECT vec_a, vec_b, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
 FROM pairs WHERE score >= 0.99
+""".strip()
+
+
+def _semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-level dedup keep-list: a vector is
+    DROPPED when a lower-id vector in its LSH bucket is cosine-similar
+    (>= 0.99); the displacing representative is reported. The min-id
+    representative rule replaces the paper's greedy scan with one
+    relational pass — deterministic, rerun-stable, and at 100 TB it is
+    the same bucketed join as the pair query plus a tiny aggregation
+    (no iteration, no driver loop)."""
+    v = _spark_vectors_cached(spark, sf_dir).select("vec_id")
+    pairs = _neardup_cosine(spark, sf_dir)
+    displaced = (
+        pairs.groupBy("vec_b").agg(F.min("vec_a").alias("rep_id"))
+        .withColumnsRenamed({"vec_b": "vec_id"})
+    )
+    return (
+        v.join(displaced, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("rep_id").isNull(), 1).otherwise(0).alias("kept"),
+            "rep_id",
+        )
+    )
+
+
+def _semdedup_keep_oracle() -> str:
+    return f"""
+WITH {_neardup_ctes()},
+disp AS (
+    SELECT vec_b AS vec_id, min(vec_a) AS rep_id
+    FROM pairs WHERE score >= 0.99 GROUP BY 1
+)
+SELECT x.vec_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
+       d.rep_id
+FROM v x LEFT JOIN disp d ON d.vec_id = x.vec_id
 """.strip()
 
 
@@ -560,4 +605,5 @@ SUITE = {
     "topk_cosine_lsh": ExtQuery(_topk_lsh, _topk_lsh_oracle()),
     "topk_cosine_ivf": ExtQuery(_topk_ivf, _topk_ivf_oracle()),
     "neardup_cosine_lsh": ExtQuery(_neardup_cosine, _neardup_oracle()),
+    "semdedup_keep": ExtQuery(_semdedup_keep, _semdedup_keep_oracle()),
 }
