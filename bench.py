@@ -195,6 +195,12 @@ def main():
             ticks_salted, strat24),
         "bars_strategy_24ind": lambda: apply_strategy(bars, strat24),
         "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_inds),
+        # the all-ind strategy is window-stage-bound and the 5-symbol
+        # testdata caps WindowExec parallelism at 5 of 32 cores; the
+        # salted variant (40 sub-series) shows what real symbol
+        # cardinality buys the SAME plan — the documented skew treatment
+        "tick_strategy_all145ind_salted40": lambda: apply_strategy(
+            ticks_salted, all_inds),
     }
 
     # best of 3 — the same methodology as BASELINE.md: the first run pays

@@ -433,3 +433,57 @@ def test_asof_join_property(spark):
                 assert pd.isna(row["bar_ts"]), r["event_id"]
 
     check()
+
+
+def test_split_assign_deterministic_fractions(spark):
+    """Deterministic hash split: rerun-identical assignment, every doc in
+    exactly one split, fractions near the 90/5/5 configuration."""
+    from pandas_ta_spark.ext import SUITE
+
+    sf = "/root/testdata/sf0.01"
+    a = SUITE["split_assign"].query(spark, sf).toPandas()
+    b = SUITE["split_assign"].query(spark, sf).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # rerun-stable
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.80 <= frac.get("train", 0) <= 0.97
+    assert 0.005 <= frac.get("val", 0) <= 0.12
+    assert 0.005 <= frac.get("test", 0) <= 0.12
+
+
+def test_semdedup_keep_invariants(spark):
+    """kept XOR displaced: rep_id present iff kept == 0, and the
+    representative always has the smaller vec_id (min-id rule)."""
+    from pandas_ta_spark.ext import SUITE
+
+    out = SUITE["semdedup_keep"].query(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(out) > 0
+    dropped = out[out["kept"] == 0]
+    kept = out[out["kept"] == 1]
+    assert kept["rep_id"].isna().all()
+    if len(dropped):
+        assert dropped["rep_id"].notna().all()
+        assert (dropped["rep_id"] < dropped["vec_id"]).all()
+
+
+def test_increasing_strict_semantics(spark):
+    """strict=True flags only runs where EVERY consecutive step rises
+    across the length lookback (SURVEY §2.5 'monotone each step')."""
+    import pandas as pd
+
+    from pandas_ta_spark.operators.trend import increasing
+
+    closes = [1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=len(closes), freq="h"),
+        "open": closes, "high": closes, "low": closes, "close": closes,
+        "volume": 1.0,
+    })
+    df = spark.createDataFrame(pdf)
+    out = (increasing(3, strict=True).apply(df).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    # window of 3 consecutive diffs: row 3 (1->2->3->4) rises, row 4
+    # breaks on the 4->3 drop, rows 7..8 rise again (3->4->5->6->7)
+    assert out["SINC_3"].tolist() == [0, 0, 0, 1, 0, 0, 0, 1, 1]
