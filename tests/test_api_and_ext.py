@@ -487,3 +487,35 @@ def test_increasing_strict_semantics(spark):
     # window of 3 consecutive diffs: row 3 (1->2->3->4) rises, row 4
     # breaks on the 4->3 drop, rows 7..8 rise again (3->4->5->6->7)
     assert out["SINC_3"].tolist() == [0, 0, 0, 1, 0, 0, 0, 1, 1]
+
+
+def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
+    """CSV and JSON connectors land on the canonical bars schema and
+    agree with the in-memory frame; indicators run unchanged on top."""
+    from pandas_ta_spark.registry import make
+    from pandas_ta_spark.sources.formats import bars_from_csv, bars_from_json
+
+    csv_p = str(tmp_path / "bars_csv")
+    json_p = str(tmp_path / "bars_json")
+    src = pdf_bars.copy()
+    src.to_csv(f"{tmp_path}/bars.csv", index=False)
+    (tmp_path / "bars_csv").mkdir()
+    (tmp_path / "bars_json").mkdir()
+    src.to_csv(f"{csv_p}/part.csv", index=False)
+    src.to_json(f"{json_p}/part.json", orient="records", lines=True,
+                date_format="iso")
+    for df in (bars_from_csv(spark, csv_p), bars_from_json(spark, json_p)):
+        assert [f.name for f in df.schema.fields] == [
+            "symbol", "ts", "open", "high", "low", "close", "volume"]
+        assert df.count() == len(src)
+        got = (df.orderBy("symbol", "ts").toPandas()["close"]
+               .round(6).tolist())
+        want = (src.sort_values(["symbol", "ts"])["close"]
+                .round(6).tolist())
+        assert got == want
+        out = make("sma", length=5).apply(df)
+        assert "SMA_5" in out.columns and out.count() == len(src)
+
+    with __import__("pytest").raises(ValueError, match="missing columns"):
+        from pandas_ta_spark.sources.formats import _normalize
+        _normalize(spark.createDataFrame([(1,)], "x INT"), None)
