@@ -721,6 +721,75 @@ GROUP BY d.source
 """.strip()
 
 
+# ----------------------------------------------------- span-level dedup ----
+
+SPAN_W = 20  # tokens per span window
+
+
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING (span) dedup: per document, the fraction of its
+    sliding SPAN_W-token windows that also occur in ANOTHER document —
+    the span-level signal of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022), which document-level dedup cannot
+    express (two long documents sharing one boilerplate paragraph are
+    not near-dups, but the paragraph should still count).
+
+    Plan: one explode of window hashes (md5 of the joined token slice),
+    one groupBy on the uniform hash key (map-side partials), one hash
+    join back. No self-join, no all-pairs anything; at 100 TB the span
+    relation is ~tokens-sized — the same cost class as the shingle pass
+    the MinHash path already pays, and the documented scale refinement is
+    a Bloom/count-min pre-filter before the join-back."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
+        toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+        spans = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - SPAN_W + 1, F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_W))),
+        )
+        sp = (
+            docs.filter(F.size(toks) >= SPAN_W)
+            .select("doc_id", F.explode(spans).alias("h"))
+        )
+        owners = sp.groupBy("h").agg(
+            F.count_distinct("doc_id").alias("n_docs_with_span"))
+        flagged = sp.join(owners, "h").select(
+            "doc_id", (F.col("n_docs_with_span") >= 2).cast("int").alias("dup"))
+        out = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dup").alias("n_dup_spans"),
+        ).select(
+            "doc_id", "n_spans", "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
+        )
+        return materialize(out)
+
+
+def _span_dedup_oracle() -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+),
+sp AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {SPAN_W} + 2),
+                                 i -> md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' ')))) AS h
+    FROM tok WHERE len(toks) >= {SPAN_W}
+),
+owners AS (
+    SELECT h, count(DISTINCT doc_id) AS n_docs_with_span FROM sp GROUP BY h
+)
+SELECT s.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN o.n_docs_with_span >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(sum(CASE WHEN o.n_docs_with_span >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           / count(*) AS dup_span_frac
+FROM sp s JOIN owners o ON o.h = s.h
+GROUP BY s.doc_id
+""".strip()
+
+
 # ------------------------------------------- cross-source overlap matrix ----
 
 def _dup_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +835,7 @@ SUITE = {
     "dedup_keep_list": ExtQuery(_dedup_keep_list, _keep_list_oracle()),
     "dedup_overlap_by_source_pair": ExtQuery(
         _dup_overlap_sources, _dup_overlap_oracle()),
+    "dedup_spans": ExtQuery(_span_dedup, _span_dedup_oracle()),
     "dedup_rate_by_source": ExtQuery(_dup_rate_by_source, _dup_rate_oracle()),
     "contamination_ngrams": ExtQuery(_contamination, _contamination_oracle()),
     "dedup_cc_clusters": ExtQuery(_dedup_cc, _cc_oracle()),

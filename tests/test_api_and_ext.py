@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 191
-    assert len(o) == 190
+    assert len(q) == 192
+    assert len(o) == 191
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50,
     # and EVERY pinned key must still exist — a renamed pinned key would
@@ -519,3 +519,34 @@ def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
     with __import__("pytest").raises(ValueError, match="missing columns"):
         from pandas_ta_spark.sources.formats import _normalize
         _normalize(spark.createDataFrame([(1,)], "x INT"), None)
+
+
+def test_span_dedup_flags_shared_paragraph(spark, tmp_path):
+    """Two long documents sharing one boilerplate paragraph are NOT
+    doc-level near-dups, but span dedup must flag the shared windows."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    para = " ".join(rng.choice(vocab, 40))  # 40-token shared boilerplate
+    uniq = [" ".join(rng.choice(vocab, 120)) for _ in range(3)]
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"{uniq[0]} {para}", f"{para} {uniq[1]}", uniq[2]],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [1] * 3,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.dedup import SPAN_W, SUITE
+
+    out = (SUITE["dedup_spans"].query(spark, sf).toPandas()
+           .set_index("doc_id"))
+    # the shared 40-token paragraph contributes 40 - SPAN_W + 1 dup
+    # windows to each sharer (unique filler makes other windows unique
+    # with overwhelming probability)
+    assert out.loc[0, "n_dup_spans"] == 40 - SPAN_W + 1
+    assert out.loc[1, "n_dup_spans"] == 40 - SPAN_W + 1
+    assert out.loc[2, "n_dup_spans"] == 0
+    assert 0 < out.loc[0, "dup_span_frac"] < 1
