@@ -310,6 +310,22 @@ SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # remainder is test
 
 
+def split_expr():
+    """The train/val/test assignment Column — shared verbatim by the
+    batch query and the streaming twin (stream_split_assign), so
+    batch/stream parity holds by construction."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    bucket = h % 100
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: bucket = the first 8 hex
     chars of md5('split|' || doc_id) mod 100. A pure projection — no
@@ -319,20 +335,7 @@ def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment by content-independent id hash never moves a doc between
     splits when its text is edited."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
-        16, 10,
-    ).cast("bigint")
-    bucket = (h % 100).alias("bucket")
-    split = (
-        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
-        .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
-    return (
-        docs.select("doc_id", "source", bucket)
-        .select("doc_id", "source", split.alias("split"))
-    )
+    return docs.select("doc_id", "source", split_expr().alias("split"))
 
 
 def _split_assign_oracle() -> str:

@@ -1,6 +1,7 @@
 from pandas_ta_spark.streaming.corpus import (
     stream_dedup_exact,
     stream_quality_keep,
+    stream_split_assign,
     stream_token_rate,
 )
 from pandas_ta_spark.streaming.sessions import stream_sessions
@@ -16,4 +17,4 @@ from pandas_ta_spark.streaming.indicators import (
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
            "stream_dedup_exact", "stream_quality_keep", "stream_token_rate",
-           "stream_sessions"]
+           "stream_split_assign", "stream_sessions"]

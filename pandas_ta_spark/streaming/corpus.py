@@ -76,3 +76,14 @@ def stream_token_rate(docs: DataFrame, window: str = "1 hour",
         .select("source", F.col("w.start").alias("window_start"),
                 "n_docs", "n_tokens")
     )
+
+
+def stream_split_assign(docs: DataFrame) -> DataFrame:
+    """Streaming train/val/test assignment: the batch split Column
+    applied to a document stream. Stateless projection — deterministic
+    across micro-batch boundaries, restarts, and reprocessing, because
+    the assignment hashes only the doc id (never arrival order or
+    time)."""
+    from pandas_ta_spark.ext.sampling import split_expr
+
+    return docs.select("doc_id", "text", split_expr().alias("split"))

@@ -485,3 +485,41 @@ def test_materialize_reliable_checkpoint(tmp_path):
     r = subprocess.run([sys.executable, "-c", script], capture_output=True,
                        text=True, cwd="/root/repo", timeout=300)
     assert "CKPT_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_stream_split_matches_batch(spark, tmp_path):
+    """Streaming split assignment equals the batch query row for row
+    (same hash Column by construction), across micro-batch boundaries."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [f"doc number {i}" for i in range(60)],
+        "lang": ["en"] * 60, "source": ["s"] * 60, "n_chars": [1] * 60,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs.iloc[:30][["doc_id", "text"]].to_parquet(src / "b1.parquet")
+    docs.iloc[30:][["doc_id", "text"]].to_parquet(src / "b2.parquet")
+
+    from pandas_ta_spark.ext import SUITE
+    from pandas_ta_spark.streaming import stream_split_assign
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_split_assign(stream)
+        .writeStream.format("memory").queryName("split_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT doc_id, split FROM split_stream").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (SUITE["split_assign"].query(spark, sf).toPandas()
+            [["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
