@@ -216,6 +216,41 @@ def main():
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    # dedup at 10x corpus: replicas are token-salted (every word gets the
+    # replica index appended), so replica clusters are fully DISTINCT —
+    # the corpus grows 10x while the dup structure per replica stays
+    # exactly the original's. This answers the would-it-scale question
+    # with a measurement: near-linear time growth = no quadratic pair
+    # blowup hiding in the band join. Prep (write parquet) is untimed.
+    import shutil
+    import tempfile
+
+    x10_dir = tempfile.mkdtemp(prefix="bench_docs_x10_")
+    try:
+        from pandas_ta_spark.sources.bars import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source")
+        repd = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+        salted = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.col("rep").cast("string"))),
+            " ",
+        )
+        (docs.select("*", repd)
+             .select((F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                     salted.alias("text"), "lang", "source")
+             .coalesce(4)
+             .write.mode("overwrite").parquet(f"{x10_dir}/documents.parquet"))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force(EXT["dedup_minhash_lsh"].query(spark, x10_dir))
+            best = min(best, time.time() - t0)
+        times["dedup_minhash_lsh_x10corpus"] = round(best, 3)
+    finally:
+        shutil.rmtree(x10_dir, ignore_errors=True)
+
     # scale entries LAST, each with a private cache lifetime: keeping both
     # replicas (2M + 10M rows) cached through the whole run evicted each
     # other under the wide strategies' execution memory and doubled the
