@@ -249,6 +249,12 @@ def main():
             best = min(best, time.time() - t0)
         times["dedup_minhash_lsh_x10corpus"] = round(best, 3)
     finally:
+        # the query refreshes the downstream pair cache as a side effect;
+        # drop the x10 entry so the deleted temp dir's materialization
+        # doesn't pin executor memory through the scale entries below
+        from pandas_ta_spark.ext.dedup import _PAIRS_CACHE
+
+        _PAIRS_CACHE.pop((spark.sparkContext.applicationId, x10_dir), None)
         shutil.rmtree(x10_dir, ignore_errors=True)
 
     # scale entries LAST, each with a private cache lifetime: keeping both

@@ -747,9 +747,17 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.greatest(F.size(toks) - SPAN_W + 1, F.lit(0))),
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_W))),
         )
+        from pyspark import StorageLevel
+
+        # the span relation feeds BOTH the owners groupBy and the
+        # join-back; without persist Catalyst re-derives the dominant
+        # scan+split+slice+md5+explode pipeline for each consumer —
+        # the same corpus-read-twice trap _dedup_minhash persists
+        # its shingle relation against
         sp = (
             docs.filter(F.size(toks) >= SPAN_W)
             .select("doc_id", F.explode(spans).alias("h"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         owners = sp.groupBy("h").agg(
             F.count_distinct("doc_id").alias("n_docs_with_span"))
@@ -762,7 +770,9 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_spans", "n_dup_spans",
             (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
         )
-        return materialize(out)
+        out = materialize(out)
+        sp.unpersist()
+        return out
 
 
 def _span_dedup_oracle() -> str:

@@ -273,7 +273,17 @@ def _semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative rule replaces the paper's greedy scan with one
     relational pass — deterministic, rerun-stable, and at 100 TB it is
     the same bucketed join as the pair query plus a tiny aggregation
-    (no iteration, no driver loop)."""
+    (no iteration, no driver loop).
+
+    Documented deviation from the sequential greedy: on a chain
+    0~1, 1~2 (0 and 2 not paired) the greedy would re-keep 2 because
+    its only neighbor 1 was dropped; this rule drops 2 too, and its
+    rep_id (1) may itself be a dropped vector. At the 0.99 threshold
+    chains are near-transitive so the difference is marginal, and
+    over-dropping is the safe direction for dedup; consumers needing
+    transitive clusters with surviving representatives should run the
+    pair set through the connected-components pass (dedup_cc_clusters
+    pattern) instead of chasing rep_id chains."""
     v = _spark_vectors_cached(spark, sf_dir).select("vec_id")
     pairs = _neardup_cosine(spark, sf_dir)
     displaced = (

@@ -147,14 +147,16 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
     """increasing/decreasing — pandas_ta/trend/increasing.py,
     decreasing.py. NaN diff compares False (0), matching pandas.
 
-    ``strict``: every consecutive ``drift``-step move across the
-    ``length`` lookback satisfies the comparison — SURVEY §2.5's
-    "monotone each step", expressed as a windowed min over per-step 0/1
-    flags (one window pass, no shift chain). ``percent`` scales the
-    lagged side of the strict comparison by (1 ± percent/100); in the
-    non-strict length-diff the scaling multiplies both ends and cancels,
-    so only the output name changes — same as the reference. ``asint``
-    False emits booleans instead of 0/1."""
+    ``strict``: the last ``length`` values are monotone, i.e. the
+    length-1 consecutive ``drift``-step moves ending at the current row
+    all satisfy the comparison — SURVEY §2.5's "monotone each step",
+    expressed as a windowed min over per-step 0/1 flags (one window
+    pass, no shift chain; the reference loops shifts to the same
+    length-1 comparison count). ``percent`` scales the lagged side of
+    the strict comparison by (1 ± percent/100); in the non-strict
+    length-diff the scaling multiplies both ends and cancels, so only
+    the output name changes — same as the reference. ``asint`` False
+    emits booleans instead of 0/1."""
     kind = "INC" if increasing_ else "DEC"
     pct = float(percent) if percent else None
     props = f"_{length}_{pct}" if pct is not None else f"_{length}"
@@ -169,8 +171,11 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
         t = "_creasing_step"
         s_lag = sql_shift("close", drift)
         s_rhs = f"({s_lag}) * {scale!r}" if scale is not None else f"({s_lag})"
-        flag = F.min(t).over(w_rows(length))
-        s_flag = f"min({t}) OVER ({sql_w_rows(length)})"
+        # length values = length-1 steps; length<=1 degenerates to the
+        # single current-row step, matching the reference
+        n_steps = max(length - 1, 1)
+        flag = F.min(t).over(w_rows(n_steps))
+        s_flag = f"min({t}) OVER ({sql_w_rows(n_steps)})"
         e = flag if asint else (flag == 1.0)
         s = s_flag if asint else f"({s_flag}) = 1.0"
         return Indicator(

@@ -32,10 +32,16 @@ def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
     if missing:
         raise ValueError(f"bars source missing columns: {missing}")
     ts = F.col("ts")
+    ts_type = dict(df.dtypes).get("ts")
     if ts_format is not None:
         ts = F.to_timestamp(ts, ts_format)
-    elif dict(df.dtypes).get("ts") == "string":
+    elif ts_type == "string":
         ts = F.to_timestamp(ts)
+    elif ts_type == "bigint":
+        # epoch-nanos int64 — the repo's parquet TIMESTAMP(NANOS)
+        # convention (see sources/bars.py load_table). A bare
+        # cast("timestamp") would read the int as epoch SECONDS.
+        ts = F.timestamp_micros((ts / 1000).cast("long"))
     return df.select(
         F.col("symbol").cast("string").alias("symbol"),
         ts.cast("timestamp").alias("ts"),
@@ -46,16 +52,19 @@ def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
 
 def bars_from_csv(spark: SparkSession, path: str, *, header: bool = True,
                   sep: str = ",", ts_format: str | None = None) -> DataFrame:
-    """Read OHLCV bars from CSV. The explicit schema-of-strings avoids
-    Spark's inference pre-scan; casts happen in the projection where
-    Catalyst can fold them into the scan."""
-    fields = ", ".join(f"{c} STRING" for c in _CANON)
-    df = (spark.read
-          .option("header", str(header).lower())
-          .option("sep", sep)
-          .schema(fields)
-          .csv(path))
-    return _normalize(df, ts_format)
+    """Read OHLCV bars from CSV without an inference pre-scan.
+
+    With a header, columns are mapped BY NAME (no schema passed — Spark
+    then names the all-string columns from the header instead of
+    assigning a schema positionally, which would silently scramble any
+    file whose column order differs); extra columns are simply pruned by
+    the projection. Headerless files must be in the canonical column
+    order and get the explicit schema. Casts happen in the projection
+    where Catalyst folds them into the scan."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if not header:
+        reader = reader.schema(", ".join(f"{c} STRING" for c in _CANON))
+    return _normalize(reader.csv(path), ts_format)
 
 
 def bars_from_json(spark: SparkSession, path: str, *,

@@ -484,9 +484,10 @@ def test_increasing_strict_semantics(spark):
     df = spark.createDataFrame(pdf)
     out = (increasing(3, strict=True).apply(df).toPandas()
            .sort_values("ts").reset_index(drop=True))
-    # window of 3 consecutive diffs: row 3 (1->2->3->4) rises, row 4
-    # breaks on the 4->3 drop, rows 7..8 rise again (3->4->5->6->7)
-    assert out["SINC_3"].tolist() == [0, 0, 0, 1, 0, 0, 0, 1, 1]
+    # 3 monotone values = 2 consecutive rising steps (the reference's
+    # length-1 comparisons): rows 2-3 (1->2->3, 2->3->4) rise, row 4
+    # breaks on the 4->3 drop, row 5 still includes it, rows 6..8 rise
+    assert out["SINC_3"].tolist() == [0, 0, 1, 1, 0, 0, 1, 1, 1]
 
 
 def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
@@ -498,7 +499,6 @@ def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
     csv_p = str(tmp_path / "bars_csv")
     json_p = str(tmp_path / "bars_json")
     src = pdf_bars.copy()
-    src.to_csv(f"{tmp_path}/bars.csv", index=False)
     (tmp_path / "bars_csv").mkdir()
     (tmp_path / "bars_json").mkdir()
     src.to_csv(f"{csv_p}/part.csv", index=False)
@@ -515,6 +515,17 @@ def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
         assert got == want
         out = make("sma", length=5).apply(df)
         assert "SMA_5" in out.columns and out.count() == len(src)
+
+    # header-name mapping: a ts-first export order must land correctly
+    # (a positional schema would scramble symbol/ts silently)
+    reord = str(tmp_path / "bars_csv_reordered")
+    (tmp_path / "bars_csv_reordered").mkdir()
+    src[["ts", "symbol", "volume", "open", "high", "low", "close"]].to_csv(
+        f"{reord}/part.csv", index=False)
+    df = bars_from_csv(spark, reord)
+    got = (df.orderBy("symbol", "ts").toPandas()["close"].round(6).tolist())
+    assert got == want
+    assert df.toPandas()["ts"].notna().all()
 
     with __import__("pytest").raises(ValueError, match="missing columns"):
         from pandas_ta_spark.sources.formats import _normalize

@@ -295,21 +295,26 @@ def build_workloads():
 
     expr = _expr_ops()
 
+    # map expression indicators to their suite key by OUTPUT COLUMNS —
+    # outputs uniquely identify (op, params), so a fresh bench instance
+    # binds to exactly the variant Spark runs (a name-prefix match could
+    # price sma_200_large for sma_20). Unmatched ops are a hard error:
+    # silently dropping one would understate the published baseline.
+    outs_to_key = {tuple(default_instance(k).outputs): k for k in _SUITE}
+
     def plan(inds):
         kernels, exprs, missing = [], [], []
-        by_id = {id(default_instance(k)): k for k in _SUITE}
         for ind in inds:
             if ind.kernel is not None:
                 kernels.append(ind.kernel)
+                continue
+            key = outs_to_key.get(tuple(ind.outputs))
+            if key in expr:
+                exprs.append(expr[key])
             else:
-                key = by_id.get(id(ind))
-                if key is None:  # bench strategy builds fresh instances
-                    key = next((k for k in expr
-                                if k.startswith(ind.key)), None)
-                if key in expr:
-                    exprs.append(expr[key])
-                else:
-                    missing.append(ind.key)
+                missing.append(ind.key)
+        if missing:
+            raise SystemExit(f"no pandas equivalent for: {missing}")
         return kernels, exprs, missing
 
     s24 = strategy_indicators()
