@@ -28,6 +28,12 @@ from pandas_ta_spark.version import __version__
 from pandas_ta_spark.accessor import TA
 from pandas_ta_spark.registry import Category, indicators, make, run as ta
 from pandas_ta_spark.custom import bind, create_dir, import_dir
+from pandas_ta_spark.sources.formats import (
+    bars_from_csv,
+    bars_from_json,
+    bars_from_parquet,
+)
 
 __all__ = ["__version__", "Category", "indicators", "make", "ta", "TA",
-           "bind", "create_dir", "import_dir"]
+           "bind", "create_dir", "import_dir",
+           "bars_from_csv", "bars_from_json", "bars_from_parquet"]
