@@ -56,10 +56,17 @@ def _shuffle_sized_to_input(spark: SparkSession, n_bytes: int | None,
     _dedup_cc — not safe under concurrent queries on the same session.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        old_n = int(old)
+    except (TypeError, ValueError):
+        # non-numeric conf (e.g. "auto" on managed platforms) — the
+        # platform is already sizing shuffles; keep hands off
+        yield
+        return
     parts = None
     if n_bytes is not None:
-        parts = min(int(old), max(floor, -(-n_bytes // per_part)))
-    if parts is None or parts >= int(old):
+        parts = min(old_n, max(floor, -(-n_bytes // per_part)))
+    if parts is None or parts >= old_n:
         yield
         return
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -241,10 +248,13 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The verified pair set is tiny (dup pairs only). Materialize it and
     # release the two big intermediates — a long-lived session (the gate
     # runs ~170 queries; _dedup_cc re-enters this fn) must not accumulate
-    # a corpus-sized shingle cache per invocation.
-    out = materialize(out)
-    sh.unpersist()
-    sig.unpersist()
+    # a corpus-sized shingle cache per invocation. finally: a failed
+    # materialize must not leave them resident either.
+    try:
+        out = materialize(out)
+    finally:
+        sh.unpersist()
+        sig.unpersist()
     # refresh the downstream-consumer cache (see _pairs_cached): this call
     # always derives fresh — so its own cost stays honestly measured — but
     # keep-list/CC/telemetry consumers get the newest materialization free
@@ -743,8 +753,11 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
         toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+        # NOTE: short docs MUST be excluded by the filter below — Spark's
+        # sequence() steps DOWNWARD when start > stop (sequence(1, 0) is
+        # [1, 0], not empty), so there is no in-expression guard
         spans = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - SPAN_W + 1, F.lit(0))),
+            F.sequence(F.lit(1), F.size(toks) - SPAN_W + 1),
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_W))),
         )
         from pyspark import StorageLevel
@@ -759,20 +772,24 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.explode(spans).alias("h"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        owners = sp.groupBy("h").agg(
-            F.count_distinct("doc_id").alias("n_docs_with_span"))
-        flagged = sp.join(owners, "h").select(
-            "doc_id", (F.col("n_docs_with_span") >= 2).cast("int").alias("dup"))
-        out = flagged.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("dup").alias("n_dup_spans"),
-        ).select(
-            "doc_id", "n_spans", "n_dup_spans",
-            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
-        )
-        out = materialize(out)
-        sp.unpersist()
-        return out
+        try:
+            owners = sp.groupBy("h").agg(
+                F.count_distinct("doc_id").alias("n_docs_with_span"))
+            flagged = sp.join(owners, "h").select(
+                "doc_id",
+                (F.col("n_docs_with_span") >= 2).cast("int").alias("dup"))
+            out = flagged.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum("dup").alias("n_dup_spans"),
+            ).select(
+                "doc_id", "n_spans", "n_dup_spans",
+                (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
+            )
+            return materialize(out)
+        finally:
+            # unpersist in finally: a failed materialize must not leave
+            # the corpus-sized span cache resident for the session
+            sp.unpersist()
 
 
 def _span_dedup_oracle() -> str:
@@ -814,8 +831,13 @@ def _dup_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _pairs_cached(spark, sf_dir)
     sa = docs.withColumnsRenamed({"doc_id": "doc_a", "source": "source_a"})
     sb = docs.withColumnsRenamed({"doc_id": "doc_b", "source": "source_b"})
+    # explicit hints: the checkpoint-backed pair set has no stats, so
+    # static planning would never auto-broadcast it and both documents
+    # sides would pay a corpus-sized shuffle; the first join's output is
+    # still pair-sized, so hint it again for the second join
+    j1 = F.broadcast(pairs).join(sa, "doc_a")
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        F.broadcast(j1).join(sb, "doc_b")
         .groupBy(
             F.least("source_a", "source_b").alias("source_x"),
             F.greatest("source_a", "source_b").alias("source_y"),

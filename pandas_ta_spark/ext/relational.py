@@ -388,6 +388,10 @@ def _bars_daily_oracle() -> str:
 
 # ----------------------------------------------------- forward ichimoku ----
 
+# shared by the Spark query AND its oracle so the twins cannot drift
+ICHI_TENKAN, ICHI_KIJUN, ICHI_SENKOU = 9, 26, 52
+
+
 def _ichimoku_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference ichimoku's SECOND return frame (the kijun-1-row
     forward cloud per symbol) as a suite query — the historical frame is
@@ -396,11 +400,12 @@ def _ichimoku_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandas_ta_spark.operators.overlap import ichimoku_forward
 
     bars = bars_from_events_cached(spark, sf_dir)
-    out = ichimoku_forward(bars)
+    out = ichimoku_forward(bars, ICHI_TENKAN, ICHI_KIJUN, ICHI_SENKOU)
+    isa, isb = f"ISA_{ICHI_TENKAN}", f"ISB_{ICHI_KIJUN}"
     return out.select(
         "symbol", "ts",
-        round_col(F.col("ISA_9")).alias("ISA_9"),
-        round_col(F.col("ISB_26")).alias("ISB_26"),
+        round_col(F.col(isa)).alias(isa),
+        round_col(F.col(isb)).alias(isb),
     )
 
 
@@ -411,18 +416,19 @@ def _ichimoku_fwd_oracle() -> str:
         return (f"((({sql_roll('max', 'high', n)}) +"
                 f" ({sql_roll('min', 'low', n)})) / 2)")
 
+    fwd = ICHI_KIJUN - 1
     body = f""", aug AS (
     SELECT symbol, ts,
-           (({mid(9)}) + ({mid(26)})) / 2 AS isa,
-           {mid(52)} AS isb,
+           (({mid(ICHI_TENKAN)}) + ({mid(ICHI_KIJUN)})) / 2 AS isa,
+           {mid(ICHI_SENKOU)} AS isb,
            row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
            count(*) OVER (PARTITION BY symbol) AS mx
     FROM bars
 )
-SELECT symbol, ts + INTERVAL 25 HOUR AS ts,
-       {sql_round('isa')} AS "ISA_9",
-       {sql_round('isb')} AS "ISB_26"
-FROM aug WHERE rn > mx - 25"""
+SELECT symbol, ts + INTERVAL {fwd} HOUR AS ts,
+       {sql_round('isa')} AS "ISA_{ICHI_TENKAN}",
+       {sql_round('isb')} AS "ISB_{ICHI_KIJUN}"
+FROM aug WHERE rn > mx - {fwd}"""
     return with_bars_cte(body)
 
 
