@@ -458,6 +458,9 @@ def _pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
+        # evict stopped-application entries (see sources/bars.py)
+        for stale in [k for k in _PAIRS_CACHE if k[0] != key[0]]:
+            del _PAIRS_CACHE[stale]
         df = _dedup_minhash(spark, sf_dir)
         _PAIRS_CACHE[key] = df
     return df

@@ -71,6 +71,9 @@ def _spark_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _VECS_CACHE.get(key)
     if df is None:
+        # evict stopped-application entries (see sources/bars.py)
+        for stale in [k for k in _VECS_CACHE if k[0] != key[0]]:
+            del _VECS_CACHE[stale]
         df = materialize(_spark_vectors(spark, sf_dir))
         _VECS_CACHE[key] = df
     return df

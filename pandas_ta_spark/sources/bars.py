@@ -139,6 +139,10 @@ def bars_from_events_cached(
     if df is None:
         from pandas_ta_spark.ckpt import materialize
 
+        # evict entries from previous (stopped) applications: one JVM
+        # runs one app at a time, so other-app keys pin dead sessions
+        for stale in [k for k in _BARS_CACHE if k[0] != key[0]]:
+            del _BARS_CACHE[stale]
         df = materialize(bars_from_events(spark, sf_dir, anchor))
         _BARS_CACHE[key] = df
     return df
