@@ -685,6 +685,166 @@ FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
 """.strip()
 
 
+FUZZY_CONTAM_THRESHOLD = 0.3  # lower than dedup: partial eval overlap matters
+# Held-out "benchmark" slice for the FUZZY scan: a deterministic doc_id
+# split rather than the source split contamination_ngrams uses — the
+# synthetic corpus's near-dup pairs never cross source boundaries, so a
+# source-based eval set would make this query vacuously empty; an id
+# split lands pair members on both sides and exercises the verify path.
+FUZZY_EVAL_MOD, FUZZY_EVAL_REM = 10, 7
+
+
+def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: training documents that are
+    near-duplicates of any eval-set document (the held-out doc_id slice),
+    found via MinHash band buckets — catches paraphrased/truncated eval
+    leakage that the exact n-gram scan (`contamination_ngrams`) misses
+    when few shingles survive verbatim.
+
+    Same signature scheme as `_dedup_minhash` (16 Kirsch-Mitzenmacher
+    hashes from one md5, 4 bands), but the band join is train x eval
+    instead of a self-join — candidates shrink to bucket-mates of the
+    (tiny) eval side, whose banded signature table is BROADCAST. Only
+    candidates pay a true-Jaccard verification against the persisted
+    shingle relation. Output: per flagged train doc, how many eval docs
+    it collides with and the strongest verified overlap (max() is
+    order-insensitive -> deterministic under any partitioning)."""
+    from pyspark import StorageLevel
+
+    with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source")
+        docs = docs.repartition("doc_id")
+        sh = _shingles_spark(docs.select("doc_id", "text")).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        hx = F.md5("shingle")
+        hashed = sh.select(
+            "doc_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+        mins = [
+            F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+        sig = (
+            hashed.groupBy("doc_id")
+            .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        rows_per_band = N_HASHES // N_BANDS
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ])
+        banded = (
+            sig.select("doc_id", F.explode(band_structs).alias("p"))
+            .select("doc_id", "p.band", "p.bkey")
+        )
+        split = docs.select(
+            "doc_id",
+            (F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM).alias("is_eval"),
+        )
+        tr_b = (banded.join(split, "doc_id").filter(~F.col("is_eval"))
+                .select(F.col("doc_id").alias("train_id"), "band", "bkey"))
+        ev_b = (banded.join(split, "doc_id").filter(F.col("is_eval"))
+                .select(F.col("doc_id").alias("eval_id"), "band", "bkey"))
+        cand = (
+            tr_b.join(F.broadcast(ev_b), ["band", "bkey"])
+            .select("train_id", "eval_id")
+            .distinct()
+        )
+        sizes = sig.select("doc_id", "n_sh")
+        sht = sh.select(F.col("doc_id").alias("train_id"), F.col("shingle").alias("s"))
+        she = sh.select(F.col("doc_id").alias("eval_id"), F.col("shingle").alias("s"))
+        inter = (
+            F.broadcast(cand).join(sht, "train_id").join(she, ["eval_id", "s"])
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        nt = sizes.withColumnsRenamed({"doc_id": "train_id", "n_sh": "nt"})
+        ne = sizes.withColumnsRenamed({"doc_id": "eval_id", "n_sh": "ne"})
+        verified = (
+            F.broadcast(inter).join(nt, "train_id").join(ne, "eval_id")
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("nt") + F.col("ne") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
+        )
+        out = verified.groupBy("train_id").agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        try:
+            return materialize(out)
+        finally:
+            sh.unpersist()
+            sig.unpersist()
+
+
+def _contamination_minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min((h1 + {j} * h2) % 4294967296) AS mh{j}" for j in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_rows = []
+    for b in range(N_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_shingle_sql()},
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {mins}
+    FROM hashed GROUP BY doc_id
+),
+banded AS ({bands}),
+split AS (SELECT doc_id,
+                 doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM} AS is_eval
+          FROM documents),
+cand AS (
+    SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+    FROM banded t JOIN split st ON st.doc_id = t.doc_id AND NOT st.is_eval
+    JOIN banded e ON e.band = t.band AND e.bkey = t.bkey
+    JOIN split se ON se.doc_id = e.doc_id AND se.is_eval
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.train_id, c.eval_id, count(*) AS n_inter
+    FROM cand c
+    JOIN sh st ON st.doc_id = c.train_id
+    JOIN sh se ON se.doc_id = c.eval_id AND se.shingle = st.shingle
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT i.train_id, i.eval_id,
+           i.n_inter / (nt.n_sh + ne.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes nt ON nt.doc_id = i.train_id
+    JOIN sizes ne ON ne.doc_id = i.eval_id
+    WHERE i.n_inter / (nt.n_sh + ne.n_sh - i.n_inter)
+          >= {FUZZY_CONTAM_THRESHOLD}
+)
+SELECT train_id, count(*) AS n_eval_matches, max(jaccard) AS max_jaccard
+FROM verified GROUP BY train_id
+""".strip()
+
+
 # ----------------------------------------------- per-source dup telemetry ----
 
 def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,6 +1033,8 @@ SUITE = {
     "dedup_spans": ExtQuery(_span_dedup, _span_dedup_oracle()),
     "dedup_rate_by_source": ExtQuery(_dup_rate_by_source, _dup_rate_oracle()),
     "contamination_ngrams": ExtQuery(_contamination, _contamination_oracle()),
+    "contamination_minhash": ExtQuery(
+        _contamination_minhash, _contamination_minhash_oracle()),
     "dedup_cc_clusters": ExtQuery(_dedup_cc, _cc_oracle()),
     "dedup_exact": ExtQuery(_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": ExtQuery(_dedup_minhash, _minhash_oracle()),

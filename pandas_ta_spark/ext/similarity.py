@@ -611,7 +611,86 @@ LEFT JOIN (
 """.strip()
 
 
+SQ_LEVELS = 255  # 8-bit scalar quantization
+
+
+def _quantize_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding table — the vector-
+    compression pass an ANN index build runs before writing codes (a
+    64-dim float32 vector becomes 64 bytes, 4x smaller; PQ would go
+    further but needs trained codebooks).
+
+    Per-dimension min/max ranges come from one posexplode + groupBy (a
+    DIM-row table — broadcast back), then codes are a pure map stage:
+    code = floor((x - mn) * 255 / (mx - mn)) clamped to [0, 255]. Every
+    arithmetic step is a single correctly-rounded IEEE op with identical
+    association in both engines, so codes match bit-for-bit. The rollup
+    emits exact-integer telemetry (code sums/extremes) plus an
+    order-pinned md5 of the full code string — value-checking all 64
+    codes per vector without 64 output columns."""
+    v = _spark_vectors_cached(spark, sf_dir)
+    ex = v.select("vec_id", F.posexplode("e").alias("pos", "x"))
+    stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(SQ_LEVELS).cast("long"),
+                F.floor((F.col("x") - F.col("mn")) * float(SQ_LEVELS)
+                        / (F.col("mx") - F.col("mn"))),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    coded = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", code.alias("code"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "code"))),
+        lambda s: s["code"].cast("string"),
+    )
+    return coded.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("code").cast("long").alias("code_sum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+        F.md5(F.concat_ws("_", ordered)).alias("codes_md5"),
+    )
+
+
+QUANTIZE_SQ_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+ex AS (
+    SELECT vec_id, u.pos AS pos, u.x AS x
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(0, {DIM}),
+                                     i -> {{'pos': i, 'x': e[i + 1]}})) AS u
+        FROM v
+    )
+),
+stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+coded AS (
+    SELECT ex.vec_id, ex.pos,
+           CAST(CASE WHEN s.mx > s.mn
+                THEN least({SQ_LEVELS}, floor((ex.x - s.mn) * {float(SQ_LEVELS)!r}
+                                              / (s.mx - s.mn)))
+                ELSE 0 END AS INT) AS code
+    FROM ex JOIN stats s ON s.pos = ex.pos
+)
+SELECT vec_id, count(*) AS n_dims,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       min(code) AS code_min,
+       max(code) AS code_max,
+       md5(string_agg(CAST(code AS VARCHAR), '_' ORDER BY pos)) AS codes_md5
+FROM coded GROUP BY vec_id
+""".strip()
+
+
 SUITE = {
+    "embedding_quantize_sq": ExtQuery(_quantize_sq, QUANTIZE_SQ_SQL),
     "embedding_label_centroids": ExtQuery(_label_centroids, LABEL_CENTROIDS_SQL),
     "topk_ivf_recall": ExtQuery(_ivf_recall, _ivf_recall_oracle()),
     "topk_cosine": ExtQuery(_topk_cosine, _topk_oracle()),

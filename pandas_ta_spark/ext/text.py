@@ -428,7 +428,189 @@ GROUP BY t.doc_id
 """.strip()
 
 
+TOP_TERMS_K = 5
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top distinguishing terms per source: tf-idf ranking with an
+    exact-integer score tf * (n_sources - df + 1) instead of tf*log(N/df)
+    (log()'s last-ulp behavior differs across engines; the integer
+    surrogate is order-equivalent for ranking within a source when df
+    spans the full range, and is exactly reproducible).
+
+    100 TB shape: explode -> two vocabulary-sized hash aggregations
+    (map-side partials both), the scalar source count broadcast via a
+    1-row cross join, and a per-source window for the top-k. The window
+    partitions by source — bounded fan-in per partition because each
+    source's vocabulary row count is vocabulary-sized, not corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", F.explode(_toks()).alias("term"))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_src = docs.agg(F.count_distinct("source").alias("n_sources"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn("score", F.col("tf") * (F.col("n_sources") - F.col("df") + 1))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select("source", "term", "tf", "df", "score", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+scored AS (
+    SELECT t.source, t.term, t.tf, d.df,
+           t.tf * (ns.n_sources - d.df + 1) AS score
+    FROM tf t JOIN dfq d ON d.term = t.term CROSS JOIN ns
+),
+ranked AS (
+    SELECT source, term, tf, df, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT source, term, tf, df, score, rank
+FROM ranked WHERE rank <= {TOP_TERMS_K}
+""".strip()
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM novelty scoring: per document, how much of its bigram
+    stream is unseen elsewhere in the corpus — the exact-arithmetic
+    stand-in for bigram-LM perplexity filtering (high novel_frac = the
+    model has no support for these transitions = noise/OOD candidate;
+    complements `corpus_rarity`, which is unigram-level).
+
+    Plan: one bigram explode, one vocabulary-sized doc-frequency
+    aggregation (count_distinct doc_id per bigram, map-side partial),
+    one hash join back, one per-doc rollup. All outputs are exact
+    BIGINTs and int/int ratios — no float summation order to disagree
+    on. At 100 TB the bigram relation is tokens-sized (same cost class
+    as the dedup shingle pass) and the df table is vocabulary-sized —
+    shuffle-joined on bigram, NOT broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks()
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(0, size(split(lower(trim(text)), ' ')) - 2),"
+            " i -> concat(split(lower(trim(text)), ' ')[i], ' ',"
+            "             split(lower(trim(text)), ' ')[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rel = docs.select("doc_id", F.explode(bg).alias("bigram"))
+    dfreq = rel.groupBy("bigram").agg(
+        F.count_distinct("doc_id").alias("n_docs_with"))
+    return (
+        rel.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+            F.min("n_docs_with").alias("min_bigram_df"),
+            F.max("n_docs_with").alias("max_bigram_df"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_novel",
+            (F.col("n_novel") / F.col("n_bigrams")).alias("novel_frac"),
+            "min_bigram_df", "max_bigram_df",
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+),
+dfq AS (
+    SELECT bigram, count(DISTINCT doc_id) AS n_docs_with FROM bg GROUP BY 1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN d.n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(sum(CASE WHEN d.n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           / count(*) AS novel_frac,
+       min(d.n_docs_with) AS min_bigram_df,
+       max(d.n_docs_with) AS max_bigram_df
+FROM bg b JOIN dfq d ON d.bigram = b.bigram
+GROUP BY b.doc_id
+""".strip()
+
+
+# PII / policy scrubbing. The email and IPv4 patterns use only syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# ASCII classes, bounded repetition, \\b word boundaries. The synthetic
+# corpus contains no digits or '@' (verified), so those counters also
+# pin the zero-hit path; the denylist pattern matches real tokens so the
+# redaction branch is value-checked end to end.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+DENYLIST = ("hash", "merge", "scan")
+DENY_PATTERN = r"\b(" + "|".join(DENYLIST) + r")\b"
+REDACTED = "<scrubbed>"
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy scrubbing pass: count PII-shaped matches (email, IPv4) and
+    denylisted terms per document, and emit the hash + length of the
+    denylist-redacted text — the transform a curation pipeline applies
+    before packing shards.
+
+    All four expressions are JVM regex built-ins over the pruned
+    2-column scan (whole-stage codegen, no shuffle at all); at 100 TB
+    this is a pure map stage that pipelines into whatever sink follows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    red = F.regexp_replace(F.col("text"), DENY_PATTERN, REDACTED)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(DENY_PATTERN)).alias("n_denylist"),
+        F.length(red).alias("n_chars_redacted"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{DENY_PATTERN}')) AS n_denylist,
+       length(regexp_replace(text, '{DENY_PATTERN}', '{REDACTED}', 'g'))
+           AS n_chars_redacted,
+       md5(regexp_replace(text, '{DENY_PATTERN}', '{REDACTED}', 'g'))
+           AS redacted_md5
+FROM documents
+""".strip()
+
+
 SUITE = {
+    "tfidf_top_terms": ExtQuery(_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "ngram_novelty": ExtQuery(_ngram_novelty, NGRAM_NOVELTY_SQL),
+    "pii_scrub": ExtQuery(_pii_scrub, PII_SCRUB_SQL),
     "token_count_bpe": ExtQuery(_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_repetition": ExtQuery(_text_repetition, TEXT_REPETITION_SQL),
     "corpus_rarity": ExtQuery(_corpus_rarity, CORPUS_RARITY_SQL),

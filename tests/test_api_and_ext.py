@@ -561,3 +561,120 @@ def test_span_dedup_flags_shared_paragraph(spark, tmp_path):
     assert out.loc[1, "n_dup_spans"] == 40 - SPAN_W + 1
     assert out.loc[2, "n_dup_spans"] == 0
     assert 0 < out.loc[0, "dup_span_frac"] < 1
+
+
+def test_pii_scrub_counts_and_redaction(spark, tmp_path):
+    import hashlib
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["please hash the table then merge it and hash again",
+                 "nothing to redact in this row"],
+        "lang": ["en"] * 2,
+        "source": ["s"] * 2,
+        "n_chars": [1] * 2,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.text import REDACTED, SUITE
+
+    out = SUITE["pii_scrub"].query(spark, sf).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_denylist"] == 3  # hash x2 + merge
+    assert out.loc[1, "n_denylist"] == 0
+    assert out.loc[0, "n_email"] == 0 and out.loc[0, "n_ipv4"] == 0
+    expected = docs.loc[0, "text"].replace("hash", REDACTED).replace(
+        "merge", REDACTED)
+    assert out.loc[0, "redacted_md5"] == hashlib.md5(
+        expected.encode()).hexdigest()
+    assert out.loc[0, "n_chars_redacted"] == len(expected)
+    # untouched row hashes to its raw text
+    assert out.loc[1, "redacted_md5"] == hashlib.md5(
+        docs.loc[1, "text"].encode()).hexdigest()
+
+
+def test_tfidf_top_terms_finds_distinctive_term(spark, tmp_path):
+    shared = "common words appear everywhere in all sources equally often"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [f"{shared} zebra zebra zebra", f"{shared}",
+                 f"{shared} quokka quokka", f"{shared}"],
+        "lang": ["en"] * 4,
+        "source": ["sa", "sa", "sb", "sb"],
+        "n_chars": [1] * 4,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.text import TOP_TERMS_K, SUITE
+
+    out = SUITE["tfidf_top_terms"].query(spark, sf).toPandas()
+    top = out[out["rank"] == 1].set_index("source")
+    # the source-exclusive term (df=1) with the highest tf wins rank 1
+    assert top.loc["sa", "term"] == "zebra"
+    assert top.loc["sb", "term"] == "quokka"
+    assert out.groupby("source")["rank"].max().le(TOP_TERMS_K).all()
+
+
+def test_ngram_novelty_separates_unique_from_shared(spark, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma delta",      # shares all bigrams with doc 1
+                 "alpha beta gamma delta",
+                 "unique bigrams only here"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [1] * 3,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.text import SUITE
+
+    out = SUITE["ngram_novelty"].query(spark, sf).toPandas().set_index("doc_id")
+    assert out.loc[0, "novel_frac"] == 0.0  # every bigram also in doc 1
+    assert out.loc[2, "novel_frac"] == 1.0  # no bigram shared
+    assert out.loc[2, "min_bigram_df"] == 1
+    assert out.loc[0, "max_bigram_df"] == 2
+
+
+def test_contamination_minhash_flags_cross_split_neardup(spark, tmp_path):
+    from pandas_ta_spark.ext.dedup import FUZZY_EVAL_MOD, FUZZY_EVAL_REM, SUITE
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today while the sun shines bright over the green hills")
+    eval_id = FUZZY_EVAL_REM  # lands in the held-out slice
+    assert eval_id % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, eval_id],
+        "text": [base.replace("today", "tomorrow"),  # train near-dup of eval
+                 "completely different words about spark window functions",
+                 base],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [1] * 3,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    out = SUITE["contamination_minhash"].query(spark, sf).toPandas()
+    assert set(out["train_id"]) == {0}  # only the near-dup train doc
+    row = out.set_index("train_id").loc[0]
+    assert row["n_eval_matches"] == 1
+    assert row["max_jaccard"] > 0.5
+
+
+def test_quantize_sq_code_range_and_extremes(spark, tmp_path):
+    rows = [
+        {"vec_id": 0, "embedding": [0.0] * 64, "label": 0},   # per-dim min
+        {"vec_id": 1, "embedding": [1.0] * 64, "label": 0},   # per-dim max
+        {"vec_id": 2, "embedding": [0.5] * 64, "label": 0},
+    ]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/embeddings.parquet")
+    from pandas_ta_spark.ext.similarity import SUITE
+
+    out = (SUITE["embedding_quantize_sq"].query(spark, str(tmp_path))
+           .toPandas().set_index("vec_id"))
+    assert (out["n_dims"] == 64).all()
+    assert out.loc[0, "code_min"] == 0 and out.loc[0, "code_max"] == 0
+    assert out.loc[1, "code_min"] == 255 and out.loc[1, "code_max"] == 255
+    assert out.loc[2, "code_min"] == 127 and out.loc[2, "code_max"] == 127
+    assert out.loc[1, "code_sum"] == 255 * 64
+    # code strings are distinct across distinct vectors
+    assert out["codes_md5"].nunique() == 3
