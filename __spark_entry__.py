@@ -80,7 +80,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps supertrend/psar/qqe/td_seq/mcgd representation), and the three
 # new r6 ext anchors (dedup_spans, semdedup_keep, split_assign) displace
 # kama_10/stoch_14_3_3/hwc (their classes stay repped by ichimoku/
-# supertrend/cci/qqe and atr/bbands/donchian). Rotated-out keys remain
+# supertrend/cci/qqe and atr/bbands/donchian). Late-r6: the fuzzy
+# decontamination + embedding quantization anchors displace
+# cum_log_return/xsignals_z30 (performance stays repped by drawdown,
+# trend signals by tsignals_8_21). Rotated-out keys remain
 # value-checked in the full gate (tools/check.py) and the judge's rerun;
 # only the truncated 50-key artifact loses them. Tests pin
 # _PRIORITY <= queries() and exact order.
@@ -94,8 +97,8 @@ _PRIORITY = [
     "qqe_14_5", "td_seq", "squeeze_20",
     "stdev_30", "entropy_10", "quantile_30_0.5", "zscore_30",
     "curation_pipeline", "dedup_spans", "semdedup_keep", "split_assign",
-    "drawdown", "cum_log_return",
-    "adx_14", "aroon_14", "tsignals_8_21", "xsignals_z30",
+    "drawdown", "contamination_minhash",
+    "adx_14", "aroon_14", "tsignals_8_21", "embedding_quantize_sq",
     "atr_14", "bbands_5_2.0", "donchian_20",
     "obv", "mfi_14",
     "cdl_pattern_all", "ha",

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 192
-    assert len(o) == 191
+    assert len(q) == 197
+    assert len(o) == 196
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50,
     # and EVERY pinned key must still exist — a renamed pinned key would
@@ -315,7 +315,9 @@ def test_entry_contract(spark):
                  "atr_14", "obv", "ha", "text_stats",
                  "asof_join_bars", "sessionize_30m",
                  # r6 rotation: displaced keys back in the window
-                 "zscore_30", "jma_7", "hilo_13_21"):
+                 "zscore_30", "jma_7", "hilo_13_21",
+                 # late-r6 ext anchors
+                 "contamination_minhash", "embedding_quantize_sq"):
         assert must in first50, must
 
 
