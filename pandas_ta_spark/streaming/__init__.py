@@ -1,5 +1,6 @@
 from pandas_ta_spark.streaming.corpus import (
     stream_dedup_exact,
+    stream_neardup_candidates,
     stream_quality_keep,
     stream_split_assign,
     stream_token_rate,
@@ -16,5 +17,6 @@ from pandas_ta_spark.streaming.indicators import (
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
-           "stream_dedup_exact", "stream_quality_keep", "stream_token_rate",
+           "stream_dedup_exact", "stream_neardup_candidates",
+           "stream_quality_keep", "stream_token_rate",
            "stream_split_assign", "stream_sessions"]

@@ -87,3 +87,119 @@ def stream_split_assign(docs: DataFrame) -> DataFrame:
     from pandas_ta_spark.ext.sampling import split_expr
 
     return docs.select("doc_id", "text", split_expr().alias("split"))
+
+
+def _band_key_stream_exprs():
+    """MinHash band keys as STATELESS per-row array expressions.
+
+    The batch derivation (ext/dedup._dedup_minhash) builds signatures by
+    exploding shingles and taking groupBy minima; a stream cannot chain
+    that aggregation in front of a stateful operator, but the identical
+    signature is expressible per row: array_distinct over the in-row
+    shingle list, md5-derived (h1, h2) per shingle, and array_min per
+    Kirsch-Mitzenmacher hash. Same md5, same integer arithmetic, same
+    band keys bit-for-bit — batch/stream bucket parity holds by
+    construction (pinned by the parity pytest)."""
+    from pandas_ta_spark.ext.dedup import N_BANDS, N_HASHES, SHINGLE_K
+
+    toks = "split(lower(trim(text)), ' ')"
+    sh = (f"array_distinct(transform(sequence(0, size({toks}) - {SHINGLE_K}),"
+          f" i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE_K}))))")
+    hs = (f"transform({sh}, s -> named_struct("
+          "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), "
+          "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))")
+    rows_per_band = N_HASHES // N_BANDS
+    mh = [
+        f"array_min(transform(hs, h -> (h.h1 + {j} * h.h2) % 4294967296))"
+        for j in range(N_HASHES)
+    ]
+    bands = [
+        (b, "concat_ws('_', "
+            + ", ".join(mh[b * rows_per_band + r] for r in range(rows_per_band))
+            + ")")
+        for b in range(N_BANDS)
+    ]
+    return hs, bands
+
+
+def stream_neardup_candidates(docs: DataFrame,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming MinHash/LSH near-duplicate pre-filter.
+
+    Input needs (doc_id, text, ingest_ts). Each document's 4 LSH band
+    keys are computed statelessly (same values as the batch signature —
+    see _band_key_stream_exprs), then a stateful operator keyed on
+    (band, bkey) remembers the FIRST document seen in each bucket and
+    flags every later bucket-mate as a near-dup candidate. A document is
+    a candidate iff ANY of its band rows is flagged — the same candidate
+    semantics as the batch band self-join, minus the true-Jaccard
+    verification, which state cannot afford (it would have to carry full
+    shingle sets); as with stream_dedup_exact, the periodic batch job
+    (`dedup_minhash_lsh`) is the documented verifier/backstop.
+
+    State per bucket is ONE long (the first doc_id); keys are uniform
+    minhash strings, so state sharding has no skew at 100 TB."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pandas_ta_spark.ext.dedup import SHINGLE_K
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("bkey", StringType()),
+        StructField("first_doc_id", LongType()),
+        StructField("is_candidate", BooleanType()),
+    ])
+    state_schema = StructType([StructField("first_doc", LongType())])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        first = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ingest_ts", "doc_id"])
+        firsts, flags = [], []
+        for doc in rows["doc_id"]:
+            if first is None:
+                first = int(doc)
+            firsts.append(first)
+            flags.append(int(doc) != first)
+        state.update((first,))
+        yield pd.DataFrame({
+            "doc_id": rows["doc_id"].astype("int64"),
+            "band": key[0], "bkey": key[1],
+            "first_doc_id": firsts, "is_candidate": flags,
+        })
+
+    hs, bands = _band_key_stream_exprs()
+    toks_n = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    with_sig = (
+        docs.filter(toks_n >= SHINGLE_K)  # too short to shingle -> no buckets
+        .select("doc_id", "ingest_ts", F.expr(hs).alias("hs"))
+    )
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.expr(expr).alias("bkey"))
+        for b, expr in bands
+    ])
+    banded = (
+        with_sig.select("doc_id", "ingest_ts",
+                        F.explode(band_structs).alias("p"))
+        .select("doc_id", "ingest_ts", "p.band", "p.bkey")
+        .withWatermark("ingest_ts", watermark)
+    )
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -523,3 +523,108 @@ def test_stream_split_matches_batch(spark, tmp_path):
     want = (SUITE["split_assign"].query(spark, sf).toPandas()
             [["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_stream_neardup_flags_cross_batch_bucketmate(spark, tmp_path):
+    """A near-dup arriving in a LATER micro-batch must be flagged as a
+    candidate (shares a band bucket with the first copy); unrelated text
+    must not be."""
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today while the sun shines bright over the green hills")
+    f1 = pd.DataFrame({
+        "doc_id": [0, 2],
+        "text": [base,
+                 "completely different words about spark window functions"],
+        "ingest_ts": [ts, ts + pd.Timedelta(minutes=1)],
+    })
+    f2 = pd.DataFrame({
+        "doc_id": [1],
+        "text": [base.replace("today", "tomorrow")],
+        "ingest_ts": [ts + pd.Timedelta(minutes=2)],
+    })
+    for df in (f1, f2):
+        df["ingest_ts"] = df["ingest_ts"].astype("datetime64[ms]")
+    f1.to_parquet(src / "a1.parquet")
+    f2.to_parquet(src / "a2.parquet")
+
+    from pandas_ta_spark.streaming import stream_neardup_candidates
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_neardup_candidates(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("neardup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM neardup_stream").toPandas()
+    flagged = set(got[got["is_candidate"]]["doc_id"])
+    assert 1 in flagged          # later near-dup collides with doc 0's bucket
+    assert 0 not in flagged      # first copy is never a candidate
+    assert 2 not in flagged      # unrelated doc shares no bucket
+    # the collision bucket records doc 0 as first-seen
+    hit = got[(got["doc_id"] == 1) & got["is_candidate"]]
+    assert (hit["first_doc_id"] == 0).all()
+    # every doc emits one row per band
+    assert got.groupby("doc_id").size().eq(4).all()
+
+
+def test_stream_band_keys_match_batch_signature(spark, tmp_path):
+    """The stream's stateless per-row band keys must equal the batch
+    derivation's explode+groupBy-min signature keys bit-for-bit."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "completely different words about spark window functions",
+                 "a third short document with its own shingles entirely"],
+    })
+    sdf = spark.createDataFrame(docs)
+
+    # stream-side expressions evaluated in batch mode
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.streaming.corpus import _band_key_stream_exprs
+
+    hs, bands = _band_key_stream_exprs()
+    stream_keys = (
+        sdf.select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", *[F.expr(e).alias(f"b{b}") for b, e in bands])
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    # batch-side: the ext/dedup signature pipeline (shingle explode ->
+    # groupBy min), reproduced exactly as _dedup_minhash_impl builds it
+    from pandas_ta_spark.ext.dedup import (
+        N_BANDS,
+        N_HASHES,
+        _shingles_spark,
+    )
+
+    sh = _shingles_spark(sdf)
+    hx = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    rpb = N_HASHES // N_BANDS
+    batch_keys = (
+        sig.select(
+            "doc_id",
+            *[F.concat_ws("_", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)])
+              .alias(f"b{b}") for b in range(N_BANDS)],
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(stream_keys, batch_keys)
