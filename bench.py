@@ -184,6 +184,12 @@ def main():
         # cheap-before-expensive rule as the replication queries below
         "shard_pack_tokens": lambda: EXT["shard_pack_tokens"].query(spark, sf_dir),
         "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
+        "pii_scrub": lambda: EXT["pii_scrub"].query(spark, sf_dir),
+        "ngram_novelty": lambda: EXT["ngram_novelty"].query(spark, sf_dir),
+        "embedding_quantize_sq": lambda: EXT["embedding_quantize_sq"].query(
+            spark, sf_dir),
+        "contamination_minhash": lambda: EXT["contamination_minhash"].query(
+            spark, sf_dir),
         "dedup_minhash_lsh": lambda: EXT["dedup_minhash_lsh"].query(spark, sf_dir),
         "dedup_cc_clusters": lambda: EXT["dedup_cc_clusters"].query(spark, sf_dir),
         "topk_cosine": lambda: EXT["topk_cosine"].query(spark, sf_dir),

@@ -323,26 +323,18 @@ K_CENTROIDS = 8
 NPROBE = 2
 
 
-def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: train a coarse quantizer (K seed vectors +
-    one spherical-Lloyd update step), assign the corpus to inverted lists,
-    probe only the NPROBE nearest lists per query. The third ANN regime
-    next to brute force (exact, |Q|xN) and LSH (hash buckets): scan cost
-    drops to ~NPROBE/K of the corpus while recall stays tunable via NPROBE.
+def _ivf_lists(spark: SparkSession, sf_dir: str):
+    """Coarse-quantizer training + inverted-file build, shared by the ANN
+    query (`_topk_ivf`) and the cluster-profile telemetry: K seed vectors,
+    one spherical-Lloyd update step, then corpus assignment to lists.
+    Returns (v, centn, lists) — the normalized vectors, the K-row trained
+    centroid table (materialized), and the (vec_id, centroid_id) file.
 
     Cross-engine determinism of the TRAINED centroids: per-dimension means
     are computed as exact BIGINT sums of 1e-6-quantized components, then
     one double division — integer addition is order-independent, so Spark's
     arbitrary aggregation order and DuckDB's agree bit-for-bit (the same
-    fixed-point trick as functions/windows.py cumsum_fixed).
-
-    100 TB shape: centroids are K rows — every assignment join is a
-    broadcast; the per-vector argmax here is a row_number window (shared
-    with the SQL twin); at scale you'd swap it for max_by(struct) to get a
-    map-side-combinable aggregation with no sort.
-    """
-    from pyspark.sql import Window
-
+    fixed-point trick as functions/windows.py cumsum_fixed)."""
     v = _spark_vectors_cached(spark, sf_dir)
     seeds = (
         v.filter((F.col("vec_id") >= N_QUERIES)
@@ -397,7 +389,24 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id", "ce", f"sqrt({_dot_str('ce', 'ce')}) AS cn"
     ))
 
-    lists = assign(centn)  # the inverted file
+    return v, centn, assign(centn)
+
+
+def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: probe only the NPROBE nearest inverted
+    lists per query (training/assignment shared via `_ivf_lists`). The
+    third ANN regime next to brute force (exact, |Q|xN) and LSH (hash
+    buckets): scan cost drops to ~NPROBE/K of the corpus while recall
+    stays tunable via NPROBE.
+
+    100 TB shape: centroids are K rows — every assignment join is a
+    broadcast; the per-vector argmax here is a row_number window (shared
+    with the SQL twin); at scale you'd swap it for max_by(struct) to get a
+    map-side-combinable aggregation with no sort.
+    """
+    from pyspark.sql import Window
+
+    v, centn, lists = _ivf_lists(spark, sf_dir)
 
     qp = v.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(centn)).select(
         F.col("vec_id").alias("query_id"), "centroid_id",
@@ -431,7 +440,10 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topk_ivf_oracle() -> str:
+def _ivf_ctes() -> str:
+    """Shared DuckDB CTE chain for IVF training + assignment, ending at
+    `lists(vec_id, centroid_id)` — the SQL twin of `_ivf_lists`. Reused
+    by the ANN oracle and the cluster-profile oracle."""
     q6 = ", ".join(
         f"CAST(floor(e[{i}] * 1000000.0 + 0.5) AS BIGINT) AS q{i}"
         for i in range(1, DIM + 1)
@@ -441,8 +453,7 @@ def _topk_ivf_oracle() -> str:
         f"CAST(s{i} AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE)"
         for i in range(1, DIM + 1)
     )
-    return f"""
-WITH v AS (
+    return f"""v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 n AS (
@@ -488,7 +499,12 @@ lists AS (
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY score DESC, centroid_id) AS rk
         FROM sc1) WHERE rk = 1
-),
+)"""
+
+
+def _topk_ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes()},
 qp AS (
     SELECT q.vec_id AS query_id, c.centroid_id,
            ({_dot_sql('q.e', 'c.ce')}) / (q.nrm * c.cn) AS score
@@ -521,6 +537,82 @@ ranked AS (
 )
 SELECT query_id, match_id, rank, floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
 FROM ranked WHERE rank <= {TOP_K}
+""".strip()
+
+
+def _ivf_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file health telemetry: per trained centroid, list size,
+    share of the corpus, label diversity, and the dominant label — the
+    dashboard an ANN deployment watches for list imbalance (one hot list
+    = one hot partition at probe time) and for cluster/label coherence.
+
+    Reuses the shared `_ivf_lists` build; the rollup is one corpus-sized
+    groupBy on (centroid_id, label) with map-side partials, a K-row
+    second-level aggregation, and a 1-row total broadcast. The dominant
+    label uses the same max(struct) argmax as list assignment —
+    hash-aggregate, no sort, ties to the smallest label."""
+    _, _, lists = _ivf_lists(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    by_label = (
+        lists.join(emb, "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.max(F.struct(
+        F.col("cnt"), (-F.col("label")).alias("neg"),
+        F.col("label").alias("lab"),
+    )).alias("b")
+    prof = (
+        by_label.groupBy("centroid_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_labels"),
+            best,
+        )
+        .select(
+            "centroid_id", "n_vectors", "n_labels",
+            F.col("b.lab").alias("top_label"),
+            F.col("b.cnt").cast("long").alias("top_label_cnt"),
+        )
+    )
+    total = prof.agg(F.sum("n_vectors").alias("n_total"))
+    return (
+        prof.crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id", "n_vectors",
+            (F.col("n_vectors") / F.col("n_total")).alias("corpus_frac"),
+            "n_labels", "top_label", "top_label_cnt",
+            (F.col("top_label_cnt") / F.col("n_vectors")).alias("top_label_frac"),
+        )
+    )
+
+
+def _ivf_cluster_profile_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes()},
+by_label AS (
+    SELECT l.centroid_id, e.label, count(*) AS cnt
+    FROM lists l JOIN embeddings e ON e.vec_id = l.vec_id
+    GROUP BY 1, 2
+),
+prof AS (
+    SELECT centroid_id,
+           CAST(sum(cnt) AS BIGINT) AS n_vectors,
+           count(*) AS n_labels,
+           max(struct_pack(cnt := cnt, neg := -label, lab := label)) AS b
+    FROM by_label GROUP BY centroid_id
+),
+p AS (
+    SELECT centroid_id, n_vectors, n_labels,
+           b.lab AS top_label, CAST(b.cnt AS BIGINT) AS top_label_cnt
+    FROM prof
+),
+tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total FROM p)
+SELECT centroid_id, n_vectors,
+       n_vectors / tot.n_total AS corpus_frac,
+       n_labels, top_label, top_label_cnt,
+       top_label_cnt / n_vectors AS top_label_frac
+FROM p CROSS JOIN tot
 """.strip()
 
 
@@ -691,6 +783,8 @@ FROM coded GROUP BY vec_id
 
 SUITE = {
     "embedding_quantize_sq": ExtQuery(_quantize_sq, QUANTIZE_SQ_SQL),
+    "ivf_cluster_profile": ExtQuery(
+        _ivf_cluster_profile, _ivf_cluster_profile_oracle()),
     "embedding_label_centroids": ExtQuery(_label_centroids, LABEL_CENTROIDS_SQL),
     "topk_ivf_recall": ExtQuery(_ivf_recall, _ivf_recall_oracle()),
     "topk_cosine": ExtQuery(_topk_cosine, _topk_oracle()),

@@ -297,9 +297,14 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch, one broadcast-free join on doc_id at the end. All ratios
     divide exact BIGINTs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _toks()
+    # bind the token array once per row (a lambda referencing the split
+    # expression directly would re-split the text per element — O(n^2))
+    t = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    )
     tf = (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
+        t.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -312,14 +317,11 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram list via transform over an index sequence (JVM-side, no UDF);
     # guarded: Spark's sequence() DESCENDS when start > stop
     bg = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            "transform(sequence(0, size(split(lower(trim(text)), ' ')) - 2),"
-            " i -> concat(split(lower(trim(text)), ' ')[i], ' ',"
-            "             split(lower(trim(text)), ' ')[i + 1]))"
-        ),
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(0, size(toks) - 2),"
+               " i -> concat(toks[i], ' ', toks[i + 1]))"),
     ).otherwise(F.array().cast("array<string>"))
-    bgs = docs.select(
+    bgs = t.select(
         "doc_id",
         F.size(bg).cast("long").alias("n_bigrams"),
         F.size(F.array_distinct(bg)).cast("long").alias("n_distinct_bigrams"),
@@ -496,32 +498,45 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     model has no support for these transitions = noise/OOD candidate;
     complements `corpus_rarity`, which is unigram-level).
 
-    Plan: one bigram explode, one vocabulary-sized doc-frequency
-    aggregation (count_distinct doc_id per bigram, map-side partial),
-    one hash join back, one per-doc rollup. All outputs are exact
-    BIGINTs and int/int ratios — no float summation order to disagree
-    on. At 100 TB the bigram relation is tokens-sized (same cost class
-    as the dedup shingle pass) and the df table is vocabulary-sized —
-    shuffle-joined on bigram, NOT broadcast."""
+    Plan: one bigram explode collapsed IMMEDIATELY to per-(doc, bigram)
+    instance counts (map-side partial absorbs in-doc repetition before
+    the shuffle), doc frequency as a plain count over those distinct
+    pairs (no count_distinct expand — measured 7.3s -> ~1s at sf0.1),
+    one hash join between the two pair-sized relations, one per-doc
+    rollup. All outputs are exact BIGINTs and int/int ratios — no float
+    summation order to disagree on. At 100 TB the pair relation is
+    bounded by tokens (same cost class as the dedup shingle pass) and
+    the df table is vocabulary-sized — shuffle-joined, NOT broadcast."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _toks()
+    # bind the token array ONCE per row: referencing split(...) inside the
+    # transform lambda re-splits the text per element (O(tokens^2) chars)
+    t = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    )
     bg = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            "transform(sequence(0, size(split(lower(trim(text)), ' ')) - 2),"
-            " i -> concat(split(lower(trim(text)), ' ')[i], ' ',"
-            "             split(lower(trim(text)), ' ')[i + 1]))"
-        ),
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(0, size(toks) - 2),"
+               " i -> concat(toks[i], ' ', toks[i + 1]))"),
     ).otherwise(F.array().cast("array<string>"))
-    rel = docs.select("doc_id", F.explode(bg).alias("bigram"))
-    dfreq = rel.groupBy("bigram").agg(
-        F.count_distinct("doc_id").alias("n_docs_with"))
+    # group on xxhash64 of the bigram, not the string: the bigram never
+    # appears in the output, so the shuffles and the join move 8-byte
+    # longs instead of ~25-byte strings (collision odds at vocabulary
+    # scale are ~|V|^2/2^65 — negligible next to hardware error rates)
+    pairs = (
+        t.select("doc_id", F.explode(bg).alias("bigram"))
+        .select("doc_id", F.xxhash64("bigram").alias("bh"))
+        .groupBy("doc_id", "bh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = pairs.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("n_docs_with"))
     return (
-        rel.join(dfreq, "bigram")
+        pairs.join(dfreq, "bh")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0))
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("n_docs_with") == 1, F.col("cnt")).otherwise(0))
             .cast("long").alias("n_novel"),
             F.min("n_docs_with").alias("min_bigram_df"),
             F.max("n_docs_with").alias("max_bigram_df"),

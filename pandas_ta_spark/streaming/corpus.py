@@ -102,9 +102,11 @@ def _band_key_stream_exprs():
     construction (pinned by the parity pytest)."""
     from pandas_ta_spark.ext.dedup import N_BANDS, N_HASHES, SHINGLE_K
 
-    toks = "split(lower(trim(text)), ' ')"
-    sh = (f"array_distinct(transform(sequence(0, size({toks}) - {SHINGLE_K}),"
-          f" i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE_K}))))")
+    # expressions reference a pre-bound `toks` column — callers must
+    # project split(lower(trim(text)), ' ') AS toks first (inlining the
+    # split into the lambda would re-split the text per element, O(n^2))
+    sh = (f"array_distinct(transform(sequence(0, size(toks) - {SHINGLE_K}),"
+          f" i -> concat_ws(' ', slice(toks, i + 1, {SHINGLE_K}))))")
     hs = (f"transform({sh}, s -> named_struct("
           "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), "
           "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))")
@@ -180,9 +182,13 @@ def stream_neardup_candidates(docs: DataFrame,
         })
 
     hs, bands = _band_key_stream_exprs()
-    toks_n = F.size(F.split(F.lower(F.trim(F.col("text"))), " "))
+    with_toks = docs.select(
+        "doc_id", "ingest_ts",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    )
     with_sig = (
-        docs.filter(toks_n >= SHINGLE_K)  # too short to shingle -> no buckets
+        with_toks
+        .filter(F.size("toks") >= SHINGLE_K)  # too short to shingle
         .select("doc_id", "ingest_ts", F.expr(hs).alias("hs"))
     )
     band_structs = F.array(*[

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 197
-    assert len(o) == 196
+    assert len(q) == 198
+    assert len(o) == 197
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50,
     # and EVERY pinned key must still exist — a renamed pinned key would
@@ -680,3 +680,20 @@ def test_quantize_sq_code_range_and_extremes(spark, tmp_path):
     assert out.loc[1, "code_sum"] == 255 * 64
     # code strings are distinct across distinct vectors
     assert out["codes_md5"].nunique() == 3
+
+
+def test_ivf_cluster_profile_invariants(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    rows = [{"vec_id": i,
+             "embedding": rng.normal(0, 1, 64).astype(np.float32).tolist(),
+             "label": i % 3} for i in range(40)]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/embeddings.parquet")
+    from pandas_ta_spark.ext.similarity import SUITE
+
+    out = SUITE["ivf_cluster_profile"].query(spark, str(tmp_path)).toPandas()
+    # every vector lands in exactly one list; shares partition the corpus
+    assert out["n_vectors"].sum() == 40
+    assert abs(out["corpus_frac"].sum() - 1.0) < 1e-12
+    assert (out["top_label_cnt"] <= out["n_vectors"]).all()
+    assert (out["n_labels"] >= 1).all() and (out["n_labels"] <= 3).all()
+    assert out["top_label"].isin([0, 1, 2]).all()

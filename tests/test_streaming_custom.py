@@ -593,7 +593,9 @@ def test_stream_band_keys_match_batch_signature(spark, tmp_path):
 
     hs, bands = _band_key_stream_exprs()
     stream_keys = (
-        sdf.select("doc_id", F.expr(hs).alias("hs"))
+        sdf.select("doc_id",
+                   F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"))
+        .select("doc_id", F.expr(hs).alias("hs"))
         .select("doc_id", *[F.expr(e).alias(f"b{b}") for b, e in bands])
         .toPandas().set_index("doc_id").sort_index()
     )
