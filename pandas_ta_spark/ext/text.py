@@ -622,7 +622,88 @@ FROM documents
 """.strip()
 
 
+PROFILE_QS = (0.1, 0.5, 0.9)
+
+
+def _source_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length profile: doc count, exact mean, and exact
+    discrete p10/p50/p90 of the whitespace token count — the length-
+    distribution dashboard a curation pipeline watches per crawl (shifted
+    percentiles = a source changed its extraction).
+
+    Percentile selection is row_number arithmetic on integers — value at
+    sorted rank floor((n-1)*q)+1 — NOT an engine percentile builtin:
+    Spark's `percentile` and DuckDB's `quantile_cont` interpolate with
+    differently-associated FP expressions, while rank selection is exact
+    in both. One sort per source inside one window pass; at 100 TB the
+    documented swap is approx_percentile (the exact form stays as the
+    oracle-parity baseline, same trade as topk_cosine vs LSH/IVF)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    d = docs.select("source", F.size(_toks()).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("n_tok")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    r = ranked.join(F.broadcast(stats), "source")
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n_docs") - 1) * F.lit(q)) + 1,
+                F.col("n_tok"),
+            )
+        ).alias(f"p{int(q * 100)}_tokens")
+        for q in PROFILE_QS
+    ]
+    return (
+        r.groupBy("source")
+        .agg(F.max("n_docs").alias("n_docs"),
+             F.max("total_tokens").alias("total_tokens"), *picks)
+        .select(
+            "source", "n_docs",
+            (F.col("total_tokens") / F.col("n_docs")).alias("mean_tokens"),
+            *[f"p{int(q * 100)}_tokens" for q in PROFILE_QS],
+        )
+    )
+
+
+def _source_token_profile_sql() -> str:
+    picks = ", ".join(
+        f"max(CASE WHEN rn = CAST(floor((n_docs - 1) * {q!r}) AS BIGINT) + 1"
+        f" THEN n_tok END) AS p{int(q * 100)}_tokens"
+        for q in PROFILE_QS
+    )
+    return f"""
+WITH d AS (
+    SELECT source, len(string_split(lower(trim(text)), ' ')) AS n_tok
+    FROM documents
+),
+ranked AS (
+    SELECT source, n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn
+    FROM d
+),
+stats AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM d GROUP BY source
+),
+r AS (SELECT k.*, s.n_docs, s.total_tokens
+      FROM ranked k JOIN stats s USING (source))
+SELECT source, max(n_docs) AS n_docs,
+       CAST(max(total_tokens) AS BIGINT) / max(n_docs) AS mean_tokens,
+       {picks}
+FROM r GROUP BY source
+""".strip()
+
+
 SUITE = {
+    "source_token_profile": ExtQuery(
+        _source_token_profile, _source_token_profile_sql()),
     "tfidf_top_terms": ExtQuery(_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "ngram_novelty": ExtQuery(_ngram_novelty, NGRAM_NOVELTY_SQL),
     "pii_scrub": ExtQuery(_pii_scrub, PII_SCRUB_SQL),

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 198
-    assert len(o) == 197
+    assert len(q) == 199
+    assert len(o) == 198
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50,
     # and EVERY pinned key must still exist — a renamed pinned key would
@@ -697,3 +697,28 @@ def test_ivf_cluster_profile_invariants(spark, tmp_path):
     assert (out["top_label_cnt"] <= out["n_vectors"]).all()
     assert (out["n_labels"] >= 1).all() and (out["n_labels"] <= 3).all()
     assert out["top_label"].isin([0, 1, 2]).all()
+
+
+def test_source_token_profile_exact_percentiles(spark, tmp_path):
+    # source "sa": token counts 1..10 -> p10 = value at rank
+    # floor(9*0.1)+1 = 1 (count 1), p50 at rank 5 (count 5), p90 at
+    # rank 9 (count 9); mean = 55/10
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [" ".join(["w"] * n) for n in range(1, 11)],
+        "lang": ["en"] * 10,
+        "source": ["sa"] * 10,
+        "n_chars": [1] * 10,
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from pandas_ta_spark.ext.text import SUITE
+
+    out = (SUITE["source_token_profile"].query(spark, sf)
+           .toPandas().set_index("source"))
+    row = out.loc["sa"]
+    assert row["n_docs"] == 10
+    assert row["mean_tokens"] == 5.5
+    assert row["p10_tokens"] == 1
+    assert row["p50_tokens"] == 5
+    assert row["p90_tokens"] == 9
