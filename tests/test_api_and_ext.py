@@ -722,3 +722,94 @@ def test_source_token_profile_exact_percentiles(spark, tmp_path):
     assert row["p10_tokens"] == 1
     assert row["p50_tokens"] == 5
     assert row["p90_tokens"] == 9
+
+
+def test_ngram_novelty_property_vs_bruteforce(spark):
+    """Property check: for random small corpora, novelty stats must match
+    a brute-force pandas bigram scan (guards the hashed-key and
+    pre-aggregated reformulation against semantic drift)."""
+    import tempfile
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["a", "b", "c", "d"]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.lists(st.sampled_from(words), min_size=2, max_size=8),
+                    min_size=2, max_size=8))
+    def check(docs_words):
+        pdf = pd.DataFrame({
+            "doc_id": range(len(docs_words)),
+            "text": [" ".join(ws) for ws in docs_words],
+            "lang": ["en"] * len(docs_words),
+            "source": ["s"] * len(docs_words),
+            "n_chars": [1] * len(docs_words),
+        })
+        with tempfile.TemporaryDirectory() as sf:
+            pdf.to_parquet(f"{sf}/documents.parquet")
+            from pandas_ta_spark.ext.text import SUITE
+
+            got = (SUITE["ngram_novelty"].query(spark, sf).toPandas()
+                   .set_index("doc_id").sort_index())
+        # brute force: bigram doc frequency over all docs
+        per_doc = [[" ".join(p) for p in zip(ws, ws[1:])] for ws in docs_words]
+        dfreq = Counter()
+        for bgs in per_doc:
+            for b in set(bgs):
+                dfreq[b] += 1
+        for i, bgs in enumerate(per_doc):
+            row = got.loc[i]
+            assert row["n_bigrams"] == len(bgs)
+            n_novel = sum(1 for b in bgs if dfreq[b] == 1)
+            assert row["n_novel"] == n_novel
+            assert row["min_bigram_df"] == min(dfreq[b] for b in bgs)
+            assert row["max_bigram_df"] == max(dfreq[b] for b in bgs)
+
+    check()
+
+
+def test_pii_scrub_property_vs_python_re(spark):
+    """Property check: Spark's regex counts and redacted hashes must match
+    Python re on random word-salad documents (same denylist pattern)."""
+    import hashlib
+    import re
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.text import DENY_PATTERN, REDACTED
+
+    vocab = ["hash", "merge", "scan", "rehash", "hashes", "table", "x"]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+                    min_size=1, max_size=6))
+    def check(docs_words):
+        pdf = pd.DataFrame({
+            "doc_id": range(len(docs_words)),
+            "text": [" ".join(ws) for ws in docs_words],
+            "lang": ["en"] * len(docs_words),
+            "source": ["s"] * len(docs_words),
+            "n_chars": [1] * len(docs_words),
+        })
+        with tempfile.TemporaryDirectory() as sf:
+            pdf.to_parquet(f"{sf}/documents.parquet")
+            from pandas_ta_spark.ext.text import SUITE
+
+            got = (SUITE["pii_scrub"].query(spark, sf).toPandas()
+                   .set_index("doc_id").sort_index())
+        for i, ws in enumerate(docs_words):
+            text = " ".join(ws)
+            row = got.loc[i]
+            # \b semantics: "rehash"/"hashes" must NOT count as "hash"
+            assert row["n_denylist"] == len(re.findall(DENY_PATTERN, text))
+            red = re.sub(DENY_PATTERN, REDACTED, text)
+            assert row["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+            assert row["n_chars_redacted"] == len(red)
+
+    check()
