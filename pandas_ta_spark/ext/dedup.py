@@ -150,6 +150,15 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the band self-join replaces the quadratic all-pairs scan;
     bucket sizes stay bounded because md5 is uniform.
 
+    Verification is set-intersection over per-doc shingle-key ARRAYS
+    (collect_set of a 60-bit slice of the same md5), not a join of two
+    copies of the shingle relation: ONE aggregation pass produces the
+    signature, the key set, and the set size together, so the corpus is
+    scanned once, nothing corpus-sized is persisted, and the verify step
+    is `size(array_intersect(ka, kb))` over the (tiny) candidate pair
+    set. Key collisions are engine-identical (both engines slice the
+    same md5), so the DuckDB oracle matches bit-for-bit.
+
     The whole derivation (including the final materialize) runs inside an
     input-sized shuffle scope — a no-op at production scale, a large
     task-overhead win at gate/bench scale where AQE coalescing is off.
@@ -169,29 +178,45 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation. The alternative (explode first, let distinct shuffle) moves
     # ~3x the bytes at 100 TB — shingle rows repeat every word K times.
     docs = docs.repartition("doc_id")
-    # The shingle set feeds THREE consumers (signatures+sizes, and both
-    # sides of the intersection join). Without persist, Catalyst inlines
-    # the scan+split+explode+distinct pipeline into every consumer —
-    # measured 12 FileScans / 19 Exchanges for this query, i.e. reading
-    # the 100 TB corpus 12x. One disk-spillable materialization is the
-    # scale answer (a temp-table checkpoint in a multi-session pipeline).
-    sh = _shingles_spark(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    hx = F.md5("shingle")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    # NOT the distinct-shingle relation (_shingles_spark): min() is
+    # duplicate-insensitive and collect_set dedups inside the aggregate,
+    # so the raw exploded shingles feed ONE groupBy that produces the
+    # signature, the shingle-key set, and (via size) the set cardinality
+    # together. The corpus is scanned once, partition-local end-to-end,
+    # and nothing corpus-sized needs a persist.
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SHINGLE_K
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.size("toks") - SHINGLE_K)).alias("i")
+    shingle = F.concat_ws(
+        " ", *[F.col("toks")[F.col("i") + k] for k in range(SHINGLE_K)]
+    )
+    hx = F.col("hx")
+    hashed = (
+        base.select("doc_id", "toks", idx)
+        .select("doc_id", F.md5(shingle).alias("hx"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+            # 60-bit verification key: an independent slice of the SAME
+            # md5. Collisions are engine-identical (the oracle slices the
+            # same digest), so cross-engine hashes still match exactly.
+            F.conv(F.substring(hx, 17, 15), 16, 10).cast("bigint").alias("k"),
+        )
     )
     mins = [
         F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    # one groupBy produces signature AND shingle count — not two passes;
-    # persisted: consumed by both self-join sides and both size lookups,
-    # and it is tiny (doc_id + 16 minhash ints + a count per doc)
+    # persisted: consumed by the two self-join sides and the two verify
+    # probes; per-doc rows (16 ints + the distinct-key array), i.e. the
+    # corpus compressed ~10x (keys are 8 bytes vs ~20-byte shingles, each
+    # stored once instead of once per consumer)
     sig = (
         hashed.groupBy("doc_id")
-        .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+        .agg(*mins, F.collect_set("k").alias("ks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rows_per_band = N_HASHES // N_BANDS
@@ -219,25 +244,23 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with true shingle Jaccard. The candidate pair set
-    # is orders of magnitude smaller than the shingle relation (dup-heavy
+    # verify candidates with true shingle-set Jaccard via array
+    # intersection: |A∩B| = size(array_intersect(ka, kb)). The candidate
+    # pair set is orders of magnitude smaller than the corpus (dup-heavy
     # corpora excepted — then LSH banding itself needs retuning), so
-    # BROADCAST it: the big sha side streams from cache with no exchange,
-    # and the hint skips an AQE re-plan round.
-    sizes = sig.select("doc_id", "n_sh")
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
-    inter = (
-        F.broadcast(cand).join(sha, "doc_a").join(shb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})
-    nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})
-    # same direction: inter (verified-pair counts) is the small side;
-    # sizes is per-doc, i.e. corpus-sized at scale — never broadcast it
+    # BROADCAST it against the cached sig relation; the doc_b probe then
+    # shuffles only the (pair-sized) candidate rows — sig itself stays
+    # hash(doc_id)-clustered from the input repartition and never moves.
+    ka = sig.select(F.col("doc_id").alias("doc_a"), F.col("ks").alias("ka"))
+    kb = sig.select(F.col("doc_id").alias("doc_b"), F.col("ks").alias("kb"))
     out = (
-        F.broadcast(inter).join(na, "doc_a").join(nb, "doc_b")
+        F.broadcast(cand).join(ka, "doc_a").join(kb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ka", "kb")).cast("long").alias("n_inter"),
+            F.size("ka").cast("long").alias("na"),
+            F.size("kb").cast("long").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
@@ -246,14 +269,13 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
     # The verified pair set is tiny (dup pairs only). Materialize it and
-    # release the two big intermediates — a long-lived session (the gate
-    # runs ~170 queries; _dedup_cc re-enters this fn) must not accumulate
-    # a corpus-sized shingle cache per invocation. finally: a failed
-    # materialize must not leave them resident either.
+    # release the per-doc intermediate — a long-lived session (the gate
+    # runs ~185 queries; _dedup_cc re-enters this fn) must not accumulate
+    # a cached relation per invocation. finally: a failed materialize
+    # must not leave it resident either.
     try:
         out = materialize(out)
     finally:
-        sh.unpersist()
         sig.unpersist()
     # refresh the downstream-consumer cache (see _pairs_cached): this call
     # always derives fresh — so its own cost stays honestly measured — but
@@ -283,11 +305,13 @@ def _pair_ctes() -> str:
 hashed AS (
     SELECT doc_id,
            CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
-           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2,
+           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS k
     FROM sh
 ),
 sig AS (
-    SELECT doc_id, {mins}
+    SELECT doc_id, {mins},
+           list_distinct(list(k)) AS ks
     FROM hashed GROUP BY doc_id
 ),
 banded AS ({bands}),
@@ -296,21 +320,20 @@ cand AS (
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+verif AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.ks, b.ks)) AS BIGINT) AS n_inter,
+           CAST(len(a.ks) AS BIGINT) AS na,
+           CAST(len(b.ks) AS BIGINT) AS nb
     FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY 1, 2
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
 ),
 pairs AS (
-    SELECT i.doc_a, i.doc_b, i.n_inter,
-           i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / (na + nb - n_inter) AS jaccard
+    FROM verif
+    WHERE n_inter / (na + nb - n_inter) >= {JACCARD_THRESHOLD}
 )"""
 
 
