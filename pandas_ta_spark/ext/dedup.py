@@ -724,27 +724,41 @@ def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage that the exact n-gram scan (`contamination_ngrams`) misses
     when few shingles survive verbatim.
 
-    Same signature scheme as `_dedup_minhash` (16 Kirsch-Mitzenmacher
-    hashes from one md5, 4 bands), but the band join is train x eval
-    instead of a self-join — candidates shrink to bucket-mates of the
-    (tiny) eval side, whose banded signature table is BROADCAST. Only
-    candidates pay a true-Jaccard verification against the persisted
-    shingle relation. Output: per flagged train doc, how many eval docs
-    it collides with and the strongest verified overlap (max() is
-    order-insensitive -> deterministic under any partitioning)."""
+    Same signature scheme and array-intersection verify as
+    `_dedup_minhash` (16 Kirsch-Mitzenmacher hashes + a 60-bit key set
+    from one md5, 4 bands), but the band join is train x eval instead
+    of a self-join — candidates shrink to bucket-mates of the (tiny)
+    eval side, whose banded signature table is BROADCAST. Only
+    candidates pay the `size(array_intersect(...))` Jaccard check.
+    Output: per flagged train doc, how many eval docs it collides with
+    and the strongest verified overlap (max() is order-insensitive ->
+    deterministic under any partitioning)."""
     from pyspark import StorageLevel
 
     with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "source")
         docs = docs.repartition("doc_id")
-        sh = _shingles_spark(docs.select("doc_id", "text")).persist(
-            StorageLevel.MEMORY_AND_DISK)
-        hx = F.md5("shingle")
-        hashed = sh.select(
-            "doc_id",
-            F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+        base = docs.select("doc_id", toks.alias("toks")).filter(
+            F.size("toks") >= SHINGLE_K
+        )
+        idx = F.explode(
+            F.sequence(F.lit(0), F.size("toks") - SHINGLE_K)
+        ).alias("i")
+        shingle = F.concat_ws(
+            " ", *[F.col("toks")[F.col("i") + k] for k in range(SHINGLE_K)]
+        )
+        hx = F.col("hx")
+        hashed = (
+            base.select("doc_id", "toks", idx)
+            .select("doc_id", F.md5(shingle).alias("hx"))
+            .select(
+                "doc_id",
+                F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
+                F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
+                F.conv(F.substring(hx, 17, 15), 16, 10).cast("bigint").alias("k"),
+            )
         )
         mins = [
             F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
@@ -752,7 +766,7 @@ def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         sig = (
             hashed.groupBy("doc_id")
-            .agg(*mins, F.count(F.lit(1)).alias("n_sh"))
+            .agg(*mins, F.collect_set("k").alias("ks"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         rows_per_band = N_HASHES // N_BANDS
@@ -770,31 +784,29 @@ def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig.select("doc_id", F.explode(band_structs).alias("p"))
             .select("doc_id", "p.band", "p.bkey")
         )
-        split = docs.select(
-            "doc_id",
-            (F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM).alias("is_eval"),
-        )
-        tr_b = (banded.join(split, "doc_id").filter(~F.col("is_eval"))
+        # the train/eval split is a pure doc_id predicate — inline it on
+        # the banded relation instead of joining a split table (two
+        # fewer joins; the oracle's split CTE is the same predicate)
+        is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
+        tr_b = (banded.filter(~is_eval)
                 .select(F.col("doc_id").alias("train_id"), "band", "bkey"))
-        ev_b = (banded.join(split, "doc_id").filter(F.col("is_eval"))
+        ev_b = (banded.filter(is_eval)
                 .select(F.col("doc_id").alias("eval_id"), "band", "bkey"))
         cand = (
             tr_b.join(F.broadcast(ev_b), ["band", "bkey"])
             .select("train_id", "eval_id")
             .distinct()
         )
-        sizes = sig.select("doc_id", "n_sh")
-        sht = sh.select(F.col("doc_id").alias("train_id"), F.col("shingle").alias("s"))
-        she = sh.select(F.col("doc_id").alias("eval_id"), F.col("shingle").alias("s"))
-        inter = (
-            F.broadcast(cand).join(sht, "train_id").join(she, ["eval_id", "s"])
-            .groupBy("train_id", "eval_id")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        nt = sizes.withColumnsRenamed({"doc_id": "train_id", "n_sh": "nt"})
-        ne = sizes.withColumnsRenamed({"doc_id": "eval_id", "n_sh": "ne"})
+        kt = sig.select(F.col("doc_id").alias("train_id"), F.col("ks").alias("kt"))
+        ke = sig.select(F.col("doc_id").alias("eval_id"), F.col("ks").alias("ke"))
         verified = (
-            F.broadcast(inter).join(nt, "train_id").join(ne, "eval_id")
+            F.broadcast(cand).join(kt, "train_id").join(ke, "eval_id")
+            .select(
+                "train_id", "eval_id",
+                F.size(F.array_intersect("kt", "ke")).cast("long").alias("n_inter"),
+                F.size("kt").cast("long").alias("nt"),
+                F.size("ke").cast("long").alias("ne"),
+            )
             .withColumn(
                 "jaccard",
                 F.col("n_inter") / (F.col("nt") + F.col("ne") - F.col("n_inter")),
@@ -808,7 +820,6 @@ def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             return materialize(out)
         finally:
-            sh.unpersist()
             sig.unpersist()
 
 
@@ -829,11 +840,13 @@ WITH {_shingle_sql()},
 hashed AS (
     SELECT doc_id,
            CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
-           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2,
+           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS k
     FROM sh
 ),
 sig AS (
-    SELECT doc_id, {mins}
+    SELECT doc_id, {mins},
+           list_distinct(list(k)) AS ks
     FROM hashed GROUP BY doc_id
 ),
 banded AS ({bands}),
@@ -846,22 +859,20 @@ cand AS (
     JOIN banded e ON e.band = t.band AND e.bkey = t.bkey
     JOIN split se ON se.doc_id = e.doc_id AND se.is_eval
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT c.train_id, c.eval_id, count(*) AS n_inter
+verif AS (
+    SELECT c.train_id, c.eval_id,
+           CAST(len(list_intersect(t.ks, e.ks)) AS BIGINT) AS n_inter,
+           CAST(len(t.ks) AS BIGINT) AS nt,
+           CAST(len(e.ks) AS BIGINT) AS ne
     FROM cand c
-    JOIN sh st ON st.doc_id = c.train_id
-    JOIN sh se ON se.doc_id = c.eval_id AND se.shingle = st.shingle
-    GROUP BY 1, 2
+    JOIN sig t ON t.doc_id = c.train_id
+    JOIN sig e ON e.doc_id = c.eval_id
 ),
 verified AS (
-    SELECT i.train_id, i.eval_id,
-           i.n_inter / (nt.n_sh + ne.n_sh - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes nt ON nt.doc_id = i.train_id
-    JOIN sizes ne ON ne.doc_id = i.eval_id
-    WHERE i.n_inter / (nt.n_sh + ne.n_sh - i.n_inter)
-          >= {FUZZY_CONTAM_THRESHOLD}
+    SELECT train_id, eval_id,
+           n_inter / (nt + ne - n_inter) AS jaccard
+    FROM verif
+    WHERE n_inter / (nt + ne - n_inter) >= {FUZZY_CONTAM_THRESHOLD}
 )
 SELECT train_id, count(*) AS n_eval_matches, max(jaccard) AS max_jaccard
 FROM verified GROUP BY train_id

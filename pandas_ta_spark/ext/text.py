@@ -500,13 +500,30 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one bigram explode collapsed IMMEDIATELY to per-(doc, bigram)
     instance counts (map-side partial absorbs in-doc repetition before
-    the shuffle), doc frequency as a plain count over those distinct
-    pairs (no count_distinct expand — measured 7.3s -> ~1s at sf0.1),
+    the shuffle) and MATERIALIZED, so the dfreq branch reads the pair
+    blocks instead of re-running scan+split+explode+agg (one corpus
+    scan, not two); then doc frequency as a plain groupBy(bh) count,
     one hash join between the two pair-sized relations, one per-doc
-    rollup. All outputs are exact BIGINTs and int/int ratios — no float
-    summation order to disagree on. At 100 TB the pair relation is
-    bounded by tokens (same cost class as the dedup shingle pass) and
-    the df table is vocabulary-sized — shuffle-joined, NOT broadcast."""
+    rollup. The whole chain runs inside the input-sized shuffle scope:
+    the post-explode stages are a 4-deep shuffle chain, and with the
+    bench/gate's coalescing-off 61-partition config each link pays
+    O(parts^2) tiny block fetches — measured 1.7s for the dfreq stage
+    alone at 61 parts vs 0.5s at 8 (AQE coalescing does this at runtime
+    in prod; the clamp is a no-op at 100 TB input sizes). A window
+    count-over-bh variant avoids the join but pays WindowExec's
+    per-group setup on ~|vocabulary| one-row groups — measured worse.
+    All outputs are exact BIGINTs and int/int ratios — no float
+    summation order to disagree on. At 100 TB every shuffle and the
+    checkpoint are pair-relation-sized (same cost class as the dedup
+    shingle pass), and the df side is vocabulary-sized — never
+    broadcast, never collected."""
+    from pandas_ta_spark.ext.dedup import _input_bytes, _shuffle_sized_to_input
+
+    with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
+        return _ngram_novelty_impl(spark, sf_dir)
+
+
+def _ngram_novelty_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # bind the token array ONCE per row: referencing split(...) inside the
     # transform lambda re-splits the text per element (O(tokens^2) chars)
@@ -523,7 +540,9 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears in the output, so the shuffles and the join move 8-byte
     # longs instead of ~25-byte strings (collision odds at vocabulary
     # scale are ~|V|^2/2^65 — negligible next to hardware error rates)
-    pairs = (
+    from pandas_ta_spark.ckpt import materialize
+
+    pairs = materialize(
         t.select("doc_id", F.explode(bg).alias("bigram"))
         .select("doc_id", F.xxhash64("bigram").alias("bh"))
         .groupBy("doc_id", "bh")
@@ -531,7 +550,11 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = pairs.groupBy("bh").agg(
         F.count(F.lit(1)).alias("n_docs_with"))
-    return (
+    # materialize INSIDE the sized-shuffle scope: the caller's conf
+    # restore happens on return, and Spark reads shuffle.partitions at
+    # execution time — a lazy return would run the whole post-checkpoint
+    # chain at the session default
+    return materialize(
         pairs.join(dfreq, "bh")
         .groupBy("doc_id")
         .agg(
