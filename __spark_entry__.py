@@ -91,7 +91,7 @@ _PRIORITY = [
     "rsi_14", "macd_12_26_9", "supertrend_7", "psar",
     "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
     "topk_cosine_ivf", "sample_hash_deterministic", "shard_pack_tokens",
-    "sma_20", "ema_10", "wma_10", "vwap", "ichimoku",
+    "sma_20", "ema_10", "vwap", "ichimoku",
     "asof_join_bars", "sessionize_30m", "mcgd_10",
     "cci_14", "jma_7", "hilo_13_21",
     "qqe_14_5", "td_seq", "squeeze_20",
@@ -102,8 +102,8 @@ _PRIORITY = [
     "atr_14", "bbands_5_2.0", "donchian_20",
     "obv", "mfi_14",
     "cdl_pattern_all", "ha",
-    "cross_above_sma_20",
     "dedup_exact", "dedup_simhash",
+    "topk_cosine_pq", "rolling_beta_24",
     "topk_cosine_lsh", "text_stats",
 ]
 

@@ -432,7 +432,117 @@ FROM aug WHERE rn > mx - {fwd}"""
     return with_bars_cte(body)
 
 
+# --------------------------------------------- cross-sectional beta ----
+
+BETA_N = 24  # one day of hourly bars
+# 1e-6 log-return quantization: |ln r| <= ~10 on the synthetic bars, so
+# q <= 1e7, per-window sums <= 2.4e8, and every BIGINT product in the
+# beta formula stays <= ~6e16 — comfortably inside 2^63 (simple returns
+# reach ~8e3 here and overflowed even at this scale)
+BETA_SCALE = 1e6
+
+
+def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling market beta and correlation per symbol — a CROSS-SECTIONAL
+    operator the reference cannot express (pandas-ta sees one instrument
+    per DataFrame; the equal-weight market return needs the whole panel).
+
+    Per hourly bar: r = ln(close/lag(close)) (log returns — the synthetic
+    prices span 0.01..387, so simple returns reach ~8000 and overflow the
+    exact-integer power sums; log returns are bounded ~[-8, 9]); the
+    market return is the
+    equal-weight mean across symbols at the same ts (a partitionBy(ts)
+    window — no join); beta/corr over the trailing BETA_N bars.
+
+    Exactness: returns are quantized to 1e-8 BIGINTs, so every rolling
+    power sum (sum q, sum q^2, sum q*qm) is exact-integer — associative,
+    hence identical under Spark's sequential frames and DuckDB's segment
+    trees — and beta = (n*Sxy - Sx*Sy) / (n*Syy - Sy^2) is one exact-int
+    division. No catastrophic cancellation of engine-divergent floats
+    (the naive avg(xy)-avg(x)avg(y) form differences ~1e-6 floats whose
+    last ulps differ per engine). corr converts the exact-int variance
+    terms to doubles only for the final sqrt/divide (identical IEEE ops).
+
+    100 TB shape: one shuffle to the ts panel (market window), one back
+    to (symbol, ts) ordering for the rolling sums — both sized to the
+    bar relation, which is already resampled far below tick volume."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    r = F.log(F.col("close") / F.lag("close").over(ws))
+    q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
+    df = bars.select("symbol", "ts", q.alias("q"))
+    wt = Window.partitionBy("ts")
+    # integer market mean at the same 1e-8 scale: exact sum / count, one
+    # double division + floor -> identical integer in both engines
+    qm = F.floor(
+        F.sum("q").over(wt).cast("double") / F.count("q").over(wt) + F.lit(0.5)
+    ).cast("long")
+    df = df.select("symbol", "ts", "q", qm.alias("qm"))
+    wr = ws.rowsBetween(-(BETA_N - 1), 0)
+    xy = F.col("q") * F.col("qm")  # null if either side is null
+    n = F.count(xy).over(wr)
+    sx = F.sum(F.when(xy.isNotNull(), F.col("q"))).over(wr)
+    sy = F.sum(F.when(xy.isNotNull(), F.col("qm"))).over(wr)
+    sxy = F.sum(xy).over(wr)
+    sxx = F.sum(F.when(xy.isNotNull(), F.col("q") * F.col("q"))).over(wr)
+    syy = F.sum(F.when(xy.isNotNull(), F.col("qm") * F.col("qm"))).over(wr)
+    cov_s = n * sxy - sx * sy
+    varx_s = n * sxx - sx * sx
+    vary_s = n * syy - sy * sy
+    full = n >= BETA_N
+    beta = F.when(full & (vary_s != 0), cov_s / vary_s)
+    corr = F.when(
+        full & (varx_s > 0) & (vary_s > 0),
+        cov_s.cast("double")
+        / F.sqrt(varx_s.cast("double") * vary_s.cast("double")),
+    )
+    return df.select(
+        "symbol", "ts",
+        n.cast("long").alias("n_obs"),
+        round_col(beta).alias("beta"),
+        round_col(corr).alias("corr"),
+    )
+
+
+ROLLING_BETA_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           CAST(floor(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts))
+                      * {BETA_SCALE!r} + 0.5) AS BIGINT) AS q
+    FROM bars
+),
+mkt AS (
+    SELECT symbol, ts, q,
+           CAST(floor(CAST(sum(q) OVER (PARTITION BY ts) AS DOUBLE)
+                      / count(q) OVER (PARTITION BY ts) + 0.5) AS BIGINT) AS qm
+    FROM r
+),
+acc AS (
+    SELECT symbol, ts,
+           count(q * qm) OVER w AS n,
+           sum(CASE WHEN q * qm IS NOT NULL THEN q END) OVER w AS sx,
+           sum(CASE WHEN q * qm IS NOT NULL THEN qm END) OVER w AS sy,
+           sum(q * qm) OVER w AS sxy,
+           sum(CASE WHEN q * qm IS NOT NULL THEN q * q END) OVER w AS sxx,
+           sum(CASE WHEN q * qm IS NOT NULL THEN qm * qm END) OVER w AS syy
+    FROM mkt
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts
+                 ROWS BETWEEN {BETA_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {BETA_N} AND n * syy - sy * sy <> 0 "
+                  "THEN (n * sxy - sx * sy) / (n * syy - sy * sy) END")} AS beta,
+       {sql_round(f"CASE WHEN n >= {BETA_N} AND n * sxx - sx * sx > 0 "
+                  "AND n * syy - sy * sy > 0 "
+                  "THEN CAST(n * sxy - sx * sy AS DOUBLE) "
+                  "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+                  "* CAST(n * syy - sy * sy AS DOUBLE)) END")} AS corr
+FROM acc
+""".strip())
+
+
 SUITE = {
+    "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
     "ichimoku_forward": ExtQuery(_ichimoku_fwd, _ichimoku_fwd_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),

@@ -734,6 +734,45 @@ LEFT JOIN (
 """.strip()
 
 
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PQ-ADC index against exact brute force — the
+    compression-loss dashboard (tune M_SUB/K_PQ against it), same
+    composed shape as `topk_ivf_recall`."""
+    brute = _topk_cosine(spark, sf_dir).select("query_id", "match_id")
+    pq = _topk_pq(spark, sf_dir).select("query_id", "match_id")
+    hits = (
+        brute.join(pq, ["query_id", "match_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return (
+        brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "k", n_hit.alias("n_hit"),
+            (n_hit / F.col("k")).alias("recall"),
+        )
+    )
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+SELECT b.query_id, b.k, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       coalesce(h.n_hit, CAST(0 AS BIGINT)) / b.k AS recall
+FROM (
+    SELECT query_id, count(*) AS k FROM ({_topk_oracle()}) GROUP BY 1
+) b
+LEFT JOIN (
+    SELECT bb.query_id, count(*) AS n_hit
+    FROM ({_topk_oracle()}) bb
+    JOIN ({_pq_oracle()}) pp
+      ON pp.query_id = bb.query_id AND pp.match_id = bb.match_id
+    GROUP BY 1
+) h ON h.query_id = b.query_id
+""".strip()
+
+
 SQ_LEVELS = 255  # 8-bit scalar quantization
 
 
@@ -812,8 +851,234 @@ FROM coded GROUP BY vec_id
 """.strip()
 
 
+# ------------------------------------------------------------- PQ ANN ----
+
+M_SUB = 8                 # subspaces
+SUB_DIM = DIM // M_SUB    # 8 dims each
+K_PQ = 8                  # codes per subspace -> 3-bit codes, 8B/vector
+
+# PQ artifacts cached per (applicationId, sf_dir) like the IVF index:
+# codebooks + codes are a build step a resident engine runs once.
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_subs(df: DataFrame) -> DataFrame:
+    """Normalized subvectors as (vec_id, m, sv[SUB_DIM]) — element
+    expressions are explicit literals, so the SQL twin's arrays are
+    generated identically and every downstream double matches."""
+    arr = F.array(*[
+        F.struct(
+            F.lit(m).alias("m"),
+            F.array(*[
+                F.col("e")[m * SUB_DIM + d] / F.col("nrm")
+                for d in range(SUB_DIM)
+            ]).alias("sv"),
+        )
+        for m in range(M_SUB)
+    ])
+    return (df.select("vec_id", F.explode(arr).alias("p"))
+            .select("vec_id", "p.m", "p.sv"))
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Train per-subspace codebooks (seed + one exact fixed-point Lloyd
+    step — the same determinism scheme as the IVF coarse quantizer) and
+    encode the corpus. Returns (v, sub, cb, codes); the subvector
+    relation is materialized once (consumed by seed-encode, the Lloyd
+    join, the final encode, and the query LUT — four consumers that
+    would otherwise each re-derive 64 divisions + array builds per
+    vector), hash(vec_id)-clustered so every per-vector groupBy is
+    partition-local. The whole build runs in the input-sized shuffle
+    scope (see _shuffle_sized_to_input)."""
+    v = _spark_vectors_cached(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return (v, *hit)
+    from pandas_ta_spark.ext.dedup import _input_bytes, _shuffle_sized_to_input
+
+    with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "embeddings")):
+        out = _pq_build(spark, v)
+    for stale in [k for k in _PQ_CACHE if k[0] != key[0]]:
+        del _PQ_CACHE[stale]
+    _PQ_CACHE[key] = out
+    return (v, *out)
+
+
+def _pq_build(spark: SparkSession, v: DataFrame):
+    sub = materialize(_pq_subs(v).repartition("vec_id"))
+    seeds = (
+        sub.filter((F.col("vec_id") >= N_QUERIES)
+                   & (F.col("vec_id") < N_QUERIES + K_PQ))
+        .select("m", (F.col("vec_id") - N_QUERIES).alias("code"),
+                F.col("sv").alias("cv"))
+    )
+
+    def encode(cbdf: DataFrame) -> DataFrame:
+        # argmin as min(struct(dist, code)): lexicographic struct order =
+        # smallest distance, ties to the smallest code — the exact twin
+        # of the SQL row_number(ORDER BY dist, code). Distances are
+        # left-associated explicit sums -> bit-identical doubles -> the
+        # ordering agrees across engines.
+        dist = F.lit(0.0)
+        for d in range(SUB_DIM):
+            t = F.col("sv")[d] - F.col("cv")[d]
+            dist = dist + t * t
+        return (
+            sub.join(F.broadcast(cbdf), "m")
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct(dist.alias("dist"), F.col("code").alias("code")))
+                 .alias("b"))
+            .select("vec_id", "m", F.col("b.code").alias("code"))
+        )
+
+    # one Lloyd step: exact BIGINT sums of 1e-6-quantized components
+    # per (m, code) — order-independent integer addition, so Spark and
+    # DuckDB train bit-identical codebooks. Empty clusters simply drop
+    # out of the groupBy (both engines re-encode over survivors).
+    asg = encode(seeds).join(sub, ["vec_id", "m"])
+    sums = asg.groupBy("m", "code").agg(
+        *[F.sum(F.floor(F.col("sv")[d] * 1e6 + F.lit(0.5)).cast("long"))
+          .alias(f"s{d}") for d in range(SUB_DIM)],
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cb = materialize(sums.select(
+        "m", "code",
+        F.array(*[F.col(f"s{d}") / F.lit(1e6) / F.col("cnt")
+                  for d in range(SUB_DIM)]).alias("cv"),
+    ))
+    codes = materialize(encode(cb))
+    return sub, cb, codes
+
+
+def _topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k cosine: encode the corpus as M_SUB
+    3-bit codes (8 bytes/vector vs 512 — the compression regime past
+    scalar quantization), then score queries with asymmetric distance
+    computation: a per-query lookup table of subvector-x-centroid dots,
+    summed over subspaces via the codes. The fourth ANN regime next to
+    brute force, LSH, and IVF; at 100 TB you compose it with IVF lists
+    (IVF-PQ) so the LUT-scan covers only probed lists.
+
+    Determinism: LUT partials are 1e-6 fixed-point BIGINTs, so the
+    cross-subspace sum is exact-integer and the final ranking orders by
+    an integer — no float tie ambiguity anywhere. Scan cost is
+    |Q| x N x M_SUB code lookups (broadcast LUT join, no vector math in
+    the scan) — the memory-bandwidth shape real PQ scanners have."""
+    v, sub, cb, codes = _pq_index(spark, sf_dir)
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES)
+    pdot = F.lit(0.0)
+    for d in range(SUB_DIM):
+        pdot = pdot + F.col("sv")[d] * F.col("cv")[d]
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(F.col("vec_id").alias("query_id"), "m", "code",
+                F.floor(pdot * 1e6 + F.lit(0.5)).cast("long").alias("p6"))
+    )
+    # the ADC groupBy folds M_SUB partials per (query, vec); codes is
+    # hash(vec_id)-clustered, but the grouping key adds query_id, so one
+    # |Q|xN-row shuffle remains — bounded by the scan output itself
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("p6").alias("score6"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), "match_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "rank",
+                (F.col("score6") / F.lit(1e6)).alias("score"))
+    )
+
+
+def _pq_oracle() -> str:
+    def sv_list(src: str) -> list[str]:
+        return [f"[{', '.join(f'{src}.e[{m * SUB_DIM + d + 1}] / {src}.nrm' for d in range(SUB_DIM))}]"
+                for m in range(M_SUB)]
+
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {sv} AS sv FROM n"
+        for m, sv in enumerate(sv_list("n"))
+    )
+    dist = " + ".join(
+        f"(s.sv[{d + 1}] - c.cv[{d + 1}]) * (s.sv[{d + 1}] - c.cv[{d + 1}])"
+        for d in range(SUB_DIM)
+    )
+    qsums = ", ".join(
+        f"sum(CAST(floor(sub.sv[{d + 1}] * 1e6 + 0.5) AS BIGINT)) AS s{d}"
+        for d in range(SUB_DIM)
+    )
+    comps = ", ".join(f"s{d} / 1e6 / cnt" for d in range(SUB_DIM))
+    pdot = " + ".join(f"s.sv[{d + 1}] * c.cv[{d + 1}]" for d in range(SUB_DIM))
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v
+),
+sub AS ({subs}),
+d0 AS (
+    SELECT s.vec_id, s.m, c.code, {dist} AS dist
+    FROM sub s JOIN (
+        SELECT m, vec_id - {N_QUERIES} AS code, sv AS cv FROM sub
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_PQ}
+    ) c USING (m)
+),
+a0 AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rk
+        FROM d0) WHERE rk = 1
+),
+tr AS (
+    SELECT a0.m, a0.code, {qsums}, count(*) AS cnt
+    FROM a0 JOIN sub USING (vec_id, m) GROUP BY 1, 2
+),
+cb AS (SELECT m, code, [{comps}] AS cv FROM tr),
+d1 AS (
+    SELECT s.vec_id, s.m, c.code, {dist} AS dist
+    FROM sub s JOIN cb c USING (m)
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rk
+        FROM d1) WHERE rk = 1
+),
+lut AS (
+    SELECT s.vec_id AS query_id, s.m, c.code,
+           CAST(floor(({pdot}) * 1e6 + 0.5) AS BIGINT) AS p6
+    FROM sub s JOIN cb c USING (m)
+    WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, c.vec_id AS match_id, sum(l.p6) AS score6
+    FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    WHERE c.vec_id <> l.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, match_id, rank, score6 / 1000000.0 AS score
+FROM (
+    SELECT query_id, match_id, score6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score6 DESC, match_id) AS rank
+    FROM adc)
+WHERE rank <= {TOP_K}
+""".strip()
+
+
 SUITE = {
     "embedding_quantize_sq": ExtQuery(_quantize_sq, QUANTIZE_SQ_SQL),
+    "topk_cosine_pq": ExtQuery(_topk_pq, _pq_oracle()),
+    "topk_pq_recall": ExtQuery(_pq_recall, _pq_recall_oracle()),
     "ivf_cluster_profile": ExtQuery(
         _ivf_cluster_profile, _ivf_cluster_profile_oracle()),
     "embedding_label_centroids": ExtQuery(_label_centroids, LABEL_CENTROIDS_SQL),

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 199
-    assert len(o) == 198
+    assert len(q) == 202
+    assert len(o) == 201
     assert set(o) <= set(q)
     # Truncation insurance: every kind-class + ext anchor in the first 50,
     # and EVERY pinned key must still exist — a renamed pinned key would
@@ -317,7 +317,8 @@ def test_entry_contract(spark):
                  # r6 rotation: displaced keys back in the window
                  "zscore_30", "jma_7", "hilo_13_21",
                  # late-r6 ext anchors
-                 "contamination_minhash", "embedding_quantize_sq"):
+                 "contamination_minhash", "embedding_quantize_sq",
+                 "topk_cosine_pq", "rolling_beta_24"):
         assert must in first50, must
 
 
