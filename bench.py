@@ -176,6 +176,21 @@ def main():
         "rsi_14": lambda: make("rsi", length=14).apply(ticks),
         "bbands_5": lambda: make("bbands").apply(ticks),
         "supertrend_7": lambda: make("supertrend").apply(ticks),
+        # headline strategies run EARLY, before the LLM pack accumulates
+        # checkpoint/cache blocks: measured 8.2s isolated vs 18s for the
+        # salted all-ind strategy placed after ~24 queries of block-
+        # manager pressure — same JVM-state rationale as cheap-first
+        "tick_strategy_24ind": lambda: apply_strategy(ticks, strat24),
+        "tick_strategy_24ind_salted40": lambda: apply_strategy(
+            ticks_salted, strat24),
+        "bars_strategy_24ind": lambda: apply_strategy(bars, strat24),
+        "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_inds),
+        # the all-ind strategy is window-stage-bound and the 5-symbol
+        # testdata caps WindowExec parallelism at 5 of 32 cores; the
+        # salted variant (40 sub-series) shows what real symbol
+        # cardinality buys the SAME plan — the documented skew treatment
+        "tick_strategy_all145ind_salted40": lambda: apply_strategy(
+            ticks_salted, all_inds),
         "dedup_exact": lambda: EXT["dedup_exact"].query(spark, sf_dir),
         # shard_pack/text_stats run BEFORE the heavy dedup/ANN queries:
         # measured in isolation they hold 0.27s/0.3s steady, but placed
@@ -194,19 +209,12 @@ def main():
         "dedup_cc_clusters": lambda: EXT["dedup_cc_clusters"].query(spark, sf_dir),
         "topk_cosine": lambda: EXT["topk_cosine"].query(spark, sf_dir),
         "topk_cosine_ivf": lambda: EXT["topk_cosine_ivf"].query(spark, sf_dir),
+        # rep0 pays the one-time PQ codebook/codes build (cached after,
+        # like the IVF index); best-of-3 reports the steady probe cost
+        "topk_cosine_pq": lambda: EXT["topk_cosine_pq"].query(spark, sf_dir),
+        "rolling_beta_24": lambda: EXT["rolling_beta_24"].query(spark, sf_dir),
         "asof_join_bars": lambda: EXT["asof_join_bars"].query(spark, sf_dir),
         "sessionize_30m": lambda: EXT["sessionize_30m"].query(spark, sf_dir),
-        "tick_strategy_24ind": lambda: apply_strategy(ticks, strat24),
-        "tick_strategy_24ind_salted40": lambda: apply_strategy(
-            ticks_salted, strat24),
-        "bars_strategy_24ind": lambda: apply_strategy(bars, strat24),
-        "tick_strategy_all145ind": lambda: apply_strategy(ticks, all_inds),
-        # the all-ind strategy is window-stage-bound and the 5-symbol
-        # testdata caps WindowExec parallelism at 5 of 32 cores; the
-        # salted variant (40 sub-series) shows what real symbol
-        # cardinality buys the SAME plan — the documented skew treatment
-        "tick_strategy_all145ind_salted40": lambda: apply_strategy(
-            ticks_salted, all_inds),
     }
 
     # best of 3 — the same methodology as BASELINE.md: the first run pays
