@@ -814,3 +814,76 @@ def test_pii_scrub_property_vs_python_re(spark):
             assert row["n_chars_redacted"] == len(red)
 
     check()
+
+
+def test_pq_topk_separates_clusters(spark, tmp_path):
+    """PQ-ADC must rank same-cluster vectors above the orthogonal
+    cluster: corpus = two orthogonal directions with small deterministic
+    jitter; query 0 points at cluster A."""
+    import numpy as np
+
+    from pandas_ta_spark.ext.similarity import (
+        DIM, K_PQ, N_QUERIES, TOP_K, SUITE,
+    )
+
+    def vec(direction, i):
+        v = np.zeros(DIM)
+        v[direction] = 1.0
+        v[32 + (i % 8)] = 0.01 * (1 + i % 3)  # break exact ties
+        return list(v)
+
+    rows = []
+    rows.append({"vec_id": 0, "embedding": vec(0, 0), "label": 0})  # query: A
+    for q in range(1, N_QUERIES):
+        rows.append({"vec_id": q, "embedding": vec(1, q), "label": 0})
+    # seeds (trainers) split across both clusters
+    for c in range(K_PQ):
+        rows.append({"vec_id": N_QUERIES + c,
+                     "embedding": vec(0 if c < 4 else 1, c), "label": 0})
+    # corpus: 6 in A, 6 in B
+    for i in range(6):
+        rows.append({"vec_id": 18 + i, "embedding": vec(0, i), "label": 0})
+        rows.append({"vec_id": 24 + i, "embedding": vec(1, i), "label": 0})
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = SUITE["topk_cosine_pq"].query(spark, str(tmp_path)).toPandas()
+    top = out[out["query_id"] == 0].sort_values("rank")
+    assert len(top) == TOP_K
+    a_cluster = {10, 11, 12, 13} | set(range(18, 24))
+    assert set(top["match_id"]).issubset(a_cluster), top
+
+
+def test_rolling_beta_recovers_known_beta(spark, tmp_path):
+    """Two aligned hourly series: A's log return is exactly 2x the
+    market's (B is constant), so beta_A -> 2 and beta_B -> 0 once the
+    24-bar window fills; corr_B is NULL (zero own-variance)."""
+    import numpy as np
+
+    from pandas_ta_spark.ext.relational import BETA_N, SUITE
+
+    n = BETA_N + 8
+    u = 0.01 * (np.arange(1, n + 1) * 7 % 5 - 2.0)   # varied increments
+    price_a = np.exp(np.cumsum(2 * u))
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    ev = pd.DataFrame({
+        "event_id": range(2 * n),
+        "event_type": ["A"] * n + ["B"] * n,
+        "ts": list(ts) * 2,
+        "value": list(price_a) + [1.0] * n,
+        "user_id": [0] * (2 * n),
+        "props": ["{}"] * (2 * n),
+    })
+    ev.to_parquet(f"{tmp_path}/events.parquet")
+
+    out = (SUITE["rolling_beta_24"].query(spark, str(tmp_path)).toPandas()
+           .sort_values(["symbol", "ts"]))
+    a = out[out["symbol"] == "A"]
+    b = out[out["symbol"] == "B"]
+    # warmup: first BETA_N rows NULL (lag kills row 0, window needs 24)
+    assert a["beta"].notna().sum() == n - BETA_N
+    full_a = a[a["n_obs"] >= BETA_N]
+    full_b = b[b["n_obs"] >= BETA_N]
+    assert np.allclose(full_a["beta"], 2.0, atol=1e-3)
+    assert np.allclose(full_a["corr"], 1.0, atol=1e-3)
+    assert np.allclose(full_b["beta"], 0.0, atol=1e-3)
+    assert full_b["corr"].isna().all()  # zero own-variance
