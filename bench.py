@@ -212,6 +212,7 @@ def main():
         # rep0 pays the one-time PQ codebook/codes build (cached after,
         # like the IVF index); best-of-3 reports the steady probe cost
         "topk_cosine_pq": lambda: EXT["topk_cosine_pq"].query(spark, sf_dir),
+        "topk_cosine_ivfpq": lambda: EXT["topk_cosine_ivfpq"].query(spark, sf_dir),
         "rolling_beta_24": lambda: EXT["rolling_beta_24"].query(spark, sf_dir),
         "asof_join_bars": lambda: EXT["asof_join_bars"].query(spark, sf_dir),
         "sessionize_30m": lambda: EXT["sessionize_30m"].query(spark, sf_dir),

@@ -734,6 +734,99 @@ LEFT JOIN (
 """.strip()
 
 
+def _topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS's IndexIVFPQ shape)
+    — probe the NPROBE nearest inverted lists, then score ONLY those
+    candidates with the PQ lookup table. Scan cost ~NPROBE/K of the
+    corpus times M_SUB integer lookups, with no full-dimension vector
+    math anywhere in the query path; both index artifacts come from the
+    session caches, exactly like a resident engine serving from a loaded
+    index. Ranking orders by the exact-integer ADC score (PQ scheme), so
+    results are deterministic and the DuckDB twin matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    v, centn, lists = _ivf_lists(spark, sf_dir)
+    _, sub, cb, codes = _pq_index(spark, sf_dir)
+    qp = v.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(centn)).select(
+        F.col("vec_id").alias("query_id"), "centroid_id",
+        (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "centroid_id")
+    probes = (
+        qp.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        F.broadcast(probes).join(lists, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("match_id"))
+    )
+    pdot = F.lit(0.0)
+    for d in range(SUB_DIM):
+        pdot = pdot + F.col("sv")[d] * F.col("cv")[d]
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(F.col("vec_id").alias("query_id"), "m", "code",
+                F.floor(pdot * 1e6 + F.lit(0.5)).cast("long").alias("p6"))
+    )
+    adc = (
+        F.broadcast(cands)
+        .join(codes.withColumnRenamed("vec_id", "match_id"), "match_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("p6").alias("score6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), "match_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "match_id", "rank",
+                (F.col("score6") / F.lit(1e6)).alias("score"))
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes()},
+{_pq_ctes()},
+qp AS (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           ({_dot_sql('q.e', 'c.ce')}) / (q.nrm * c.cn) AS score
+    FROM n q CROSS JOIN centn c WHERE q.vec_id < {N_QUERIES}
+),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, centroid_id) AS prk
+        FROM qp) WHERE prk <= {NPROBE}
+),
+cands AS (
+    SELECT p.query_id, l.vec_id AS match_id
+    FROM probes p JOIN lists l USING (centroid_id)
+    WHERE l.vec_id <> p.query_id
+),
+adc AS (
+    SELECT c.query_id, c.match_id, sum(l.p6) AS score6
+    FROM cands c
+    JOIN pq_codes pc ON pc.vec_id = c.match_id
+    JOIN pq_lut l ON l.query_id = c.query_id
+                 AND l.m = pc.m AND l.code = pc.code
+    GROUP BY 1, 2
+)
+SELECT query_id, match_id, rank, score6 / 1000000.0 AS score
+FROM (
+    SELECT query_id, match_id, score6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score6 DESC, match_id) AS rank
+    FROM adc)
+WHERE rank <= {TOP_K}
+""".strip()
+
+
 def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the PQ-ADC index against exact brute force — the
     compression-loss dashboard (tune M_SUB/K_PQ against it), same
@@ -996,7 +1089,11 @@ def _topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """PQ training/encoding CTE chain (assumes `n(vec_id, e, nrm)` is
+    already defined) ending at `pq_codes(vec_id, m, code)`, `pq_cb`, and
+    `pq_lut(query_id, m, code, p6)`. Prefixed names so the chain composes
+    with `_ivf_ctes()` (IVF-PQ oracle) without CTE collisions."""
     def sv_list(src: str) -> list[str]:
         return [f"[{', '.join(f'{src}.e[{m * SUB_DIM + d + 1}] / {src}.nrm' for d in range(SUB_DIM))}]"
                 for m in range(M_SUB)]
@@ -1010,11 +1107,51 @@ def _pq_oracle() -> str:
         for d in range(SUB_DIM)
     )
     qsums = ", ".join(
-        f"sum(CAST(floor(sub.sv[{d + 1}] * 1e6 + 0.5) AS BIGINT)) AS s{d}"
+        f"sum(CAST(floor(pq_sub.sv[{d + 1}] * 1e6 + 0.5) AS BIGINT)) AS s{d}"
         for d in range(SUB_DIM)
     )
     comps = ", ".join(f"s{d} / 1e6 / cnt" for d in range(SUB_DIM))
     pdot = " + ".join(f"s.sv[{d + 1}] * c.cv[{d + 1}]" for d in range(SUB_DIM))
+    return f"""pq_sub AS ({subs}),
+pq_d0 AS (
+    SELECT s.vec_id, s.m, c.code, {dist} AS dist
+    FROM pq_sub s JOIN (
+        SELECT m, vec_id - {N_QUERIES} AS code, sv AS cv FROM pq_sub
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_PQ}
+    ) c USING (m)
+),
+pq_a0 AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rk
+        FROM pq_d0) WHERE rk = 1
+),
+pq_tr AS (
+    SELECT pq_a0.m, pq_a0.code, {qsums}, count(*) AS cnt
+    FROM pq_a0 JOIN pq_sub USING (vec_id, m) GROUP BY 1, 2
+),
+pq_cb AS (SELECT m, code, [{comps}] AS cv FROM pq_tr),
+pq_d1 AS (
+    SELECT s.vec_id, s.m, c.code, {dist} AS dist
+    FROM pq_sub s JOIN pq_cb c USING (m)
+),
+pq_codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rk
+        FROM pq_d1) WHERE rk = 1
+),
+pq_lut AS (
+    SELECT s.vec_id AS query_id, s.m, c.code,
+           CAST(floor(({pdot}) * 1e6 + 0.5) AS BIGINT) AS p6
+    FROM pq_sub s JOIN pq_cb c USING (m)
+    WHERE s.vec_id < {N_QUERIES}
+)"""
+
+
+def _pq_oracle() -> str:
     return f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -1022,46 +1159,10 @@ WITH v AS (
 n AS (
     SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v
 ),
-sub AS ({subs}),
-d0 AS (
-    SELECT s.vec_id, s.m, c.code, {dist} AS dist
-    FROM sub s JOIN (
-        SELECT m, vec_id - {N_QUERIES} AS code, sv AS cv FROM sub
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_PQ}
-    ) c USING (m)
-),
-a0 AS (
-    SELECT vec_id, m, code FROM (
-        SELECT vec_id, m, code,
-               row_number() OVER (PARTITION BY vec_id, m
-                                  ORDER BY dist, code) AS rk
-        FROM d0) WHERE rk = 1
-),
-tr AS (
-    SELECT a0.m, a0.code, {qsums}, count(*) AS cnt
-    FROM a0 JOIN sub USING (vec_id, m) GROUP BY 1, 2
-),
-cb AS (SELECT m, code, [{comps}] AS cv FROM tr),
-d1 AS (
-    SELECT s.vec_id, s.m, c.code, {dist} AS dist
-    FROM sub s JOIN cb c USING (m)
-),
-codes AS (
-    SELECT vec_id, m, code FROM (
-        SELECT vec_id, m, code,
-               row_number() OVER (PARTITION BY vec_id, m
-                                  ORDER BY dist, code) AS rk
-        FROM d1) WHERE rk = 1
-),
-lut AS (
-    SELECT s.vec_id AS query_id, s.m, c.code,
-           CAST(floor(({pdot}) * 1e6 + 0.5) AS BIGINT) AS p6
-    FROM sub s JOIN cb c USING (m)
-    WHERE s.vec_id < {N_QUERIES}
-),
+{_pq_ctes()},
 adc AS (
     SELECT l.query_id, c.vec_id AS match_id, sum(l.p6) AS score6
-    FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    FROM pq_codes c JOIN pq_lut l ON l.m = c.m AND l.code = c.code
     WHERE c.vec_id <> l.query_id
     GROUP BY 1, 2
 )
@@ -1078,6 +1179,7 @@ WHERE rank <= {TOP_K}
 SUITE = {
     "embedding_quantize_sq": ExtQuery(_quantize_sq, QUANTIZE_SQ_SQL),
     "topk_cosine_pq": ExtQuery(_topk_pq, _pq_oracle()),
+    "topk_cosine_ivfpq": ExtQuery(_topk_ivfpq, _ivfpq_oracle()),
     "topk_pq_recall": ExtQuery(_pq_recall, _pq_recall_oracle()),
     "ivf_cluster_profile": ExtQuery(
         _ivf_cluster_profile, _ivf_cluster_profile_oracle()),
