@@ -443,8 +443,13 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no stats, so static planning would otherwise sort-merge-join on
     # centroid_id — 8 distinct keys, i.e. the whole corpus skewed into 8
     # tasks (measured 2s -> 19s when the hint was missing). probes is
-    # |Q| x NPROBE rows, cands |Q| x NPROBE list scans, qv |Q| rows —
-    # all driver-trivial at any corpus scale.
+    # |Q| x NPROBE rows and qv |Q| rows — driver-trivial at any scale.
+    # cands is |Q| x NPROBE x (N/K) rows: broadcastable because a real
+    # IVF deployment sizes K ~ sqrt(N) (lists stay ~sqrt(N) rows — the
+    # standard FAISS guidance); for corpus sizes where |Q| x NPROBE x
+    # sqrt(N) outgrows the driver, drop this hint and let the join
+    # shuffle cands (both sides are vec_id-clustered, so only the
+    # candidate side moves).
     cands = (
         F.broadcast(probes).join(lists, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -742,7 +747,9 @@ def _topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     math anywhere in the query path; both index artifacts come from the
     session caches, exactly like a resident engine serving from a loaded
     index. Ranking orders by the exact-integer ADC score (PQ scheme), so
-    results are deterministic and the DuckDB twin matches bit-for-bit."""
+    results are deterministic and the DuckDB twin matches bit-for-bit.
+    The cands broadcast relies on K ~ sqrt(N) list sizing (see
+    _topk_ivf); past that, un-hint and shuffle the candidate side."""
     from pyspark.sql import Window
 
     v, centn, lists = _ivf_lists(spark, sf_dir)

@@ -171,6 +171,77 @@ FROM m
 """.strip()
 
 
+# Logistic quality classifier — the fastText/linear-probe stand-in for
+# model-based quality filtering (the rule score above is the C4/Gopher
+# shape; production pipelines run BOTH). Weights are literals "trained
+# offline" and shipped with the engine, so scoring is a pure codegen map
+# stage: broadcast-free, shuffle-free, identical in both engines.
+LR_BIAS = -2.0
+LR_W_LOGLEN = 0.55      # ln(1 + n_tok)
+LR_W_TTR = 1.8          # type-token ratio
+LR_W_STOP = 2.2         # stopword ratio
+LR_W_MEANLEN = -0.15    # mean token length
+
+
+def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model quality score: z = w·x over four cheap text features,
+    p = sigmoid(z). `keep` compares z >= 0 (== p >= 0.5) so the decision
+    is made on the pre-sigmoid linear form — one fewer transcendental in
+    the decision path. Feature order in z is left-associated and mirrored
+    in the SQL twin; ln/exp last-ulp differences between libm
+    implementations sit ~1e-10 below the shared 1e-6 rounding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    t = docs.select("doc_id", toks.alias("toks"))
+    n_tok = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")) / n_tok
+    stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))) / n_tok
+    # exact-integer char sum / exact count -> identical double
+    mean_len = (
+        F.aggregate("toks", F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).cast("double") / n_tok
+    )
+    z = (
+        F.lit(LR_BIAS)
+        + F.lit(LR_W_LOGLEN) * F.log(F.lit(1.0) + n_tok)
+        + F.lit(LR_W_TTR) * ttr
+        + F.lit(LR_W_STOP) * stop
+        + F.lit(LR_W_MEANLEN) * mean_len
+    )
+    from pandas_ta_spark.operators.base import round_col
+
+    return t.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        round_col(z).alias("z"),
+        round_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p_keep"),
+        (z >= 0).cast("int").alias("keep"),
+    )
+
+
+def _quality_lr_sql() -> str:
+    from pandas_ta_spark.operators.base import sql_round
+
+    z = (f"{LR_BIAS!r} + {LR_W_LOGLEN!r} * ln(1.0 + len(toks))"
+         f" + {LR_W_TTR!r} * (len(list_distinct(toks)) / len(toks))"
+         f" + {LR_W_STOP!r} * (len(list_filter(toks, x -> x IN ({_STOP_IN})))"
+         f" / len(toks))"
+         f" + {LR_W_MEANLEN!r} * (CAST(list_sum(list_transform(toks,"
+         f" x -> CAST(len(x) AS BIGINT))) AS DOUBLE) / len(toks))")
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+    FROM documents
+),
+m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, {z} AS z FROM t)
+SELECT doc_id, n_tokens,
+       {sql_round('z')} AS z,
+       {sql_round('1.0 / (1.0 + exp(-z))')} AS p_keep,
+       CAST(z >= 0 AS INT) AS keep
+FROM m
+""".strip()
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-doc hash + min-shingle rolling-hash
     fingerprint (winnowing-lite: min over word-4-gram hashes)."""
@@ -736,6 +807,7 @@ SUITE = {
     "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
     "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
     "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),
+    "quality_lr_score": ExtQuery(_quality_lr, _quality_lr_sql()),
     "text_fingerprint": ExtQuery(_fingerprint, _fingerprint_sql()),
     "lang_source_agg": ExtQuery(_lang_source_agg, LANG_SOURCE_AGG_SQL),
     "events_props_agg": ExtQuery(_events_props, EVENTS_PROPS_SQL),
