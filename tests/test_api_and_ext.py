@@ -887,3 +887,29 @@ def test_rolling_beta_recovers_known_beta(spark, tmp_path):
     assert np.allclose(full_a["corr"], 1.0, atol=1e-3)
     assert np.allclose(full_b["beta"], 0.0, atol=1e-3)
     assert full_b["corr"].isna().all()  # zero own-variance
+
+
+def test_chunked_strategy_exact_parity(spark, bars):
+    """apply_strategy_chunked must reproduce the unchunked results
+    bit-for-bit for bounded-lookback indicators: each retained row's
+    frames see the same rows via the carry replicas."""
+    from pandas_ta_spark.operators import momentum, overlap, statistics, volatility
+    from pandas_ta_spark.plans.strategy import apply_strategy, apply_strategy_chunked
+
+    inds = [overlap.sma(20), overlap.wma(10), statistics.stdev(30),
+            volatility.donchian(20), momentum.roc(10), momentum.mom(10)]
+    plain = (apply_strategy(bars, inds).toPandas()
+             .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    chunked = (apply_strategy_chunked(bars, inds, lookback=30, chunk="3 days")
+               .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True))
+    assert list(plain.columns) == list(chunked.columns)
+    assert len(plain) == len(chunked)
+    for c in plain.columns:
+        if plain[c].dtype == object or c in ("symbol", "ts"):
+            assert (plain[c] == chunked[c]).all(), c
+        else:
+            a, b = plain[c], chunked[c]
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+    # more than one chunk actually exercised (300 hourly rows / 3 days)
+    import math
+    assert math.ceil(300 / 72) >= 4
