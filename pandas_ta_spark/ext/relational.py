@@ -386,6 +386,21 @@ def _bars_daily_oracle() -> str:
     return bars_from_events_sql("day")
 
 
+def _bars_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLCV resampling — the sub-hour timeframe date_trunc
+    anchors cannot express; exact integer epoch-microsecond bucketing
+    shared with the oracle (sources/bars.py bars_from_events_bucketed)."""
+    from pandas_ta_spark.sources.bars import bars_from_events_bucketed
+
+    return bars_from_events_bucketed(spark, sf_dir, minutes=15)
+
+
+def _bars_15m_oracle() -> str:
+    from pandas_ta_spark.sources.bars import bars_from_events_bucketed_sql
+
+    return bars_from_events_bucketed_sql(minutes=15)
+
+
 # ----------------------------------------------------- forward ichimoku ----
 
 # shared by the Spark query AND its oracle so the twins cannot drift
@@ -544,6 +559,7 @@ FROM acc
 SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
+    "bars_15m": ExtQuery(_bars_15m, _bars_15m_oracle()),
     "ichimoku_forward": ExtQuery(_ichimoku_fwd, _ichimoku_fwd_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),

@@ -120,6 +120,52 @@ def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> 
     )
 
 
+def bars_from_events_bucketed(
+    spark: SparkSession, sf_dir: str, minutes: int = 15
+) -> DataFrame:
+    """OHLCV resampling to arbitrary minute buckets (15m/5m/…): anchors
+    `date_trunc` cannot express. The bucket is exact integer microsecond
+    arithmetic — floor(epoch_us / P) * P — identical in the DuckDB twin
+    (epoch_us both sides), so bucket boundaries can never drift between
+    engines the way interval/timezone math can. Same single-aggregation
+    one-shuffle shape as the anchored derivation above."""
+    period_us = minutes * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(period_us))
+         .cast("long") * F.lit(period_us))
+    )
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            bucket.alias("ts"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).cast("double").alias("volume"),
+        )
+    )
+
+
+def bars_from_events_bucketed_sql(minutes: int = 15) -> str:
+    period_us = minutes * 60 * 1_000_000
+    return f"""
+SELECT
+    event_type AS symbol,
+    make_timestamp((epoch_us(ts) // {period_us}) * {period_us}) AS ts,
+    arg_min(value, ts) AS open,
+    max(value) AS high,
+    min(value) AS low,
+    arg_max(value, ts) AS close,
+    CAST(count(*) AS DOUBLE) AS volume
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
 # Correctness-gate cache: the driver runs ~166 queries against the SAME
 # derived bars table; re-running the events scan+agg per query dominates
 # gate wall time. An eager localCheckpoint materializes the derivation
