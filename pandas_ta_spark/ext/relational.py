@@ -386,6 +386,62 @@ def _bars_daily_oracle() -> str:
     return bars_from_events_sql("day")
 
 
+def _series_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol series-integrity audit — the reference's single-frame
+    checks (`df.ta.datetime_ordered`, NaN scans) generalized to a
+    distributed profile: row/distinct-ts/null counts, time span, and
+    hour-bucket coverage (distinct hours vs the span's hour count — the
+    gap telemetry a backfill job consumes). One groupBy, all counters
+    exact integers; the pipeline health dashboard you run before
+    trusting any indicator output."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = F.floor(us / F.lit(3_600_000_000)).cast("long")
+    out = (
+        ev.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("ts").alias("n_distinct_ts"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.countDistinct(hour).alias("n_hours_present"),
+            (F.floor(F.max(us) / F.lit(3_600_000_000))
+             - F.floor(F.min(us) / F.lit(3_600_000_000)) + 1)
+            .cast("long").alias("n_hours_span"),
+        )
+        .select(
+            "symbol", "n_rows", "n_distinct_ts",
+            (F.col("n_rows") - F.col("n_distinct_ts")).alias("n_dup_ts"),
+            "n_null_value", "ts_min", "ts_max",
+            "n_hours_present", "n_hours_span",
+            (F.col("n_hours_span") - F.col("n_hours_present"))
+            .alias("n_hour_gaps"),
+        )
+    )
+    return out
+
+
+SERIES_INTEGRITY_SQL = """
+SELECT event_type AS symbol,
+       count(*) AS n_rows,
+       count(DISTINCT ts) AS n_distinct_ts,
+       count(*) - count(DISTINCT ts) AS n_dup_ts,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_value,
+       min(ts) AS ts_min,
+       max(ts) AS ts_max,
+       count(DISTINCT epoch_us(ts) // 3600000000) AS n_hours_present,
+       (max(epoch_us(ts)) // 3600000000)
+           - (min(epoch_us(ts)) // 3600000000) + 1 AS n_hours_span,
+       ((max(epoch_us(ts)) // 3600000000)
+           - (min(epoch_us(ts)) // 3600000000) + 1)
+           - count(DISTINCT epoch_us(ts) // 3600000000) AS n_hour_gaps
+FROM events
+GROUP BY 1
+""".strip()
+
+
 def _bars_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute OHLCV resampling — the sub-hour timeframe date_trunc
     anchors cannot express; exact integer epoch-microsecond bucketing
@@ -560,6 +616,7 @@ SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
     "bars_15m": ExtQuery(_bars_15m, _bars_15m_oracle()),
+    "series_integrity": ExtQuery(_series_integrity, SERIES_INTEGRITY_SQL),
     "ichimoku_forward": ExtQuery(_ichimoku_fwd, _ichimoku_fwd_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
