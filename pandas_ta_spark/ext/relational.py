@@ -386,6 +386,93 @@ def _bars_daily_oracle() -> str:
     return bars_from_events_sql("day")
 
 
+BT_FAST, BT_SLOW = 8, 21
+
+
+def _signal_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized signal backtest: SMA(8)>SMA(21) trend -> next-bar
+    position -> position-gated log returns -> cumulative equity curve.
+    The reference stops at signal columns (tsignals); this closes the
+    loop to the number a strategy author actually wants, still as ONE
+    window pass per symbol — no per-trade loop.
+
+    Exactness: the cumulative strategy return uses the fixed-point
+    BIGINT running sum (functions/windows.py cumsum_fixed) — float
+    cumsums associate differently across engines and partition merge
+    orders; integer sums are exact — and equity = exp(cum) is one
+    identical IEEE call on an identical double. Position is lagged one
+    bar (no look-ahead: the signal fires on a bar's close, the position
+    exists from the next bar)."""
+    from pandas_ta_spark.functions.windows import cumsum_fixed
+
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+
+    def sma(n):
+        wr = ws.rowsBetween(-(n - 1), 0)
+        return F.when(F.count("close").over(wr) >= n,
+                      F.avg("close").over(wr))
+
+    trend = F.when(
+        sma(BT_FAST).isNotNull() & sma(BT_SLOW).isNotNull(),
+        (sma(BT_FAST) > sma(BT_SLOW)).cast("int"),
+    )
+    df = bars.select("symbol", "ts", "close", trend.alias("trend"))
+    pos = F.lag("trend").over(ws)
+    lr = F.log(F.col("close") / F.lag("close").over(ws))
+    df = df.select(
+        "symbol", "ts", pos.alias("position"),
+        (pos * lr).alias("strat_ret"),
+    )
+    contrib = F.coalesce(F.col("strat_ret"), F.lit(0.0))
+    cum = cumsum_fixed(contrib)
+    return df.select(
+        "symbol", "ts", "position",
+        round_col(F.col("strat_ret")).alias("strat_ret"),
+        round_col(cum).alias("cum_ret"),
+        round_col(F.exp(cum)).alias("equity"),
+    )
+
+
+def _signal_equity_oracle() -> str:
+    from pandas_ta_spark.functions.windows import sql_cumsum_fixed
+
+    def sma(n):
+        w = (f"PARTITION BY symbol ORDER BY ts "
+             f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW")
+        return (f"CASE WHEN count(close) OVER ({w}) >= {n} "
+                f"THEN avg(close) OVER ({w}) END")
+
+    return with_bars_cte(f"""
+, t AS (
+    SELECT symbol, ts, close,
+           CASE WHEN ({sma(BT_FAST)}) IS NOT NULL
+                 AND ({sma(BT_SLOW)}) IS NOT NULL
+                THEN CAST(({sma(BT_FAST)}) > ({sma(BT_SLOW)}) AS INT)
+           END AS trend
+    FROM bars
+),
+p AS (
+    SELECT symbol, ts,
+           lag(trend) OVER (PARTITION BY symbol ORDER BY ts) AS position,
+           lag(trend) OVER (PARTITION BY symbol ORDER BY ts)
+             * ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts))
+             AS strat_ret
+    FROM t
+),
+c AS (
+    SELECT symbol, ts, position, strat_ret,
+           {sql_cumsum_fixed("coalesce(strat_ret, 0.0)")} AS cum
+    FROM p
+)
+SELECT symbol, ts, position,
+       {sql_round('strat_ret')} AS strat_ret,
+       {sql_round('cum')} AS cum_ret,
+       {sql_round('exp(cum)')} AS equity
+FROM c
+""".strip())
+
+
 def _series_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol series-integrity audit — the reference's single-frame
     checks (`df.ta.datetime_ordered`, NaN scans) generalized to a
@@ -617,6 +704,7 @@ SUITE = {
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
     "bars_15m": ExtQuery(_bars_15m, _bars_15m_oracle()),
     "series_integrity": ExtQuery(_series_integrity, SERIES_INTEGRITY_SQL),
+    "signal_equity_8_21": ExtQuery(_signal_equity, _signal_equity_oracle()),
     "ichimoku_forward": ExtQuery(_ichimoku_fwd, _ichimoku_fwd_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
