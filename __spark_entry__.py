@@ -101,9 +101,10 @@ _PRIORITY = [
     "adx_14", "aroon_14", "tsignals_8_21", "embedding_quantize_sq",
     "atr_14", "bbands_5_2.0", "donchian_20",
     "obv", "mfi_14",
-    "cdl_pattern_all", "ha",
-    "dedup_exact", "dedup_simhash",
+    "cdl_pattern_all",
+    "dedup_exact",
     "topk_cosine_pq", "rolling_beta_24",
+    "topk_cosine_ivfpq", "signal_equity_8_21",
     "topk_cosine_lsh", "text_stats",
 ]
 

@@ -312,13 +312,14 @@ def test_entry_contract(spark):
                  "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
                  "topk_cosine_ivf", "sample_hash_deterministic",
                  "shard_pack_tokens", "cdl_pattern_all",
-                 "atr_14", "obv", "ha", "text_stats",
+                 "atr_14", "obv", "text_stats",
                  "asof_join_bars", "sessionize_30m",
                  # r6 rotation: displaced keys back in the window
                  "zscore_30", "jma_7", "hilo_13_21",
                  # late-r6 ext anchors
                  "contamination_minhash", "embedding_quantize_sq",
-                 "topk_cosine_pq", "rolling_beta_24"):
+                 "topk_cosine_pq", "rolling_beta_24",
+                 "topk_cosine_ivfpq", "signal_equity_8_21"):
         assert must in first50, must
 
 
