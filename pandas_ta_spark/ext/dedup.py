@@ -167,23 +167,18 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _dedup_minhash_impl(spark, sf_dir)
 
 
-def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Partition the RAW text by doc_id before exploding: hash(doc_id)
-    # satisfies the clustered distribution of every per-doc step, so the
-    # shingle distinct, the signature groupBy, and the size counts all
-    # run partition-local with ZERO further exchanges of the big shingle
-    # relation. The alternative (explode first, let distinct shuffle) moves
-    # ~3x the bytes at 100 TB — shingle rows repeat every word K times.
-    docs = docs.repartition("doc_id")
-    # NOT the distinct-shingle relation (_shingles_spark): min() is
-    # duplicate-insensitive and collect_set dedups inside the aggregate,
-    # so the raw exploded shingles feed ONE groupBy that produces the
-    # signature, the shingle-key set, and (via size) the set cardinality
-    # together. The corpus is scanned once, partition-local end-to-end,
-    # and nothing corpus-sized needs a persist.
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """Raw (non-distinct) shingle hashes per doc: (doc_id, h1, h2, k)
+    where h1/h2 are the Kirsch-Mitzenmacher halves and k the 60-bit
+    verification-key slice of ONE md5 per shingle. NOT the
+    distinct-shingle relation (_shingles_spark): min() is
+    duplicate-insensitive and collect_set dedups inside the aggregate,
+    so the raw exploded shingles feed ONE groupBy producing signature +
+    key set + cardinality together — corpus scanned once, partition-
+    local after a doc_id repartition, nothing corpus-sized persisted.
+    Shared by _dedup_minhash_impl and _contamination_minhash so the two
+    queries' signatures (and their common oracle CTE shapes) cannot
+    drift."""
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     base = docs.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= SHINGLE_K
@@ -193,7 +188,7 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ", *[F.col("toks")[F.col("i") + k] for k in range(SHINGLE_K)]
     )
     hx = F.col("hx")
-    hashed = (
+    return (
         base.select("doc_id", "toks", idx)
         .select("doc_id", F.md5(shingle).alias("hx"))
         .select(
@@ -206,36 +201,62 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(hx, 17, 15), 16, 10).cast("bigint").alias("k"),
         )
     )
+
+
+def _minhash_sig(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature + verification-key set: ONE groupBy over
+    the raw shingle hashes producing mh0..mh{N-1} and `ks` (collect_set
+    of the 60-bit keys) together. Shared by the self-join dedup and the
+    train-x-eval decontamination query."""
     mins = [
         F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    # persisted: consumed by the two self-join sides and the two verify
-    # probes; per-doc rows (16 ints + the distinct-key array), i.e. the
-    # corpus compressed ~10x (keys are 8 bytes vs ~20-byte shingles, each
-    # stored once instead of once per consumer)
-    sig = (
-        hashed.groupBy("doc_id")
+    return (
+        _hashed_shingles(docs)
+        .groupBy("doc_id")
         .agg(*mins, F.collect_set("k").alias("ks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def _banded(sig: DataFrame) -> DataFrame:
+    """LSH band fan-out via explode (one scan of sig), not an N-way
+    union: (doc_id, band, bkey). "_"-separated keys: integer minhashes
+    are variable-width, so a bare concat would alias ("12","3") with
+    ("1","23")."""
     rows_per_band = N_HASHES // N_BANDS
-    # band fan-out via explode (one scan of sig), not a 4-way union
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            # "_"-separated: integer minhashes are variable-width, so a
-            # bare concat would alias ("12","3") with ("1","23")
             F.concat_ws(
                 "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias("bkey"),
         )
         for b in range(N_BANDS)
     ])
-    banded = (
+    return (
         sig.select("doc_id", F.explode(band_structs).alias("p"))
         .select("doc_id", "p.band", "p.bkey")
     )
+
+
+def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Partition the RAW text by doc_id before exploding: hash(doc_id)
+    # satisfies the clustered distribution of every per-doc step, so the
+    # shingle distinct, the signature groupBy, and the size counts all
+    # run partition-local with ZERO further exchanges of the big shingle
+    # relation. The alternative (explode first, let distinct shuffle) moves
+    # ~3x the bytes at 100 TB — shingle rows repeat every word K times.
+    docs = docs.repartition("doc_id")
+    # persisted: consumed by the two self-join sides and the two verify
+    # probes; per-doc rows (16 ints + the distinct-key array), i.e. the
+    # corpus compressed ~10x (keys are 8 bytes vs ~20-byte shingles, each
+    # stored once instead of once per consumer)
+    sig = _minhash_sig(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _banded(sig)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -739,51 +760,8 @@ def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "source")
         docs = docs.repartition("doc_id")
-        toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-        base = docs.select("doc_id", toks.alias("toks")).filter(
-            F.size("toks") >= SHINGLE_K
-        )
-        idx = F.explode(
-            F.sequence(F.lit(0), F.size("toks") - SHINGLE_K)
-        ).alias("i")
-        shingle = F.concat_ws(
-            " ", *[F.col("toks")[F.col("i") + k] for k in range(SHINGLE_K)]
-        )
-        hx = F.col("hx")
-        hashed = (
-            base.select("doc_id", "toks", idx)
-            .select("doc_id", F.md5(shingle).alias("hx"))
-            .select(
-                "doc_id",
-                F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("h1"),
-                F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h2"),
-                F.conv(F.substring(hx, 17, 15), 16, 10).cast("bigint").alias("k"),
-            )
-        )
-        mins = [
-            F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32)).alias(f"mh{j}")
-            for j in range(N_HASHES)
-        ]
-        sig = (
-            hashed.groupBy("doc_id")
-            .agg(*mins, F.collect_set("k").alias("ks"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        rows_per_band = N_HASHES // N_BANDS
-        band_structs = F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                ).alias("bkey"),
-            )
-            for b in range(N_BANDS)
-        ])
-        banded = (
-            sig.select("doc_id", F.explode(band_structs).alias("p"))
-            .select("doc_id", "p.band", "p.bkey")
-        )
+        sig = _minhash_sig(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _banded(sig)
         # the train/eval split is a pure doc_id predicate — inline it on
         # the banded relation instead of joining a split table (two
         # fewer joins; the oracle's split CTE is the same predicate)

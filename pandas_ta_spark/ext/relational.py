@@ -518,12 +518,14 @@ SELECT event_type AS symbol,
            AS n_null_value,
        min(ts) AS ts_min,
        max(ts) AS ts_max,
-       count(DISTINCT epoch_us(ts) // 3600000000) AS n_hours_present,
-       (max(epoch_us(ts)) // 3600000000)
-           - (min(epoch_us(ts)) // 3600000000) + 1 AS n_hours_span,
-       ((max(epoch_us(ts)) // 3600000000)
-           - (min(epoch_us(ts)) // 3600000000) + 1)
-           - count(DISTINCT epoch_us(ts) // 3600000000) AS n_hour_gaps
+       count(DISTINCT floor(epoch_us(ts) / 3600000000.0)) AS n_hours_present,
+       CAST(floor(max(epoch_us(ts)) / 3600000000.0)
+           - floor(min(epoch_us(ts)) / 3600000000.0) + 1 AS BIGINT)
+           AS n_hours_span,
+       CAST((floor(max(epoch_us(ts)) / 3600000000.0)
+           - floor(min(epoch_us(ts)) / 3600000000.0) + 1)
+           - count(DISTINCT floor(epoch_us(ts) / 3600000000.0)) AS BIGINT)
+           AS n_hour_gaps
 FROM events
 GROUP BY 1
 """.strip()
@@ -612,7 +614,7 @@ def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-weight mean across symbols at the same ts (a partitionBy(ts)
     window — no join); beta/corr over the trailing BETA_N bars.
 
-    Exactness: returns are quantized to 1e-8 BIGINTs, so every rolling
+    Exactness: returns are quantized to 1e-6 BIGINTs (BETA_SCALE), so every rolling
     power sum (sum q, sum q^2, sum q*qm) is exact-integer — associative,
     hence identical under Spark's sequential frames and DuckDB's segment
     trees — and beta = (n*Sxy - Sx*Sy) / (n*Syy - Sy^2) is one exact-int

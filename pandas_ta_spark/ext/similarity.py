@@ -413,6 +413,39 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
     return v, centn, lists
 
 
+def _ivf_probes(v, centn):
+    """Per-query NPROBE nearest centroids — shared by _topk_ivf and
+    _topk_ivfpq so the tie-break (score DESC, centroid_id) cannot
+    drift between the two ANN variants or their common oracle CTE."""
+    from pyspark.sql import Window
+
+    qp = v.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(centn)).select(
+        F.col("vec_id").alias("query_id"), "centroid_id",
+        (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "centroid_id")
+    return (
+        qp.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= NPROBE)
+        .select("query_id", "centroid_id")
+    )
+
+
+def _pq_lut(sub, cb):
+    """Per-query ADC lookup table (query_id, m, code, p6): subvector x
+    centroid dots quantized to 1e-6 BIGINTs — shared by _topk_pq and
+    _topk_ivfpq so the fixed-point rounding cannot drift."""
+    pdot = F.lit(0.0)
+    for d in range(SUB_DIM):
+        pdot = pdot + F.col("sv")[d] * F.col("cv")[d]
+    return (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(F.col("vec_id").alias("query_id"), "m", "code",
+                F.floor(pdot * 1e6 + F.lit(0.5)).cast("long").alias("p6"))
+    )
+
+
 def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: probe only the NPROBE nearest inverted
     lists per query (training/assignment shared via `_ivf_lists`). The
@@ -429,16 +462,7 @@ def _topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v, centn, lists = _ivf_lists(spark, sf_dir)
 
-    qp = v.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(centn)).select(
-        F.col("vec_id").alias("query_id"), "centroid_id",
-        (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "centroid_id")
-    probes = (
-        qp.withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= NPROBE)
-        .select("query_id", "centroid_id")
-    )
+    probes = _ivf_probes(v, centn)
     # explicit broadcasts: the checkpoint-backed lists/v relations carry
     # no stats, so static planning would otherwise sort-merge-join on
     # centroid_id — 8 distinct keys, i.e. the whole corpus skewed into 8
@@ -754,30 +778,13 @@ def _topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v, centn, lists = _ivf_lists(spark, sf_dir)
     _, sub, cb, codes = _pq_index(spark, sf_dir)
-    qp = v.filter(F.col("vec_id") < N_QUERIES).crossJoin(F.broadcast(centn)).select(
-        F.col("vec_id").alias("query_id"), "centroid_id",
-        (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "centroid_id")
-    probes = (
-        qp.withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") <= NPROBE)
-        .select("query_id", "centroid_id")
-    )
+    probes = _ivf_probes(v, centn)
     cands = (
         F.broadcast(probes).join(lists, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("match_id"))
     )
-    pdot = F.lit(0.0)
-    for d in range(SUB_DIM):
-        pdot = pdot + F.col("sv")[d] * F.col("cv")[d]
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), "m")
-        .select(F.col("vec_id").alias("query_id"), "m", "code",
-                F.floor(pdot * 1e6 + F.lit(0.5)).cast("long").alias("p6"))
-    )
+    lut = _pq_lut(sub, cb)
     adc = (
         F.broadcast(cands)
         .join(codes.withColumnRenamed("vec_id", "match_id"), "match_id")
@@ -1067,14 +1074,7 @@ def _topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan) — the memory-bandwidth shape real PQ scanners have."""
     v, sub, cb, codes = _pq_index(spark, sf_dir)
     qsub = sub.filter(F.col("vec_id") < N_QUERIES)
-    pdot = F.lit(0.0)
-    for d in range(SUB_DIM):
-        pdot = pdot + F.col("sv")[d] * F.col("cv")[d]
-    lut = (
-        qsub.join(F.broadcast(cb), "m")
-        .select(F.col("vec_id").alias("query_id"), "m", "code",
-                F.floor(pdot * 1e6 + F.lit(0.5)).cast("long").alias("p6"))
-    )
+    lut = _pq_lut(sub, cb)
     # the ADC groupBy folds M_SUB partials per (query, vec); codes is
     # hash(vec_id)-clustered, but the grouping key adds query_id, so one
     # |Q|xN-row shuffle remains — bounded by the scan output itself

@@ -185,11 +185,12 @@ LR_W_MEANLEN = -0.15    # mean token length
 
 def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-model quality score: z = w·x over four cheap text features,
-    p = sigmoid(z). `keep` compares z >= 0 (== p >= 0.5) so the decision
-    is made on the pre-sigmoid linear form — one fewer transcendental in
-    the decision path. Feature order in z is left-associated and mirrored
-    in the SQL twin; ln/exp last-ulp differences between libm
-    implementations sit ~1e-10 below the shared 1e-6 rounding."""
+    p = sigmoid(z). `keep` compares the ROUNDED z >= 0 (== p >= 0.5) so
+    the decision is made on the pre-sigmoid linear form — one fewer
+    transcendental in the decision path — and on the same 1e-6-rounded
+    value both engines hash, so a libm ln last-ulp flip at z ~ 0 cannot
+    make `keep` disagree while z agrees. Feature order in z is
+    left-associated and mirrored in the SQL twin."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     t = docs.select("doc_id", toks.alias("toks"))
@@ -215,7 +216,7 @@ def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.cast("long").alias("n_tokens"),
         round_col(z).alias("z"),
         round_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p_keep"),
-        (z >= 0).cast("int").alias("keep"),
+        (round_col(z) >= 0).cast("int").alias("keep"),
     )
 
 
@@ -237,7 +238,7 @@ m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, {z} AS z FROM t)
 SELECT doc_id, n_tokens,
        {sql_round('z')} AS z,
        {sql_round('1.0 / (1.0 + exp(-z))')} AS p_keep,
-       CAST(z >= 0 AS INT) AS keep
+       CAST(({sql_round('z')}) >= 0 AS INT) AS keep
 FROM m
 """.strip()
 

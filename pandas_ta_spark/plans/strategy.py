@@ -67,6 +67,7 @@ def apply_strategy_chunked(
     inds: list[Indicator],
     lookback: int,
     chunk: str = "30 days",
+    validate: bool = False,
 ) -> DataFrame:
     """``apply_strategy`` for per-symbol series too long for one window
     partition — the expression-path twin of ``plans/kernels.py``'s
@@ -82,19 +83,45 @@ def apply_strategy_chunked(
     its frame, provided:
 
     - every indicator is bounded-lookback: ROLL/WROLL/lag window ops
-      with max window/shift <= lookback. CUM/EWM/KERNEL indicators need
-      unbounded history and MUST NOT be passed here (kernels have their
-      own exact chunking via ``KernelSpec.carry_rows``; cumsums are
-      O(1)-state and don't hit the buffering wall in the first place);
-    - every chunk holds >= lookback rows per symbol (choose ``chunk``
-      duration accordingly; a sparse symbol violating this would see a
-      truncated frame where the unchunked plan sees a full one).
+      with max window/shift <= lookback, or kernels whose declared
+      ``carry_rows`` fits inside ``lookback`` (their carry replicas ARE
+      exactly the history the kernel needs). EWM/unbounded kernels are
+      REJECTED with ValueError; CUM window stages are not
+      introspectable, so that half of the contract stays documentation
+      (cumsums are O(1)-state and don't hit the buffering wall anyway);
+    - every NON-EMPTY chunk holds >= lookback rows per symbol (set
+      ``validate=True`` to enforce with one cheap extra aggregation —
+      default off to keep the plan count-free). Carries jump to the next
+      non-empty chunk, so empty chunks (trading halts, holidays) are
+      exact for free; only an undersized non-empty chunk can truncate a
+      frame the unchunked plan would fill.
 
     Plan shape: ONE extra bounded window pass (row_number per
-    (symbol, chunk), buffer = chunk size) to pick the carry rows, one
+    (symbol, chunk), buffer = chunk size) to pick the carry rows, a
+    broadcast join against the tiny (symbol, chunk) successor map, one
     union, then the normal strategy over the salted symbol — the same
     shuffles as ``apply_strategy``, each partition now chunk-sized.
     """
+    # bounded-lookback kernels (finite carry_rows <= lookback, no
+    # forward-looking rows) chunk exactly like window expressions: the
+    # carry replicas are precisely the history their declared carry
+    # needs. Unbounded (EWM, carry_rows=None), deeper-than-lookback, or
+    # lead-consuming kernels would silently reseed per chunk — reject.
+    bad = [
+        i for i in inds
+        if i.kernel is not None and (
+            i.kernel.carry_rows is None
+            or i.kernel.carry_rows > lookback
+            or getattr(i.kernel, "lead_rows", 0)
+        )
+    ]
+    if bad:
+        raise ValueError(
+            "apply_strategy_chunked requires bounded-lookback indicators "
+            "(window exprs or kernels with carry_rows <= lookback and no "
+            "lead_rows); EWM/unbounded kernels have their own chunking "
+            f"(plans/kernels.py): {[i.outputs for i in bad]}"
+        )
     # .cast: parquet TIMESTAMP_NTZ inputs — unix_micros wants TIMESTAMP
     us = F.unix_micros(F.col(TS).cast("timestamp"))
     # parse "N days"/"N hours" without relying on engine interval math
@@ -103,12 +130,37 @@ def apply_strategy_chunked(
            "hour": 3_600_000_000, "hours": 3_600_000_000}[unit]
     chunk_us = int(qty) * per
     base = df.withColumn("_chk", F.floor(us / F.lit(chunk_us)).cast("long"))
+    # successor map: carries target the next chunk that actually has
+    # rows, so a symbol dark for whole chunks still hands its history
+    # across the gap (chunk c+1 empty -> c's tail lands in c+2). Tiny
+    # relation (symbols x chunks), broadcast.
+    wnext = Window.partitionBy(SYMBOL).orderBy("_chk")
+    succ = (
+        base.select(SYMBOL, "_chk").distinct()
+        .withColumn("_next", F.lead("_chk").over(wnext))
+        .filter(F.col("_next").isNotNull())
+    )
+    if validate:
+        counts = (
+            base.groupBy(SYMBOL, "_chk").count()
+            .withColumn("_last", F.lead("_chk").over(wnext).isNull())
+            .filter(~F.col("_last") & (F.col("count") < lookback))
+        )
+        offenders = counts.limit(5).collect()
+        if offenders:
+            raise ValueError(
+                f"chunk(s) with < lookback={lookback} rows would truncate "
+                f"frames vs the unchunked plan: "
+                f"{[(r[SYMBOL], r['_chk'], r['count']) for r in offenders]}"
+            )
     wdesc = Window.partitionBy(SYMBOL, "_chk").orderBy(F.col(TS).desc())
     carry = (
         base.withColumn("_rnd", F.row_number().over(wdesc))
         .filter(F.col("_rnd") <= lookback)
         .drop("_rnd")
-        .withColumn("_chk", F.col("_chk") + 1)
+        .join(F.broadcast(succ), [SYMBOL, "_chk"])
+        .withColumn("_chk", F.col("_next"))
+        .drop("_next")
         .withColumn("_carry", F.lit(1))
     )
     u = base.withColumn("_carry", F.lit(0)).unionByName(carry)

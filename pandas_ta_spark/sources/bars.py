@@ -125,9 +125,11 @@ def bars_from_events_bucketed(
 ) -> DataFrame:
     """OHLCV resampling to arbitrary minute buckets (15m/5m/…): anchors
     `date_trunc` cannot express. The bucket is exact integer microsecond
-    arithmetic — floor(epoch_us / P) * P — identical in the DuckDB twin
-    (epoch_us both sides), so bucket boundaries can never drift between
-    engines the way interval/timezone math can. Same single-aggregation
+    arithmetic — floor(epoch_us / P) * P — with the SAME floor(double
+    division) form in the DuckDB twin (integer `//` truncates toward
+    zero, which diverges from floor for pre-1970 timestamps), so bucket
+    boundaries cannot drift between engines the way interval/timezone
+    math can. Same single-aggregation
     one-shuffle shape as the anchored derivation above."""
     period_us = minutes * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
@@ -155,7 +157,8 @@ def bars_from_events_bucketed_sql(minutes: int = 15) -> str:
     return f"""
 SELECT
     event_type AS symbol,
-    make_timestamp((epoch_us(ts) // {period_us}) * {period_us}) AS ts,
+    make_timestamp(CAST(floor(epoch_us(ts) / {period_us}.0) AS BIGINT)
+                   * {period_us}) AS ts,
     arg_min(value, ts) AS open,
     max(value) AS high,
     min(value) AS low,

@@ -911,6 +911,66 @@ def test_chunked_strategy_exact_parity(spark, bars):
         else:
             a, b = plain[c], chunked[c]
             assert ((a == b) | (a.isna() & b.isna())).all(), c
-    # more than one chunk actually exercised (300 hourly rows / 3 days)
-    import math
-    assert math.ceil(300 / 72) >= 4
+    # guard against vacuous parity: the fixture must actually span
+    # multiple chunks (computed from the data, not assumed)
+    from pyspark.sql import functions as F
+
+    n_chunks = (bars.select(
+        "symbol",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3 * 86_400_000_000)).alias("c"))
+        .distinct().groupBy("symbol").count().agg(F.min("count")).first()[0])
+    assert n_chunks >= 4, n_chunks
+
+
+def test_chunked_strategy_survives_empty_chunks(spark, bars):
+    """A symbol dark for entire chunks must still hand its lookback
+    history across the gap (carry targets the next NON-EMPTY chunk)."""
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.operators import overlap, statistics
+    from pandas_ta_spark.plans.strategy import apply_strategy, apply_strategy_chunked
+
+    # knock out one FULL epoch-aligned 3-day chunk: boundaries fall on
+    # epoch days divisible by 3 (2023-12-31, 2024-01-03, 2024-01-06, ...),
+    # so removing [01-03, 01-06) leaves the surrounding chunks intact and
+    # the removed chunk exactly empty. (A non-aligned gap instead creates
+    # an UNDERSIZED chunk — the documented-inexact case validate=True
+    # catches.)
+    gap_lo = pd.Timestamp("2024-01-03")
+    gap_hi = pd.Timestamp("2024-01-06")
+    holed = bars.filter(~((F.col("ts") >= F.lit(gap_lo)) & (F.col("ts") < F.lit(gap_hi))))
+    inds = [overlap.sma(20), statistics.stdev(30)]
+    plain = (apply_strategy(holed, inds).toPandas()
+             .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    chunked = (apply_strategy_chunked(holed, inds, lookback=30, chunk="3 days")
+               .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True))
+    assert len(plain) == len(chunked) and len(plain) > 0
+    for c in plain.columns:
+        a, b = plain[c], chunked[c]
+        if a.dtype == object or c in ("symbol", "ts"):
+            assert (a == b).all(), c
+        else:
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_chunked_strategy_rejects_kernel_ops(bars):
+    import pytest as _pytest
+
+    from pandas_ta_spark.operators import momentum
+    from pandas_ta_spark.plans.strategy import apply_strategy_chunked
+
+    with _pytest.raises(ValueError, match="bounded-lookback"):
+        apply_strategy_chunked(bars, [momentum.rsi(14)], lookback=30)
+
+
+def test_chunked_strategy_validate_flags_undersized_chunk(bars):
+    import pytest as _pytest
+
+    from pandas_ta_spark.operators import overlap
+    from pandas_ta_spark.plans.strategy import apply_strategy_chunked
+
+    # 3-day chunks hold 72 hourly rows; lookback=100 > 72 must be caught
+    with _pytest.raises(ValueError, match="truncate"):
+        apply_strategy_chunked(bars, [overlap.sma(20)], lookback=100,
+                               chunk="3 days", validate=True).collect()
