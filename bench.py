@@ -272,6 +272,44 @@ def main():
         _PAIRS_CACHE.pop((spark.sparkContext.applicationId, x10_dir), None)
         shutil.rmtree(x10_dir, ignore_errors=True)
 
+    # ANN at 10x corpus: the same would-it-scale measurement for the IVF
+    # index. Replicas are slightly perturbed (rep-dependent offset) so
+    # the geometry stays non-degenerate. Reported separately: the
+    # one-time index build (train + assign, the cost a resident engine
+    # amortizes) and the steady probe best-of-2.
+    x10v_dir = tempfile.mkdtemp(prefix="bench_vecs_x10_")
+    try:
+        from pandas_ta_spark.sources.bars import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        repd = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+        pert = F.transform(
+            F.col("embedding"),
+            lambda x: x + F.col("rep").cast("double") * F.lit(0.001),
+        )
+        (emb.select("*", repd)
+            .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                    pert.alias("embedding"), "label")
+            .coalesce(4)
+            .write.mode("overwrite").parquet(f"{x10v_dir}/embeddings.parquet"))
+        t0 = time.time()
+        force(EXT["topk_cosine_ivf"].query(spark, x10v_dir))
+        times["topk_cosine_ivf_x10_build"] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(EXT["topk_cosine_ivf"].query(spark, x10v_dir))
+            best = min(best, time.time() - t0)
+        times["topk_cosine_ivf_x10corpus"] = round(best, 3)
+    finally:
+        from pandas_ta_spark.ext.similarity import (
+            _IVF_CACHE, _PQ_CACHE, _VECS_CACHE,
+        )
+
+        for cache in (_IVF_CACHE, _PQ_CACHE, _VECS_CACHE):
+            cache.pop((spark.sparkContext.applicationId, x10v_dir), None)
+        shutil.rmtree(x10v_dir, ignore_errors=True)
+
     # scale entries LAST, each with a private cache lifetime: keeping both
     # replicas (2M + 10M rows) cached through the whole run evicted each
     # other under the wide strategies' execution memory and doubled the
