@@ -183,23 +183,25 @@ LR_W_STOP = 2.2         # stopword ratio
 LR_W_MEANLEN = -0.15    # mean token length
 
 
-def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-model quality score: z = w·x over four cheap text features,
-    p = sigmoid(z). `keep` compares the ROUNDED z >= 0 (== p >= 0.5) so
-    the decision is made on the pre-sigmoid linear form — one fewer
-    transcendental in the decision path — and on the same 1e-6-rounded
-    value both engines hash, so a libm ln last-ulp flip at z ~ 0 cannot
-    make `keep` disagree while z agrees. Feature order in z is
-    left-associated and mirrored in the SQL twin."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    t = docs.select("doc_id", toks.alias("toks"))
-    n_tok = F.size("toks")
-    ttr = F.size(F.array_distinct("toks")) / n_tok
-    stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))) / n_tok
+def quality_lr_exprs() -> dict:
+    """Linear-model quality Columns over a `text` column: z = w·x over
+    four cheap features, p = sigmoid(z). `keep` compares the ROUNDED
+    z >= 0 (== p >= 0.5) so the decision is made on the pre-sigmoid
+    linear form — one fewer transcendental in the decision path — and on
+    the same 1e-6-rounded value both engines hash, so a libm ln
+    last-ulp flip at z ~ 0 cannot make `keep` disagree while z agrees.
+    Feature order in z is left-associated and mirrored in the SQL twin.
+    Stateless expressions shared by the batch query and the streaming
+    filter (streaming-safe by construction, like quality_exprs)."""
+    from pandas_ta_spark.operators.base import round_col
+
+    toks = _toks()
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok
     # exact-integer char sum / exact count -> identical double
     mean_len = (
-        F.aggregate("toks", F.lit(0).cast("long"),
+        F.aggregate(toks, F.lit(0).cast("long"),
                     lambda acc, x: acc + F.length(x)).cast("double") / n_tok
     )
     z = (
@@ -209,14 +211,23 @@ def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(LR_W_STOP) * stop
         + F.lit(LR_W_MEANLEN) * mean_len
     )
-    from pandas_ta_spark.operators.base import round_col
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "z": round_col(z),
+        "p_keep": round_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))),
+        "keep": (round_col(z) >= 0).cast("int"),
+    }
 
-    return t.select(
+
+def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_lr_exprs()
+    return docs.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        round_col(z).alias("z"),
-        round_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p_keep"),
-        (round_col(z) >= 0).cast("int").alias("keep"),
+        q["n_tokens"].alias("n_tokens"),
+        q["z"].alias("z"),
+        q["p_keep"].alias("p_keep"),
+        q["keep"].alias("keep"),
     )
 
 

@@ -2,6 +2,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_dedup_exact,
     stream_neardup_candidates,
     stream_quality_keep,
+    stream_quality_lr_keep,
     stream_split_assign,
     stream_token_rate,
 )
@@ -18,5 +19,5 @@ from pandas_ta_spark.streaming.indicators import (
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
            "stream_dedup_exact", "stream_neardup_candidates",
-           "stream_quality_keep", "stream_token_rate",
+           "stream_quality_keep", "stream_quality_lr_keep", "stream_token_rate",
            "stream_split_assign", "stream_sessions"]

@@ -59,6 +59,26 @@ def stream_quality_keep(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_quality_lr_keep(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the logistic quality classifier
+    (ext/text.quality_lr_exprs): same stateless scoring expressions, so
+    batch/stream parity is by construction; emits scored keepers only."""
+    from pandas_ta_spark.ext.text import quality_lr_exprs
+
+    q = quality_lr_exprs()
+    return (
+        docs.select(
+            "doc_id",
+            q["n_tokens"].alias("n_tokens"),
+            q["z"].alias("z"),
+            q["p_keep"].alias("p_keep"),
+            q["keep"].alias("keep"),
+        )
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )
+
+
 def stream_token_rate(docs: DataFrame, window: str = "1 hour",
                       watermark: str = "2 hours") -> DataFrame:
     """Per-source token throughput in tumbling event-time windows — the

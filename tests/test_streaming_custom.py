@@ -630,3 +630,45 @@ def test_stream_band_keys_match_batch_signature(spark, tmp_path):
         .toPandas().set_index("doc_id").sort_index()
     )
     pd.testing.assert_frame_equal(stream_keys, batch_keys)
+
+
+def test_stream_quality_lr_matches_batch(spark, tmp_path):
+    """The streaming LR quality filter must emit exactly the batch
+    query's keepers with identical rounded scores (same Column exprs)."""
+    rng = np.random.default_rng(11)
+    words = ["the", "of", "and", "lorem", "ipsum", "data", "spark",
+             "stream", "quality", "token", "corpus", "model"]
+    texts = [" ".join(rng.choice(words, size=n))
+             for n in rng.integers(3, 80, size=40)]
+    docs = pd.DataFrame({
+        "doc_id": range(40), "text": texts,
+        "lang": ["en"] * 40, "source": ["s"] * 40, "n_chars": [1] * 40,
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    src = tmp_path / "qlr_src"
+    src.mkdir()
+    d = docs.copy()
+    d["ingest_ts"] = pd.Timestamp("2026-01-01").as_unit("ms")
+    d[["doc_id", "text", "ingest_ts"]].to_parquet(src / "b1.parquet")
+
+    from pandas_ta_spark.ext.text import SUITE
+    from pandas_ta_spark.streaming import stream_quality_lr_keep
+
+    batch = SUITE["quality_lr_score"].query(spark, str(tmp_path)).toPandas()
+    batch_keep = batch[batch["keep"] == 1].set_index("doc_id")
+    assert len(batch_keep) > 0  # weights must actually keep something
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    q = (
+        stream_quality_lr_keep(stream)
+        .writeStream.format("memory").queryName("quality_lr_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quality_lr_stream").toPandas().set_index("doc_id")
+    assert set(got.index) == set(batch_keep.index)
+    for c in ("z", "p_keep"):
+        assert np.allclose(got[c].sort_index(), batch_keep[c].sort_index())
