@@ -974,3 +974,89 @@ def test_chunked_strategy_validate_flags_undersized_chunk(bars):
     with _pytest.raises(ValueError, match="truncate"):
         apply_strategy_chunked(bars, [overlap.sma(20)], lookback=100,
                                chunk="3 days", validate=True).collect()
+
+
+def test_rolling_beta_property_vs_numpy(spark):
+    """Property-based check of rolling_beta_24 against an independent
+    numpy reimplementation of the same quantized pipeline, over random
+    panels with missing hours per symbol."""
+    import math
+    import tempfile
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.relational import BETA_N, BETA_SCALE, SUITE
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng_seed = data.draw(st.integers(0, 10_000))
+        rng = np.random.default_rng(rng_seed)
+        n_hours = BETA_N + 10
+        rows = []
+        for sym in ("A", "B", "C"):
+            # drop a few random hours to desynchronize the panel
+            drop = set(rng.choice(np.arange(1, n_hours), size=3, replace=False))
+            price = 50.0
+            for h in range(n_hours):
+                price *= math.exp(rng.normal(0, 0.05))
+                if h in drop:
+                    continue
+                rows.append((sym, h, price))
+        pdf = pd.DataFrame(rows, columns=["event_type", "hour", "value"])
+        pdf["ts"] = (pd.Timestamp("2024-01-01")
+                     + pd.to_timedelta(pdf["hour"], unit="h")).astype("datetime64[us]")
+        pdf["event_id"] = range(len(pdf))
+        pdf["user_id"] = 0
+        pdf["props"] = "{}"
+        with tempfile.TemporaryDirectory() as sf:
+            pdf[["event_id", "event_type", "ts", "value", "user_id", "props"]].to_parquet(
+                f"{sf}/events.parquet")
+            got = (SUITE["rolling_beta_24"].query(spark, sf).toPandas()
+                   .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+        # independent reimplementation of the quantized pipeline
+        ref = pdf.sort_values(["event_type", "ts"]).copy()
+        ref["lr"] = np.log(ref["value"]
+                           / ref.groupby("event_type")["value"].shift(1))
+        ref["q"] = np.floor(ref["lr"] * BETA_SCALE + 0.5)
+        mkt = ref.groupby("ts")["q"].agg(["sum", "count"])
+        ref["qm"] = ref["ts"].map(
+            np.floor(mkt["sum"] / mkt["count"] + 0.5).where(mkt["count"] > 0))
+        exp_rows = {}
+        for sym, g in ref.groupby("event_type"):
+            g = g.reset_index(drop=True)
+            for i in range(len(g)):
+                w = g.iloc[max(0, i - BETA_N + 1): i + 1]
+                valid = w.dropna(subset=["q", "qm"])
+                n = len(valid)
+                beta = corr = np.nan
+                if n >= BETA_N:
+                    sx, sy = valid["q"].sum(), valid["qm"].sum()
+                    sxy = (valid["q"] * valid["qm"]).sum()
+                    sxx = (valid["q"] ** 2).sum()
+                    syy = (valid["qm"] ** 2).sum()
+                    cov_s = n * sxy - sx * sy
+                    varx_s = n * sxx - sx * sx
+                    vary_s = n * syy - sy * sy
+                    if vary_s != 0:
+                        beta = cov_s / vary_s
+                    if varx_s > 0 and vary_s > 0:
+                        corr = cov_s / math.sqrt(varx_s * vary_s)
+                exp_rows[(sym, g.loc[i, "ts"])] = (n, beta, corr)
+
+        assert len(got) == len(exp_rows)
+        for _, r in got.iterrows():
+            n, beta, corr = exp_rows[(r["symbol"], r["ts"])]
+            assert r["n_obs"] == n, (r["symbol"], r["ts"])
+            for name, g_val, e_val in (("beta", r["beta"], beta),
+                                       ("corr", r["corr"], corr)):
+                if np.isnan(e_val):
+                    assert pd.isna(g_val), (name, r["symbol"], r["ts"])
+                else:
+                    assert abs(g_val - e_val) < 1e-5, (name, r["symbol"], r["ts"])
+
+    check()
