@@ -64,6 +64,17 @@ def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each query (and each IVF phase) re-derive cast+norm from the scan, or
 # leak a per-invocation persist. At 100 TB this is the persisted
 # "embedding table + norms" any resident vector engine keeps.
+#
+# INVALIDATION CONTRACT (applies to _VECS_CACHE, _IVF_CACHE, _PQ_CACHE):
+# keys are (applicationId, sf_dir) with NO content invalidation —
+# rewriting the parquet under the same path mid-session serves a stale
+# vectors/index snapshot until the caller pops the key (as bench.py's
+# x10-corpus teardown does). That is the deliberate semantics of a
+# trained-index artifact: an ANN deployment versions its corpus by PATH
+# (immutable snapshot dirs), so a changed path is a new key and a
+# changed file under the same path is an un-versioned mutation the
+# engine cannot see. Callers that must mutate in place: pop the
+# (applicationId, dir) key from all three caches first.
 _VECS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -331,6 +342,8 @@ NPROBE = 2
 # deterministic (fixed seeds + exact fixed-point sums), so cached and
 # fresh indexes are bit-identical and every oracle comparison still
 # holds. First build per session pays the full cost.
+# Same (applicationId, sf_dir) key and invalidation contract as
+# _VECS_CACHE (see the contract block there): path = corpus version.
 _IVF_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -966,6 +979,8 @@ K_PQ = 8                  # codes per subspace -> 3-bit codes, 8B/vector
 
 # PQ artifacts cached per (applicationId, sf_dir) like the IVF index:
 # codebooks + codes are a build step a resident engine runs once.
+# Same (applicationId, sf_dir) key and invalidation contract as
+# _VECS_CACHE (see the contract block there): path = corpus version.
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -1073,7 +1088,6 @@ def _topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q| x N x M_SUB code lookups (broadcast LUT join, no vector math in
     the scan) — the memory-bandwidth shape real PQ scanners have."""
     v, sub, cb, codes = _pq_index(spark, sf_dir)
-    qsub = sub.filter(F.col("vec_id") < N_QUERIES)
     lut = _pq_lut(sub, cb)
     # the ADC groupBy folds M_SUB partials per (query, vec); codes is
     # hash(vec_id)-clustered, but the grouping key adds query_id, so one

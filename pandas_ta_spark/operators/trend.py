@@ -158,6 +158,10 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
     the output name changes — same as the reference. ``asint`` False
     emits booleans instead of 0/1."""
     kind = "INC" if increasing_ else "DEC"
+    # Indicator key must be the registry factory name ("increasing"/
+    # "decreasing"), not the output prefix — tools/gen_coverage.py groups
+    # suite keys by it (the r6 "(helper)" COVERAGE.md rows were this bug)
+    key = "increasing" if increasing_ else "decreasing"
     pct = float(percent) if percent else None
     props = f"_{length}_{pct}" if pct is not None else f"_{length}"
     out = f"{'S' if strict else ''}{kind}{props}"
@@ -179,7 +183,7 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
         e = flag if asint else (flag == 1.0)
         s = s_flag if asint else f"({s_flag}) = 1.0"
         return Indicator(
-            kind.lower(), [out], CAT,
+            key, [out], CAT,
             stages=[{t: F.when(cond, 1.0).otherwise(0.0)}],
             final={out: e},
             sql_stages=[{t: f"CASE WHEN close {op} {s_rhs} THEN 1.0 ELSE 0.0 END"}],
@@ -191,7 +195,7 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
     s_d = sql_diff("close", length)
     s = (f"CASE WHEN ({s_d}) {op} 0 THEN 1.0 ELSE 0.0 END" if asint
          else f"coalesce(({s_d}) {op} 0, FALSE)")
-    return Indicator(kind.lower(), [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator(key, [out], CAT, final={out: e}, sql_final={out: s})
 
 
 def increasing(length: int = 1, **kw):
