@@ -745,8 +745,31 @@ def kama(length: int = 10, fast: int = 2, slow: int = 30):
 
 def mcgd(length: int = 10, c: float = 1.0):
     """McGinley Dynamic: md += (x - md)/(c*n*(x/md)^4) —
-    pandas_ta/overlap/mcgd.py#mcgd."""
+    pandas_ta/overlap/mcgd.py#mcgd.
+
+    Domain guard (closes the r6 rows-only entry with an exact value
+    oracle): the reference recursion is only meaningful on positive
+    price series, where x/md ~ 1 and the denominator c*n*(x/md)^4 ~ c*n.
+    On arbitrary real series (the gate's derived bars have negative and
+    near-zero closes) the unguarded step overshoots by the 4th power of
+    the ratio and the recursion diverges past double range — numpy
+    overflows to inf where SQL overflows to NULL, which is why r6 shipped
+    this op rows-only. Two guards make the recursion a bounded
+    contraction with IDENTICAL cross-engine behavior, while staying inert
+    on the reference's valid domain (any c*n >= 1):
+
+    - ratio := 0 when md = 0 (numpy inf vs SQL NULL otherwise; the next
+      step then resets md := x, a clean re-anchor);
+    - denominator := max(c*n*r^4, 1) — |step| <= |x - md|, so md always
+      moves toward x and stays bounded by the data range. Inert when
+      c*n*(x/md)^4 >= 1, i.e. everywhere the reference's output is sane.
+
+    r^4 is explicit multiplication ((r*r)*(r*r)) on BOTH engines: IEEE
+    multiply is exactly specified, unlike libm pow, so the recursion
+    stays bit-identical cross-engine (r*r also makes r^4 >= 0 even for
+    negative ratios, removing the sign pathology entirely)."""
     out = name("MCGD", length)
+    cl = float(c * length)
 
     def fn(pdf):
         import numpy as np
@@ -758,15 +781,26 @@ def mcgd(length: int = 10, c: float = 1.0):
             md = x[0]
             res[0] = md
             for i in range(1, n):
-                md = md + (x[i] - md) / (c * length * (x[i] / md) ** 4)
+                r = x[i] / md if md != 0.0 else 0.0
+                md = md + (x[i] - md) / max(cl * ((r * r) * (r * r)), 1.0)
                 res[i] = md
         pdf[out] = res
         return pdf
 
-    # rows-only check: on wide-range series (x/md)^4 can underflow to 0,
-    # where numpy yields inf but SQL division yields NULL — the recursion
-    # is numerically unstable either way, so no value oracle is honest
-    return Indicator("mcgd", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]))
+    from pandas_ta_spark.operators.ewm_sql import recursive_oracle
+
+    g = "(CASE WHEN r._y <> 0 THEN b.close / r._y ELSE 0.0 END)"
+    sql = recursive_oracle(
+        pre={},
+        anchor_where="b._rn = 1",
+        anchor_state={"_y": "b.close"},
+        step_state={"_y": (f"r._y + (b.close - r._y)"
+                           f" / greatest({cl!r} * (({g} * {g}) * ({g} * {g})), 1.0)")},
+        step_inputs=["close"],
+        final={out: "_y"},
+    )
+    return Indicator("mcgd", [out], CAT, kernel=KernelSpec(fn, [out], ["close"]),
+                     sql_full=sql)
 
 
 def vidya(length: int = 14):

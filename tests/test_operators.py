@@ -215,17 +215,21 @@ def test_supertrend_psar_shapes(bars):
 
 
 def test_mcgd_matches_recursion(bars, pdf_bars):
-    """Golden parity for McGinley Dynamic (the one op with no SQL oracle:
-    (x/md)^4 underflows on wide-range series, so value evidence lives
-    here): plain-Python recursion from pandas_ta/overlap/mcgd.py#mcgd vs
-    the Arrow kernel, 1e-9 on the well-conditioned fixture."""
+    """Golden parity for McGinley Dynamic: plain-Python recursion from
+    pandas_ta/overlap/mcgd.py#mcgd vs the Arrow kernel, 1e-9 on the
+    well-conditioned fixture. The kernel's domain guard (denominator
+    clamped to >= 1, ratio := 0 at md = 0 — see overlap.mcgd) must be
+    INERT here: the unguarded reference recursion is the expectation, so
+    any guard activation on sane positive prices fails this test."""
     got = one_symbol(run(bars, overlap.mcgd(10)))
     x = one_symbol(pdf_bars)["close"].to_numpy()
     exp = np.empty(len(x))
     md = x[0]
     exp[0] = md
     for i in range(1, len(x)):
-        md = md + (x[i] - md) / (1.0 * 10 * (x[i] / md) ** 4)
+        denom = 1.0 * 10 * (x[i] / md) ** 4
+        assert denom >= 1.0, "fixture left the guard-inert domain"
+        md = md + (x[i] - md) / denom
         exp[i] = md
     assert_close(got["MCGD_10"], pd.Series(exp), tol=1e-9, name="mcgd")
 
