@@ -16,8 +16,11 @@ prunes columns, and a 50-indicator strategy needs one shuffle total.
 
 Since the driver test data has no native bars table, bars derive from the
 ``events`` table (FIXTURES.md §2): symbol := event_type (5 symbols), hourly
-tumbling buckets, open/close via min_by/max_by on ts (``ts`` is unique in
-the test data, so this is deterministic). The SAME derivation is expressed
+tumbling buckets, open/close as the value of the lexicographically
+min/max (ts, value) pair — equivalent to min_by/max_by on ts wherever ts
+is unique (it is, in all driver data), but DETERMINISTIC under duplicate
+timestamps too (ties break to the smaller/larger value), so a re-run on
+tie-bearing telemetry data cannot flap. The SAME derivation is expressed
 in ANSI SQL (``BARS_FROM_EVENTS_SQL``) so DuckDB oracles see identical
 input — the oracle contract of ``__spark_entry__.py``.
 """
@@ -79,10 +82,10 @@ def bars_from_events_sql(anchor: str = "hour") -> str:
 SELECT
     event_type AS symbol,
     date_trunc('{anchor}', ts) AS ts,
-    arg_min(value, ts) AS open,
+    (min({{'t': ts, 'v': value}})).v AS open,
     max(value) AS high,
     min(value) AS low,
-    arg_max(value, ts) AS close,
+    (max({{'t': ts, 'v': value}})).v AS close,
     CAST(count(*) AS DOUBLE) AS volume
 FROM events
 GROUP BY 1, 2
@@ -111,10 +114,10 @@ def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> 
             F.date_trunc(anchor, F.col("ts")).alias("ts"),
         )
         .agg(
-            F.min_by("value", "ts").alias("open"),
+            F.min(F.struct("ts", "value"))["value"].alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max(F.struct("ts", "value"))["value"].alias("close"),
             F.count(F.lit(1)).cast("double").alias("volume"),
         )
     )
@@ -143,10 +146,10 @@ def bars_from_events_bucketed(
             bucket.alias("ts"),
         )
         .agg(
-            F.min_by("value", "ts").alias("open"),
+            F.min(F.struct("ts", "value"))["value"].alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max(F.struct("ts", "value"))["value"].alias("close"),
             F.count(F.lit(1)).cast("double").alias("volume"),
         )
     )
@@ -159,10 +162,10 @@ SELECT
     event_type AS symbol,
     make_timestamp(CAST(floor(epoch_us(ts) / {period_us}.0) AS BIGINT)
                    * {period_us}) AS ts,
-    arg_min(value, ts) AS open,
+    (min({{'t': ts, 'v': value}})).v AS open,
     max(value) AS high,
     min(value) AS low,
-    arg_max(value, ts) AS close,
+    (max({{'t': ts, 'v': value}})).v AS close,
     CAST(count(*) AS DOUBLE) AS volume
 FROM events
 GROUP BY 1, 2

@@ -300,27 +300,34 @@ def test_entry_contract(spark):
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
     assert len(q) == 207
-    assert len(o) == 206
+    assert len(o) == 207  # r7: mcgd gained an oracle — zero rows-only
     assert set(o) <= set(q)
-    # Truncation insurance: every kind-class + ext anchor in the first 50,
-    # and EVERY pinned key must still exist — a renamed pinned key would
-    # otherwise silently fall out of the gate window (ADVICE r4).
+    # Truncation insurance: EVERY pinned key must still exist — a renamed
+    # pinned key would otherwise silently fall out of the gate window
+    # (ADVICE r4) — and the r7 sweep window must hold the 5 flagship
+    # anchors + mcgd_10 + the 44 never-driver-evidenced keys it promises
+    # (the sweep plan documented above _PRIORITY).
     assert set(E._PRIORITY) <= set(q)
     assert list(q)[: len(E._PRIORITY)] == E._PRIORITY
+    assert len(E._PRIORITY) == 50
     first50 = list(q)[:50]
-    for must in ("rsi_14", "macd_12_26_9", "supertrend_7", "psar",
-                 "dedup_minhash_lsh", "dedup_cc_clusters", "topk_cosine",
-                 "topk_cosine_ivf", "sample_hash_deterministic",
-                 "shard_pack_tokens", "cdl_pattern_all",
-                 "atr_14", "obv", "text_stats",
-                 "asof_join_bars", "sessionize_30m",
-                 # r6 rotation: displaced keys back in the window
-                 "zscore_30", "jma_7", "hilo_13_21",
-                 # late-r6 ext anchors
-                 "contamination_minhash", "embedding_quantize_sq",
-                 "topk_cosine_pq", "rolling_beta_24",
-                 "topk_cosine_ivfpq", "signal_equity_8_21"):
+    for must in ("supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
+                 "topk_cosine_ivfpq", "curation_pipeline", "mcgd_10",
+                 # one spot-check per swept family
+                 "willr_14", "tos_stdevall", "true_range", "aobv"):
         assert must in first50, must
+    # r7 tranche: everything after the 6 anchors is first-time evidence
+    import json
+    seen = set()
+    for rn in range(1, 7):
+        try:
+            seen |= set(json.load(
+                open(f"/root/repo/CORRECTNESS_r0{rn}.json")))
+        except FileNotFoundError:
+            pass
+    if seen:  # artifacts present: the sweep promise is enforceable
+        assert all(k not in seen for k in E._PRIORITY[6:]), (
+            "sweep window contains already-evidenced keys")
 
 
 def test_readme_counts_match_registry():
