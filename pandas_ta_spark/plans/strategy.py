@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import re
+
 from pandas_ta_spark.functions.windows import SYMBOL, TS
 from pandas_ta_spark.operators.base import Indicator
 from pandas_ta_spark.plans.kernels import run_kernels
@@ -62,6 +64,52 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     return df
 
 
+def expression_lookback(ind: Indicator):
+    """Max rows of history an expression-path indicator's windows read,
+    introspected from its SQL twin (ADVICE r6: the chunked contract must
+    be checkable for window-expression indicators, not just kernels).
+
+    The SQL stage/final strings are maintained in lockstep with the
+    Spark Column expressions (the repo's oracle contract), so the depths
+    parsed here — `N PRECEDING` frames and `lag(x, N)` offsets — are the
+    Spark plan's depths. Returns:
+
+    - an int: bounded — exact under chunking iff <= lookback;
+    - ``None``: NOT chunk-safe — the expressions are position-dependent
+      or unbounded (`UNBOUNDED PRECEDING`, `row_number`/`rank`, or any
+      `lead`): their values change when the partition is split, so
+      chunked output would silently diverge from the unchunked plan.
+
+    Kernel-only indicators return 0 (their history lives in the kernel's
+    ``carry_rows``, checked separately).
+    """
+    parts: list[str] = []
+    for st in ind.sql_stages or []:
+        parts.extend(st.values())
+    if ind.sql_final:
+        parts.extend(ind.sql_final.values())
+    if not parts:
+        if ind.stages or ind.final:
+            return None  # expression stages with no SQL twin: unknowable
+        return 0
+    s = " ".join(parts)
+    if ("UNBOUNDED PRECEDING" in s or re.search(r"\brow_number\s*\(", s)
+            or re.search(r"\brank\s*\(", s) or re.search(r"\blead\s*\(", s)):
+        return None
+    depth = 0
+    for m in re.finditer(r"(\d+)\s+PRECEDING", s):
+        depth = max(depth, int(m.group(1)))
+    # lag offsets: sql_shift/sql_wroll always emit `lag(<expr>, N) OVER`;
+    # match the offset right before `) OVER` so nested parens in <expr>
+    # don't confuse the scan. A bare `lag(x) OVER` (offset 1) never
+    # occurs in generated SQL but costs nothing to cover.
+    for m in re.finditer(r"\blag\s*\(", s):
+        depth = max(depth, 1)
+    for m in re.finditer(r",\s*(\d+)\s*\)\s*OVER", s):
+        depth = max(depth, int(m.group(1)))
+    return depth
+
+
 def apply_strategy_chunked(
     df: DataFrame,
     inds: list[Indicator],
@@ -85,10 +133,14 @@ def apply_strategy_chunked(
     - every indicator is bounded-lookback: ROLL/WROLL/lag window ops
       with max window/shift <= lookback, or kernels whose declared
       ``carry_rows`` fits inside ``lookback`` (their carry replicas ARE
-      exactly the history the kernel needs). EWM/unbounded kernels are
-      REJECTED with ValueError; CUM window stages are not
-      introspectable, so that half of the contract stays documentation
-      (cumsums are O(1)-state and don't hit the buffering wall anyway);
+      exactly the history the kernel needs). BOTH halves of the
+      contract are now ENFORCED (ADVICE r6): EWM/unbounded/too-deep
+      kernels are rejected via ``carry_rows``/``lead_rows``, and
+      expression indicators are depth-checked via
+      ``expression_lookback`` (SQL-twin introspection) — deeper-than-
+      lookback windows, cumulative/position-dependent expressions
+      (CUM, row_number, lead) all raise instead of silently diverging
+      (CUM ops are O(1)-state anyway: run them unchunked);
     - every NON-EMPTY chunk holds >= lookback rows per symbol (set
       ``validate=True`` to enforce with one cheap extra aggregation —
       default off to keep the plan count-free). Carries jump to the next
@@ -121,6 +173,37 @@ def apply_strategy_chunked(
             "(window exprs or kernels with carry_rows <= lookback and no "
             "lead_rows); EWM/unbounded kernels have their own chunking "
             f"(plans/kernels.py): {[i.outputs for i in bad]}"
+        )
+    # expression-path depth check (ADVICE r6): a window-expression
+    # indicator deeper than the lookback — sma(50) under lookback=30 —
+    # used to be ACCEPTED and silently diverge; introspect each
+    # indicator's SQL-twin depth (kept in lockstep with the Spark
+    # expressions) and enforce the same contract the kernels get.
+    too_deep = []
+    unbounded = []
+    for i in inds:
+        d = expression_lookback(i)
+        if d is None:
+            unbounded.append(i)
+        elif d > lookback:
+            too_deep.append((i, d))
+    if unbounded:
+        raise ValueError(
+            "apply_strategy_chunked cannot chunk position-dependent or "
+            "unbounded expression indicators (cumulative windows, "
+            "row_number/rank, lead): their values change when the "
+            "partition is split, so chunked output would silently "
+            "diverge from the unchunked plan: "
+            f"{[i.outputs for i in unbounded]}"
+        )
+    if too_deep:
+        raise ValueError(
+            "expression indicator(s) read more history than "
+            f"lookback={lookback} — retained rows near chunk starts "
+            "would see truncated frames and silently diverge from the "
+            "unchunked plan: "
+            f"{[(i.outputs, d) for i, d in too_deep]}. "
+            "Raise lookback to at least the max depth."
         )
     # .cast: parquet TIMESTAMP_NTZ inputs — unix_micros wants TIMESTAMP
     us = F.unix_micros(F.col(TS).cast("timestamp"))

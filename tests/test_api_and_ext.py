@@ -971,6 +971,31 @@ def test_chunked_strategy_rejects_kernel_ops(bars):
         apply_strategy_chunked(bars, [momentum.rsi(14)], lookback=30)
 
 
+def test_chunked_strategy_rejects_deep_and_unbounded_expressions(bars):
+    """ADVICE r6: the bounded-lookback contract must hold for the
+    expression path too — a 50-row SMA under lookback=30 used to be
+    accepted and silently diverge; cumulative/position-dependent ops
+    (vwap's anchored cumsum, decay's row_number) can never chunk."""
+    import pytest as _pytest
+
+    from pandas_ta_spark.operators import overlap, trend
+    from pandas_ta_spark.plans.strategy import (
+        apply_strategy_chunked, expression_lookback,
+    )
+
+    with _pytest.raises(ValueError, match="more history than"):
+        apply_strategy_chunked(bars, [overlap.sma(50)], lookback=30)
+    with _pytest.raises(ValueError, match="position-dependent|unbounded"):
+        apply_strategy_chunked(bars, [overlap.vwap()], lookback=30)
+    with _pytest.raises(ValueError, match="position-dependent|unbounded"):
+        apply_strategy_chunked(bars, [trend.decay(5)], lookback=30)
+    # introspected depths: sma(20) reads 19 back (mask + frame), roc(10)
+    # lags 10; both must clear a lookback of 30 (the parity tests' setup)
+    assert expression_lookback(overlap.sma(20)) == 19
+    assert expression_lookback(overlap.sma(50)) == 49
+    assert expression_lookback(trend.decay(5)) is None
+
+
 def test_chunked_strategy_validate_flags_undersized_chunk(bars):
     import pytest as _pytest
 
