@@ -5,7 +5,13 @@ oracle_sql() in DuckDB (tables pre-registered as views), and compares
 row count / column names / values (exact match after both sides' rounding,
 NaN==NULL). Usage:
 
-    python tools/check.py [key ...]       # all keys, or a subset
+    python tools/check.py [--sf 0.1] [key ...]   # all keys, or a subset
+
+--sf N overrides the scale factor (default sf0.01, or $CHECK_SF_DIR):
+scale-dependent divergence — partition-count effects, fixed-point
+overflow (the r6 BETA_SCALE class), window-buffer paths — only shows up
+at larger inputs, so a representative subset runs at sf0.1 per round
+(recorded in README).
 """
 
 from __future__ import annotations
@@ -19,6 +25,21 @@ import numpy as np
 import pandas as pd
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _parse_args(argv: list[str]) -> list[str]:
+    """Consume --sf N (rewrites the module-level SF_DIR); return keys."""
+    global SF_DIR
+    keys = []
+    it = iter(argv)
+    for a in it:
+        if a == "--sf":
+            SF_DIR = f"/root/testdata/sf{next(it)}"
+        elif a.startswith("--sf="):
+            SF_DIR = f"/root/testdata/sf{a.split('=', 1)[1]}"
+        else:
+            keys.append(a)
+    return keys
 
 
 def get_spark():
@@ -111,4 +132,4 @@ def main(keys: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    raise SystemExit(main(_parse_args(sys.argv[1:])))
