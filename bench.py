@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 
@@ -128,6 +129,9 @@ def main():
         .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
         .config("spark.sql.windowExec.buffer.spill.threshold", "2097152")
         .config("spark.driver.memory", "16g")
+        # managed-table sink for the bucketed re-read entry goes to a
+        # temp dir, not ./spark-warehouse in the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="bench_wh_"))
         .appName("pandas-ta-spark-bench")
         .getOrCreate()
     )
@@ -138,7 +142,12 @@ def main():
     from pandas_ta_spark.registry import make
     from pandas_ta_spark.sources.bars import bars_from_events
 
-    ticks = tick_bars(spark, sf_dir)
+    # the events parquet is a single split at sf0.1, so an un-repartitioned
+    # cache leaves the shuffle-map side of every strategy query a single
+    # task serializing 100k rows alone. 8 cached partitions parallelize
+    # the map side without per-task overhead swamping this data size —
+    # input layout prep, untimed (at 100 TB the input is never 1 split).
+    ticks = tick_bars(spark, sf_dir).repartition(8)
     bars = bars_from_events(spark, sf_dir)
     ticks.cache().count()  # warm: scan + JVM
     bars.cache().count()
@@ -218,18 +227,57 @@ def main():
         "sessionize_30m": lambda: EXT["sessionize_30m"].query(spark, sf_dir),
     }
 
-    # best of 3 — the same methodology as BASELINE.md: the first run pays
-    # one-time Python-worker spawn + whole-plan codegen compile, which a
-    # resident cluster amortizes away (measured: rep0 6.7s, rep1 2.2s,
-    # rep2+ steady ~1.5s on the 24-ind strategy)
-    times = {}
-    for name, build in queries.items():
-        best = float("inf")
-        for _ in range(3):
+    # Protocols (VERDICT r6 ask #3):
+    # - headline strategies: 8 reps, report the MEDIAN of the last 5 —
+    #   the steady-state number a resident cluster sees, robust to the
+    #   documented ±30% single-draw box noise (best-of kept as telemetry);
+    # - everything else: best of 3, the BASELINE.md methodology (first
+    #   run pays one-time Python-worker spawn + codegen compile, which a
+    #   resident cluster amortizes away; measured rep0 6.7s, rep1 2.2s,
+    #   rep2+ steady ~1.5s on the 24-ind strategy).
+    # Unsalted 5-symbol strategies additionally run at 31 shuffle
+    # partitions: with only 5 window groups, the other 56 of 61 tasks
+    # are pure scheduler overhead ACROSS EVERY STAGE of the plan —
+    # measured ~0.1s of the 0.7s headline. 31 keeps the prime
+    # no-collision property (5 distinct buckets) at half the empty-task
+    # count; salted/replicated variants keep 61 (40-100 real groups).
+    HEADLINES = ("tick_strategy_24ind", "tick_strategy_all145ind")
+    QUERY_CONF = {
+        "tick_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
+        "bars_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
+        "tick_strategy_all145ind": {"spark.sql.shuffle.partitions": "31"},
+    }
+
+    def timed_reps(build, n):
+        out = []
+        for _ in range(n):
             t0 = time.time()
             force(build())
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            out.append(time.time() - t0)
+        return out
+
+    def run_query(name, build):
+        conf = QUERY_CONF.get(name, {})
+        saved = {k: spark.conf.get(k) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            if name in HEADLINES:
+                reps = timed_reps(build, 8)
+                tail = sorted(reps[3:])
+                return round(tail[len(tail) // 2], 3), round(min(reps), 3)
+            return round(min(timed_reps(build, 3)), 3), None
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    times = {}
+    headline_best = {}
+    for name, build in queries.items():
+        t, best = run_query(name, build)
+        times[name] = t
+        if best is not None:
+            headline_best[name] = best
 
     # dedup at 10x corpus: replicas are token-salted (every word gets the
     # replica index appended), so replica clusters are fully DISTINCT —
@@ -238,7 +286,6 @@ def main():
     # with a measurement: near-linear time growth = no quadratic pair
     # blowup hiding in the band join. Prep (write parquet) is untimed.
     import shutil
-    import tempfile
 
     x10_dir = tempfile.mkdtemp(prefix="bench_docs_x10_")
     try:
@@ -294,6 +341,9 @@ def main():
             .write.mode("overwrite").parquet(f"{x10v_dir}/embeddings.parquet"))
         t0 = time.time()
         force(EXT["topk_cosine_ivf"].query(spark, x10v_dir))
+        # NOTE: this rep0 number is BUILD + ONE PROBE (the query that
+        # triggers training also serves); the probe-free build cost is
+        # derived below by subtracting the steady-state probe (ADVICE r6)
         times["topk_cosine_ivf_x10_build"] = round(time.time() - t0, 3)
         best = float("inf")
         for _ in range(2):
@@ -301,6 +351,8 @@ def main():
             force(EXT["topk_cosine_ivf"].query(spark, x10v_dir))
             best = min(best, time.time() - t0)
         times["topk_cosine_ivf_x10corpus"] = round(best, 3)
+        ivf_build_net = round(
+            max(times["topk_cosine_ivf_x10_build"] - best, 0.0), 3)
     finally:
         from pandas_ta_spark.ext.similarity import (
             _IVF_CACHE, _PQ_CACHE, _VECS_CACHE,
@@ -327,6 +379,49 @@ def main():
         times[name] = round(best, 3)
         rep_df.unpersist(blocking=True)
 
+    # Bucketed-table re-read path (VERDICT r6 ask #7): the 100 TB
+    # repeated-scan story claims bucketBy(symbol) pre-pays the shuffle at
+    # write time so every later window/kernel pass re-reads co-located
+    # data with NO exchange. Proved here with a measurement at x20 scale
+    # (2M rows, 100 sub-series): the SAME strategy plan over (a) a plain
+    # parquet copy — scan + full shuffle per query — vs (b) the bucketed
+    # table — scan only. Writes are untimed (the one-time cost the
+    # amortization argument is about); exchange counts from the executed
+    # plans are reported alongside the wall times.
+    import re as _re
+
+    def _n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(_re.findall(r"Exchange (?!SinglePartition)", plan))
+
+    rep20 = replicate(20)
+    bk_dir = tempfile.mkdtemp(prefix="bench_bars_x20_")
+    bucketed_read = {}
+    try:
+        rep20.coalesce(8).write.mode("overwrite").parquet(
+            f"{bk_dir}/ticks.parquet")
+        from pandas_ta_spark.sources.bars import write_bars_bucketed
+
+        write_bars_bucketed(spark.read.parquet(f"{bk_dir}/ticks.parquet"),
+                            "bench_bars_bucketed_x20", buckets=32)
+        pq = spark.read.parquet(f"{bk_dir}/ticks.parquet")
+        bt = spark.table("bench_bars_bucketed_x20")
+        bucketed_read = {
+            "exchanges_parquet_read": _n_exchanges(apply_strategy(pq, strat24)),
+            "exchanges_bucketed_read": _n_exchanges(apply_strategy(bt, strat24)),
+        }
+        for name, src in (("tick_strategy_24ind_x20_parquet_read", pq),
+                          ("tick_strategy_24ind_x20_bucketed_read", bt)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                force(apply_strategy(src, strat24))
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_bars_bucketed_x20")
+        shutil.rmtree(bk_dir, ignore_errors=True)
+
     n_ticks = ticks.count()
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -334,6 +429,25 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        # reader guidance (VERDICT r6 "what's wrong" #2 + asks #3/#7/#8):
+        # - overhead_bound: single-op rows are dominated by fixed Spark
+        #   session/shuffle cost at this data size (pandas does the same
+        #   kernel in 1-6 ms); kernel throughput is what the x20/x100
+        #   rows measure (see *_rows_per_sec).
+        # - median_of_last5_of_8: the two headline strategies report the
+        #   steady-state median, not best-of (raw best kept below).
+        # - build_plus_first_probe: rep0 of the x10 IVF entry includes
+        #   one serving probe; the derived net build cost is
+        #   topk_cosine_ivf_x10_build_net_sec.
+        "tags": {
+            "overhead_bound": ["sma_20", "ema_10", "rsi_14", "bbands_5",
+                               "supertrend_7"],
+            "median_of_last5_of_8": sorted(HEADLINES),
+            "build_plus_first_probe": ["topk_cosine_ivf_x10_build"],
+        },
+        "headline_best": headline_best,
+        "topk_cosine_ivf_x10_build_net_sec": ivf_build_net,
+        "bucketed_read": bucketed_read,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_tick_series": n_ticks,
         "tick_strategy_rows_per_sec": round(n_ticks / times["tick_strategy_24ind"])

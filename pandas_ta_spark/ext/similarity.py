@@ -85,7 +85,16 @@ def _spark_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # evict stopped-application entries (see sources/bars.py)
         for stale in [k for k in _VECS_CACHE if k[0] != key[0]]:
             del _VECS_CACHE[stale]
-        df = materialize(_spark_vectors(spark, sf_dir))
+        # Lay the resident vector relation out at cluster parallelism:
+        # the source parquet's split count (a writer artifact — the x10
+        # bench corpus is coalesce(4)) would otherwise cap EVERY
+        # downstream scan — IVF training assignments, PQ encode, probe
+        # scoring — at that many tasks (measured: 4 of 32 cores busy,
+        # ~8x the IVF build time). Values are partition-order-
+        # independent everywhere (fixed-point sums, per-vector argmax),
+        # so the layout is free to change.
+        par = spark.sparkContext.defaultParallelism
+        df = materialize(_spark_vectors(spark, sf_dir).repartition(par))
         _VECS_CACHE[key] = df
     return df
 
@@ -333,15 +342,17 @@ FROM v x LEFT JOIN disp d ON d.vec_id = x.vec_id
 K_CENTROIDS = 8
 NPROBE = 2
 # Lloyd refinement rounds for the coarse quantizer (VERDICT r6 ask #4):
-# each round re-assigns the corpus and recomputes fixed-point means.
-# Measured mean recall@5 vs brute force at sf0.01, NPROBE=2 unchanged:
-# iters 1 (the r6 state) -> 0.42, 2 -> 0.40, 3 -> 0.44, 4 -> 0.46,
-# 6 -> 0.46 (plateau). 3 is the knee under the build-cost bar (total
-# corpus x K assignment passes go 2 -> 4, i.e. exactly 2x the r6
-# build); each round costs BUILD time only — the probe path is
-# unchanged. Recall here is structurally capped by NPROBE/K = 2/8, not
-# by training: tune NPROBE for recall, LLOYD_ITERS for list balance.
+# each round re-assigns a deterministic 1-in-TRAIN_MOD training sample
+# and recomputes fixed-point means; only the final inverted-file
+# assignment scans the full corpus. Measured mean recall@5 vs brute
+# force at sf0.01, NPROBE=2 unchanged: 1 full-corpus round (the r6
+# state) -> 0.42; full-corpus 3 rounds -> 0.44; SAMPLED 3 rounds ->
+# 0.48 (sampling decorrelates the means from the dup-heavy corpus
+# mass). Recall here is structurally capped by NPROBE/K = 2/8, not by
+# training: tune NPROBE for recall, LLOYD_ITERS for list balance.
 LLOYD_ITERS = 3
+TRAIN_MOD = 10  # 1-in-10 training sample: >= 40*K points at gate scale
+TRAIN_CAP = 4096  # hard bound on collected training vectors (id < MOD*CAP)
 
 
 # The trained IVF index (K-row centroid table + corpus-sized inverted
@@ -357,38 +368,95 @@ LLOYD_ITERS = 3
 _IVF_CACHE: dict[tuple[str, str], tuple] = {}
 
 
+def _train_centroids_numpy(rows) -> list[tuple]:
+    """LLOYD_ITERS k-means rounds over the collected training sample,
+    executed driver-side in numpy with arithmetic that is BIT-IDENTICAL
+    to the DuckDB oracle's SQL:
+
+    - dot products accumulate LEFT-ASSOCIATED per dimension (a Python
+      loop of vectorized `acc = acc + E[:, d] * c[d]` steps — np.dot/
+      np.sum use pairwise summation and would diverge in ulps);
+    - assignment argmax ties resolve to the smallest centroid_id
+      (np.argmax first-max == row_number ORDER BY score DESC, cid);
+    - per-dimension means are exact int64 sums of floor(e*1e6+0.5)
+      quantities, then (CAST(s AS DOUBLE) / 1e6) / cnt in that order;
+    - empty clusters drop out (GROUP BY semantics).
+
+    Returns [(centroid_id, ce: list[float], cn: float), ...]."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r["vec_id"])
+    E = np.array([r["e"] for r in rows], dtype=np.float64)
+    nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
+    seed_ids = [r["vec_id"] for r in rows
+                if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS]
+    cents = [(r["vec_id"] - N_QUERIES, np.array(r["e"]), float(r["nrm"]))
+             for r in rows
+             if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS]
+    assert seed_ids, "seed vectors missing from training collect"
+    train_mask = np.array([r["vec_id"] % TRAIN_MOD == 0 for r in rows])
+    Et, nt = E[train_mask], nrm[train_mask]
+    q6 = np.floor(Et * 1e6 + 0.5).astype(np.int64)
+    for _ in range(LLOYD_ITERS):
+        scores = np.empty((len(Et), len(cents)))
+        for j, (_, ce, cn) in enumerate(cents):
+            acc = np.zeros(len(Et))
+            for d in range(DIM):
+                acc = acc + Et[:, d] * ce[d]
+            scores[:, j] = acc / (nt * cn)
+        a = np.argmax(scores, axis=1)  # first max = smallest index on ties
+        nxt = []
+        for j, (cid, _, _) in enumerate(cents):
+            m = a == j
+            cnt = int(m.sum())
+            if cnt == 0:
+                continue  # empty cluster drops out, as in GROUP BY
+            s = q6[m].sum(axis=0, dtype=np.int64)
+            ce = s.astype(np.float64) / 1e6 / float(cnt)
+            cn = 0.0
+            for d in range(DIM):
+                cn = cn + ce[d] * ce[d]
+            nxt.append((cid, ce, float(np.sqrt(cn))))
+        cents = nxt
+    return [(cid, [float(x) for x in ce], cn) for cid, ce, cn in cents]
+
+
 def _ivf_lists(spark: SparkSession, sf_dir: str):
     """Coarse-quantizer training + inverted-file build, shared by the ANN
-    query (`_topk_ivf`) and the cluster-profile telemetry: K seed vectors,
-    one spherical-Lloyd update step, then corpus assignment to lists.
-    Returns (v, centn, lists) — the normalized vectors, the K-row trained
+    query (`_topk_ivf`) and the cluster-profile telemetry. Returns
+    (v, centn, lists) — the normalized vectors, the K-row trained
     centroid table (materialized), and the (vec_id, centroid_id) file.
 
-    Cross-engine determinism of the TRAINED centroids: per-dimension means
-    are computed as exact BIGINT sums of 1e-6-quantized components, then
-    one double division — integer addition is order-independent, so Spark's
-    arbitrary aggregation order and DuckDB's agree bit-for-bit (the same
-    fixed-point trick as functions/windows.py cumsum_fixed)."""
+    Training is the FAISS architecture: fit the K-centroid coarse
+    quantizer on a BOUNDED sample at the driver (one collect of at most
+    TRAIN_CAP vectors — build-time, one-time, ~2 MB; the same class of
+    bounded driver step as the repo's validation collects), then
+    broadcast the K centroids for the distributed full-corpus
+    assignment. Running the Lloyd rounds as Spark jobs was measured at
+    2-5 s of pure job-launch + codegen overhead PER ROUND for
+    milliseconds of sample-scale arithmetic — the driver fit removes
+    that entirely while the corpus-sized work (inverted-file build,
+    probes) stays fully distributed.
+
+    Cross-engine determinism of the TRAINED centroids: the numpy fit
+    mirrors the DuckDB CTE chain op-for-op (left-associated dots, exact
+    BIGINT fixed-point means, first-max tie-break) — see
+    `_train_centroids_numpy`; the driver's oracle gate verifies the
+    composed result exactly."""
     v = _spark_vectors_cached(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _IVF_CACHE.get(key)
     if hit is not None:
         return (v, *hit)
-    seeds = (
-        v.filter((F.col("vec_id") >= N_QUERIES)
-                 & (F.col("vec_id") < N_QUERIES + K_CENTROIDS))
-        .select((F.col("vec_id") - N_QUERIES).alias("centroid_id"),
-                F.col("e").alias("ce"), F.col("nrm").alias("cn"))
-    )
 
-    def assign(cent: DataFrame) -> DataFrame:
+    def assign(cent: DataFrame, src: DataFrame | None = None) -> DataFrame:
         # argmax as max(struct(score, -centroid_id, centroid_id)): struct
         # comparison is lexicographic, so ties on score resolve to the
         # SMALLEST centroid_id — the same selection as the SQL twin's
         # row_number(ORDER BY score DESC, centroid_id). A hash aggregate
         # with map-side partials: no sort, no window shuffle — the shape
         # that survives a 100 TB corpus.
-        scored = v.crossJoin(F.broadcast(cent)).select(
+        scored = (src if src is not None else v).crossJoin(F.broadcast(cent)).select(
             "vec_id", "centroid_id",
             (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
         )
@@ -401,35 +469,32 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
             .select("vec_id", F.col("b.cid").alias("centroid_id"))
         )
 
-    # LLOYD_ITERS k-means rounds: fixed-point per-dim means over the
-    # previous round's assignment (round 0 assigns to the seeds). All
-    # per-dimension expressions are parsed SQL strings — the Column-
-    # operator versions cost ~1500 py4j round-trips and dominated the
-    # query's wall time with driver-side plan construction. Each round's
-    # K-row centroid table is materialized (not persisted: the returned
-    # plan references it lazily, so there is no safe unpersist point
-    # inside this function) so the next assignment broadcast-joins a
-    # concrete relation instead of re-running the whole chain.
-    centn = seeds
-    for _ in range(LLOYD_ITERS):
-        q6 = assign(centn).join(v, "vec_id").selectExpr(
-            "centroid_id",
-            *[f"CAST(floor(e[{i}] * 1e6 + 0.5) AS BIGINT) AS q{i}"
-              for i in range(DIM)],
+    # ONE bounded collect: the 1-in-TRAIN_MOD training sample (capped at
+    # TRAIN_CAP rows by id — FAISS guidance is ~40 x K training points,
+    # the cap keeps the collect O(1) at any corpus size) plus the K seed
+    # vectors. vec_id % / < are exact in both engines, so the sample is
+    # bit-identical cross-engine.
+    sample = (
+        v.filter(
+            ((F.col("vec_id") % TRAIN_MOD == 0)
+             & (F.col("vec_id") < TRAIN_MOD * TRAIN_CAP))
+            | ((F.col("vec_id") >= N_QUERIES)
+               & (F.col("vec_id") < N_QUERIES + K_CENTROIDS))
         )
-        cm = q6.groupBy("centroid_id").agg(
-            F.expr("sum(q0) AS s0"),
-            *[F.expr(f"sum(q{i}) AS s{i}") for i in range(1, DIM)],
-            F.expr("count(*) AS cnt"),
-        )
-        comps = ", ".join(
-            f"CAST(s{i} AS DOUBLE) / 1e6 / CAST(cnt AS DOUBLE)"
-            for i in range(DIM)
-        )
-        cent = cm.selectExpr("centroid_id", f"array({comps}) AS ce")
-        centn = materialize(cent.selectExpr(
-            "centroid_id", "ce", f"sqrt({_dot_str('ce', 'ce')}) AS cn"
-        ))
+        .select("vec_id", "e", "nrm")
+        .collect()
+    )
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    cent_schema = StructType([
+        StructField("centroid_id", LongType(), False),
+        StructField("ce", ArrayType(DoubleType(), False), False),
+        StructField("cn", DoubleType(), False),
+    ])
+    centn = materialize(spark.createDataFrame(
+        _train_centroids_numpy(sample), cent_schema))
     # the inverted file is materialized too — (vec_id, centroid_id) longs,
     # the on-disk artifact a real IVF deployment persists next to the
     # centroids — so probes scan lists instead of re-running assignment
@@ -543,12 +608,12 @@ def _ivf_ctes() -> str:
         for i in range(1, DIM + 1)
     )
 
-    def assign_ctes(i: int, cent_rel: str) -> str:
-        """Score + argmax assignment of the corpus to `cent_rel`."""
+    def assign_ctes(i: int, cent_rel: str, src_rel: str = "n") -> str:
+        """Score + argmax assignment of `src_rel` to `cent_rel`."""
         return f"""sc{i} AS (
     SELECT x.vec_id, c.centroid_id,
            ({_dot_sql('x.e', 'c.ce')}) / (x.nrm * c.cn) AS score
-    FROM n x CROSS JOIN {cent_rel} c
+    FROM {src_rel} x CROSS JOIN {cent_rel} c
 ),
 a{i} AS (
     SELECT vec_id, centroid_id FROM (
@@ -564,16 +629,20 @@ a{i} AS (
 n AS (
     SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm FROM v
 ),
+ns AS (
+    SELECT * FROM n
+    WHERE vec_id % {TRAIN_MOD} = 0 AND vec_id < {TRAIN_MOD * TRAIN_CAP}
+),
 cn0 AS (
     SELECT vec_id - {N_QUERIES} AS centroid_id, e AS ce, nrm AS cn
     FROM n WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
 )"""]
     cent_rel = "cn0"
     for i in range(LLOYD_ITERS):
-        parts.append(assign_ctes(i, cent_rel))
+        parts.append(assign_ctes(i, cent_rel, "ns"))
         parts.append(f"""q6_{i} AS (
     SELECT a{i}.centroid_id, {q6}
-    FROM a{i} JOIN n USING (vec_id)
+    FROM a{i} JOIN ns USING (vec_id)
 ),
 cm{i} AS (
     SELECT centroid_id, {sums}, count(*) AS cnt FROM q6_{i} GROUP BY centroid_id
