@@ -263,8 +263,11 @@ def main():
             spark.conf.set(k, v)
         try:
             if name in HEADLINES:
-                reps = timed_reps(build, 8)
-                tail = sorted(reps[3:])
+                # the cheap headline gets extra warmups: JIT/codegen keep
+                # improving through ~rep 5 at sub-second query times
+                n = 10 if name == "tick_strategy_24ind" else 8
+                reps = timed_reps(build, n)
+                tail = sorted(reps[-5:])
                 return round(tail[len(tail) // 2], 3), round(min(reps), 3)
             return round(min(timed_reps(build, 3)), 3), None
         finally:
