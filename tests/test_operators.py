@@ -234,6 +234,36 @@ def test_mcgd_matches_recursion(bars, pdf_bars):
     assert_close(got["MCGD_10"], pd.Series(exp), tol=1e-9, name="mcgd")
 
 
+def test_mcgd_guard_bounded_on_adversarial_series(spark):
+    """The r7 domain guard must make the recursion a bounded contraction
+    on series the reference formula diverges on (negative, near-zero and
+    sign-flipping closes — the class the gate's derived bars hit): every
+    output finite, |md| bounded by the running data range, and each step
+    moves md toward the current close (never overshoots)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 400
+    close = np.where(rng.random(n) < 0.3,
+                     rng.normal(0, 0.01, n),          # near-zero band
+                     rng.normal(0, 50, n))            # wild swings, both signs
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "open": close, "high": close, "low": close, "close": close,
+        "volume": 1.0,
+    })
+    got = one_symbol(run(spark.createDataFrame(pdf), overlap.mcgd(10)))
+    md = got["MCGD_10"].to_numpy()
+    assert np.isfinite(md).all()
+    bound = np.abs(close).max() + 1e-9
+    assert (np.abs(md) <= bound).all()
+    # contraction: |md_t - x_t| <= |md_{t-1} - x_t|
+    gap_new = np.abs(md[1:] - close[1:])
+    gap_old = np.abs(md[:-1] - close[1:])
+    assert (gap_new <= gap_old + 1e-12).all()
+
+
 def test_td_seq_matches_loop(bars, pdf_bars):
     """Sessionization trick (streak = rn - last failing rn) must equal
     the literal per-row counter loop."""
