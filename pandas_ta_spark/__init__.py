@@ -32,8 +32,10 @@ from pandas_ta_spark.sources.formats import (
     bars_from_csv,
     bars_from_json,
     bars_from_parquet,
+    ticker,
 )
 
 __all__ = ["__version__", "Category", "indicators", "make", "ta", "TA",
            "bind", "create_dir", "import_dir",
-           "bars_from_csv", "bars_from_json", "bars_from_parquet"]
+           "bars_from_csv", "bars_from_json", "bars_from_parquet",
+           "ticker"]

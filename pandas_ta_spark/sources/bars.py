@@ -155,6 +155,31 @@ def bars_from_events_bucketed(
     )
 
 
+def resample_bars(df: DataFrame, minutes: int) -> DataFrame:
+    """Resample a canonical bars relation to coarser minute buckets
+    (1h -> 1d, 1m -> 15m, ...): OHLC semantics over bars — open = first
+    bar's open, close = last bar's close, high/low/volume = max/min/sum.
+
+    Same exact integer-microsecond bucket arithmetic and deterministic
+    (ts, value)-struct tie-break as the events-to-bars derivations
+    above; one aggregation = one shuffle with map-side partials."""
+    period_us = minutes * 60 * 1_000_000
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(period_us))
+         .cast("long") * F.lit(period_us))
+    )
+    return (
+        df.groupBy("symbol", bucket.alias("ts"))
+        .agg(
+            F.min(F.struct("ts", "open"))["open"].alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max(F.struct("ts", "close"))["close"].alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+    )
+
+
 def bars_from_events_bucketed_sql(minutes: int = 15) -> str:
     period_us = minutes * 60 * 1_000_000
     return f"""

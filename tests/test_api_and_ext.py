@@ -543,6 +543,59 @@ def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
         _normalize(spark.createDataFrame([(1,)], "x INT"), None)
 
 
+def test_ticker_vendor_dir_adapter(spark, pdf_bars, tmp_path):
+    """Offline ticker(): symbol -> vendor-file resolution (yfinance-
+    style CSV with Date header and no symbol column), canonical schema,
+    [start, end) slicing, and OHLC resampling to a coarser interval."""
+    import pytest as _pytest
+
+    from pandas_ta_spark.sources.formats import _interval_minutes, ticker
+
+    vend = tmp_path / "vendor"
+    vend.mkdir()
+    src = pdf_bars[pdf_bars["symbol"] == "A"].drop(columns=["symbol"])
+    src = src.rename(columns={"ts": "Date", "open": "Open", "high": "High",
+                              "low": "Low", "close": "Close",
+                              "volume": "Volume"})
+    src["Adj Close"] = src["Close"]  # vendor extras must prune away
+    src.to_csv(vend / "SPY.csv", index=False)
+
+    df = ticker(spark, "spy", str(vend))  # case-insensitive stem match
+    assert [f.name for f in df.schema.fields] == [
+        "symbol", "ts", "open", "high", "low", "close", "volume"]
+    assert df.count() == len(src)
+    assert df.select("symbol").distinct().collect()[0][0] == "SPY".lower() or \
+        df.select("symbol").distinct().collect()[0][0] == "spy"
+
+    sliced = ticker(spark, "spy", str(vend),
+                    start="2024-01-02", end="2024-01-03")
+    assert sliced.count() == 24  # hourly fixture: one full day
+
+    daily = (ticker(spark, "spy", str(vend), interval="1d")
+             .orderBy("ts").toPandas())
+    pd_daily = (pdf_bars[pdf_bars["symbol"] == "A"].set_index("ts")
+                .resample("1D").agg({"open": "first", "high": "max",
+                                     "low": "min", "close": "last",
+                                     "volume": "sum"}).dropna())
+    assert len(daily) == len(pd_daily)
+    assert daily["close"].round(9).tolist() == \
+        pd_daily["close"].round(9).tolist()
+    assert daily["open"].round(9).tolist() == \
+        pd_daily["open"].round(9).tolist()
+    assert daily["volume"].round(9).tolist() == \
+        pd_daily["volume"].round(9).tolist()
+
+    assert _interval_minutes("15m") == 15
+    assert _interval_minutes("4h") == 240
+    assert _interval_minutes("1w") == 10080
+    with _pytest.raises(ValueError, match="unsupported interval"):
+        _interval_minutes("tick")
+    with _pytest.raises(ValueError, match="available"):
+        ticker(spark, "QQQ", str(vend))
+    with _pytest.raises(ValueError, match="does not exist"):
+        ticker(spark, "spy", str(tmp_path / "nope"))
+
+
 def test_span_dedup_flags_shared_paragraph(spark, tmp_path):
     """Two long documents sharing one boilerplate paragraph are NOT
     doc-level near-dups, but span dedup must flag the shared windows."""
