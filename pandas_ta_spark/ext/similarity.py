@@ -323,6 +323,44 @@ def _semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding-duplicate clusters: connected components
+    over the cosine near-dup pair graph (A~B, B~C => {A,B,C} one
+    cluster) — the consumer `_semdedup_keep`'s docstring points chained
+    near-dups at. Reuses the text pack's min-label-propagation loop
+    (ext/dedup.py#_cc_loop: Pregel-style rounds over the pair graph,
+    which is orders of magnitude smaller than the corpus), so the
+    embedding and document dedup stacks share one distributed CC
+    implementation. Output: (vec_id, cluster_id = min reachable vec_id,
+    n_members)."""
+    from pandas_ta_spark.ext.dedup import _cc_loop
+
+    pairs = _neardup_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return materialize(
+        _cc_loop(pairs).withColumnsRenamed({"doc_id": "vec_id"}))
+
+
+def _semdedup_cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_neardup_ctes()},
+edges AS MATERIALIZED (
+    SELECT vec_a AS s, vec_b AS t FROM pairs WHERE score >= 0.99
+    UNION
+    SELECT vec_b AS s, vec_a AS t FROM pairs WHERE score >= 0.99
+),
+reach(s, t) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+),
+lab AS (SELECT s AS vec_id, min(t) AS cluster_id FROM reach GROUP BY s),
+members AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id, m.n_members
+FROM lab l JOIN members m ON m.cluster_id = l.cluster_id
+""".strip()
+
+
 def _semdedup_keep_oracle() -> str:
     return f"""
 WITH {_neardup_ctes()},
@@ -1296,4 +1334,5 @@ SUITE = {
     "topk_cosine_ivf": ExtQuery(_topk_ivf, _topk_ivf_oracle()),
     "neardup_cosine_lsh": ExtQuery(_neardup_cosine, _neardup_oracle()),
     "semdedup_keep": ExtQuery(_semdedup_keep, _semdedup_keep_oracle()),
+    "semdedup_cc_clusters": ExtQuery(_semdedup_cc, _semdedup_cc_oracle()),
 }

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 207
-    assert len(o) == 207  # r7: mcgd gained an oracle — zero rows-only
+    assert len(q) == 208
+    assert len(o) == 208  # r7: mcgd gained an oracle — zero rows-only
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window
@@ -594,6 +594,58 @@ def test_ticker_vendor_dir_adapter(spark, pdf_bars, tmp_path):
         ticker(spark, "QQQ", str(vend))
     with _pytest.raises(ValueError, match="does not exist"):
         ticker(spark, "spy", str(tmp_path / "nope"))
+
+
+def test_semdedup_cc_transitive_clusters_planted(spark, tmp_path):
+    """The driver-gate corpus has NO cosine-0.99 pairs (max in-bucket
+    cosine 0.49), so the semdedup_cc_clusters gate row is vacuously
+    0-row; this test plants a chain of near-identical vectors
+    (A~B, B~C with cos(A,C) also high) in a synthetic embeddings table
+    and asserts (a) Spark CC output == the DuckDB recursive-CTE oracle
+    exactly and (b) the chain lands in ONE transitive cluster — the
+    property the pairwise keep-list cannot express."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import (
+        DIM, _semdedup_cc, _semdedup_cc_oracle,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (40, DIM))
+    chain_root = rng.normal(0, 1, DIM)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    # planted chain: ids 100..102, each a tiny perturbation of the last
+    cur = chain_root
+    for j in range(3):
+        rows.append((100 + j, cur.copy()))
+        cur = cur + rng.normal(0, 0.001, DIM)
+    pdf = pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [[float(x) for x in r[1]] for r in rows],
+        "label": 0,
+    })
+    d = tmp_path / "planted"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    got = (_semdedup_cc(spark, str(d)).toPandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    want = (con.execute(_semdedup_cc_oracle()).df()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+    assert got["n_members"].tolist() == want["n_members"].tolist()
+    chain = got[got["vec_id"] >= 100]
+    assert len(chain) == 3
+    assert chain["cluster_id"].nunique() == 1  # transitive: one cluster
+    assert (chain["n_members"] == 3).all()
 
 
 def test_span_dedup_flags_shared_paragraph(spark, tmp_path):
