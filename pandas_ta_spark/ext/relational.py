@@ -40,11 +40,12 @@ SESSION_GAP_US = 1800 * 1_000_000  # 30 min
 
 # ------------------------------------------------------------ as-of join ----
 
-def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_join(ev: DataFrame, bars: DataFrame) -> DataFrame:
     """Point-in-time join: each event gets the latest COMPLETED hourly bar
     (bar_ts strictly before the event's own hour — a bar's close is only
     knowable once its hour has ended, so same-hour matches would leak the
-    future).
+    future). ``ev`` carries (event_id, symbol, ts, value); ``bars`` the
+    canonical layout.
 
     Union-and-carry plan: bar rows sort after event rows at the same
     ordering timestamp (tag column), so ``last(bar, ignorenulls=True)``
@@ -53,10 +54,6 @@ def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not with events-per-bar (reference has no such operator; DuckDB
     ships it natively as ASOF JOIN — used as the oracle).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("event_type").alias("symbol"), "ts", "value"
-    )
-    bars = bars_from_events_cached(spark, sf_dir)
     e = ev.select(
         "symbol",
         F.date_trunc("hour", F.col("ts")).alias("ord_ts"),
@@ -84,6 +81,14 @@ def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.bar_close").alias("bar_close"),
         )
     )
+
+
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wiring of ``asof_join``: sf events vs their derived bars."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("symbol"), "ts", "value"
+    )
+    return asof_join(ev, bars_from_events_cached(spark, sf_dir))
 
 
 ASOF_JOIN_SQL = with_bars_cte("""

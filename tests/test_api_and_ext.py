@@ -1113,6 +1113,71 @@ def test_chunked_strategy_validate_flags_undersized_chunk(bars):
                                chunk="3 days", validate=True).collect()
 
 
+def test_asof_join_property_vs_merge_asof(spark):
+    """Property-based check of the union-and-carry as-of join against
+    pandas merge_asof (allow_exact_matches=False on the event's hour)
+    over random event/bar panels — including bars landing exactly on an
+    event's hour boundary (must NOT match: a bar's close is only
+    knowable once its hour ends) and symbols with no prior bar (NULL)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.relational import asof_join
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        t0 = pd.Timestamp("2024-01-01")
+        ev_rows, bar_rows = [], []
+        eid = 0
+        for sym in ("A", "B", "C"):
+            # events at random minute offsets across 3 days
+            for _ in range(rng.integers(5, 25)):
+                ev_rows.append((eid, sym,
+                                t0 + pd.Timedelta(minutes=int(rng.integers(0, 72 * 60))),
+                                float(rng.normal())))
+                eid += 1
+            # bars on a random subset of hour boundaries (B gets none
+            # sometimes -> all-NULL joins for it)
+            n_bars = int(rng.integers(0, 20)) if sym == "B" else int(rng.integers(1, 30))
+            hours = rng.choice(np.arange(72), size=n_bars, replace=False)
+            for h in hours:
+                bar_rows.append((sym, t0 + pd.Timedelta(hours=int(h)),
+                                 float(rng.normal(100, 5))))
+        ev_pdf = pd.DataFrame(ev_rows, columns=["event_id", "symbol", "ts", "value"])
+        ev_pdf["ts"] = ev_pdf["ts"].astype("datetime64[us]")
+        bar_pdf = pd.DataFrame(bar_rows, columns=["symbol", "ts", "close"])
+        bar_pdf["ts"] = bar_pdf["ts"].astype("datetime64[us]")
+        for c in ("open", "high", "low"):
+            bar_pdf[c] = bar_pdf["close"]
+        bar_pdf["volume"] = 1.0
+
+        got = (asof_join(spark.createDataFrame(ev_pdf),
+                         spark.createDataFrame(bar_pdf))
+               .toPandas().sort_values("event_id").reset_index(drop=True))
+
+        left = ev_pdf.copy()
+        left["hour"] = left["ts"].dt.floor("h")
+        want = pd.merge_asof(
+            left.sort_values("hour"),
+            bar_pdf[["symbol", "ts", "close"]]
+            .rename(columns={"ts": "bar_ts", "close": "bar_close"})
+            .sort_values("bar_ts"),
+            left_on="hour", right_on="bar_ts", by="symbol",
+            allow_exact_matches=False, direction="backward",
+        ).sort_values("event_id").reset_index(drop=True)
+
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        g_ts, w_ts = got["bar_ts"], want["bar_ts"]
+        assert ((g_ts == w_ts) | (g_ts.isna() & w_ts.isna())).all()
+        g_c, w_c = got["bar_close"], want["bar_close"]
+        assert ((g_c == w_c) | (g_c.isna() & w_c.isna())).all()
+
+    check()
+
+
 def test_rolling_beta_property_vs_numpy(spark):
     """Property-based check of rolling_beta_24 against an independent
     numpy reimplementation of the same quantized pipeline, over random
