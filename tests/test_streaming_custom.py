@@ -672,3 +672,61 @@ def test_stream_quality_lr_matches_batch(spark, tmp_path):
     assert set(got.index) == set(batch_keep.index)
     for c in ("z", "p_keep"):
         assert np.allclose(got[c].sort_index(), batch_keep[c].sort_index())
+
+
+def test_streaming_topk_ivf_matches_batch(spark, tmp_path):
+    """The streaming ANN probe must emit BIT-IDENTICAL top-k rows to the
+    batch _topk_ivf for the same query vectors against the same session
+    index (same centroids, lists, left-associated dots, tie-breaks)."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import N_QUERIES, SUITE
+    from pandas_ta_spark.streaming import stream_topk_ivf
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["topk_cosine_ivf"].query(spark, sf_dir).toPandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    # stream the gate's 10 query vectors; a late flusher row (its window
+    # never closes, so it is absent from append-mode output) advances the
+    # watermark past the real queries' window
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(f"vec_id < {N_QUERIES}")
+           .select("vec_id", "embedding").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    q = pd.DataFrame({
+        "query_id": emb["vec_id"],
+        "embedding": emb["embedding"],
+        "ingest_ts": ts,
+    })
+    flusher = pd.DataFrame({
+        "query_id": [9999],
+        "embedding": [emb["embedding"].iloc[0]],
+        "ingest_ts": [ts + pd.Timedelta(hours=4)],
+    })
+    src = tmp_path / "q_src"
+    src.mkdir()
+    for df, name in ((q, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("query_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_topk_ivf(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("ann_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT query_id, match_id, rank, score FROM ann_stream")
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    for c in ("query_id", "match_id", "rank"):
+        assert got[c].tolist() == batch[c].tolist(), c
+    assert got["score"].tolist() == batch["score"].tolist()  # bit-identical
