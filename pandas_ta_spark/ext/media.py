@@ -165,7 +165,170 @@ FROM documents
 """.strip()
 
 
+FRAME_BYTES = 16     # fake frame size (one 16-byte slice per frame)
+N_FRAME_SAMPLES = 4  # frames sampled per asset (evenly spaced)
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_j", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_hash", StringType()),
+    StructField("frame_mean", DoubleType()),
+])
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over a binary "video" column: up to
+    N_FRAME_SAMPLES evenly-spaced FRAME_BYTES-slices per asset, ONE
+    INPUT ROW -> MANY OUTPUT ROWS — the Arrow batch shape a real ffmpeg
+    frame sampler has (mapInPandas generators may change row counts
+    freely). Frame j of an asset with fc frames is index
+    (j * fc) // n_take (exact integer math, identical in the SQL twin).
+    A real decoder samples at these indices via ffmpeg; the fallback
+    slices the payload bytes — same offsets, same plumbing."""
+    import hashlib
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                p = bytes(payload)
+                fc = len(p) // FRAME_BYTES
+                if fc == 0:
+                    continue
+                n_take = min(N_FRAME_SAMPLES, fc)
+                for j in range(n_take):
+                    fidx = (j * fc) // n_take
+                    fr = p[fidx * FRAME_BYTES:(fidx + 1) * FRAME_BYTES]
+                    a = np.frombuffer(fr, dtype=np.uint8)
+                    out["doc_id"].append(int(doc_id))
+                    out["sample_j"].append(j)
+                    out["frame_idx"].append(fidx)
+                    out["frame_hash"].append(hashlib.md5(fr).hexdigest())
+                    out["frame_mean"].append(
+                        float(np.floor(int(a.sum()) / FRAME_BYTES * 1e6 + 0.5)
+                              / 1e6))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(gen, FRAME_SCHEMA)
+
+
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(with_media_column(docs))
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) // {FRAME_BYTES} AS fc
+    FROM documents
+),
+t AS (
+    SELECT doc_id, text, fc, least({N_FRAME_SAMPLES}, fc) AS n_take
+    FROM f WHERE fc > 0
+),
+s AS (
+    SELECT doc_id, u.j AS sample_j, (u.j * fc) // n_take AS frame_idx,
+           substr(text, ((u.j * fc) // n_take) * {FRAME_BYTES} + 1,
+                  {FRAME_BYTES}) AS fr
+    FROM t, unnest(range(0, n_take)) AS u(j)
+)
+SELECT doc_id, CAST(sample_j AS INT) AS sample_j,
+       CAST(frame_idx AS INT) AS frame_idx,
+       md5(fr) AS frame_hash,
+       floor(CAST(list_sum(list_transform(range(1, {FRAME_BYTES} + 1),
+                                          i -> ord(substr(fr, i, 1))))
+                  AS DOUBLE) / {FRAME_BYTES}.0 * 1e6 + 0.5) / 1e6 AS frame_mean
+FROM s
+""".strip()
+
+
+N_THUMB_SEGS = 8
+
+THUMB_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("seg", IntegerType()),
+    StructField("seg_len", LongType()),
+    StructField("seg_mean", DoubleType()),
+])
+
+
+def resize_thumb(df: DataFrame) -> DataFrame:
+    """Deterministic "resize": downsample each asset's byte sequence to
+    N_THUMB_SEGS bucket means (segment s covers bytes
+    [s*nb//8, (s+1)*nb//8) — exact integer boundaries, every segment
+    non-empty for nb >= 8). This is the 1-D analogue of an image
+    thumbnail resize, with the real pixel resample plugging in at
+    `decode_stub`; the fallback is FULLY vectorized across the batch —
+    one buffer concat + one int64 cumsum, per-segment sums by cumsum
+    difference at the absolute boundaries (no per-asset loop at all)."""
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in THUMB_SCHEMA.fields]
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["content"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            keep = lens >= N_THUMB_SEGS
+            ids = pdf["doc_id"].to_numpy()[keep]
+            klens = lens[keep]
+            concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(concat, dtype=np.int64)))
+            starts = np.cumsum(lens) - lens
+            kstarts = starts[keep]
+            segs = np.arange(N_THUMB_SEGS, dtype=np.int64)
+            lo = kstarts[:, None] + (segs[None, :] * klens[:, None]) // N_THUMB_SEGS
+            hi = kstarts[:, None] + ((segs[None, :] + 1) * klens[:, None]) // N_THUMB_SEGS
+            sums = csum[hi] - csum[lo]
+            seg_len = hi - lo
+            mean = np.floor(sums / seg_len * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, N_THUMB_SEGS).astype("int64"),
+                "seg": np.tile(segs, len(ids)).astype("int32"),
+                "seg_len": seg_len.ravel(),
+                "seg_mean": mean.ravel(),
+            }, columns=cols)
+
+    return df.mapInPandas(gen, THUMB_SCHEMA)
+
+
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return resize_thumb(with_media_column(docs))
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH f AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS nb
+    FROM documents
+),
+s AS (
+    SELECT doc_id, text, u.s AS seg,
+           (u.s * nb) // {N_THUMB_SEGS} AS lo,
+           ((u.s + 1) * nb) // {N_THUMB_SEGS} AS hi
+    FROM f, unnest(range(0, {N_THUMB_SEGS})) AS u(s)
+    WHERE nb >= {N_THUMB_SEGS}
+)
+SELECT doc_id, CAST(seg AS INT) AS seg,
+       CAST(hi - lo AS BIGINT) AS seg_len,
+       floor(CAST(list_sum(list_transform(range(lo + 1, hi + 1),
+                                          i -> ord(substr(text, i, 1))))
+                  AS DOUBLE) / CAST(hi - lo AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS seg_mean
+FROM s
+""".strip()
+
+
 SUITE = {
     "media_meta": ExtQuery(_media_meta, MEDIA_META_SQL),
     "media_features": ExtQuery(_media_features, MEDIA_FEATURES_SQL),
+    "media_frame_sample": ExtQuery(_media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
+    "media_resize_8": ExtQuery(_media_resize, MEDIA_RESIZE_SQL),
 }

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 208
-    assert len(o) == 208  # r7: mcgd gained an oracle — zero rows-only
+    assert len(q) == 210
+    assert len(o) == 210  # r7: mcgd gained an oracle — zero rows-only
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window
@@ -1262,3 +1262,30 @@ def test_rolling_beta_property_vs_numpy(spark):
                     assert abs(g_val - e_val) < 1e-5, (name, r["symbol"], r["ts"])
 
     check()
+
+
+def test_media_frame_sample_shape(spark):
+    """Frame sampling is the 1-row -> N-rows mapInPandas shape: a long
+    payload yields N_FRAME_SAMPLES evenly spaced frames, a short one
+    yields fewer (one per whole frame), and a sub-frame payload yields
+    none."""
+    from pandas_ta_spark.ext.media import (
+        FRAME_BYTES, N_FRAME_SAMPLES, sample_frames, with_media_column,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["x" * (FRAME_BYTES * 10),   # 10 frames -> 4 samples
+                 "y" * (FRAME_BYTES * 2),    # 2 frames -> 2 samples
+                 "z" * (FRAME_BYTES - 1)],   # 0 frames -> no rows
+    })
+    out = (sample_frames(with_media_column(spark.createDataFrame(docs)))
+           .toPandas().sort_values(["doc_id", "sample_j"]))
+    by_doc = out.groupby("doc_id").size().to_dict()
+    assert by_doc == {0: N_FRAME_SAMPLES, 1: 2}
+    # evenly spaced: j*fc//n_take for fc=10, n=4 -> 0, 2, 5, 7
+    assert out[out["doc_id"] == 0]["frame_idx"].tolist() == [0, 2, 5, 7]
+    # all-identical bytes -> identical frame hashes and means
+    d0 = out[out["doc_id"] == 0]
+    assert d0["frame_hash"].nunique() == 1
+    assert (d0["frame_mean"] == float(ord("x"))).all()
