@@ -1289,3 +1289,78 @@ def test_media_frame_sample_shape(spark):
     d0 = out[out["doc_id"] == 0]
     assert d0["frame_hash"].nunique() == 1
     assert (d0["frame_mean"] == float(ord("x"))).all()
+
+
+def test_sessionize_property_vs_pandas(spark):
+    """Property-based check of gap sessionization against an independent
+    pandas implementation over random event streams, with gaps planted
+    EXACTLY at the 30-minute boundary (must merge: only strictly larger
+    gaps split — the rule that keeps the batch op row-compatible with
+    Spark's native session_window streaming twin)."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.relational import SESSION_GAP_US, SUITE
+
+    gap_min = SESSION_GAP_US // 60_000_000
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        eid = 0
+        for user in range(1, 5):
+            t = t0 + pd.Timedelta(minutes=int(rng.integers(0, 60)))
+            for _ in range(int(rng.integers(3, 30))):
+                choice = rng.random()
+                if choice < 0.25:
+                    step = pd.Timedelta(minutes=gap_min)        # boundary: merge
+                elif choice < 0.5:
+                    step = pd.Timedelta(minutes=gap_min, seconds=1)  # split
+                else:
+                    step = pd.Timedelta(seconds=int(rng.integers(1, 600)))
+                t = t + step
+                rows.append((eid, user, t,
+                             ["view", "click", "purchase"][int(rng.integers(3))]))
+                eid += 1
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf["value"] = 1.0
+        pdf["props"] = "{}"
+        with tempfile.TemporaryDirectory() as sf:
+            pdf.to_parquet(f"{sf}/events.parquet")
+            got = (SUITE["sessionize_30m"].query(spark, sf).toPandas()
+                   .sort_values(["user_id", "session_no"])
+                   .reset_index(drop=True))
+
+        ref = pdf.sort_values(["user_id", "ts", "event_id"]).copy()
+        prev = ref.groupby("user_id")["ts"].shift(1)
+        new_s = (prev.isna()
+                 | ((ref["ts"] - prev) > pd.Timedelta(minutes=gap_min)))
+        ref["session_no"] = new_s.astype(int).groupby(ref["user_id"]).cumsum()
+        want = (ref.groupby(["user_id", "session_no"])
+                .agg(n_events=("event_id", "size"),
+                     session_start=("ts", "min"),
+                     session_end=("ts", "max"),
+                     n_event_types=("event_type", "nunique"))
+                .reset_index())
+        want["duration_sec"] = ((want["session_end"] - want["session_start"])
+                                // pd.Timedelta(seconds=1))
+        want = (want.sort_values(["user_id", "session_no"])
+                .reset_index(drop=True))
+
+        assert len(got) == len(want)
+        for c in ("user_id", "session_no", "n_events", "n_event_types",
+                  "duration_sec"):
+            assert got[c].astype("int64").tolist() == \
+                want[c].astype("int64").tolist(), c
+        assert (got["session_start"] == want["session_start"]).all()
+        assert (got["session_end"] == want["session_end"]).all()
+
+    check()
