@@ -391,6 +391,63 @@ def _bars_daily_oracle() -> str:
     return bars_from_events_sql("day")
 
 
+def _xsec_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional return ranking: at every bar timestamp, rank each
+    symbol's 1-bar return against ALL symbols trading that bar — the
+    momentum/reversal factor construction step of any cross-sectional
+    strategy, and a whole-panel operator the reference's
+    one-frame-per-instrument model cannot express.
+
+    Plan: one per-symbol window pass for the return (hash(symbol)
+    shuffle), then one per-timestamp ranking pass (hash(ts) shuffle) —
+    the two orthogonal partitionings a panel op inherently needs; both
+    key on high-cardinality uniform columns at scale. First-bar rows
+    (NULL return) are excluded BEFORE ranking: Spark orders NULLS FIRST
+    ascending where DuckDB defaults NULLS LAST, so keeping them would
+    make ranks engine-dependent. Ties break by symbol, making ranks
+    unique and the percentile deterministic."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    ret = F.col("close") / F.lag("close").over(ws) - 1
+    r = bars.select("symbol", "ts", ret.alias("ret_1")).filter(
+        F.col("ret_1").isNotNull()
+    )
+    wt = Window.partitionBy("ts").orderBy("ret_1", "symbol")
+    wn = Window.partitionBy("ts")
+    n = F.count(F.lit(1)).over(wn)
+    rk = F.row_number().over(wt)
+    pct = F.when(n > 1, (rk - 1).cast("double") / (n - 1).cast("double")) \
+        .otherwise(F.lit(0.5))
+    return r.select(
+        "symbol", "ts", round_col(F.col("ret_1")).alias("ret_1"),
+        rk.cast("long").alias("xsec_rank"),
+        n.cast("long").alias("n_xsec"),
+        round_col(pct).alias("xsec_pct"),
+    )
+
+
+XSEC_RANK_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           close / lag(close) OVER (PARTITION BY symbol ORDER BY ts) - 1
+               AS ret_1
+    FROM bars
+),
+nn AS (SELECT * FROM r WHERE ret_1 IS NOT NULL)
+SELECT symbol, ts, {sql_round('ret_1')} AS ret_1,
+       CAST(row_number() OVER (PARTITION BY ts ORDER BY ret_1, symbol)
+            AS BIGINT) AS xsec_rank,
+       CAST(count(*) OVER (PARTITION BY ts) AS BIGINT) AS n_xsec,
+       {sql_round('''CASE WHEN count(*) OVER (PARTITION BY ts) > 1
+            THEN CAST(row_number() OVER (PARTITION BY ts
+                                         ORDER BY ret_1, symbol) - 1
+                      AS DOUBLE)
+                 / CAST(count(*) OVER (PARTITION BY ts) - 1 AS DOUBLE)
+            ELSE 0.5 END''')} AS xsec_pct
+FROM nn
+""".strip())
+
+
 BT_FAST, BT_SLOW = 8, 21
 
 
@@ -708,6 +765,7 @@ FROM acc
 
 SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
+    "xsec_rank_ret1": ExtQuery(_xsec_rank, XSEC_RANK_SQL),
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
     "bars_15m": ExtQuery(_bars_15m, _bars_15m_oracle()),
     "series_integrity": ExtQuery(_series_integrity, SERIES_INTEGRITY_SQL),
