@@ -1364,3 +1364,79 @@ def test_sessionize_property_vs_pandas(spark):
         assert (got["session_end"] == want["session_end"]).all()
 
     check()
+
+
+def test_expression_lookback_classifies_every_registry_op(spark):
+    """The chunk-contract introspection must classify EVERY suite
+    indicator without crashing: kernel ops carry their own contract
+    (carry_rows), expression ops must parse to a bounded depth or be
+    explicitly unbounded — no op may silently fall through."""
+    from pandas_ta_spark.plans.strategy import expression_lookback
+    from pandas_ta_spark.registry import _SUITE
+
+    n_bounded = n_unbounded = n_kernel = 0
+    for key, fac in _SUITE.items():
+        ind = fac()
+        d = expression_lookback(ind)
+        if ind.kernel is not None:
+            n_kernel += 1
+            continue
+        if d is None:
+            n_unbounded += 1
+        else:
+            assert 0 <= d < 10_000, (key, d)
+            n_bounded += 1
+    # sanity: all three classes are populated, and most expression ops
+    # are bounded (the chunkable common case)
+    assert n_kernel > 50
+    assert n_bounded > 40
+    assert n_unbounded > 5
+    assert n_bounded > n_unbounded
+
+
+def test_chunked_strategy_property_parity(spark):
+    """Property-based twin of the fixed-config chunked parity tests:
+    random chunk sizes, lookbacks and indicator subsets must reproduce
+    the unchunked plan bit-for-bit whenever the contract holds (depth <=
+    lookback, every non-final chunk >= lookback rows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.operators import momentum, overlap, statistics, volatility
+    from pandas_ta_spark.plans.strategy import apply_strategy, apply_strategy_chunked
+
+    pool = [lambda: overlap.sma(20), lambda: overlap.wma(10),
+            lambda: statistics.stdev(30), lambda: volatility.donchian(20),
+            lambda: momentum.roc(10), lambda: momentum.mom(10),
+            lambda: overlap.trima(10), lambda: momentum.willr(14)]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        idx = sorted(rng.choice(len(pool), size=3, replace=False))
+        inds = [pool[i]() for i in idx]
+        chunk_days = int(rng.integers(2, 6))
+        lookback = int(rng.integers(30, min(40, chunk_days * 24)))
+        from tests.conftest import make_pdf
+
+        pdf = pd.concat([make_pdf(260, int(rng.integers(0, 100)), "A"),
+                         make_pdf(200, int(rng.integers(0, 100)), "B")],
+                        ignore_index=True)
+        bars = spark.createDataFrame(pdf).repartition(4)
+        plain = (apply_strategy(bars, inds).toPandas()
+                 .sort_values(["symbol", "ts"]).reset_index(drop=True))
+        chunked = (apply_strategy_chunked(bars, inds, lookback=lookback,
+                                          chunk=f"{chunk_days} days")
+                   .toPandas().sort_values(["symbol", "ts"])
+                   .reset_index(drop=True))
+        assert len(plain) == len(chunked)
+        for c in plain.columns:
+            a, b = plain[c], chunked[c]
+            if a.dtype == object or c in ("symbol", "ts"):
+                assert (a == b).all(), c
+            else:
+                assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+    check()
