@@ -197,7 +197,7 @@ GROUP BY 1, 2
 """.strip()
 
 
-# Correctness-gate cache: the driver runs ~166 queries against the SAME
+# Correctness-gate cache: the driver runs ~200 queries against the SAME
 # derived bars table; re-running the events scan+agg per query dominates
 # gate wall time. An eager localCheckpoint materializes the derivation
 # once per (applicationId, sf_dir) and truncates lineage, so each gate
