@@ -6,7 +6,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_split_assign,
     stream_token_rate,
 )
-from pandas_ta_spark.streaming.ann import stream_topk_ivf
+from pandas_ta_spark.streaming.ann import stream_topk_ivf, stream_topk_ivfpq
 from pandas_ta_spark.streaming.sessions import stream_sessions
 from pandas_ta_spark.streaming.indicators import (
     stream_bars,
@@ -21,4 +21,5 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
            "stream_dedup_exact", "stream_neardup_candidates",
            "stream_quality_keep", "stream_quality_lr_keep", "stream_token_rate",
-           "stream_split_assign", "stream_sessions", "stream_topk_ivf"]
+           "stream_split_assign", "stream_sessions", "stream_topk_ivf",
+           "stream_topk_ivfpq"]

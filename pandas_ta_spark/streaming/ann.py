@@ -31,6 +31,61 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _probed_queries(queries: DataFrame, centn) -> DataFrame:
+    """Normalize the query stream and attach its NPROBE nearest centroid
+    ids, as ONE expression over the K collected centroid literals: sort
+    ascending by (-score, centroid_id) == score DESC, id ASC — the batch
+    tie-break. Shared by the IVF and IVF-PQ streaming servers so probe
+    selection cannot drift between them."""
+    from pandas_ta_spark.ext.similarity import NPROBE, _dot_str
+
+    q = queries.select(
+        "query_id",
+        "ingest_ts",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qe"),
+    )
+    q = q.withColumn("qn", F.sqrt(F.expr(_dot_str("qe", "qe"))))
+    cents = sorted(centn.collect(), key=lambda r: r["centroid_id"])
+    probe_structs = []
+    for r in cents:
+        dot = " + ".join(
+            f"qe[{i}] * CAST({float(r['ce'][i])!r} AS DOUBLE)"
+            for i in range(len(r["ce"]))
+        )
+        score = f"(({dot}) / (qn * CAST({float(r['cn'])!r} AS DOUBLE)))"
+        probe_structs.append(
+            f"struct(-({score}) AS negscore, {int(r['centroid_id'])}L AS cid)"
+        )
+    probes = F.expr(
+        "slice(array_sort(array(" + ", ".join(probe_structs) + f")), 1, {NPROBE})"
+    )
+    return (
+        q.withColumn("p", F.explode(probes))
+        .select("query_id", "ingest_ts", "qe", "qn",
+                F.col("p.cid").alias("centroid_id"))
+    )
+
+
+def _topk_fold(scored: DataFrame, score_col: str, window: str,
+               watermark: str, k: int):
+    """Watermarked per-(event-time window, query) top-k: ascending sort
+    of (-score, match_id) structs == score DESC, match_id ASC — the
+    batch row_number tie-break. Works for double and exact-integer
+    scores alike (negation is exact for both)."""
+    return (
+        scored.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "query_id")
+        .agg(F.collect_list(
+            F.struct((-F.col(score_col)).alias("negscore"), "match_id")
+        ).alias("cands"))
+        .select(
+            F.col("w.start").alias("window_start"), "query_id",
+            F.posexplode(F.slice(F.array_sort("cands"), 1, k))
+            .alias("pos", "c"),
+        )
+    )
+
+
 def stream_topk_ivf(
     queries: DataFrame,
     spark: SparkSession,
@@ -50,41 +105,11 @@ def stream_topk_ivf(
     gate op (a corpus vector with the same id is excluded as a
     self-match); external serving should namespace query ids disjointly,
     which makes the exclusion inert."""
-    from pandas_ta_spark.ext.similarity import (
-        NPROBE, TOP_K, _dot_str, _ivf_lists,
-    )
+    from pandas_ta_spark.ext.similarity import TOP_K, _dot_str, _ivf_lists
 
     v, centn, lists = _ivf_lists(spark, sf_dir)
 
-    q = queries.select(
-        "query_id",
-        "ingest_ts",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qe"),
-    )
-    q = q.withColumn("qn", F.sqrt(F.expr(_dot_str("qe", "qe"))))
-
-    # NPROBE nearest centroids per streamed query, as ONE expression over
-    # the K collected centroid literals: sort ascending by
-    # (-score, centroid_id) == score DESC, id ASC — the batch tie-break.
-    cents = sorted(centn.collect(), key=lambda r: r["centroid_id"])
-    probe_structs = []
-    for r in cents:
-        dot = " + ".join(
-            f"qe[{i}] * CAST({float(r['ce'][i])!r} AS DOUBLE)"
-            for i in range(len(r["ce"]))
-        )
-        score = f"(({dot}) / (qn * CAST({float(r['cn'])!r} AS DOUBLE)))"
-        probe_structs.append(
-            f"struct(-({score}) AS negscore, {int(r['centroid_id'])}L AS cid)"
-        )
-    probes = F.expr(
-        "slice(array_sort(array(" + ", ".join(probe_structs) + f")), 1, {NPROBE})"
-    )
-    probed = (
-        q.withColumn("p", F.explode(probes))
-        .select("query_id", "ingest_ts", "qe", "qn",
-                F.col("p.cid").alias("centroid_id"))
-    )
+    probed = _probed_queries(queries, centn)
 
     # stream-static joins: inverted lists supply candidate ids, the
     # vector relation supplies candidate embeddings; scoring is the
@@ -103,23 +128,101 @@ def stream_topk_ivf(
         )
     )
 
-    # top-k fold per (event-time window, query): ascending sort of
-    # (-score, match_id) structs == score DESC, match_id ASC
-    folded = (
-        scored.withWatermark("ingest_ts", watermark)
-        .groupBy(F.window("ingest_ts", window).alias("w"), "query_id")
-        .agg(F.collect_list(
-            F.struct((-F.col("score")).alias("negscore"), "match_id")
-        ).alias("cands"))
-        .select(
-            F.col("w.start").alias("window_start"), "query_id",
-            F.posexplode(F.slice(F.array_sort("cands"), 1, TOP_K))
-            .alias("pos", "c"),
-        )
-    )
+    folded = _topk_fold(scored, "score", window, watermark, TOP_K)
     return folded.select(
         "window_start", "query_id",
         F.col("c.match_id").alias("match_id"),
         (F.col("pos") + 1).alias("rank"),
         (F.floor(-F.col("c.negscore") * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+    )
+
+
+def stream_topk_ivfpq(
+    queries: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """IVF-PQ serving on a query stream — the FAISS IndexIVFPQ shape as
+    a continuous query, bit-identical to the batch `_topk_ivfpq`.
+
+    Where the batch op joins a per-query LUT relation, the stream
+    computes each query's ADC lookup table AS AN EXPRESSION over the
+    collected codebook literals ("codebooks live in server memory"):
+    lut[m][code] = floor(dot(qsub_m, cv_{m,code}) * 1e6 + 0.5) as exact
+    integers. Candidates come from the probed inverted lists joined to a
+    CODE-WIDE static relation (vec_id -> array of M_SUB codes), so a
+    candidate's full ADC score is ONE zip_with/aggregate over integers —
+    no per-(query, match, m) aggregation state at all, and the only
+    stateful operator is the final top-k fold. Scan cost is the IVF-PQ
+    promise: ~NPROBE/K of the corpus, M_SUB integer lookups each, no
+    full-dimension vector math in the serving path."""
+    from pandas_ta_spark.ext.similarity import (
+        K_PQ, M_SUB, SUB_DIM, TOP_K, _ivf_lists, _pq_index,
+    )
+
+    v, centn, lists = _ivf_lists(spark, sf_dir)
+    _, sub, cb, codes = _pq_index(spark, sf_dir)
+
+    probed = _probed_queries(queries, centn)
+
+    # per-query LUT as ONE expression over codebook literals: for each
+    # subspace m an array indexed BY CODE (absent codes — dropped empty
+    # clusters — fill 0; they never appear in any candidate's codes).
+    # The inner dot mirrors _pq_lut exactly: 0.0 + sv[0]*cv[0] + ...
+    # with sv[d] = qe[m*SUB_DIM+d]/qn, then floor(*1e6+0.5) to BIGINT.
+    cbrows = {(r["m"], r["code"]): r["cv"] for r in cb.collect()}
+    per_m = []
+    for m in range(M_SUB):
+        per_code = []
+        for code in range(K_PQ):
+            cv = cbrows.get((m, code))
+            if cv is None:
+                per_code.append("CAST(0 AS BIGINT)")
+                continue
+            dot = "0.0" + "".join(
+                f" + (qe[{m * SUB_DIM + d}] / qn)"
+                f" * CAST({float(cv[d])!r} AS DOUBLE)"
+                for d in range(SUB_DIM)
+            )
+            per_code.append(
+                f"CAST(floor(({dot}) * 1e6 + 0.5) AS BIGINT)")
+        per_m.append("array(" + ", ".join(per_code) + ")")
+    lut = F.expr("array(" + ", ".join(per_m) + ")")
+
+    # static code-wide relation: vec_id -> [code_0 .. code_{M_SUB-1}]
+    codes_wide = (
+        codes.groupBy("vec_id")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(m, code))),"
+            " x -> x.code) AS mcodes"
+        ))
+    )
+
+    cands = (
+        probed.withColumn("lut", lut)
+        .join(lists, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "ingest_ts", "lut",
+                F.col("vec_id").alias("match_id"))
+        .join(codes_wide.withColumnRenamed("vec_id", "match_id"), "match_id")
+    )
+    # exact-integer ADC: sum over subspaces of lut[m][codes[m]] — a pure
+    # expression, order-independent integer addition == the batch sum
+    scored = cands.select(
+        "query_id", "ingest_ts", "match_id",
+        F.expr(
+            "aggregate(zip_with(lut, mcodes, (l, c) -> l[c]),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("score6"),
+    )
+
+    folded = _topk_fold(scored, "score6", window, watermark, TOP_K)
+    return folded.select(
+        "window_start", "query_id",
+        F.col("c.match_id").alias("match_id"),
+        (F.col("pos") + 1).alias("rank"),
+        (-F.col("c.negscore") / F.lit(1e6)).alias("score"),
     )

@@ -730,3 +730,58 @@ def test_streaming_topk_ivf_matches_batch(spark, tmp_path):
     for c in ("query_id", "match_id", "rank"):
         assert got[c].tolist() == batch[c].tolist(), c
     assert got["score"].tolist() == batch["score"].tolist()  # bit-identical
+
+
+def test_streaming_topk_ivfpq_matches_batch(spark, tmp_path):
+    """The streaming IVF-PQ server (expression LUT over codebook
+    literals + code-wide candidates) must emit BIT-IDENTICAL top-k rows
+    to the batch _topk_ivfpq — exact-integer ADC scores included."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import N_QUERIES, SUITE
+    from pandas_ta_spark.streaming import stream_topk_ivfpq
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["topk_cosine_ivfpq"].query(spark, sf_dir).toPandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(f"vec_id < {N_QUERIES}")
+           .select("vec_id", "embedding").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    q = pd.DataFrame({
+        "query_id": emb["vec_id"],
+        "embedding": emb["embedding"],
+        "ingest_ts": ts,
+    })
+    flusher = pd.DataFrame({
+        "query_id": [9999],
+        "embedding": [emb["embedding"].iloc[0]],
+        "ingest_ts": [ts + pd.Timedelta(hours=4)],
+    })
+    src = tmp_path / "qpq_src"
+    src.mkdir()
+    for df, name in ((q, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("query_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_topk_ivfpq(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("annpq_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT query_id, match_id, rank, score FROM annpq_stream")
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    for c in ("query_id", "match_id", "rank"):
+        assert got[c].tolist() == batch[c].tolist(), c
+    assert got["score"].tolist() == batch["score"].tolist()  # exact ints / 1e6
