@@ -426,6 +426,85 @@ def _xsec_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XSEC_SCALE = 1e6   # quantization for order-independent cross-symbol sums
+XSEC_WINSOR = 10.0  # +-1000% return clamp BEFORE standardizing — the
+                    # standard factor-construction winsorization, and what
+                    # keeps q and q*q inside BIGINT (the r6 BETA_SCALE
+                    # overflow lesson: raw bar returns reach 1e3+ when a
+                    # close passes near zero, and (ret*1e6)^2 overflows)
+
+
+def _xsec_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional z-score of the 1-bar return: how extreme each
+    symbol's move is relative to the panel AT THAT TIMESTAMP — the
+    standardization step between raw returns and a factor model.
+
+    Returns are WINSORIZED at +-XSEC_WINSOR before standardizing (the
+    standard factor-construction step: a single near-zero close would
+    otherwise own the panel's variance); the raw return is still
+    reported. Determinism across engines AND partitionings: the
+    per-timestamp moment sums aggregate 1e6-quantized BIGINTs (integer
+    addition is order-independent, so Spark's partial-agg merge order
+    and DuckDB agree exactly), then mean/std/z derive through one shared
+    double expression chain. Degenerate panels (n < 2 or zero variance)
+    emit NULL, identically on both sides."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    ret = F.col("close") / F.lag("close").over(ws) - 1
+    r = bars.select("symbol", "ts", ret.alias("ret_1")).filter(
+        F.col("ret_1").isNotNull()
+    )
+    wret = F.least(F.greatest(F.col("ret_1"), F.lit(-XSEC_WINSOR)),
+                   F.lit(XSEC_WINSOR))
+    q = F.floor(wret * F.lit(XSEC_SCALE) + F.lit(0.5)).cast("long")
+    wt = Window.partitionBy("ts")
+    rq = r.withColumn("q", q)
+    s1 = F.sum("q").over(wt).cast("double")
+    s2 = F.sum(F.col("q") * F.col("q")).over(wt).cast("double")
+    nd = F.count(F.lit(1)).over(wt).cast("double")
+    var = (s2 - s1 * s1 / nd) / (nd - F.lit(1.0))
+    z = F.when(
+        (nd > 1) & (var > 0),
+        (F.col("q").cast("double") - s1 / nd) / F.sqrt(var),
+    )
+    return rq.select(
+        "symbol", "ts", round_col(F.col("ret_1")).alias("ret_1"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n_xsec"),
+        round_col(z).alias("xsec_z"),
+    )
+
+
+XSEC_ZSCORE_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           close / lag(close) OVER (PARTITION BY symbol ORDER BY ts) - 1
+               AS ret_1
+    FROM bars
+),
+nn AS (
+    SELECT symbol, ts, ret_1,
+           CAST(floor(least(greatest(ret_1, -{XSEC_WINSOR!r}),
+                            {XSEC_WINSOR!r}) * {XSEC_SCALE!r} + 0.5)
+                AS BIGINT) AS q
+    FROM r WHERE ret_1 IS NOT NULL
+),
+m AS (
+    SELECT symbol, ts, ret_1, q,
+           CAST(sum(q) OVER (PARTITION BY ts) AS DOUBLE) AS s1,
+           CAST(sum(q * q) OVER (PARTITION BY ts) AS DOUBLE) AS s2,
+           CAST(count(*) OVER (PARTITION BY ts) AS DOUBLE) AS nd,
+           CAST(count(*) OVER (PARTITION BY ts) AS BIGINT) AS n_xsec
+    FROM nn
+)
+SELECT symbol, ts, {sql_round('ret_1')} AS ret_1, n_xsec,
+       {sql_round('''CASE WHEN nd > 1
+             AND (s2 - s1 * s1 / nd) / (nd - 1.0) > 0
+            THEN (CAST(q AS DOUBLE) - s1 / nd)
+                 / sqrt((s2 - s1 * s1 / nd) / (nd - 1.0)) END''')} AS xsec_z
+FROM m
+""".strip())
+
+
 XSEC_RANK_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
@@ -766,6 +845,7 @@ FROM acc
 SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
     "xsec_rank_ret1": ExtQuery(_xsec_rank, XSEC_RANK_SQL),
+    "xsec_zscore_ret1": ExtQuery(_xsec_zscore, XSEC_ZSCORE_SQL),
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),
     "bars_15m": ExtQuery(_bars_15m, _bars_15m_oracle()),
     "series_integrity": ExtQuery(_series_integrity, SERIES_INTEGRITY_SQL),
