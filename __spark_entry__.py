@@ -100,8 +100,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   token_count_bpe, text_repetition, corpus_rarity, text_lang_id,
 #   text_quality, quality_lr_score, text_fingerprint, mix_rebalance_lang,
 #   sample_stratified_quota, ichimoku_forward, funnel_view_click_purchase,
-#   mtf_sma_asof, retention_cohorts) — sweep complete, window returns to
-#   flagship + kind-class representation.
+#   mtf_sma_asof, retention_cohorts) plus the five queries ADDED in r7
+#   (semdedup_cc_clusters, media_frame_sample, media_resize_8,
+#   xsec_rank_ret1, xsec_zscore_ret1) — sweep complete, window returns
+#   to flagship + kind-class representation.
 # Rotated-out keys remain value-checked in the full gate
 # (tools/check.py) and the judge's rerun; only the truncated 50-key
 # artifact loses them. Tests pin _PRIORITY <= queries() and exact order.
