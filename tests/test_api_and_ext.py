@@ -1440,3 +1440,70 @@ def test_chunked_strategy_property_parity(spark):
                 assert ((a == b) | (a.isna() & b.isna())).all(), c
 
     check()
+
+
+def test_ticker_parquet_json_resolution(spark, pdf_bars, tmp_path):
+    """ticker() format resolution: parquet wins over csv for the same
+    stem; json-only resolves; all land on the canonical schema."""
+    from pandas_ta_spark.sources.formats import ticker
+
+    vend = tmp_path / "vendor2"
+    vend.mkdir()
+    src = pdf_bars[pdf_bars["symbol"] == "A"]
+    # parquet + a DIFFERENT csv under the same stem: parquet must win
+    src.to_parquet(vend / "AAA.parquet")
+    src.head(3).drop(columns=["symbol"]).to_csv(vend / "AAA.csv", index=False)
+    df = ticker(spark, "aaa", str(vend))
+    assert df.count() == len(src)  # parquet row count, not the 3-row csv
+    # json-only stem
+    (src.drop(columns=["symbol"])
+        .to_json(vend / "BBB.json", orient="records", lines=True,
+                 date_format="iso"))
+    dj = ticker(spark, "BBB", str(vend))
+    assert [f.name for f in dj.schema.fields] == [
+        "symbol", "ts", "open", "high", "low", "close", "volume"]
+    assert dj.count() == len(src)
+    assert dj.select("symbol").distinct().collect()[0][0] == "BBB"
+
+
+def test_resample_bars_property_vs_pandas(spark):
+    """Property-based check of the bars->bars resampler against pandas
+    resample over random panels with missing bars (OHLC semantics:
+    first open / last close / max high / min low / summed volume)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.sources.bars import resample_bars
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        minutes = int(rng.choice([240, 1440]))
+        rows = []
+        t0 = pd.Timestamp("2024-01-01")
+        for sym in ("A", "B"):
+            hours = sorted(rng.choice(np.arange(120), size=60, replace=False))
+            for h in hours:
+                c = float(rng.normal(100, 5))
+                rows.append((sym, t0 + pd.Timedelta(hours=int(h)),
+                             c + 1, c + 2, c - 2, c, float(rng.integers(1, 9))))
+        pdf = pd.DataFrame(rows, columns=["symbol", "ts", "open", "high",
+                                          "low", "close", "volume"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        got = (resample_bars(spark.createDataFrame(pdf), minutes)
+               .toPandas().sort_values(["symbol", "ts"])
+               .reset_index(drop=True))
+        want = (pdf.set_index("ts").groupby("symbol")
+                .resample(f"{minutes}min")
+                .agg({"open": "first", "high": "max", "low": "min",
+                      "close": "last", "volume": "sum"})
+                .dropna().reset_index()
+                .sort_values(["symbol", "ts"]).reset_index(drop=True))
+        assert len(got) == len(want)
+        assert (got["ts"] == want["ts"]).all()
+        for c in ("open", "high", "low", "close", "volume"):
+            assert (got[c] == want[c]).all(), c
+
+    check()
