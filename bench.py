@@ -437,15 +437,16 @@ def main():
         #   session/shuffle cost at this data size (pandas does the same
         #   kernel in 1-6 ms); kernel throughput is what the x20/x100
         #   rows measure (see *_rows_per_sec).
-        # - median_of_last5_of_8: the two headline strategies report the
-        #   steady-state median, not best-of (raw best kept below).
+        # - median_of_last5: the two headline strategies report the
+        #   steady-state median of the last 5 of 10/8 reps, not best-of
+        #   (raw best kept below).
         # - build_plus_first_probe: rep0 of the x10 IVF entry includes
         #   one serving probe; the derived net build cost is
         #   topk_cosine_ivf_x10_build_net_sec.
         "tags": {
             "overhead_bound": ["sma_20", "ema_10", "rsi_14", "bbands_5",
                                "supertrend_7"],
-            "median_of_last5_of_8": sorted(HEADLINES),
+            "median_of_last5": sorted(HEADLINES),
             "build_plus_first_probe": ["topk_cosine_ivf_x10_build"],
         },
         "headline_best": headline_best,
