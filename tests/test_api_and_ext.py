@@ -1507,3 +1507,69 @@ def test_resample_bars_property_vs_pandas(spark):
             assert (got[c] == want[c]).all(), c
 
     check()
+
+
+def test_xsec_ops_property_vs_pandas(spark):
+    """Property-based check of the cross-sectional rank and winsorized
+    z-score against independent pandas groupby computations over random
+    event panels (including sign-flipping values that winsorization must
+    tame)."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.relational import (
+        SUITE, XSEC_SCALE, XSEC_WINSOR,
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        rows = []
+        eid = 0
+        t0 = pd.Timestamp("2024-01-01")
+        for sym in ("a", "b", "c", "d"):
+            # values near zero sometimes -> extreme returns
+            for h in range(40):
+                v = float(rng.normal(10, 8))
+                rows.append((eid, sym, t0 + pd.Timedelta(hours=h), v))
+                eid += 1
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts",
+                                          "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf["user_id"] = 0
+        pdf["props"] = "{}"
+        with tempfile.TemporaryDirectory() as sf:
+            pdf.to_parquet(f"{sf}/events.parquet")
+            rank = (SUITE["xsec_rank_ret1"].query(spark, sf).toPandas()
+                    .sort_values(["ts", "symbol"]).reset_index(drop=True))
+            zs = (SUITE["xsec_zscore_ret1"].query(spark, sf).toPandas()
+                  .sort_values(["ts", "symbol"]).reset_index(drop=True))
+
+        # independent expectation: bars == hourly (one event per hour)
+        b = pdf.rename(columns={"event_type": "symbol", "value": "close"})
+        b = b.sort_values(["symbol", "ts"])
+        b["ret"] = b["close"] / b.groupby("symbol")["close"].shift(1) - 1
+        nn = b.dropna(subset=["ret"]).copy()
+        # rank: (ret, symbol) lexicographic within ts
+        nn = nn.sort_values(["ts", "ret", "symbol"])
+        nn["rk"] = nn.groupby("ts").cumcount() + 1
+        nn["n"] = nn.groupby("ts")["ret"].transform("size")
+        want_rank = nn.sort_values(["ts", "symbol"]).reset_index(drop=True)
+        assert rank["xsec_rank"].tolist() == want_rank["rk"].tolist()
+        assert rank["n_xsec"].tolist() == want_rank["n"].tolist()
+        # z-score: winsorize -> quantize -> sample std
+        nn["q"] = np.floor(np.clip(nn["ret"], -XSEC_WINSOR, XSEC_WINSOR)
+                           * XSEC_SCALE + 0.5)
+        nn2 = nn.sort_values(["ts", "symbol"]).reset_index(drop=True)
+        zexp2 = ((nn2["q"] - nn2.groupby("ts")["q"].transform("mean"))
+                 / nn2.groupby("ts")["q"].transform("std"))
+        sd = nn2.groupby("ts")["q"].transform("std")
+        zexp2 = zexp2.where(sd > 0)
+        a, w = zs["xsec_z"], zexp2
+        assert ((a.isna() & w.isna()) | ((a - w).abs() < 1e-6)).all()
+
+    check()
