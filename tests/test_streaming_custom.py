@@ -785,3 +785,81 @@ def test_streaming_topk_ivfpq_matches_batch(spark, tmp_path):
     for c in ("query_id", "match_id", "rank"):
         assert got[c].tolist() == batch[c].tolist(), c
     assert got["score"].tolist() == batch["score"].tolist()  # exact ints / 1e6
+
+
+def test_streaming_xsec_zscore_matches_batch(spark, tmp_path):
+    """The streaming panel standardization must emit BIT-IDENTICAL rows
+    to the batch xsec_zscore_ret1 when fed the same (symbol, ts, ret_1)
+    stream — even with the panel split ACROSS micro-batches (integer
+    moments are arrival-order-independent)."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_ta_spark.ext.relational import SUITE
+    from pandas_ta_spark.streaming import stream_xsec_zscore
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["xsec_zscore_ret1"].query(spark, sf_dir).toPandas()
+             .sort_values(["ts", "symbol"]).reset_index(drop=True))
+
+    # reconstruct the same per-symbol returns the batch op consumed
+    from pandas_ta_spark.sources.bars import bars_from_events_cached
+    from pyspark.sql import Window, functions as F
+
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    rets = (bars.select(
+        "symbol", "ts",
+        (F.col("close") / F.lag("close").over(ws) - 1).alias("ret_1"))
+        .filter(F.col("ret_1").isNotNull()).toPandas())
+
+    # split each timestamp's panel across TWO files (micro-batches) and
+    # append a late flusher to advance the watermark past every window
+    rets = rets.sort_values(["ts", "symbol"]).reset_index(drop=True)
+    half_a = rets.iloc[::2]
+    half_b = rets.iloc[1::2]
+    # two flusher files: the watermark computed for a batch uses the
+    # PREVIOUS batches' max event time, so emitting the final panel
+    # needs one more batch after the clock-advancing row
+    # the flusher carries a REAL return: parquet NaN is NOT null in
+    # Spark, so a NaN row would slip past isNotNull() with a NULL
+    # quantization — give it a value and drop its symbol from the
+    # comparison instead
+    flusher = pd.DataFrame({
+        "symbol": ["zz"],
+        "ts": [rets["ts"].max() + pd.Timedelta(hours=5)],
+        "ret_1": [0.5],
+    })
+    flusher2 = flusher.assign(ts=flusher["ts"] + pd.Timedelta(hours=1))
+    src = tmp_path / "xsec_src"
+    src.mkdir()
+    for df, name in ((half_a, "a1"), (half_b, "a2"), (flusher, "a3"),
+                     (flusher2, "a4")):
+        d = df.copy()
+        d["ts"] = d["ts"].astype("datetime64[us]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("symbol string, ts timestamp, ret_1 double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_xsec_zscore(stream)
+        .writeStream.format("memory").queryName("xsec_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT symbol, ts, ret_1, n_xsec, xsec_z FROM xsec_stream")
+           .toPandas())
+    got = (got[got["symbol"] != "zz"]
+           .sort_values(["ts", "symbol"]).reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    assert got["symbol"].tolist() == batch["symbol"].tolist()
+    assert (got["ts"] == batch["ts"]).all()
+    assert got["n_xsec"].tolist() == batch["n_xsec"].tolist()
+    for c in ("ret_1", "xsec_z"):
+        a, b = got[c], batch[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c  # bit-identical
