@@ -1,5 +1,6 @@
 from pandas_ta_spark.streaming.corpus import (
     stream_dedup_exact,
+    stream_dedup_vs_corpus,
     stream_neardup_candidates,
     stream_quality_keep,
     stream_quality_lr_keep,
@@ -20,7 +21,8 @@ from pandas_ta_spark.streaming.indicators import (
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
-           "stream_dedup_exact", "stream_neardup_candidates",
+           "stream_dedup_exact", "stream_dedup_vs_corpus",
+           "stream_neardup_candidates",
            "stream_quality_keep", "stream_quality_lr_keep", "stream_token_rate",
            "stream_split_assign", "stream_sessions", "stream_topk_ivf",
            "stream_topk_ivfpq", "stream_xsec_zscore"]

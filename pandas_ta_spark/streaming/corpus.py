@@ -130,6 +130,11 @@ def _band_key_stream_exprs():
     hs = (f"transform({sh}, s -> named_struct("
           "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), "
           "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))")
+    # 60-bit verification-key set — the same md5 slice the batch
+    # collect_set("k") aggregates (ext/dedup._hashed_shingles), so
+    # stream-side Jaccard verification uses bit-identical key sets
+    ks = (f"array_distinct(transform({sh}, s ->"
+          " cast(conv(substring(md5(s), 17, 15), 16, 10) as bigint)))")
     rows_per_band = N_HASHES // N_BANDS
     mh = [
         f"array_min(transform(hs, h -> (h.h1 + {j} * h.h2) % 4294967296))"
@@ -141,7 +146,7 @@ def _band_key_stream_exprs():
             + ")")
         for b in range(N_BANDS)
     ]
-    return hs, bands
+    return hs, bands, ks
 
 
 def stream_neardup_candidates(docs: DataFrame,
@@ -201,7 +206,7 @@ def stream_neardup_candidates(docs: DataFrame,
             "first_doc_id": firsts, "is_candidate": flags,
         })
 
-    hs, bands = _band_key_stream_exprs()
+    hs, bands, _ = _band_key_stream_exprs()
     with_toks = docs.select(
         "doc_id", "ingest_ts",
         F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
@@ -228,4 +233,103 @@ def stream_neardup_candidates(docs: DataFrame,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+# Static corpus dedup index (banded signatures + verification-key sets),
+# built once per (applicationId, sf_dir) — the "existing corpus" side of
+# the online ingestion gate. Same invalidation contract as the ANN
+# caches (ext/similarity._VECS_CACHE): path = corpus version.
+_CORPUS_INDEX_CACHE: dict = {}
+
+
+def _corpus_dedup_index(spark, sf_dir: str):
+    """(band, bkey, corpus_doc_id, corpus_ks, corpus_n) — the banded
+    MinHash index of the static corpus, materialized once per session.
+    Exactly the batch signature machinery (ext/dedup._minhash_sig /
+    _banded), so band keys and key sets match the stream-side stateless
+    expressions bit-for-bit."""
+    from pandas_ta_spark.ckpt import materialize
+    from pandas_ta_spark.ext.dedup import _banded, _minhash_sig
+    from pandas_ta_spark.sources.bars import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CORPUS_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = _minhash_sig(docs.repartition("doc_id"))
+    idx = materialize(
+        _banded(sig).join(
+            sig.select("doc_id", "ks", F.size("ks").alias("corpus_n")),
+            "doc_id")
+        .select("band", "bkey",
+                F.col("doc_id").alias("corpus_doc_id"),
+                F.col("ks").alias("corpus_ks"), "corpus_n")
+    )
+    for stale in [k for k in _CORPUS_INDEX_CACHE if k[0] != key[0]]:
+        del _CORPUS_INDEX_CACHE[stale]
+    _CORPUS_INDEX_CACHE[key] = idx
+    return idx
+
+
+def stream_dedup_vs_corpus(docs: DataFrame, spark, sf_dir: str,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Online ingestion dedup gate: every streamed document is checked
+    against the STATIC reference corpus with full MinHash/LSH + true
+    Jaccard verification — the "is this incoming page already in my
+    training set" deployment (the in-stream variant,
+    `stream_neardup_candidates`, dedups the stream against ITSELF and
+    cannot afford the verify; against a static corpus the key sets live
+    on the index side, so verification is exact).
+
+    Input needs (doc_id, text, ingest_ts). Per streamed row the band
+    keys AND the 60-bit verification-key set are stateless expressions
+    (bit-identical to the batch signature); a stream-static equi-join on
+    (band, bkey) pulls corpus bucket-mates, true Jaccard filters at the
+    batch JACCARD_THRESHOLD, and one dropDuplicatesWithinWatermark
+    collapses multi-band hits of the same (doc, corpus doc) pair. Emits
+    (doc_id, corpus_doc_id, n_inter, jaccard, ingest_ts).
+
+    100 TB shape: the index is corpus-sized but joined on uniform
+    minhash band keys (no skew); per streamed doc the scan touches only
+    its 4 buckets' mates. The only stateful operator is the pair dedup,
+    keyed on (doc_id, corpus_doc_id) with watermark eviction."""
+    from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
+
+    idx = _corpus_dedup_index(spark, sf_dir)
+    hs, bands, ks = _band_key_stream_exprs()
+    with_sig = (
+        docs.select(
+            "doc_id", "ingest_ts",
+            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= SHINGLE_K)
+        .select("doc_id", "ingest_ts", F.expr(hs).alias("hs"),
+                F.expr(ks).alias("ks"))
+    )
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.expr(expr).alias("bkey"))
+        for b, expr in bands
+    ])
+    banded = (
+        with_sig.select("doc_id", "ingest_ts", "ks",
+                        F.explode(band_structs).alias("p"))
+        .select("doc_id", "ingest_ts", "ks", "p.band", "p.bkey")
+    )
+    n_inter = F.size(F.array_intersect("ks", "corpus_ks")).cast("long")
+    matched = (
+        banded.join(idx, ["band", "bkey"])
+        .select(
+            "doc_id", "ingest_ts", "corpus_doc_id",
+            n_inter.alias("n_inter"),
+            (n_inter / (F.size("ks") + F.col("corpus_n") - n_inter))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return (
+        matched.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
     )

@@ -863,3 +863,62 @@ def test_streaming_xsec_zscore_matches_batch(spark, tmp_path):
     for c in ("ret_1", "xsec_z"):
         a, b = got[c], batch[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c  # bit-identical
+
+
+def test_stream_dedup_vs_corpus_matches_batch_pairs(spark, tmp_path):
+    """The online ingestion gate must reproduce the batch near-dup
+    semantics exactly: streaming the corpus's OWN documents against the
+    static index yields (a) every doc matching itself at jaccard 1.0 and
+    (b) exactly the batch dedup_minhash_lsh pair set (both orientations)
+    with bit-identical jaccard values."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.dedup import SUITE
+    from pandas_ta_spark.streaming import stream_dedup_vs_corpus
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = SUITE["dedup_minhash_lsh"].query(spark, sf_dir).toPandas()
+    batch_pairs = {
+        (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+        for r in batch.itertuples()
+    }
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    docs["ingest_ts"] = ts
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    d = docs.copy()
+    d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+    d.to_parquet(src / "a1.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    qh = (
+        stream_dedup_vs_corpus(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("gate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = spark.sql(
+        "SELECT doc_id, corpus_doc_id, jaccard FROM gate_stream").toPandas()
+
+    self_hits = got[got["doc_id"] == got["corpus_doc_id"]]
+    n_docs_shingleable = len(docs[docs["text"].str.split().str.len() >= 3])
+    assert len(self_hits) == n_docs_shingleable
+    assert (self_hits["jaccard"] == 1.0).all()
+
+    cross = got[got["doc_id"] != got["corpus_doc_id"]]
+    got_pairs = {}
+    for r in cross.itertuples():
+        a, b = sorted((int(r.doc_id), int(r.corpus_doc_id)))
+        got_pairs[(a, b)] = float(r.jaccard)
+    assert set(got_pairs) == set(batch_pairs)
+    for k in batch_pairs:
+        assert got_pairs[k] == batch_pairs[k], k  # bit-identical
+    # both orientations emitted (every streamed doc sees its dup)
+    assert len(cross) == 2 * len(batch_pairs)
