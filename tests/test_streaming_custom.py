@@ -591,7 +591,7 @@ def test_stream_band_keys_match_batch_signature(spark, tmp_path):
 
     from pandas_ta_spark.streaming.corpus import _band_key_stream_exprs
 
-    hs, bands = _band_key_stream_exprs()
+    hs, bands, _ks = _band_key_stream_exprs()
     stream_keys = (
         sdf.select("doc_id",
                    F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"))
