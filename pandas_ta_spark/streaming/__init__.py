@@ -1,4 +1,5 @@
 from pandas_ta_spark.streaming.corpus import (
+    stream_decontamination_gate,
     stream_dedup_exact,
     stream_dedup_vs_corpus,
     stream_neardup_candidates,
@@ -21,6 +22,7 @@ from pandas_ta_spark.streaming.indicators import (
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
+           "stream_decontamination_gate",
            "stream_dedup_exact", "stream_dedup_vs_corpus",
            "stream_neardup_candidates",
            "stream_quality_keep", "stream_quality_lr_keep", "stream_token_rate",

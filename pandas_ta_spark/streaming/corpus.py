@@ -243,21 +243,24 @@ def stream_neardup_candidates(docs: DataFrame,
 _CORPUS_INDEX_CACHE: dict = {}
 
 
-def _corpus_dedup_index(spark, sf_dir: str):
+def _corpus_dedup_index(spark, sf_dir: str, corpus_pred: str | None = None):
     """(band, bkey, corpus_doc_id, corpus_ks, corpus_n) — the banded
-    MinHash index of the static corpus, materialized once per session.
-    Exactly the batch signature machinery (ext/dedup._minhash_sig /
-    _banded), so band keys and key sets match the stream-side stateless
-    expressions bit-for-bit."""
+    MinHash index of the static corpus (optionally restricted by the
+    SQL predicate ``corpus_pred``, e.g. the eval slice), materialized
+    once per session per predicate. Exactly the batch signature
+    machinery (ext/dedup._minhash_sig / _banded), so band keys and key
+    sets match the stream-side stateless expressions bit-for-bit."""
     from pandas_ta_spark.ckpt import materialize
     from pandas_ta_spark.ext.dedup import _banded, _minhash_sig
     from pandas_ta_spark.sources.bars import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, corpus_pred)
     hit = _CORPUS_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if corpus_pred is not None:
+        docs = docs.filter(corpus_pred)
     sig = _minhash_sig(docs.repartition("doc_id"))
     idx = materialize(
         _banded(sig).join(
@@ -274,7 +277,9 @@ def _corpus_dedup_index(spark, sf_dir: str):
 
 
 def stream_dedup_vs_corpus(docs: DataFrame, spark, sf_dir: str,
-                           watermark: str = "2 hours") -> DataFrame:
+                           watermark: str = "2 hours",
+                           corpus_pred: str | None = None,
+                           threshold: float | None = None) -> DataFrame:
     """Online ingestion dedup gate: every streamed document is checked
     against the STATIC reference corpus with full MinHash/LSH + true
     Jaccard verification — the "is this incoming page already in my
@@ -297,7 +302,8 @@ def stream_dedup_vs_corpus(docs: DataFrame, spark, sf_dir: str,
     keyed on (doc_id, corpus_doc_id) with watermark eviction."""
     from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
 
-    idx = _corpus_dedup_index(spark, sf_dir)
+    tau = JACCARD_THRESHOLD if threshold is None else threshold
+    idx = _corpus_dedup_index(spark, sf_dir, corpus_pred)
     hs, bands, ks = _band_key_stream_exprs()
     with_sig = (
         docs.select(
@@ -327,9 +333,29 @@ def stream_dedup_vs_corpus(docs: DataFrame, spark, sf_dir: str,
             (n_inter / (F.size("ks") + F.col("corpus_n") - n_inter))
             .alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= tau)
     )
     return (
         matched.withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["doc_id", "corpus_doc_id"])
+    )
+
+
+def stream_decontamination_gate(docs: DataFrame, spark, sf_dir: str,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Ingestion-time FUZZY benchmark decontamination: every streamed
+    training document is checked against the held-out eval slice's
+    MinHash index at the batch fuzzy threshold — the streaming twin of
+    `contamination_minhash` ("don't train on the test set" enforced at
+    the door instead of in a periodic sweep). Same band keys, key sets
+    and Jaccard as the batch op; emits one row per verified
+    (doc, eval doc) collision."""
+    from pandas_ta_spark.ext.dedup import (
+        FUZZY_CONTAM_THRESHOLD, FUZZY_EVAL_MOD, FUZZY_EVAL_REM,
+    )
+
+    return stream_dedup_vs_corpus(
+        docs, spark, sf_dir, watermark=watermark,
+        corpus_pred=f"doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM}",
+        threshold=FUZZY_CONTAM_THRESHOLD,
     )

@@ -922,3 +922,53 @@ def test_stream_dedup_vs_corpus_matches_batch_pairs(spark, tmp_path):
         assert got_pairs[k] == batch_pairs[k], k  # bit-identical
     # both orientations emitted (every streamed doc sees its dup)
     assert len(cross) == 2 * len(batch_pairs)
+
+
+def test_stream_decontamination_gate_matches_batch(spark, tmp_path):
+    """The ingestion-time decontamination gate must reproduce the batch
+    contamination_minhash results exactly: aggregating the streamed
+    (train doc, eval doc) collisions per train doc gives the same
+    flagged set, hit counts and max jaccard."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.dedup import (
+        FUZZY_EVAL_MOD, FUZZY_EVAL_REM, SUITE,
+    )
+    from pandas_ta_spark.streaming import stream_decontamination_gate
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["contamination_minhash"].query(spark, sf_dir).toPandas()
+             .sort_values("train_id").reset_index(drop=True))
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    train = docs[docs["doc_id"] % FUZZY_EVAL_MOD != FUZZY_EVAL_REM].copy()
+    train["ingest_ts"] = pd.Timestamp("2026-01-01 00:10:00")
+    train["ingest_ts"] = train["ingest_ts"].astype("datetime64[ms]")
+    src = tmp_path / "decon_src"
+    src.mkdir()
+    train.to_parquet(src / "a1.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    qh = (
+        stream_decontamination_gate(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("decon_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = spark.sql(
+        "SELECT doc_id, corpus_doc_id, jaccard FROM decon_stream").toPandas()
+
+    agg = (got.groupby("doc_id")
+           .agg(n_eval_matches=("corpus_doc_id", "size"),
+                max_jaccard=("jaccard", "max"))
+           .reset_index().rename(columns={"doc_id": "train_id"})
+           .sort_values("train_id").reset_index(drop=True))
+    assert len(agg) == len(batch) > 0
+    assert agg["train_id"].tolist() == batch["train_id"].tolist()
+    assert agg["n_eval_matches"].tolist() == batch["n_eval_matches"].tolist()
+    assert agg["max_jaccard"].tolist() == batch["max_jaccard"].tolist()
