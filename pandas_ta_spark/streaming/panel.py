@@ -84,3 +84,48 @@ def stream_xsec_zscore(
         "n_xsec",
         round_col(z).alias("xsec_z"),
     )
+
+
+def stream_xsec_rank(
+    rets: DataFrame,
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-timestamp cross-sectional rank/percentile over a return
+    stream — BIT-IDENTICAL to the batch ``xsec_rank_ret1`` for the same
+    (symbol, ts, ret_1) rows.
+
+    The collected panel is sorted ONCE per timestamp inside the
+    projection by (ret_1, symbol) — the batch row_number ordering — and
+    posexplode assigns the ranks; the percentile derives through the
+    identical double chain ((rank-1)/(n-1), 0.5 for singleton panels).
+    Raw doubles sort identically in any engine, so arrival order and
+    micro-batch splits cannot change the ranking."""
+    from pandas_ta_spark.operators.base import round_col
+
+    panel = (
+        rets.filter(F.col("ret_1").isNotNull())
+        .select("symbol", "ts", "ret_1")
+        .withWatermark("ts", watermark)
+        .groupBy("ts")
+        .agg(F.collect_list(F.struct("ret_1", "symbol")).alias("panel"))
+    )
+    rows = (
+        panel
+        .withColumn("n_xsec", F.size("panel").cast("long"))
+        .select(
+            "ts", "n_xsec",
+            F.posexplode(F.array_sort("panel")).alias("pos", "x"),
+        )
+    )
+    pct = F.when(
+        F.col("n_xsec") > 1,
+        F.col("pos").cast("double") / (F.col("n_xsec") - 1).cast("double"),
+    ).otherwise(F.lit(0.5))
+    return rows.select(
+        F.col("x.symbol").alias("symbol"), "ts",
+        round_col(F.col("x.ret_1")).alias("ret_1"),
+        (F.col("pos") + 1).cast("long").alias("xsec_rank"),
+        "n_xsec",
+        round_col(pct).alias("xsec_pct"),
+    )

@@ -972,3 +972,64 @@ def test_stream_decontamination_gate_matches_batch(spark, tmp_path):
     assert agg["train_id"].tolist() == batch["train_id"].tolist()
     assert agg["n_eval_matches"].tolist() == batch["n_eval_matches"].tolist()
     assert agg["max_jaccard"].tolist() == batch["max_jaccard"].tolist()
+
+
+def test_streaming_xsec_rank_matches_batch(spark, tmp_path):
+    """Streaming cross-sectional rank must emit BIT-IDENTICAL rows to
+    the batch xsec_rank_ret1, panels split across micro-batches."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.relational import SUITE
+    from pandas_ta_spark.streaming import stream_xsec_rank
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["xsec_rank_ret1"].query(spark, sf_dir).toPandas()
+             .sort_values(["ts", "symbol"]).reset_index(drop=True))
+
+    from pandas_ta_spark.sources.bars import bars_from_events_cached
+    from pyspark.sql import Window, functions as F
+
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    rets = (bars.select(
+        "symbol", "ts",
+        (F.col("close") / F.lag("close").over(ws) - 1).alias("ret_1"))
+        .filter(F.col("ret_1").isNotNull()).toPandas()
+        .sort_values(["ts", "symbol"]).reset_index(drop=True))
+    flusher = pd.DataFrame({
+        "symbol": ["zz"],
+        "ts": [rets["ts"].max() + pd.Timedelta(hours=5)],
+        "ret_1": [0.5],
+    })
+    flusher2 = flusher.assign(ts=flusher["ts"] + pd.Timedelta(hours=1))
+    src = tmp_path / "xrank_src"
+    src.mkdir()
+    for df, name in ((rets.iloc[::2], "a1"), (rets.iloc[1::2], "a2"),
+                     (flusher, "a3"), (flusher2, "a4")):
+        d = df.copy()
+        d["ts"] = d["ts"].astype("datetime64[us]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("symbol string, ts timestamp, ret_1 double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_xsec_rank(stream)
+        .writeStream.format("memory").queryName("xrank_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM xrank_stream").toPandas())
+    got = (got[got["symbol"] != "zz"]
+           .sort_values(["ts", "symbol"]).reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    assert got["symbol"].tolist() == batch["symbol"].tolist()
+    assert got["xsec_rank"].tolist() == batch["xsec_rank"].tolist()
+    assert got["n_xsec"].tolist() == batch["n_xsec"].tolist()
+    for c in ("ret_1", "xsec_pct"):
+        a, b = got[c], batch[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
