@@ -17,10 +17,12 @@ build time is reported separately (one-time, session-cached). Mostly
 FIXED micro-batch overhead at these backlog sizes (a few seconds per
 availableNow drain regardless of rows), so treat rows/sec as a floor:
 r7 reference on local[32], sf0.1 backlog — dedup gate 5000 docs in
-6.8s (~740 docs/s), stateless quality filter ~6.2k docs/s, IVF ANN
-200 queries in 7.6s (the 31k-corpus candidate scoring plus ~4s fixed
-cost; rates scale with backlog and corpus partitioning, not with these
-absolute numbers).
+~6s (~800 docs/s; corpus index build 8s one-time), eval-slice
+decontamination gate ~1.3k docs/s (eval index 0.8s), stateless quality
+filter ~6-8k docs/s, IVF and IVF-PQ ANN 200 queries in ~7s each
+(31k-corpus candidate scoring plus ~4s fixed cost), panel z-score
+20k rows / 400 panels in ~2s. Rates scale with backlog size and corpus
+partitioning, not with these absolute numbers.
 """
 
 from __future__ import annotations
@@ -52,7 +54,9 @@ def main() -> None:
 
     from pandas_ta_spark.ext.similarity import N_QUERIES
     from pandas_ta_spark.streaming import (
-        stream_dedup_vs_corpus, stream_quality_keep, stream_topk_ivf,
+        stream_decontamination_gate, stream_dedup_vs_corpus,
+        stream_quality_keep, stream_topk_ivf, stream_topk_ivfpq,
+        stream_xsec_zscore,
     )
     from pandas_ta_spark.streaming.corpus import _corpus_dedup_index
 
@@ -104,6 +108,33 @@ def main() -> None:
     drain(lambda st: stream_topk_ivf(st, spark, SF_DIR),
           q, "query_id long, embedding array<double>, ingest_ts timestamp",
           "ann_ivf", len(q))
+    drain(lambda st: stream_topk_ivfpq(st, spark, SF_DIR),
+          q, "query_id long, embedding array<double>, ingest_ts timestamp",
+          "ann_ivfpq", len(q))
+    from pandas_ta_spark.ext.dedup import FUZZY_EVAL_MOD, FUZZY_EVAL_REM
+
+    t0 = time.time()
+    _corpus_dedup_index(
+        spark, SF_DIR,
+        corpus_pred=f"doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM}")
+    out["decon_index_build_sec"] = round(time.time() - t0, 3)
+    drain(lambda st: stream_decontamination_gate(st, spark, SF_DIR),
+          docs, "doc_id long, text string, ingest_ts timestamp",
+          "decon_gate", len(docs))
+
+    import numpy as np
+    rng = np.random.default_rng(1)
+    n_panel = 20_000
+    panel = pd.DataFrame({
+        "symbol": [f"s{i % 50}" for i in range(n_panel)],
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(np.repeat(np.arange(n_panel // 50), 50), unit="h"),
+        "ret_1": rng.normal(0, 0.01, n_panel),
+    })
+    panel["ts"] = panel["ts"].astype("datetime64[ms]")
+    drain(stream_xsec_zscore,
+          panel, "symbol string, ts timestamp, ret_1 double",
+          "xsec_zscore", len(panel))
 
     print(json.dumps(out))
 
