@@ -304,29 +304,30 @@ def test_entry_contract(spark):
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window
-    # (ADVICE r4) — and the r7 sweep window must hold the 5 flagship
-    # anchors + mcgd_10 + the 44 never-driver-evidenced keys it promises
+    # (ADVICE r4) — and the r8 sweep window must hold the 5 flagship
+    # anchors + the 45 never-driver-evidenced keys it promises
     # (the sweep plan documented above _PRIORITY).
     assert set(E._PRIORITY) <= set(q)
     assert list(q)[: len(E._PRIORITY)] == E._PRIORITY
     assert len(E._PRIORITY) == 50
     first50 = list(q)[:50]
     for must in ("supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
-                 "topk_cosine_ivfpq", "curation_pipeline", "mcgd_10",
+                 "topk_cosine_ivfpq", "curation_pipeline",
                  # one spot-check per swept family
-                 "willr_14", "tos_stdevall", "true_range", "aobv"):
+                 "chop_14", "cdl_doji_10", "above_sma_20",
+                 "dedup_keep_list", "topk_ivf_recall", "media_meta"):
         assert must in first50, must
-    # r7 tranche: everything after the 6 anchors is first-time evidence
+    # r8 tranche: everything after the 5 anchors is first-time evidence
     import json
     seen = set()
-    for rn in range(1, 7):
+    for rn in range(1, 8):
         try:
             seen |= set(json.load(
                 open(f"/root/repo/CORRECTNESS_r0{rn}.json")))
         except FileNotFoundError:
             pass
     if seen:  # artifacts present: the sweep promise is enforceable
-        assert all(k not in seen for k in E._PRIORITY[6:]), (
+        assert all(k not in seen for k in E._PRIORITY[5:]), (
             "sweep window contains already-evidenced keys")
 
 
