@@ -96,10 +96,39 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def same_session_pandas_baseline(sf_dir: str) -> dict:
+    """Re-measure the single-core pandas baseline IN THIS SESSION.
+
+    BASELINE.md's numbers are fixed, but the shared box drifts ±30%
+    between sessions (VERDICT r7 measured it 13-17% slower than the
+    BASELINE.md day), so a ratio against the literal file number
+    conflates engine speed with box weather. Running
+    tools/pandas_baseline.py as a subprocess — BEFORE the Spark JVM
+    exists, so the single-core measure sees an idle box — makes every
+    BENCH_r*.json self-contained evidence for the 2x gate: the artifact
+    carries both sides of the division. ~10s; a failure degrades to
+    ratios=None rather than failing the bench."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "tools/pandas_baseline.py", sf_dir],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 — telemetry, never fatal
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    baseline = same_session_pandas_baseline(sf_dir)
+
     from pyspark.sql import SparkSession
 
     # Partitioning at bench scale (few MB, 5 distinct symbols) needs two
@@ -138,6 +167,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from pandas_ta_spark.ext import SUITE as EXT
+    from pandas_ta_spark.ext.similarity import (
+        _spark_vectors_cached as _vecs_cached,
+    )
     from pandas_ta_spark.plans.strategy import apply_strategy
     from pandas_ta_spark.registry import make
     from pandas_ta_spark.sources.bars import bars_from_events
@@ -210,6 +242,14 @@ def main():
         "text_stats": lambda: EXT["text_stats"].query(spark, sf_dir),
         "pii_scrub": lambda: EXT["pii_scrub"].query(spark, sf_dir),
         "ngram_novelty": lambda: EXT["ngram_novelty"].query(spark, sf_dir),
+        # One-time vector-cache materialization, charged to ITS OWN entry
+        # (VERDICT r7 "what's wrong" #1): _spark_vectors_cached
+        # repartitions + persists the normalized embedding relation once
+        # per session; before this entry existed, the first similarity
+        # query to touch the cache (embedding_quantize_sq, +310% in r7)
+        # silently absorbed the build. Timed ONCE (ONE_SHOT below) — it
+        # is a build, not a query; tagged one_time_build in the JSON.
+        "vecs_cache_build": lambda: _vecs_cached(spark, sf_dir),
         "embedding_quantize_sq": lambda: EXT["embedding_quantize_sq"].query(
             spark, sf_dir),
         "contamination_minhash": lambda: EXT["contamination_minhash"].query(
@@ -242,6 +282,7 @@ def main():
     # no-collision property (5 distinct buckets) at half the empty-task
     # count; salted/replicated variants keep 61 (40-100 real groups).
     HEADLINES = ("tick_strategy_24ind", "tick_strategy_all145ind")
+    ONE_SHOT = ("vecs_cache_build",)  # builds: rep0 IS the number
     QUERY_CONF = {
         "tick_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
         "bars_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
@@ -269,6 +310,8 @@ def main():
                 reps = timed_reps(build, n)
                 tail = sorted(reps[-5:])
                 return round(tail[len(tail) // 2], 3), round(min(reps), 3)
+            if name in ONE_SHOT:
+                return round(timed_reps(build, 1)[0], 3), None
             return round(min(timed_reps(build, 3)), 3), None
         finally:
             for k, v in saved.items():
@@ -448,8 +491,22 @@ def main():
                                "supertrend_7"],
             "median_of_last5": sorted(HEADLINES),
             "build_plus_first_probe": ["topk_cosine_ivf_x10_build"],
+            "one_time_build": list(ONE_SHOT),
         },
         "headline_best": headline_best,
+        # Drift normalization (VERDICT r7 "what's wrong" #2): the
+        # single-core pandas baseline re-measured IN THIS SESSION
+        # (subprocess, before the JVM started) + the headline ratios
+        # computed against it. BASELINE.md's literal numbers stay the
+        # historical record; these make each artifact self-contained for
+        # the 2x gate regardless of box weather.
+        "same_session_baseline": baseline,
+        "ratio_24ind_vs_same_session_pandas": round(
+            times["tick_strategy_24ind"] / baseline["pandas_24ind_sec"], 3)
+        if baseline.get("pandas_24ind_sec") else None,
+        "ratio_all145_vs_same_session_pandas": round(
+            times["tick_strategy_all145ind"] / baseline["pandas_all145_sec"], 3)
+        if baseline.get("pandas_all145_sec") else None,
         "topk_cosine_ivf_x10_build_net_sec": ivf_build_net,
         "bucketed_read": bucketed_read,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
