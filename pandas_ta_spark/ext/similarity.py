@@ -433,6 +433,14 @@ def _train_centroids_numpy(rows) -> list[tuple]:
              if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS]
     assert seed_ids, "seed vectors missing from training collect"
     train_mask = np.array([r["vec_id"] % TRAIN_MOD == 0 for r in rows])
+    # ADVICE r7: a corpus so tiny/sparsely-id'd that no vec_id hits the
+    # TRAIN_MOD stride would otherwise surface as an opaque np.argmax
+    # ValueError over a zero-row score matrix deep in the Lloyd loop.
+    assert train_mask.any(), (
+        f"k-means training sample is empty: no collected vec_id "
+        f"satisfies vec_id % {TRAIN_MOD} == 0 ({len(rows)} rows "
+        f"collected) — corpus too small or ids too sparse for the "
+        f"deterministic training stride")
     Et, nt = E[train_mask], nrm[train_mask]
     q6 = np.floor(Et * 1e6 + 0.5).astype(np.int64)
     for _ in range(LLOYD_ITERS):

@@ -64,6 +64,35 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     return df
 
 
+def _strip_lag_over(s: str) -> str:
+    """Remove every ``lag(<args>) OVER (<clause>)`` segment from ``s``,
+    matching the argument parens with a balanced scan (regex can't bound
+    the nesting depth of generated arithmetic like eom's
+    ``lag(((high + low) / 2), 1)``). Malformed/unclosed parens leave the
+    segment in place — conservative: the survivor's frameless OVER
+    clause then flags the indicator not-chunkable (refusal, never
+    silent divergence)."""
+    out, i = [], 0
+    while True:
+        m = re.search(r"\blag\s*\(", s[i:])
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        start = i + m.start()
+        j = i + m.end()  # first char after the opening paren
+        depth = 1
+        while j < len(s) and depth:
+            depth += {"(": 1, ")": -1}.get(s[j], 0)
+            j += 1
+        tail = re.match(r"\s*OVER\s*\([^()]*\)", s[j:]) if not depth else None
+        if tail is None:  # unbalanced or no OVER: keep the text as-is
+            out.append(s[i:j])
+            i = j
+        else:
+            out.append(s[i:start])
+            i = j + tail.end()
+
+
 def expression_lookback(ind: Indicator):
     """Max rows of history an expression-path indicator's windows read,
     introspected from its SQL twin (ADVICE r6: the chunked contract must
@@ -94,8 +123,24 @@ def expression_lookback(ind: Indicator):
         return 0
     s = " ".join(parts)
     if ("UNBOUNDED PRECEDING" in s or re.search(r"\brow_number\s*\(", s)
-            or re.search(r"\brank\s*\(", s) or re.search(r"\blead\s*\(", s)):
+            or re.search(r"\brank\s*\(", s) or re.search(r"\blead\s*\(", s)
+            # position-dependent regardless of frame (ADVICE r7: \brank\(
+            # can't match after an underscore, so these need own tokens)
+            or re.search(r"\b(percent_rank|dense_rank|ntile|cume_dist)\s*\(", s)):
         return None
+    # Implicit-frame running aggregates (ADVICE r7): `sum(x) OVER
+    # (PARTITION BY s ORDER BY ts)` defaults to RANGE UNBOUNDED
+    # PRECEDING without the literal text the check above looks for.
+    # Strip the frameless-by-design bounded navigation calls
+    # (`lag(...) OVER (...)` — depth counted below) with a balanced-
+    # paren scan (lag args nest arbitrarily deep in generated SQL —
+    # eom's is two levels), then treat ANY remaining ORDER BY
+    # OVER-clause lacking an explicit ROWS frame as unbounded.
+    stripped = _strip_lag_over(s)
+    for m in re.finditer(r"OVER\s*\(([^()]*)\)", stripped):
+        clause = m.group(1).upper()
+        if "ORDER BY" in clause and "ROWS" not in clause:
+            return None
     depth = 0
     for m in re.finditer(r"(\d+)\s+PRECEDING", s):
         depth = max(depth, int(m.group(1)))

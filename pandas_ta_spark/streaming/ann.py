@@ -71,7 +71,17 @@ def _topk_fold(scored: DataFrame, score_col: str, window: str,
     """Watermarked per-(event-time window, query) top-k: ascending sort
     of (-score, match_id) structs == score DESC, match_id ASC — the
     batch row_number tie-break. Works for double and exact-integer
-    scores alike (negation is exact for both)."""
+    scores alike (negation is exact for both).
+
+    Serving contract (ADVICE r7): state is keyed by (window, query_id),
+    so ONE query vector per (window, query_id) gets the batch's
+    one-row-per-rank shape. Resubmitting the SAME vector in the same
+    window is idempotent — duplicate (negscore, match_id) structs are
+    dropped by array_distinct before the slice. Submitting a DIFFERENT
+    vector under a reused query_id inside one window merges its
+    candidates into the same top-k (distinct structs, no basis to pick
+    a winner) — callers wanting per-submission results must namespace
+    query ids per submission."""
     return (
         scored.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window).alias("w"), "query_id")
@@ -80,7 +90,8 @@ def _topk_fold(scored: DataFrame, score_col: str, window: str,
         ).alias("cands"))
         .select(
             F.col("w.start").alias("window_start"), "query_id",
-            F.posexplode(F.slice(F.array_sort("cands"), 1, k))
+            F.posexplode(
+                F.slice(F.array_sort(F.array_distinct("cands")), 1, k))
             .alias("pos", "c"),
         )
     )

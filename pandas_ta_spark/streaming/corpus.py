@@ -349,13 +349,20 @@ def stream_decontamination_gate(docs: DataFrame, spark, sf_dir: str,
     `contamination_minhash` ("don't train on the test set" enforced at
     the door instead of in a periodic sweep). Same band keys, key sets
     and Jaccard as the batch op; emits one row per verified
-    (doc, eval doc) collision."""
+    (doc, eval doc) collision.
+
+    The stream side drops eval-slice doc_ids BEFORE banding (ADVICE r7):
+    the batch op's train side is ``~is_eval``, so without this filter a
+    full-corpus replay would emit eval-vs-eval self-collisions
+    (jaccard 1.0) the batch op never reports. Strict batch parity now
+    holds for ANY stream content, not just pre-split train slices."""
     from pandas_ta_spark.ext.dedup import (
         FUZZY_CONTAM_THRESHOLD, FUZZY_EVAL_MOD, FUZZY_EVAL_REM,
     )
 
     return stream_dedup_vs_corpus(
-        docs, spark, sf_dir, watermark=watermark,
+        docs.filter(f"doc_id % {FUZZY_EVAL_MOD} != {FUZZY_EVAL_REM}"),
+        spark, sf_dir, watermark=watermark,
         corpus_pred=f"doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM}",
         threshold=FUZZY_CONTAM_THRESHOLD,
     )

@@ -1102,6 +1102,43 @@ def test_chunked_strategy_rejects_deep_and_unbounded_expressions(bars):
     assert expression_lookback(trend.decay(5)) is None
 
 
+def test_expression_lookback_catches_framefree_and_rank_family():
+    """ADVICE r7: the unbounded detection must also catch (a) the
+    ranking/distribution family whose names dodge \\brank\\( after an
+    underscore, and (b) implicit-frame running aggregates whose SQL
+    never spells 'UNBOUNDED PRECEDING' — while still counting lag's
+    frameless OVER (bounded navigation, args nested arbitrarily deep,
+    e.g. eom's two-level arithmetic) as its offset."""
+    from pandas_ta_spark.plans.strategy import expression_lookback
+
+    class Fake:
+        kernel = None
+        stages = None
+        final = None
+
+        def __init__(self, sql):
+            self.sql_stages = [{"x": sql}]
+            self.sql_final = None
+
+    over = "OVER (PARTITION BY s ORDER BY ts)"
+    for fn in ("percent_rank()", "dense_rank()", "ntile(4)",
+               "cume_dist()"):
+        assert expression_lookback(Fake(f"{fn} {over}")) is None, fn
+    # implicit frame = RANGE UNBOUNDED PRECEDING: unbounded without the
+    # literal text
+    assert expression_lookback(Fake(f"sum(x) {over}")) is None
+    # bounded navigation stays bounded, nested args and all
+    assert expression_lookback(Fake(f"lag(((a + b) / 2), 3) {over}")) == 3
+    # explicit ROWS frame stays bounded
+    assert expression_lookback(Fake(
+        "avg(x) OVER (PARTITION BY s ORDER BY ts "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)")) == 9
+    # the real two-level-nesting case from the registry
+    from pandas_ta_spark.registry import default_instance
+
+    assert expression_lookback(default_instance("eom_14")) == 13
+
+
 def test_chunked_strategy_validate_flags_undersized_chunk(bars):
     import pytest as _pytest
 

@@ -787,6 +787,67 @@ def test_streaming_topk_ivfpq_matches_batch(spark, tmp_path):
     assert got["score"].tolist() == batch["score"].tolist()  # exact ints / 1e6
 
 
+def test_streaming_topk_ivf_resubmission_idempotent(spark, tmp_path):
+    """ADVICE r7: resubmitting the SAME query vector twice inside one
+    event-time window must not duplicate match_id/rank rows — the
+    (window, query_id) fold drops duplicate candidates (array_distinct)
+    before the slice, so the output equals the single-submission batch
+    shape exactly."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import N_QUERIES, SUITE
+    from pandas_ta_spark.streaming import stream_topk_ivf
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["topk_cosine_ivf"].query(spark, sf_dir).toPandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(f"vec_id < {N_QUERIES}")
+           .select("vec_id", "embedding").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    q = pd.DataFrame({
+        "query_id": emb["vec_id"],
+        "embedding": emb["embedding"],
+        "ingest_ts": ts,
+    })
+    q2 = q.copy()
+    q2["ingest_ts"] = ts + pd.Timedelta(minutes=5)  # same 1h window
+    flusher = pd.DataFrame({
+        "query_id": [9999],
+        "embedding": [emb["embedding"].iloc[0]],
+        "ingest_ts": [ts + pd.Timedelta(hours=4)],
+    })
+    src = tmp_path / "q_src_dup"
+    src.mkdir()
+    for df, name in ((q, "a1"), (q2, "a2"), (flusher, "a3")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("query_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_topk_ivf(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("ann_stream_dup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql(
+        "SELECT query_id, match_id, rank, score FROM ann_stream_dup")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    # one row per (query, rank) — NOT doubled — and identical to batch
+    assert len(got) == len(batch) > 0
+    for c in ("query_id", "match_id", "rank"):
+        assert got[c].tolist() == batch[c].tolist(), c
+    assert got["score"].tolist() == batch["score"].tolist()
+
+
 def test_streaming_xsec_zscore_matches_batch(spark, tmp_path):
     """The streaming panel standardization must emit BIT-IDENTICAL rows
     to the batch xsec_zscore_ret1 when fed the same (symbol, ts, ret_1)
@@ -940,14 +1001,19 @@ def test_stream_decontamination_gate_matches_batch(spark, tmp_path):
     batch = (SUITE["contamination_minhash"].query(spark, sf_dir).toPandas()
              .sort_values("train_id").reset_index(drop=True))
 
+    # Stream the WHOLE corpus, eval slice included (ADVICE r7: the gate
+    # must drop eval-slice doc_ids itself — a full replay used to emit
+    # eval-vs-eval self-collisions the batch op's ~is_eval filter never
+    # reports, and only pre-split streams were tested).
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text").toPandas())
-    train = docs[docs["doc_id"] % FUZZY_EVAL_MOD != FUZZY_EVAL_REM].copy()
-    train["ingest_ts"] = pd.Timestamp("2026-01-01 00:10:00")
-    train["ingest_ts"] = train["ingest_ts"].astype("datetime64[ms]")
+    assert (docs["doc_id"] % FUZZY_EVAL_MOD == FUZZY_EVAL_REM).any()
+    replay = docs.copy()
+    replay["ingest_ts"] = pd.Timestamp("2026-01-01 00:10:00")
+    replay["ingest_ts"] = replay["ingest_ts"].astype("datetime64[ms]")
     src = tmp_path / "decon_src"
     src.mkdir()
-    train.to_parquet(src / "a1.parquet")
+    replay.to_parquet(src / "a1.parquet")
 
     stream = (
         spark.readStream
@@ -962,6 +1028,9 @@ def test_stream_decontamination_gate_matches_batch(spark, tmp_path):
     qh.awaitTermination(180)
     got = spark.sql(
         "SELECT doc_id, corpus_doc_id, jaccard FROM decon_stream").toPandas()
+
+    # no eval-slice doc passed the gate's own train filter
+    assert (got["doc_id"] % FUZZY_EVAL_MOD != FUZZY_EVAL_REM).all()
 
     agg = (got.groupby("doc_id")
            .agg(n_eval_matches=("corpus_doc_id", "size"),
