@@ -10,6 +10,7 @@ from pandas_ta_spark.streaming.corpus import (
 )
 from pandas_ta_spark.streaming.ann import stream_topk_ivf, stream_topk_ivfpq
 from pandas_ta_spark.streaming.panel import stream_xsec_rank, stream_xsec_zscore
+from pandas_ta_spark.streaming.relational import stream_asof_attach
 from pandas_ta_spark.streaming.sessions import stream_sessions
 from pandas_ta_spark.streaming.indicators import (
     stream_bars,
@@ -27,4 +28,5 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "stream_neardup_candidates",
            "stream_quality_keep", "stream_quality_lr_keep", "stream_token_rate",
            "stream_split_assign", "stream_sessions", "stream_topk_ivf",
-           "stream_topk_ivfpq", "stream_xsec_rank", "stream_xsec_zscore"]
+           "stream_topk_ivfpq", "stream_xsec_rank", "stream_xsec_zscore",
+           "stream_asof_attach"]

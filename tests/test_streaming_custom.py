@@ -1102,3 +1102,73 @@ def test_streaming_xsec_rank_matches_batch(spark, tmp_path):
     for c in ("ret_1", "xsec_pct"):
         a, b = got[c], batch[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_stream_asof_attach_matches_batch(spark, tmp_path):
+    """The stateless point-in-time attach (validity-interval lookup +
+    stream-static equi-join) must reproduce the batch union-and-carry
+    asof_join bit-for-bit: same matched bar per event — including events
+    before the first bar (NULL bar) and events past the last bar (clamp
+    to the final bar) — with events split across micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.ext.relational import asof_join
+    from pandas_ta_spark.sources.bars import bars_from_events_cached, load_table
+    from pandas_ta_spark.streaming import stream_asof_attach
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("symbol"), "ts", "value")
+    bars = bars_from_events_cached(spark, sf_dir)
+    batch = (asof_join(ev, bars).toPandas()
+             .sort_values("event_id").reset_index(drop=True))
+
+    epd = ev.toPandas()
+    # exercise the clamp path: an event one day past the last bar
+    late = pd.DataFrame({
+        "event_id": [10_000_001],
+        "symbol": [epd["symbol"].iloc[0]],
+        "ts": [epd["ts"].max() + pd.Timedelta(days=1)],
+        "value": [1.0],
+    })
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    for df, name in ((epd.iloc[::2], "a1"), (epd.iloc[1::2], "a2"),
+                     (late, "a3")):
+        d = df.copy()
+        d["ts"] = d["ts"].astype("datetime64[us]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, symbol string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_asof_attach(stream, bars)
+        .writeStream.format("memory").queryName("asof_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM asof_stream").toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    late_row = got[got["event_id"] == 10_000_001]
+    got = got[got["event_id"] != 10_000_001].reset_index(drop=True)
+
+    assert len(got) == len(batch) > 0
+    assert got["event_id"].tolist() == batch["event_id"].tolist()
+    assert got["symbol"].tolist() == batch["symbol"].tolist()
+    for c in ("bar_ts", "bar_close"):
+        a, b = got[c], batch[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    # batch has NULL-bar rows (events in the first hour) — the stream
+    # must reproduce them as NULLs, not drop them
+    assert batch["bar_ts"].isna().any()
+    # the past-the-end event clamps to the symbol's final bar
+    sym = late["symbol"].iloc[0]
+    final_bar = bars.filter(F.col("symbol") == sym).agg(
+        F.max("ts")).collect()[0][0]
+    assert late_row["bar_ts"].iloc[0] == final_bar
