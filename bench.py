@@ -287,6 +287,13 @@ def main():
         "tick_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
         "bars_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
         "tick_strategy_all145ind": {"spark.sql.shuffle.partitions": "31"},
+        # the sf0.1 vector relation holds 2k keys; 61 shuffle partitions
+        # is ~30 keys/task of pure scheduler overhead across the
+        # stats-broadcast + code-rollup stages (measured isolated:
+        # 1.0s @ 61 -> 0.31s @ 8, identical plan). The same
+        # partition-sizing lever as the 31-partition strategies; at
+        # 100 TB maxPartitionBytes/shuffle sizing replaces the constant.
+        "embedding_quantize_sq": {"spark.sql.shuffle.partitions": "8"},
     }
 
     def timed_reps(build, n):
