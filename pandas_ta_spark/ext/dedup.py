@@ -911,6 +911,33 @@ GROUP BY d.source
 SPAN_W = 20  # tokens per span window
 
 
+def span_relation(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, h[, extra...]): one md5 per sliding SPAN_W-token window.
+
+    The single definition of the span signature, shared by the batch
+    ``dedup_spans`` op, the session span index, and the streaming span
+    gate — stateless per-row expressions, so the streamed hashes are
+    bit-identical to the batch/index ones by construction. Docs shorter
+    than SPAN_W tokens drop out (they have no window; Spark's
+    ``sequence()`` steps DOWNWARD when start > stop, so the filter is
+    the only guard)."""
+    # bind the token array ONCE per row: a lambda referencing the split
+    # expression directly re-splits the text per element (O(tokens^2)
+    # character copying — measured 6x on ngram_novelty)
+    t = docs.select(
+        "doc_id", *extra_cols,
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+    )
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - SPAN_W + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SPAN_W))),
+    )
+    return (
+        t.filter(F.size("toks") >= SPAN_W)
+        .select("doc_id", *extra_cols, F.explode(spans).alias("h"))
+    )
+
+
 def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact SUBSTRING (span) dedup: per document, the fraction of its
     sliding SPAN_W-token windows that also occur in ANOTHER document —
@@ -942,20 +969,6 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path already pays."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "documents")):
-        # bind the token array ONCE per row: a lambda referencing the
-        # split expression directly re-splits the text per element
-        # (O(tokens^2) character copying — measured 6x on ngram_novelty)
-        t = docs.select(
-            "doc_id",
-            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
-        )
-        # NOTE: short docs MUST be excluded by the filter below — Spark's
-        # sequence() steps DOWNWARD when start > stop (sequence(1, 0) is
-        # [1, 0], not empty), so there is no in-expression guard
-        spans = F.transform(
-            F.sequence(F.lit(1), F.size("toks") - SPAN_W + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SPAN_W))),
-        )
         from pyspark import StorageLevel
 
         # the span relation feeds BOTH the owners groupBy and the
@@ -963,11 +976,7 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan+split+slice+md5+explode pipeline for each consumer —
         # the same corpus-read-twice trap _dedup_minhash persists
         # its shingle relation against
-        sp = (
-            t.filter(F.size("toks") >= SPAN_W)
-            .select("doc_id", F.explode(spans).alias("h"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        sp = span_relation(docs).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             n_spans = sp.groupBy("doc_id").agg(
                 F.count(F.lit(1)).alias("n_spans"))

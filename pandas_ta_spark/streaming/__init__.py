@@ -5,6 +5,8 @@ from pandas_ta_spark.streaming.corpus import (
     stream_neardup_candidates,
     stream_quality_keep,
     stream_quality_lr_keep,
+    stream_semdedup_gate,
+    stream_span_dup_gate,
     stream_split_assign,
     stream_token_rate,
 )
@@ -29,4 +31,5 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "stream_quality_keep", "stream_quality_lr_keep", "stream_token_rate",
            "stream_split_assign", "stream_sessions", "stream_topk_ivf",
            "stream_topk_ivfpq", "stream_xsec_rank", "stream_xsec_zscore",
-           "stream_asof_attach"]
+           "stream_asof_attach", "stream_span_dup_gate",
+           "stream_semdedup_gate"]

@@ -366,3 +366,148 @@ def stream_decontamination_gate(docs: DataFrame, spark, sf_dir: str,
         corpus_pred=f"doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM}",
         threshold=FUZZY_CONTAM_THRESHOLD,
     )
+
+
+# ------------------------------------------------ span-level dup gate ----
+
+_SPAN_INDEX_CACHE: dict = {}
+
+
+def _corpus_span_index(spark, sf_dir: str):
+    """(h, n_docs, only_doc) — one row per DISTINCT corpus span hash,
+    materialized once per session: n_docs = distinct corpus owners,
+    only_doc = the single owner when n_docs == 1 (NULL otherwise). The
+    only_doc column is what makes corpus replay exact: a streamed doc's
+    span is a dup iff some OTHER corpus doc owns it, i.e.
+    n_docs >= 2 OR only_doc != doc_id — precisely the batch
+    `dedup_spans` n_docs_with_span >= 2 semantics when the stream IS
+    the corpus, and plain containment (n_docs >= 1) for genuinely new
+    docs. Index size is the distinct-span count; at 100 TB this is the
+    suffix-array-shaped artifact a span-dedup service keeps resident."""
+    from pandas_ta_spark.ckpt import materialize
+    from pandas_ta_spark.ext.dedup import span_relation
+    from pandas_ta_spark.sources.bars import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SPAN_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = span_relation(docs)
+    idx = materialize(
+        sp.groupBy("h").agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.when(F.count_distinct("doc_id") == 1, F.min("doc_id"))
+            .alias("only_doc"),
+        )
+    )
+    for stale in [k for k in _SPAN_INDEX_CACHE if k[0] != key[0]]:
+        del _SPAN_INDEX_CACHE[stale]
+    _SPAN_INDEX_CACHE[key] = idx
+    return idx
+
+
+def stream_span_dup_gate(docs: DataFrame, spark, sf_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Ingestion-time SPAN-level dup telemetry: per streamed document,
+    the fraction of its sliding SPAN_W-token windows already present in
+    the static corpus under another doc_id — the streaming twin of
+    `dedup_spans` (Lee et al. 2022 span dedup enforced at the door:
+    a boilerplate paragraph shared with the corpus flags even when the
+    document as a whole is novel).
+
+    Input needs (doc_id, text, ingest_ts). Per streamed row the span
+    hashes are stateless expressions (`span_relation`, bit-identical to
+    the index build); a stream-static LEFT join on the uniform hash key
+    marks containment, and one watermarked per-(window, doc) aggregation
+    folds the verdicts. Emits (window_start, doc_id, n_spans,
+    n_dup_spans, dup_span_frac); docs shorter than SPAN_W tokens have no
+    spans and emit nothing (as batch). Replaying the corpus through the
+    gate reproduces the batch dup_span_frac exactly (parity-tested).
+
+    100 TB shape: the index is distinct-span-sized but joined on a
+    uniform md5 key (no skew); state is one counter pair per in-flight
+    (window, doc), watermark-evicted."""
+    from pandas_ta_spark.ext.dedup import span_relation
+
+    sp = span_relation(docs, "ingest_ts")
+    idx = _corpus_span_index(spark, sf_dir)
+    dup = (
+        (F.col("n_docs") >= 2)
+        | ((F.col("n_docs") == 1) & (F.col("only_doc") != F.col("doc_id")))
+    )
+    marked = (
+        sp.join(idx, "h", "left")
+        .select("doc_id", "ingest_ts",
+                F.coalesce(dup, F.lit(False)).cast("int").alias("dup"))
+    )
+    return (
+        marked.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum("dup").alias("n_dup_spans"))
+        .select(
+            F.col("w.start").alias("window_start"), "doc_id",
+            "n_spans", "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_frac"),
+        )
+    )
+
+
+# -------------------------------------------- embedding (SemDeDup) gate ----
+
+def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
+                         threshold: float = 0.99) -> DataFrame:
+    """Ingestion-time SEMANTIC dedup: every streamed embedding is checked
+    against the static corpus via the hyperplane-LSH bucket index with
+    EXACT cosine verification — the streaming twin of
+    `neardup_cosine_lsh` (SemDeDup at the door: a paraphrased or
+    re-encoded copy that exact/MinHash gates miss still collides in
+    embedding space).
+
+    Input needs (vec_id, embedding array<float/double>, ingest_ts).
+    Fully STATELESS: the bucket signature is one per-row expression
+    (`_bucket_expr`, bit-identical to the batch bucketing), candidates
+    come from a stream-static equi-join on the single bucket key, and
+    the exact cosine (same left-associated dot as batch) filters at
+    ``threshold``. One vector lives in exactly one bucket, so no
+    multi-band pair dedup is needed — no watermark, no state store.
+    Emits (vec_id, corpus_vec_id, score, ingest_ts), score fixed-point
+    rounded exactly as the batch pair op; a corpus vector with the same
+    id is excluded as a self-match (replay parity).
+
+    100 TB shape: bucket keys are uniform sign-bit strings (2^N_PLANES
+    buckets); per streamed vector the join touches one bucket's corpus
+    list. Recall matches the batch op's by construction — identical
+    bucketing, so identical candidate sets."""
+    from pandas_ta_spark.ext.similarity import (
+        _bucket_expr, _spark_dot, _spark_vectors_cached,
+    )
+
+    v = _spark_vectors_cached(spark, sf_dir)
+    idx = v.select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+        _bucket_expr("e").alias("bucket"),
+    )
+    q = (
+        vecs.select(
+            "vec_id", "ingest_ts",
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("qe"),
+        )
+        .withColumn("qn", F.sqrt(_spark_dot("qe", "qe")))
+        .withColumn("bucket", _bucket_expr("qe"))
+    )
+    score = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    return (
+        q.join(idx, "bucket")
+        .filter(F.col("corpus_vec_id") != F.col("vec_id"))
+        .select("vec_id", "corpus_vec_id",
+                score.alias("score"), "ingest_ts")
+        .filter(F.col("score") >= threshold)
+        .select("vec_id", "corpus_vec_id",
+                (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6)
+                .alias("score"), "ingest_ts")
+    )

@@ -1172,3 +1172,134 @@ def test_stream_asof_attach_matches_batch(spark, tmp_path):
     final_bar = bars.filter(F.col("symbol") == sym).agg(
         F.max("ts")).collect()[0][0]
     assert late_row["bar_ts"].iloc[0] == final_bar
+
+
+def test_stream_span_dup_gate_matches_batch(spark, tmp_path):
+    """Replaying the corpus through the span gate must reproduce the
+    batch dedup_spans rows exactly: same per-doc n_spans, n_dup_spans
+    and dup_span_frac (the only_doc self-exclusion makes a doc's
+    corpus-resident own spans not count as dups), docs split across
+    micro-batches."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.dedup import SUITE
+    from pandas_ta_spark.streaming import stream_span_dup_gate
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["dedup_spans"].query(spark, sf_dir).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    docs["ingest_ts"] = ts
+    flusher = pd.DataFrame({
+        "doc_id": [99_999_999],
+        "text": ["word " * 30],
+        "ingest_ts": [ts + pd.Timedelta(hours=5)],
+    })
+    src = tmp_path / "span_gate_src"
+    src.mkdir()
+    for df, name in ((docs.iloc[::2], "a1"), (docs.iloc[1::2], "a2"),
+                     (flusher, "a3")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_span_dup_gate(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("span_gate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT doc_id, n_spans, n_dup_spans, dup_span_frac "
+                     "FROM span_gate_stream").toPandas())
+    got = (got[got["doc_id"] != 99_999_999]
+           .sort_values("doc_id").reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    assert got["doc_id"].tolist() == batch["doc_id"].tolist()
+    assert got["n_spans"].tolist() == batch["n_spans"].tolist()
+    assert got["n_dup_spans"].tolist() == batch["n_dup_spans"].tolist()
+    assert got["dup_span_frac"].tolist() == batch["dup_span_frac"].tolist()
+    # sanity: the corpus actually contains span-level dups
+    assert (batch["n_dup_spans"] > 0).any()
+
+
+def test_stream_semdedup_gate_matches_batch(spark, tmp_path):
+    """Replaying the corpus embeddings through the semantic gate must
+    reproduce the batch neardup_cosine_lsh pair set (both orientations,
+    self-matches excluded) with bit-identical fixed-point scores —
+    stateless plan, vectors split across micro-batches."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import SUITE
+    from pandas_ta_spark.streaming import stream_semdedup_gate
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = SUITE["neardup_cosine_lsh"].query(spark, sf_dir).toPandas()
+    batch_pairs = {
+        (int(r.vec_a), int(r.vec_b)): float(r.score)
+        for r in batch.itertuples()
+    }
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    emb["ingest_ts"] = ts
+    # planted dups: exact copies of three corpus vectors under fresh ids
+    # — same bucket by construction, cosine exactly 1.0. Keeps the test
+    # non-vacuous even when the organic corpus has no >=0.99 pairs.
+    planted = emb.iloc[[3, 47, 200]].copy()
+    planted_src = planted["vec_id"].tolist()
+    planted["vec_id"] = [1_000_001, 1_000_002, 1_000_003]
+    planted["ingest_ts"] = ts
+    src = tmp_path / "sem_gate_src"
+    src.mkdir()
+    for df, name in ((emb.iloc[::2], "a1"), (emb.iloc[1::2], "a2"),
+                     (planted, "a3")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_semdedup_gate(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("sem_gate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = spark.sql(
+        "SELECT vec_id, corpus_vec_id, score FROM sem_gate_stream").toPandas()
+
+    assert (got["vec_id"] != got["corpus_vec_id"]).all()
+    # planted exact copies MUST be flagged against their source vectors
+    # at score exactly 1.0 (dot(e,e)/(n*n) is exactly 1 for a bit-equal
+    # copy) — the non-vacuous half of the test
+    pl = got[got["vec_id"] >= 1_000_000]
+    hits = {(int(r.vec_id), int(r.corpus_vec_id), float(r.score))
+            for r in pl.itertuples()}
+    for pid, src_id in zip((1_000_001, 1_000_002, 1_000_003), planted_src):
+        assert (pid, int(src_id), 1.0) in hits, (pid, src_id, hits)
+    # corpus replay reproduces the batch pair set with identical scores
+    replay = got[got["vec_id"] < 1_000_000]
+    got_pairs = {}
+    for r in replay.itertuples():
+        a, b = sorted((int(r.vec_id), int(r.corpus_vec_id)))
+        got_pairs[(a, b)] = float(r.score)
+    assert set(got_pairs) == set(batch_pairs)
+    for k in batch_pairs:
+        assert got_pairs[k] == batch_pairs[k], k  # bit-identical
+    # both orientations emitted (every streamed vector sees its dup)
+    assert len(replay) == 2 * len(batch_pairs)
