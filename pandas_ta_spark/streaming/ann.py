@@ -20,9 +20,11 @@ BIT-IDENTICAL to `_topk_ivf` for the same query vectors (parity-tested).
 Scale notes: per-query candidates are ~NPROBE/K of the corpus, held as
 one collect_list per (window, query) state entry until the watermark
 closes the window — bounded by list sizes. For corpora where a single
-list outgrows state comfort, pre-reduce with a coarser per-(query,
-centroid) partial top-k before the final fold (the standard two-stage
-top-k); the single-stage form keeps the plan minimal here.
+list outgrows state comfort, pass ``two_stage=True``: a per-(window,
+query, probed list) partial top-k (chained windowed aggregation) runs
+before the final merge, capping state at k rows per probed list — the
+standard distributed top-k, exact because each vector lives in exactly
+one list (parity-tested bit-identical to single-stage and batch).
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ def _probed_queries(queries: DataFrame, centn) -> DataFrame:
 
 
 def _topk_fold(scored: DataFrame, score_col: str, window: str,
-               watermark: str, k: int):
+               watermark: str, k: int, centroid_col: str | None = None):
     """Watermarked per-(event-time window, query) top-k: ascending sort
     of (-score, match_id) structs == score DESC, match_id ASC — the
     batch row_number tie-break. Works for double and exact-integer
@@ -81,13 +83,46 @@ def _topk_fold(scored: DataFrame, score_col: str, window: str,
     vector under a reused query_id inside one window merges its
     candidates into the same top-k (distinct structs, no basis to pick
     a winner) — callers wanting per-submission results must namespace
-    query ids per submission."""
+    query ids per submission.
+
+    ``centroid_col`` switches on the TWO-STAGE fold — the standard
+    distributed top-k: stage 1 keeps only the per-(window, query,
+    inverted list) top-k (a chained windowed aggregation — Spark >= 3.4
+    re-aggregates on the window struct), stage 2 merges the NPROBE
+    partial lists. Exact: every vector lives in exactly one list, so
+    the global top-k is a subset of the union of per-list top-ks. State
+    drops from the full candidate list per (window, query) to k rows
+    per (window, query, probed list) — the shape to serve when a single
+    inverted list outgrows state comfort at corpus scale."""
+    wm = scored.withWatermark("ingest_ts", watermark)
+    cand = F.struct((-F.col(score_col)).alias("negscore"), "match_id")
+    if centroid_col is not None:
+        partial = (
+            wm.groupBy(F.window("ingest_ts", window).alias("w"),
+                       "query_id", centroid_col)
+            .agg(F.collect_list(cand).alias("cands"))
+            .select(
+                "w", "query_id",
+                F.explode(
+                    F.slice(F.array_sort(F.array_distinct("cands")), 1, k))
+                .alias("c"),
+            )
+        )
+        return (
+            partial.groupBy("w", "query_id")
+            .agg(F.collect_list("c").alias("cands"))
+            .select(
+                F.col("w.start").alias("window_start"), "query_id",
+                # stage-1 slices are per-list distinct; across lists a
+                # match_id appears once (one list per vector), so no
+                # second distinct is needed
+                F.posexplode(F.slice(F.array_sort("cands"), 1, k))
+                .alias("pos", "c"),
+            )
+        )
     return (
-        scored.withWatermark("ingest_ts", watermark)
-        .groupBy(F.window("ingest_ts", window).alias("w"), "query_id")
-        .agg(F.collect_list(
-            F.struct((-F.col(score_col)).alias("negscore"), "match_id")
-        ).alias("cands"))
+        wm.groupBy(F.window("ingest_ts", window).alias("w"), "query_id")
+        .agg(F.collect_list(cand).alias("cands"))
         .select(
             F.col("w.start").alias("window_start"), "query_id",
             F.posexplode(
@@ -104,6 +139,7 @@ def stream_topk_ivf(
     *,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    two_stage: bool = False,
 ) -> DataFrame:
     """Probe a query-vector stream against the session IVF index.
 
@@ -133,13 +169,14 @@ def stream_topk_ivf(
         probed.join(mv, "centroid_id")
         .filter(F.col("match_id") != F.col("query_id"))
         .select(
-            "query_id", "ingest_ts", "match_id",
+            "query_id", "ingest_ts", "match_id", "centroid_id",
             (F.expr(_dot_str("qe", "me")) / (F.col("qn") * F.col("mn")))
             .alias("score"),
         )
     )
 
-    folded = _topk_fold(scored, "score", window, watermark, TOP_K)
+    folded = _topk_fold(scored, "score", window, watermark, TOP_K,
+                        centroid_col="centroid_id" if two_stage else None)
     return folded.select(
         "window_start", "query_id",
         F.col("c.match_id").alias("match_id"),
@@ -155,6 +192,7 @@ def stream_topk_ivfpq(
     *,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    two_stage: bool = False,
 ) -> DataFrame:
     """IVF-PQ serving on a query stream — the FAISS IndexIVFPQ shape as
     a continuous query, bit-identical to the batch `_topk_ivfpq`.
@@ -216,21 +254,22 @@ def stream_topk_ivfpq(
         probed.withColumn("lut", lut)
         .join(lists, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "ingest_ts", "lut",
+        .select("query_id", "ingest_ts", "lut", "centroid_id",
                 F.col("vec_id").alias("match_id"))
         .join(codes_wide.withColumnRenamed("vec_id", "match_id"), "match_id")
     )
     # exact-integer ADC: sum over subspaces of lut[m][codes[m]] — a pure
     # expression, order-independent integer addition == the batch sum
     scored = cands.select(
-        "query_id", "ingest_ts", "match_id",
+        "query_id", "ingest_ts", "match_id", "centroid_id",
         F.expr(
             "aggregate(zip_with(lut, mcodes, (l, c) -> l[c]),"
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("score6"),
     )
 
-    folded = _topk_fold(scored, "score6", window, watermark, TOP_K)
+    folded = _topk_fold(scored, "score6", window, watermark, TOP_K,
+                        centroid_col="centroid_id" if two_stage else None)
     return folded.select(
         "window_start", "query_id",
         F.col("c.match_id").alias("match_id"),

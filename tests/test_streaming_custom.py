@@ -1303,3 +1303,64 @@ def test_stream_semdedup_gate_matches_batch(spark, tmp_path):
         assert got_pairs[k] == batch_pairs[k], k  # bit-identical
     # both orientations emitted (every streamed vector sees its dup)
     assert len(replay) == 2 * len(batch_pairs)
+
+
+def test_streaming_topk_two_stage_matches_batch(spark, tmp_path):
+    """two_stage=True (per-inverted-list partial top-k, chained windowed
+    aggregations) must emit BIT-IDENTICAL rows to batch for both the
+    flat-IVF and IVF-PQ servers — the exactness claim of the
+    distributed two-stage top-k."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import N_QUERIES, SUITE
+    from pandas_ta_spark.streaming import stream_topk_ivf, stream_topk_ivfpq
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(f"vec_id < {N_QUERIES}")
+           .select("vec_id", "embedding").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    q = pd.DataFrame({
+        "query_id": emb["vec_id"],
+        "embedding": emb["embedding"],
+        "ingest_ts": ts,
+    })
+    flusher = pd.DataFrame({
+        "query_id": [9999],
+        "embedding": [emb["embedding"].iloc[0]],
+        "ingest_ts": [ts + pd.Timedelta(hours=4)],
+    })
+
+    for tag, server, batch_key in (
+        ("ivf2", stream_topk_ivf, "topk_cosine_ivf"),
+        ("ivfpq2", stream_topk_ivfpq, "topk_cosine_ivfpq"),
+    ):
+        batch = (SUITE[batch_key].query(spark, sf_dir).toPandas()
+                 .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        src = tmp_path / f"q_src_{tag}"
+        src.mkdir()
+        for df, name in ((q, "a1"), (flusher, "a2")):
+            d = df.copy()
+            d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+            d.to_parquet(src / f"{name}.parquet")
+        stream = (
+            spark.readStream
+            .schema("query_id long, embedding array<double>, "
+                    "ingest_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        qh = (
+            server(stream, spark, sf_dir, two_stage=True)
+            .writeStream.format("memory").queryName(f"ann_{tag}")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        qh.awaitTermination(180)
+        got = (spark.sql(f"SELECT query_id, match_id, rank, score "
+                         f"FROM ann_{tag}")
+               .toPandas().sort_values(["query_id", "rank"])
+               .reset_index(drop=True))
+        assert len(got) == len(batch) > 0, tag
+        for c in ("query_id", "match_id", "rank"):
+            assert got[c].tolist() == batch[c].tolist(), (tag, c)
+        assert got["score"].tolist() == batch["score"].tolist(), tag
