@@ -55,10 +55,12 @@ def main() -> None:
     from pandas_ta_spark.ext.similarity import N_QUERIES
     from pandas_ta_spark.streaming import (
         stream_decontamination_gate, stream_dedup_vs_corpus,
-        stream_quality_keep, stream_topk_ivf, stream_topk_ivfpq,
-        stream_xsec_zscore,
+        stream_quality_keep, stream_semdedup_gate, stream_span_dup_gate,
+        stream_topk_ivf, stream_topk_ivfpq, stream_xsec_zscore,
     )
-    from pandas_ta_spark.streaming.corpus import _corpus_dedup_index
+    from pandas_ta_spark.streaming.corpus import (
+        _corpus_dedup_index, _corpus_span_index,
+    )
 
     out: dict = {"metric": "streaming_throughput", "sf_dir": SF_DIR}
     ts = pd.Timestamp("2026-01-01")
@@ -111,6 +113,29 @@ def main() -> None:
     drain(lambda st: stream_topk_ivfpq(st, spark, SF_DIR),
           q, "query_id long, embedding array<double>, ingest_ts timestamp",
           "ann_ivfpq", len(q))
+    # two-stage fold (bounded per-list state): same backlog, so the
+    # *_rows_per_sec delta IS the cost of the extra stateful stage
+    drain(lambda st: stream_topk_ivf(st, spark, SF_DIR, two_stage=True),
+          q, "query_id long, embedding array<double>, ingest_ts timestamp",
+          "ann_ivf_two_stage", len(q))
+
+    # span + semantic gates (r8): index builds reported separately,
+    # replays drive the same corpus through each gate
+    t0 = time.time()
+    _corpus_span_index(spark, SF_DIR)
+    out["span_index_build_sec"] = round(time.time() - t0, 3)
+    drain(lambda st: stream_span_dup_gate(st, spark, SF_DIR),
+          docs, "doc_id long, text string, ingest_ts timestamp",
+          "span_gate", len(docs))
+    emb_all = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+               .select("vec_id", "embedding").toPandas())
+    emb_all["embedding"] = emb_all["embedding"].map(list)
+    emb_all["ingest_ts"] = ts
+    emb_all["ingest_ts"] = emb_all["ingest_ts"].astype("datetime64[ms]")
+    drain(lambda st: stream_semdedup_gate(st, spark, SF_DIR),
+          emb_all,
+          "vec_id long, embedding array<double>, ingest_ts timestamp",
+          "semdedup_gate", len(emb_all))
     from pandas_ta_spark.ext.dedup import FUZZY_EVAL_MOD, FUZZY_EVAL_REM
 
     t0 = time.time()
