@@ -388,6 +388,13 @@ NPROBE = 2
 # 0.48 (sampling decorrelates the means from the dup-heavy corpus
 # mass). Recall here is structurally capped by NPROBE/K = 2/8, not by
 # training: tune NPROBE for recall, LLOYD_ITERS for list balance.
+# The full (K, NPROBE) recall-latency curve is MEASURED by
+# tools/ivf_curve.py (r8; table in README): at sf0.1 the shipped
+# K=8/NPROBE=2 gives recall@5 = 0.64 at 25% corpus scanned; recall
+# >= 0.8 costs ~2x the scan (NPROBE=6-8, or K=16/NPROBE=8 with a
+# larger training sample). Probe wall-time at gate scale is overhead-
+# bound, so frac-scanned = NPROBE/K is the cost axis that survives
+# scale-up.
 LLOYD_ITERS = 3
 TRAIN_MOD = 10  # 1-in-10 training sample: >= 40*K points at gate scale
 TRAIN_CAP = 4096  # hard bound on collected training vectors (id < MOD*CAP)

@@ -511,3 +511,146 @@ def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
                 (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / 1e6)
                 .alias("score"), "ingest_ts")
     )
+
+
+# ------------------------------------------- composed curation gate ----
+
+_EXACT_INDEX_CACHE: dict = {}
+
+
+def _corpus_exact_index(spark, sf_dir: str):
+    """(hh, exact_min) — min corpus doc_id per normalized-text md5,
+    materialized once per session. The static side of the gate's exact
+    dedup: first-document-wins resolved by ID (deterministic under any
+    arrival order), exactly the batch keep-list's per-hash min."""
+    from pandas_ta_spark.ckpt import materialize
+    from pandas_ta_spark.sources.bars import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EXACT_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = materialize(
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("hh"))
+        .agg(F.min("doc_id").alias("exact_min"))
+    )
+    for stale in [k for k in _EXACT_INDEX_CACHE if k[0] != key[0]]:
+        del _EXACT_INDEX_CACHE[stale]
+    _EXACT_INDEX_CACHE[key] = idx
+    return idx
+
+
+def stream_curation_gate(docs: DataFrame, spark, sf_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """The END-TO-END ingestion curation gate as ONE continuous query —
+    the streaming twin of the batch `curation_pipeline`'s survivor
+    stage: every streamed document gets the full keep decision
+
+        keep = quality keep  ∧  hash sample  ∧  exact-dedup keeper
+               ∧  no verified lower-id near-dup in the corpus
+
+    with each clause the already-tested operator reused verbatim
+    (quality/sample are the batch Column expressions; exact dedup is a
+    stream-static join against the per-hash min-id index; near-dup is
+    the banded MinHash join + true-Jaccard verify of
+    `stream_dedup_vs_corpus`, restricted to lower-id partners — the
+    batch keep-list's "drop the higher id of a verified pair").
+
+    Input needs (doc_id, source, text, ingest_ts). Emits one decision
+    row per document — (window_start, doc_id, source, n_tok, q_keep,
+    s_keep, exact_keep, near_dup, keep) — kept AND dropped, so the
+    stream doubles as curation telemetry. Replaying the corpus
+    reproduces the batch survivor set exactly (parity-tested).
+    Shard packing stays a periodic batch job: token-budget placement is
+    a cross-document running sum, meaningless before the window closes.
+
+    Plan: stateless projections + three stream-static joins (exact
+    index on uniform md5, band index on uniform minhash keys, both
+    session-cached) and ONE watermarked per-(window, doc) aggregation —
+    state is a handful of flags per in-flight document. 100 TB shape:
+    the only corpus-sized relations are the indexes, joined on uniform
+    hash keys; nothing shuffles the stream beyond its own window
+    fold."""
+    from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
+    from pandas_ta_spark.ext.sampling import (
+        SAMPLE_DEFAULT, SAMPLE_THRESHOLDS, _doc_hash,
+    )
+    from pandas_ta_spark.ext.text import quality_exprs
+
+    ex_idx = _corpus_exact_index(spark, sf_dir)
+    idx = _corpus_dedup_index(spark, sf_dir)
+    q = quality_exprs()
+    thr = F.lit(SAMPLE_DEFAULT)
+    for src, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
+
+    base = (
+        docs.select(
+            "doc_id", "source", "ingest_ts",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("hh"),
+            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+            q["n_tokens"].cast("long").alias("n_tok"),
+            (q["keep"] == 1).alias("q_keep"),
+            (F.substring(_doc_hash(), 1, 2) < thr).alias("s_keep"),
+        )
+        .join(ex_idx, "hh", "left")
+        .withColumn(
+            "exact_keep",
+            F.coalesce(F.col("exact_min") == F.col("doc_id"), F.lit(True)),
+        )
+    )
+
+    hs, bands, ks = _band_key_stream_exprs()
+    carry = ["doc_id", "source", "ingest_ts", "n_tok",
+             "q_keep", "s_keep", "exact_keep"]
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.expr(expr).alias("bkey"))
+        for b, expr in bands
+    ])
+    sig = (
+        base.filter(F.size("toks") >= SHINGLE_K)
+        .select(*carry, F.expr(hs).alias("hs"), F.expr(ks).alias("ks"))
+        .select(*carry, "ks", F.explode(band_structs).alias("p"))
+        .select(*carry, "ks", "p.band", "p.bkey")
+    )
+    # short docs have no signature and can never near-dup — they pass
+    # straight to the fold as a single unmatched row
+    short = base.filter(F.size("toks") < SHINGLE_K).select(
+        *carry, F.lit(None).cast("array<bigint>").alias("ks"),
+        F.lit(None).cast("int").alias("band"),
+        F.lit(None).cast("string").alias("bkey"),
+    )
+    n_inter = F.size(F.array_intersect("ks", "corpus_ks")).cast("long")
+    jac = n_inter / (F.size("ks") + F.col("corpus_n") - n_inter)
+    hit = (
+        F.col("corpus_doc_id").isNotNull()
+        & (F.col("corpus_doc_id") < F.col("doc_id"))
+        & (jac >= JACCARD_THRESHOLD)
+    )
+    joined = (
+        sig.unionByName(short)
+        .join(idx, ["band", "bkey"], "left")
+        .select(*carry, hit.cast("int").alias("hit"))
+    )
+    return (
+        joined.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.first("n_tok").alias("n_tok"),
+            F.first("q_keep").alias("q_keep"),
+            F.first("s_keep").alias("s_keep"),
+            F.first("exact_keep").alias("exact_keep"),
+            F.max(F.coalesce("hit", F.lit(0))).alias("near_dup"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "doc_id", "source",
+            "n_tok", "q_keep", "s_keep", "exact_keep",
+            (F.col("near_dup") == 1).alias("near_dup"),
+            (F.col("q_keep") & F.col("s_keep") & F.col("exact_keep")
+             & (F.col("near_dup") == 0)).cast("int").alias("keep"),
+        )
+    )

@@ -1364,3 +1364,109 @@ def test_streaming_topk_two_stage_matches_batch(spark, tmp_path):
         for c in ("query_id", "match_id", "rank"):
             assert got[c].tolist() == batch[c].tolist(), (tag, c)
         assert got["score"].tolist() == batch["score"].tolist(), tag
+
+
+def test_stream_curation_gate_matches_batch(spark, tmp_path):
+    """Replaying the corpus through the composed curation gate must
+    reproduce the batch survivor decision per document: keep ==
+    (keep-list kept) AND (quality keep) AND (hash sample) — with the
+    near-dup/exact clauses resolved against the corpus indexes, so the
+    result is arrival-order independent (docs split across
+    micro-batches prove it)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.ext.dedup import SUITE as DSUITE
+    from pandas_ta_spark.ext.sampling import (
+        SAMPLE_DEFAULT, SAMPLE_THRESHOLDS, _doc_hash,
+    )
+    from pandas_ta_spark.ext.text import quality_exprs
+    from pandas_ta_spark.streaming import stream_curation_gate
+
+    sf_dir = "/root/testdata/sf0.01"
+    kl = DSUITE["dedup_keep_list"].query(spark, sf_dir)
+    q = quality_exprs()
+    thr = F.lit(SAMPLE_DEFAULT)
+    for src, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
+    docs_sdf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = (
+        docs_sdf.select(
+            "doc_id",
+            ((q["keep"] == 1)
+             & (F.substring(_doc_hash(), 1, 2) < thr)).alias("qs"))
+        .join(kl, "doc_id")
+        .select("doc_id",
+                (F.col("qs") & (F.col("kept") == 1)).cast("int")
+                .alias("keep"))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    docs = docs_sdf.select("doc_id", "source", "text").toPandas()
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    docs["ingest_ts"] = ts
+    # planted junk doc: one token repeated — fails the quality rules
+    # (TTR), exercising the q_keep clause the organic corpus never
+    # trips (all 500 sf0.01 docs pass quality)
+    junk = pd.DataFrame({
+        "doc_id": [90_000_001], "source": ["src0"],
+        "text": [("spam " * 50).strip()],
+        "ingest_ts": [ts],
+    })
+    # planted exact copy of a corpus doc under a fresh id — the corpus
+    # has no organic exact-text dups, so this exercises exact_keep
+    copy = pd.DataFrame({
+        "doc_id": [90_000_002], "source": ["src0"],
+        "text": [docs["text"].iloc[7]],
+        "ingest_ts": [ts],
+    })
+    flusher = pd.DataFrame({
+        "doc_id": [99_999_999], "source": ["s"],
+        "text": ["flush " * 10],
+        "ingest_ts": [ts + pd.Timedelta(hours=5)],
+    })
+    src = tmp_path / "cur_gate_src"
+    src.mkdir()
+    for df, name in ((docs.iloc[::2], "a1"), (docs.iloc[1::2], "a2"),
+                     (junk, "a3"), (copy, "a4"), (flusher, "a5")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_curation_gate(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("cur_gate_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT doc_id, keep, q_keep, s_keep, exact_keep, "
+                     "near_dup FROM cur_gate_stream").toPandas())
+    junk_row = got[got["doc_id"] == 90_000_001]
+    copy_row = got[got["doc_id"] == 90_000_002]
+    got = (got[got["doc_id"] < 90_000_000]
+           .sort_values("doc_id").reset_index(drop=True))
+
+    assert len(got) == len(expected) > 0  # ONE decision row per doc
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert got["keep"].tolist() == expected["keep"].tolist()
+    # the planted junk doc fails quality and is dropped
+    assert len(junk_row) == 1
+    assert not junk_row["q_keep"].iloc[0]
+    assert junk_row["keep"].iloc[0] == 0
+    # the planted exact copy fails exact_keep (corpus already owns the
+    # text under a lower id) and is dropped
+    assert len(copy_row) == 1
+    assert not copy_row["exact_keep"].iloc[0]
+    assert copy_row["keep"].iloc[0] == 0
+    # the remaining clauses discriminate on the organic corpus (which
+    # has near-dups and sample splits, but no organic exact dups)
+    assert (~got["s_keep"]).any() and got["s_keep"].any()
+    assert got["exact_keep"].all()
+    assert got["near_dup"].any() and (~got["near_dup"]).any()
