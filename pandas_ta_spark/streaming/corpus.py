@@ -654,3 +654,26 @@ def stream_curation_gate(docs: DataFrame, spark, sf_dir: str,
              & (F.col("near_dup") == 0)).cast("int").alias("keep"),
         )
     )
+
+
+# ------------------------------------------- multimodal ingestion ----
+
+def stream_media_features(docs: DataFrame) -> DataFrame:
+    """Streaming multimodal ingestion: attach the opaque binary payload
+    + typed metadata (`ext.media.with_media_column`) and run the
+    Arrow-batched feature extractor (`ext.media.extract_features`) over
+    a document stream — `mapInPandas` is stateless, so the streaming
+    plan is the batch plan applied per micro-batch and parity holds by
+    construction (pinned by test anyway). The real-decoder plug point
+    (`decode_stub`) is the same: swap in PIL/torchaudio/ffmpeg and the
+    stream decodes at ingestion.
+
+    Input needs (doc_id, text, ingest_ts); emits the batch
+    media_features columns. 100 TB shape: payload bytes ride the
+    micro-batch scan as Arrow buffers; no state, no shuffle."""
+    from pandas_ta_spark.ext.media import extract_features, with_media_column
+
+    return extract_features(
+        with_media_column(docs.select("doc_id", "text"))
+        .select("doc_id", "content")
+    )

@@ -1470,3 +1470,46 @@ def test_stream_curation_gate_matches_batch(spark, tmp_path):
     assert (~got["s_keep"]).any() and got["s_keep"].any()
     assert got["exact_keep"].all()
     assert got["near_dup"].any() and (~got["near_dup"]).any()
+
+
+def test_stream_media_features_matches_batch(spark, tmp_path):
+    """Streaming multimodal ingestion (binary payload + Arrow mapInPandas
+    feature extraction) must emit exactly the batch media_features rows,
+    docs split across micro-batches."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.media import SUITE
+    from pandas_ta_spark.streaming import stream_media_features
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["media_features"].query(spark, sf_dir).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    docs["ingest_ts"] = pd.Timestamp("2026-01-01 00:10:00")
+    docs["ingest_ts"] = docs["ingest_ts"].astype("datetime64[ms]")
+    src = tmp_path / "media_src"
+    src.mkdir()
+    docs.iloc[::2].to_parquet(src / "a1.parquet")
+    docs.iloc[1::2].to_parquet(src / "a2.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_media_features(stream)
+        .writeStream.format("memory").queryName("media_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM media_stream").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    for c in ("doc_id", "n_bytes", "frame_count", "first_frame_hash"):
+        assert got[c].tolist() == batch[c].tolist(), c
+    assert got["mean_byte"].tolist() == batch["mean_byte"].tolist()
