@@ -541,6 +541,79 @@ def _corpus_exact_index(spark, sf_dir: str):
     return idx
 
 
+def _curation_marked(docs: DataFrame, spark, sf_dir: str,
+                     extra_carry: tuple = ()) -> DataFrame:
+    """Per-document clause columns + one `hit` row per band-join match —
+    the pre-fold stage shared by `stream_curation_gate` (watermarked
+    window fold) and `stream_curation_sink` (plain per-micro-batch
+    fold). Works on streaming AND batch inputs: every operator here is
+    a stateless projection or a join against a session-cached static
+    index. ``extra_carry`` names input columns to thread through (the
+    sink carries `text` so kept documents can be written out)."""
+    from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
+    from pandas_ta_spark.ext.sampling import (
+        SAMPLE_DEFAULT, SAMPLE_THRESHOLDS, _doc_hash,
+    )
+    from pandas_ta_spark.ext.text import quality_exprs
+
+    ex_idx = _corpus_exact_index(spark, sf_dir)
+    idx = _corpus_dedup_index(spark, sf_dir)
+    q = quality_exprs()
+    thr = F.lit(SAMPLE_DEFAULT)
+    for src, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
+
+    base = (
+        docs.select(
+            "doc_id", "source", "ingest_ts", *extra_carry,
+            F.md5(F.lower(F.trim(F.col("text")))).alias("hh"),
+            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+            q["n_tokens"].cast("long").alias("n_tok"),
+            (q["keep"] == 1).alias("q_keep"),
+            (F.substring(_doc_hash(), 1, 2) < thr).alias("s_keep"),
+        )
+        .join(ex_idx, "hh", "left")
+        .withColumn(
+            "exact_keep",
+            F.coalesce(F.col("exact_min") == F.col("doc_id"), F.lit(True)),
+        )
+    )
+
+    hs, bands, ks = _band_key_stream_exprs()
+    carry = ["doc_id", "source", "ingest_ts", *extra_carry, "n_tok",
+             "q_keep", "s_keep", "exact_keep"]
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.expr(expr).alias("bkey"))
+        for b, expr in bands
+    ])
+    sig = (
+        base.filter(F.size("toks") >= SHINGLE_K)
+        .select(*carry, F.expr(hs).alias("hs"), F.expr(ks).alias("ks"))
+        .select(*carry, "ks", F.explode(band_structs).alias("p"))
+        .select(*carry, "ks", "p.band", "p.bkey")
+    )
+    # short docs have no signature and can never near-dup — they pass
+    # straight to the fold as a single unmatched row
+    short = base.filter(F.size("toks") < SHINGLE_K).select(
+        *carry, F.lit(None).cast("array<bigint>").alias("ks"),
+        F.lit(None).cast("int").alias("band"),
+        F.lit(None).cast("string").alias("bkey"),
+    )
+    n_inter = F.size(F.array_intersect("ks", "corpus_ks")).cast("long")
+    jac = n_inter / (F.size("ks") + F.col("corpus_n") - n_inter)
+    hit = (
+        F.col("corpus_doc_id").isNotNull()
+        & (F.col("corpus_doc_id") < F.col("doc_id"))
+        & (jac >= JACCARD_THRESHOLD)
+    )
+    return (
+        sig.unionByName(short)
+        .join(idx, ["band", "bkey"], "left")
+        .select(*carry, hit.cast("int").alias("hit"))
+    )
+
+
 def stream_curation_gate(docs: DataFrame, spark, sf_dir: str,
                          window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
@@ -573,68 +646,7 @@ def stream_curation_gate(docs: DataFrame, spark, sf_dir: str,
     the only corpus-sized relations are the indexes, joined on uniform
     hash keys; nothing shuffles the stream beyond its own window
     fold."""
-    from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
-    from pandas_ta_spark.ext.sampling import (
-        SAMPLE_DEFAULT, SAMPLE_THRESHOLDS, _doc_hash,
-    )
-    from pandas_ta_spark.ext.text import quality_exprs
-
-    ex_idx = _corpus_exact_index(spark, sf_dir)
-    idx = _corpus_dedup_index(spark, sf_dir)
-    q = quality_exprs()
-    thr = F.lit(SAMPLE_DEFAULT)
-    for src, t in SAMPLE_THRESHOLDS.items():
-        thr = F.when(F.col("source") == src, F.lit(t)).otherwise(thr)
-
-    base = (
-        docs.select(
-            "doc_id", "source", "ingest_ts",
-            F.md5(F.lower(F.trim(F.col("text")))).alias("hh"),
-            F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
-            q["n_tokens"].cast("long").alias("n_tok"),
-            (q["keep"] == 1).alias("q_keep"),
-            (F.substring(_doc_hash(), 1, 2) < thr).alias("s_keep"),
-        )
-        .join(ex_idx, "hh", "left")
-        .withColumn(
-            "exact_keep",
-            F.coalesce(F.col("exact_min") == F.col("doc_id"), F.lit(True)),
-        )
-    )
-
-    hs, bands, ks = _band_key_stream_exprs()
-    carry = ["doc_id", "source", "ingest_ts", "n_tok",
-             "q_keep", "s_keep", "exact_keep"]
-    band_structs = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.expr(expr).alias("bkey"))
-        for b, expr in bands
-    ])
-    sig = (
-        base.filter(F.size("toks") >= SHINGLE_K)
-        .select(*carry, F.expr(hs).alias("hs"), F.expr(ks).alias("ks"))
-        .select(*carry, "ks", F.explode(band_structs).alias("p"))
-        .select(*carry, "ks", "p.band", "p.bkey")
-    )
-    # short docs have no signature and can never near-dup — they pass
-    # straight to the fold as a single unmatched row
-    short = base.filter(F.size("toks") < SHINGLE_K).select(
-        *carry, F.lit(None).cast("array<bigint>").alias("ks"),
-        F.lit(None).cast("int").alias("band"),
-        F.lit(None).cast("string").alias("bkey"),
-    )
-    n_inter = F.size(F.array_intersect("ks", "corpus_ks")).cast("long")
-    jac = n_inter / (F.size("ks") + F.col("corpus_n") - n_inter)
-    hit = (
-        F.col("corpus_doc_id").isNotNull()
-        & (F.col("corpus_doc_id") < F.col("doc_id"))
-        & (jac >= JACCARD_THRESHOLD)
-    )
-    joined = (
-        sig.unionByName(short)
-        .join(idx, ["band", "bkey"], "left")
-        .select(*carry, hit.cast("int").alias("hit"))
-    )
+    joined = _curation_marked(docs, spark, sf_dir)
     return (
         joined.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window).alias("w"), "doc_id")
@@ -676,4 +688,54 @@ def stream_media_features(docs: DataFrame) -> DataFrame:
     return extract_features(
         with_media_column(docs.select("doc_id", "text"))
         .select("doc_id", "content")
+    )
+
+
+def stream_curation_sink(docs: DataFrame, spark, sf_dir: str,
+                         out_dir: str, checkpoint_dir: str):
+    """The full ingestion loop: gate a document stream and WRITE the
+    keepers to a source-partitioned parquet lake — readStream -> curation
+    decision -> writeStream, the deployment shape of "this pipeline
+    feeds the training corpus".
+
+    `foreachBatch` is the right sink primitive here: inside it each
+    micro-batch is a plain batch DataFrame, so the per-document fold is
+    an ordinary groupBy (no watermark state at all — the decision
+    depends only on the document and the static indexes), the document
+    TEXT rides along (the continuous gate keeps its state to flags),
+    and the write is a normal partitioned parquet append. Recovery
+    semantics are the standard foreachBatch contract: the checkpoint
+    makes retries replay a whole micro-batch, so a crash between write
+    and commit can duplicate that batch's files in the lake
+    (at-least-once); the downstream exact-dedup pass — which this
+    pipeline already runs — makes that benign, and an atomic-rename /
+    table-format sink upgrades it to exactly-once without touching the
+    gate.
+
+    Returns the started StreamingQuery (availableNow trigger — call
+    ``awaitTermination()``; pass a file/kafka source for continuous
+    runs)."""
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        marked = _curation_marked(bdf, spark, sf_dir, extra_carry=("text",))
+        kept = (
+            marked.groupBy("doc_id")
+            .agg(
+                F.first("source").alias("source"),
+                F.first("text").alias("text"),
+                F.first("n_tok").alias("n_tok"),
+                (F.first("q_keep") & F.first("s_keep")
+                 & F.first("exact_keep")
+                 & (F.max(F.coalesce("hit", F.lit(0))) == 0)).alias("keep"),
+            )
+            .filter(F.col("keep"))
+            .select("doc_id", "source", "text", "n_tok")
+        )
+        (kept.write.mode("append").partitionBy("source")
+         .parquet(out_dir))
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

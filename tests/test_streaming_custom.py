@@ -1513,3 +1513,68 @@ def test_stream_media_features_matches_batch(spark, tmp_path):
     for c in ("doc_id", "n_bytes", "frame_count", "first_frame_hash"):
         assert got[c].tolist() == batch[c].tolist(), c
     assert got["mean_byte"].tolist() == batch["mean_byte"].tolist()
+
+
+def test_stream_curation_sink_writes_survivors(spark, tmp_path):
+    """The end-to-end loop: streaming the corpus through the curation
+    sink must land EXACTLY the batch survivor set in the
+    source-partitioned lake, with text intact and partition pruning
+    available on source."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.ext.dedup import SUITE as DSUITE
+    from pandas_ta_spark.ext.sampling import (
+        SAMPLE_DEFAULT, SAMPLE_THRESHOLDS, _doc_hash,
+    )
+    from pandas_ta_spark.ext.text import quality_exprs
+    from pandas_ta_spark.streaming import stream_curation_sink
+
+    sf_dir = "/root/testdata/sf0.01"
+    kl = DSUITE["dedup_keep_list"].query(spark, sf_dir)
+    q = quality_exprs()
+    thr = F.lit(SAMPLE_DEFAULT)
+    for src_name, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("source") == src_name, F.lit(t)).otherwise(thr)
+    docs_sdf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = (
+        docs_sdf.select(
+            "doc_id", "source", "text",
+            ((q["keep"] == 1)
+             & (F.substring(_doc_hash(), 1, 2) < thr)).alias("qs"))
+        .join(kl, "doc_id")
+        .filter(F.col("qs") & (F.col("kept") == 1))
+        .select("doc_id", "source", "text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    docs = docs_sdf.select("doc_id", "source", "text").toPandas()
+    docs["ingest_ts"] = pd.Timestamp("2026-01-01 00:10:00")
+    docs["ingest_ts"] = docs["ingest_ts"].astype("datetime64[ms]")
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    docs.iloc[::2].to_parquet(src / "a1.parquet")
+    docs.iloc[1::2].to_parquet(src / "a2.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "lake")
+    qh = stream_curation_sink(stream, spark, sf_dir, out_dir,
+                              str(tmp_path / "sink_ck"))
+    qh.awaitTermination(180)
+
+    lake = (spark.read.parquet(out_dir).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(lake) == len(expected) > 0
+    assert lake["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert lake["source"].tolist() == expected["source"].tolist()
+    assert lake["text"].tolist() == expected["text"].tolist()
+    # partitioned layout: one subdir per source actually present
+    import os
+    parts = {d for d in os.listdir(out_dir) if d.startswith("source=")}
+    assert parts == {f"source={s}" for s in expected["source"].unique()}
