@@ -1578,3 +1578,63 @@ def test_stream_curation_sink_writes_survivors(spark, tmp_path):
     import os
     parts = {d for d in os.listdir(out_dir) if d.startswith("source=")}
     assert parts == {f"source={s}" for s in expected["source"].unique()}
+
+
+def test_stream_asof_attach_spans_bar_gaps(spark, tmp_path):
+    """Validity intervals must carry a bar across MISSING bar hours
+    (trading halts): an event whose hour has no bar attaches the most
+    recent earlier bar; an event exactly at a bar's own hour attaches
+    the PREVIOUS bar (strictly-before semantics); an event before the
+    first bar gets NULL."""
+    import pandas as pd
+
+    from pandas_ta_spark.streaming import stream_asof_attach
+
+    bars_pd = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.to_datetime(["2026-01-01 01:00", "2026-01-01 02:00",
+                              "2026-01-01 05:00"]),  # 03/04 missing
+        "open": [1.0, 2.0, 5.0], "high": [1.0, 2.0, 5.0],
+        "low": [1.0, 2.0, 5.0], "close": [1.0, 2.0, 5.0],
+        "volume": [1.0, 1.0, 1.0],
+    })
+    bars = spark.createDataFrame(bars_pd)
+
+    events = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "symbol": "A",
+        "ts": pd.to_datetime([
+            "2026-01-01 00:30",  # before first bar -> NULL
+            "2026-01-01 02:15",  # hour 02 -> bar 01:00 (strictly before)
+            "2026-01-01 03:40",  # gap hour -> bar 02:00 carried
+            "2026-01-01 04:10",  # gap hour -> bar 02:00 still
+            "2026-01-01 09:00",  # past last bar -> clamp to 05:00
+        ]),
+        "value": 1.0,
+    })
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    src = tmp_path / "asof_gap_src"
+    src.mkdir()
+    events.to_parquet(src / "a1.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, symbol string, ts timestamp, value double")
+        .parquet(str(src))
+    )
+    qh = (
+        stream_asof_attach(stream, bars)
+        .writeStream.format("memory").queryName("asof_gap_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(120)
+    got = (spark.sql("SELECT event_id, bar_ts, bar_close FROM asof_gap_stream")
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+
+    assert got["bar_ts"].isna().iloc[0]
+    want = {2: "2026-01-01 01:00", 3: "2026-01-01 02:00",
+            4: "2026-01-01 02:00", 5: "2026-01-01 05:00"}
+    for eid, bts in want.items():
+        row = got[got["event_id"] == eid]
+        assert row["bar_ts"].iloc[0] == pd.Timestamp(bts), eid
+    assert got["bar_close"].tolist()[1:] == [1.0, 2.0, 2.0, 5.0]
