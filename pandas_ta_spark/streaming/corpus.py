@@ -542,14 +542,19 @@ def _corpus_exact_index(spark, sf_dir: str):
 
 
 def _curation_marked(docs: DataFrame, spark, sf_dir: str,
-                     extra_carry: tuple = ()) -> DataFrame:
+                     extra_carry: tuple = (),
+                     extra_band_index: DataFrame | None = None,
+                     extra_exact_index: DataFrame | None = None) -> DataFrame:
     """Per-document clause columns + one `hit` row per band-join match —
     the pre-fold stage shared by `stream_curation_gate` (watermarked
     window fold) and `stream_curation_sink` (plain per-micro-batch
     fold). Works on streaming AND batch inputs: every operator here is
     a stateless projection or a join against a session-cached static
     index. ``extra_carry`` names input columns to thread through (the
-    sink carries `text` so kept documents can be written out)."""
+    sink carries `text` so kept documents can be written out); the
+    ``extra_*_index`` relations are unioned into the static sides —
+    how `stream_corpus_ingest` makes the gate see previously-ACCEPTED
+    streamed documents, not just the original corpus."""
     from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
     from pandas_ta_spark.ext.sampling import (
         SAMPLE_DEFAULT, SAMPLE_THRESHOLDS, _doc_hash,
@@ -558,6 +563,14 @@ def _curation_marked(docs: DataFrame, spark, sf_dir: str,
 
     ex_idx = _corpus_exact_index(spark, sf_dir)
     idx = _corpus_dedup_index(spark, sf_dir)
+    if extra_exact_index is not None:
+        # keep the per-hash MIN across both sides (first-owner-wins)
+        ex_idx = (
+            ex_idx.unionByName(extra_exact_index)
+            .groupBy("hh").agg(F.min("exact_min").alias("exact_min"))
+        )
+    if extra_band_index is not None:
+        idx = idx.unionByName(extra_band_index)
     q = quality_exprs()
     thr = F.lit(SAMPLE_DEFAULT)
     for src, t in SAMPLE_THRESHOLDS.items():
@@ -735,6 +748,148 @@ def stream_curation_sink(docs: DataFrame, spark, sf_dir: str,
 
     return (
         docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_corpus_ingest(docs: DataFrame, spark, sf_dir: str,
+                         lake_dir: str, checkpoint_dir: str):
+    """SELF-MAINTAINING corpus ingestion: the curation gate whose index
+    GROWS with what it accepts. Each micro-batch is
+
+      1. gated against the static corpus AND every previously-ACCEPTED
+         streamed document (quality ∧ sample ∧ exact ∧ verified
+         near-dup, all first-owner-wins),
+      2. deduplicated WITHIN itself (in-batch exact min-id + banded
+         MinHash self-join with true-Jaccard verify, lower id wins),
+      3. survivors written to ``lake_dir/docs`` (source-partitioned)
+         and their SIGNATURES appended to ``lake_dir/band_index`` /
+         ``lake_dir/exact_index`` — the growing side of the gate.
+
+    This closes the gap the static gates leave open: two near-identical
+    documents arriving a day apart, neither in the original corpus,
+    with the second rejected because the first was accepted.
+
+    Semantics: FIRST-ACCEPTED-WINS. For a replay whose doc_ids arrive
+    in increasing order this is exactly the batch min-id keep-list over
+    (corpus ∪ stream); under out-of-order arrival the earlier-ACCEPTED
+    document wins regardless of id — the only causal option online
+    (pinned by test).
+
+    100 TB shape: the appended index is signatures only (4 band keys +
+    a 16-element key set per doc — ~100 bytes/doc, not the text);
+    joins stay on uniform hash keys; in-batch self-joins touch one
+    micro-batch. The index dirs are plain appended parquet here —
+    production compacts them periodically (table format / sorted
+    rewrite), which changes nothing semantically. foreachBatch retry
+    semantics as in `stream_curation_sink` (at-least-once; min-id
+    folds make replayed index rows idempotent for decisions).
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from pandas_ta_spark.ext.dedup import JACCARD_THRESHOLD, SHINGLE_K
+
+    docs_dir = f"{lake_dir}/docs"
+    band_dir = f"{lake_dir}/band_index"
+    exact_dir = f"{lake_dir}/exact_index"
+    band_schema = ("band int, bkey string, corpus_doc_id long, "
+                   "corpus_ks array<bigint>, corpus_n int")
+    exact_schema = "hh string, exact_min long"
+
+    def _read_index(path: str, schema: str):
+        import os
+
+        if not os.path.isdir(path):
+            return None
+        return spark.read.schema(schema).parquet(path)
+
+    def ingest_batch(bdf: DataFrame, epoch_id: int) -> None:
+        acc_band = _read_index(band_dir, band_schema)
+        acc_exact = _read_index(exact_dir, exact_schema)
+
+        # (1) corpus + accepted-index clauses, text carried for the write
+        marked = _curation_marked(
+            bdf, spark, sf_dir, extra_carry=("text",),
+            extra_band_index=acc_band, extra_exact_index=acc_exact)
+        decided = (
+            marked.groupBy("doc_id")
+            .agg(
+                F.first("source").alias("source"),
+                F.first("text").alias("text"),
+                F.first("n_tok").alias("n_tok"),
+                (F.first("q_keep") & F.first("s_keep")
+                 & F.first("exact_keep")
+                 & (F.max(F.coalesce("hit", F.lit(0))) == 0)).alias("ckeep"),
+            )
+            .filter(F.col("ckeep"))
+        )
+
+        # (2a) in-batch exact: min id per normalized-text hash wins
+        hh = F.md5(F.lower(F.trim(F.col("text"))))
+        ex_min = (bdf.groupBy(hh.alias("hh"))
+                  .agg(F.min("doc_id").alias("bmin")))
+
+        # (2b) in-batch near-dup: banded self-join + true Jaccard,
+        # the higher id of every verified pair drops (same signature
+        # expressions as the gate — bit-identical keys)
+        hs, bands, ks_expr = _band_key_stream_exprs()
+        band_structs = F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     F.expr(expr).alias("bkey"))
+            for b, expr in bands
+        ])
+        sig = (
+            bdf.select("doc_id",
+                       F.split(F.lower(F.trim(F.col("text"))), " ")
+                       .alias("toks"))
+            .filter(F.size("toks") >= SHINGLE_K)
+            .select("doc_id", F.expr(hs).alias("hs"),
+                    F.expr(ks_expr).alias("ks"))
+            .select("doc_id", "ks", F.explode(band_structs).alias("p"))
+            .select("doc_id", "ks", "p.band", "p.bkey")
+        )
+        a = sig.select(F.col("doc_id").alias("da"),
+                       F.col("ks").alias("ka"), "band", "bkey")
+        b = sig.select(F.col("doc_id").alias("db"),
+                       F.col("ks").alias("kb"), "band", "bkey")
+        ni = F.size(F.array_intersect("ka", "kb")).cast("long")
+        inbatch_drop = (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col("da") < F.col("db"))
+            .filter((ni / (F.size("ka") + F.size("kb") - ni))
+                    >= JACCARD_THRESHOLD)
+            .select(F.col("db").alias("doc_id")).distinct()
+        )
+
+        survivors = (
+            decided
+            .withColumn("hh", hh)
+            .join(ex_min, "hh")
+            .filter(F.col("doc_id") == F.col("bmin"))
+            .join(inbatch_drop, "doc_id", "left_anti")
+            .select("doc_id", "source", "text", "n_tok", "hh")
+        )
+
+        # (3) land survivors + grow the indexes. Survivors are tiny
+        # relative to the corpus; cache for the three writes.
+        survivors = survivors.cache()
+        try:
+            (survivors.select("doc_id", "source", "text", "n_tok")
+             .write.mode("append").partitionBy("source").parquet(docs_dir))
+            (sig.join(survivors.select("doc_id"), "doc_id")
+             .select("band", "bkey",
+                     F.col("doc_id").alias("corpus_doc_id"),
+                     F.col("ks").alias("corpus_ks"),
+                     F.size("ks").cast("int").alias("corpus_n"))
+             .write.mode("append").parquet(band_dir))
+            (survivors.select("hh", F.col("doc_id").alias("exact_min"))
+             .write.mode("append").parquet(exact_dir))
+        finally:
+            survivors.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(ingest_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -1638,3 +1638,88 @@ def test_stream_asof_attach_spans_bar_gaps(spark, tmp_path):
         row = got[got["event_id"] == eid]
         assert row["bar_ts"].iloc[0] == pd.Timestamp(bts), eid
     assert got["bar_close"].tolist()[1:] == [1.0, 2.0, 2.0, 5.0]
+
+
+def test_stream_corpus_ingest_grows_its_index(spark, tmp_path):
+    """The self-maintaining ingest loop: a document accepted in batch 1
+    must REJECT its exact copy and its near-dup arriving in batch 2
+    (the accepted-index join — neither text exists in the static
+    corpus), in-batch exact dups resolve to the lower id, sample-fail
+    and corpus-dup docs never land, and novel keepers do."""
+    import hashlib
+
+    import pandas as pd
+
+    from pandas_ta_spark.ext.sampling import SAMPLE_THRESHOLDS
+    from pandas_ta_spark.streaming import stream_corpus_ingest
+
+    sf_dir = "/root/testdata/sf0.01"
+    thr = SAMPLE_THRESHOLDS["src1"]  # "cc"
+
+    def sample_ok(doc_id):
+        return hashlib.md5(f"sample|{doc_id}".encode()).hexdigest()[:2] < thr
+
+    ids = iter(range(2_000_000, 2_001_000))
+
+    def pick(ok=True):
+        for i in ids:
+            if sample_ok(i) == ok:
+                return i
+        raise AssertionError("id pool exhausted")
+
+    # quality-passing novel texts: 20+ distinct tokens incl. a stopword
+    def novel(tag):
+        words = [f"{tag}{i}" for i in range(25)]
+        return "the " + " ".join(words)
+
+    a_id, b_id = pick(), pick()
+    b2_id = pick()
+    assert b_id < b2_id
+    sfail_id = pick(ok=False)
+    corpus_text = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("text").limit(1).collect()[0][0])
+    c_id = pick()
+    batch1 = pd.DataFrame({
+        "doc_id": [a_id, b_id, b2_id, sfail_id, c_id],
+        "source": "src1",
+        "text": [novel("alpha"), novel("beta"), novel("beta"),
+                 novel("gamma"), corpus_text],
+        "ingest_ts": pd.Timestamp("2026-01-01 00:10:00"),
+    })
+    a2_id, a3_id, d_id = pick(), pick(), pick()
+    batch2 = pd.DataFrame({
+        "doc_id": [a2_id, a3_id, d_id],
+        "source": "src1",
+        "text": [novel("alpha"),              # exact copy of accepted A
+                 novel("alpha") + " extra",   # near-dup of accepted A
+                 novel("delta")],             # novel keeper
+        "ingest_ts": pd.Timestamp("2026-01-01 00:20:00"),
+    })
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    for df, name in ((batch1, "a1"), (batch2, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    lake = str(tmp_path / "ingest_lake")
+    qh = stream_corpus_ingest(stream, spark, sf_dir, lake,
+                              str(tmp_path / "ingest_ck"))
+    qh.awaitTermination(240)
+
+    got = (spark.read.parquet(f"{lake}/docs").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == sorted([a_id, b_id, d_id])
+    # the growing index really grew: batch-2 rejections were vs
+    # ACCEPTED signatures, not the static corpus
+    band_idx = spark.read.parquet(f"{lake}/band_index")
+    assert band_idx.filter(f"corpus_doc_id = {a_id}").count() == 4  # N_BANDS
+    exact_idx = spark.read.parquet(f"{lake}/exact_index").toPandas()
+    assert set(exact_idx["exact_min"]) == {a_id, b_id, d_id}
