@@ -5,6 +5,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_neardup_candidates,
     stream_quality_keep,
     stream_curation_gate,
+    compact_ingest_lake,
     stream_corpus_ingest,
     stream_curation_sink,
     stream_media_features,
@@ -38,4 +39,4 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "stream_asof_attach", "stream_span_dup_gate",
            "stream_semdedup_gate", "stream_curation_gate",
            "stream_media_features", "stream_curation_sink",
-           "stream_corpus_ingest"]
+           "stream_corpus_ingest", "compact_ingest_lake"]

@@ -894,3 +894,47 @@ def stream_corpus_ingest(docs: DataFrame, spark, sf_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ingest_lake(spark, lake_dir: str) -> dict:
+    """Periodic maintenance for `stream_corpus_ingest`'s appended index
+    dirs — the compaction job the ingest docstring promises.
+
+    Every micro-batch appends small parquet files; after N batches the
+    band/exact indexes are N-file relations whose scan cost (file
+    listing + footer reads) grows with batch count, not data. Compaction
+    rewrites each index as ONE sorted relation: the exact index folds to
+    min(exact_min) per hash (replayed at-least-once rows collapse), the
+    band index dedups exact replays, and both are written sorted by
+    their join key so the re-read clusters bucket-mates. Atomic swap via
+    rename: write to `<dir>.compact`, then replace — a reader mid-swap
+    sees the old or the new snapshot, never a mix.
+
+    Returns {"band_rows": n, "exact_rows": n} for telemetry."""
+    import os
+    import shutil
+
+    stats = {}
+    for sub, key_cols, fold in (
+        ("band_index", ["band", "bkey"], "dedup"),
+        ("exact_index", ["hh"], "min"),
+    ):
+        tag = sub.removesuffix("_index")
+        path = f"{lake_dir}/{sub}"
+        if not os.path.isdir(path):
+            stats[f"{tag}_rows"] = 0
+            continue
+        df = spark.read.parquet(path)
+        if fold == "min":
+            df = df.groupBy("hh").agg(F.min("exact_min").alias("exact_min"))
+        else:
+            df = df.dropDuplicates()
+        df = df.sortWithinPartitions(*key_cols).coalesce(1)
+        tmp = f"{path}.compact"
+        df.write.mode("overwrite").parquet(tmp)
+        stats[f"{tag}_rows"] = spark.read.parquet(tmp).count()
+        old = f"{path}.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    return stats

@@ -1723,3 +1723,95 @@ def test_stream_corpus_ingest_grows_its_index(spark, tmp_path):
     assert band_idx.filter(f"corpus_doc_id = {a_id}").count() == 4  # N_BANDS
     exact_idx = spark.read.parquet(f"{lake}/exact_index").toPandas()
     assert set(exact_idx["exact_min"]) == {a_id, b_id, d_id}
+
+
+def test_compact_ingest_lake_preserves_decisions(spark, tmp_path):
+    """Compacting the ingest lake's appended index dirs must not change
+    any future gate decision: same band-key set, same per-hash exact
+    minima, fewer files — and a doc that the pre-compaction index
+    rejected is still rejected after."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from pandas_ta_spark.ext.sampling import SAMPLE_THRESHOLDS
+    from pandas_ta_spark.streaming import (
+        compact_ingest_lake, stream_corpus_ingest,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    thr = SAMPLE_THRESHOLDS["src1"]
+    ids = iter(range(3_000_000, 3_001_000))
+
+    def pick():
+        for i in ids:
+            if hashlib.md5(f"sample|{i}".encode()).hexdigest()[:2] < thr:
+                return i
+        raise AssertionError("id pool exhausted")
+
+    def novel(tag):
+        return "the " + " ".join(f"{tag}{i}" for i in range(25))
+
+    a_id = pick()
+    b1 = pd.DataFrame({
+        "doc_id": [a_id], "source": "src1", "text": [novel("omega")],
+        "ingest_ts": pd.Timestamp("2026-01-01 00:10:00"),
+    })
+    src = tmp_path / "cmp_src"
+    src.mkdir()
+    d = b1.copy()
+    d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+    d.to_parquet(src / "a1.parquet")
+    lake = str(tmp_path / "cmp_lake")
+    stream = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    stream_corpus_ingest(stream, spark, sf_dir, lake,
+                         str(tmp_path / "cmp_ck1")).awaitTermination(180)
+
+    before_band = (spark.read.parquet(f"{lake}/band_index").toPandas()
+                   .sort_values(["band", "bkey"]).reset_index(drop=True))
+    before_exact = (spark.read.parquet(f"{lake}/exact_index").toPandas()
+                    .sort_values("hh").reset_index(drop=True))
+
+    stats = compact_ingest_lake(spark, lake)
+    assert stats["band_rows"] == len(before_band)
+    assert stats["exact_rows"] == len(before_exact)
+    after_band = (spark.read.parquet(f"{lake}/band_index").toPandas()
+                  .sort_values(["band", "bkey"]).reset_index(drop=True))
+    after_exact = (spark.read.parquet(f"{lake}/exact_index").toPandas()
+                   .sort_values("hh").reset_index(drop=True))
+    assert after_band.equals(before_band)
+    assert after_exact.equals(before_exact)
+    # single data file per compacted index
+    for sub in ("band_index", "exact_index"):
+        files = [f for f in os.listdir(f"{lake}/{sub}")
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, sub
+
+    # the compacted index still rejects a copy of the accepted doc
+    a2_id = pick()
+    b2 = pd.DataFrame({
+        "doc_id": [a2_id], "source": "src1", "text": [novel("omega")],
+        "ingest_ts": pd.Timestamp("2026-01-01 00:20:00"),
+    })
+    src2 = tmp_path / "cmp_src2"
+    src2.mkdir()
+    d = b2.copy()
+    d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+    d.to_parquet(src2 / "a1.parquet")
+    stream2 = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .parquet(str(src2))
+    )
+    stream_corpus_ingest(stream2, spark, sf_dir, lake,
+                         str(tmp_path / "cmp_ck2")).awaitTermination(180)
+    docs_out = spark.read.parquet(f"{lake}/docs").toPandas()
+    assert a_id in set(docs_out["doc_id"])
+    assert a2_id not in set(docs_out["doc_id"])

@@ -147,6 +147,22 @@ def main() -> None:
           docs, "doc_id long, text string, ingest_ts timestamp",
           "decon_gate", len(docs))
 
+    # composed curation gate (quality+sample+exact+near-dup in one query)
+    from pandas_ta_spark.streaming import stream_curation_gate
+    from pandas_ta_spark.streaming.corpus import _corpus_exact_index
+
+    t0 = time.time()
+    _corpus_exact_index(spark, SF_DIR)
+    out["exact_index_build_sec"] = round(time.time() - t0, 3)
+    docs_src = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "source", "text").toPandas())
+    docs_src["ingest_ts"] = ts
+    docs_src["ingest_ts"] = docs_src["ingest_ts"].astype("datetime64[ms]")
+    drain(lambda st: stream_curation_gate(st, spark, SF_DIR),
+          docs_src,
+          "doc_id long, source string, text string, ingest_ts timestamp",
+          "curation_gate", len(docs_src))
+
     import numpy as np
     rng = np.random.default_rng(1)
     n_panel = 20_000
