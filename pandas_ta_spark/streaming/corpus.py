@@ -149,6 +149,31 @@ def _band_key_stream_exprs():
     return hs, bands, ks
 
 
+def _banded_rows(t: DataFrame, carry: tuple) -> DataFrame:
+    """One (carry..., ks, band, bkey) row per (shingleable doc, band):
+    the stateless per-row MinHash signature relation. ``t`` must hold a
+    pre-bound ``toks`` array column (bind the split once — see the note
+    in `_band_key_stream_exprs`). The SINGLE definition of the
+    band-explode wiring, shared by the corpus gate, the curation
+    clauses and the ingest loop's in-batch self-join (code-review r8:
+    three hand-maintained copies had to stay bit-identical for the
+    parity guarantees to hold)."""
+    from pandas_ta_spark.ext.dedup import SHINGLE_K
+
+    hs, bands, ks = _band_key_stream_exprs()
+    band_structs = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.expr(expr).alias("bkey"))
+        for b, expr in bands
+    ])
+    return (
+        t.filter(F.size("toks") >= SHINGLE_K)
+        .select(*carry, F.expr(hs).alias("hs"), F.expr(ks).alias("ks"))
+        .select(*carry, "ks", F.explode(band_structs).alias("p"))
+        .select(*carry, "ks", "p.band", "p.bkey")
+    )
+
+
 def stream_neardup_candidates(docs: DataFrame,
                               watermark: str = "2 hours") -> DataFrame:
     """Streaming MinHash/LSH near-duplicate pre-filter.
@@ -243,6 +268,36 @@ def stream_neardup_candidates(docs: DataFrame,
 _CORPUS_INDEX_CACHE: dict = {}
 
 
+def _session_cached(cache: dict, spark, key_tail: tuple, build):
+    """Session-index cache dance shared by the corpus/span/exact index
+    builders (code-review r8: four verbatim copies of the lookup /
+    evict-stale-applications / store logic). Keys are
+    (applicationId, *key_tail); entries from stopped applications are
+    swept on every miss."""
+    key = (spark.sparkContext.applicationId, *key_tail)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    out = build()
+    for stale in [k for k in cache if k[0] != key[0]]:
+        del cache[stale]
+    cache[key] = out
+    return out
+
+
+def _fold_decisions(marked: DataFrame) -> DataFrame:
+    """Per-document batch fold of `_curation_marked` rows: one row with
+    (doc_id, source, text, n_tok, keep). The single definition of the
+    keep combination, shared by the sink and the ingest loop."""
+    return marked.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.first("text").alias("text"),
+        F.first("n_tok").alias("n_tok"),
+        (F.first("q_keep") & F.first("s_keep") & F.first("exact_keep")
+         & (F.max(F.coalesce("hit", F.lit(0))) == 0)).alias("keep"),
+    )
+
+
 def _corpus_dedup_index(spark, sf_dir: str, corpus_pred: str | None = None):
     """(band, bkey, corpus_doc_id, corpus_ks, corpus_n) — the banded
     MinHash index of the static corpus (optionally restricted by the
@@ -254,26 +309,21 @@ def _corpus_dedup_index(spark, sf_dir: str, corpus_pred: str | None = None):
     from pandas_ta_spark.ext.dedup import _banded, _minhash_sig
     from pandas_ta_spark.sources.bars import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir, corpus_pred)
-    hit = _CORPUS_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if corpus_pred is not None:
-        docs = docs.filter(corpus_pred)
-    sig = _minhash_sig(docs.repartition("doc_id"))
-    idx = materialize(
-        _banded(sig).join(
-            sig.select("doc_id", "ks", F.size("ks").alias("corpus_n")),
-            "doc_id")
-        .select("band", "bkey",
-                F.col("doc_id").alias("corpus_doc_id"),
-                F.col("ks").alias("corpus_ks"), "corpus_n")
-    )
-    for stale in [k for k in _CORPUS_INDEX_CACHE if k[0] != key[0]]:
-        del _CORPUS_INDEX_CACHE[stale]
-    _CORPUS_INDEX_CACHE[key] = idx
-    return idx
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        filtered = docs.filter(corpus_pred) if corpus_pred is not None else docs
+        sig = _minhash_sig(filtered.repartition("doc_id"))
+        return materialize(
+            _banded(sig).join(
+                sig.select("doc_id", "ks", F.size("ks").alias("corpus_n")),
+                "doc_id")
+            .select("band", "bkey",
+                    F.col("doc_id").alias("corpus_doc_id"),
+                    F.col("ks").alias("corpus_ks"), "corpus_n")
+        )
+
+    return _session_cached(_CORPUS_INDEX_CACHE, spark,
+                           (sf_dir, corpus_pred), build)
 
 
 def stream_dedup_vs_corpus(docs: DataFrame, spark, sf_dir: str,
@@ -304,25 +354,12 @@ def stream_dedup_vs_corpus(docs: DataFrame, spark, sf_dir: str,
 
     tau = JACCARD_THRESHOLD if threshold is None else threshold
     idx = _corpus_dedup_index(spark, sf_dir, corpus_pred)
-    hs, bands, ks = _band_key_stream_exprs()
-    with_sig = (
+    banded = _banded_rows(
         docs.select(
             "doc_id", "ingest_ts",
             F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
-        )
-        .filter(F.size("toks") >= SHINGLE_K)
-        .select("doc_id", "ingest_ts", F.expr(hs).alias("hs"),
-                F.expr(ks).alias("ks"))
-    )
-    band_structs = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.expr(expr).alias("bkey"))
-        for b, expr in bands
-    ])
-    banded = (
-        with_sig.select("doc_id", "ingest_ts", "ks",
-                        F.explode(band_structs).alias("p"))
-        .select("doc_id", "ingest_ts", "ks", "p.band", "p.bkey")
+        ),
+        ("doc_id", "ingest_ts"),
     )
     n_inter = F.size(F.array_intersect("ks", "corpus_ks")).cast("long")
     matched = (
@@ -388,23 +425,17 @@ def _corpus_span_index(spark, sf_dir: str):
     from pandas_ta_spark.ext.dedup import span_relation
     from pandas_ta_spark.sources.bars import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _SPAN_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sp = span_relation(docs)
-    idx = materialize(
-        sp.groupBy("h").agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.when(F.count_distinct("doc_id") == 1, F.min("doc_id"))
-            .alias("only_doc"),
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return materialize(
+            span_relation(docs).groupBy("h").agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.when(F.count_distinct("doc_id") == 1, F.min("doc_id"))
+                .alias("only_doc"),
+            )
         )
-    )
-    for stale in [k for k in _SPAN_INDEX_CACHE if k[0] != key[0]]:
-        del _SPAN_INDEX_CACHE[stale]
-    _SPAN_INDEX_CACHE[key] = idx
-    return idx
+
+    return _session_cached(_SPAN_INDEX_CACHE, spark, (sf_dir,), build)
 
 
 def stream_span_dup_gate(docs: DataFrame, spark, sf_dir: str,
@@ -526,25 +557,21 @@ def _corpus_exact_index(spark, sf_dir: str):
     from pandas_ta_spark.ckpt import materialize
     from pandas_ta_spark.sources.bars import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _EXACT_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = materialize(
-        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("hh"))
-        .agg(F.min("doc_id").alias("exact_min"))
-    )
-    for stale in [k for k in _EXACT_INDEX_CACHE if k[0] != key[0]]:
-        del _EXACT_INDEX_CACHE[stale]
-    _EXACT_INDEX_CACHE[key] = idx
-    return idx
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return materialize(
+            docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("hh"))
+            .agg(F.min("doc_id").alias("exact_min"))
+        )
+
+    return _session_cached(_EXACT_INDEX_CACHE, spark, (sf_dir,), build)
 
 
 def _curation_marked(docs: DataFrame, spark, sf_dir: str,
                      extra_carry: tuple = (),
                      extra_band_index: DataFrame | None = None,
-                     extra_exact_index: DataFrame | None = None) -> DataFrame:
+                     extra_exact_index: DataFrame | None = None,
+                     any_id: bool = False) -> DataFrame:
     """Per-document clause columns + one `hit` row per band-join match —
     the pre-fold stage shared by `stream_curation_gate` (watermarked
     window fold) and `stream_curation_sink` (plain per-micro-batch
@@ -592,20 +619,9 @@ def _curation_marked(docs: DataFrame, spark, sf_dir: str,
         )
     )
 
-    hs, bands, ks = _band_key_stream_exprs()
     carry = ["doc_id", "source", "ingest_ts", *extra_carry, "n_tok",
              "q_keep", "s_keep", "exact_keep"]
-    band_structs = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.expr(expr).alias("bkey"))
-        for b, expr in bands
-    ])
-    sig = (
-        base.filter(F.size("toks") >= SHINGLE_K)
-        .select(*carry, F.expr(hs).alias("hs"), F.expr(ks).alias("ks"))
-        .select(*carry, "ks", F.explode(band_structs).alias("p"))
-        .select(*carry, "ks", "p.band", "p.bkey")
-    )
+    sig = _banded_rows(base, tuple(carry))
     # short docs have no signature and can never near-dup — they pass
     # straight to the fold as a single unmatched row
     short = base.filter(F.size("toks") < SHINGLE_K).select(
@@ -615,9 +631,20 @@ def _curation_marked(docs: DataFrame, spark, sf_dir: str,
     )
     n_inter = F.size(F.array_intersect("ks", "corpus_ks")).cast("long")
     jac = n_inter / (F.size("ks") + F.col("corpus_n") - n_inter)
+    # id rule (code-review r8): the batch keep-list drops the HIGHER id
+    # of a verified pair, so the replay-parity gates compare ids; the
+    # ingest loop is FIRST-ACCEPTED-WINS — everything in the index
+    # (static corpus or accepted stream) was accepted before this doc,
+    # so any verified non-self match drops it regardless of id
+    # (otherwise a near-dup arriving later with a LOWER id would slip
+    # past the index, inconsistent with the exact clause).
+    id_rule = (
+        (F.col("corpus_doc_id") != F.col("doc_id")) if any_id
+        else (F.col("corpus_doc_id") < F.col("doc_id"))
+    )
     hit = (
         F.col("corpus_doc_id").isNotNull()
-        & (F.col("corpus_doc_id") < F.col("doc_id"))
+        & id_rule
         & (jac >= JACCARD_THRESHOLD)
     )
     return (
@@ -731,15 +758,7 @@ def stream_curation_sink(docs: DataFrame, spark, sf_dir: str,
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
         marked = _curation_marked(bdf, spark, sf_dir, extra_carry=("text",))
         kept = (
-            marked.groupBy("doc_id")
-            .agg(
-                F.first("source").alias("source"),
-                F.first("text").alias("text"),
-                F.first("n_tok").alias("n_tok"),
-                (F.first("q_keep") & F.first("s_keep")
-                 & F.first("exact_keep")
-                 & (F.max(F.coalesce("hit", F.lit(0))) == 0)).alias("keep"),
-            )
+            _fold_decisions(marked)
             .filter(F.col("keep"))
             .select("doc_id", "source", "text", "n_tok")
         )
@@ -752,6 +771,29 @@ def stream_curation_sink(docs: DataFrame, spark, sf_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+BAND_INDEX_SCHEMA = ("band int, bkey string, corpus_doc_id long, "
+                     "corpus_ks array<bigint>, corpus_n int")
+EXACT_INDEX_SCHEMA = "hh string, exact_min long"
+
+
+def _recover_index_dir(path: str):
+    """Return ``path`` if the index dir exists, healing a crashed
+    compaction swap first: the two-directory rename in
+    `compact_ingest_lake` has a window where only ``<path>.old``
+    exists — if we find that state, rename it back before reading
+    (code-review r8: a crash there must not leave the gate running
+    ungated forever). Returns None when neither dir exists."""
+    import os
+
+    if os.path.isdir(path):
+        return path
+    old = f"{path}.old"
+    if os.path.isdir(old):
+        os.rename(old, path)
+        return path
+    return None
 
 
 def stream_corpus_ingest(docs: DataFrame, spark, sf_dir: str,
@@ -775,8 +817,9 @@ def stream_corpus_ingest(docs: DataFrame, spark, sf_dir: str,
     Semantics: FIRST-ACCEPTED-WINS. For a replay whose doc_ids arrive
     in increasing order this is exactly the batch min-id keep-list over
     (corpus ∪ stream); under out-of-order arrival the earlier-ACCEPTED
-    document wins regardless of id — the only causal option online
-    (pinned by test).
+    document wins regardless of id (``any_id`` near-dup rule + the
+    min-folded exact index — both clauses order-free; pinned by test,
+    including a lower-id near-dup arriving after its accepted twin).
 
     100 TB shape: the appended index is signatures only (4 band keys +
     a 16-element key set per doc — ~100 bytes/doc, not the text);
@@ -793,37 +836,22 @@ def stream_corpus_ingest(docs: DataFrame, spark, sf_dir: str,
     docs_dir = f"{lake_dir}/docs"
     band_dir = f"{lake_dir}/band_index"
     exact_dir = f"{lake_dir}/exact_index"
-    band_schema = ("band int, bkey string, corpus_doc_id long, "
-                   "corpus_ks array<bigint>, corpus_n int")
-    exact_schema = "hh string, exact_min long"
 
     def _read_index(path: str, schema: str):
-        import os
-
-        if not os.path.isdir(path):
+        if _recover_index_dir(path) is None:
             return None
         return spark.read.schema(schema).parquet(path)
 
     def ingest_batch(bdf: DataFrame, epoch_id: int) -> None:
-        acc_band = _read_index(band_dir, band_schema)
-        acc_exact = _read_index(exact_dir, exact_schema)
+        acc_band = _read_index(band_dir, BAND_INDEX_SCHEMA)
+        acc_exact = _read_index(exact_dir, EXACT_INDEX_SCHEMA)
 
         # (1) corpus + accepted-index clauses, text carried for the write
         marked = _curation_marked(
             bdf, spark, sf_dir, extra_carry=("text",),
-            extra_band_index=acc_band, extra_exact_index=acc_exact)
-        decided = (
-            marked.groupBy("doc_id")
-            .agg(
-                F.first("source").alias("source"),
-                F.first("text").alias("text"),
-                F.first("n_tok").alias("n_tok"),
-                (F.first("q_keep") & F.first("s_keep")
-                 & F.first("exact_keep")
-                 & (F.max(F.coalesce("hit", F.lit(0))) == 0)).alias("ckeep"),
-            )
-            .filter(F.col("ckeep"))
-        )
+            extra_band_index=acc_band, extra_exact_index=acc_exact,
+            any_id=True)
+        decided = _fold_decisions(marked).filter(F.col("keep"))
 
         # (2a) in-batch exact: min id per normalized-text hash wins
         hh = F.md5(F.lower(F.trim(F.col("text"))))
@@ -833,21 +861,11 @@ def stream_corpus_ingest(docs: DataFrame, spark, sf_dir: str,
         # (2b) in-batch near-dup: banded self-join + true Jaccard,
         # the higher id of every verified pair drops (same signature
         # expressions as the gate — bit-identical keys)
-        hs, bands, ks_expr = _band_key_stream_exprs()
-        band_structs = F.array(*[
-            F.struct(F.lit(b).cast("int").alias("band"),
-                     F.expr(expr).alias("bkey"))
-            for b, expr in bands
-        ])
-        sig = (
+        sig = _banded_rows(
             bdf.select("doc_id",
                        F.split(F.lower(F.trim(F.col("text"))), " ")
-                       .alias("toks"))
-            .filter(F.size("toks") >= SHINGLE_K)
-            .select("doc_id", F.expr(hs).alias("hs"),
-                    F.expr(ks_expr).alias("ks"))
-            .select("doc_id", "ks", F.explode(band_structs).alias("p"))
-            .select("doc_id", "ks", "p.band", "p.bkey")
+                       .alias("toks")),
+            ("doc_id",),
         )
         a = sig.select(F.col("doc_id").alias("da"),
                        F.col("ks").alias("ka"), "band", "bkey")
@@ -910,30 +928,46 @@ def compact_ingest_lake(spark, lake_dir: str) -> dict:
     rename: write to `<dir>.compact`, then replace — a reader mid-swap
     sees the old or the new snapshot, never a mix.
 
+    Concurrency/crash contract (code-review r8): the swap is TWO
+    directory renames, so there is a window where only ``<dir>.old``
+    exists. Run compaction while the ingest query is stopped (it is an
+    availableNow maintenance job); if a crash lands in the window,
+    `_recover_index_dir` — called by every index read — renames
+    ``.old`` back, so the gate never runs ungated. True single-rename
+    atomicity needs a table format or versioned-symlink layout, which
+    this plain-parquet lake deliberately avoids.
+
     Returns {"band_rows": n, "exact_rows": n} for telemetry."""
     import os
     import shutil
 
     stats = {}
-    for sub, key_cols, fold in (
-        ("band_index", ["band", "bkey"], "dedup"),
-        ("exact_index", ["hh"], "min"),
+    for sub, schema, key_cols, fold in (
+        ("band_index", BAND_INDEX_SCHEMA, ["band", "bkey"], "dedup"),
+        ("exact_index", EXACT_INDEX_SCHEMA, ["hh"], "min"),
     ):
         tag = sub.removesuffix("_index")
         path = f"{lake_dir}/{sub}"
-        if not os.path.isdir(path):
+        if _recover_index_dir(path) is None:
             stats[f"{tag}_rows"] = 0
             continue
-        df = spark.read.parquet(path)
+        # explicit schema: a dir holding only _SUCCESS (a batch whose
+        # survivors had no signatures) must compact to empty, not
+        # crash schema inference
+        df = spark.read.schema(schema).parquet(path)
         if fold == "min":
             df = df.groupBy("hh").agg(F.min("exact_min").alias("exact_min"))
         else:
             df = df.dropDuplicates()
-        df = df.sortWithinPartitions(*key_cols).coalesce(1)
+        # coalesce FIRST, sort the single merged partition after —
+        # the reverse order concatenates per-partition sorted runs
+        # and the file would not be globally key-clustered
+        df = df.coalesce(1).sortWithinPartitions(*key_cols)
         tmp = f"{path}.compact"
         df.write.mode("overwrite").parquet(tmp)
-        stats[f"{tag}_rows"] = spark.read.parquet(tmp).count()
+        stats[f"{tag}_rows"] = spark.read.schema(schema).parquet(tmp).count()
         old = f"{path}.old"
+        shutil.rmtree(old, ignore_errors=True)  # stale from a prior crash
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -36,13 +36,25 @@ def asof_lookup_table(bars: DataFrame) -> DataFrame:
     """Per-(symbol, event-hour) prevailing bar: the validity-interval
     expansion of the static bar table.
 
-    A bar at ts=T with successor at next_T is the as-of match (max
-    bar_ts strictly below h) for every hour h in (T, next_T]; the last
-    bar's interval is clamped to one hour (callers clamp later event
-    hours down to it). ONE window pass for lead + one explode; output
-    rows ~= hours spanned per symbol."""
-    w = Window.partitionBy("symbol").orderBy("ts")
+    Hour keys are hour-truncated, so the construction is safe for ANY
+    bar spacing, not just canonical hourly bars (code-review r8: the
+    original `sequence(bar_ts + 1h, next_ts)` threw when consecutive
+    bars were under an hour apart, and sub-hourly bars can map several
+    bars onto one event hour). Each bar claims hours from
+    trunc(bar_ts)+1h (the first hour it is strictly before) through
+    trunc(next_ts)+1h (where its successor takes over); `greatest`
+    guards the degenerate <=0-length case, overlapping claims are
+    resolved by keeping the LATEST bar per (symbol, hour) — a
+    max-struct aggregation, no sort — and bar_ts < h holds by
+    construction. ONE window pass for lead + one explode + one
+    aggregation; output rows ~= hours spanned per symbol."""
     hour = F.expr("INTERVAL 1 HOUR")
+    w = Window.partitionBy("symbol").orderBy("ts")
+    start = F.date_trunc("hour", F.col("bar_ts")) + hour
+    stop = F.greatest(
+        F.coalesce(F.date_trunc("hour", F.col("next_ts")) + hour, start),
+        start,
+    )
     return (
         bars.select(
             "symbol",
@@ -50,19 +62,12 @@ def asof_lookup_table(bars: DataFrame) -> DataFrame:
             F.col("close").alias("bar_close"),
             F.lead("ts").over(w).alias("next_ts"),
         )
-        .withColumn(
-            "h",
-            F.explode(F.sequence(
-                F.col("bar_ts") + hour,
-                F.coalesce(F.col("next_ts"), F.col("bar_ts") + hour),
-                hour,
-            )),
-        )
-        # (T, next_T]: sequence() is inclusive of both ends, and starting
-        # at T+1h keeps h > T; the upper end next_T is the last hour this
-        # bar still prevails for (bars at next_T are NOT < h when h ==
-        # next_T).
-        .select("symbol", "h", "bar_ts", "bar_close")
+        .withColumn("h", F.explode(F.sequence(start, stop, hour)))
+        .groupBy("symbol", "h")
+        .agg(F.max(F.struct("bar_ts", "bar_close")).alias("b"))
+        .select("symbol", "h",
+                F.col("b.bar_ts").alias("bar_ts"),
+                F.col("b.bar_close").alias("bar_close"))
     )
 
 
@@ -79,7 +84,10 @@ def stream_asof_attach(events: DataFrame, bars: DataFrame) -> DataFrame:
     hash lookup on (symbol, hour)), no watermark required."""
     clamp = F.broadcast(
         bars.groupBy("symbol").agg(
-            (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("_clamp_h"))
+            # hour-truncated so the clamp target is always a lookup key
+            # even for non-hour-aligned final bars
+            (F.date_trunc("hour", F.max("ts"))
+             + F.expr("INTERVAL 1 HOUR")).alias("_clamp_h"))
     )
     lookup = asof_lookup_table(bars)
     ev = (

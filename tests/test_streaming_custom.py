@@ -1687,12 +1687,19 @@ def test_stream_corpus_ingest_grows_its_index(spark, tmp_path):
         "ingest_ts": pd.Timestamp("2026-01-01 00:10:00"),
     })
     a2_id, a3_id, d_id = pick(), pick(), pick()
+    # out-of-order arrival: a near-dup with a LOWER id than its
+    # accepted twin — first-accepted-wins must still reject it
+    # (code-review r8: the lower-id-only rule would have let it pass)
+    low_id = next(i for i in range(1_900_000, 1_999_999)
+                  if sample_ok(i))
+    assert low_id < a_id
     batch2 = pd.DataFrame({
-        "doc_id": [a2_id, a3_id, d_id],
+        "doc_id": [a2_id, a3_id, d_id, low_id],
         "source": "src1",
         "text": [novel("alpha"),              # exact copy of accepted A
                  novel("alpha") + " extra",   # near-dup of accepted A
-                 novel("delta")],             # novel keeper
+                 novel("delta"),              # novel keeper
+                 novel("alpha") + " later"],  # lower-id near-dup of A
         "ingest_ts": pd.Timestamp("2026-01-01 00:20:00"),
     })
     src = tmp_path / "ingest_src"
@@ -1815,3 +1822,52 @@ def test_compact_ingest_lake_preserves_decisions(spark, tmp_path):
     docs_out = spark.read.parquet(f"{lake}/docs").toPandas()
     assert a_id in set(docs_out["doc_id"])
     assert a2_id not in set(docs_out["doc_id"])
+
+
+def test_stream_asof_attach_subhourly_bars(spark, tmp_path):
+    """Non-hour-aligned and sub-hourly bars (code-review r8: these used
+    to throw in sequence() or duplicate hour keys): several bars inside
+    one hour resolve to the LATEST strictly-before bar per event hour,
+    no duplicated event rows, no exceptions."""
+    import pandas as pd
+
+    from pandas_ta_spark.streaming import stream_asof_attach
+
+    bars_pd = pd.DataFrame({
+        "symbol": "A",
+        "ts": pd.to_datetime(["2026-01-01 01:10", "2026-01-01 01:40",
+                              "2026-01-01 02:30"]),
+        "open": [1.0, 2.0, 3.0], "high": [1.0, 2.0, 3.0],
+        "low": [1.0, 2.0, 3.0], "close": [1.0, 2.0, 3.0],
+        "volume": 1.0,
+    })
+    bars = spark.createDataFrame(bars_pd)
+    events = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "symbol": "A",
+        "ts": pd.to_datetime([
+            "2026-01-01 02:05",  # hour 02 -> latest bar < 02:00 is 01:40
+            "2026-01-01 03:20",  # hour 03 -> 02:30
+            "2026-01-01 07:00",  # past end -> clamp to 02:30
+        ]),
+        "value": 1.0,
+    })
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    src = tmp_path / "asof_sub_src"
+    src.mkdir()
+    events.to_parquet(src / "a1.parquet")
+    stream = (
+        spark.readStream
+        .schema("event_id long, symbol string, ts timestamp, value double")
+        .parquet(str(src))
+    )
+    qh = (
+        stream_asof_attach(stream, bars)
+        .writeStream.format("memory").queryName("asof_sub_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(120)
+    got = (spark.sql("SELECT event_id, bar_close FROM asof_sub_stream")
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert got["event_id"].tolist() == [1, 2, 3]  # no duplicated rows
+    assert got["bar_close"].tolist() == [2.0, 3.0, 3.0]
