@@ -78,6 +78,17 @@ def main() -> None:
         dt = time.time() - t0
         out[f"{name}_sec"] = round(dt, 3)
         out[f"{name}_rows_per_sec"] = round(n_rows / dt)
+        # state telemetry: the bounded-state claims as a measured
+        # artifact — operator count + peak total state rows across the
+        # run's progress events (0/0 for the stateless gates)
+        n_ops = rows_peak = 0
+        for prog in q.recentProgress:
+            ops = prog.get("stateOperators") or []
+            n_ops = max(n_ops, len(ops))
+            rows_peak = max(rows_peak,
+                            sum(o.get("numRowsTotal", 0) for o in ops))
+        out[f"{name}_state_ops"] = n_ops
+        out[f"{name}_state_rows_peak"] = rows_peak
 
     # one-time index builds (session-cached), reported separately
     t0 = time.time()
