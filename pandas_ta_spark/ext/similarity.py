@@ -474,6 +474,32 @@ def _train_centroids_numpy(rows) -> list[tuple]:
     return [(cid, [float(x) for x in ce], cn) for cid, ce, cn in cents]
 
 
+def assign_vectors(src: DataFrame, cent: DataFrame) -> DataFrame:
+    """Coarse-quantizer assignment of (vec_id, e, nrm) rows to the K
+    trained centroids — the shared primitive of the inverted-file build
+    AND online vector ingestion (`streaming.ann.stream_vector_ingest`,
+    the FAISS ``add()`` path).
+
+    argmax as max(struct(score, -centroid_id, centroid_id)): struct
+    comparison is lexicographic, so ties on score resolve to the
+    SMALLEST centroid_id — the same selection as the SQL twin's
+    row_number(ORDER BY score DESC, centroid_id). A hash aggregate with
+    map-side partials: no sort, no window shuffle — the shape that
+    survives a 100 TB corpus."""
+    scored = src.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id",
+        (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
+    )
+    best = F.max(F.struct(
+        F.col("score"), (-F.col("centroid_id")).alias("neg"),
+        F.col("centroid_id").alias("cid"),
+    )).alias("b")
+    return (
+        scored.groupBy("vec_id").agg(best)
+        .select("vec_id", F.col("b.cid").alias("centroid_id"))
+    )
+
+
 def _ivf_lists(spark: SparkSession, sf_dir: str):
     """Coarse-quantizer training + inverted-file build, shared by the ANN
     query (`_topk_ivf`) and the cluster-profile telemetry. Returns
@@ -503,24 +529,7 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
         return (v, *hit)
 
     def assign(cent: DataFrame, src: DataFrame | None = None) -> DataFrame:
-        # argmax as max(struct(score, -centroid_id, centroid_id)): struct
-        # comparison is lexicographic, so ties on score resolve to the
-        # SMALLEST centroid_id — the same selection as the SQL twin's
-        # row_number(ORDER BY score DESC, centroid_id). A hash aggregate
-        # with map-side partials: no sort, no window shuffle — the shape
-        # that survives a 100 TB corpus.
-        scored = (src if src is not None else v).crossJoin(F.broadcast(cent)).select(
-            "vec_id", "centroid_id",
-            (_spark_dot("e", "ce") / (F.col("nrm") * F.col("cn"))).alias("score"),
-        )
-        best = F.max(F.struct(
-            F.col("score"), (-F.col("centroid_id")).alias("neg"),
-            F.col("centroid_id").alias("cid"),
-        )).alias("b")
-        return (
-            scored.groupBy("vec_id").agg(best)
-            .select("vec_id", F.col("b.cid").alias("centroid_id"))
-        )
+        return assign_vectors(src if src is not None else v, cent)
 
     # ONE bounded collect: the 1-in-TRAIN_MOD training sample (capped at
     # TRAIN_CAP rows by id — FAISS guidance is ~40 x K training points,

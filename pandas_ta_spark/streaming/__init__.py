@@ -15,7 +15,11 @@ from pandas_ta_spark.streaming.corpus import (
     stream_split_assign,
     stream_token_rate,
 )
-from pandas_ta_spark.streaming.ann import stream_topk_ivf, stream_topk_ivfpq
+from pandas_ta_spark.streaming.ann import (
+    stream_topk_ivf,
+    stream_topk_ivfpq,
+    stream_vector_ingest,
+)
 from pandas_ta_spark.streaming.panel import stream_xsec_rank, stream_xsec_zscore
 from pandas_ta_spark.streaming.relational import stream_asof_attach
 from pandas_ta_spark.streaming.sessions import stream_sessions
@@ -39,4 +43,5 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "stream_asof_attach", "stream_span_dup_gate",
            "stream_semdedup_gate", "stream_curation_gate",
            "stream_media_features", "stream_curation_sink",
-           "stream_corpus_ingest", "compact_ingest_lake"]
+           "stream_corpus_ingest", "compact_ingest_lake",
+           "stream_vector_ingest"]

@@ -140,6 +140,7 @@ def stream_topk_ivf(
     window: str = "1 hour",
     watermark: str = "1 hour",
     two_stage: bool = False,
+    extra_vectors_dir: str | None = None,
 ) -> DataFrame:
     """Probe a query-vector stream against the session IVF index.
 
@@ -155,6 +156,7 @@ def stream_topk_ivf(
     from pandas_ta_spark.ext.similarity import TOP_K, _dot_str, _ivf_lists
 
     v, centn, lists = _ivf_lists(spark, sf_dir)
+    v, lists = _with_ingested(spark, v, lists, extra_vectors_dir)
 
     probed = _probed_queries(queries, centn)
 
@@ -275,4 +277,78 @@ def stream_topk_ivfpq(
         F.col("c.match_id").alias("match_id"),
         (F.col("pos") + 1).alias("rank"),
         (-F.col("c.negscore") / F.lit(1e6)).alias("score"),
+    )
+
+
+# ------------------------------------------------ online vector ingest ----
+
+VECTOR_LAKE_SCHEMA = ("vec_id long, e array<double>, nrm double, "
+                      "centroid_id long")
+
+
+def _with_ingested(spark: SparkSession, v: DataFrame, lists: DataFrame,
+                   lake_dir: str | None):
+    """Union the vector lake (online-added vectors) into the serving
+    relations. No-op when no lake is given or it is still empty."""
+    import os
+
+    if lake_dir is None:
+        return v, lists
+    path = f"{lake_dir}/vectors"
+    if not os.path.isdir(path):
+        return v, lists
+    lv = spark.read.schema(VECTOR_LAKE_SCHEMA).parquet(path)
+    v2 = v.unionByName(lv.select("vec_id", "e", "nrm"))
+    lists2 = lists.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    ).unionByName(lv.select("vec_id", "centroid_id"))
+    return v2, lists2
+
+
+def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
+                         lake_dir: str, checkpoint_dir: str):
+    """Online index growth — the FAISS ``add()`` path as a continuous
+    query: each streamed vector is normalized, assigned to the SESSION'S
+    trained coarse quantizer (`ext.similarity.assign_vectors` — the
+    identical argmax the batch inverted-file build uses, so an added
+    copy of a corpus vector lands in its twin's list by construction),
+    and appended to ``lake_dir/vectors``. Serving picks the additions up
+    via ``stream_topk_ivf(..., extra_vectors_dir=lake_dir)``.
+
+    The trained artifacts (centroids, PQ codebooks) stay FROZEN — the
+    standard serving contract: adds are cheap and exact against the
+    existing quantizer; retraining is the periodic batch job when drift
+    telemetry says so. Input needs (vec_id, embedding, ingest_ts).
+    foreachBatch semantics as in `stream_curation_sink` (at-least-once;
+    duplicate appended rows are harmless for top-k — same (score,
+    match_id) struct, deduped by the serving fold's array_distinct).
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from pandas_ta_spark.ext.similarity import (
+        _ivf_lists, _spark_dot, assign_vectors,
+    )
+
+    _, centn, _ = _ivf_lists(spark, sf_dir)
+
+    def add_batch(bdf: DataFrame, epoch_id: int) -> None:
+        nv = (
+            bdf.select(
+                "vec_id",
+                F.transform(F.col("embedding"),
+                            lambda x: x.cast("double")).alias("e"),
+            )
+            .withColumn("nrm", F.sqrt(_spark_dot("e", "e")))
+        )
+        assigned = assign_vectors(nv, centn)
+        (nv.join(assigned, "vec_id")
+         .select("vec_id", "e", "nrm",
+                 F.col("centroid_id").cast("long").alias("centroid_id"))
+         .write.mode("append").parquet(f"{lake_dir}/vectors"))
+
+    return (
+        vecs.writeStream.foreachBatch(add_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -1871,3 +1871,83 @@ def test_stream_asof_attach_subhourly_bars(spark, tmp_path):
            .toPandas().sort_values("event_id").reset_index(drop=True))
     assert got["event_id"].tolist() == [1, 2, 3]  # no duplicated rows
     assert got["bar_close"].tolist() == [2.0, 3.0, 3.0]
+
+
+def test_stream_vector_ingest_serves_added_vectors(spark, tmp_path):
+    """FAISS-add path: vectors ingested online must be assigned to the
+    SAME inverted list as their corpus twins (frozen quantizer, shared
+    argmax) and become immediately servable — a query equal to a copied
+    vector's source must return the new copy at rank 1 with cosine
+    exactly 1.0."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.similarity import N_QUERIES, _ivf_lists
+    from pandas_ta_spark.streaming import stream_topk_ivf, stream_vector_ingest
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    # copy three corpus vectors (NOT query vectors) under fresh ids
+    src_rows = emb[emb["vec_id"].isin([100, 150, 220])].copy()
+    added = src_rows.copy()
+    id_map = {100: 5_000_100, 150: 5_000_150, 220: 5_000_220}
+    added["vec_id"] = added["vec_id"].map(id_map)
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    added["ingest_ts"] = ts
+    added["ingest_ts"] = added["ingest_ts"].astype("datetime64[ms]")
+    vsrc = tmp_path / "vec_src"
+    vsrc.mkdir()
+    added.to_parquet(vsrc / "a1.parquet")
+    lake = str(tmp_path / "vec_lake")
+    vstream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>, ingest_ts timestamp")
+        .parquet(str(vsrc))
+    )
+    stream_vector_ingest(vstream, spark, sf_dir, lake,
+                         str(tmp_path / "vec_ck")).awaitTermination(180)
+
+    # frozen-quantizer assignment parity: each copy landed in its
+    # source's inverted list
+    _, _, lists = _ivf_lists(spark, sf_dir)
+    static = {r["vec_id"]: r["centroid_id"] for r in lists.collect()}
+    lake_rows = {r["vec_id"]: r["centroid_id"]
+                 for r in spark.read.parquet(f"{lake}/vectors").collect()}
+    assert set(lake_rows) == set(id_map.values())
+    for src_id, new_id in id_map.items():
+        assert lake_rows[new_id] == static[src_id], (src_id, new_id)
+
+    # serve: queries = the three SOURCE vectors; the added copies must
+    # be rank-1 matches at score exactly 1.0
+    q = src_rows.rename(columns={"vec_id": "query_id"}).copy()
+    q["ingest_ts"] = ts
+    flusher = pd.DataFrame({
+        "query_id": [9999],
+        "embedding": [src_rows["embedding"].iloc[0]],
+        "ingest_ts": [ts + pd.Timedelta(hours=4)],
+    })
+    qsrc = tmp_path / "vec_q_src"
+    qsrc.mkdir()
+    for df, name in ((q, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(qsrc / f"{name}.parquet")
+    qstream = (
+        spark.readStream
+        .schema("query_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qsrc))
+    )
+    qh = (
+        stream_topk_ivf(qstream, spark, sf_dir, extra_vectors_dir=lake)
+        .writeStream.format("memory").queryName("vec_serve")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = spark.sql("SELECT query_id, match_id, rank, score FROM vec_serve "
+                    "WHERE rank = 1").toPandas()
+    for src_id, new_id in id_map.items():
+        row = got[got["query_id"] == src_id]
+        assert len(row) == 1, src_id
+        assert row["match_id"].iloc[0] == new_id
+        assert row["score"].iloc[0] == 1.0
