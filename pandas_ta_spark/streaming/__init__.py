@@ -18,6 +18,7 @@ from pandas_ta_spark.streaming.corpus import (
 from pandas_ta_spark.streaming.ann import (
     stream_topk_ivf,
     stream_topk_ivfpq,
+    stream_embedding_drift,
     stream_vector_ingest,
 )
 from pandas_ta_spark.streaming.panel import stream_xsec_rank, stream_xsec_zscore
@@ -44,4 +45,4 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "stream_semdedup_gate", "stream_curation_gate",
            "stream_media_features", "stream_curation_sink",
            "stream_corpus_ingest", "compact_ingest_lake",
-           "stream_vector_ingest"]
+           "stream_vector_ingest", "stream_embedding_drift"]

@@ -352,3 +352,77 @@ def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_embedding_drift(vecs: DataFrame, spark: SparkSession,
+                           sf_dir: str, *, window: str = "1 hour",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Embedding-distribution drift telemetry: per event-time window,
+    the cosine between the window's MEAN vector and the static corpus
+    mean — the signal that tells the (frozen-quantizer) ANN deployment
+    when the periodic retrain is due. A mean-cosine near 1 says the
+    incoming distribution still looks like the training corpus; a drop
+    says the coarse quantizer's centroids no longer tile the data.
+
+    Rerun-stable: per-dimension sums are 1e-6 fixed-point BIGINTs
+    (associative integer addition — identical under any partitioning),
+    folded in a chained windowed aggregation (dims-per-window, then
+    window); the corpus mean is computed once from the session vector
+    cache and embedded as literals. The final cosine carries the usual
+    couple of float ulps (sqrt(n)*sqrt(n) != n), on top of exact
+    sums.
+
+    Emits (window_start, n_vecs, mean_norm, cos_to_corpus). 100 TB
+    shape: state is DIM rows per in-flight window (dimension sums),
+    then one row per window — independent of stream volume."""
+    from pandas_ta_spark.ext.similarity import DIM, _spark_vectors_cached
+
+    # corpus mean, exact: DIM bounded rows collected once
+    cv = _spark_vectors_cached(spark, sf_dir)
+    crow = (
+        cv.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long"))
+             .alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cmean = [0.0] * DIM
+    for r in crow:
+        cmean[r["pos"]] = (r["s"] / 1e6) / r["n"]
+    cnorm = sum(x * x for x in cmean) ** 0.5
+
+    q6 = F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+    dims = (
+        vecs.select(
+            "ingest_ts",
+            F.posexplode(F.transform(
+                F.col("embedding"), lambda x: x.cast("double")))
+            .alias("pos", "x"),
+        )
+        .withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "pos")
+        .agg(F.sum(q6).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    folded = (
+        dims.groupBy("w")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.expr("transform(array_sort(collect_list(struct(pos, s))),"
+                   " p -> p.s)").alias("sums"),
+        )
+    )
+    mean = F.expr("transform(sums, s -> (CAST(s AS DOUBLE) / 1e6) / n_vecs)")
+    dot_c = " + ".join(
+        f"mean[{i}] * CAST({cmean[i]!r} AS DOUBLE)" for i in range(DIM))
+    norm_m = " + ".join(f"mean[{i}] * mean[{i}]" for i in range(DIM))
+    return (
+        folded.withColumn("mean", mean)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_vecs",
+            F.sqrt(F.expr(norm_m)).alias("mean_norm"),
+            (F.expr(dot_c)
+             / (F.sqrt(F.expr(norm_m)) * F.lit(float(cnorm))))
+            .alias("cos_to_corpus"),
+        )
+    )

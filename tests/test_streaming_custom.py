@@ -1951,3 +1951,52 @@ def test_stream_vector_ingest_serves_added_vectors(spark, tmp_path):
         assert len(row) == 1, src_id
         assert row["match_id"].iloc[0] == new_id
         assert row["score"].iloc[0] == 1.0
+
+
+def test_stream_embedding_drift(spark, tmp_path):
+    """Drift telemetry: replaying the corpus in one window gives
+    cos_to_corpus exactly 1.0 (same mean by construction, fixed-point
+    exact); a shifted copy in a later window reads < 1."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_ta_spark.streaming import stream_embedding_drift
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    same = emb.copy()
+    same["ingest_ts"] = ts
+    shifted = emb.copy()
+    shifted["embedding"] = shifted["embedding"].map(
+        lambda v: [float(x) + 0.5 for x in v])
+    shifted["ingest_ts"] = ts + pd.Timedelta(hours=2)
+    flusher = emb.iloc[:1].copy()
+    flusher["ingest_ts"] = ts + pd.Timedelta(hours=8)
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    for df, name in ((same, "a1"), (shifted, "a2"), (flusher, "a3")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+    stream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_embedding_drift(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("drift_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM drift_stream").toPandas()
+           .sort_values("window_start").reset_index(drop=True))
+    assert len(got) == 2
+    assert got["n_vecs"].tolist() == [len(emb), len(emb)]
+    # the dimension sums are exact ints, but cos carries sqrt(n)*sqrt(n)
+    # != n (IEEE), so identical means read 1.0 +/- a couple of ulps
+    assert abs(got["cos_to_corpus"].iloc[0] - 1.0) < 1e-12
+    assert got["cos_to_corpus"].iloc[1] < 0.999
