@@ -28,6 +28,11 @@ from pandas_ta_spark.version import __version__
 from pandas_ta_spark.accessor import TA
 from pandas_ta_spark.registry import Category, indicators, make, run as ta
 from pandas_ta_spark.custom import bind, create_dir, import_dir
+from pandas_ta_spark.strategy_spec import (
+    AllStrategy,
+    CommonStrategy,
+    Strategy,
+)
 from pandas_ta_spark.sources.formats import (
     bars_from_csv,
     bars_from_json,
@@ -37,5 +42,6 @@ from pandas_ta_spark.sources.formats import (
 
 __all__ = ["__version__", "Category", "indicators", "make", "ta", "TA",
            "bind", "create_dir", "import_dir",
+           "Strategy", "AllStrategy", "CommonStrategy",
            "bars_from_csv", "bars_from_json", "bars_from_parquet",
            "ticker"]

@@ -166,11 +166,19 @@ class TA:
         self._last_run = _dt.datetime.now(_dt.timezone.utc)
         return out
 
-    def strategy(self, indicators_, **kwargs) -> DataFrame:
+    def strategy(self, indicators_, exclude=(), **kwargs) -> DataFrame:
         """Batch many indicators into ONE plan (core.py#strategy — but a
-        plan, not a multiprocessing loop; see plans/strategy.py)."""
-        from pandas_ta_spark.plans.strategy import apply_strategy
+        plan, not a multiprocessing loop; see plans/strategy.py).
 
-        out = apply_strategy(self.df, indicators_, **kwargs)
+        Accepts every reference argument form: a ``Strategy`` dataclass
+        (``ta`` dicts with close/prefix/suffix handling), a category
+        string, ``"all"``/``AllStrategy``, or a list of Indicator
+        objects; ``exclude`` filters indicator kinds by name
+        (strategy_spec.resolve_strategy)."""
+        from pandas_ta_spark.plans.strategy import apply_strategy
+        from pandas_ta_spark.strategy_spec import resolve_strategy
+
+        out = apply_strategy(self.df, resolve_strategy(indicators_, exclude),
+                             **kwargs)
         self._last_run = _dt.datetime.now(_dt.timezone.utc)
         return out

@@ -1,0 +1,170 @@
+"""Strategy specification + normalization — the reference's user-facing
+``Strategy`` surface (pandas_ta/core.py#Strategy, #AllStrategy,
+#CommonStrategy, #strategy argument normalization) re-expressed for the
+plan-based engine.
+
+The reference turns a Strategy into a multiprocessing loop of eager
+per-indicator calls; here it normalizes to a list of ``Indicator`` plan
+fragments that ``plans/strategy.apply_strategy`` compiles into ONE plan
+(single shuffle, batched Arrow pass). Accepted specs, matching the
+reference's ``df.ta.strategy(...)`` argument forms:
+
+- a ``Strategy`` dataclass (``ta`` = list of ``{"kind": ..., params}``
+  dicts; ``close`` selects the source column; ``prefix``/``suffix``
+  rename outputs);
+- a category string (``"momentum"``, ``"overlap"``, ...) — every
+  indicator of that category at default parameters;
+- ``"all"`` / ``AllStrategy`` — the full default suite (collision-free
+  subset, as the bench's all-indicator strategy);
+- a list of ``Indicator`` objects (the native form) passes through.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pandas_ta_spark.operators.base import Indicator
+
+
+@dataclass
+class Strategy:
+    """pandas_ta/core.py#Strategy: named bundle of indicator requests.
+
+    ``ta=None`` means "all indicators" (the reference's AllStrategy
+    convention)."""
+
+    name: str
+    ta: list[dict] | None = None
+    description: str = ""
+    created: str = ""
+
+    def __post_init__(self):
+        if not isinstance(self.name, str) or not self.name:
+            raise ValueError("Strategy 'name' must be a non-empty string")
+        if self.ta is not None:
+            ok = isinstance(self.ta, list) and len(self.ta) > 0 and all(
+                isinstance(d, dict) and isinstance(d.get("kind"), str)
+                for d in self.ta
+            )
+            if not ok:
+                raise ValueError(
+                    "Strategy 'ta' must be a non-empty list of dicts, "
+                    "each with a string 'kind'")
+
+
+AllStrategy = Strategy(
+    name="All",
+    description="All the indicators with their default settings.",
+)
+
+# the reference's CommonStrategy: price SMAs + a volume SMA under a
+# VOLUME_ prefix (pandas_ta/core.py#CommonStrategy)
+CommonStrategy = Strategy(
+    name="Common Price and Volume SMAs",
+    ta=[
+        {"kind": "sma", "length": 10},
+        {"kind": "sma", "length": 20},
+        {"kind": "sma", "length": 50},
+        {"kind": "sma", "length": 200},
+        {"kind": "sma", "close": "volume", "length": 20,
+         "prefix": "VOLUME"},
+    ],
+    description="Common Price SMAs: 10, 20, 50, 200 and Volume SMA: 20.",
+)
+
+
+def _renamed(ind: Indicator, prefix: str | None,
+             suffix: str | None) -> Indicator:
+    """Output-column rename (the reference's prefix/suffix kwargs).
+
+    Expression-path indicators rename cleanly: outputs plus the
+    matching ``final``/``sql_final`` keys (stage temps are dropped
+    anyway). Kernel-path indicators bake their output names into the
+    Arrow kernel's frame, so renaming would desynchronize the plan —
+    refused loudly rather than silently misnamed."""
+    if not prefix and not suffix:
+        return ind
+    if ind.kernel is not None:
+        raise ValueError(
+            f"prefix/suffix not supported for kernel-path indicator "
+            f"{ind.key!r}")
+
+    def rn(c: str) -> str:
+        out = c
+        if prefix:
+            out = f"{prefix}_{out}"
+        if suffix:
+            out = f"{out}_{suffix}"
+        return out
+
+    return Indicator(
+        ind.key,
+        [rn(c) for c in ind.outputs],
+        ind.category,
+        stages=ind.stages,
+        final={rn(c): e for c, e in ind.final.items()},
+        sql_stages=ind.sql_stages,
+        sql_final=({rn(c): e for c, e in ind.sql_final.items()}
+                   if ind.sql_final is not None else None),
+        sql_full=ind.sql_full,
+        kernel=None,
+    )
+
+
+def _all_defaults(exclude: set[str]) -> list[Indicator]:
+    """Every default-suite indicator whose outputs don't collide — the
+    same collision rule as the bench's all-indicator strategy (dm/adx
+    share DMP/DMN; cdl_pattern_all covers cdl_doji/inside)."""
+    from pandas_ta_spark.registry import _SUITE, default_instance
+
+    seen: set[str] = set()
+    inds: list[Indicator] = []
+    for key in _SUITE:
+        ind = default_instance(key)
+        if ind.key in exclude or any(o in seen for o in ind.outputs):
+            continue
+        seen.update(ind.outputs)
+        inds.append(ind)
+    return inds
+
+
+def resolve_strategy(spec, exclude=()) -> list[Indicator]:
+    """Normalize any accepted strategy spec to a list of Indicators."""
+    from pandas_ta_spark.registry import Category, make
+
+    exclude = {e.lower() for e in exclude}
+    if isinstance(spec, Strategy):
+        if spec.ta is None:
+            return _all_defaults(exclude)
+        out = []
+        for d in spec.ta:
+            d = dict(d)
+            kind = d.pop("kind")
+            if kind.lower() in exclude:
+                continue
+            prefix = d.pop("prefix", None)
+            suffix = d.pop("suffix", None)
+            if "close" in d:  # reference spelling for the source column
+                d["src"] = d.pop("close")
+            out.append(_renamed(make(kind, **d), prefix, suffix))
+        return out
+    if isinstance(spec, str):
+        if spec.lower() == "all":
+            return _all_defaults(exclude)
+        if spec.lower() in Category:
+            from pandas_ta_spark.registry import _SUITE, default_instance
+
+            kinds = {k for k in Category[spec.lower()]} - exclude
+            seen: set[str] = set()
+            inds = []
+            for key in _SUITE:
+                ind = default_instance(key)
+                if ind.key not in kinds or any(o in seen for o in ind.outputs):
+                    continue
+                seen.update(ind.outputs)
+                inds.append(ind)
+            return inds
+        raise ValueError(
+            f"unknown strategy {spec!r}: not 'all' or a category "
+            f"({sorted(Category)})")
+    return list(spec)  # already a list of Indicator plan fragments

@@ -1611,3 +1611,56 @@ def test_xsec_ops_property_vs_pandas(spark):
         assert ((a.isna() & w.isna()) | ((a - w).abs() < 1e-6)).all()
 
     check()
+
+
+def test_strategy_dataclass_surface(spark, bars, pdf_bars):
+    """The reference's Strategy argument forms (pandas_ta/core.py):
+    Strategy dataclass with close/prefix dicts, category string, 'all',
+    validation errors — all normalized into the one-plan batch."""
+    import pytest as _pytest
+
+    import pandas_ta_spark as pts
+    from pandas_ta_spark.strategy_spec import resolve_strategy
+    from tests.conftest import assert_close, one_symbol
+
+    # validation (reference __post_init__ behavior)
+    with _pytest.raises(ValueError, match="name"):
+        pts.Strategy(name="")
+    with _pytest.raises(ValueError, match="'ta'"):
+        pts.Strategy(name="x", ta=[])
+    with _pytest.raises(ValueError, match="'ta'"):
+        pts.Strategy(name="x", ta=[{"length": 3}])  # no kind
+
+    # CommonStrategy end-to-end: price SMAs + VOLUME_-prefixed volume SMA
+    out = pts.TA(bars).strategy(pts.CommonStrategy)
+    for c in ("SMA_10", "SMA_20", "SMA_50", "SMA_200", "VOLUME_SMA_20"):
+        assert c in out.columns, c
+    pdf = one_symbol(out.toPandas())
+    ref = one_symbol(pdf_bars)
+    assert_close(pdf["VOLUME_SMA_20"], ref["volume"].rolling(20).mean(),
+                 name="volume-sma-prefix")
+    assert_close(pdf["SMA_20"], ref["close"].rolling(20).mean(),
+                 name="price-sma")
+
+    # category string: every momentum default, exclude filter honored
+    inds = resolve_strategy("momentum", exclude=("rsi",))
+    assert inds and all(i.category == "momentum" for i in inds)
+    assert all(i.key != "rsi" for i in inds)
+    assert any(i.key == "macd" for i in inds)
+
+    # 'all' == AllStrategy == ta=None, collision-free full suite
+    all1 = resolve_strategy("all")
+    all2 = resolve_strategy(pts.AllStrategy)
+    assert [i.key for i in all1] == [i.key for i in all2]
+    assert len(all1) > 100
+    outs = [o for i in all1 for o in i.outputs]
+    assert len(outs) == len(set(outs))  # no output collisions
+
+    # unknown spec fails loudly
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        resolve_strategy("not-a-category")
+
+    # prefix on a kernel-path indicator is refused, not silently wrong
+    with _pytest.raises(ValueError, match="kernel-path"):
+        resolve_strategy(pts.Strategy(
+            name="k", ta=[{"kind": "supertrend", "prefix": "X"}]))
