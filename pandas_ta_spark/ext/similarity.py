@@ -1174,6 +1174,30 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return (v, *out)
 
 
+def pq_encode(sub: DataFrame, cbdf: DataFrame) -> DataFrame:
+    """Frozen-codebook PQ encoding of (vec_id, m, sv) subvectors — the
+    shared primitive of the index build AND online vector ingestion
+    (`streaming.ann.stream_vector_ingest` encodes additions with the
+    session codebooks, the IndexIVFPQ ``add()`` path).
+
+    argmin as min(struct(dist, code)): lexicographic struct order =
+    smallest distance, ties to the smallest code — the exact twin of
+    the SQL row_number(ORDER BY dist, code). Distances are
+    left-associated explicit sums -> bit-identical doubles -> the
+    ordering agrees across engines."""
+    dist = F.lit(0.0)
+    for d in range(SUB_DIM):
+        t = F.col("sv")[d] - F.col("cv")[d]
+        dist = dist + t * t
+    return (
+        sub.join(F.broadcast(cbdf), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(dist.alias("dist"), F.col("code").alias("code")))
+             .alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+
+
 def _pq_build(spark: SparkSession, v: DataFrame):
     sub = materialize(_pq_subs(v).repartition("vec_id"))
     seeds = (
@@ -1184,22 +1208,7 @@ def _pq_build(spark: SparkSession, v: DataFrame):
     )
 
     def encode(cbdf: DataFrame) -> DataFrame:
-        # argmin as min(struct(dist, code)): lexicographic struct order =
-        # smallest distance, ties to the smallest code — the exact twin
-        # of the SQL row_number(ORDER BY dist, code). Distances are
-        # left-associated explicit sums -> bit-identical doubles -> the
-        # ordering agrees across engines.
-        dist = F.lit(0.0)
-        for d in range(SUB_DIM):
-            t = F.col("sv")[d] - F.col("cv")[d]
-            dist = dist + t * t
-        return (
-            sub.join(F.broadcast(cbdf), "m")
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct(dist.alias("dist"), F.col("code").alias("code")))
-                 .alias("b"))
-            .select("vec_id", "m", F.col("b.code").alias("code"))
-        )
+        return pq_encode(sub, cbdf)
 
     # one Lloyd step: exact BIGINT sums of 1e-6-quantized components
     # per (m, code) — order-independent integer addition, so Spark and

@@ -195,6 +195,7 @@ def stream_topk_ivfpq(
     window: str = "1 hour",
     watermark: str = "1 hour",
     two_stage: bool = False,
+    extra_vectors_dir: str | None = None,
 ) -> DataFrame:
     """IVF-PQ serving on a query stream — the FAISS IndexIVFPQ shape as
     a continuous query, bit-identical to the batch `_topk_ivfpq`.
@@ -216,6 +217,8 @@ def stream_topk_ivfpq(
 
     v, centn, lists = _ivf_lists(spark, sf_dir)
     _, sub, cb, codes = _pq_index(spark, sf_dir)
+    _, lists = _with_ingested(spark, v, lists, extra_vectors_dir)
+    codes = _with_ingested_codes(spark, codes, extra_vectors_dir)
 
     probed = _probed_queries(queries, centn)
 
@@ -306,6 +309,28 @@ def _with_ingested(spark: SparkSession, v: DataFrame, lists: DataFrame,
     return v2, lists2
 
 
+CODES_LAKE_SCHEMA = "vec_id long, m int, code int"
+
+
+def _with_ingested_codes(spark: SparkSession, codes: DataFrame,
+                         lake_dir: str | None):
+    """Union the vector lake's PQ codes into the serving code relation
+    (no-op without a lake or before the first ingested batch)."""
+    import os
+
+    if lake_dir is None:
+        return codes
+    path = f"{lake_dir}/codes"
+    if not os.path.isdir(path):
+        return codes
+    lc = spark.read.schema(CODES_LAKE_SCHEMA).parquet(path)
+    return codes.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("m").cast("int").alias("m"),
+        F.col("code").cast("int").alias("code"),
+    ).unionByName(lc)
+
+
 def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
                          lake_dir: str, checkpoint_dir: str):
     """Online index growth — the FAISS ``add()`` path as a continuous
@@ -326,10 +351,12 @@ def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
 
     Returns the started StreamingQuery (availableNow trigger)."""
     from pandas_ta_spark.ext.similarity import (
-        _ivf_lists, _spark_dot, assign_vectors,
+        _ivf_lists, _pq_index, _pq_subs, _spark_dot, assign_vectors,
+        pq_encode,
     )
 
     _, centn, _ = _ivf_lists(spark, sf_dir)
+    _, _, cb, _ = _pq_index(spark, sf_dir)
 
     def add_batch(bdf: DataFrame, epoch_id: int) -> None:
         nv = (
@@ -345,6 +372,13 @@ def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
          .select("vec_id", "e", "nrm",
                  F.col("centroid_id").cast("long").alias("centroid_id"))
          .write.mode("append").parquet(f"{lake_dir}/vectors"))
+        # PQ-encode the additions with the FROZEN session codebooks, so
+        # the IVF-PQ server can ADC-score them (IndexIVFPQ add())
+        (pq_encode(_pq_subs(nv), cb)
+         .select(F.col("vec_id").cast("long").alias("vec_id"),
+                 F.col("m").cast("int").alias("m"),
+                 F.col("code").cast("int").alias("code"))
+         .write.mode("append").parquet(f"{lake_dir}/codes"))
 
     return (
         vecs.writeStream.foreachBatch(add_batch)

@@ -2000,3 +2000,77 @@ def test_stream_embedding_drift(spark, tmp_path):
     # != n (IEEE), so identical means read 1.0 +/- a couple of ulps
     assert abs(got["cos_to_corpus"].iloc[0] - 1.0) < 1e-12
     assert got["cos_to_corpus"].iloc[1] < 0.999
+
+
+def test_stream_vector_ingest_serves_ivfpq(spark, tmp_path):
+    """IndexIVFPQ add(): ingested vectors are PQ-encoded with the FROZEN
+    session codebooks, so the IVF-PQ server ADC-scores them. A copy of a
+    corpus vector has identical codes, hence an ADC score exactly equal
+    to its source's — querying with a fresh id must return source and
+    copy at adjacent ranks with equal scores (tie broken by id)."""
+    import pandas as pd
+
+    from pandas_ta_spark.streaming import stream_topk_ivfpq, stream_vector_ingest
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    src_row = emb[emb["vec_id"] == 123].copy()
+    added = src_row.copy()
+    added["vec_id"] = [5_100_123]
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    added["ingest_ts"] = ts
+    added["ingest_ts"] = added["ingest_ts"].astype("datetime64[ms]")
+    vsrc = tmp_path / "pq_vec_src"
+    vsrc.mkdir()
+    added.to_parquet(vsrc / "a1.parquet")
+    lake = str(tmp_path / "pq_vec_lake")
+    vstream = (
+        spark.readStream
+        .schema("vec_id long, embedding array<double>, ingest_ts timestamp")
+        .parquet(str(vsrc))
+    )
+    stream_vector_ingest(vstream, spark, sf_dir, lake,
+                         str(tmp_path / "pq_vec_ck")).awaitTermination(180)
+    # codes landed and match the source's static codes exactly
+    from pandas_ta_spark.ext.similarity import _pq_index
+
+    _, _, _, codes = _pq_index(spark, sf_dir)
+    src_codes = {r["m"]: r["code"]
+                 for r in codes.filter("vec_id = 123").collect()}
+    lake_codes = {r["m"]: r["code"]
+                  for r in spark.read.parquet(f"{lake}/codes").collect()}
+    assert lake_codes == src_codes
+
+    q = pd.DataFrame({
+        "query_id": [6_000_001],
+        "embedding": src_row["embedding"].tolist(),
+        "ingest_ts": [ts],
+    })
+    flusher = q.copy()
+    flusher["query_id"] = [9999]
+    flusher["ingest_ts"] = [ts + pd.Timedelta(hours=4)]
+    qsrc = tmp_path / "pq_q_src"
+    qsrc.mkdir()
+    for df, name in ((q, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(qsrc / f"{name}.parquet")
+    qstream = (
+        spark.readStream
+        .schema("query_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qsrc))
+    )
+    qh = (
+        stream_topk_ivfpq(qstream, spark, sf_dir, extra_vectors_dir=lake)
+        .writeStream.format("memory").queryName("pq_vec_serve")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT match_id, rank, score FROM pq_vec_serve "
+                     "WHERE query_id = 6000001").toPandas()
+           .set_index("match_id"))
+    assert 123 in got.index and 5_100_123 in got.index
+    assert got.loc[123, "score"] == got.loc[5_100_123, "score"]
+    assert got.loc[5_100_123, "rank"] == got.loc[123, "rank"] + 1  # id tie-break
