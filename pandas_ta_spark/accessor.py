@@ -157,14 +157,45 @@ class TA:
         return constants(self._df, values)
 
     def __call__(self, kind: str, **params) -> DataFrame:
-        """String dispatch (pandas_ta/core.py#__call__)."""
+        """String dispatch (pandas_ta/core.py#__call__); ``col_names``
+        renames the outputs positionally, as in the reference."""
         from pandas_ta_spark.registry import make
 
         post = {k: params.pop(k) for k in ("offset", "fillna", "fill_method")
                 if k in params}
-        out = make(kind, **params).apply(self.df, **post)
+        col_names = params.pop("col_names", None)
+        ind = make(kind, **params)
+        out = ind.apply(self.df, **post)
+        if col_names:
+            if isinstance(col_names, str):
+                col_names = (col_names,)
+            if len(col_names) != len(ind.outputs):
+                raise ValueError(
+                    f"col_names needs {len(ind.outputs)} names for "
+                    f"{kind!r} (outputs {ind.outputs}), got {col_names}")
+            out = out.withColumnsRenamed(dict(zip(ind.outputs, col_names)))
         self._last_run = _dt.datetime.now(_dt.timezone.utc)
         return out
+
+    def __getattr__(self, name: str):
+        """Attribute dispatch — the reference's primary calling
+        convention (``df.ta.rsi(length=14)``): any registered indicator
+        name becomes a bound method. Only reached when normal attribute
+        lookup fails, so real methods/properties always win."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        from pandas_ta_spark.registry import _FACTORIES
+
+        if name.lower() not in _FACTORIES:
+            raise AttributeError(
+                f"{name!r} is neither a TA attribute nor a registered "
+                f"indicator (see indicators())")
+
+        def call(**params) -> DataFrame:
+            return self(name, **params)
+
+        call.__name__ = name
+        return call
 
     def strategy(self, indicators_, exclude=(), **kwargs) -> DataFrame:
         """Batch many indicators into ONE plan (core.py#strategy — but a

@@ -73,24 +73,36 @@ CommonStrategy = Strategy(
 )
 
 
-def _renamed(ind: Indicator, prefix: str | None,
-             suffix: str | None) -> Indicator:
-    """Output-column rename (the reference's prefix/suffix kwargs).
+def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
+             col_names=None) -> Indicator:
+    """Output-column rename (the reference's prefix/suffix/col_names
+    kwargs; ``col_names`` is the positional full-rename tuple).
 
     Expression-path indicators rename cleanly: outputs plus the
     matching ``final``/``sql_final`` keys (stage temps are dropped
     anyway). Kernel-path indicators bake their output names into the
     Arrow kernel's frame, so renaming would desynchronize the plan —
     refused loudly rather than silently misnamed."""
-    if not prefix and not suffix:
+    if not prefix and not suffix and not col_names:
         return ind
     if ind.kernel is not None:
         raise ValueError(
-            f"prefix/suffix not supported for kernel-path indicator "
-            f"{ind.key!r}")
+            f"prefix/suffix/col_names not supported for kernel-path "
+            f"indicator {ind.key!r}")
+
+    if col_names:
+        if isinstance(col_names, str):
+            col_names = (col_names,)
+        if len(col_names) != len(ind.outputs):
+            raise ValueError(
+                f"col_names needs {len(ind.outputs)} names for "
+                f"{ind.key!r} (outputs {ind.outputs}), got {col_names}")
+        mapping = dict(zip(ind.outputs, col_names))
+    else:
+        mapping = {}
 
     def rn(c: str) -> str:
-        out = c
+        out = mapping.get(c, c)
         if prefix:
             out = f"{prefix}_{out}"
         if suffix:
@@ -144,9 +156,10 @@ def resolve_strategy(spec, exclude=()) -> list[Indicator]:
                 continue
             prefix = d.pop("prefix", None)
             suffix = d.pop("suffix", None)
+            col_names = d.pop("col_names", None)
             if "close" in d:  # reference spelling for the source column
                 d["src"] = d.pop("close")
-            out.append(_renamed(make(kind, **d), prefix, suffix))
+            out.append(_renamed(make(kind, **d), prefix, suffix, col_names))
         return out
     if isinstance(spec, str):
         if spec.lower() == "all":

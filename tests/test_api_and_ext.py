@@ -1664,3 +1664,32 @@ def test_strategy_dataclass_surface(spark, bars, pdf_bars):
     with _pytest.raises(ValueError, match="kernel-path"):
         resolve_strategy(pts.Strategy(
             name="k", ta=[{"kind": "supertrend", "prefix": "X"}]))
+
+
+def test_accessor_attribute_dispatch_and_col_names(spark, bars, pdf_bars):
+    """The reference's primary call convention — df.ta.rsi(length=14) —
+    plus col_names renames in both single calls and strategy dicts."""
+    import pytest as _pytest
+
+    import pandas_ta_spark as pts
+    from tests.conftest import assert_close, one_symbol
+
+    t = pts.TA(bars)
+    out = t.rsi(length=14)
+    assert "RSI_14" in out.columns
+    out2 = t.sma(length=5, col_names=("MY_SMA",))
+    assert "MY_SMA" in out2.columns and "SMA_5" not in out2.columns
+    pdf = one_symbol(out2.toPandas())
+    assert_close(pdf["MY_SMA"],
+                 one_symbol(pdf_bars)["close"].rolling(5).mean(),
+                 name="col_names")
+    with _pytest.raises(ValueError, match="col_names needs"):
+        t.macd(col_names=("ONLY_ONE",))
+    with _pytest.raises(AttributeError, match="not_an_indicator"):
+        t.not_an_indicator()
+
+    # strategy dict col_names
+    out3 = t.strategy(pts.Strategy(
+        name="renamed", ta=[{"kind": "sma", "length": 5,
+                             "col_names": ("S5",)}]))
+    assert "S5" in out3.columns
