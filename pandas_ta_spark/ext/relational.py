@@ -100,6 +100,44 @@ ASOF LEFT JOIN bars b
 """.strip())
 
 
+def _asof_hour_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point-in-time LOOKUP TABLE itself as a query: per
+    (symbol, event-hour), the prevailing completed bar — the
+    materialized validity-interval expansion that
+    `streaming.relational.stream_asof_attach` serves stateless as-of
+    joins from (r8). Exposing it as an oracled query value-checks the
+    interval logic (hour truncation, gap spanning, latest-bar-per-hour
+    fold) against DuckDB's independent generate_series construction."""
+    from pandas_ta_spark.streaming.relational import asof_lookup_table
+
+    return asof_lookup_table(bars_from_events_cached(spark, sf_dir))
+
+
+ASOF_HOUR_LOOKUP_SQL = with_bars_cte("""
+, l AS (
+    SELECT symbol, ts AS bar_ts, close AS bar_close,
+           lead(ts) OVER (PARTITION BY symbol ORDER BY ts) AS next_ts
+    FROM bars
+),
+exp AS (
+    SELECT symbol, bar_ts, bar_close,
+           unnest(generate_series(
+               date_trunc('hour', bar_ts) + INTERVAL 1 HOUR,
+               greatest(
+                   coalesce(date_trunc('hour', next_ts) + INTERVAL 1 HOUR,
+                            date_trunc('hour', bar_ts) + INTERVAL 1 HOUR),
+                   date_trunc('hour', bar_ts) + INTERVAL 1 HOUR),
+               INTERVAL 1 HOUR)) AS h
+    FROM l
+)
+SELECT symbol, h,
+       arg_max(bar_ts, bar_ts) AS bar_ts,
+       arg_max(bar_close, bar_ts) AS bar_close
+FROM exp
+GROUP BY symbol, h
+""".strip())
+
+
 # --------------------------------------------------------- sessionization ----
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +890,7 @@ SUITE = {
     "signal_equity_8_21": ExtQuery(_signal_equity, _signal_equity_oracle()),
     "ichimoku_forward": ExtQuery(_ichimoku_fwd, _ichimoku_fwd_oracle()),
     "asof_join_bars": ExtQuery(_asof_join, ASOF_JOIN_SQL),
+    "asof_hour_lookup": ExtQuery(_asof_hour_lookup, ASOF_HOUR_LOOKUP_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
     "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),
     "mtf_sma_asof": ExtQuery(_mtf_sma, MTF_SMA_SQL),
