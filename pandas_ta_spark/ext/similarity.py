@@ -1353,8 +1353,100 @@ WHERE rank <= {TOP_K}
 """.strip()
 
 
+DRIFT_SLICES = 4  # deterministic pseudo-windows: vec_id % DRIFT_SLICES
+
+
+def _drift_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift, batch form: per deterministic
+    corpus slice (vec_id % DRIFT_SLICES — the oracle-able stand-in for
+    event-time windows), the cosine between the slice's mean vector and
+    the full-corpus mean. The value-checked twin of the arithmetic
+    `streaming.ann.stream_embedding_drift` runs per window.
+
+    Fully order-independent: per-dimension sums are 1e-6 fixed-point
+    BIGINTs, per-dimension means re-quantize to BIGINTs, and the
+    dot/norms fold as exact INTEGER sums of quantized products — no
+    float accumulation anywhere until the final single division, which
+    both engines perform identically. cos is 1e-6-rounded for the
+    value-hash."""
+    v = _spark_vectors_cached(spark, sf_dir)
+    q6 = F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+    ex = v.select(
+        "vec_id", F.posexplode("e").alias("pos", "x")
+    ).select(
+        (F.col("vec_id") % DRIFT_SLICES).alias("slice"), "pos",
+        q6.alias("x6"),
+    )
+    sl = ex.groupBy("slice", "pos").agg(
+        F.sum("x6").alias("s"), F.count(F.lit(1)).alias("n"))
+    co = ex.groupBy("pos").agg(
+        F.sum("x6").alias("cs"), F.count(F.lit(1)).alias("cn"))
+    mq = F.floor(((F.col("s") / 1e6) / F.col("n")) * 1e6 + F.lit(0.5))         .cast("long")
+    cq = F.floor(((F.col("cs") / 1e6) / F.col("cn")) * 1e6 + F.lit(0.5))         .cast("long")
+    folded = (
+        sl.join(co, "pos")
+        .select("slice", "n", mq.alias("mq"), cq.alias("cq"))
+        .groupBy("slice")
+        .agg(
+            (F.max("n")).alias("n_vecs"),
+            F.sum(F.col("mq") * F.col("mq")).alias("nm6"),
+            F.sum(F.col("cq") * F.col("cq")).alias("nc6"),
+            F.sum(F.col("mq") * F.col("cq")).alias("dot6"),
+        )
+    )
+    cos = (F.col("dot6")
+           / F.sqrt(F.col("nm6").cast("double") * F.col("nc6").cast("double")))
+    return folded.select(
+        "slice", "n_vecs",
+        (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_to_corpus"),
+    )
+
+
+DRIFT_BY_SLICE_SQL = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+ex AS (
+    SELECT vec_id % {DRIFT_SLICES} AS slice, u.pos AS pos,
+           CAST(floor(u.x * 1000000.0 + 0.5) AS BIGINT) AS x6
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(0, {DIM}),
+                                     i -> {{'pos': i, 'x': e[i + 1]}})) AS u
+        FROM v
+    )
+),
+sl AS (
+    SELECT slice, pos, sum(x6) AS s, count(*) AS n
+    FROM ex GROUP BY slice, pos
+),
+co AS (
+    SELECT pos, sum(x6) AS cs, count(*) AS cn FROM ex GROUP BY pos
+),
+j AS (
+    SELECT sl.slice, sl.n,
+           CAST(floor(((CAST(sl.s AS DOUBLE) / 1000000.0) / sl.n)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mq,
+           CAST(floor(((CAST(co.cs AS DOUBLE) / 1000000.0) / co.cn)
+                      * 1000000.0 + 0.5) AS BIGINT) AS cq
+    FROM sl JOIN co USING (pos)
+),
+f AS (
+    SELECT slice, max(n) AS n_vecs,
+           sum(mq * mq) AS nm6, sum(cq * cq) AS nc6,
+           sum(mq * cq) AS dot6
+    FROM j GROUP BY slice
+)
+SELECT slice, n_vecs,
+       floor(dot6 / sqrt(CAST(nm6 AS DOUBLE) * CAST(nc6 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS cos_to_corpus
+FROM f
+""".strip()
+
+
 SUITE = {
     "embedding_quantize_sq": ExtQuery(_quantize_sq, QUANTIZE_SQ_SQL),
+    "embedding_drift_by_slice": ExtQuery(_drift_by_slice, DRIFT_BY_SLICE_SQL),
     "topk_cosine_pq": ExtQuery(_topk_pq, _pq_oracle()),
     "topk_cosine_ivfpq": ExtQuery(_topk_ivfpq, _ivfpq_oracle()),
     "topk_pq_recall": ExtQuery(_pq_recall, _pq_recall_oracle()),
