@@ -205,6 +205,84 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation decision WITH per-clause flags — the batch
+    form of the streaming curation gate's output (r8), over the corpus
+    itself: (q_keep, s_keep, exact_keep, near_dup, keep). Value-checking
+    this against an independently-composed DuckDB oracle pins the gate
+    clause logic (keep-list id rule, hash sample, exact-min ownership)
+    the streaming parity tests rely on."""
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.streaming.corpus import _curation_marked
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("ingest_ts",
+                    F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    )
+    marked = _curation_marked(docs, spark, sf_dir)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.first("q_keep").cast("int").alias("q_keep"),
+            F.first("s_keep").cast("int").alias("s_keep"),
+            F.first("exact_keep").cast("int").alias("exact_keep"),
+            F.max(F.coalesce("hit", F.lit(0))).alias("near_dup"),
+        )
+        .select(
+            "doc_id", "q_keep", "s_keep", "exact_keep", "near_dup",
+            ((F.col("q_keep") == 1) & (F.col("s_keep") == 1)
+             & (F.col("exact_keep") == 1) & (F.col("near_dup") == 0))
+            .cast("int").alias("keep"),
+        )
+    )
+
+
+def _curation_decisions_oracle() -> str:
+    from pandas_ta_spark.ext.dedup import _pair_ctes
+    from pandas_ta_spark.ext.text import _STOP_IN
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{t}'" for s, t in SAMPLE_THRESHOLDS.items()
+    )
+    return f"""
+WITH {_pair_ctes()},
+near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+keepers AS (
+    SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY md5(lower(trim(text)))
+),
+q AS (
+    SELECT doc_id,
+           CAST((CASE WHEN len(toks) >= 10 AND len(toks) <= 1000
+                      THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN len(list_distinct(toks)) / len(toks) >= 0.2
+                        THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_IN})))
+                             / len(toks) BETWEEN 0.01 AND 0.5
+                        THEN 0.3 ELSE 0.0 END) >= 0.7 AS INT) AS q_keep
+    FROM tok
+),
+base AS (
+    SELECT d.doc_id, q.q_keep,
+           CAST(substring(md5('sample|' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                < (CASE {cases} ELSE '{SAMPLE_DEFAULT}' END) AS INT) AS s_keep,
+           CAST(k.doc_id IS NOT NULL AS INT) AS exact_keep,
+           CAST(n.doc_id IS NOT NULL AS INT) AS near_dup
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN keepers k ON k.doc_id = d.doc_id
+    LEFT JOIN near n ON n.doc_id = d.doc_id
+)
+SELECT doc_id, q_keep, s_keep, exact_keep, near_dup,
+       CAST(q_keep = 1 AND s_keep = 1 AND exact_keep = 1 AND near_dup = 0
+            AS INT) AS keep
+FROM base
+""".strip()
+
+
 def _curation_pipeline_oracle() -> str:
     from pandas_ta_spark.ext.dedup import _pair_ctes
     from pandas_ta_spark.ext.text import _STOP_IN
@@ -360,4 +438,5 @@ SUITE = {
     "sample_stratified_quota": ExtQuery(_sample_quota, _sample_quota_oracle()),
     "shard_pack_tokens": ExtQuery(_shard_pack, _shard_pack_oracle()),
     "curation_pipeline": ExtQuery(_curation_pipeline, _curation_pipeline_oracle()),
+    "curation_decisions": ExtQuery(_curation_decisions, _curation_decisions_oracle()),
 }
