@@ -174,6 +174,27 @@ def main() -> None:
           "doc_id long, source string, text string, ingest_ts timestamp",
           "curation_gate", len(docs_src))
 
+    # the full self-maintaining ingest loop (gate + in-batch dedup +
+    # lake/index writes) — foreachBatch drives its own query, so it
+    # bypasses drain(); replays the corpus as one batch
+    from pandas_ta_spark.streaming import stream_corpus_ingest
+
+    d = tempfile.mkdtemp(prefix="sbench_ingest_")
+    docs_src.to_parquet(f"{d}/a1.parquet")
+    ing_stream = (spark.readStream
+                  .schema("doc_id long, source string, text string,"
+                          " ingest_ts timestamp")
+                  .parquet(d))
+    t0 = time.time()
+    stream_corpus_ingest(
+        ing_stream, spark, SF_DIR,
+        tempfile.mkdtemp(prefix="sbench_ingest_lake_"),
+        tempfile.mkdtemp(prefix="sbench_ingest_ck_"),
+    ).awaitTermination(300)
+    dt = time.time() - t0
+    out["corpus_ingest_sec"] = round(dt, 3)
+    out["corpus_ingest_rows_per_sec"] = round(len(docs_src) / dt)
+
     import numpy as np
     rng = np.random.default_rng(1)
     n_panel = 20_000
