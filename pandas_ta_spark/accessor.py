@@ -184,6 +184,14 @@ class TA:
         lookup fails, so real methods/properties always win."""
         if name.startswith("_"):
             raise AttributeError(name)
+        # __getattr__ also fires when a REAL property's body raises
+        # AttributeError internally (code-review r8) — don't mask that
+        # with a misleading "not an indicator" message
+        if any(name in klass.__dict__ for klass in type(self).__mro__):
+            raise AttributeError(
+                f"TA.{name} exists but its evaluation raised "
+                f"AttributeError — the error is inside the property, "
+                f"not a missing attribute")
         from pandas_ta_spark.registry import _FACTORIES
 
         if name.lower() not in _FACTORIES:

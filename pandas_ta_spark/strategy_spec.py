@@ -123,17 +123,22 @@ def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
     )
 
 
-def _all_defaults(exclude: set[str]) -> list[Indicator]:
+def _all_defaults(exclude: set[str],
+                  kinds: set[str] | None = None) -> list[Indicator]:
     """Every default-suite indicator whose outputs don't collide — the
     same collision rule as the bench's all-indicator strategy (dm/adx
-    share DMP/DMN; cdl_pattern_all covers cdl_doji/inside)."""
+    share DMP/DMN; cdl_pattern_all covers cdl_doji/inside). ``kinds``
+    optionally restricts to a category's indicator names (the single
+    definition of the suite walk — code-review r8)."""
     from pandas_ta_spark.registry import _SUITE, default_instance
 
     seen: set[str] = set()
     inds: list[Indicator] = []
     for key in _SUITE:
         ind = default_instance(key)
-        if ind.key in exclude or any(o in seen for o in ind.outputs):
+        if ind.key in exclude or (kinds is not None and ind.key not in kinds):
+            continue
+        if any(o in seen for o in ind.outputs):
             continue
         seen.update(ind.outputs)
         inds.append(ind)
@@ -144,6 +149,8 @@ def resolve_strategy(spec, exclude=()) -> list[Indicator]:
     """Normalize any accepted strategy spec to a list of Indicators."""
     from pandas_ta_spark.registry import Category, make
 
+    if isinstance(exclude, str):  # exclude="rsi" must not mean {'r','s','i'}
+        exclude = (exclude,)
     exclude = {e.lower() for e in exclude}
     if isinstance(spec, Strategy):
         if spec.ta is None:
@@ -165,18 +172,7 @@ def resolve_strategy(spec, exclude=()) -> list[Indicator]:
         if spec.lower() == "all":
             return _all_defaults(exclude)
         if spec.lower() in Category:
-            from pandas_ta_spark.registry import _SUITE, default_instance
-
-            kinds = {k for k in Category[spec.lower()]} - exclude
-            seen: set[str] = set()
-            inds = []
-            for key in _SUITE:
-                ind = default_instance(key)
-                if ind.key not in kinds or any(o in seen for o in ind.outputs):
-                    continue
-                seen.update(ind.outputs)
-                inds.append(ind)
-            return inds
+            return _all_defaults(exclude, kinds=set(Category[spec.lower()]))
         raise ValueError(
             f"unknown strategy {spec!r}: not 'all' or a category "
             f"({sorted(Category)})")

@@ -94,7 +94,11 @@ def _topk_fold(scored: DataFrame, score_col: str, window: str,
     drops from the full candidate list per (window, query) to k rows
     per (window, query, probed list) — the shape to serve when a single
     inverted list outgrows state comfort at corpus scale."""
-    wm = scored.withWatermark("ingest_ts", watermark)
+    # insurance, not the fix: a NULL score would sort FIRST as a
+    # negscore struct (verified) — the lake dedup upstream prevents the
+    # known cause, this keeps any future one out of the rankings
+    wm = (scored.filter(F.col(score_col).isNotNull())
+          .withWatermark("ingest_ts", watermark))
     cand = F.struct((-F.col(score_col)).alias("negscore"), "match_id")
     if centroid_col is not None:
         partial = (
@@ -292,7 +296,17 @@ VECTOR_LAKE_SCHEMA = ("vec_id long, e array<double>, nrm double, "
 def _with_ingested(spark: SparkSession, v: DataFrame, lists: DataFrame,
                    lake_dir: str | None):
     """Union the vector lake (online-added vectors) into the serving
-    relations. No-op when no lake is given or it is still empty."""
+    relations. No-op when no lake is given or it is still empty.
+
+    SNAPSHOT semantics: the lake is resolved when the SERVING query is
+    planned — additions committed after serving starts need a serving
+    restart (the index-version flip of a real ANN deployment).
+
+    Dedup contract (code-review r8): lake rows fold to ONE row per
+    vec_id (min-struct, deterministic) and corpus ids are excluded
+    (static wins) — an at-least-once foreachBatch replay or an id
+    collision would otherwise put the same match_id in the top-k twice
+    with distinct scores."""
     import os
 
     if lake_dir is None:
@@ -300,7 +314,15 @@ def _with_ingested(spark: SparkSession, v: DataFrame, lists: DataFrame,
     path = f"{lake_dir}/vectors"
     if not os.path.isdir(path):
         return v, lists
-    lv = spark.read.schema(VECTOR_LAKE_SCHEMA).parquet(path)
+    lv = (
+        spark.read.schema(VECTOR_LAKE_SCHEMA).parquet(path)
+        .join(v.select("vec_id"), "vec_id", "left_anti")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("e", "nrm", "centroid_id")).alias("b"))
+        .select("vec_id", F.col("b.e").alias("e"),
+                F.col("b.nrm").alias("nrm"),
+                F.col("b.centroid_id").alias("centroid_id"))
+    )
     v2 = v.unionByName(lv.select("vec_id", "e", "nrm"))
     lists2 = lists.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -315,7 +337,14 @@ CODES_LAKE_SCHEMA = "vec_id long, m int, code int"
 def _with_ingested_codes(spark: SparkSession, codes: DataFrame,
                          lake_dir: str | None):
     """Union the vector lake's PQ codes into the serving code relation
-    (no-op without a lake or before the first ingested batch)."""
+    (no-op without a lake or before the first ingested batch; snapshot
+    semantics as `_with_ingested`).
+
+    Folds to ONE code per (vec_id, m) with corpus ids excluded
+    (code-review r8): a duplicated code row would make codes_wide's
+    mcodes array longer than M_SUB, zip_with would null-pad the LUT,
+    the ADC sum would go NULL — and a NULL negscore struct sorts FIRST,
+    so the corrupted candidate would surface at rank 1."""
     import os
 
     if lake_dir is None:
@@ -323,12 +352,18 @@ def _with_ingested_codes(spark: SparkSession, codes: DataFrame,
     path = f"{lake_dir}/codes"
     if not os.path.isdir(path):
         return codes
-    lc = spark.read.schema(CODES_LAKE_SCHEMA).parquet(path)
-    return codes.select(
+    static = codes.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("m").cast("int").alias("m"),
         F.col("code").cast("int").alias("code"),
-    ).unionByName(lc)
+    )
+    lc = (
+        spark.read.schema(CODES_LAKE_SCHEMA).parquet(path)
+        .join(static.select("vec_id").distinct(), "vec_id", "left_anti")
+        .groupBy("vec_id", "m")
+        .agg(F.min("code").alias("code"))
+    )
+    return static.unionByName(lc)
 
 
 def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
@@ -338,8 +373,11 @@ def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
     trained coarse quantizer (`ext.similarity.assign_vectors` — the
     identical argmax the batch inverted-file build uses, so an added
     copy of a corpus vector lands in its twin's list by construction),
-    and appended to ``lake_dir/vectors``. Serving picks the additions up
-    via ``stream_topk_ivf(..., extra_vectors_dir=lake_dir)``.
+    and appended to ``lake_dir/vectors``. A serving query started (or
+    restarted) AFTER the adds picks them up via
+    ``stream_topk_ivf(..., extra_vectors_dir=lake_dir)`` — the lake is
+    snapshot at serving-plan time, the index-version flip of a real
+    deployment.
 
     The trained artifacts (centroids, PQ codebooks) stay FROZEN — the
     standard serving contract: adds are cheap and exact against the
@@ -388,6 +426,36 @@ def stream_vector_ingest(vecs: DataFrame, spark: SparkSession, sf_dir: str,
     )
 
 
+_CORPUS_MEAN_CACHE: dict = {}
+
+
+def _corpus_mean_cached(spark: SparkSession, sf_dir: str):
+    """(cmean list, cnorm) — the corpus mean vector, computed once per
+    session (code-review r8: every drift-telemetry call was paying a
+    full posexplode corpus scan at plan-build; the DIM-row result is a
+    build artifact like the centroids and belongs in the session
+    cache)."""
+    from pandas_ta_spark.ext.similarity import DIM, _spark_vectors_cached
+    from pandas_ta_spark.streaming.corpus import _session_cached
+
+    def build():
+        cv = _spark_vectors_cached(spark, sf_dir)
+        crow = (
+            cv.select(F.posexplode("e").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long"))
+                 .alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cmean = [0.0] * DIM
+        for r in crow:
+            cmean[r["pos"]] = (r["s"] / 1e6) / r["n"]
+        cnorm = sum(x * x for x in cmean) ** 0.5
+        return (cmean, cnorm)
+
+    return _session_cached(_CORPUS_MEAN_CACHE, spark, (sf_dir,), build)
+
+
 def stream_embedding_drift(vecs: DataFrame, spark: SparkSession,
                            sf_dir: str, *, window: str = "1 hour",
                            watermark: str = "1 hour") -> DataFrame:
@@ -409,21 +477,9 @@ def stream_embedding_drift(vecs: DataFrame, spark: SparkSession,
     Emits (window_start, n_vecs, mean_norm, cos_to_corpus). 100 TB
     shape: state is DIM rows per in-flight window (dimension sums),
     then one row per window — independent of stream volume."""
-    from pandas_ta_spark.ext.similarity import DIM, _spark_vectors_cached
+    from pandas_ta_spark.ext.similarity import DIM
 
-    # corpus mean, exact: DIM bounded rows collected once
-    cv = _spark_vectors_cached(spark, sf_dir)
-    crow = (
-        cv.select(F.posexplode("e").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long"))
-             .alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    cmean = [0.0] * DIM
-    for r in crow:
-        cmean[r["pos"]] = (r["s"] / 1e6) / r["n"]
-    cnorm = sum(x * x for x in cmean) ** 0.5
+    cmean, cnorm = _corpus_mean_cached(spark, sf_dir)
 
     q6 = F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
     dims = (

@@ -2074,3 +2074,76 @@ def test_stream_vector_ingest_serves_ivfpq(spark, tmp_path):
     assert 123 in got.index and 5_100_123 in got.index
     assert got.loc[123, "score"] == got.loc[5_100_123, "score"]
     assert got.loc[5_100_123, "rank"] == got.loc[123, "rank"] + 1  # id tie-break
+
+
+def test_stream_vector_ingest_replay_is_harmless(spark, tmp_path):
+    """code-review r8: an at-least-once replay appends duplicate lake
+    rows; before the per-(vec_id) and per-(vec_id, m) folds this made
+    codes_wide arrays over-long, NULLed the ADC sum and surfaced the
+    corrupted candidate at RANK 1. Ingesting the same batch twice must
+    now serve identically to once — no NULL scores, no duplicated
+    match_ids, one rank per candidate."""
+    import pandas as pd
+
+    from pandas_ta_spark.streaming import stream_topk_ivfpq, stream_vector_ingest
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    src_row = emb[emb["vec_id"] == 321].copy()
+    added = src_row.copy()
+    added["vec_id"] = [5_200_321]
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    added["ingest_ts"] = ts
+    added["ingest_ts"] = added["ingest_ts"].astype("datetime64[ms]")
+    vsrc = tmp_path / "rp_vec_src"
+    vsrc.mkdir()
+    added.to_parquet(vsrc / "a1.parquet")
+    lake = str(tmp_path / "rp_vec_lake")
+    for ck in ("rp_ck1", "rp_ck2"):  # second run = replayed appends
+        vstream = (
+            spark.readStream
+            .schema("vec_id long, embedding array<double>, "
+                    "ingest_ts timestamp")
+            .parquet(str(vsrc))
+        )
+        stream_vector_ingest(vstream, spark, sf_dir, lake,
+                             str(tmp_path / ck)).awaitTermination(180)
+    # duplicate rows really are in the lake (the hazard is real)
+    assert spark.read.parquet(f"{lake}/codes").count() > 8  # > M_SUB
+
+    q = pd.DataFrame({
+        "query_id": [6_100_001],
+        "embedding": src_row["embedding"].tolist(),
+        "ingest_ts": [ts],
+    })
+    flusher = q.copy()
+    flusher["query_id"] = [9999]
+    flusher["ingest_ts"] = [ts + pd.Timedelta(hours=4)]
+    qsrc = tmp_path / "rp_q_src"
+    qsrc.mkdir()
+    for df, name in ((q, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(qsrc / f"{name}.parquet")
+    qstream = (
+        spark.readStream
+        .schema("query_id long, embedding array<double>, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qsrc))
+    )
+    qh = (
+        stream_topk_ivfpq(qstream, spark, sf_dir, extra_vectors_dir=lake)
+        .writeStream.format("memory").queryName("rp_serve")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = spark.sql("SELECT match_id, rank, score FROM rp_serve "
+                    "WHERE query_id = 6100001").toPandas()
+    assert got["score"].notna().all()
+    assert got["match_id"].is_unique
+    assert sorted(got["rank"]) == list(range(1, len(got) + 1))
+    row = got[got["match_id"] == 5_200_321]
+    assert len(row) == 1  # the added copy serves exactly once
+    src = got[got["match_id"] == 321]
+    assert len(src) == 1 and row["score"].iloc[0] == src["score"].iloc[0]
