@@ -656,7 +656,8 @@ def _curation_marked(docs: DataFrame, spark, sf_dir: str,
 
 def stream_curation_gate(docs: DataFrame, spark, sf_dir: str,
                          window: str = "1 hour",
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str = "2 hours",
+                         accepted_lake_dir: str | None = None) -> DataFrame:
     """The END-TO-END ingestion curation gate as ONE continuous query —
     the streaming twin of the batch `curation_pipeline`'s survivor
     stage: every streamed document gets the full keep decision
@@ -685,8 +686,28 @@ def stream_curation_gate(docs: DataFrame, spark, sf_dir: str,
     state is a handful of flags per in-flight document. 100 TB shape:
     the only corpus-sized relations are the indexes, joined on uniform
     hash keys; nothing shuffles the stream beyond its own window
-    fold."""
-    joined = _curation_marked(docs, spark, sf_dir)
+    fold.
+
+    ``accepted_lake_dir`` points the gate at a `stream_corpus_ingest`
+    lake: its band/exact indexes (snapshot at plan time, as in ANN
+    serving) join the static side and the near-dup id rule switches to
+    FIRST-ACCEPTED-WINS (`any_id`) — the continuous-telemetry view of
+    the same decision the ingest loop enforces."""
+    extra_band = extra_exact = None
+    if accepted_lake_dir is not None:
+        import os
+
+        band_path = f"{accepted_lake_dir}/band_index"
+        exact_path = f"{accepted_lake_dir}/exact_index"
+        if _recover_index_dir(band_path) is not None:
+            extra_band = spark.read.schema(BAND_INDEX_SCHEMA).parquet(band_path)
+        if _recover_index_dir(exact_path) is not None:
+            extra_exact = spark.read.schema(EXACT_INDEX_SCHEMA).parquet(
+                exact_path)
+    joined = _curation_marked(docs, spark, sf_dir,
+                              extra_band_index=extra_band,
+                              extra_exact_index=extra_exact,
+                              any_id=accepted_lake_dir is not None)
     return (
         joined.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window).alias("w"), "doc_id")

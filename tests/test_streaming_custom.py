@@ -2147,3 +2147,93 @@ def test_stream_vector_ingest_replay_is_harmless(spark, tmp_path):
     assert len(row) == 1  # the added copy serves exactly once
     src = got[got["match_id"] == 321]
     assert len(src) == 1 and row["score"].iloc[0] == src["score"].iloc[0]
+
+
+def test_stream_curation_gate_consults_accepted_lake(spark, tmp_path):
+    """The continuous gate pointed at an ingest lake must flag docs
+    that near-dup or exact-dup PREVIOUSLY ACCEPTED streamed docs (not
+    in the static corpus), id-order-free."""
+    import hashlib
+
+    import pandas as pd
+
+    from pandas_ta_spark.ext.sampling import SAMPLE_THRESHOLDS
+    from pandas_ta_spark.streaming import stream_corpus_ingest, stream_curation_gate
+
+    sf_dir = "/root/testdata/sf0.01"
+    thr = SAMPLE_THRESHOLDS["src1"]
+    ids = iter(range(4_000_000, 4_001_000))
+
+    def pick():
+        for i in ids:
+            if hashlib.md5(f"sample|{i}".encode()).hexdigest()[:2] < thr:
+                return i
+        raise AssertionError("exhausted")
+
+    def novel(tag):
+        return "the " + " ".join(f"{tag}{i}" for i in range(25))
+
+    a_id = pick()
+    seed = pd.DataFrame({
+        "doc_id": [a_id], "source": "src1", "text": [novel("kappa")],
+        "ingest_ts": pd.Timestamp("2026-01-01 00:10:00"),
+    })
+    src = tmp_path / "gl_src"
+    src.mkdir()
+    d = seed.copy()
+    d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+    d.to_parquet(src / "a1.parquet")
+    lake = str(tmp_path / "gl_lake")
+    stream = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .parquet(str(src))
+    )
+    stream_corpus_ingest(stream, spark, sf_dir, lake,
+                         str(tmp_path / "gl_ck")).awaitTermination(180)
+
+    # a LOWER-id near-dup and an exact copy, streamed through the
+    # continuous gate with the lake attached
+    low_id = next(i for i in range(3_900_000, 3_999_999)
+                  if hashlib.md5(f"sample|{i}".encode()).hexdigest()[:2] < thr)
+    copy_id = pick()
+    probe = pd.DataFrame({
+        "doc_id": [low_id, copy_id],
+        "source": "src1",
+        "text": [novel("kappa") + " tail", novel("kappa")],
+        "ingest_ts": pd.Timestamp("2026-01-01 01:10:00"),
+    })
+    flusher = pd.DataFrame({
+        "doc_id": [99_999_999], "source": ["src1"],
+        "text": ["flush " * 10],
+        "ingest_ts": [pd.Timestamp("2026-01-01 06:00:00")],
+    })
+    src2 = tmp_path / "gl_src2"
+    src2.mkdir()
+    for df, name in ((probe, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src2 / f"{name}.parquet")
+    stream2 = (
+        spark.readStream
+        .schema("doc_id long, source string, text string, "
+                "ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src2))
+    )
+    qh = (
+        stream_curation_gate(stream2, spark, sf_dir,
+                             accepted_lake_dir=lake)
+        .writeStream.format("memory").queryName("gl_gate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT doc_id, exact_keep, near_dup, keep FROM gl_gate")
+           .toPandas().set_index("doc_id"))
+    # lower-id near-dup of the ACCEPTED doc: flagged despite its id
+    assert bool(got.loc[low_id, "near_dup"])
+    assert got.loc[low_id, "keep"] == 0
+    # exact copy: the lake's exact index owns the hash under a_id
+    assert not got.loc[copy_id, "exact_keep"]
+    assert got.loc[copy_id, "keep"] == 0
