@@ -2237,3 +2237,50 @@ def test_stream_curation_gate_consults_accepted_lake(spark, tmp_path):
     # exact copy: the lake's exact index owns the hash under a_id
     assert not got.loc[copy_id, "exact_keep"]
     assert got.loc[copy_id, "keep"] == 0
+
+
+def test_asof_lookup_property_vs_merge_asof(spark):
+    """Property pin for the validity-interval construction: for random
+    bar spacings (sub-hourly runs, multi-hour gaps, several symbols),
+    attaching events through the hour-keyed lookup must equal pandas
+    merge_asof on (symbol, event-hour) with strictly-before semantics —
+    for every event hour within the lookup's span."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.streaming.relational import asof_lookup_table
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for sym in ("A", "B", "C"):
+        t = pd.Timestamp("2026-01-01 00:05")
+        for i in range(40):
+            # mixed spacing: 10 minutes to 7 hours
+            t = t + pd.Timedelta(minutes=int(rng.integers(10, 7 * 60)))
+            rows.append((sym, t, float(rng.normal(100, 5))))
+    bars_pd = pd.DataFrame(rows, columns=["symbol", "ts", "close"])
+    bars = spark.createDataFrame(
+        bars_pd.assign(open=bars_pd["close"], high=bars_pd["close"],
+                       low=bars_pd["close"], volume=1.0))
+
+    lookup = (asof_lookup_table(bars).toPandas()
+              .sort_values(["symbol", "h"]).reset_index(drop=True))
+
+    # expected: for each (symbol, h) in the lookup, the latest bar with
+    # ts strictly below h
+    for sym, grp in lookup.groupby("symbol"):
+        b = (bars_pd[bars_pd["symbol"] == sym]
+             .sort_values("ts").reset_index(drop=True))
+        for r in grp.itertuples():
+            prior = b[b["ts"] < r.h]
+            assert len(prior) > 0, (sym, r.h)
+            want = prior.iloc[-1]
+            assert r.bar_ts == want["ts"], (sym, r.h)
+            assert r.bar_close == want["close"], (sym, r.h)
+        # completeness: every hour from the first bar's next hour to the
+        # last bar's next hour is present exactly once
+        first_h = (b["ts"].iloc[0].floor("h") + pd.Timedelta(hours=1))
+        last_h = (b["ts"].iloc[-1].floor("h") + pd.Timedelta(hours=1))
+        hours = pd.date_range(first_h, last_h, freq="h")
+        assert grp["h"].tolist() == list(hours)
