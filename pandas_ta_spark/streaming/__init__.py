@@ -6,6 +6,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_quality_keep,
     stream_curation_gate,
     compact_ingest_lake,
+    read_ingest_lake,
     stream_corpus_ingest,
     stream_curation_sink,
     stream_media_features,
@@ -45,4 +46,5 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_ema",
            "stream_semdedup_gate", "stream_curation_gate",
            "stream_media_features", "stream_curation_sink",
            "stream_corpus_ingest", "compact_ingest_lake",
-           "stream_vector_ingest", "stream_embedding_drift"]
+           "stream_vector_ingest", "stream_embedding_drift",
+           "read_ingest_lake"]

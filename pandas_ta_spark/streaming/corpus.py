@@ -993,3 +993,20 @@ def compact_ingest_lake(spark, lake_dir: str) -> dict:
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
     return stats
+
+
+def read_ingest_lake(spark, lake_dir: str) -> DataFrame:
+    """Deduped view of the ingest lake's accepted documents: the
+    downstream reader's side of the foreachBatch at-least-once contract
+    — a replayed micro-batch appends duplicate doc rows, which fold
+    here to ONE deterministic row per doc_id (min-struct; duplicate
+    rows from replays are bit-identical, so the fold is a no-op on
+    content). Keeps the consumer exactly-once without a table format."""
+    return (
+        spark.read.parquet(f"{lake_dir}/docs")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("source", "text", "n_tok")).alias("b"))
+        .select("doc_id", F.col("b.source").alias("source"),
+                F.col("b.text").alias("text"),
+                F.col("b.n_tok").alias("n_tok"))
+    )

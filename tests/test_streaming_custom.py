@@ -2284,3 +2284,46 @@ def test_asof_lookup_property_vs_merge_asof(spark):
         last_h = (b["ts"].iloc[-1].floor("h") + pd.Timedelta(hours=1))
         hours = pd.date_range(first_h, last_h, freq="h")
         assert grp["h"].tolist() == list(hours)
+
+
+def test_read_ingest_lake_folds_replays(spark, tmp_path):
+    """Replaying an ingest batch duplicates doc rows in the lake;
+    read_ingest_lake must return exactly one row per doc with content
+    intact."""
+    import hashlib
+
+    import pandas as pd
+
+    from pandas_ta_spark.ext.sampling import SAMPLE_THRESHOLDS
+    from pandas_ta_spark.streaming import read_ingest_lake, stream_corpus_ingest
+
+    sf_dir = "/root/testdata/sf0.01"
+    thr = SAMPLE_THRESHOLDS["src1"]
+    a_id = next(i for i in range(7_000_000, 7_001_000)
+                if hashlib.md5(f"sample|{i}".encode()).hexdigest()[:2] < thr)
+    text = "the " + " ".join(f"tau{i}" for i in range(25))
+    seed = pd.DataFrame({
+        "doc_id": [a_id], "source": "src1", "text": [text],
+        "ingest_ts": pd.Timestamp("2026-01-01 00:10:00"),
+    })
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    d = seed.copy()
+    d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+    d.to_parquet(src / "a1.parquet")
+    lake = str(tmp_path / "rl_lake")
+    for ck in ("rl_ck1", "rl_ck2"):  # second run = replay
+        stream = (
+            spark.readStream
+            .schema("doc_id long, source string, text string, "
+                    "ingest_ts timestamp")
+            .parquet(str(src))
+        )
+        stream_corpus_ingest(stream, spark, sf_dir, lake,
+                             str(tmp_path / ck)).awaitTermination(180)
+    raw = spark.read.parquet(f"{lake}/docs")
+    assert raw.count() == 2  # the duplication is real
+    folded = read_ingest_lake(spark, lake).toPandas()
+    assert len(folded) == 1
+    assert folded["doc_id"].iloc[0] == a_id
+    assert folded["text"].iloc[0] == text
