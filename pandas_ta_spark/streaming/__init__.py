@@ -27,6 +27,7 @@ from pandas_ta_spark.streaming.relational import stream_asof_attach
 from pandas_ta_spark.streaming.sessions import stream_sessions
 from pandas_ta_spark.streaming.indicators import (
     stream_bars,
+    streaming_bbands,
     streaming_atr,
     streaming_ema,
     streaming_macd,
@@ -34,7 +35,8 @@ from pandas_ta_spark.streaming.indicators import (
     streaming_supertrend,
 )
 
-__all__ = ["stream_bars", "streaming_atr", "streaming_ema",
+__all__ = ["stream_bars", "streaming_atr", "streaming_bbands",
+           "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
            "stream_decontamination_gate",
            "stream_dedup_exact", "stream_dedup_vs_corpus",

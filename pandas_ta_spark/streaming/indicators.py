@@ -483,3 +483,69 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+BBANDS_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("close", DoubleType()),
+    StructField("bbl", DoubleType()),
+    StructField("bbm", DoubleType()),
+    StructField("bbu", DoubleType()),
+])
+
+# carried: ring buffer of the last `length` closes (csv)
+BBANDS_STATE_SCHEMA = StructType([
+    StructField("buf", StringType()),
+])
+
+
+def streaming_bbands(ticks: DataFrame, length: int = 5, std: float = 2.0,
+                     ddof: int = 0, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming Bollinger Bands per symbol — the ROLLING-WINDOW
+    class of indicator as a continuous query (EMA/RSI/ATR cover the
+    recursive class; this carries a bounded RING BUFFER of the last
+    ``length`` closes instead of a recursion seed). Exact batch-kernel
+    parity: NULL until the window fills, then mean ± std·stdev(ddof)
+    over exactly the last ``length`` values.
+
+    State per symbol is ``length`` doubles — bounded regardless of
+    stream length, hash-sharded on symbol like the other twins."""
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        buf = ([float(x) for x in state.get[0].split(",") if x != ""]
+               if state.exists else [])
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            rows = {"ts": [], "close": [], "bbl": [], "bbm": [], "bbu": []}
+            for ts, close in zip(pdf["ts"], pdf["close"]):
+                buf.append(float(close))
+                if len(buf) > length:
+                    buf.pop(0)
+                if len(buf) == length:
+                    m = sum(buf) / length
+                    var = sum((x - m) ** 2 for x in buf) / (length - ddof)
+                    sd = math.sqrt(var)
+                    lo, up = m - std * sd, m + std * sd
+                else:
+                    m = lo = up = None
+                rows["ts"].append(ts)
+                rows["close"].append(float(close))
+                rows["bbl"].append(lo)
+                rows["bbm"].append(m)
+                rows["bbu"].append(up)
+            yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((",".join(repr(x) for x in buf),))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=BBANDS_OUT_SCHEMA,
+        stateStructType=BBANDS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

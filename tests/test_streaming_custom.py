@@ -2327,3 +2327,39 @@ def test_read_ingest_lake_folds_replays(spark, tmp_path):
     assert len(folded) == 1
     assert folded["doc_id"].iloc[0] == a_id
     assert folded["text"].iloc[0] == text
+
+
+def test_streaming_bbands_matches_batch(spark, pdf_bars, tmp_path):
+    """The rolling-window state class: a ring buffer of the last n
+    closes carried across micro-batches must reproduce the batch bbands
+    kernel row-for-row (window spans the batch boundary)."""
+    src = tmp_path / "bb_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "close"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")
+    a.iloc[:97].to_parquet(src / "p1.parquet")   # split mid-window
+    a.iloc[97:].to_parquet(src / "p2.parquet")
+    from pandas_ta_spark.streaming import streaming_bbands
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_bbands(stream, length=5, std=2.0)
+        .writeStream.format("memory").queryName("bb_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM bb_stream").toPandas()
+        .sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == len(a)
+    c = a["close"].reset_index(drop=True)
+    mid = c.rolling(5).mean()
+    sd = c.rolling(5).std(ddof=0)
+    assert_close(got["bbm"], mid, tol=1e-9, name="bb-mid")
+    assert_close(got["bbl"], mid - 2 * sd, tol=1e-9, name="bb-low")
+    assert_close(got["bbu"], mid + 2 * sd, tol=1e-9, name="bb-up")
