@@ -28,6 +28,7 @@ from pandas_ta_spark.streaming.sessions import stream_sessions
 from pandas_ta_spark.streaming.indicators import (
     stream_bars,
     streaming_bbands,
+    streaming_donchian,
     streaming_atr,
     streaming_ema,
     streaming_macd,
@@ -36,7 +37,7 @@ from pandas_ta_spark.streaming.indicators import (
 )
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_bbands",
-           "streaming_ema",
+           "streaming_donchian", "streaming_ema",
            "streaming_macd", "streaming_rsi", "streaming_supertrend",
            "stream_decontamination_gate",
            "stream_dedup_exact", "stream_dedup_vs_corpus",

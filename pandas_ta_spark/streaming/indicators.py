@@ -549,3 +549,70 @@ def streaming_bbands(ticks: DataFrame, length: int = 5, std: float = 2.0,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+DONCHIAN_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("dcl", DoubleType()),
+    StructField("dcm", DoubleType()),
+    StructField("dcu", DoubleType()),
+])
+
+# carried: ring buffers of the last max(lower,upper) highs and lows
+DONCHIAN_STATE_SCHEMA = StructType([
+    StructField("highs", StringType()),
+    StructField("lows", StringType()),
+])
+
+
+def streaming_donchian(ticks: DataFrame, lower_length: int = 20,
+                       upper_length: int = 20,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming Donchian channel per symbol: rolling min/max
+    over bounded high/low ring buffers (the order-statistic member of
+    the rolling-window state class; `streaming_bbands` covers the
+    moment member). Exact batch parity: NULL until both windows fill,
+    dcl = min(low, lower_length), dcu = max(high, upper_length),
+    dcm = (dcl + dcu) / 2."""
+    keep = max(lower_length, upper_length)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        def parse(s):
+            return [float(x) for x in s.split(",") if x != ""]
+
+        highs, lows = ((parse(state.get[0]), parse(state.get[1]))
+                       if state.exists else ([], []))
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            rows = {"ts": [], "dcl": [], "dcm": [], "dcu": []}
+            for ts, hi, lo in zip(pdf["ts"], pdf["high"], pdf["low"]):
+                highs.append(float(hi))
+                lows.append(float(lo))
+                if len(highs) > keep:
+                    highs.pop(0)
+                    lows.pop(0)
+                if len(highs) >= keep:
+                    dcl = min(lows[-lower_length:])
+                    dcu = max(highs[-upper_length:])
+                    dcm = 0.5 * (dcl + dcu)
+                else:
+                    dcl = dcm = dcu = None
+                rows["ts"].append(ts)
+                rows["dcl"].append(dcl)
+                rows["dcm"].append(dcm)
+                rows["dcu"].append(dcu)
+            yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((",".join(repr(x) for x in highs),
+                      ",".join(repr(x) for x in lows)))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=DONCHIAN_OUT_SCHEMA,
+        stateStructType=DONCHIAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -2363,3 +2363,36 @@ def test_streaming_bbands_matches_batch(spark, pdf_bars, tmp_path):
     assert_close(got["bbm"], mid, tol=1e-9, name="bb-mid")
     assert_close(got["bbl"], mid - 2 * sd, tol=1e-9, name="bb-low")
     assert_close(got["bbu"], mid + 2 * sd, tol=1e-9, name="bb-up")
+
+
+def test_streaming_donchian_matches_batch(spark, pdf_bars, tmp_path):
+    """Rolling order statistics carried across micro-batches (ring
+    buffer spans the boundary) must equal the batch rolling min/max."""
+    src = tmp_path / "dc_src"
+    src.mkdir()
+    a = one_symbol(pdf_bars)[["symbol", "ts", "high", "low"]].copy()
+    a["ts"] = a["ts"].astype("datetime64[ms]")
+    a.iloc[:110].to_parquet(src / "p1.parquet")
+    a.iloc[110:].to_parquet(src / "p2.parquet")
+    from pandas_ta_spark.streaming import streaming_donchian
+
+    stream = (
+        spark.readStream
+        .schema("symbol string, ts timestamp, high double, low double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_donchian(stream, lower_length=20, upper_length=20)
+        .writeStream.format("memory").queryName("dc_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM dc_stream").toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    assert len(got) == len(a)
+    lo = a["low"].reset_index(drop=True).rolling(20).min()
+    hi = a["high"].reset_index(drop=True).rolling(20).max()
+    assert_close(got["dcl"], lo, tol=1e-9, name="dc-low")
+    assert_close(got["dcu"], hi, tol=1e-9, name="dc-up")
+    assert_close(got["dcm"], (lo + hi) / 2, tol=1e-9, name="dc-mid")
