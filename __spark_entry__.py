@@ -93,7 +93,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   series_integrity, plus the queries ADDED in r7 (semdedup_cc_clusters,
 #   media_frame_sample, media_resize_8, xsec_rank_ret1, xsec_zscore_ret1)
 #   and asof_hour_lookup + embedding_drift_by_slice +
-#   curation_decisions (ADDED in r8
+#   curation_decisions + perplexity_unigram (ADDED in r8
 #   with their own exact oracles) —
 #   sweep complete, window returns to flagship + kind-class
 #   representation.

@@ -807,6 +807,76 @@ FROM r GROUP BY source
 """.strip()
 
 
+def _perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: score every document
+    under a unigram LM fitted on the corpus itself (add-one smoothing),
+    reporting mean negative log-prob per token — high values mark
+    out-of-distribution junk, the classic "train a LM on good text,
+    drop what it finds surprising" curation pass (here the LM and the
+    corpus coincide; production fits on the reference corpus and scores
+    the candidate one, same plan shape).
+
+    Cross-engine determinism: ln((c+1)/(N+V)) is computed ONCE per
+    DISTINCT token in the vocab relation and immediately quantized to a
+    1e-6 BIGINT, so per-doc folds are exact integer sums (order-free)
+    and the single float division at the end is 1e-6-rounded. Plan:
+    one token explode, one vocab groupBy (uniform keys, map-side
+    partials), one join back on token, one per-doc fold — the same
+    cost class as tf-idf."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v"))
+    lp6 = F.floor(
+        -F.log((F.col("c") + 1).cast("double")
+               / (F.col("n_total") + F.col("v")).cast("double"))
+        * 1e6 + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(vocab.crossJoin(F.broadcast(totals))
+                             .select("token", lp6.alias("nlp6"))), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("nlp6").alias("s6"))
+    )
+    return scored.select(
+        "doc_id", "n_tokens",
+        (F.floor(F.col("s6") / F.col("n_tokens") + F.lit(0.5)) / 1e6)
+        .alias("avg_neg_logp"),
+    )
+
+
+PERPLEXITY_UNIGRAM_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents
+),
+tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+totals AS (SELECT sum(c) AS n_total, count(*) AS v FROM vocab),
+lp AS (
+    SELECT token,
+           CAST(floor(-ln(CAST(c + 1 AS DOUBLE)
+                          / CAST(n_total + v AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS nlp6
+    FROM vocab CROSS JOIN totals
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_tokens, sum(nlp6) AS s6
+    FROM tk JOIN lp USING (token)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       floor(CAST(s6 AS DOUBLE) / n_tokens + 0.5) / 1000000.0
+           AS avg_neg_logp
+FROM scored
+""".strip()
+
+
 SUITE = {
     "source_token_profile": ExtQuery(
         _source_token_profile, _source_token_profile_sql()),
@@ -817,6 +887,7 @@ SUITE = {
     "text_repetition": ExtQuery(_text_repetition, TEXT_REPETITION_SQL),
     "corpus_rarity": ExtQuery(_corpus_rarity, CORPUS_RARITY_SQL),
     "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
+    "perplexity_unigram": ExtQuery(_perplexity_unigram, PERPLEXITY_UNIGRAM_SQL),
     "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
     "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),
     "quality_lr_score": ExtQuery(_quality_lr, _quality_lr_sql()),
