@@ -3,6 +3,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_dedup_exact,
     stream_dedup_vs_corpus,
     stream_neardup_candidates,
+    stream_perplexity_gate,
     stream_quality_keep,
     stream_curation_gate,
     compact_ingest_lake,
@@ -50,4 +51,4 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_bbands",
            "stream_media_features", "stream_curation_sink",
            "stream_corpus_ingest", "compact_ingest_lake",
            "stream_vector_ingest", "stream_embedding_drift",
-           "read_ingest_lake"]
+           "read_ingest_lake", "stream_perplexity_gate"]

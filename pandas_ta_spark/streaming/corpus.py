@@ -1010,3 +1010,79 @@ def read_ingest_lake(spark, lake_dir: str) -> DataFrame:
                 F.col("b.text").alias("text"),
                 F.col("b.n_tok").alias("n_tok"))
     )
+
+
+_VOCAB_CACHE: dict = {}
+
+
+def _corpus_vocab_logp(spark, sf_dir: str):
+    """((token, nlp6) relation, oov6) — the corpus-fitted unigram LM's
+    quantized negative log-probs (add-one smoothing) plus the
+    unseen-token mass -ln(1/(N+V)), materialized once per session: the
+    static side of the streaming perplexity gate, sharing the exact
+    arithmetic of the batch `perplexity_unigram` oracle op."""
+    import math
+
+    from pandas_ta_spark.ckpt import materialize
+    from pandas_ta_spark.sources.bars import load_table
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        tok = docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+            .alias("token")).filter(F.col("token") != "")
+        vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+        totals = vocab.agg(F.sum("c").alias("n_total"),
+                           F.count(F.lit(1)).alias("v"))
+        trow = totals.collect()[0]  # bounded: one row
+        nlp6 = F.floor(
+            -F.log((F.col("c") + 1).cast("double")
+                   / float(trow["n_total"] + trow["v"]))
+            * 1e6 + F.lit(0.5)
+        ).cast("long")
+        oov6 = int(math.floor(
+            -math.log(1.0 / (trow["n_total"] + trow["v"])) * 1e6 + 0.5))
+        return (materialize(vocab.select("token", nlp6.alias("nlp6"))),
+                oov6)
+
+    return _session_cached(_VOCAB_CACHE, spark, (sf_dir,), build)
+
+
+def stream_perplexity_gate(docs: DataFrame, spark, sf_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """CCNet-style perplexity filtering at the ingestion door: every
+    streamed document scored under the CORPUS-fitted unigram LM — the
+    streaming twin of `perplexity_unigram`, with one deliberate
+    divergence a static LM forces: tokens the corpus never saw score
+    the LM's unseen-token mass ln(1/(N+V)) (the batch op, scoring the
+    corpus against itself, has no unseen tokens — replay parity is
+    exact, pinned by test; novel docs get the standard OOV treatment).
+
+    Plan: token explode (stateless), LEFT join against the session
+    vocab relation on the uniform token key, one watermarked
+    per-(window, doc) integer fold. Emits (window_start, doc_id,
+    n_tokens, avg_neg_logp)."""
+    vocab, oov6 = _corpus_vocab_logp(spark, sf_dir)
+
+    tok = docs.select(
+        "doc_id", "ingest_ts",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .alias("token"),
+    ).filter(F.col("token") != "")
+    scored = (
+        tok.join(vocab, "token", "left")
+        .select("doc_id", "ingest_ts",
+                F.coalesce("nlp6", F.lit(oov6)).alias("nlp6"))
+    )
+    return (
+        scored.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("nlp6").alias("s6"))
+        .select(
+            F.col("w.start").alias("window_start"), "doc_id", "n_tokens",
+            (F.floor(F.col("s6") / F.col("n_tokens") + F.lit(0.5)) / 1e6)
+            .alias("avg_neg_logp"),
+        )
+    )

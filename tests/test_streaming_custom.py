@@ -2396,3 +2396,64 @@ def test_streaming_donchian_matches_batch(spark, pdf_bars, tmp_path):
     assert_close(got["dcl"], lo, tol=1e-9, name="dc-low")
     assert_close(got["dcu"], hi, tol=1e-9, name="dc-up")
     assert_close(got["dcm"], (lo + hi) / 2, tol=1e-9, name="dc-mid")
+
+
+def test_stream_perplexity_gate_matches_batch(spark, tmp_path):
+    """Replaying the corpus through the perplexity gate must reproduce
+    the batch perplexity_unigram scores exactly (no unseen tokens on
+    replay); a planted gibberish doc scores the OOV mass — strictly
+    higher than every in-corpus doc."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.text import SUITE
+    from pandas_ta_spark.streaming import stream_perplexity_gate
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = (SUITE["perplexity_unigram"].query(spark, sf_dir).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    ts = pd.Timestamp("2026-01-01 00:10:00")
+    docs["ingest_ts"] = ts
+    junk = pd.DataFrame({
+        "doc_id": [90_000_001],
+        "text": ["zzqx" + " ".join(f"qwzx{i}xx" for i in range(20))],
+        "ingest_ts": [ts],
+    })
+    flusher = pd.DataFrame({
+        "doc_id": [99_999_999], "text": ["flush " * 10],
+        "ingest_ts": [ts + pd.Timedelta(hours=5)],
+    })
+    src = tmp_path / "ppl_src"
+    src.mkdir()
+    for df, name in ((docs.iloc[::2], "a1"), (docs.iloc[1::2], "a2"),
+                     (junk, "a3"), (flusher, "a4")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_perplexity_gate(stream, spark, sf_dir)
+        .writeStream.format("memory").queryName("ppl_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT doc_id, n_tokens, avg_neg_logp "
+                     "FROM ppl_stream").toPandas())
+    junk_row = got[got["doc_id"] == 90_000_001]
+    got = (got[got["doc_id"] < 90_000_000]
+           .sort_values("doc_id").reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    assert got["doc_id"].tolist() == batch["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == batch["n_tokens"].tolist()
+    assert got["avg_neg_logp"].tolist() == batch["avg_neg_logp"].tolist()
+    # the gibberish doc reads as maximally surprising
+    assert junk_row["avg_neg_logp"].iloc[0] > got["avg_neg_logp"].max()
