@@ -158,6 +158,17 @@ def main() -> None:
           docs, "doc_id long, text string, ingest_ts timestamp",
           "decon_gate", len(docs))
 
+    # perplexity gate: LM scoring at the door (vocab build separate)
+    from pandas_ta_spark.streaming import stream_perplexity_gate
+    from pandas_ta_spark.streaming.corpus import _corpus_vocab_logp
+
+    t0 = time.time()
+    _corpus_vocab_logp(spark, SF_DIR)
+    out["vocab_build_sec"] = round(time.time() - t0, 3)
+    drain(lambda st: stream_perplexity_gate(st, spark, SF_DIR),
+          docs, "doc_id long, text string, ingest_ts timestamp",
+          "perplexity_gate", len(docs))
+
     # composed curation gate (quality+sample+exact+near-dup in one query)
     from pandas_ta_spark.streaming import stream_curation_gate
     from pandas_ta_spark.streaming.corpus import _corpus_exact_index
