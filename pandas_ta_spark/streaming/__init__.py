@@ -16,6 +16,7 @@ from pandas_ta_spark.streaming.corpus import (
     stream_span_dup_gate,
     stream_split_assign,
     stream_token_rate,
+    stream_trending_terms,
 )
 from pandas_ta_spark.streaming.ann import (
     stream_topk_ivf,
@@ -51,4 +52,4 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_bbands",
            "stream_media_features", "stream_curation_sink",
            "stream_corpus_ingest", "compact_ingest_lake",
            "stream_vector_ingest", "stream_embedding_drift",
-           "read_ingest_lake", "stream_perplexity_gate"]
+           "read_ingest_lake", "stream_perplexity_gate", "stream_trending_terms"]

@@ -1086,3 +1086,40 @@ def stream_perplexity_gate(docs: DataFrame, spark, sf_dir: str,
             .alias("avg_neg_logp"),
         )
     )
+
+
+def stream_trending_terms(docs: DataFrame, k: int = 20,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Corpus-ingest dashboard telemetry: the top-k tokens per
+    event-time window by occurrence count — "what is the crawl feeding
+    us right now". One watermarked (window, token) count (uniform token
+    keys, map-side partials) chained into a per-window top-k fold (the
+    same chained-windowed-aggregation shape as the two-stage ANN fold);
+    ties break to the lexicographically smaller token, so output is
+    deterministic. Emits (window_start, token, n, rank).
+
+    State: one counter per (window, token) plus one candidate list per
+    window — vocabulary-bounded, watermark-evicted."""
+    tok = docs.select(
+        "ingest_ts",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .alias("token"),
+    ).filter(F.col("token") != "")
+    counted = (
+        tok.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.groupBy("w")
+        .agg(F.collect_list(F.struct(
+            (-F.col("n")).alias("negn"), "token", "n")).alias("cands"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.posexplode(F.expr(f"slice(array_sort(cands), 1, {k})"))
+            .alias("pos", "c"),
+        )
+        .select("window_start", F.col("c.token").alias("token"),
+                F.col("c.n").alias("n"), (F.col("pos") + 1).alias("rank"))
+    )

@@ -2457,3 +2457,52 @@ def test_stream_perplexity_gate_matches_batch(spark, tmp_path):
     assert got["avg_neg_logp"].tolist() == batch["avg_neg_logp"].tolist()
     # the gibberish doc reads as maximally surprising
     assert junk_row["avg_neg_logp"].iloc[0] > got["avg_neg_logp"].max()
+
+
+def test_stream_trending_terms(spark, tmp_path):
+    """Top-k tokens per window must equal an independent pandas count
+    (count desc, token asc tie-break), windows isolated."""
+    import pandas as pd
+
+    from pandas_ta_spark.streaming import stream_trending_terms
+
+    ts1 = pd.Timestamp("2026-01-01 00:10:00")
+    ts2 = pd.Timestamp("2026-01-01 02:10:00")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple apple banana cherry",
+                 "banana apple date",
+                 "zebra zebra zebra yak",
+                 "yak zebra apple"],
+        "ingest_ts": [ts1, ts1, ts2, ts2],
+    })
+    flusher = pd.DataFrame({
+        "doc_id": [9], "text": ["flush"],
+        "ingest_ts": [ts2 + pd.Timedelta(hours=6)],
+    })
+    src = tmp_path / "tt_src"
+    src.mkdir()
+    for df, name in ((docs, "a1"), (flusher, "a2")):
+        d = df.copy()
+        d["ingest_ts"] = d["ingest_ts"].astype("datetime64[ms]")
+        d.to_parquet(src / f"{name}.parquet")
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_trending_terms(stream, k=3)
+        .writeStream.format("memory").queryName("tt_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM tt_stream").toPandas()
+           .sort_values(["window_start", "rank"]).reset_index(drop=True))
+    w1 = got[got["window_start"] == ts1.floor("h")]
+    assert w1["token"].tolist() == ["apple", "banana", "cherry"]
+    assert w1["n"].tolist() == [3, 2, 1]
+    w2 = got[got["window_start"] == ts2.floor("h")]
+    assert w2["token"].tolist() == ["zebra", "yak", "apple"]
+    assert w2["n"].tolist() == [4, 2, 1]
