@@ -36,6 +36,7 @@ class ExtQuery:
 def _build():
     from pandas_ta_spark.ext import (
         agg,
+        behavior,
         dedup,
         media,
         relational,
@@ -45,7 +46,8 @@ def _build():
     )
 
     suite: dict[str, ExtQuery] = {}
-    for mod in (dedup, similarity, text, media, agg, sampling, relational):
+    for mod in (dedup, similarity, text, media, agg, sampling, relational,
+                behavior):
         suite.update(mod.SUITE)
     return suite
 

@@ -1,0 +1,346 @@
+"""Event-log behavior analytics: last-touch attribution, RFM
+segmentation, and robust rate-anomaly telemetry (SURVEY.md §7.5 tier —
+the event-stream rollups a 100 TB product-analytics / training-telemetry
+pipeline runs daily; none exist in the reference, which sees one
+instrument per DataFrame).
+
+Cross-engine determinism rules (ext/__init__ rationale):
+
+- attribution is pure timestamp/integer arithmetic (microsecond diffs);
+- RFM quantile boundaries are exact interpolated percentiles of INTEGER
+  metrics — (a+b)/2-style doubles that both engines produce bit-equal —
+  and scores compare integers against those boundaries (no global-sort
+  ntile: see ``_rfm`` docstring for the 100 TB rationale);
+- rate anomaly uses median/MAD of integer counts (0.25-step-exact
+  doubles), one literal multiply and one division, rounded via the
+  shared ``round_col``/``sql_round`` pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.operators.base import round_col, sql_round
+from pandas_ta_spark.sources.bars import load_table
+
+# ----------------------------------------------- last-touch attribution ----
+
+
+def attribution_last_touch(ev: DataFrame) -> DataFrame:
+    """Attribute each purchase to the user's latest click STRICTLY before
+    it (marketing last-touch). ``ev`` carries (event_id, user_id, ts,
+    event_type).
+
+    Union-and-carry, the same one-shuffle shape as ``asof_join``: click
+    rows and purchase rows sort together per user on (ts, is_click,
+    event_id) — purchases (0) before clicks (1) at equal ts, so a
+    same-instant click never attributes (strictly-before) — and
+    ``last(click, ignorenulls=True)`` carries the prevailing click
+    forward. Ties between clicks at one timestamp resolve to the highest
+    event_id (the ascending sort carries the last one), mirrored in the
+    oracle by a max(event_id) pre-aggregation under DuckDB's native
+    ASOF JOIN — two independent mechanisms, identical semantics.
+
+    100 TB shape: ONE shuffle on user_id + one sort; cost scales with
+    rows, never with purchases x clicks (the self-join formulation is a
+    range-join blow-up). Purchases with no prior click keep NULL click
+    columns — dropping them would silently overstate attribution."""
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id").alias("ord_id"),
+        F.struct(
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_event_id"),
+        ).alias("click"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id").alias("ord_id"),
+        F.lit(None).cast(clicks.schema["click"].dataType).alias("click"),
+    )
+    u = buys.unionByName(clicks).withColumn("event_id", F.col("ord_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("c", F.last("click", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("c.click_event_id").alias("click_event_id"),
+            F.col("c.click_ts").alias("click_ts"),
+            F.expr("timestampdiff(MICROSECOND, c.click_ts, ts)").alias("gap_us"),
+        )
+    )
+
+
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    return attribution_last_touch(ev)
+
+
+ATTRIBUTION_SQL = """
+WITH c AS (
+    SELECT user_id, ts, max(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_event_id, c.ts AS click_ts,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+""".strip()
+
+
+# --------------------------------------------------- RFM segmentation ----
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile boundaries
+
+
+def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, recency (days since last activity,
+    anchored to the corpus max day), frequency (event count), monetary
+    (purchase value in exact cents), each scored 1-5 against the
+    population quintiles, plus a coarse segment label.
+
+    NOT ntile: a global ntile(5) funnels every user through ONE sorted
+    partition — the classic 100 TB scale-killer. Instead the quintile
+    BOUNDARIES are one 4-double-per-metric aggregate, broadcast, and
+    scoring is a pure projection (1 + #boundaries strictly below the
+    metric), so the plan is two aggregations + a broadcast join however
+    many users exist. At real scale the boundary agg swaps to
+    approx_percentile (t-digest, mergeable) with nothing else changing;
+    the exact interpolated form here is what DuckDB can reproduce
+    bit-for-bit (integer metrics -> (a+b)/2-exact boundaries).
+
+    Monetary sums exact integer cents (floor(value*100+0.5)), the
+    fixed-point rule used by every unbounded sum in this repo."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))),
+            F.lit(0),
+        ).alias("monetary_cents"),
+    )
+    anchor = ev.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("anchor_day"))
+    base = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long")
+        .alias("recency_days"),
+        "frequency", "monetary_cents",
+    )
+    qs = list(RFM_QS)
+    bounds = base.agg(
+        F.expr(f"percentile(recency_days, array({', '.join(map(str, qs))}))")
+        .alias("rb"),
+        F.expr(f"percentile(frequency, array({', '.join(map(str, qs))}))")
+        .alias("fb"),
+        F.expr(f"percentile(monetary_cents, array({', '.join(map(str, qs))}))")
+        .alias("mb"),
+    )
+
+    def score_above(metric: str, arr: str):
+        # 1 + number of boundaries the metric strictly exceeds
+        return (F.lit(1) + sum(
+            (F.col(metric) > F.col(arr)[i]).cast("int") for i in range(4)
+        )).cast("int")
+
+    def score_below(metric: str, arr: str):
+        # recency: LOWER is better -> count boundaries it is strictly under
+        return (F.lit(1) + sum(
+            (F.col(metric) < F.col(arr)[i]).cast("int") for i in range(4)
+        )).cast("int")
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        score_below("recency_days", "rb").alias("r_score"),
+        score_above("frequency", "fb").alias("f_score"),
+        score_above("monetary_cents", "mb").alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_at_risk")
+        .when(F.col("m_score") >= 4, "big_spender_lapsed")
+        .otherwise("hibernating")
+    )
+    return scored.withColumn("segment", segment)
+
+
+def _rfm_oracle() -> str:
+    qs = ", ".join(str(q) for q in RFM_QS)
+
+    def above(metric: str, b: str) -> str:
+        return "1 + " + " + ".join(
+            f"CASE WHEN {metric} > {b}[{i + 1}] THEN 1 ELSE 0 END"
+            for i in range(4))
+
+    def below(metric: str, b: str) -> str:
+        return "1 + " + " + ".join(
+            f"CASE WHEN {metric} < {b}[{i + 1}] THEN 1 ELSE 0 END"
+            for i in range(4))
+
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(date_trunc('day', ts)) AS last_day,
+           count(*) AS frequency,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+               AS monetary_cents
+    FROM events GROUP BY 1
+),
+anchor AS (SELECT max(date_trunc('day', ts)) AS anchor_day FROM events),
+base AS (
+    SELECT user_id,
+           CAST(date_diff('day', last_day, anchor_day) AS BIGINT)
+               AS recency_days,
+           frequency, monetary_cents
+    FROM per_user, anchor
+),
+bounds AS (
+    SELECT quantile_cont(recency_days, [{qs}]) AS rb,
+           quantile_cont(frequency, [{qs}]) AS fb,
+           quantile_cont(monetary_cents, [{qs}]) AS mb
+    FROM base
+),
+scored AS (
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST({below('recency_days', 'rb')} AS INT) AS r_score,
+           CAST({above('frequency', 'fb')} AS INT) AS f_score,
+           CAST({above('monetary_cents', 'mb')} AS INT) AS m_score
+    FROM base, bounds
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal_at_risk'
+            WHEN m_score >= 4 THEN 'big_spender_lapsed'
+            ELSE 'hibernating' END AS segment
+FROM scored
+""".strip()
+
+
+# ------------------------------------------------ rate-anomaly telemetry ----
+
+MAD_K = 1.4826  # consistency constant: MAD -> sigma under normality
+ANOMALY_Z = 3.5
+
+
+def rate_anomaly(ev: DataFrame) -> DataFrame:
+    """Robust per-stream rate anomaly: hourly event counts per
+    event_type (ZERO-FILLED over each type's hour span — a silent outage
+    is the anomaly that matters most), flagged by the median/MAD robust
+    z-score (|z| > 3.5), the standard telemetry rule that a single spike
+    cannot poison the way a mean/stdev baseline can.
+
+    Plan: one count aggregation, a per-type hour spine (explode of one
+    4-row-per-type min/max agg) zero-filled by a co-partitioned left
+    join on (event_type, hour) — the hour component spreads the 5-value
+    type key, so no skew — then two TINY per-type aggregates (median,
+    then MAD) broadcast back. Counts are integers, so both medians are
+    interpolated (a+b)/2-exact doubles; z is one literal multiply + one
+    division, rounded through the shared helper; the flag tests the
+    ROUNDED z so both engines flag identical rows. ``ev`` carries
+    (event_type, ts)."""
+    counts = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    span = counts.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = span.select(
+        "event_type", F.explode(F.sequence("mn", "mx", hour)).alias("h"))
+    filled = (
+        spine.join(counts, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    med = filled.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5D)").alias("med"))
+    j = filled.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(n - med), 0.5D)").alias("mad"))
+    z = round_col(
+        (F.col("n") - F.col("med")) / (F.lit(MAD_K) * F.col("mad")))
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "h", "n",
+            round_col(F.col("med")).alias("med"),
+            round_col(F.col("mad")).alias("mad"),
+            F.when(F.col("mad") > 0, z).alias("robust_z"),
+            F.when(F.col("mad") > 0, (F.abs(z) > ANOMALY_Z).cast("int"))
+            .otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+    )
+
+
+RATE_ANOMALY_SQL = f"""
+WITH counts AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT event_type, min(h) AS mn, max(h) AS mx FROM counts GROUP BY 1
+),
+spine AS (
+    SELECT event_type,
+           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+    FROM span
+),
+filled AS (
+    SELECT s.event_type, s.h, coalesce(c.n, 0) AS n
+    FROM spine s LEFT JOIN counts c
+      ON c.event_type = s.event_type AND c.h = s.h
+),
+med AS (
+    SELECT event_type, median(n) AS med FROM filled GROUP BY 1
+),
+j AS (
+    SELECT f.event_type, f.h, f.n, m.med
+    FROM filled f JOIN med m ON m.event_type = f.event_type
+),
+mad AS (
+    SELECT event_type, median(abs(n - med)) AS mad FROM j GROUP BY 1
+)
+SELECT j.event_type, j.h, j.n,
+       {sql_round('j.med')} AS med,
+       {sql_round('d.mad')} AS mad,
+       CASE WHEN d.mad > 0
+            THEN {sql_round(f'(j.n - j.med) / ({MAD_K!r} * d.mad)')} END
+           AS robust_z,
+       CASE WHEN d.mad > 0 THEN
+           CASE WHEN abs({sql_round(f'(j.n - j.med) / ({MAD_K!r} * d.mad)')})
+                     > {ANOMALY_Z!r} THEN 1 ELSE 0 END
+       ELSE 0 END AS is_anomaly
+FROM j JOIN mad d ON d.event_type = j.event_type
+""".strip()
+
+
+def _rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rate_anomaly(
+        load_table(spark, sf_dir, "events").select("event_type", "ts"))
+
+
+SUITE = {
+    "attribution_last_touch": ExtQuery(_attribution, ATTRIBUTION_SQL),
+    "user_rfm_segments": ExtQuery(_rfm, _rfm_oracle()),
+    "events_rate_anomaly": ExtQuery(_rate_anomaly, RATE_ANOMALY_SQL),
+}

@@ -880,8 +880,68 @@ FROM acc
 """.strip())
 
 
+# ------------------------------------------------ gap-fill resampling ----
+
+def bars_gapfill(bars: DataFrame) -> DataFrame:
+    """Gap-filled hourly close series per symbol — the distributed
+    ``resample('1h').ffill()`` (pandas semantics the reference's users
+    lean on before computing indicators over sparse sessions): a full
+    hour spine from each symbol's first to last bar, close carried
+    forward across missing hours, volume ZERO on them (an empty bucket
+    traded nothing — carrying volume forward would fabricate turnover),
+    and an is_gap flag so downstream ops can mask fabricated rows.
+
+    Plan: the spine is an explode of one min/max-per-symbol aggregate
+    (rows = hours spanned, exactly the output size), zero-join-fanout
+    left join on (symbol, h) — hour spreads the symbol key, no skew —
+    then ONE ordered window pass for the carry. The DuckDB twin fills
+    via the engine's native ASOF JOIN (b.ts <= h) instead of a carry
+    window: independent mechanisms, identical semantics."""
+    hour = F.expr("INTERVAL 1 HOUR")
+    span = bars.groupBy("symbol").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    spine = span.select(
+        "symbol", F.explode(F.sequence("mn", "mx", hour)).alias("h"))
+    j = spine.join(
+        bars.select("symbol", F.col("ts").alias("h"), "close", "volume"),
+        ["symbol", "h"], "left")
+    w = (
+        Window.partitionBy("symbol").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "symbol", "h",
+        round_col(F.last("close", ignorenulls=True).over(w)).alias("close_ff"),
+        round_col(F.coalesce("volume", F.lit(0.0))).alias("volume"),
+        F.col("close").isNull().cast("int").alias("is_gap"),
+    )
+
+
+def _bars_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bars_gapfill(bars_from_events_cached(spark, sf_dir))
+
+
+BARS_GAPFILL_SQL = with_bars_cte(f"""
+, span AS (
+    SELECT symbol, min(ts) AS mn, max(ts) AS mx FROM bars GROUP BY 1
+),
+spine AS (
+    SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+    FROM span
+)
+SELECT s.symbol, s.h,
+       {sql_round('f.close')} AS close_ff,
+       {sql_round('coalesce(b.volume, 0)')} AS volume,
+       CASE WHEN b.ts IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s
+ASOF JOIN bars f ON f.symbol = s.symbol AND f.ts <= s.h
+LEFT JOIN bars b ON b.symbol = s.symbol AND b.ts = s.h
+""".strip())
+
+
 SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
+    "bars_gapfill_1h": ExtQuery(_bars_gapfill, BARS_GAPFILL_SQL),
     "xsec_rank_ret1": ExtQuery(_xsec_rank, XSEC_RANK_SQL),
     "xsec_zscore_ret1": ExtQuery(_xsec_zscore, XSEC_ZSCORE_SQL),
     "bars_daily": ExtQuery(_bars_daily, _bars_daily_oracle()),

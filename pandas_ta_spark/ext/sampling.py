@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.operators.base import round_col, sql_round
 from pandas_ta_spark.sources.bars import load_table
 
 # per-source keep thresholds on the first 2 hex chars of md5(doc key):
@@ -431,8 +432,72 @@ FROM (
 """.strip()
 
 
+# ------------------------------------------- temperature mixing weights ----
+
+SQRT_SCALE = 1_000_000  # sqrt(n) quantization: exact-integer weight sums
+
+
+def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing weights, T=2 (alpha=0.5): the
+    multilingual-pretraining upsampling rule w_l = n_l^0.5 / sum n^0.5
+    (mBERT/XLM-R style) that lifts low-resource languages without the
+    flattening of ``mix_rebalance_lang``'s uniform quota. Emits, per
+    language: raw share p, temperature weight w, the boost factor w/p,
+    and the expected document count at the reweighted mix.
+
+    alpha=0.5 is chosen deliberately: sqrt is IEEE-exact in BOTH engines
+    (a general pow(n, 0.3) goes through exp/ln whose last ulp is libm-
+    specific), and quantizing sqrt(n) to 1e-6 BIGINTs makes the
+    normalizing sum EXACT-integer — associative, so any aggregation
+    order gives the same total. Every emitted double is then a single
+    division (or multiply+floor) of exact integers: bit-identical
+    cross-engine, no rounding-boundary lottery.
+
+    Plan shape at 100 TB: one count-by-lang aggregate (map-side partial),
+    a 1-row total broadcast back — no shuffle of the corpus itself; the
+    weights table this emits is what ``sample_stratified_quota``-style
+    samplers consume downstream."""
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = F.floor(F.sqrt(F.col("n_docs").cast("double")) * SQRT_SCALE
+                + F.lit(0.5)).cast("long")
+    per = per.withColumn("s", s)
+    tot = per.agg(F.sum("n_docs").alias("tot_n"), F.sum("s").alias("tot_s"))
+    w = F.col("s").cast("double") / F.col("tot_s")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs",
+        round_col(F.col("n_docs").cast("double") / F.col("tot_n"))
+        .alias("share"),
+        round_col(w).alias("weight"),
+        round_col((F.col("s") * F.col("tot_n")).cast("double")
+                  / (F.col("tot_s") * F.col("n_docs"))).alias("boost"),
+        F.floor(w * F.col("tot_n") + F.lit(0.5)).cast("long")
+        .alias("expected_docs"),
+    )
+
+
+def _mix_temperature_oracle() -> str:
+    return f"""
+WITH per AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {SQRT_SCALE}
+                      + 0.5) AS BIGINT) AS s
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_docs) AS tot_n, sum(s) AS tot_s FROM per)
+SELECT lang, n_docs,
+       {sql_round('CAST(n_docs AS DOUBLE) / tot_n')} AS share,
+       {sql_round('CAST(s AS DOUBLE) / tot_s')} AS weight,
+       {sql_round('CAST(s * tot_n AS DOUBLE) / (tot_s * n_docs)')} AS boost,
+       CAST(floor(CAST(s AS DOUBLE) / tot_s * tot_n + 0.5) AS BIGINT)
+           AS expected_docs
+FROM per, tot
+""".strip()
+
+
 SUITE = {
     "sample_hash_deterministic": ExtQuery(_sample_hash, _sample_hash_oracle()),
+    "mix_temperature_sqrt": ExtQuery(_mix_temperature, _mix_temperature_oracle()),
     "split_assign": ExtQuery(_split_assign, _split_assign_oracle()),
     "mix_rebalance_lang": ExtQuery(_mix_rebalance, _mix_rebalance_oracle()),
     "sample_stratified_quota": ExtQuery(_sample_quota, _sample_quota_oracle()),

@@ -1,0 +1,189 @@
+"""Edge-case and parity tests for the r8 behavior/resample/mix ops.
+
+The oracle gate (tools/check.py) proves cross-engine equality on the
+driver tables; these tests prove the SEMANTICS on planted inputs the
+synthetic corpus may never hit — same-instant attribution ties, missing
+bar hours, zero-count outage flagging — plus independent pandas/numpy
+recomputation of the full RFM and temperature-mix outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest  # noqa: F401  (fixtures)
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s: str):
+    return pd.Timestamp(s).to_pydatetime()
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Strictly-before rule, max-event_id tie-break, NULL for
+    click-less purchases."""
+    from pandas_ta_spark.ext.behavior import attribution_last_touch
+
+    rows = [
+        # user 1: click at the SAME instant as the purchase must NOT
+        # attribute (strictly before); the later purchase attributes the
+        # 10:00 click
+        (1, 1, _ts("2024-01-01 10:00:00"), "click"),
+        (2, 1, _ts("2024-01-01 10:00:00"), "purchase"),
+        (3, 1, _ts("2024-01-01 10:05:00"), "purchase"),
+        # user 2: purchase with no click ever -> NULLs
+        (4, 2, _ts("2024-01-01 09:00:00"), "purchase"),
+        # user 3: two clicks at one instant -> the higher event_id wins
+        (5, 3, _ts("2024-01-01 11:00:00"), "click"),
+        (6, 3, _ts("2024-01-01 11:00:00"), "click"),
+        (7, 3, _ts("2024-01-01 11:01:00"), "purchase"),
+        # noise: views never attribute
+        (8, 1, _ts("2024-01-01 10:04:00"), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = (attribution_last_touch(ev).toPandas()
+           .set_index("event_id").sort_index())
+
+    assert out.index.tolist() == [2, 3, 4, 7]
+    assert pd.isna(out.loc[2, "click_event_id"])  # same-instant excluded
+    assert out.loc[3, "click_event_id"] == 1
+    assert out.loc[3, "gap_us"] == 5 * 60 * 1_000_000
+    assert pd.isna(out.loc[4, "click_event_id"])
+    assert out.loc[7, "click_event_id"] == 6  # tie -> max event_id
+
+
+def test_bars_gapfill_planted_gap(spark):
+    """A missing bar hour gets the carried close, zero volume, and the
+    gap flag; present hours pass through."""
+    from pandas_ta_spark.ext.relational import bars_gapfill
+
+    rows = [
+        ("A", _ts("2024-01-01 00:00:00"), 10.0, 5.0),
+        # 01:00 missing (halt)
+        ("A", _ts("2024-01-01 02:00:00"), 12.0, 3.0),
+        ("B", _ts("2024-01-01 00:00:00"), 7.0, 1.0),
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, close double, volume double")
+    out = (bars_gapfill(bars).toPandas()
+           .sort_values(["symbol", "h"]).reset_index(drop=True))
+
+    a = out[out["symbol"] == "A"]
+    assert len(a) == 3  # full spine 00..02
+    assert a["is_gap"].tolist() == [0, 1, 0]
+    assert a["close_ff"].tolist() == [10.0, 10.0, 12.0]  # ffill across gap
+    assert a["volume"].tolist() == [5.0, 0.0, 3.0]  # empty hour trades 0
+    b = out[out["symbol"] == "B"]
+    assert len(b) == 1 and b["is_gap"].iloc[0] == 0
+
+
+def test_rate_anomaly_outage_and_spike_flagged(spark):
+    """The zero-filled outage hour and the spike hour must both flag;
+    ordinary jitter must not."""
+    from pandas_ta_spark.ext.behavior import rate_anomaly
+
+    rows = []
+    eid = 0
+    base = _ts("2024-01-01 00:00:00")
+    for h in range(41):
+        if h == 20:
+            continue  # planted outage: no events at all this hour
+        n = 100 if h == 30 else (9, 10, 11)[h % 3]  # spike at h=30
+        for i in range(n):
+            rows.append(("api", base + pd.Timedelta(hours=h, seconds=i)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = (rate_anomaly(ev).toPandas()
+           .sort_values("h").reset_index(drop=True))
+
+    assert len(out) == 41  # zero-filled spine, not 40 present hours
+    outage = out[out["h"] == base + pd.Timedelta(hours=20)].iloc[0]
+    spike = out[out["h"] == base + pd.Timedelta(hours=30)].iloc[0]
+    assert outage["n"] == 0 and outage["is_anomaly"] == 1
+    assert spike["n"] == 100 and spike["is_anomaly"] == 1
+    assert out["is_anomaly"].sum() == 2  # jitter hours stay quiet
+    assert out["robust_z"].notna().all()  # mad > 0 here
+
+
+def test_rfm_parity_vs_pandas(spark):
+    """Full-frame parity of metrics, quintile scores, and segment labels
+    against an independent pandas/numpy recomputation (numpy 'linear'
+    quantiles == SQL interpolated percentile)."""
+    from pandas_ta_spark.ext.behavior import RFM_QS, _rfm
+
+    got = (_rfm(spark, SF_DIR).toPandas()
+           .sort_values("user_id").reset_index(drop=True))
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    day = ev["ts"].dt.floor("D")
+    anchor = day.max()
+    cents = np.floor(ev["value"] * 100 + 0.5).astype("int64").where(
+        ev["event_type"] == "purchase", 0)
+    base = pd.DataFrame({
+        "user_id": ev["user_id"], "day": day, "cents": cents,
+    }).groupby("user_id").agg(
+        last_day=("day", "max"), frequency=("day", "size"),
+        monetary_cents=("cents", "sum"),
+    ).reset_index()
+    base["recency_days"] = (anchor - base["last_day"]).dt.days
+
+    def scores(metric: pd.Series, lower_better: bool) -> pd.Series:
+        b = np.quantile(metric.to_numpy(), RFM_QS, method="linear")
+        if lower_better:
+            return 1 + sum((metric.to_numpy() < bi).astype(int) for bi in b)
+        return 1 + sum((metric.to_numpy() > bi).astype(int) for bi in b)
+
+    base = base.sort_values("user_id").reset_index(drop=True)
+    r = scores(base["recency_days"], True)
+    f = scores(base["frequency"], False)
+    m = scores(base["monetary_cents"], False)
+
+    assert got["user_id"].tolist() == base["user_id"].tolist()
+    assert got["recency_days"].tolist() == base["recency_days"].tolist()
+    assert got["frequency"].tolist() == base["frequency"].tolist()
+    assert got["monetary_cents"].tolist() == base["monetary_cents"].tolist()
+    assert got["r_score"].tolist() == list(r)
+    assert got["f_score"].tolist() == list(f)
+    assert got["m_score"].tolist() == list(m)
+    seg = np.where((r >= 4) & (f >= 4), "champion",
+          np.where(r >= 4, "recent",
+          np.where(f >= 4, "loyal_at_risk",
+          np.where(m >= 4, "big_spender_lapsed", "hibernating"))))
+    assert got["segment"].tolist() == list(seg)
+    assert got["r_score"].between(1, 5).all()
+
+
+def test_mix_temperature_parity_and_flattening(spark):
+    """Exact parity vs numpy recomputation, plus the economics: sqrt
+    temperature boosts rare languages (boost > 1) at the expense of the
+    head (boost < 1), weights and shares each summing to ~1."""
+    from pandas_ta_spark.ext.sampling import SQRT_SCALE, _mix_temperature
+
+    got = (_mix_temperature(spark, SF_DIR).toPandas()
+           .sort_values("lang").reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.groupby("lang").size().sort_index()
+    s = np.floor(np.sqrt(n.to_numpy().astype(float)) * SQRT_SCALE + 0.5)
+    tot_n, tot_s = n.sum(), s.sum()
+
+    def rnd(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got["lang"].tolist() == list(n.index)
+    assert got["n_docs"].tolist() == n.tolist()
+    assert np.array_equal(got["share"], rnd(n.to_numpy() / tot_n))
+    assert np.array_equal(got["weight"], rnd(s / tot_s))
+    assert np.array_equal(
+        got["expected_docs"], np.floor(s / tot_s * tot_n + 0.5))
+    # flattening: smallest lang boosted hardest, largest suppressed
+    srt = got.sort_values("n_docs")
+    assert srt["boost"].iloc[0] > 1 > srt["boost"].iloc[-1]
+    assert (srt["boost"].diff().dropna() <= 1e-12).all()  # monotone down
+    assert abs(got["weight"].sum() - 1) < 1e-4
+    assert abs(got["share"].sum() - 1) < 1e-4
