@@ -30,6 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 
 def asof_lookup_table(bars: DataFrame) -> DataFrame:
@@ -108,4 +114,94 @@ def stream_asof_attach(events: DataFrame, bars: DataFrame) -> DataFrame:
             "event_id", ev["symbol"].alias("symbol"), "ts", "value",
             "bar_ts", "bar_close",
         )
+    )
+
+
+# ------------------------------------------- last-touch attribution twin ----
+
+ATTRIB_OUT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("click_event_id", LongType()),
+    StructField("click_ts", TimestampType()),
+    StructField("gap_us", LongType()),
+])
+
+# carried: the prevailing click as (epoch-us, event_id); -1 = none yet
+ATTRIB_STATE_SCHEMA = StructType([
+    StructField("click_us", LongType()),
+    StructField("click_id", LongType()),
+])
+
+
+def stream_attribution_attach(events: DataFrame) -> DataFrame:
+    """Online last-touch attribution: each streamed purchase is attributed
+    to the user's latest click STRICTLY before it — the streaming twin of
+    ``ext.behavior.attribution_last_touch``.
+
+    Unlike the as-of attach, BOTH sides here are the stream (the click
+    reference data is being produced by the very stream it serves), so
+    the stateless interval-lookup trick does not apply; this is the
+    canonical keyed-state shape: ``applyInPandasWithState`` per user
+    carrying ONE (click_ts, click_event_id) pair — the max-(ts, id)
+    click seen — across micro-batches. State is two longs per user,
+    independent of history length; output is purchase-rows only.
+
+    Ordering contract (same as the indicator twins, parity-tested in
+    tests/test_streaming_custom.py): per-user event-time order across
+    micro-batches. Within a batch, rows process in (ts, purchase-first,
+    event_id) order, so a same-instant click never attributes its own
+    purchase (strictly-before), and click ties at one timestamp resolve
+    to the highest event_id — bit-identical to the batch union-and-carry."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        click_us, click_id = state.get if state.exists else (-1, -1)
+        for pdf in pdfs:
+            pdf = pdf.assign(
+                _p=(pdf["event_type"] != "purchase").astype("int64"))
+            pdf = pdf.sort_values(["ts", "_p", "event_id"])
+            out = {k: [] for k in ("event_id", "user_id", "ts",
+                                   "click_event_id", "click_ts", "gap_us")}
+            for eid, ts, etype in zip(
+                    pdf["event_id"], pdf["ts"], pdf["event_type"]):
+                us = ts.value // 1000
+                if etype == "purchase":
+                    out["event_id"].append(eid)
+                    out["user_id"].append(key[0])
+                    out["ts"].append(ts)
+                    if click_id >= 0:
+                        out["click_event_id"].append(click_id)
+                        out["click_ts"].append(
+                            pd.Timestamp(click_us * 1000))
+                        out["gap_us"].append(us - click_us)
+                    else:
+                        out["click_event_id"].append(None)
+                        out["click_ts"].append(pd.NaT)
+                        out["gap_us"].append(None)
+                elif etype == "click" and (us, eid) > (click_us, click_id):
+                    click_us, click_id = us, int(eid)
+            # explicit dtypes: empty/None-bearing object columns don't
+            # survive the Arrow handoff on their own
+            yield pd.DataFrame({
+                "event_id": pd.array(out["event_id"], dtype="Int64"),
+                "user_id": pd.array(out["user_id"], dtype="Int64"),
+                "ts": pd.to_datetime(out["ts"]),
+                "click_event_id": pd.array(out["click_event_id"],
+                                           dtype="Int64"),
+                "click_ts": pd.to_datetime(out["click_ts"]),
+                "gap_us": pd.array(out["gap_us"], dtype="Int64"),
+            })
+        state.update((click_us, click_id))
+
+    ev = events.select("event_id", "user_id", "ts", "event_type").filter(
+        F.col("event_type").isin("click", "purchase"))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTRIB_OUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )

@@ -2506,3 +2506,62 @@ def test_stream_trending_terms(spark, tmp_path):
     w2 = got[got["window_start"] == ts2.floor("h")]
     assert w2["token"].tolist() == ["zebra", "yak", "apple"]
     assert w2["n"].tolist() == [4, 2, 1]
+
+
+def test_stream_attribution_attach_matches_batch(spark, tmp_path):
+    """The keyed-state last-click carry must reproduce the batch
+    union-and-carry attribution bit-for-bit over an in-order replay of
+    the full events table — including purchases before any click (NULL
+    attribution) and state carried across micro-batch boundaries (the
+    replay splits mid-corpus, so most users' prevailing click lives in
+    an earlier batch than the purchase it attributes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.ext.behavior import attribution_last_touch
+    from pandas_ta_spark.sources.bars import load_table
+    from pandas_ta_spark.streaming import stream_attribution_attach
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    batch = (attribution_last_touch(ev).toPandas()
+             .sort_values("event_id").reset_index(drop=True))
+
+    epd = (ev.toPandas().sort_values(["ts", "event_id"])
+           .reset_index(drop=True))
+    epd["ts"] = epd["ts"].astype("datetime64[us]")
+    src = tmp_path / "attrib_src"
+    src.mkdir()
+    # sequential time-ordered chunks: the stateful twin's documented
+    # ordering contract (per-user in-order arrival)
+    n = len(epd)
+    for i, (lo, hi) in enumerate(
+            ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n))):
+        epd.iloc[lo:hi].to_parquet(src / f"b{i}.parquet")
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    qh = (
+        stream_attribution_attach(stream)
+        .writeStream.format("memory").queryName("attrib_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM attrib_stream").toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    assert got["event_id"].tolist() == batch["event_id"].tolist()
+    assert got["user_id"].tolist() == batch["user_id"].tolist()
+    for c in ("ts", "click_event_id", "click_ts", "gap_us"):
+        a, b = got[c], batch[c]
+        ok = (a == b) | (a.isna() & b.isna())
+        assert ok.all(), (c, got[~ok].head(), batch[~ok].head())
+    # both edge classes really occurred in the corpus
+    assert batch["click_event_id"].isna().any()
+    assert batch["click_event_id"].notna().any()

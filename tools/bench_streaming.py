@@ -220,6 +220,19 @@ def main() -> None:
           panel, "symbol string, ts timestamp, ret_1 double",
           "xsec_zscore", len(panel))
 
+    # last-touch attribution: keyed two-long state per user, full events
+    # replay (clicks + purchases after the in-gate filter)
+    from pandas_ta_spark.sources.bars import load_table
+    from pandas_ta_spark.streaming import stream_attribution_attach
+
+    ev = (load_table(spark, SF_DIR, "events")
+          .select("event_id", "user_id", "ts", "event_type").toPandas()
+          .sort_values(["ts", "event_id"]))
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    drain(stream_attribution_attach,
+          ev, "event_id long, user_id long, ts timestamp, event_type string",
+          "attribution_gate", len(ev))
+
     print(json.dumps(out))
 
 
