@@ -137,21 +137,30 @@ def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("monetary_cents"),
     )
-    anchor = ev.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("anchor_day"))
-    base = per_user.crossJoin(F.broadcast(anchor)).select(
-        "user_id",
-        F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long")
-        .alias("recency_days"),
-        "frequency", "monetary_cents",
-    )
+    # ONE 1-row aggregate carries the anchor AND all three boundary
+    # arrays (the first draft used a third branch — and a third scan of
+    # the event log — just for the anchor). recency = anchor - last_day
+    # is a monotone DECREASING transform of last_day, and linear-
+    # interpolated percentiles commute with such transforms by
+    # reflection: Q_recency(q) = anchor - Q_last_day(1-q). Day numbers
+    # are exact integers, so the identity is exact up to the shared
+    # interpolation arithmetic.
     qs = list(RFM_QS)
-    bounds = base.agg(
-        F.expr(f"percentile(recency_days, array({', '.join(map(str, qs))}))")
-        .alias("rb"),
+    rev_qs = [1 - q for q in RFM_QS]
+    epoch = "DATE'1970-01-01'"
+    bounds = per_user.agg(
+        F.max("last_day").alias("anchor_day"),
+        F.expr(f"percentile(datediff(last_day, {epoch}),"
+               f" array({', '.join(map(str, rev_qs))}))").alias("db"),
         F.expr(f"percentile(frequency, array({', '.join(map(str, qs))}))")
         .alias("fb"),
         F.expr(f"percentile(monetary_cents, array({', '.join(map(str, qs))}))")
         .alias("mb"),
+    ).select(
+        "anchor_day",
+        F.expr(f"transform(db, x -> datediff(anchor_day, {epoch}) - x)")
+        .alias("rb"),
+        "fb", "mb",
     )
 
     def score_above(metric: str, arr: str):
@@ -166,11 +175,17 @@ def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col(metric) < F.col(arr)[i]).cast("int") for i in range(4)
         )).cast("int")
 
-    scored = base.crossJoin(F.broadcast(bounds)).select(
-        "user_id", "recency_days", "frequency", "monetary_cents",
-        score_below("recency_days", "rb").alias("r_score"),
-        score_above("frequency", "fb").alias("f_score"),
-        score_above("monetary_cents", "mb").alias("m_score"),
+    scored = (
+        per_user.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long"))
+        .select(
+            "user_id", "recency_days", "frequency", "monetary_cents",
+            score_below("recency_days", "rb").alias("r_score"),
+            score_above("frequency", "fb").alias("f_score"),
+            score_above("monetary_cents", "mb").alias("m_score"),
+        )
     )
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
@@ -253,8 +268,9 @@ def rate_anomaly(ev: DataFrame) -> DataFrame:
     Plan: one count aggregation, a per-type hour spine (explode of one
     4-row-per-type min/max agg) zero-filled by a co-partitioned left
     join on (event_type, hour) — the hour component spreads the 5-value
-    type key, so no skew — then two TINY per-type aggregates (median,
-    then MAD) broadcast back. Counts are integers, so both medians are
+    type key, so no skew — then median and MAD as two stacked window
+    aggregates over one per-type partitioning of the already-tiny hourly
+    relation. Counts are integers, so both medians are
     interpolated (a+b)/2-exact doubles; z is one literal multiply + one
     division, rounded through the shared helper; the flag tests the
     ROUNDED z so both engines flag identical rows. ``ev`` carries
@@ -272,23 +288,28 @@ def rate_anomaly(ev: DataFrame) -> DataFrame:
         spine.join(counts, ["event_type", "h"], "left")
         .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
     )
-    med = filled.groupBy("event_type").agg(
-        F.expr("percentile(n, 0.5D)").alias("med"))
-    j = filled.join(F.broadcast(med), "event_type")
-    mad = j.groupBy("event_type").agg(
-        F.expr("percentile(abs(n - med), 0.5D)").alias("mad"))
+    # median + MAD as STACKED WINDOW aggregates over one event_type
+    # partitioning, not separate groupBy+join branches: the first draft's
+    # aggregate-then-broadcast-back shape made Catalyst re-derive the
+    # counts lineage per branch — 15 Exchanges and four scans of the
+    # events relation in the audit. The window form scans events ONCE;
+    # per-type serialization is harmless because the windowed relation is
+    # the per-hour aggregate (hours x types rows), ~6 orders smaller than
+    # the event log it summarizes.
+    wt = Window.partitionBy("event_type")
+    filled = filled.withColumn(
+        "med", F.expr("percentile(n, 0.5D)").over(wt))
+    filled = filled.withColumn(
+        "mad", F.expr("percentile(abs(n - med), 0.5D)").over(wt))
     z = round_col(
         (F.col("n") - F.col("med")) / (F.lit(MAD_K) * F.col("mad")))
-    return (
-        j.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_type", "h", "n",
-            round_col(F.col("med")).alias("med"),
-            round_col(F.col("mad")).alias("mad"),
-            F.when(F.col("mad") > 0, z).alias("robust_z"),
-            F.when(F.col("mad") > 0, (F.abs(z) > ANOMALY_Z).cast("int"))
-            .otherwise(F.lit(0)).alias("is_anomaly"),
-        )
+    return filled.select(
+        "event_type", "h", "n",
+        round_col(F.col("med")).alias("med"),
+        round_col(F.col("mad")).alias("mad"),
+        F.when(F.col("mad") > 0, z).alias("robust_z"),
+        F.when(F.col("mad") > 0, (F.abs(z) > ANOMALY_Z).cast("int"))
+        .otherwise(F.lit(0)).alias("is_anomaly"),
     )
 
 
