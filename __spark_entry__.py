@@ -95,9 +95,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   and asof_hour_lookup + embedding_drift_by_slice +
 #   curation_decisions + perplexity_unigram (ADDED in r8
 #   with their own exact oracles) —
-#   plus the five behavior/resample/mix queries ADDED later in r8
+#   plus the six behavior/resample/mix/LM queries ADDED later in r8
 #   (attribution_last_touch, user_rfm_segments, events_rate_anomaly,
-#   bars_gapfill_1h, mix_temperature_sqrt) — 31 keys, fits one window —
+#   bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram) —
+#   32 keys, fits one window —
 #   sweep complete, window returns to flagship + kind-class
 #   representation.
 # Rotated-out keys remain value-checked in the full gate

@@ -877,6 +877,102 @@ FROM scored
 """.strip()
 
 
+def _perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity signal — the context-aware step up from
+    ``perplexity_unigram`` toward CCNet's KenLM filter: score every
+    document by its mean negative log-prob under an add-one-smoothed
+    bigram model P(w2|w1) = (c12+1)/(c1+V) fitted on the corpus itself
+    (V = unigram vocab size, so the conditional normalizes exactly).
+    A doc full of individually-common words in never-seen orders scores
+    high here but low under the unigram model — word-salad spam, shuffled
+    boilerplate, template stuffing.
+
+    Bigrams come from zipping the token array against itself shifted by
+    one (slice+arrays_zip, pure map stage — NO per-doc ordering window;
+    the DuckDB twin zips two aligned unnests the same way). Per-bigram
+    -ln p is computed once per DISTINCT bigram type and quantized to a
+    1e-6 BIGINT, so per-doc folds are exact integer sums, order-free
+    under any partitioning.
+
+    100 TB: unlike the unigram vocab, the bigram table is NOT broadcast
+    (type count grows ~linearly with corpus size toward V^2); the
+    score-join shuffles on the uniform (w1, w2) key instead. Docs under
+    two tokens have no bigrams and drop from the output, identically in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    l = F.filter(F.split(F.lower(F.trim(F.col("text"))), " "),
+                 lambda x: x != F.lit(""))
+    toks = docs.select(F.explode(l).alias("token"))
+    vsize = toks.agg(F.count_distinct("token").alias("v"))
+    n1 = F.size(F.col("l")) - 1
+    big = (
+        docs.select("doc_id", l.alias("l"))
+        .filter(F.size("l") >= 2)
+        .select("doc_id", F.explode(F.arrays_zip(
+            F.slice("l", 1, n1).alias("w1"),
+            F.slice("l", 2, n1).alias("w2"))).alias("pr"))
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nlp6 = F.floor(
+        -F.log((F.col("c12") + 1).cast("double")
+               / (F.col("c1") + F.col("v")).cast("double"))
+        * 1e6 + F.lit(0.5)
+    ).cast("long")
+    lp = (bcnt.join(ctx, "w1").crossJoin(F.broadcast(vsize))
+          .select("w1", "w2", nlp6.alias("nlp6")))
+    scored = (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("nlp6").alias("s6"))
+    )
+    return scored.select(
+        "doc_id", "n_bigrams",
+        (F.floor(F.col("s6") / F.col("n_bigrams") + F.lit(0.5)) / 1e6)
+        .alias("avg_neg_logp"),
+    )
+
+
+PERPLEXITY_BIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(trim(text)), ' '),
+                       x -> x <> '') AS l
+    FROM documents
+),
+vsize AS (
+    SELECT count(DISTINCT t.token) AS v
+    FROM (SELECT unnest(l) AS token FROM toks) t
+),
+big AS (
+    SELECT doc_id,
+           unnest(list_slice(l, 1, length(l) - 1)) AS w1,
+           unnest(list_slice(l, 2, length(l))) AS w2
+    FROM toks WHERE length(l) >= 2
+),
+bcnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bcnt GROUP BY 1),
+lp AS (
+    SELECT b.w1, b.w2,
+           CAST(floor(-ln(CAST(b.c12 + 1 AS DOUBLE)
+                          / CAST(x.c1 + vsize.v AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS nlp6
+    FROM bcnt b JOIN ctx x USING (w1) CROSS JOIN vsize
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_bigrams, sum(nlp6) AS s6
+    FROM big JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor(CAST(s6 AS DOUBLE) / n_bigrams + 0.5) / 1000000.0
+           AS avg_neg_logp
+FROM scored
+""".strip()
+
+
 SUITE = {
     "source_token_profile": ExtQuery(
         _source_token_profile, _source_token_profile_sql()),
@@ -888,6 +984,7 @@ SUITE = {
     "corpus_rarity": ExtQuery(_corpus_rarity, CORPUS_RARITY_SQL),
     "text_stats": ExtQuery(_text_stats, TEXT_STATS_SQL),
     "perplexity_unigram": ExtQuery(_perplexity_unigram, PERPLEXITY_UNIGRAM_SQL),
+    "perplexity_bigram": ExtQuery(_perplexity_bigram, PERPLEXITY_BIGRAM_SQL),
     "text_lang_id": ExtQuery(_lang_id, _lang_sql()),
     "text_quality": ExtQuery(_text_quality, TEXT_QUALITY_SQL),
     "quality_lr_score": ExtQuery(_quality_lr, _quality_lr_sql()),

@@ -187,3 +187,39 @@ def test_mix_temperature_parity_and_flattening(spark):
     assert (srt["boost"].diff().dropna() <= 1e-12).all()  # monotone down
     assert abs(got["weight"].sum() - 1) < 1e-4
     assert abs(got["share"].sum() - 1) < 1e-4
+
+
+def test_perplexity_bigram_flags_word_salad(spark, tmp_path):
+    """Same tokens, shuffled order: the bigram LM must score the
+    word-salad doc strictly higher (more surprising) than the
+    in-distribution docs, while a unigram model cannot tell them apart.
+    Also pins the <2-token drop rule."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.text import SUITE
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "the cat sat on the mat",
+            "the cat sat on the mat",
+            "the cat sat on the mat",
+            "mat the on sat cat the",  # word salad: same bag of words
+            "solo",                    # <2 tokens -> no bigrams, dropped
+        ],
+        "lang": ["en"] * 5,
+        "source": ["s"] * 5,
+        "n_chars": [22, 22, 22, 22, 4],
+    })
+    d = tmp_path / "ppl_docs"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+
+    out = (SUITE["perplexity_bigram"].query(spark, str(d)).toPandas()
+           .set_index("doc_id").sort_index())
+    assert out.index.tolist() == [0, 1, 2, 3]  # doc 4 dropped
+    assert (out["n_bigrams"] == 5).all()
+    normal = out.loc[0, "avg_neg_logp"]
+    salad = out.loc[3, "avg_neg_logp"]
+    assert salad > normal
+    assert out.loc[1, "avg_neg_logp"] == normal == out.loc[2, "avg_neg_logp"]
