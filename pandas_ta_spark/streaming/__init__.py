@@ -28,6 +28,7 @@ from pandas_ta_spark.streaming.panel import stream_xsec_rank, stream_xsec_zscore
 from pandas_ta_spark.streaming.relational import (
     stream_asof_attach,
     stream_attribution_attach,
+    stream_rate_anomaly,
 )
 from pandas_ta_spark.streaming.sessions import stream_sessions
 from pandas_ta_spark.streaming.indicators import (
@@ -51,7 +52,7 @@ __all__ = ["stream_bars", "streaming_atr", "streaming_bbands",
            "stream_split_assign", "stream_sessions", "stream_topk_ivf",
            "stream_topk_ivfpq", "stream_xsec_rank", "stream_xsec_zscore",
            "stream_asof_attach", "stream_attribution_attach",
-           "stream_span_dup_gate",
+           "stream_rate_anomaly", "stream_span_dup_gate",
            "stream_semdedup_gate", "stream_curation_gate",
            "stream_media_features", "stream_curation_sink",
            "stream_corpus_ingest", "compact_ingest_lake",

@@ -205,3 +205,48 @@ def stream_attribution_attach(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# --------------------------------------------- rate-anomaly serving twin ----
+
+def stream_rate_anomaly(events: DataFrame, baseline: DataFrame,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Online rate-anomaly flagging: tumbling event-time count windows
+    per event_type, scored against a STATIC per-type (med, mad)
+    baseline — the production shape for ``ext.behavior.rate_anomaly``
+    (fit the robust baseline offline on history, serve the z-score
+    online; refit on whatever cadence drift demands).
+
+    ``baseline`` is one row per event_type with (med, mad) — exactly the
+    batch op's output columns, which are EXACT multiples of 0.5/0.25 so
+    the 1e-6 output rounding is the identity on them and batch/stream
+    z-scores match bit-for-bit (parity-tested on the flagged spike).
+
+    Scope: a stream only scores windows that contain events — the
+    zero-count OUTAGE rows the batch op's spine zero-fill surfaces do
+    not exist online (nothing arrives to trigger them); detecting
+    silence online is a processing-time-timeout concern (a heartbeat
+    check against the watermark clock), deliberately out of this
+    operator. State: one count per open (type, window) until the
+    watermark closes it; the baseline join is stateless broadcast."""
+    from pandas_ta_spark.ext.behavior import ANOMALY_Z, MAD_K
+    from pandas_ta_spark.operators.base import round_col
+
+    counts = (
+        events.select("event_type", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    z = round_col(
+        (F.col("n") - F.col("med")) / (F.lit(MAD_K) * F.col("mad")))
+    return (
+        counts.join(F.broadcast(baseline), "event_type", "left")
+        .select(
+            "event_type", F.col("w.start").alias("h"), "n",
+            F.when(F.col("mad") > 0, z).alias("robust_z"),
+            F.when(F.col("mad") > 0, (F.abs(z) > ANOMALY_Z).cast("int"))
+            .otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+    )

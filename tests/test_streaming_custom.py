@@ -2565,3 +2565,66 @@ def test_stream_attribution_attach_matches_batch(spark, tmp_path):
     # both edge classes really occurred in the corpus
     assert batch["click_event_id"].isna().any()
     assert batch["click_event_id"].notna().any()
+
+
+def test_stream_rate_anomaly_matches_batch(spark, tmp_path):
+    """Windowed streamed counts scored against the batch-fitted (med,
+    mad) baseline must match the batch robust z-scores and flags exactly
+    on every NON-EMPTY hour — including the planted spike — while the
+    zero-count outage row is batch-only (the documented online scope:
+    silence produces no window to score)."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.behavior import rate_anomaly
+    from pandas_ta_spark.streaming import stream_rate_anomaly
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for h in range(41):
+        if h == 20:
+            continue  # outage hour: batch-only zero-fill
+        n = 100 if h == 30 else (9, 10, 11)[h % 3]
+        for i in range(n):
+            rows.append(("api", base + pd.Timedelta(hours=h, seconds=i)))
+    epd = pd.DataFrame(rows, columns=["event_type", "ts"])
+    epd["ts"] = epd["ts"].astype("datetime64[us]")
+
+    ev = spark.createDataFrame(epd)
+    batch = (rate_anomaly(ev).toPandas()
+             .sort_values("h").reset_index(drop=True))
+    baseline = (rate_anomaly(ev)
+                .select("event_type", "med", "mad").distinct())
+
+    src = tmp_path / "rate_src"
+    src.mkdir()
+    half = len(epd) // 2
+    epd.iloc[:half].to_parquet(src / "a1.parquet")
+    epd.iloc[half:].to_parquet(src / "a2.parquet")
+    # watermark flush: append-mode windows only emit once the watermark
+    # passes their end — a far-future sentinel (own window never closes,
+    # so it cannot leak into the output) releases the tail hours
+    pd.DataFrame({
+        "event_type": ["sentinel"],
+        "ts": [(epd["ts"].max() + pd.Timedelta(days=2))],
+    }).astype({"ts": "datetime64[us]"}).to_parquet(src / "a3.parquet")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    qh = (
+        stream_rate_anomaly(stream, baseline)
+        .writeStream.format("memory").queryName("rate_anom_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM rate_anom_stream").toPandas()
+           .sort_values("h").reset_index(drop=True))
+
+    nonempty = batch[batch["n"] > 0].reset_index(drop=True)
+    assert len(got) == len(nonempty) == 40
+    assert got["h"].tolist() == nonempty["h"].tolist()
+    assert got["n"].tolist() == nonempty["n"].tolist()
+    assert got["robust_z"].tolist() == nonempty["robust_z"].tolist()
+    assert got["is_anomaly"].tolist() == nonempty["is_anomaly"].tolist()
+    assert got["is_anomaly"].sum() == 1  # the spike flags online
+    assert batch["is_anomaly"].sum() == 2  # spike + outage offline
