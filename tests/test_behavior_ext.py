@@ -223,3 +223,113 @@ def test_perplexity_bigram_flags_word_salad(spark, tmp_path):
     salad = out.loc[3, "avg_neg_logp"]
     assert salad > normal
     assert out.loc[1, "avg_neg_logp"] == normal == out.loc[2, "avg_neg_logp"]
+
+
+def test_bars_gapfill_property_vs_pandas_resample(spark):
+    """bars_gapfill IS the distributed resample('1h').ffill(): random
+    gappy bar sets must match pandas' own resample semantics — ffilled
+    close, zero-summed volume, empty buckets flagged — per symbol."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.relational import bars_gapfill
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        t0 = pd.Timestamp("2024-01-01")
+        frames = []
+        for sym in ("A", "B", "C"):
+            hours = np.sort(rng.choice(
+                np.arange(200), size=int(rng.integers(2, 40)),
+                replace=False))
+            frames.append(pd.DataFrame({
+                "symbol": sym,
+                "ts": [t0 + pd.Timedelta(hours=int(h)) for h in hours],
+                "close": np.round(rng.uniform(1, 100, len(hours)), 4),
+                "volume": rng.integers(1, 50, len(hours)).astype(float),
+            }))
+        bars = pd.concat(frames, ignore_index=True)
+        bars["ts"] = bars["ts"].astype("datetime64[us]")
+
+        got = (bars_gapfill(spark.createDataFrame(bars)).toPandas()
+               .sort_values(["symbol", "h"]).reset_index(drop=True))
+
+        exp_frames = []
+        for sym, g in bars.groupby("symbol"):
+            r = g.set_index("ts").sort_index().resample("1h")
+            exp_frames.append(pd.DataFrame({
+                "symbol": sym,
+                "h": r.size().index,
+                "close_ff": r["close"].last().ffill().to_numpy(),
+                "volume": r["volume"].sum().to_numpy(),
+                "is_gap": (r.size() == 0).astype("int32").to_numpy(),
+            }))
+        exp = (pd.concat(exp_frames, ignore_index=True)
+               .sort_values(["symbol", "h"]).reset_index(drop=True))
+
+        assert got["symbol"].tolist() == exp["symbol"].tolist()
+        assert got["h"].tolist() == exp["h"].tolist()
+        assert np.allclose(got["close_ff"], exp["close_ff"], atol=1e-6)
+        assert np.array_equal(got["volume"], exp["volume"])
+        assert got["is_gap"].tolist() == exp["is_gap"].tolist()
+
+    check()
+
+
+def test_attribution_property_vs_pandas(spark):
+    """Random interleaved click/purchase streams: attribution must equal
+    an independent O(n^2)-free pandas recompute (per-user running max of
+    (ts, event_id) over strictly-earlier clicks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.behavior import attribution_last_touch
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+        t0 = pd.Timestamp("2024-01-01")
+        n = int(rng.integers(20, 120))
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(1, 6, n).astype("int64"),
+            # coarse second grid -> plenty of exact ts collisions
+            "ts": [t0 + pd.Timedelta(seconds=int(s))
+                   for s in rng.integers(0, 50, n)],
+            "event_type": rng.choice(
+                ["click", "purchase", "view"], n,
+                p=[0.45, 0.35, 0.2]),
+        })
+        ev["ts"] = ev["ts"].astype("datetime64[us]")
+
+        got = (attribution_last_touch(spark.createDataFrame(ev)).toPandas()
+               .sort_values("event_id").reset_index(drop=True))
+
+        rows = []
+        for _, g in ev.groupby("user_id"):
+            clicks = g[g["event_type"] == "click"]
+            for _, p in g[g["event_type"] == "purchase"].iterrows():
+                prior = clicks[clicks["ts"] < p["ts"]]
+                if len(prior):
+                    best = prior.sort_values(
+                        ["ts", "event_id"]).iloc[-1]
+                    rows.append((p["event_id"], p["user_id"], p["ts"],
+                                 best["event_id"], best["ts"],
+                                 (p["ts"] - best["ts"]).value // 1000))
+                else:
+                    rows.append((p["event_id"], p["user_id"], p["ts"],
+                                 None, pd.NaT, None))
+        exp = (pd.DataFrame(rows, columns=got.columns)
+               .sort_values("event_id").reset_index(drop=True))
+
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        for c in ("click_event_id", "click_ts", "gap_us"):
+            a, b = got[c], exp[c]
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+    check()
