@@ -265,6 +265,16 @@ def main():
         "rolling_beta_24": lambda: EXT["rolling_beta_24"].query(spark, sf_dir),
         "asof_join_bars": lambda: EXT["asof_join_bars"].query(spark, sf_dir),
         "sessionize_30m": lambda: EXT["sessionize_30m"].query(spark, sf_dir),
+        # r8 behavior/LM pack
+        "attribution_last_touch": lambda: EXT["attribution_last_touch"].query(
+            spark, sf_dir),
+        "user_rfm_segments": lambda: EXT["user_rfm_segments"].query(
+            spark, sf_dir),
+        "events_rate_anomaly": lambda: EXT["events_rate_anomaly"].query(
+            spark, sf_dir),
+        "bars_gapfill_1h": lambda: EXT["bars_gapfill_1h"].query(spark, sf_dir),
+        "perplexity_bigram": lambda: EXT["perplexity_bigram"].query(
+            spark, sf_dir),
     }
 
     # Protocols (VERDICT r6 ask #3):

@@ -146,7 +146,11 @@ def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are exact integers, so the identity is exact up to the shared
     # interpolation arithmetic.
     qs = list(RFM_QS)
-    rev_qs = [1 - q for q in RFM_QS]
+    # 1-q for the symmetric quintile grid == the grid reversed — using
+    # the canonical literals avoids 1-0.8 = 0.19999999999999996 leaking
+    # into the generated SQL
+    rev_qs = list(reversed(RFM_QS))
+    assert all(a + b == 1 for a, b in zip(qs, rev_qs))
     epoch = "DATE'1970-01-01'"
     bounds = per_user.agg(
         F.max("last_day").alias("anchor_day"),

@@ -781,6 +781,26 @@ BETA_N = 24  # one day of hourly bars
 BETA_SCALE = 1e6
 
 
+def _rolling_corr_sums(x: str, y: str, ws):
+    """Exact-integer rolling second-moment sums over the trailing BETA_N
+    rows of the (symbol, ts) ordering: (n, n*Sxy - Sx*Sy, n*Sxx - Sx^2,
+    n*Syy - Sy^2) for quantized-BIGINT columns ``x`` and ``y`` — the
+    shared kernel of rolling_beta_24 and ret_autocorr_24. Rows where
+    either side is NULL (warm-up lags) are excluded from every sum via
+    the x*y NULL-propagation guard, so n counts complete pairs only.
+    All sums are exact integers (associative -> identical under Spark's
+    sequential frames and DuckDB's segment trees)."""
+    wr = ws.rowsBetween(-(BETA_N - 1), 0)
+    xy = F.col(x) * F.col(y)  # null if either side is null
+    n = F.count(xy).over(wr)
+    sx = F.sum(F.when(xy.isNotNull(), F.col(x))).over(wr)
+    sy = F.sum(F.when(xy.isNotNull(), F.col(y))).over(wr)
+    sxy = F.sum(xy).over(wr)
+    sxx = F.sum(F.when(xy.isNotNull(), F.col(x) * F.col(x))).over(wr)
+    syy = F.sum(F.when(xy.isNotNull(), F.col(y) * F.col(y))).over(wr)
+    return n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+
+
 def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling market beta and correlation per symbol — a CROSS-SECTIONAL
     operator the reference cannot express (pandas-ta sees one instrument
@@ -817,17 +837,7 @@ def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").over(wt).cast("double") / F.count("q").over(wt) + F.lit(0.5)
     ).cast("long")
     df = df.select("symbol", "ts", "q", qm.alias("qm"))
-    wr = ws.rowsBetween(-(BETA_N - 1), 0)
-    xy = F.col("q") * F.col("qm")  # null if either side is null
-    n = F.count(xy).over(wr)
-    sx = F.sum(F.when(xy.isNotNull(), F.col("q"))).over(wr)
-    sy = F.sum(F.when(xy.isNotNull(), F.col("qm"))).over(wr)
-    sxy = F.sum(xy).over(wr)
-    sxx = F.sum(F.when(xy.isNotNull(), F.col("q") * F.col("q"))).over(wr)
-    syy = F.sum(F.when(xy.isNotNull(), F.col("qm") * F.col("qm"))).over(wr)
-    cov_s = n * sxy - sx * sy
-    varx_s = n * sxx - sx * sx
-    vary_s = n * syy - sy * sy
+    n, cov_s, varx_s, vary_s = _rolling_corr_sums("q", "qm", ws)
     full = n >= BETA_N
     beta = F.when(full & (vary_s != 0), cov_s / vary_s)
     corr = F.when(
@@ -939,8 +949,140 @@ LEFT JOIN bars b ON b.symbol = s.symbol AND b.ts = s.h
 """.strip())
 
 
+# ---------------------------------------------- return autocorrelation ----
+
+def _ret_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 return autocorrelation per symbol — the
+    regime-detection statistic (positive = momentum regime, negative =
+    mean-reversion; the practitioner's rolling variance-ratio proxy).
+    Same exact-integer kernel as rolling_beta_24 (shared
+    ``_rolling_corr_sums``), with the market return replaced by the
+    PREVIOUS bar's own return: corr(r_t, r_{t-1}) over the trailing
+    BETA_N bars.
+
+    ONE shuffle on symbol; two stacked lag expressions and the rolling
+    sums reuse the same (symbol, ts) sort."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    r = F.log(F.col("close") / F.lag("close").over(ws))
+    q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
+    df = (bars.select("symbol", "ts", q.alias("q"))
+          .select("symbol", "ts", "q", F.lag("q").over(ws).alias("ql")))
+    n, cov_s, varx_s, vary_s = _rolling_corr_sums("q", "ql", ws)
+    full = n >= BETA_N
+    ac = F.when(
+        full & (varx_s > 0) & (vary_s > 0),
+        cov_s.cast("double")
+        / F.sqrt(varx_s.cast("double") * vary_s.cast("double")),
+    )
+    return df.select(
+        "symbol", "ts",
+        n.cast("long").alias("n_obs"),
+        round_col(ac).alias("autocorr"),
+    )
+
+
+RET_AUTOCORR_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           CAST(floor(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts))
+                      * {BETA_SCALE!r} + 0.5) AS BIGINT) AS q
+    FROM bars
+),
+l AS (
+    SELECT symbol, ts, q,
+           lag(q) OVER (PARTITION BY symbol ORDER BY ts) AS ql
+    FROM r
+),
+acc AS (
+    SELECT symbol, ts,
+           count(q * ql) OVER w AS n,
+           sum(CASE WHEN q * ql IS NOT NULL THEN q END) OVER w AS sx,
+           sum(CASE WHEN q * ql IS NOT NULL THEN ql END) OVER w AS sy,
+           sum(q * ql) OVER w AS sxy,
+           sum(CASE WHEN q * ql IS NOT NULL THEN q * q END) OVER w AS sxx,
+           sum(CASE WHEN q * ql IS NOT NULL THEN ql * ql END) OVER w AS syy
+    FROM l
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts
+                 ROWS BETWEEN {BETA_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {BETA_N} AND n * sxx - sx * sx > 0 "
+                  "AND n * syy - sy * sy > 0 "
+                  "THEN CAST(n * sxy - sx * sy AS DOUBLE) "
+                  "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+                  "* CAST(n * syy - sy * sy AS DOUBLE)) END")} AS autocorr
+FROM acc
+""".strip())
+
+
+# ------------------------------------------------- drawdown durations ----
+
+def _drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-under-water manifest: one row per drawdown EPISODE (a maximal
+    run of bars strictly below the running close high), with start/end
+    timestamps, bar count, and the episode's deepest drawdown — the
+    duration/depth analytics the scalar ``drawdown`` op (cummax - close)
+    cannot answer ("how LONG was the longest stretch under water?").
+
+    The sessionization trick, not a join: at_high = (close >= cummax)
+    marks recovery bars; its running sum is the episode group id (every
+    underwater bar inherits the id of the last high before it), so ONE
+    ordered window pass assigns episodes and one aggregation emits the
+    manifest. First bar is a high by construction (cummax = close), so
+    group ids start at 1 and underwater rows always follow some high."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    wall = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mx = F.max("close").over(wall)
+    at_high = (F.col("close") >= mx).cast("long")
+    df = bars.select(
+        "symbol", "ts", "close",
+        mx.alias("mx"), at_high.alias("at_high"))
+    df = df.withColumn("grp", F.sum("at_high").over(wall))
+    return (
+        df.filter(F.col("at_high") == 0)
+        .groupBy("symbol", "grp")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_bars"),
+            round_col(F.max(F.col("mx") - F.col("close"))).alias("max_dd"),
+        )
+        .select("symbol", F.col("grp").cast("long").alias("episode"),
+                "start_ts", "end_ts", "n_bars", "max_dd")
+    )
+
+
+DRAWDOWN_EPISODES_SQL = with_bars_cte(f"""
+, m AS (
+    SELECT symbol, ts, close,
+           max(close) OVER w AS mx,
+           CASE WHEN close >= max(close) OVER w THEN 1 ELSE 0 END AS at_high
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g AS (
+    SELECT symbol, ts, close, mx, at_high,
+           sum(at_high) OVER (PARTITION BY symbol ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS grp
+    FROM m
+)
+SELECT symbol, CAST(grp AS BIGINT) AS episode,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*) AS n_bars,
+       {sql_round('max(mx - close)')} AS max_dd
+FROM g WHERE at_high = 0
+GROUP BY symbol, grp
+""".strip())
+
+
 SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
+    "ret_autocorr_24": ExtQuery(_ret_autocorr, RET_AUTOCORR_SQL),
+    "drawdown_episodes": ExtQuery(_drawdown_episodes, DRAWDOWN_EPISODES_SQL),
     "bars_gapfill_1h": ExtQuery(_bars_gapfill, BARS_GAPFILL_SQL),
     "xsec_rank_ret1": ExtQuery(_xsec_rank, XSEC_RANK_SQL),
     "xsec_zscore_ret1": ExtQuery(_xsec_zscore, XSEC_ZSCORE_SQL),
