@@ -1079,9 +1079,219 @@ GROUP BY symbol, grp
 """.strip())
 
 
+# ---------------------------------------------------- variance ratio ----
+
+VR_Q = 5  # aggregation horizon of the Lo-MacKinlay statistic
+
+
+def _variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Lo-MacKinlay variance ratio per symbol:
+    VR(q) = Var(r_q) / (q * Var(r_1)) over the trailing BETA_N bars,
+    where r_1 is the 1-bar log return and r_q the q-bar log return.
+    VR ~ 1 under a random walk, > 1 in trending (momentum) regimes,
+    < 1 under mean reversion — the classical regime test
+    (Lo & MacKinlay 1988), complementing ``ret_autocorr_24``.
+
+    Exactness: both returns are quantized to BIGINT; the shared
+    ``_rolling_corr_sums`` kernel yields n*Sxx - Sx^2 for each as exact
+    integers restricted to rows where BOTH horizons exist (shared n), so
+    VR is ONE double division of two exact integers — identical in both
+    engines. ONE shuffle on symbol; the q-horizon lag reuses the same
+    (symbol, ts) sort."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    r1 = F.log(F.col("close") / F.lag("close").over(ws))
+    rq = F.log(F.col("close") / F.lag("close", VR_Q).over(ws))
+    q1 = F.floor(r1 * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
+    qq = F.floor(rq * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
+    df = bars.select("symbol", "ts", q1.alias("q1"), qq.alias("qq"))
+    n, _cov, var1_s, varq_s = _rolling_corr_sums("q1", "qq", ws)
+    full = n >= BETA_N
+    vr = F.when(
+        full & (var1_s > 0),
+        varq_s.cast("double") / (F.lit(float(VR_Q)) * var1_s.cast("double")),
+    )
+    return df.select(
+        "symbol", "ts",
+        n.cast("long").alias("n_obs"),
+        round_col(vr).alias("vr"),
+    )
+
+
+VARIANCE_RATIO_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           CAST(floor(ln(close / lag(close) OVER sym) * {BETA_SCALE!r} + 0.5)
+                AS BIGINT) AS q1,
+           CAST(floor(ln(close / lag(close, {VR_Q}) OVER sym)
+                      * {BETA_SCALE!r} + 0.5) AS BIGINT) AS qq
+    FROM bars
+    WINDOW sym AS (PARTITION BY symbol ORDER BY ts)
+),
+acc AS (
+    SELECT symbol, ts,
+           count(q1 * qq) OVER w AS n,
+           sum(CASE WHEN q1 * qq IS NOT NULL THEN q1 END) OVER w AS sx,
+           sum(CASE WHEN q1 * qq IS NOT NULL THEN qq END) OVER w AS sy,
+           sum(CASE WHEN q1 * qq IS NOT NULL THEN q1 * q1 END) OVER w AS sxx,
+           sum(CASE WHEN q1 * qq IS NOT NULL THEN qq * qq END) OVER w AS syy
+    FROM r
+    WINDOW w AS (PARTITION BY symbol ORDER BY ts
+                 ROWS BETWEEN {BETA_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {BETA_N} AND n * sxx - sx * sx > 0 "
+                  "THEN CAST(n * syy - sy * sy AS DOUBLE) "
+                  f"/ ({float(VR_Q)!r} * CAST(n * sxx - sx * sx AS DOUBLE)) "
+                  "END")} AS vr
+FROM acc
+""".strip())
+
+
+# ------------------------------------------------- hourly seasonality ----
+
+def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday seasonality profile per (symbol, hour-of-day): mean
+    absolute log return (volatility clock — the U-shape every venue
+    shows) and mean volume. The calendar-bucket analytics a
+    one-frame-per-instrument reference leaves to the user.
+
+    Exactness: |r| quantized to BIGINT, volume already integral, so
+    both folds are exact integer sums; the two means are single double
+    divisions. ONE shuffle on symbol for the return lag, then one
+    24*S-group aggregation with map-side partials. Output 24*S rows."""
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    r = F.log(F.col("close") / F.lag("close").over(ws))
+    aq = F.abs(F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long"))
+    df = bars.select(
+        "symbol", F.hour("ts").alias("hod"),
+        aq.alias("aq"), F.col("volume").cast("long").alias("vol"))
+    g = (df.filter(F.col("aq").isNotNull())
+         .groupBy("symbol", "hod")
+         .agg(F.count(F.lit(1)).alias("n_bars"),
+              F.sum("aq").alias("saq"), F.sum("vol").alias("sv")))
+    return g.select(
+        "symbol", F.col("hod").cast("long").alias("hod"), "n_bars",
+        round_col(F.col("saq").cast("double") / F.col("n_bars")
+                  / F.lit(BETA_SCALE)).alias("mean_abs_ret"),
+        round_col(F.col("sv").cast("double") / F.col("n_bars"))
+        .alias("mean_volume"),
+    )
+
+
+HOURLY_SEASONALITY_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, CAST(hour(ts) AS BIGINT) AS hod,
+           abs(CAST(floor(ln(close / lag(close) OVER
+                              (PARTITION BY symbol ORDER BY ts))
+                          * {BETA_SCALE!r} + 0.5) AS BIGINT)) AS aq,
+           CAST(volume AS BIGINT) AS vol
+    FROM bars
+)
+SELECT symbol, hod, count(*) AS n_bars,
+       {sql_round(f"CAST(sum(aq) AS DOUBLE) / count(*) / {BETA_SCALE!r}")}
+           AS mean_abs_ret,
+       {sql_round('CAST(sum(vol) AS DOUBLE) / count(*)')} AS mean_volume
+FROM r WHERE aq IS NOT NULL
+GROUP BY symbol, hod
+""".strip())
+
+
+# ---------------------------------------------------- lead-lag matrix ----
+
+def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol lead-lag matrix: for every ORDERED symbol pair
+    (leader, follower), corr(r_follower(t), r_leader(t-1)) over the
+    aligned hourly grid — "does yesterday's move in A predict today's
+    move in B?". A cross-sectional operator the one-frame-per-instrument
+    reference cannot express at all.
+
+    Plan: quantized returns (one shuffle on symbol), the leader side
+    pre-lagged with the SAME sort, then a single equi-join on ts and one
+    (leader, follower) aggregation of exact-integer corr sums — the
+    final corr is one double expression over exact integers, identical
+    in both engines. Output is S*(S-1) rows. At a 10k-symbol universe
+    the ts-join fans out S^2 row pairs per timestamp; the scale path is
+    blocking the universe (sector/cluster blocks) or restricting leaders
+    to a candidate list — the join itself stays an equi-join either way.
+    """
+    bars = bars_from_events_cached(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    r = F.log(F.col("close") / F.lag("close").over(ws))
+    q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
+    rets = bars.select("symbol", "ts", q.alias("q"))
+    lead = rets.select(
+        F.col("symbol").alias("leader"), "ts",
+        F.lag("q").over(
+            Window.partitionBy("symbol").orderBy("ts")).alias("ql"))
+    foll = rets.select(F.col("symbol").alias("follower"), "ts", "q")
+    j = (foll.join(lead, "ts")
+         .filter(F.col("leader") != F.col("follower"))
+         .filter(F.col("q").isNotNull() & F.col("ql").isNotNull()))
+    g = j.groupBy("leader", "follower").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sx"), F.sum("ql").alias("sy"),
+        F.sum(F.col("q") * F.col("ql")).alias("sxy"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        F.sum(F.col("ql") * F.col("ql")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_s = n * F.col("sxy") - sx * sy
+    varx_s = n * F.col("sxx") - sx * sx
+    vary_s = n * F.col("syy") - sy * sy
+    corr = F.when(
+        (n >= 2) & (varx_s > 0) & (vary_s > 0),
+        cov_s.cast("double")
+        / F.sqrt(varx_s.cast("double") * vary_s.cast("double")),
+    )
+    return g.select(
+        "leader", "follower",
+        n.cast("long").alias("n_obs"),
+        round_col(corr).alias("leadlag_corr"),
+    )
+
+
+LEAD_LAG_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           CAST(floor(ln(close / lag(close) OVER sym) * {BETA_SCALE!r} + 0.5)
+                AS BIGINT) AS q
+    FROM bars
+    WINDOW sym AS (PARTITION BY symbol ORDER BY ts)
+),
+l AS (
+    SELECT symbol AS leader, ts,
+           lag(q) OVER (PARTITION BY symbol ORDER BY ts) AS ql
+    FROM r
+),
+acc AS (
+    SELECT l.leader, f.symbol AS follower,
+           count(*) AS n,
+           sum(f.q) AS sx, sum(l.ql) AS sy,
+           sum(f.q * l.ql) AS sxy,
+           sum(f.q * f.q) AS sxx, sum(l.ql * l.ql) AS syy
+    FROM r f JOIN l ON f.ts = l.ts AND f.symbol <> l.leader
+    WHERE f.q IS NOT NULL AND l.ql IS NOT NULL
+    GROUP BY l.leader, f.symbol
+)
+SELECT leader, follower, CAST(n AS BIGINT) AS n_obs,
+       {sql_round("CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 "
+                  "AND n * syy - sy * sy > 0 "
+                  "THEN CAST(n * sxy - sx * sy AS DOUBLE) "
+                  "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+                  "* CAST(n * syy - sy * sy AS DOUBLE)) END")} AS leadlag_corr
+FROM acc
+""".strip())
+
+
 SUITE = {
     "rolling_beta_24": ExtQuery(_rolling_beta, ROLLING_BETA_SQL),
     "ret_autocorr_24": ExtQuery(_ret_autocorr, RET_AUTOCORR_SQL),
+    "variance_ratio_5_24": ExtQuery(_variance_ratio, VARIANCE_RATIO_SQL),
+    "lead_lag_corr_1h": ExtQuery(_lead_lag_corr, LEAD_LAG_SQL),
+    "hourly_seasonality": ExtQuery(_hourly_seasonality,
+                                   HOURLY_SEASONALITY_SQL),
     "drawdown_episodes": ExtQuery(_drawdown_episodes, DRAWDOWN_EPISODES_SQL),
     "bars_gapfill_1h": ExtQuery(_bars_gapfill, BARS_GAPFILL_SQL),
     "xsec_rank_ret1": ExtQuery(_xsec_rank, XSEC_RANK_SQL),

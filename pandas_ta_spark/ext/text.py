@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.operators.base import round_col, sql_round
 from pandas_ta_spark.sources.bars import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -973,9 +974,136 @@ FROM scored
 """.strip()
 
 
+def _unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift telemetry: KL(P_source || P_corpus) over unigram
+    distributions, per source — the lexical counterpart of
+    ``embedding_drift_by_slice``. High KL marks sources whose token mix
+    diverges from the corpus (a new crawl slice gone weird, a template
+    farm, a domain worth up/down-weighting in the mixing step).
+
+    KL = sum_t p_t * ln(p_t / q_t) over tokens present in the source
+    (p_t = 0 terms vanish; q_t > 0 whenever p_t > 0 because the corpus
+    contains the source). Every count is an exact integer; each term's
+    double is computed ONCE per (source, token) from the same parse tree
+    in both engines and immediately quantized to a 1e-9 BIGINT, so the
+    per-source fold is an order-free integer sum.
+
+    Plan: one token explode -> (source, token) counts (ONE corpus
+    shuffle on uniform keys, map-side partials); corpus token counts and
+    per-source totals are RE-aggregations of that small counts relation,
+    joined back broadcast. Output rows = #sources."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .alias("token"),
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cst"))
+    corpus = st.groupBy("token").agg(F.sum("cst").alias("ct"))
+    per_src = st.groupBy("source").agg(
+        F.sum("cst").alias("ns"), F.count(F.lit(1)).alias("n_types"))
+    total = corpus.agg(F.sum("ct").alias("n"))
+    p = F.col("cst").cast("double") / F.col("ns").cast("double")
+    q = F.col("ct").cast("double") / F.col("n").cast("double")
+    term9 = F.floor(p * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    j = (st.join(corpus, "token")
+         .join(F.broadcast(per_src), "source")
+         .crossJoin(F.broadcast(total)))
+    g = j.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.max("n_types").alias("n_types"),
+        F.sum(term9).alias("s9"))
+    return g.select(
+        "source", "n_tokens", "n_types",
+        round_col(F.col("s9").cast("double") / F.lit(1e9)).alias("kl_bits"),
+    )
+
+
+UNIGRAM_KL_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (SELECT source, token, count(*) AS cst FROM tk GROUP BY source, token),
+corpus AS (SELECT token, sum(cst) AS ct FROM st GROUP BY token),
+per_src AS (SELECT source, sum(cst) AS ns, count(*) AS n_types
+            FROM st GROUP BY source),
+total AS (SELECT sum(ct) AS n FROM corpus),
+terms AS (
+    SELECT st.source, per_src.ns, per_src.n_types,
+           CAST(floor(
+               (CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+               * ln((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+                    / (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS t9
+    FROM st JOIN corpus USING (token)
+            JOIN per_src USING (source)
+            CROSS JOIN total
+)
+SELECT source, max(ns) AS n_tokens, max(n_types) AS n_types,
+       {sql_round('CAST(sum(t9) AS DOUBLE) / 1000000000.0')} AS kl_bits
+FROM terms GROUP BY source
+""".strip()
+
+
+def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio and hapax
+    share (fraction of the source's vocabulary occurring exactly once) —
+    the cheap template/boilerplate detector: generated or templated
+    sources have low TTR and a thin hapax tail, organic text is
+    hapax-heavy (Zipf). All counts are exact integers; the two ratios
+    are single double divisions, identical in both engines.
+
+    Plan: same (source, token) counts relation as the KL query (one
+    explode + one uniform-key shuffle), then one per-source
+    re-aggregation. Output rows = #sources."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .alias("token"),
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    g = st.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"))
+    return g.select(
+        "source", "n_tokens", "n_types", "n_hapax",
+        round_col(F.col("n_types").cast("double")
+                  / F.col("n_tokens").cast("double")).alias("ttr"),
+        round_col(F.col("n_hapax").cast("double")
+                  / F.col("n_types").cast("double")).alias("hapax_share"),
+    )
+
+
+LEXICAL_DIVERSITY_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (SELECT source, token, count(*) AS c FROM tk GROUP BY source, token),
+g AS (
+    SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+    FROM st GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       {sql_round('CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)')}
+           AS ttr,
+       {sql_round('CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)')}
+           AS hapax_share
+FROM g
+""".strip()
+
+
 SUITE = {
     "source_token_profile": ExtQuery(
         _source_token_profile, _source_token_profile_sql()),
+    "unigram_kl_by_source": ExtQuery(_unigram_kl_by_source, UNIGRAM_KL_SQL),
+    "lexical_diversity": ExtQuery(_lexical_diversity, LEXICAL_DIVERSITY_SQL),
     "tfidf_top_terms": ExtQuery(_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "ngram_novelty": ExtQuery(_ngram_novelty, NGRAM_NOVELTY_SQL),
     "pii_scrub": ExtQuery(_pii_scrub, PII_SCRUB_SQL),
