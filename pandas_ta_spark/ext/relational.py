@@ -1220,11 +1220,12 @@ def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("symbol").orderBy("ts")
     r = F.log(F.col("close") / F.lag("close").over(ws))
     q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
-    rets = bars.select("symbol", "ts", q.alias("q"))
-    lead = rets.select(
-        F.col("symbol").alias("leader"), "ts",
-        F.lag("q").over(
-            Window.partitionBy("symbol").orderBy("ts")).alias("ql"))
+    # both lags in ONE window pass over one relation; the self-join's two
+    # sides are projections of it, so the exchange is computed once and
+    # reused (ReusedExchange in the physical plan)
+    rets = bars.select("symbol", "ts", q.alias("q")).select(
+        "symbol", "ts", "q", F.lag("q").over(ws).alias("ql"))
+    lead = rets.select(F.col("symbol").alias("leader"), "ts", "ql")
     foll = rets.select(F.col("symbol").alias("follower"), "ts", "q")
     j = (foll.join(lead, "ts")
          .filter(F.col("leader") != F.col("follower"))

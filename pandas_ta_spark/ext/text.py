@@ -9,7 +9,7 @@ identical doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
@@ -983,15 +983,22 @@ def _unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     KL = sum_t p_t * ln(p_t / q_t) over tokens present in the source
     (p_t = 0 terms vanish; q_t > 0 whenever p_t > 0 because the corpus
-    contains the source). Every count is an exact integer; each term's
-    double is computed ONCE per (source, token) from the same parse tree
-    in both engines and immediately quantized to a 1e-9 BIGINT, so the
-    per-source fold is an order-free integer sum.
+    contains the source), computed via the decomposition
+    sum p*(ln p - ln ct) + ln n (since sum p = 1): the corpus total n
+    then enters ONCE per source at the 20-row tail instead of riding
+    every term, so no scalar broadcast and no second corpus pass.
+
+    Every count is an exact integer; each term's double is computed
+    ONCE per (source, token) from the same parse tree in both engines
+    and immediately quantized to a 1e-9 BIGINT, so the per-source fold
+    is an order-free integer sum; the tail adds ln(n) as one double op.
 
     Plan: one token explode -> (source, token) counts (ONE corpus
-    shuffle on uniform keys, map-side partials); corpus token counts and
-    per-source totals are RE-aggregations of that small counts relation,
-    joined back broadcast. Output rows = #sources."""
+    shuffle on uniform keys, map-side partials), then a single chain of
+    partition-windows over that counts relation (by token for ct, by
+    source for ns — vocabulary-sized partitions, no corpus re-scan),
+    one per-source aggregation, and n recovered as sum(ns) over the
+    final #sources rows. Output rows = #sources."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     tok = docs.select(
         "source",
@@ -999,23 +1006,26 @@ def _unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("token"),
     ).filter(F.col("token") != "")
     st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cst"))
-    corpus = st.groupBy("token").agg(F.sum("cst").alias("ct"))
-    per_src = st.groupBy("source").agg(
-        F.sum("cst").alias("ns"), F.count(F.lit(1)).alias("n_types"))
-    total = corpus.agg(F.sum("ct").alias("n"))
+    wt = Window.partitionBy("token")
+    wsrc = Window.partitionBy("source")
+    st = st.select(
+        "source", "cst",
+        F.sum("cst").over(wt).alias("ct"),
+        F.sum("cst").over(wsrc).alias("ns"),
+        F.count(F.lit(1)).over(wsrc).alias("n_types"))
     p = F.col("cst").cast("double") / F.col("ns").cast("double")
-    q = F.col("ct").cast("double") / F.col("n").cast("double")
-    term9 = F.floor(p * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast("long")
-    j = (st.join(corpus, "token")
-         .join(F.broadcast(per_src), "source")
-         .crossJoin(F.broadcast(total)))
-    g = j.groupBy("source").agg(
+    term9 = F.floor(
+        p * (F.log(p) - F.log(F.col("ct").cast("double")))
+        * F.lit(1e9) + F.lit(0.5)).cast("long")
+    g = st.groupBy("source").agg(
         F.max("ns").alias("n_tokens"),
         F.max("n_types").alias("n_types"),
         F.sum(term9).alias("s9"))
+    n = F.sum("n_tokens").over(Window.partitionBy())
     return g.select(
         "source", "n_tokens", "n_types",
-        round_col(F.col("s9").cast("double") / F.lit(1e9)).alias("kl_bits"),
+        round_col(F.col("s9").cast("double") / F.lit(1e9)
+                  + F.log(n.cast("double"))).alias("kl_bits"),
     )
 
 
@@ -1026,23 +1036,25 @@ WITH tok AS (
 ),
 tk AS (SELECT source, token FROM tok WHERE token <> ''),
 st AS (SELECT source, token, count(*) AS cst FROM tk GROUP BY source, token),
-corpus AS (SELECT token, sum(cst) AS ct FROM st GROUP BY token),
-per_src AS (SELECT source, sum(cst) AS ns, count(*) AS n_types
-            FROM st GROUP BY source),
-total AS (SELECT sum(ct) AS n FROM corpus),
+w AS (
+    SELECT source, cst,
+           sum(cst) OVER (PARTITION BY token) AS ct,
+           sum(cst) OVER (PARTITION BY source) AS ns,
+           count(*) OVER (PARTITION BY source) AS n_types
+    FROM st
+),
 terms AS (
-    SELECT st.source, per_src.ns, per_src.n_types,
+    SELECT source, ns, n_types,
            CAST(floor(
                (CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
-               * ln((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
-                    / (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (ln(CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+                  - ln(CAST(ct AS DOUBLE)))
                * 1000000000.0 + 0.5) AS BIGINT) AS t9
-    FROM st JOIN corpus USING (token)
-            JOIN per_src USING (source)
-            CROSS JOIN total
+    FROM w
 )
 SELECT source, max(ns) AS n_tokens, max(n_types) AS n_types,
-       {sql_round('CAST(sum(t9) AS DOUBLE) / 1000000000.0')} AS kl_bits
+       {sql_round('CAST(sum(t9) AS DOUBLE) / 1000000000.0'
+                  ' + ln(CAST(sum(max(ns)) OVER () AS DOUBLE))')} AS kl_bits
 FROM terms GROUP BY source
 """.strip()
 

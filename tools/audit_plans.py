@@ -93,7 +93,10 @@ def main() -> None:
                 "curation_decisions", "perplexity_unigram",
                 "attribution_last_touch", "user_rfm_segments",
                 "events_rate_anomaly", "bars_gapfill_1h",
-                "mix_temperature_sqrt", "perplexity_bigram"):
+                "mix_temperature_sqrt", "perplexity_bigram",
+                "ret_autocorr_24", "drawdown_episodes", "variance_ratio_5_24",
+                "lead_lag_corr_1h", "hourly_seasonality",
+                "unigram_kl_by_source", "lexical_diversity"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
