@@ -1018,7 +1018,7 @@ FROM acc
 
 # ------------------------------------------------- drawdown durations ----
 
-def _drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drawdown_episodes(bars: DataFrame) -> DataFrame:
     """Time-under-water manifest: one row per drawdown EPISODE (a maximal
     run of bars strictly below the running close high), with start/end
     timestamps, bar count, and the episode's deepest drawdown — the
@@ -1031,7 +1031,6 @@ def _drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window pass assigns episodes and one aggregation emits the
     manifest. First bar is a high by construction (cummax = close), so
     group ids start at 1 and underwater rows always follow some high."""
-    bars = bars_from_events_cached(spark, sf_dir)
     ws = Window.partitionBy("symbol").orderBy("ts")
     wall = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mx = F.max("close").over(wall)
@@ -1052,6 +1051,10 @@ def _drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("symbol", F.col("grp").cast("long").alias("episode"),
                 "start_ts", "end_ts", "n_bars", "max_dd")
     )
+
+
+def _drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drawdown_episodes(bars_from_events_cached(spark, sf_dir))
 
 
 DRAWDOWN_EPISODES_SQL = with_bars_cte(f"""

@@ -1,0 +1,294 @@
+"""Independent-recompute tests for the r8 regime/diversity ops.
+
+The oracle gate (tools/check.py) proves Spark == DuckDB on the driver
+tables; these tests recompute each statistic a THIRD way — numpy/pandas
+with the same integer quantization — so a shared misreading of the
+definition in both SQL dialects would still be caught. Plus planted-input
+semantics for drawdown_episodes (episode boundaries the synthetic corpus
+may never isolate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest  # noqa: F401  (fixtures)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+N = 24          # BETA_N
+SCALE = 1e6     # BETA_SCALE
+
+
+def _rounded(x):
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _quant_log_ret(close: np.ndarray, lag: int = 1) -> np.ndarray:
+    """floor(ln(c_t / c_{t-lag}) * 1e6 + 0.5) as float array with NaN
+    warm-up — the exact quantization both engines use."""
+    r = np.full(len(close), np.nan)
+    r[lag:] = np.log(close[lag:] / close[:-lag])
+    q = np.floor(r * SCALE + 0.5)
+    return q
+
+
+def _win_sums(vals: np.ndarray, mask: np.ndarray, n: int):
+    """Exact trailing-n-row sums of int64(vals where mask else 0) and of
+    the mask count, via int64 cumsums (no float rolling — the products
+    reach ~5e15 where float64 rolling would start rounding)."""
+    v = np.where(mask, vals, 0).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(v)])
+    cm = np.concatenate([[0], np.cumsum(mask.astype(np.int64))])
+    lo = np.maximum(0, np.arange(1, len(vals) + 1) - n)
+    return cs[1:] - cs[lo], cm[1:] - cm[lo]
+
+
+def _bars_pdf(spark):
+    from pandas_ta_spark.sources.bars import bars_from_events_cached
+
+    return (bars_from_events_cached(spark, SF_DIR).toPandas()
+            .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+
+def test_ret_autocorr_matches_numpy(spark):
+    from pandas_ta_spark.ext.relational import SUITE
+
+    got = (SUITE["ret_autocorr_24"].query(spark, SF_DIR).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    bars = _bars_pdf(spark)
+
+    frames = []
+    for sym, g in bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        q = _quant_log_ret(c)
+        ql = np.concatenate([[np.nan], q[:-1]])
+        pair = ~np.isnan(q) & ~np.isnan(ql)
+        qi, yi = q.copy(), ql.copy()
+        qi[~pair] = 0
+        yi[~pair] = 0
+        sx, n = _win_sums(qi, pair, N)
+        sy, _ = _win_sums(yi, pair, N)
+        sxy, _ = _win_sums(qi * yi, pair, N)
+        sxx, _ = _win_sums(qi * qi, pair, N)
+        syy, _ = _win_sums(yi * yi, pair, N)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (n >= N) & (vx > 0) & (vy > 0)
+        ac = np.where(ok, cov / np.sqrt(vx.astype(float) * vy.astype(float)),
+                      np.nan)
+        frames.append(pd.DataFrame(
+            {"symbol": sym, "ts": g["ts"].to_numpy(), "n_obs": n,
+             "autocorr": _rounded(ac)}))
+    exp = pd.concat(frames, ignore_index=True)
+
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    ga, ea = got["autocorr"].to_numpy(), exp["autocorr"].to_numpy()
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
+
+
+def test_variance_ratio_matches_numpy(spark):
+    from pandas_ta_spark.ext.relational import SUITE, VR_Q
+
+    got = (SUITE["variance_ratio_5_24"].query(spark, SF_DIR).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    bars = _bars_pdf(spark)
+
+    frames = []
+    for sym, g in bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        q1 = _quant_log_ret(c, 1)
+        qq = _quant_log_ret(c, VR_Q)
+        pair = ~np.isnan(q1) & ~np.isnan(qq)
+        a, b = q1.copy(), qq.copy()
+        a[~pair] = 0
+        b[~pair] = 0
+        sx, n = _win_sums(a, pair, N)
+        sy, _ = _win_sums(b, pair, N)
+        sxx, _ = _win_sums(a * a, pair, N)
+        syy, _ = _win_sums(b * b, pair, N)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (n >= N) & (vx > 0)
+        vr = np.where(ok, vy.astype(float) / (VR_Q * vx.astype(float)),
+                      np.nan)
+        frames.append(pd.DataFrame(
+            {"symbol": sym, "n_obs": n, "vr": _rounded(vr)}))
+    exp = pd.concat(frames, ignore_index=True)
+
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    gv, ev = got["vr"].to_numpy(), exp["vr"].to_numpy()
+    assert np.array_equal(np.isnan(gv), np.isnan(ev))
+    assert np.nanmax(np.abs(gv - ev), initial=0.0) <= 2e-5
+    # regime sanity: VR is positive wherever defined
+    assert np.nanmin(gv, initial=np.inf) > 0
+
+
+def test_lead_lag_matches_pandas(spark):
+    from pandas_ta_spark.ext.relational import SUITE
+
+    got = (SUITE["lead_lag_corr_1h"].query(spark, SF_DIR).toPandas()
+           .sort_values(["leader", "follower"]).reset_index(drop=True))
+    bars = _bars_pdf(spark)
+
+    parts = []
+    for sym, g in bars.groupby("symbol", sort=True):
+        q = _quant_log_ret(g["close"].to_numpy())
+        parts.append(pd.DataFrame({
+            "symbol": sym, "ts": g["ts"].to_numpy(), "q": q,
+            "ql": np.concatenate([[np.nan], q[:-1]])}))
+    rets = pd.concat(parts, ignore_index=True)
+    foll = rets[["symbol", "ts", "q"]].rename(columns={"symbol": "follower"})
+    lead = rets[["symbol", "ts", "ql"]].rename(columns={"symbol": "leader"})
+    j = foll.merge(lead, on="ts")
+    j = j[(j.leader != j.follower) & j.q.notna() & j.ql.notna()]
+    rows = []
+    for (ld, fl), g in j.groupby(["leader", "follower"], sort=True):
+        x = g["q"].to_numpy().astype(np.int64)
+        y = g["ql"].to_numpy().astype(np.int64)
+        n = len(x)
+        cov = n * (x * y).sum() - x.sum() * y.sum()
+        vx = n * (x * x).sum() - x.sum() ** 2
+        vy = n * (y * y).sum() - y.sum() ** 2
+        corr = (cov / np.sqrt(float(vx) * float(vy))
+                if n >= 2 and vx > 0 and vy > 0 else np.nan)
+        rows.append((ld, fl, n, _rounded(corr)))
+    exp = pd.DataFrame(
+        rows, columns=["leader", "follower", "n_obs", "leadlag_corr"])
+
+    assert got["leader"].tolist() == exp["leader"].tolist()
+    assert got["follower"].tolist() == exp["follower"].tolist()
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    gv = got["leadlag_corr"].to_numpy()
+    ev = exp["leadlag_corr"].to_numpy()
+    assert np.array_equal(np.isnan(gv), np.isnan(ev))
+    assert np.nanmax(np.abs(gv - ev), initial=0.0) <= 2e-5
+
+
+def test_hourly_seasonality_matches_pandas(spark):
+    from pandas_ta_spark.ext.relational import SUITE
+
+    got = (SUITE["hourly_seasonality"].query(spark, SF_DIR).toPandas()
+           .sort_values(["symbol", "hod"]).reset_index(drop=True))
+    bars = _bars_pdf(spark)
+
+    parts = []
+    for sym, g in bars.groupby("symbol", sort=True):
+        aq = np.abs(_quant_log_ret(g["close"].to_numpy()))
+        parts.append(pd.DataFrame({
+            "symbol": sym, "hod": g["ts"].dt.hour.to_numpy(),
+            "aq": aq, "vol": g["volume"].to_numpy()}))
+    df = pd.concat(parts, ignore_index=True)
+    df = df[df.aq.notna()]
+    exp = (df.groupby(["symbol", "hod"], sort=True)
+           .agg(n_bars=("aq", "size"), saq=("aq", "sum"), sv=("vol", "sum"))
+           .reset_index())
+
+    assert got["n_bars"].tolist() == exp["n_bars"].tolist()
+    assert np.allclose(
+        got["mean_abs_ret"],
+        _rounded(exp["saq"] / exp["n_bars"] / SCALE), atol=1e-9)
+    assert np.allclose(
+        got["mean_volume"],
+        _rounded(exp["sv"] / exp["n_bars"]), atol=1e-9)
+
+
+def test_drawdown_episodes_planted(spark):
+    """Episode boundaries on a hand-built series: recovery bars (close at
+    a new/equal running high) split episodes; depth is vs the high that
+    STARTED the episode; a final unrecovered run still emits."""
+    from pandas_ta_spark.ext.relational import drawdown_episodes
+
+    t0 = pd.Timestamp("2024-01-01")
+    closes = [5.0, 4.0, 3.0, 5.0, 2.0, 6.0, 1.0]
+    pdf = pd.DataFrame({
+        "symbol": "A",
+        "ts": [t0 + pd.Timedelta(hours=i) for i in range(len(closes))],
+        "close": closes,
+    })
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = (drawdown_episodes(spark.createDataFrame(pdf)).toPandas()
+           .sort_values("episode").reset_index(drop=True))
+
+    # ep1: bars 1-2 under the close-5 high, deepest 5-3=2
+    # ep2: bar 4 under the (revisited) 5 high, deepest 3
+    # ep3: bar 6 under the 6 high, deepest 5 — never recovers, still a row
+    assert len(out) == 3
+    assert out["n_bars"].tolist() == [2, 1, 1]
+    assert out["max_dd"].tolist() == [2.0, 3.0, 5.0]
+    assert out.loc[0, "start_ts"] == pdf.ts[1]
+    assert out.loc[0, "end_ts"] == pdf.ts[2]
+    assert out.loc[2, "start_ts"] == pdf.ts[6]
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().strip(" ").split(" ") if t != ""]
+
+
+def test_lexical_diversity_matches_python(spark):
+    from collections import Counter
+
+    from pandas_ta_spark.ext.text import SUITE
+
+    got = (SUITE["lexical_diversity"].query(spark, SF_DIR).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    rows = []
+    for src, g in docs.groupby("source", sort=True):
+        c = Counter(t for txt in g["text"] for t in _tokens(txt))
+        n_tok = sum(c.values())
+        n_typ = len(c)
+        n_hap = sum(1 for v in c.values() if v == 1)
+        rows.append((src, n_tok, n_typ, n_hap,
+                     _rounded(n_typ / n_tok), _rounded(n_hap / n_typ)))
+    exp = pd.DataFrame(rows, columns=[
+        "source", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_share"])
+
+    assert got["source"].tolist() == exp["source"].tolist()
+    for col in ("n_tokens", "n_types", "n_hapax"):
+        assert got[col].tolist() == exp[col].tolist()
+    assert np.allclose(got["ttr"], exp["ttr"], atol=1e-9)
+    assert np.allclose(got["hapax_share"], exp["hapax_share"], atol=1e-9)
+
+
+def test_unigram_kl_matches_python(spark):
+    """Third-way recompute with the same per-term 1e-9 quantization and
+    the same tail decomposition; also KL >= 0 within quantization noise
+    (Gibbs' inequality) and KL(corpus slice that IS the corpus) -> 0."""
+    from collections import Counter
+
+    from pandas_ta_spark.ext.text import SUITE
+
+    got = (SUITE["unigram_kl_by_source"].query(spark, SF_DIR).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for src, g in docs.groupby("source", sort=True):
+        c = Counter(t for txt in g["text"] for t in _tokens(txt))
+        per_src[src] = c
+        corpus.update(c)
+    n = sum(corpus.values())
+
+    rows = []
+    for src in sorted(per_src):
+        c = per_src[src]
+        ns = sum(c.values())
+        s9 = 0
+        for tok, cst in c.items():
+            p = cst / ns
+            s9 += int(np.floor(
+                p * (np.log(p) - np.log(float(corpus[tok]))) * 1e9 + 0.5))
+        rows.append((src, ns, len(c), _rounded(s9 / 1e9 + np.log(float(n)))))
+    exp = pd.DataFrame(rows, columns=[
+        "source", "n_tokens", "n_types", "kl_bits"])
+
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+    assert got["n_types"].tolist() == exp["n_types"].tolist()
+    assert np.allclose(got["kl_bits"], exp["kl_bits"], atol=2e-6)
+    assert (got["kl_bits"] >= -1e-6).all()  # Gibbs, up to quantization
