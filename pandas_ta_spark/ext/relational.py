@@ -951,7 +951,7 @@ LEFT JOIN bars b ON b.symbol = s.symbol AND b.ts = s.h
 
 # ---------------------------------------------- return autocorrelation ----
 
-def _ret_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ret_autocorr(bars: DataFrame) -> DataFrame:
     """Rolling lag-1 return autocorrelation per symbol — the
     regime-detection statistic (positive = momentum regime, negative =
     mean-reversion; the practitioner's rolling variance-ratio proxy).
@@ -962,7 +962,6 @@ def _ret_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE shuffle on symbol; two stacked lag expressions and the rolling
     sums reuse the same (symbol, ts) sort."""
-    bars = bars_from_events_cached(spark, sf_dir)
     ws = Window.partitionBy("symbol").orderBy("ts")
     r = F.log(F.col("close") / F.lag("close").over(ws))
     q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
@@ -980,6 +979,10 @@ def _ret_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_obs"),
         round_col(ac).alias("autocorr"),
     )
+
+
+def _ret_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ret_autocorr(bars_from_events_cached(spark, sf_dir))
 
 
 RET_AUTOCORR_SQL = with_bars_cte(f"""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -613,6 +614,95 @@ def streaming_donchian(ticks: DataFrame, lower_length: int = 20,
         update,
         outputStructType=DONCHIAN_OUT_SCHEMA,
         stateStructType=DONCHIAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+RET_AUTOCORR_OUT_SCHEMA = StructType([
+    StructField("symbol", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("n_obs", LongType()),
+    StructField("autocorr", DoubleType()),
+])
+
+# carried: ring buffer of the last BETA_N + 2 closes (the q of the oldest
+# window row needs one close before it, its ql one more)
+RET_AUTOCORR_STATE_SCHEMA = StructType([
+    StructField("closes", StringType()),
+])
+
+
+def streaming_ret_autocorr(ticks: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/relational.py::ret_autocorr — rolling lag-1
+    return autocorrelation as a continuous query. The batch op is a
+    windowed second-moment statistic; here the same exact-integer sums
+    are recomputed per arriving bar from a bounded ring buffer of the
+    last BETA_N + 2 = 26 closes per symbol (python ints are unbounded,
+    so the n*Sxy - Sx*Sy folds are exact like both batch engines').
+
+    Pair-validity mirrors the batch lag semantics with no extra state:
+    while the buffer is unsaturated its index 0 IS the series start, so
+    rows at buffer index < 2 lack q or ql; once saturated every window
+    row has both lags inside the buffer by construction. State is 26
+    doubles per symbol — bounded regardless of stream length,
+    hash-sharded on symbol like the other twins."""
+    from pandas_ta_spark.ext.relational import BETA_N, BETA_SCALE
+
+    cap = BETA_N + 2
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        buf = ([float(x) for x in state.get[0].split(",") if x != ""]
+               if state.exists else [])
+
+        def quant(c1, c0):
+            return int(math.floor(math.log(c1 / c0) * BETA_SCALE + 0.5))
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            rows = {"ts": [], "n_obs": [], "autocorr": []}
+            for ts, close in zip(pdf["ts"], pdf["close"]):
+                buf.append(float(close))
+                if len(buf) > cap:
+                    buf.pop(0)
+                m = len(buf)
+                s = max(0, m - BETA_N)
+                n = sx = sy = sxy = sxx = syy = 0
+                for i in range(s, m):
+                    if i < 2:  # series start inside the buffer: no pair
+                        continue
+                    q = quant(buf[i], buf[i - 1])
+                    ql = quant(buf[i - 1], buf[i - 2])
+                    n += 1
+                    sx += q
+                    sy += ql
+                    sxy += q * ql
+                    sxx += q * q
+                    syy += ql * ql
+                cov = n * sxy - sx * sy
+                vx = n * sxx - sx * sx
+                vy = n * syy - sy * sy
+                if n >= BETA_N and vx > 0 and vy > 0:
+                    ac = cov / math.sqrt(float(vx) * float(vy))
+                    ac = math.floor(ac * 1e6 + 0.5) / 1e6
+                else:
+                    ac = None
+                rows["ts"].append(ts)
+                rows["n_obs"].append(n)
+                rows["autocorr"].append(ac)
+            yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((",".join(repr(x) for x in buf),))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=RET_AUTOCORR_OUT_SCHEMA,
+        stateStructType=RET_AUTOCORR_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

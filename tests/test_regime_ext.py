@@ -292,3 +292,56 @@ def test_unigram_kl_matches_python(spark):
     assert got["n_types"].tolist() == exp["n_types"].tolist()
     assert np.allclose(got["kl_bits"], exp["kl_bits"], atol=2e-6)
     assert (got["kl_bits"] >= -1e-6).all()  # Gibbs, up to quantization
+
+
+def test_streaming_ret_autocorr_matches_batch(spark, tmp_path):
+    """The streaming twin (26-close ring buffer, applyInPandasWithState)
+    must reproduce the batch windowed statistic bit-for-bit across
+    micro-batch boundaries, per symbol — including the unsaturated-buffer
+    warm-up rows that straddle the chunk split."""
+    from pandas_ta_spark.ext.relational import ret_autocorr
+    from pandas_ta_spark.streaming import streaming_ret_autocorr
+
+    rng = np.random.default_rng(11)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 90
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.02, n))) * 50, 4)
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "close": close}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "rac_src"
+    src.mkdir()
+    # split INSIDE the rolling window so state must carry the buffer
+    bars.groupby("symbol").head(40).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(50).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_ret_autocorr(stream)
+        .writeStream.format("memory").queryName("rac_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM rac_stream").toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    exp = (ret_autocorr(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) == 180
+    assert got["symbol"].tolist() == exp["symbol"].tolist()
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    ga, ea = got["autocorr"].to_numpy(), exp["autocorr"].to_numpy()
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    # python math.log vs JVM ln can differ by 1 ulp at a floor boundary
+    assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
