@@ -98,11 +98,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   plus the six behavior/resample/mix/LM queries ADDED later in r8
 #   (attribution_last_touch, user_rfm_segments, events_rate_anomaly,
 #   bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram) —
-#   plus the seven regime/diversity queries ADDED latest in r8
+#   plus the nine regime/diversity/sequence queries ADDED latest in r8
 #   (ret_autocorr_24, drawdown_episodes, variance_ratio_5_24,
 #   lead_lag_corr_1h, unigram_kl_by_source, lexical_diversity,
-#   hourly_seasonality) —
-#   39 keys, still fits one window with the 5 anchors —
+#   hourly_seasonality, event_transition_matrix,
+#   conversion_lag_percentiles) —
+#   41 keys, still fits one window with the 5 anchors —
 #   sweep complete, window returns to flagship + kind-class
 #   representation.
 # Rotated-out keys remain value-checked in the full gate

@@ -364,8 +364,120 @@ def _rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events").select("event_type", "ts"))
 
 
+# ------------------------------------------- event transition matrix ----
+
+def event_transition_matrix(ev: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event_type | current event_type) — the session-flow
+    fingerprint (view -> click -> purchase vs view -> error loops) that
+    feeds funnel design and sequence-model training data audits.
+
+    Determinism: sequences order by (ts, event_id) so same-instant events
+    have one canonical order in both engines; counts are exact integers
+    and each probability is ONE double division. Plan: one shuffle on
+    user_id for the lag, one (from, to) aggregation with map-side
+    partials (at most |types|^2 groups), one tiny window for the
+    row-normalizing denominator."""
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(wu).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    g = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return g.select(
+        "from_type", "to_type", "n",
+        round_col(F.col("n").cast("double") / tot.cast("double"))
+        .alias("prob"),
+    )
+
+
+def _transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transition_matrix(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"))
+
+
+TRANSITION_MATRIX_SQL = f"""
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+),
+g AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       {sql_round('CAST(n AS DOUBLE) / CAST(sum(n) OVER '
+                  '(PARTITION BY from_type) AS DOUBLE)')} AS prob
+FROM g
+""".strip()
+
+
+# --------------------------------------------- conversion lag profile ----
+
+CONV_QS = (0.5, 0.9, 0.99)
+
+
+def _conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency profile: exact rank-selected p50/p90/p99
+    of the attribution gap — "how stale is the click we credit?", the
+    distribution the attribution window policy is tuned against.
+
+    Percentiles are EXACT rank picks (sorted rank floor((n-1)*q)+1, the
+    same convention as source_token_profile — not an interpolating
+    engine builtin), so both engines select the identical BIGINT
+    microsecond gap. Plan: the attribution rollup (one user shuffle),
+    then one rank window over the n_conv attributed rows and a 1-row
+    aggregation; at 100 TB the documented swap is approx_percentile on
+    the same column."""
+    attributed = _attribution(spark, sf_dir).filter(
+        F.col("click_event_id").isNotNull())
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy("gap_us", "event_id"))
+    ranked = attributed.select(
+        F.col("gap_us"), rk.alias("rk"), n.alias("n"))
+    picks = [
+        F.max(F.when(
+            F.col("rk") == F.floor((F.col("n") - 1) * F.lit(q)) + 1,
+            F.col("gap_us"))).alias(f"p{int(q * 100)}_gap_us")
+        for q in CONV_QS
+    ]
+    return ranked.agg(F.max("n").alias("n_conversions"), *picks)
+
+
+def _conversion_lags_oracle() -> str:
+    picks = ",\n       ".join(
+        f"max(CASE WHEN rk = floor((n - 1) * {q}) + 1 THEN gap_us END)"
+        f" AS p{int(q * 100)}_gap_us" for q in CONV_QS)
+    return f"""
+WITH attributed AS (
+    SELECT event_id, gap_us FROM ({ATTRIBUTION_SQL})
+    WHERE click_event_id IS NOT NULL
+),
+ranked AS (
+    SELECT gap_us,
+           row_number() OVER (ORDER BY gap_us, event_id) AS rk,
+           count(*) OVER () AS n
+    FROM attributed
+)
+SELECT max(n) AS n_conversions,
+       {picks}
+FROM ranked
+""".strip()
+
+
 SUITE = {
     "attribution_last_touch": ExtQuery(_attribution, ATTRIBUTION_SQL),
     "user_rfm_segments": ExtQuery(_rfm, _rfm_oracle()),
     "events_rate_anomaly": ExtQuery(_rate_anomaly, RATE_ANOMALY_SQL),
+    "event_transition_matrix": ExtQuery(
+        _transition_matrix, TRANSITION_MATRIX_SQL),
+    "conversion_lag_percentiles": ExtQuery(
+        _conversion_lags, _conversion_lags_oracle()),
 }
