@@ -333,3 +333,63 @@ def test_attribution_property_vs_pandas(spark):
             assert ((a == b) | (a.isna() & b.isna())).all(), c
 
     check()
+
+
+def test_event_transition_matrix_planted(spark):
+    """Same-instant events take the (ts, event_id) canonical order; rows
+    normalize per from_type; single-event users contribute nothing."""
+    from pandas_ta_spark.ext.behavior import event_transition_matrix
+
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, 1, _ts("2024-01-01 10:00:00"), "view"),
+        (2, 1, _ts("2024-01-01 10:01:00"), "click"),
+        (3, 1, _ts("2024-01-01 10:02:00"), "purchase"),
+        # user 2: two same-instant events -> event_id order (view then
+        # click), then an error
+        (4, 2, _ts("2024-01-01 11:00:00"), "view"),
+        (5, 2, _ts("2024-01-01 11:00:00"), "click"),
+        (6, 2, _ts("2024-01-01 11:05:00"), "error"),
+        # user 3: a single event, no transitions
+        (7, 3, _ts("2024-01-01 12:00:00"), "view"),
+        # user 4: view -> view (self-transition)
+        (8, 4, _ts("2024-01-01 13:00:00"), "view"),
+        (9, 4, _ts("2024-01-01 13:30:00"), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = (event_transition_matrix(ev).toPandas()
+           .set_index(["from_type", "to_type"]).sort_index())
+
+    assert out.loc[("view", "click"), "n"] == 2   # users 1 and 2
+    assert out.loc[("click", "purchase"), "n"] == 1
+    assert out.loc[("click", "error"), "n"] == 1
+    assert out.loc[("view", "view"), "n"] == 1    # user 4
+    assert ("purchase", "error") not in out.index
+    # row-normalization: view fans out to click (2/3) and view (1/3)
+    assert abs(out.loc[("view", "click"), "prob"] - 2 / 3) < 1e-6
+    assert abs(out.loc[("view", "view"), "prob"] - 1 / 3) < 1e-6
+    # click fans out 50/50
+    assert abs(out.loc[("click", "purchase"), "prob"] - 0.5) < 1e-9
+    # u1: 2 transitions, u2: 2, u3: 0, u4: 1
+    assert int(out["n"].sum()) == 5
+
+
+def test_conversion_lag_percentiles_exact_rank(spark, tmp_path):
+    """The emitted percentiles are exact members of the gap multiset at
+    sorted rank floor((n-1)*q)+1 — checked by independent recompute on
+    the sf0.001 events."""
+    import numpy as np
+
+    from pandas_ta_spark.ext.behavior import SUITE
+
+    sf = "/root/testdata/sf0.001"
+    got = SUITE["conversion_lag_percentiles"].query(spark, sf).toPandas()
+    att = (SUITE["attribution_last_touch"].query(spark, sf).toPandas())
+    gaps = np.sort(att.loc[att.click_event_id.notna(), "gap_us"]
+                   .to_numpy().astype(np.int64))
+    n = len(gaps)
+    assert got.loc[0, "n_conversions"] == n
+    for q, col in ((0.5, "p50_gap_us"), (0.9, "p90_gap_us"),
+                   (0.99, "p99_gap_us")):
+        assert got.loc[0, col] == gaps[int(np.floor((n - 1) * q))]
