@@ -275,6 +275,11 @@ def main():
         "bars_gapfill_1h": lambda: EXT["bars_gapfill_1h"].query(spark, sf_dir),
         "perplexity_bigram": lambda: EXT["perplexity_bigram"].query(
             spark, sf_dir),
+        # r8 regime/diversity pack
+        "lead_lag_corr_1h": lambda: EXT["lead_lag_corr_1h"].query(
+            spark, sf_dir),
+        "unigram_kl_by_source": lambda: EXT["unigram_kl_by_source"].query(
+            spark, sf_dir),
     }
 
     # Protocols (VERDICT r6 ask #3):

@@ -96,7 +96,8 @@ def main() -> None:
                 "mix_temperature_sqrt", "perplexity_bigram",
                 "ret_autocorr_24", "drawdown_episodes", "variance_ratio_5_24",
                 "lead_lag_corr_1h", "hourly_seasonality",
-                "unigram_kl_by_source", "lexical_diversity"):
+                "unigram_kl_by_source", "lexical_diversity",
+                "event_transition_matrix", "conversion_lag_percentiles"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
