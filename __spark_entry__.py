@@ -102,8 +102,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (ret_autocorr_24, drawdown_episodes, variance_ratio_5_24,
 #   lead_lag_corr_1h, unigram_kl_by_source, lexical_diversity,
 #   hourly_seasonality, event_transition_matrix,
-#   conversion_lag_percentiles) —
-#   41 keys, still fits one window with the 5 anchors —
+#   conversion_lag_percentiles, session_stats_30m,
+#   embedding_norm_by_label) —
+#   43 keys, still fits one window with the 5 anchors —
 #   sweep complete, window returns to flagship + kind-class
 #   representation.
 # Rotated-out keys remain value-checked in the full gate

@@ -1154,6 +1154,69 @@ FROM acc
 """.strip())
 
 
+# ---------------------------------------------- session distribution ----
+
+SESSION_QS = (0.5, 0.9)
+
+
+def _session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-distribution rollup: the one-row summary product analytics
+    puts on a dashboard — session count, exact rank-selected p50/p90
+    duration, mean events per session, and bounce share (single-event
+    sessions). Composes the sessionize_30m manifest, so the gap rule and
+    its streaming twin stay single-sourced.
+
+    Percentiles are exact rank picks (floor((n-1)*q)+1 over a
+    deterministic (duration, user_id, session_no) order); the global
+    rank window sorts the SESSION manifest, orders of magnitude smaller
+    than the event log — and the documented 100 TB swap is
+    approx_percentile on the same column. Ratios divide exact integers."""
+    s = _sessionize(spark, sf_dir)
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    rk = F.row_number().over(Window.partitionBy().orderBy(
+        "duration_sec", "user_id", "session_no"))
+    ranked = s.select(
+        "duration_sec", "n_events", rk.alias("rk"), n.alias("n"))
+    picks = [
+        F.max(F.when(
+            F.col("rk") == F.floor((F.col("n") - 1) * F.lit(q)) + 1,
+            F.col("duration_sec"))).alias(f"p{int(q * 100)}_duration_sec")
+        for q in SESSION_QS
+    ]
+    return ranked.agg(
+        F.max("n").alias("n_sessions"),
+        *picks,
+        round_col(F.sum("n_events").cast("double") / F.max("n"))
+        .alias("mean_events"),
+        round_col(F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                  .cast("double") / F.max("n")).alias("bounce_share"),
+    )
+
+
+def _session_stats_oracle() -> str:
+    picks = ",\n       ".join(
+        f"max(CASE WHEN rk = floor((n - 1) * {q}) + 1 THEN duration_sec END)"
+        f" AS p{int(q * 100)}_duration_sec" for q in SESSION_QS)
+    return f"""
+WITH sess AS (
+{SESSIONIZE_SQL}
+),
+ranked AS (
+    SELECT duration_sec, n_events,
+           row_number() OVER (ORDER BY duration_sec, user_id, session_no)
+               AS rk,
+           count(*) OVER () AS n
+    FROM sess
+)
+SELECT max(n) AS n_sessions,
+       {picks},
+       {sql_round('CAST(sum(n_events) AS DOUBLE) / max(n)')} AS mean_events,
+       {sql_round('CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) '
+                  'AS DOUBLE) / max(n)')} AS bounce_share
+FROM ranked
+""".strip()
+
+
 # ------------------------------------------------- hourly seasonality ----
 
 def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1375,7 @@ SUITE = {
     "asof_hour_lookup": ExtQuery(_asof_hour_lookup, ASOF_HOUR_LOOKUP_SQL),
     "funnel_view_click_purchase": ExtQuery(_funnel, FUNNEL_SQL),
     "sessionize_30m": ExtQuery(_sessionize, SESSIONIZE_SQL),
+    "session_stats_30m": ExtQuery(_session_stats, _session_stats_oracle()),
     "mtf_sma_asof": ExtQuery(_mtf_sma, MTF_SMA_SQL),
     "retention_cohorts": ExtQuery(_retention_cohorts, RETENTION_SQL),
 }

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from pandas_ta_spark.ckpt import materialize
 from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.operators.base import round_col, sql_round
 from pandas_ta_spark.sources.bars import load_table
 
 DIM = 64
@@ -1444,8 +1445,75 @@ FROM f
 """.strip()
 
 
+def _norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality telemetry: per-label norm profile (count, mean,
+    min, max, std of vector L2 norms). Collapsed or degenerate classes —
+    an encoder emitting near-zero or saturated vectors for one label —
+    show up as a norm distribution outlier long before a recall eval
+    does; this is the cheap per-ingest health check.
+
+    JOINLESS map stage: each vector folds to one exact-integer sum of
+    squared 1e-6-quantized elements INSIDE the array (no explode — the
+    corpus never fans out DIM-fold), the norm re-quantizes to a 1e-6
+    BIGINT, and the per-label moments are exact integer sums with single
+    double expressions at the end. ONE shuffle on label (map-side
+    partials, #labels groups)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding")
+    ss = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, q) -> acc + q * q)")
+    n6 = F.floor(F.sqrt(ss.cast("double")) + F.lit(0.5)).cast("long")
+    g = emb.select(F.col("label").cast("long").alias("label"),
+                   n6.alias("n6")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("n6").alias("s"),
+        F.sum(F.col("n6") * F.col("n6")).alias("sq"),
+        F.min("n6").alias("mn"),
+        F.max("n6").alias("mx"),
+    )
+    nn = F.col("n_vecs")
+    mean = F.col("s").cast("double") / nn / F.lit(1e6)
+    std = (F.sqrt((nn * F.col("sq") - F.col("s") * F.col("s")).cast("double"))
+           / nn / F.lit(1e6))
+    return g.select(
+        "label", "n_vecs",
+        round_col(mean).alias("mean_norm"),
+        round_col(F.col("mn").cast("double") / F.lit(1e6)).alias("min_norm"),
+        round_col(F.col("mx").cast("double") / F.lit(1e6)).alias("max_norm"),
+        round_col(std).alias("std_norm"),
+    )
+
+
+NORM_BY_LABEL_SQL = f"""
+WITH q AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(floor(sqrt(CAST(list_sum(list_transform(
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)),
+                   q -> q * q)) AS DOUBLE)) + 0.5) AS BIGINT) AS n6
+    FROM embeddings
+),
+g AS (
+    SELECT label, count(*) AS n_vecs,
+           sum(n6) AS s, sum(n6 * n6) AS sq,
+           min(n6) AS mn, max(n6) AS mx
+    FROM q GROUP BY label
+)
+SELECT label, n_vecs,
+       {sql_round('CAST(s AS DOUBLE) / n_vecs / 1000000.0')} AS mean_norm,
+       {sql_round('CAST(mn AS DOUBLE) / 1000000.0')} AS min_norm,
+       {sql_round('CAST(mx AS DOUBLE) / 1000000.0')} AS max_norm,
+       {sql_round('sqrt(CAST(n_vecs * sq - s * s AS DOUBLE)) '
+                  '/ n_vecs / 1000000.0')} AS std_norm
+FROM g
+""".strip()
+
+
 SUITE = {
     "embedding_quantize_sq": ExtQuery(_quantize_sq, QUANTIZE_SQ_SQL),
+    "embedding_norm_by_label": ExtQuery(_norm_by_label, NORM_BY_LABEL_SQL),
     "embedding_drift_by_slice": ExtQuery(_drift_by_slice, DRIFT_BY_SLICE_SQL),
     "topk_cosine_pq": ExtQuery(_topk_pq, _pq_oracle()),
     "topk_cosine_ivfpq": ExtQuery(_topk_ivfpq, _ivfpq_oracle()),

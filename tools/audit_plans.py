@@ -97,7 +97,8 @@ def main() -> None:
                 "ret_autocorr_24", "drawdown_episodes", "variance_ratio_5_24",
                 "lead_lag_corr_1h", "hourly_seasonality",
                 "unigram_kl_by_source", "lexical_diversity",
-                "event_transition_matrix", "conversion_lag_percentiles"):
+                "event_transition_matrix", "conversion_lag_percentiles",
+                "session_stats_30m", "embedding_norm_by_label"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
