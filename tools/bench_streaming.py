@@ -233,6 +233,18 @@ def main() -> None:
           ev, "event_id long, user_id long, ts timestamp, event_type string",
           "attribution_gate", len(ev))
 
+    # rolling regime telemetry: 26-close ring buffer per symbol
+    from pandas_ta_spark.sources.bars import bars_from_events_cached
+    from pandas_ta_spark.streaming import streaming_ret_autocorr
+
+    bars = (bars_from_events_cached(spark, SF_DIR)
+            .select("symbol", "ts", "close").toPandas()
+            .sort_values(["symbol", "ts"]))
+    bars["ts"] = bars["ts"].astype("datetime64[us]")
+    drain(streaming_ret_autocorr,
+          bars, "symbol string, ts timestamp, close double",
+          "ret_autocorr", len(bars))
+
     print(json.dumps(out))
 
 
