@@ -1090,7 +1090,7 @@ GROUP BY symbol, grp
 VR_Q = 5  # aggregation horizon of the Lo-MacKinlay statistic
 
 
-def _variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def variance_ratio(bars: DataFrame) -> DataFrame:
     """Rolling Lo-MacKinlay variance ratio per symbol:
     VR(q) = Var(r_q) / (q * Var(r_1)) over the trailing BETA_N bars,
     where r_1 is the 1-bar log return and r_q the q-bar log return.
@@ -1104,7 +1104,6 @@ def _variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     VR is ONE double division of two exact integers — identical in both
     engines. ONE shuffle on symbol; the q-horizon lag reuses the same
     (symbol, ts) sort."""
-    bars = bars_from_events_cached(spark, sf_dir)
     ws = Window.partitionBy("symbol").orderBy("ts")
     r1 = F.log(F.col("close") / F.lag("close").over(ws))
     rq = F.log(F.col("close") / F.lag("close", VR_Q).over(ws))
@@ -1122,6 +1121,10 @@ def _variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_obs"),
         round_col(vr).alias("vr"),
     )
+
+
+def _variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return variance_ratio(bars_from_events_cached(spark, sf_dir))
 
 
 VARIANCE_RATIO_SQL = with_bars_cte(f"""

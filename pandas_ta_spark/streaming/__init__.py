@@ -41,12 +41,14 @@ from pandas_ta_spark.streaming.indicators import (
     streaming_ret_autocorr,
     streaming_rsi,
     streaming_supertrend,
+    streaming_variance_ratio,
 )
 
 __all__ = ["stream_bars", "streaming_atr", "streaming_bbands",
            "streaming_donchian", "streaming_ema",
            "streaming_macd", "streaming_ret_autocorr",
            "streaming_rsi", "streaming_supertrend",
+           "streaming_variance_ratio",
            "stream_decontamination_gate",
            "stream_dedup_exact", "stream_dedup_vs_corpus",
            "stream_neardup_candidates",

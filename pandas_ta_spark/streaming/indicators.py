@@ -619,90 +619,139 @@ def streaming_donchian(ticks: DataFrame, lower_length: int = 20,
     )
 
 
-RET_AUTOCORR_OUT_SCHEMA = StructType([
-    StructField("symbol", StringType()),
-    StructField("ts", TimestampType()),
-    StructField("n_obs", LongType()),
-    StructField("autocorr", DoubleType()),
-])
+# ----------------------------------------------- rolling regime twins ----
 
-# carried: ring buffer of the last BETA_N + 2 closes (the q of the oldest
-# window row needs one close before it, its ql one more)
-RET_AUTOCORR_STATE_SCHEMA = StructType([
-    StructField("closes", StringType()),
-])
+def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
+                         pair_fn, final_fn, watermark: str) -> DataFrame:
+    """Shared runner for the rolling-window REGIME statistics
+    (ext/relational.py's exact-integer second-moment family) as
+    continuous queries: per symbol, a bounded ring buffer of the last
+    BETA_N + long_lag closes re-derives the quantized return pairs per
+    arriving bar and folds the exact-integer sums (python ints are
+    unbounded, matching both batch engines' BIGINT arithmetic).
 
+    Pair validity needs NO extra state: while the buffer is unsaturated
+    its index 0 IS the series start, so rows at buffer index < long_lag
+    lack one of the lags; once saturated (cap = BETA_N + long_lag) every
+    window row has both lags inside the buffer by construction —
+    the same rule in both phases.
 
-def streaming_ret_autocorr(ticks: DataFrame,
-                           watermark: str = "2 hours") -> DataFrame:
-    """Streaming twin of ext/relational.py::ret_autocorr — rolling lag-1
-    return autocorrelation as a continuous query. The batch op is a
-    windowed second-moment statistic; here the same exact-integer sums
-    are recomputed per arriving bar from a bounded ring buffer of the
-    last BETA_N + 2 = 26 closes per symbol (python ints are unbounded,
-    so the n*Sxy - Sx*Sy folds are exact like both batch engines').
+    ``pair_fn(buf, i) -> (x, y)`` builds the quantized pair for buffer
+    row i; ``final_fn(n, sx, sy, sxy, sxx, syy) -> float | None`` emits
+    the statistic. State = cap doubles per symbol, hash-sharded."""
+    from pandas_ta_spark.ext.relational import BETA_N
 
-    Pair-validity mirrors the batch lag semantics with no extra state:
-    while the buffer is unsaturated its index 0 IS the series start, so
-    rows at buffer index < 2 lack q or ql; once saturated every window
-    row has both lags inside the buffer by construction. State is 26
-    doubles per symbol — bounded regardless of stream length,
-    hash-sharded on symbol like the other twins."""
-    from pandas_ta_spark.ext.relational import BETA_N, BETA_SCALE
-
-    cap = BETA_N + 2
+    cap = BETA_N + long_lag
+    out_schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("n_obs", LongType()),
+        StructField(stat_name, DoubleType()),
+    ])
+    state_schema = StructType([StructField("closes", StringType())])
 
     def update(key, pdfs, state):
-        import math
-
         import pandas as pd
 
         buf = ([float(x) for x in state.get[0].split(",") if x != ""]
                if state.exists else [])
-
-        def quant(c1, c0):
-            return int(math.floor(math.log(c1 / c0) * BETA_SCALE + 0.5))
-
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
-            rows = {"ts": [], "n_obs": [], "autocorr": []}
+            rows = {"ts": [], "n_obs": [], stat_name: []}
             for ts, close in zip(pdf["ts"], pdf["close"]):
                 buf.append(float(close))
                 if len(buf) > cap:
                     buf.pop(0)
                 m = len(buf)
-                s = max(0, m - BETA_N)
                 n = sx = sy = sxy = sxx = syy = 0
-                for i in range(s, m):
-                    if i < 2:  # series start inside the buffer: no pair
+                for i in range(max(0, m - BETA_N), m):
+                    if i < long_lag:  # series start in buffer: no pair
                         continue
-                    q = quant(buf[i], buf[i - 1])
-                    ql = quant(buf[i - 1], buf[i - 2])
+                    x, y = pair_fn(buf, i)
                     n += 1
-                    sx += q
-                    sy += ql
-                    sxy += q * ql
-                    sxx += q * q
-                    syy += ql * ql
-                cov = n * sxy - sx * sy
-                vx = n * sxx - sx * sx
-                vy = n * syy - sy * sy
-                if n >= BETA_N and vx > 0 and vy > 0:
-                    ac = cov / math.sqrt(float(vx) * float(vy))
-                    ac = math.floor(ac * 1e6 + 0.5) / 1e6
-                else:
-                    ac = None
+                    sx += x
+                    sy += y
+                    sxy += x * y
+                    sxx += x * x
+                    syy += y * y
                 rows["ts"].append(ts)
                 rows["n_obs"].append(n)
-                rows["autocorr"].append(ac)
+                rows[stat_name].append(final_fn(n, sx, sy, sxy, sxx, syy))
             yield pd.DataFrame({"symbol": key[0], **rows})
         state.update((",".join(repr(x) for x in buf),))
 
     ticks = ticks.withWatermark("ts", watermark)
     return ticks.groupBy("symbol").applyInPandasWithState(
         update,
-        outputStructType=RET_AUTOCORR_OUT_SCHEMA,
-        stateStructType=RET_AUTOCORR_STATE_SCHEMA,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _make_quant():
+    """Quantizer closure with the constants bound once (the pair builder
+    runs ~2*BETA_N times per arriving row — no per-call imports)."""
+    import math
+
+    from pandas_ta_spark.ext.relational import BETA_SCALE
+
+    floor, log, scale = math.floor, math.log, BETA_SCALE
+
+    def quant(buf, i, lag):
+        return int(floor(log(buf[i] / buf[i - lag]) * scale + 0.5))
+
+    return quant
+
+
+def streaming_ret_autocorr(ticks: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/relational.py::ret_autocorr — rolling lag-1
+    return autocorrelation, exact batch parity (pinned across
+    micro-batch splits by test_streaming_ret_autocorr_matches_batch)."""
+    import math
+
+    from pandas_ta_spark.ext.relational import BETA_N
+
+    q = _make_quant()
+
+    def pair(buf, i):
+        return q(buf, i, 1), q(buf, i - 1, 1)
+
+    def final(n, sx, sy, sxy, sxx, syy):
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n >= BETA_N and vx > 0 and vy > 0:
+            ac = cov / math.sqrt(float(vx) * float(vy))
+            return math.floor(ac * 1e6 + 0.5) / 1e6
+        return None
+
+    return _rolling_regime_twin(ticks, "autocorr", 2, pair, final, watermark)
+
+
+def streaming_variance_ratio(ticks: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/relational.py::variance_ratio — the rolling
+    Lo-MacKinlay VR(q) regime statistic as a continuous query. Pair =
+    (1-bar return, q-bar return) at the same row, so long_lag = VR_Q and
+    the buffer caps at BETA_N + VR_Q closes per symbol."""
+    import math
+
+    from pandas_ta_spark.ext.relational import BETA_N, VR_Q
+
+    q = _make_quant()
+
+    def pair(buf, i):
+        return q(buf, i, 1), q(buf, i, VR_Q)
+
+    def final(n, sx, sy, sxy, sxx, syy):
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n >= BETA_N and vx > 0:
+            return math.floor(
+                float(vy) / (VR_Q * float(vx)) * 1e6 + 0.5) / 1e6
+        return None
+
+    return _rolling_regime_twin(ticks, "vr", VR_Q, pair, final, watermark)

@@ -345,3 +345,52 @@ def test_streaming_ret_autocorr_matches_batch(spark, tmp_path):
     assert np.array_equal(np.isnan(ga), np.isnan(ea))
     # python math.log vs JVM ln can differ by 1 ulp at a floor boundary
     assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
+
+
+def test_streaming_variance_ratio_matches_batch(spark, tmp_path):
+    """The VR twin shares the rolling-buffer runner with the autocorr
+    twin (different pair + tail); parity with the batch op across a
+    chunk split that lands inside the 29-close buffer."""
+    from pandas_ta_spark.ext.relational import variance_ratio
+    from pandas_ta_spark.streaming import streaming_variance_ratio
+
+    rng = np.random.default_rng(23)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 80
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.03, n))) * 20, 4)
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "close": close}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "vr_src"
+    src.mkdir()
+    bars.groupby("symbol").head(35).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(45).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_variance_ratio(stream)
+        .writeStream.format("memory").queryName("vr_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM vr_stream").toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    exp = (variance_ratio(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) == 160
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    gv, ev = got["vr"].to_numpy(), exp["vr"].to_numpy()
+    assert np.array_equal(np.isnan(gv), np.isnan(ev))
+    assert np.nanmax(np.abs(gv - ev), initial=0.0) <= 2e-5
