@@ -755,3 +755,85 @@ def streaming_variance_ratio(ticks: DataFrame,
         return None
 
     return _rolling_regime_twin(ticks, "vr", VR_Q, pair, final, watermark)
+
+
+def streaming_drawdown_episodes(ticks: DataFrame,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/relational.py::drawdown_episodes — the live
+    time-under-water monitor. O(1) STATE per symbol (running close high,
+    highs-seen counter, open-episode accumulators — no buffer at all):
+    an underwater bar extends the open episode; a recovery bar (close >=
+    running high) EMITS the closed episode row and resets.
+
+    Emission contract (append mode): episodes emit when they CLOSE. The
+    batch op additionally reports a still-open final episode; here that
+    tail lives in state until its recovery arrives — the parity test
+    compares against batch episodes that closed before end-of-stream.
+    Episode ids match the batch sessionization exactly: the id is the
+    count of high bars seen before the episode opened (first bar is a
+    high by construction, so ids start at 1)."""
+    out_schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("episode", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("n_bars", LongType()),
+        StructField("max_dd", DoubleType()),
+    ])
+    # mx, highs_seen, open-episode (start/end ns, n_bars, deepest dd)
+    state_schema = StructType([
+        StructField("mx", DoubleType()),
+        StructField("highs", LongType()),
+        StructField("start_ns", LongType()),
+        StructField("end_ns", LongType()),
+        StructField("n_bars", LongType()),
+        StructField("max_dd", DoubleType()),
+    ])
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            mx, highs, start_ns, end_ns, n_bars, max_dd = state.get
+            if mx is not None and math.isnan(mx):  # pre-first-bar sentinel
+                mx = None
+        else:
+            mx, highs, start_ns, end_ns, n_bars, max_dd = (
+                None, 0, 0, 0, 0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            rows = {"episode": [], "start_ts": [], "end_ts": [],
+                    "n_bars": [], "max_dd": []}
+            for ts, close in zip(pdf["ts"], pdf["close"]):
+                close = float(close)
+                if mx is None or close >= mx:
+                    if n_bars > 0:  # recovery closes the open episode
+                        rows["episode"].append(highs)
+                        rows["start_ts"].append(pd.Timestamp(start_ns))
+                        rows["end_ts"].append(pd.Timestamp(end_ns))
+                        rows["n_bars"].append(n_bars)
+                        rows["max_dd"].append(
+                            math.floor(max_dd * 1e6 + 0.5) / 1e6)
+                        n_bars, max_dd = 0, 0.0
+                    highs += 1
+                    mx = close if mx is None else max(mx, close)
+                else:
+                    if n_bars == 0:
+                        start_ns = int(ts.value)
+                    n_bars += 1
+                    end_ns = int(ts.value)
+                    max_dd = max(max_dd, mx - close)
+            yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((mx if mx is not None else float("nan"),
+                      highs, start_ns, end_ns, n_bars, max_dd))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -394,3 +394,66 @@ def test_streaming_variance_ratio_matches_batch(spark, tmp_path):
     gv, ev = got["vr"].to_numpy(), exp["vr"].to_numpy()
     assert np.array_equal(np.isnan(gv), np.isnan(ev))
     assert np.nanmax(np.abs(gv - ev), initial=0.0) <= 2e-5
+
+
+def test_streaming_drawdown_episodes_matches_batch(spark, tmp_path):
+    """O(1)-state episode monitor: every episode that CLOSES before
+    end-of-stream must equal the batch manifest row exactly (id, span,
+    depth), across a chunk split landing mid-episode; the still-open
+    final episode stays in state (documented append-mode contract)."""
+    from pandas_ta_spark.ext.relational import drawdown_episodes
+    from pandas_ta_spark.streaming import streaming_drawdown_episodes
+
+    rng = np.random.default_rng(31)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 120
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.05, n))) * 10, 4)
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "close": close}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    bars.groupby("symbol").head(55).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(65).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, close double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_drawdown_episodes(stream)
+        .writeStream.format("memory").queryName("dd_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM dd_stream").toPandas()
+           .sort_values(["symbol", "episode"]).reset_index(drop=True))
+
+    exp = (drawdown_episodes(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "episode"]).reset_index(drop=True))
+    # drop per symbol any final episode still open at end-of-stream
+    # (its last bar is underwater with no later recovery bar)
+    last_close_high = {
+        sym: g.sort_values("ts")["close"].to_numpy()
+        for sym, g in bars.groupby("symbol")}
+    keep = []
+    for _, r in exp.iterrows():
+        c = last_close_high[r.symbol]
+        # open iff the episode's end is the series' last bar
+        end_is_last = (r.end_ts == bars[bars.symbol == r.symbol]["ts"].max())
+        keep.append(not end_is_last)
+    exp = exp[np.array(keep)].reset_index(drop=True)
+
+    assert len(got) == len(exp) > 0
+    for col in ("symbol", "episode", "n_bars"):
+        assert got[col].tolist() == exp[col].tolist()
+    assert got["start_ts"].tolist() == exp["start_ts"].tolist()
+    assert got["end_ts"].tolist() == exp["end_ts"].tolist()
+    assert np.allclose(got["max_dd"], exp["max_dd"], atol=1e-9)
