@@ -245,6 +245,18 @@ def main() -> None:
           bars, "symbol string, ts timestamp, close double",
           "ret_autocorr", len(bars))
 
+    from pandas_ta_spark.streaming import (
+        streaming_drawdown_episodes,
+        streaming_variance_ratio,
+    )
+
+    drain(streaming_variance_ratio,
+          bars, "symbol string, ts timestamp, close double",
+          "variance_ratio", len(bars))
+    drain(streaming_drawdown_episodes,
+          bars, "symbol string, ts timestamp, close double",
+          "drawdown_episodes", len(bars))
+
     print(json.dumps(out))
 
 
