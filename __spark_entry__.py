@@ -103,8 +103,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   lead_lag_corr_1h, unigram_kl_by_source, lexical_diversity,
 #   hourly_seasonality, event_transition_matrix,
 #   conversion_lag_percentiles, session_stats_30m,
-#   embedding_norm_by_label) —
-#   43 keys, still fits one window with the 5 anchors —
+#   embedding_norm_by_label, active_users_daily) —
+#   44 keys, exactly fills the window with the 5 anchors (49 of 50) —
 #   sweep complete, window returns to flagship + kind-class
 #   representation.
 # Rotated-out keys remain value-checked in the full gate

@@ -472,8 +472,74 @@ FROM ranked
 """.strip()
 
 
+# ------------------------------------------------------ active users ----
+
+WAU_DAYS = 7
+
+
+def _active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the canonical
+    engagement rollup. Exact distributed WAU without a distinct-over-
+    window (which Spark cannot express and a self-join would blow up):
+    each (user, active-day) row is EXPLODED to the 7 trailing windows it
+    contributes to, then one count-distinct per window day — shuffle
+    volume is 7x the deduped (user, day) relation, never events x days.
+
+    Counts are exact integers; stickiness = dau/wau is one double
+    division. Output only days with at least one active user (the DAU
+    spine; zero-activity days belong to the gap-fill op's spine
+    treatment). Early days carry partial trailing windows, the standard
+    convention."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ud = (ev.select("user_id", F.date_trunc("day", "ts").alias("aday"))
+          .distinct())
+    # ONE chain, one scan: DAU falls out of the same exploded relation as
+    # the offset-0 contribution, so no second branch re-derives `ud`
+    ex = ud.select(
+        "user_id", "aday",
+        F.explode(F.sequence(
+            F.col("aday"),
+            F.col("aday") + F.expr(f"INTERVAL {WAU_DAYS - 1} DAYS"),
+            F.expr("INTERVAL 1 DAY"))).alias("day"))
+    g = (ex.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("day") == F.col("aday"), F.col("user_id")))
+        .alias("dau"),
+        F.count_distinct("user_id").alias("wau"))
+        .filter(F.col("dau") > 0))
+    return g.select(
+        "day", "dau", "wau",
+        round_col(F.col("dau").cast("double") / F.col("wau").cast("double"))
+        .alias("stickiness"))
+
+
+ACTIVE_USERS_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS aday FROM events
+),
+ex AS (
+    SELECT ud.user_id, ud.aday, w.day
+    FROM ud, LATERAL (
+        SELECT unnest(generate_series(
+            ud.aday, ud.aday + INTERVAL {WAU_DAYS - 1} DAY,
+            INTERVAL 1 DAY)) AS day
+    ) w
+)
+SELECT day,
+       count(DISTINCT CASE WHEN day = aday THEN user_id END) AS dau,
+       count(DISTINCT user_id) AS wau,
+       {sql_round('CAST(count(DISTINCT CASE WHEN day = aday THEN user_id '
+                  'END) AS DOUBLE) / CAST(count(DISTINCT user_id) '
+                  'AS DOUBLE)')} AS stickiness
+FROM ex
+GROUP BY day
+HAVING count(DISTINCT CASE WHEN day = aday THEN user_id END) > 0
+""".strip()
+
+
 SUITE = {
     "attribution_last_touch": ExtQuery(_attribution, ATTRIBUTION_SQL),
+    "active_users_daily": ExtQuery(_active_users, ACTIVE_USERS_SQL),
     "user_rfm_segments": ExtQuery(_rfm, _rfm_oracle()),
     "events_rate_anomaly": ExtQuery(_rate_anomaly, RATE_ANOMALY_SQL),
     "event_transition_matrix": ExtQuery(

@@ -299,8 +299,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 233
-    assert len(o) == 233  # zero rows-only (r8 added asof_hour_lookup,
+    assert len(q) == 234
+    assert len(o) == 234  # zero rows-only (r8 added asof_hour_lookup,
     # embedding_drift_by_slice, curation_decisions, perplexity_unigram,
     # then attribution_last_touch, user_rfm_segments, events_rate_anomaly,
     # bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram,
@@ -308,7 +308,7 @@ def test_entry_contract(spark):
     # lead_lag_corr_1h, unigram_kl_by_source, lexical_diversity,
     # hourly_seasonality, event_transition_matrix,
     # conversion_lag_percentiles, session_stats_30m,
-    # embedding_norm_by_label)
+    # embedding_norm_by_label, active_users_daily)
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window

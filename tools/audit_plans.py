@@ -98,7 +98,8 @@ def main() -> None:
                 "lead_lag_corr_1h", "hourly_seasonality",
                 "unigram_kl_by_source", "lexical_diversity",
                 "event_transition_matrix", "conversion_lag_percentiles",
-                "session_stats_30m", "embedding_norm_by_label"):
+                "session_stats_30m", "embedding_norm_by_label",
+                "active_users_daily"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
