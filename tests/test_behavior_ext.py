@@ -393,3 +393,34 @@ def test_conversion_lag_percentiles_exact_rank(spark, tmp_path):
     for q, col in ((0.5, "p50_gap_us"), (0.9, "p90_gap_us"),
                    (0.99, "p99_gap_us")):
         assert got.loc[0, col] == gaps[int(np.floor((n - 1) * q))]
+
+
+def test_active_users_daily_vs_pandas(spark):
+    """DAU/WAU/stickiness recomputed independently in pandas (set algebra
+    per day, brute-force trailing-7 union) on the sf0.001 events."""
+    import numpy as np
+
+    from pandas_ta_spark.ext.behavior import SUITE
+
+    sf = "/root/testdata/sf0.001"
+    got = (SUITE["active_users_daily"].query(spark, sf).toPandas()
+           .sort_values("day").reset_index(drop=True))
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["user_id", "ts"]]
+    ev["day"] = ev["ts"].dt.floor("D")
+    by_day = {d: set(g["user_id"]) for d, g in ev.groupby("day")}
+    days = sorted(by_day)
+    rows = []
+    for d in days:
+        week = set()
+        for k in range(7):
+            week |= by_day.get(d - pd.Timedelta(days=k), set())
+        rows.append((d, len(by_day[d]), len(week)))
+    exp = pd.DataFrame(rows, columns=["day", "dau", "wau"])
+
+    assert got["day"].tolist() == exp["day"].tolist()
+    assert got["dau"].tolist() == exp["dau"].tolist()
+    assert got["wau"].tolist() == exp["wau"].tolist()
+    assert np.allclose(got["stickiness"],
+                       np.floor(exp.dau / exp.wau * 1e6 + 0.5) / 1e6,
+                       atol=1e-9)
