@@ -98,7 +98,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   plus the six behavior/resample/mix/LM queries ADDED later in r8
 #   (attribution_last_touch, user_rfm_segments, events_rate_anomaly,
 #   bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram) —
-#   plus the nine regime/diversity/sequence queries ADDED latest in r8
+#   plus the twelve regime/diversity/sequence queries ADDED latest in r8
 #   (ret_autocorr_24, drawdown_episodes, variance_ratio_5_24,
 #   lead_lag_corr_1h, unigram_kl_by_source, lexical_diversity,
 #   hourly_seasonality, event_transition_matrix,

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
-from pandas_ta_spark.operators.base import round_col, sql_round
+from pandas_ta_spark.operators.base import (
+    rank_pick,
+    round_col,
+    sql_rank_pick,
+    sql_round,
+)
 from pandas_ta_spark.sources.bars import load_table
 
 # ----------------------------------------------- last-touch attribution ----
@@ -443,9 +448,8 @@ def _conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = attributed.select(
         F.col("gap_us"), rk.alias("rk"), n.alias("n"))
     picks = [
-        F.max(F.when(
-            F.col("rk") == F.floor((F.col("n") - 1) * F.lit(q)) + 1,
-            F.col("gap_us"))).alias(f"p{int(q * 100)}_gap_us")
+        rank_pick(q, F.col("gap_us"), F.col("rk"), F.col("n"))
+        .alias(f"p{int(q * 100)}_gap_us")
         for q in CONV_QS
     ]
     return ranked.agg(F.max("n").alias("n_conversions"), *picks)
@@ -453,8 +457,8 @@ def _conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _conversion_lags_oracle() -> str:
     picks = ",\n       ".join(
-        f"max(CASE WHEN rk = floor((n - 1) * {q}) + 1 THEN gap_us END)"
-        f" AS p{int(q * 100)}_gap_us" for q in CONV_QS)
+        f"{sql_rank_pick(q, 'gap_us')} AS p{int(q * 100)}_gap_us"
+        for q in CONV_QS)
     return f"""
 WITH attributed AS (
     SELECT event_id, gap_us FROM ({ATTRIBUTION_SQL})

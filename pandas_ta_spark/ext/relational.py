@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
-from pandas_ta_spark.operators.base import round_col, sql_round
+from pandas_ta_spark.operators.base import (
+    rank_pick,
+    round_col,
+    sql_rank_pick,
+    sql_round,
+)
 from pandas_ta_spark.sources.bars import (
     bars_from_events_cached,
     load_table,
@@ -1181,9 +1186,8 @@ def _session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = s.select(
         "duration_sec", "n_events", rk.alias("rk"), n.alias("n"))
     picks = [
-        F.max(F.when(
-            F.col("rk") == F.floor((F.col("n") - 1) * F.lit(q)) + 1,
-            F.col("duration_sec"))).alias(f"p{int(q * 100)}_duration_sec")
+        rank_pick(q, F.col("duration_sec"), F.col("rk"), F.col("n"))
+        .alias(f"p{int(q * 100)}_duration_sec")
         for q in SESSION_QS
     ]
     return ranked.agg(
@@ -1198,7 +1202,7 @@ def _session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _session_stats_oracle() -> str:
     picks = ",\n       ".join(
-        f"max(CASE WHEN rk = floor((n - 1) * {q}) + 1 THEN duration_sec END)"
+        f"{sql_rank_pick(q, 'duration_sec')}"
         f" AS p{int(q * 100)}_duration_sec" for q in SESSION_QS)
     return f"""
 WITH sess AS (
@@ -1230,8 +1234,12 @@ def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: |r| quantized to BIGINT, volume already integral, so
     both folds are exact integer sums; the two means are single double
-    divisions. ONE shuffle on symbol for the return lag, then one
-    24*S-group aggregation with map-side partials. Output 24*S rows."""
+    divisions. The return mean averages over bars WITH a previous bar
+    (n_rets); the volume mean averages over ALL bars in the bucket
+    (n_bars) — a symbol's first bar trades volume but has no return,
+    and must not be dropped from the volume clock. ONE shuffle on
+    symbol for the return lag, then one 24*S-group aggregation with
+    map-side partials. Output 24*S rows."""
     bars = bars_from_events_cached(spark, sf_dir)
     ws = Window.partitionBy("symbol").orderBy("ts")
     r = F.log(F.col("close") / F.lag("close").over(ws))
@@ -1239,14 +1247,17 @@ def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = bars.select(
         "symbol", F.hour("ts").alias("hod"),
         aq.alias("aq"), F.col("volume").cast("long").alias("vol"))
-    g = (df.filter(F.col("aq").isNotNull())
-         .groupBy("symbol", "hod")
+    g = (df.groupBy("symbol", "hod")
          .agg(F.count(F.lit(1)).alias("n_bars"),
+              F.count("aq").alias("n_rets"),
               F.sum("aq").alias("saq"), F.sum("vol").alias("sv")))
     return g.select(
-        "symbol", F.col("hod").cast("long").alias("hod"), "n_bars",
-        round_col(F.col("saq").cast("double") / F.col("n_bars")
-                  / F.lit(BETA_SCALE)).alias("mean_abs_ret"),
+        "symbol", F.col("hod").cast("long").alias("hod"),
+        "n_bars", "n_rets",
+        round_col(F.when(
+            F.col("n_rets") > 0,
+            F.col("saq").cast("double") / F.col("n_rets")
+            / F.lit(BETA_SCALE))).alias("mean_abs_ret"),
         round_col(F.col("sv").cast("double") / F.col("n_bars"))
         .alias("mean_volume"),
     )
@@ -1261,11 +1272,12 @@ HOURLY_SEASONALITY_SQL = with_bars_cte(f"""
            CAST(volume AS BIGINT) AS vol
     FROM bars
 )
-SELECT symbol, hod, count(*) AS n_bars,
-       {sql_round(f"CAST(sum(aq) AS DOUBLE) / count(*) / {BETA_SCALE!r}")}
-           AS mean_abs_ret,
+SELECT symbol, hod, count(*) AS n_bars, count(aq) AS n_rets,
+       {sql_round("CASE WHEN count(aq) > 0 THEN "
+                  "CAST(sum(aq) AS DOUBLE) / count(aq) "
+                  f"/ {BETA_SCALE!r} END")} AS mean_abs_ret,
        {sql_round('CAST(sum(vol) AS DOUBLE) / count(*)')} AS mean_volume
-FROM r WHERE aq IS NOT NULL
+FROM r
 GROUP BY symbol, hod
 """.strip())
 
@@ -1302,14 +1314,20 @@ def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (foll.join(lead, "ts")
          .filter(F.col("leader") != F.col("follower"))
          .filter(F.col("q").isNotNull() & F.col("ql").isNotNull()))
+    # 128-bit second moments (DECIMAL(38,0) / the oracle's HUGEINT): the
+    # history is UNBOUNDED — unlike the 24-row rolling kernels, int64
+    # n*Sxx would wrap around ~1e5 volatile hourly bars (the r6
+    # BETA_SCALE overflow class) while DuckDB silently promotes
+    d38 = "decimal(38,0)"
     g = j.groupBy("leader", "follower").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("q").alias("sx"), F.sum("ql").alias("sy"),
-        F.sum(F.col("q") * F.col("ql")).alias("sxy"),
-        F.sum(F.col("q") * F.col("q")).alias("sxx"),
-        F.sum(F.col("ql") * F.col("ql")).alias("syy"),
+        F.sum(F.col("q").cast(d38)).alias("sx"),
+        F.sum(F.col("ql").cast(d38)).alias("sy"),
+        F.sum((F.col("q") * F.col("ql")).cast(d38)).alias("sxy"),
+        F.sum((F.col("q") * F.col("q")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ql") * F.col("ql")).cast(d38)).alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    n, sx, sy = F.col("n").cast("decimal(38,0)"), F.col("sx"), F.col("sy")
     cov_s = n * F.col("sxy") - sx * sy
     varx_s = n * F.col("sxx") - sx * sx
     vary_s = n * F.col("syy") - sy * sy
@@ -1341,9 +1359,11 @@ l AS (
 acc AS (
     SELECT l.leader, f.symbol AS follower,
            count(*) AS n,
-           sum(f.q) AS sx, sum(l.ql) AS sy,
-           sum(f.q * l.ql) AS sxy,
-           sum(f.q * f.q) AS sxx, sum(l.ql * l.ql) AS syy
+           sum(CAST(f.q AS HUGEINT)) AS sx,
+           sum(CAST(l.ql AS HUGEINT)) AS sy,
+           sum(CAST(f.q AS HUGEINT) * l.ql) AS sxy,
+           sum(CAST(f.q AS HUGEINT) * f.q) AS sxx,
+           sum(CAST(l.ql AS HUGEINT) * l.ql) AS syy
     FROM r f JOIN l ON f.ts = l.ts AND f.symbol <> l.leader
     WHERE f.q IS NOT NULL AND l.ql IS NOT NULL
     GROUP BY l.leader, f.symbol

@@ -1455,9 +1455,12 @@ def _norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOINLESS map stage: each vector folds to one exact-integer sum of
     squared 1e-6-quantized elements INSIDE the array (no explode — the
     corpus never fans out DIM-fold), the norm re-quantizes to a 1e-6
-    BIGINT, and the per-label moments are exact integer sums with single
-    double expressions at the end. ONE shuffle on label (map-side
-    partials, #labels groups)."""
+    BIGINT, and the per-label moments are exact 128-bit integer sums
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT — int64 would wrap at ~3k
+    unit-norm vectors per label in n*sq - s^2, the r6 BETA_SCALE
+    overflow class, while DuckDB silently promotes: the engines would
+    diverge exactly at scale) with single double expressions at the
+    end. ONE shuffle on label (map-side partials, #labels groups)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", "embedding")
     ss = F.expr(
@@ -1465,17 +1468,19 @@ def _norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),"
         " CAST(0 AS BIGINT), (acc, q) -> acc + q * q)")
     n6 = F.floor(F.sqrt(ss.cast("double")) + F.lit(0.5)).cast("long")
+    d38 = "decimal(38,0)"
     g = emb.select(F.col("label").cast("long").alias("label"),
                    n6.alias("n6")).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("n6").alias("s"),
-        F.sum(F.col("n6") * F.col("n6")).alias("sq"),
+        F.sum(F.col("n6").cast(d38)).alias("s"),
+        F.sum((F.col("n6") * F.col("n6")).cast(d38)).alias("sq"),
         F.min("n6").alias("mn"),
         F.max("n6").alias("mx"),
     )
     nn = F.col("n_vecs")
     mean = F.col("s").cast("double") / nn / F.lit(1e6)
-    std = (F.sqrt((nn * F.col("sq") - F.col("s") * F.col("s")).cast("double"))
+    std = (F.sqrt((nn.cast(d38) * F.col("sq")
+                   - F.col("s") * F.col("s")).cast("double"))
            / nn / F.lit(1e6))
     return g.select(
         "label", "n_vecs",
@@ -1497,7 +1502,8 @@ WITH q AS (
 ),
 g AS (
     SELECT label, count(*) AS n_vecs,
-           sum(n6) AS s, sum(n6 * n6) AS sq,
+           sum(CAST(n6 AS HUGEINT)) AS s,
+           sum(CAST(n6 AS HUGEINT) * n6) AS sq,
            min(n6) AS mn, max(n6) AS mx
     FROM q GROUP BY label
 )

@@ -13,10 +13,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
-from pandas_ta_spark.operators.base import round_col, sql_round
+from pandas_ta_spark.operators.base import (
+    rank_pick,
+    round_col,
+    sql_rank_pick,
+    sql_round,
+)
 from pandas_ta_spark.sources.bars import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
+LN2 = 0.6931471805599453  # kl_bits really is bits: nats / ln 2
 LANG_MARKERS = {
     "en": ("the", "a", "and"),
     "de": ("der", "die", "und"),
@@ -757,13 +763,8 @@ def _source_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = ranked.join(F.broadcast(stats), "source")
     picks = [
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.floor((F.col("n_docs") - 1) * F.lit(q)) + 1,
-                F.col("n_tok"),
-            )
-        ).alias(f"p{int(q * 100)}_tokens")
+        rank_pick(q, F.col("n_tok"), F.col("rn"), F.col("n_docs"))
+        .alias(f"p{int(q * 100)}_tokens")
         for q in PROFILE_QS
     ]
     return (
@@ -780,8 +781,8 @@ def _source_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _source_token_profile_sql() -> str:
     picks = ", ".join(
-        f"max(CASE WHEN rn = CAST(floor((n_docs - 1) * {q!r}) AS BIGINT) + 1"
-        f" THEN n_tok END) AS p{int(q * 100)}_tokens"
+        f"{sql_rank_pick(q, 'n_tok', rk='rn', n='n_docs')}"
+        f" AS p{int(q * 100)}_tokens"
         for q in PROFILE_QS
     )
     return f"""
@@ -974,6 +975,32 @@ FROM scored
 """.strip()
 
 
+def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, token) -> count relation shared by unigram_kl_by_source
+    and lexical_diversity — ONE tokenization definition, one corpus
+    explode + one uniform-key shuffle per consumer (the SQL twins share
+    the matching ``_ST_COUNTS_CTE``). A tokenization-rule change lands
+    in both ops and both engines together or not at all."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+        .alias("token"),
+    ).filter(F.col("token") != "")
+    return tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cst"))
+
+
+_ST_COUNTS_CTE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
+    FROM documents
+),
+tk AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (SELECT source, token, count(*) AS cst FROM tk GROUP BY source, token)
+""".strip()
+
+
 def _unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-shift telemetry: KL(P_source || P_corpus) over unigram
     distributions, per source — the lexical counterpart of
@@ -999,13 +1026,7 @@ def _unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source for ns — vocabulary-sized partitions, no corpus re-scan),
     one per-source aggregation, and n recovered as sum(ns) over the
     final #sources rows. Output rows = #sources."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    tok = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
-        .alias("token"),
-    ).filter(F.col("token") != "")
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cst"))
+    st = _source_token_counts(spark, sf_dir)
     wt = Window.partitionBy("token")
     wsrc = Window.partitionBy("source")
     st = st.select(
@@ -1024,18 +1045,14 @@ def _unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.sum("n_tokens").over(Window.partitionBy())
     return g.select(
         "source", "n_tokens", "n_types",
-        round_col(F.col("s9").cast("double") / F.lit(1e9)
-                  + F.log(n.cast("double"))).alias("kl_bits"),
+        round_col((F.col("s9").cast("double") / F.lit(1e9)
+                   + F.log(n.cast("double"))) / F.lit(LN2))
+        .alias("kl_bits"),
     )
 
 
 UNIGRAM_KL_SQL = f"""
-WITH tok AS (
-    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
-    FROM documents
-),
-tk AS (SELECT source, token FROM tok WHERE token <> ''),
-st AS (SELECT source, token, count(*) AS cst FROM tk GROUP BY source, token),
+{_ST_COUNTS_CTE},
 w AS (
     SELECT source, cst,
            sum(cst) OVER (PARTITION BY token) AS ct,
@@ -1053,8 +1070,9 @@ terms AS (
     FROM w
 )
 SELECT source, max(ns) AS n_tokens, max(n_types) AS n_types,
-       {sql_round('CAST(sum(t9) AS DOUBLE) / 1000000000.0'
-                  ' + ln(CAST(sum(max(ns)) OVER () AS DOUBLE))')} AS kl_bits
+       {sql_round('(CAST(sum(t9) AS DOUBLE) / 1000000000.0'
+                  ' + ln(CAST(sum(max(ns)) OVER () AS DOUBLE)))'
+                  f' / {LN2!r}')} AS kl_bits
 FROM terms GROUP BY source
 """.strip()
 
@@ -1070,17 +1088,11 @@ def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: same (source, token) counts relation as the KL query (one
     explode + one uniform-key shuffle), then one per-source
     re-aggregation. Output rows = #sources."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    tok = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
-        .alias("token"),
-    ).filter(F.col("token") != "")
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = _source_token_counts(spark, sf_dir)
     g = st.groupBy("source").agg(
-        F.sum("c").alias("n_tokens"),
+        F.sum("cst").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
-        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"))
+        F.sum(F.when(F.col("cst") == 1, 1).otherwise(0)).alias("n_hapax"))
     return g.select(
         "source", "n_tokens", "n_types", "n_hapax",
         round_col(F.col("n_types").cast("double")
@@ -1091,15 +1103,10 @@ def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEXICAL_DIVERSITY_SQL = f"""
-WITH tok AS (
-    SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS token
-    FROM documents
-),
-tk AS (SELECT source, token FROM tok WHERE token <> ''),
-st AS (SELECT source, token, count(*) AS c FROM tk GROUP BY source, token),
+{_ST_COUNTS_CTE},
 g AS (
-    SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
-           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+    SELECT source, sum(cst) AS n_tokens, count(*) AS n_types,
+           sum(CASE WHEN cst = 1 THEN 1 ELSE 0 END) AS n_hapax
     FROM st GROUP BY source
 )
 SELECT source, n_tokens, n_types, n_hapax,

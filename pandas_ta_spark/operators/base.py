@@ -54,6 +54,29 @@ def sql_round(e: str, decimals: int = ROUND_DECIMALS) -> str:
     return f"floor(({e}) * {s!r} + 0.5) / {s!r}"
 
 
+# Exact rank-selected percentile: the value at sorted rank
+# floor((n-1)*q)+1 — NOT an engine percentile builtin (Spark percentile
+# and DuckDB quantile_cont interpolate with different conventions; the
+# rank pick selects an actual member of the multiset, identically in
+# both engines). The ONE definition shared by every percentile-emitting
+# query and its SQL twin — change the convention here and both engines
+# move together.
+
+def rank_pick(q: float, value, rk, n):
+    """Spark Column: exact rank-q pick given row_number ``rk`` and total
+    ``n`` Columns (use inside an agg)."""
+    from pyspark.sql import functions as F
+
+    return F.max(F.when(rk == F.floor((n - 1) * F.lit(q)) + 1, value))
+
+
+def sql_rank_pick(q: float, value: str, rk: str = "rk",
+                  n: str = "n") -> str:
+    """The DuckDB twin of rank_pick — same arithmetic, same order."""
+    return (f"max(CASE WHEN {rk} = floor(({n} - 1) * {q}) + 1 "
+            f"THEN {value} END)")
+
+
 def qcol(name: str):
     """Column ref tolerant of dots in output names (ALMA_10_6.0_0.85)."""
     from pyspark.sql import functions as F

@@ -622,7 +622,7 @@ def streaming_donchian(ticks: DataFrame, lower_length: int = 20,
 # ----------------------------------------------- rolling regime twins ----
 
 def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
-                         pair_fn, final_fn, watermark: str) -> DataFrame:
+                         pairs_fn, final_fn, watermark: str) -> DataFrame:
     """Shared runner for the rolling-window REGIME statistics
     (ext/relational.py's exact-integer second-moment family) as
     continuous queries: per symbol, a bounded ring buffer of the last
@@ -636,9 +636,11 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
     window row has both lags inside the buffer by construction —
     the same rule in both phases.
 
-    ``pair_fn(buf, i) -> (x, y)`` builds the quantized pair for buffer
-    row i; ``final_fn(n, sx, sy, sxy, sxx, syy) -> float | None`` emits
-    the statistic. State = cap doubles per symbol, hash-sharded."""
+    ``pairs_fn(buf, s, m) -> iterable[(x, y)]`` builds ALL the window's
+    quantized pairs in one pass per arriving row (each log return is
+    computed once, not re-derived per neighboring pair);
+    ``final_fn(n, sx, sy, sxy, sxx, syy) -> float | None`` emits the
+    statistic. State = cap doubles per symbol, hash-sharded."""
     from pandas_ta_spark.ext.relational import BETA_N
 
     cap = BETA_N + long_lag
@@ -664,10 +666,7 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
                     buf.pop(0)
                 m = len(buf)
                 n = sx = sy = sxy = sxx = syy = 0
-                for i in range(max(0, m - BETA_N), m):
-                    if i < long_lag:  # series start in buffer: no pair
-                        continue
-                    x, y = pair_fn(buf, i)
+                for x, y in pairs_fn(buf, max(0, m - BETA_N), m):
                     n += 1
                     sx += x
                     sy += y
@@ -692,7 +691,7 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
 
 def _make_quant():
     """Quantizer closure with the constants bound once (the pair builder
-    runs ~2*BETA_N times per arriving row — no per-call imports)."""
+    runs ~BETA_N times per arriving row — no per-call imports)."""
     import math
 
     from pandas_ta_spark.ext.relational import BETA_SCALE
@@ -716,8 +715,11 @@ def streaming_ret_autocorr(ticks: DataFrame,
 
     q = _make_quant()
 
-    def pair(buf, i):
-        return q(buf, i, 1), q(buf, i - 1, 1)
+    def pairs(buf, s, m):
+        # one log per row: q_i for i in [s-1, m) covers both pair sides
+        lo = max(1, s - 1)
+        qs = {i: q(buf, i, 1) for i in range(lo, m)}
+        return [(qs[i], qs[i - 1]) for i in range(max(s, 2), m)]
 
     def final(n, sx, sy, sxy, sxx, syy):
         cov = n * sxy - sx * sy
@@ -728,7 +730,8 @@ def streaming_ret_autocorr(ticks: DataFrame,
             return math.floor(ac * 1e6 + 0.5) / 1e6
         return None
 
-    return _rolling_regime_twin(ticks, "autocorr", 2, pair, final, watermark)
+    return _rolling_regime_twin(ticks, "autocorr", 2, pairs, final,
+                                watermark)
 
 
 def streaming_variance_ratio(ticks: DataFrame,
@@ -743,8 +746,9 @@ def streaming_variance_ratio(ticks: DataFrame,
 
     q = _make_quant()
 
-    def pair(buf, i):
-        return q(buf, i, 1), q(buf, i, VR_Q)
+    def pairs(buf, s, m):
+        return [(q(buf, i, 1), q(buf, i, VR_Q))
+                for i in range(max(s, VR_Q), m)]
 
     def final(n, sx, sy, sxy, sxx, syy):
         vx = n * sxx - sx * sx
@@ -754,7 +758,7 @@ def streaming_variance_ratio(ticks: DataFrame,
                 float(vy) / (VR_Q * float(vx)) * 1e6 + 0.5) / 1e6
         return None
 
-    return _rolling_regime_twin(ticks, "vr", VR_Q, pair, final, watermark)
+    return _rolling_regime_twin(ticks, "vr", VR_Q, pairs, final, watermark)
 
 
 def streaming_drawdown_episodes(ticks: DataFrame,

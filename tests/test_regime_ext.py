@@ -181,15 +181,17 @@ def test_hourly_seasonality_matches_pandas(spark):
             "symbol": sym, "hod": g["ts"].dt.hour.to_numpy(),
             "aq": aq, "vol": g["volume"].to_numpy()}))
     df = pd.concat(parts, ignore_index=True)
-    df = df[df.aq.notna()]
+    # volume averages over ALL bars; returns only over bars with a lag
     exp = (df.groupby(["symbol", "hod"], sort=True)
-           .agg(n_bars=("aq", "size"), saq=("aq", "sum"), sv=("vol", "sum"))
+           .agg(n_bars=("vol", "size"), n_rets=("aq", "count"),
+                saq=("aq", "sum"), sv=("vol", "sum"))
            .reset_index())
 
     assert got["n_bars"].tolist() == exp["n_bars"].tolist()
+    assert got["n_rets"].tolist() == exp["n_rets"].tolist()
     assert np.allclose(
         got["mean_abs_ret"],
-        _rounded(exp["saq"] / exp["n_bars"] / SCALE), atol=1e-9)
+        _rounded(exp["saq"] / exp["n_rets"] / SCALE), atol=1e-9)
     assert np.allclose(
         got["mean_volume"],
         _rounded(exp["sv"] / exp["n_bars"]), atol=1e-9)
@@ -283,7 +285,9 @@ def test_unigram_kl_matches_python(spark):
             p = cst / ns
             s9 += int(np.floor(
                 p * (np.log(p) - np.log(float(corpus[tok]))) * 1e9 + 0.5))
-        rows.append((src, ns, len(c), _rounded(s9 / 1e9 + np.log(float(n)))))
+        rows.append((src, ns, len(c),
+             _rounded((s9 / 1e9 + np.log(float(n)))
+                      / 0.6931471805599453)))
     exp = pd.DataFrame(rows, columns=[
         "source", "n_tokens", "n_types", "kl_bits"])
 
