@@ -461,3 +461,44 @@ def test_streaming_drawdown_episodes_matches_batch(spark, tmp_path):
     assert got["start_ts"].tolist() == exp["start_ts"].tolist()
     assert got["end_ts"].tolist() == exp["end_ts"].tolist()
     assert np.allclose(got["max_dd"], exp["max_dd"], atol=1e-9)
+
+
+def test_embedding_norm_by_label_no_int64_overflow(spark, tmp_path):
+    """Regression pin for the 128-bit moment sums: a label with 4000
+    unit-norm vectors drives n*sq and s*s past int64 (~9.2e18) — the
+    wrapped arithmetic produced sqrt(negative) -> NaN std before the
+    DECIMAL(38,0)/HUGEINT fix, while DuckDB silently promoted."""
+    import duckdb
+
+    from pandas_ta_spark.ext.similarity import (
+        NORM_BY_LABEL_SQL,
+        SUITE,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 4000, 8
+    v = rng.normal(size=(n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)  # exact-ish unit norms
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "embedding": [row.astype(np.float32) for row in v],
+        "label": np.int32(1),
+    })
+    d = tmp_path / "ovf"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    got = SUITE["embedding_norm_by_label"].query(spark, str(d)).toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_vecs"] == n
+    assert 0.99 < got.loc[0, "mean_norm"] < 1.01
+    assert np.isfinite(got.loc[0, "std_norm"])      # NaN under int64 wrap
+    assert got.loc[0, "std_norm"] >= 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{d / 'embeddings.parquet'}'")
+    oracle = con.execute(NORM_BY_LABEL_SQL).fetchdf()
+    assert abs(got.loc[0, "std_norm"] - oracle.loc[0, "std_norm"]) <= 1e-9
+    assert abs(got.loc[0, "mean_norm"] - oracle.loc[0, "mean_norm"]) <= 1e-9
