@@ -5,7 +5,7 @@ no skew — md5 keys are uniform). Near-dup NEVER compares all pairs:
 MinHash signatures band into buckets (one shuffle on band key), only
 bucket-mates are verified with true Jaccard. SimHash gives a second,
 cheaper blocking key. The n-gram Jaccard entry verifies within
-(lang, source) blocks — the exact-but-blocked baseline the LSH variants
+per-source blocks — the exact-but-blocked baseline the LSH variants
 approximate.
 """
 
@@ -111,7 +111,9 @@ tok AS (
 shl AS (
     SELECT doc_id,
            list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sl
+                          i -> {" || ' ' || ".join(
+                              f"toks[i+{k}]" if k else "toks[i]"
+                              for k in range(SHINGLE_K))}) AS sl
     FROM tok
 ),
 sh AS (
@@ -305,11 +307,12 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _pair_ctes() -> str:
-    """Shared DuckDB CTE chain producing the verified near-dup pair set
-    `pairs(doc_a, doc_b, n_inter, jaccard)` — the SQL twin of
-    ``_dedup_minhash``. Reused by the pair query, the keep-list, and the
-    connected-components clustering oracle."""
+def _signature_ctes() -> str:
+    """DuckDB CTE chain shingle -> hashed -> sig -> banded: the ONE
+    definition of the Kirsch-Mitzenmacher MinHash signature + banding
+    scheme on the oracle side (twin of _hashed_shingles/_minhash_sig/
+    _banded on the Spark side). Shared by _pair_ctes AND the fuzzy-
+    contamination oracle so a scheme change cannot desynchronize them."""
     mins = ",\n           ".join(
         f"min((h1 + {j} * h2) % 4294967296) AS mh{j}"
         for j in range(N_HASHES)
@@ -335,7 +338,15 @@ sig AS (
            list_distinct(list(k)) AS ks
     FROM hashed GROUP BY doc_id
 ),
-banded AS ({bands}),
+banded AS ({bands})"""
+
+
+def _pair_ctes() -> str:
+    """Shared DuckDB CTE chain producing the verified near-dup pair set
+    `pairs(doc_a, doc_b, n_inter, jaccard)` — the SQL twin of
+    ``_dedup_minhash``. Reused by the pair query, the keep-list, and the
+    connected-components clustering oracle."""
+    return f"""{_signature_ctes()},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
@@ -371,8 +382,14 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= threshold within (source) blocks — the
     blocked-exact baseline the LSH path approximates. Quadratic within a
     block only; blocks are bounded by construction at scale."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    sh = _shingles_spark(docs)
+    # persisted: the shingle relation feeds THREE consumers (both join
+    # sides + sizes) — unpersisted, Catalyst re-derives the corpus
+    # scan+split+explode per consumer (the 3x-read trap _contamination's
+    # audit documents)
+    sh = _shingles_spark(docs).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = docs.select("doc_id", "source")
     sha = (sh.join(blocks, "doc_id")
            .select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src"),
@@ -389,7 +406,7 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     na = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})
     nb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})
-    return (
+    out = (
         inter.join(na, "doc_a").join(nb, "doc_b")
         .withColumn(
             "jaccard",
@@ -398,6 +415,11 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+    try:
+        out = materialize(out)
+    finally:
+        sh.unpersist()
+    return out
 
 
 DEDUP_JACCARD_SQL = f"""
@@ -579,7 +601,14 @@ def _dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cheap, checkpointed) edge count and restore the config after.
     n_pairs = pairs.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(8, min(int(old_parts), n_pairs // 100_000 + 1))
+    try:
+        old_n = int(old_parts)
+    except (TypeError, ValueError):
+        # non-numeric conf (e.g. "auto" on managed platforms) — the
+        # platform sizes shuffles; run the loop without the resize
+        # (same guard as _shuffle_sized_to_input)
+        return materialize(_cc_loop(pairs))
+    loop_parts = max(8, min(old_n, n_pairs // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         # materialize INSIDE the try: _cc_loop's return is lazy, and the
@@ -599,33 +628,39 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    for _ in range(CC_MAX_ITERS):
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # materialize: truncate lineage -> O(1) plan depth per round
-        new_labels = materialize(
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+    try:
+        for _ in range(CC_MAX_ITERS):
+            prop = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+            # materialize: truncate lineage -> O(1) plan depth per round
+            new_labels = materialize(
+                labels.join(prop, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} rounds")
+    finally:
+        # non-convergence or mid-loop failure must not leave the edge /
+        # label caches pinned on the long-lived gate session (labels is a
+        # materialized checkpoint on the success path — unpersist no-ops)
+        edges.unpersist()
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} rounds")
-    edges.unpersist()
     members = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         labels.join(members, "cluster_id")
@@ -699,8 +734,12 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_cont / F.col("n_shingles")).alias("contaminated_frac"),
         )
     )
-    out = materialize(out)
-    sh.unpersist()
+    try:
+        # a failed materialize must not leave the corpus-sized shingle
+        # cache resident (same try/finally as _span_dedup / minhash)
+        out = materialize(out)
+    finally:
+        sh.unpersist()
     return out
 
 
@@ -802,32 +841,8 @@ def _contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _contamination_minhash_oracle() -> str:
-    mins = ",\n           ".join(
-        f"min((h1 + {j} * h2) % 4294967296) AS mh{j}" for j in range(N_HASHES)
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    band_rows = []
-    for b in range(N_BANDS):
-        key = " || '_' || ".join(
-            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
-        )
-        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig")
-    bands = " UNION ALL ".join(band_rows)
     return f"""
-WITH {_shingle_sql()},
-hashed AS (
-    SELECT doc_id,
-           CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
-           CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2,
-           CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS k
-    FROM sh
-),
-sig AS (
-    SELECT doc_id, {mins},
-           list_distinct(list(k)) AS ks
-    FROM hashed GROUP BY doc_id
-),
-banded AS ({bands}),
+WITH {_signature_ctes()},
 split AS (SELECT doc_id,
                  doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM} AS is_eval
           FROM documents),

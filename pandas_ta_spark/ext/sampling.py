@@ -469,8 +469,13 @@ def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.col("n_docs").cast("double") / F.col("tot_n"))
         .alias("share"),
         round_col(w).alias("weight"),
-        round_col((F.col("s") * F.col("tot_n")).cast("double")
-                  / (F.col("tot_s") * F.col("n_docs"))).alias("boost"),
+        # boost = w/p computed DIVISION-FIRST: the integer products
+        # s*tot_n / tot_s*n_docs wrap int64 around 4e8 docs/language
+        # (Spark non-ANSI wraps silently, DuckDB raises — the d5b5572
+        # cross-engine divergence class)
+        round_col((F.col("s").cast("double") / F.col("tot_s"))
+                  / (F.col("n_docs").cast("double") / F.col("tot_n")))
+        .alias("boost"),
         F.floor(w * F.col("tot_n") + F.lit(0.5)).cast("long")
         .alias("expected_docs"),
     )
@@ -488,7 +493,7 @@ tot AS (SELECT sum(n_docs) AS tot_n, sum(s) AS tot_s FROM per)
 SELECT lang, n_docs,
        {sql_round('CAST(n_docs AS DOUBLE) / tot_n')} AS share,
        {sql_round('CAST(s AS DOUBLE) / tot_s')} AS weight,
-       {sql_round('CAST(s * tot_n AS DOUBLE) / (tot_s * n_docs)')} AS boost,
+       {sql_round('(CAST(s AS DOUBLE) / tot_s) / (CAST(n_docs AS DOUBLE) / tot_n)')} AS boost,
        CAST(floor(CAST(s AS DOUBLE) / tot_s * tot_n + 0.5) AS BIGINT)
            AS expected_docs
 FROM per, tot
