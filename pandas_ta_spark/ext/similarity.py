@@ -529,9 +529,6 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
     if hit is not None:
         return (v, *hit)
 
-    def assign(cent: DataFrame, src: DataFrame | None = None) -> DataFrame:
-        return assign_vectors(src if src is not None else v, cent)
-
     # ONE bounded collect: the 1-in-TRAIN_MOD training sample (capped at
     # TRAIN_CAP rows by id — FAISS guidance is ~40 x K training points,
     # the cap keeps the collect O(1) at any corpus size) plus the K seed
@@ -561,7 +558,7 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
     # the inverted file is materialized too — (vec_id, centroid_id) longs,
     # the on-disk artifact a real IVF deployment persists next to the
     # centroids — so probes scan lists instead of re-running assignment
-    lists = materialize(assign(centn))
+    lists = materialize(assign_vectors(v, centn))
     for stale in [k for k in _IVF_CACHE if k[0] != key[0]]:
         del _IVF_CACHE[stale]
     _IVF_CACHE[key] = (centn, lists)
@@ -1390,9 +1387,12 @@ def _drift_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("slice")
         .agg(
             (F.max("n")).alias("n_vecs"),
-            F.sum(F.col("mq") * F.col("mq")).alias("nm6"),
-            F.sum(F.col("cq") * F.col("cq")).alias("nc6"),
-            F.sum(F.col("mq") * F.col("cq")).alias("dot6"),
+            F.sum(F.col("mq").cast("decimal(38,0)") * F.col("mq"))
+            .alias("nm6"),
+            F.sum(F.col("cq").cast("decimal(38,0)") * F.col("cq"))
+            .alias("nc6"),
+            F.sum(F.col("mq").cast("decimal(38,0)") * F.col("cq"))
+            .alias("dot6"),
         )
     )
     cos = (F.col("dot6")
@@ -1434,8 +1434,9 @@ j AS (
 ),
 f AS (
     SELECT slice, max(n) AS n_vecs,
-           sum(mq * mq) AS nm6, sum(cq * cq) AS nc6,
-           sum(mq * cq) AS dot6
+           sum(CAST(mq AS HUGEINT) * mq) AS nm6,
+           sum(CAST(cq AS HUGEINT) * cq) AS nc6,
+           sum(CAST(mq AS HUGEINT) * cq) AS dot6
     FROM j GROUP BY slice
 )
 SELECT slice, n_vecs,
@@ -1466,14 +1467,15 @@ def _norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.expr(
         "aggregate(transform(embedding,"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),"
-        " CAST(0 AS BIGINT), (acc, q) -> acc + q * q)")
+        " CAST(0 AS DECIMAL(38,0)),"
+        " (acc, q) -> acc + CAST(q AS DECIMAL(38,0)) * q)")
     n6 = F.floor(F.sqrt(ss.cast("double")) + F.lit(0.5)).cast("long")
     d38 = "decimal(38,0)"
     g = emb.select(F.col("label").cast("long").alias("label"),
                    n6.alias("n6")).groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.col("n6").cast(d38)).alias("s"),
-        F.sum((F.col("n6") * F.col("n6")).cast(d38)).alias("sq"),
+        F.sum(F.col("n6").cast(d38) * F.col("n6")).alias("sq"),
         F.min("n6").alias("mn"),
         F.max("n6").alias("mx"),
     )
@@ -1497,7 +1499,8 @@ WITH q AS (
            CAST(floor(sqrt(CAST(list_sum(list_transform(
                    list_transform(embedding::DOUBLE[],
                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)),
-                   q -> q * q)) AS DOUBLE)) + 0.5) AS BIGINT) AS n6
+                   q -> CAST(q AS HUGEINT) * q)) AS DOUBLE)) + 0.5)
+                AS BIGINT) AS n6
     FROM embeddings
 ),
 g AS (

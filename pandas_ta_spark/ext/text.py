@@ -49,7 +49,10 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         (n_uniq / n_tok).alias("type_token_ratio"),
         (n_stop / n_tok).alias("stopword_ratio"),
-        ((n_chars - (n_tok - 1)) / n_tok).alias("avg_token_len"),
+        # trimmed length: the raw n_chars counts the padding the
+        # tokenizer trims, overstating token length on padded text
+        ((F.length(F.trim(F.col("text"))) - (n_tok - 1)) / n_tok)
+        .alias("avg_token_len"),
     )
 
 
@@ -67,7 +70,7 @@ SELECT doc_id,
        len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stopwords,
        len(list_distinct(toks)) / len(toks) AS type_token_ratio,
        len(list_filter(toks, x -> x IN ({_STOP_IN}))) / len(toks) AS stopword_ratio,
-       (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len
+       (length(trim(text)) - (len(toks) - 1)) / len(toks) AS avg_token_len
 FROM t
 """.strip()
 
@@ -200,8 +203,6 @@ def quality_lr_exprs() -> dict:
     Feature order in z is left-associated and mirrored in the SQL twin.
     Stateless expressions shared by the batch query and the streaming
     filter (streaming-safe by construction, like quality_exprs)."""
-    from pandas_ta_spark.operators.base import round_col
-
     toks = _toks()
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) / n_tok
@@ -239,8 +240,6 @@ def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_lr_sql() -> str:
-    from pandas_ta_spark.operators.base import sql_round
-
     z = (f"{LR_BIAS!r} + {LR_W_LOGLEN!r} * ln(1.0 + len(toks))"
          f" + {LR_W_TTR!r} * (len(list_distinct(toks)) / len(toks))"
          f" + {LR_W_STOP!r} * (len(list_filter(toks, x -> x IN ({_STOP_IN})))"
@@ -263,7 +262,7 @@ FROM m
 
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-doc hash + min-shingle rolling-hash
-    fingerprint (winnowing-lite: min over word-4-gram hashes)."""
+    fingerprint (winnowing-lite: min over word-3-gram hashes)."""
     from pandas_ta_spark.ext.dedup import _shingles_spark
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -338,7 +337,7 @@ def _events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_PROPS_SQL = r"""
 WITH e AS (
     SELECT event_type,
-           CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+           TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT) AS k
     FROM events
 )
 SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
@@ -391,7 +390,7 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression directly would re-split the text per element — O(n^2))
     t = docs.select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+        _toks().alias("toks"),
     )
     tf = (
         t.select("doc_id", F.explode("toks").alias("tok"))
@@ -619,7 +618,7 @@ def _ngram_novelty_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform lambda re-splits the text per element (O(tokens^2) chars)
     t = docs.select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), " ").alias("toks"),
+        _toks().alias("toks"),
     )
     bg = F.when(
         F.size("toks") >= 2,
@@ -827,8 +826,7 @@ def _perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost class as tf-idf."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
-        .alias("token"),
+        "doc_id", F.explode(_toks()).alias("token"),
     ).filter(F.col("token") != "")
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(
@@ -902,8 +900,7 @@ def _perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     two tokens have no bigrams and drop from the output, identically in
     both engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    l = F.filter(F.split(F.lower(F.trim(F.col("text"))), " "),
-                 lambda x: x != F.lit(""))
+    l = F.filter(_toks(), lambda x: x != F.lit(""))
     toks = docs.select(F.explode(l).alias("token"))
     vsize = toks.agg(F.count_distinct("token").alias("v"))
     n1 = F.size(F.col("l")) - 1
@@ -984,8 +981,7 @@ def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     tok = docs.select(
         "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
-        .alias("token"),
+        F.explode(_toks()).alias("token"),
     ).filter(F.col("token") != "")
     return tok.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cst"))
