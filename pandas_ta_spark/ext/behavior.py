@@ -167,9 +167,16 @@ def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mb"),
     ).select(
         "anchor_day",
-        F.expr(f"transform(db, x -> datediff(anchor_day, {epoch}) - x)")
-        .alias("rb"),
-        "fb", "mb",
+        # boundaries 1e-6-rounded on BOTH engines: true boundary values
+        # are q-grid fractions of integer metrics, so the shared floor
+        # rule absorbs the engines' interpolation-arithmetic ulps (the
+        # reflected form here vs the oracle's direct quantile_cont)
+        F.expr(f"transform(db, x -> floor((datediff(anchor_day, {epoch})"
+               " - x) * 1000000.0 + 0.5) / 1000000.0)").alias("rb"),
+        F.expr("transform(fb, x -> floor(x * 1000000.0 + 0.5)"
+               " / 1000000.0)").alias("fb"),
+        F.expr("transform(mb, x -> floor(x * 1000000.0 + 0.5)"
+               " / 1000000.0)").alias("mb"),
     )
 
     def score_above(metric: str, arr: str):
@@ -238,9 +245,12 @@ base AS (
     FROM per_user, anchor
 ),
 bounds AS (
-    SELECT quantile_cont(recency_days, [{qs}]) AS rb,
-           quantile_cont(frequency, [{qs}]) AS fb,
-           quantile_cont(monetary_cents, [{qs}]) AS mb
+    SELECT list_transform(quantile_cont(recency_days, [{qs}]),
+                          x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS rb,
+           list_transform(quantile_cont(frequency, [{qs}]),
+                          x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS fb,
+           list_transform(quantile_cont(monetary_cents, [{qs}]),
+                          x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS mb
     FROM base
 ),
 scored AS (
@@ -267,6 +277,10 @@ MAD_K = 1.4826  # consistency constant: MAD -> sigma under normality
 ANOMALY_Z = 3.5
 
 
+# NOTE: the zero-filled hour spine below (span min/max -> sequence
+# explode -> left join -> coalesce 0) is the same gap-fill rule as
+# relational.py's bars_gapfill; keep the inclusive bounds and 1-hour
+# step aligned if either changes.
 def rate_anomaly(ev: DataFrame) -> DataFrame:
     """Robust per-stream rate anomaly: hourly event counts per
     event_type (ZERO-FILLED over each type's hour span — a silent outage

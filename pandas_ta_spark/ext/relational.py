@@ -223,6 +223,10 @@ FROM s GROUP BY 1, 2
 MTF_SMA_N = 20
 
 
+# NOTE: the union-and-carry below intentionally mirrors asof_join's
+# mechanism (tagged sides, (ts, tag) sort, last-ignorenulls carry).
+# Any change to the strictly-before / tie-order rule there must land
+# here too — the two encode the same point-in-time semantics.
 def _mtf_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-timeframe composition: an hourly-bar indicator (SMA-20 of
     close) attached to every raw event by as-of join — tick-level signals
@@ -666,7 +670,11 @@ def _series_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; the pipeline health dashboard you run before
     trusting any indicator output."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # NTZ-pure epoch micros: unix_micros(CAST(ts AS TIMESTAMP)) would
+    # interpret the naive value in the SESSION timezone (half-hour-offset
+    # or DST zones shift hour buckets vs DuckDB's tz-free epoch_us)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     hour = F.floor(us / F.lit(3_600_000_000)).cast("long")
     out = (
         ev.groupBy(F.col("event_type").alias("symbol"))
@@ -836,7 +844,7 @@ def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
     df = bars.select("symbol", "ts", q.alias("q"))
     wt = Window.partitionBy("ts")
-    # integer market mean at the same 1e-8 scale: exact sum / count, one
+    # integer market mean at the same BETA_SCALE (1e6): exact sum / count, one
     # double division + floor -> identical integer in both engines
     qm = F.floor(
         F.sum("q").over(wt).cast("double") / F.count("q").over(wt) + F.lit(0.5)
@@ -1246,7 +1254,8 @@ def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aq = F.abs(F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long"))
     df = bars.select(
         "symbol", F.hour("ts").alias("hod"),
-        aq.alias("aq"), F.col("volume").cast("long").alias("vol"))
+        aq.alias("aq"),
+        F.floor(F.col("volume")).cast("long").alias("vol"))
     g = (df.groupBy("symbol", "hod")
          .agg(F.count(F.lit(1)).alias("n_bars"),
               F.count("aq").alias("n_rets"),
@@ -1269,7 +1278,7 @@ HOURLY_SEASONALITY_SQL = with_bars_cte(f"""
            abs(CAST(floor(ln(close / lag(close) OVER
                               (PARTITION BY symbol ORDER BY ts))
                           * {BETA_SCALE!r} + 0.5) AS BIGINT)) AS aq,
-           CAST(volume AS BIGINT) AS vol
+           CAST(floor(volume) AS BIGINT) AS vol
     FROM bars
 )
 SELECT symbol, hod, count(*) AS n_bars, count(aq) AS n_rets,

@@ -136,10 +136,15 @@ def bars_from_events_bucketed(
     one-shuffle shape as the anchored derivation above."""
     period_us = minutes * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    bucket = F.timestamp_micros(
-        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(period_us))
-         .cast("long") * F.lit(period_us))
-    )
+    # NTZ-pure bucketing: the previous unix_micros(CAST(ts AS TIMESTAMP))
+    # round-trip interpreted the naive value in the SESSION timezone
+    # (half-hour-offset or DST zones shift bucket boundaries vs the
+    # oracle's tz-free epoch_us) and emitted a TZ-typed column
+    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    bucket = F.expr(
+        f"timestampadd(MICROSECOND, CAST(floor("
+        f"timestampdiff(MICROSECOND, {ntz_epoch}, ts) / {period_us}.0"
+        f") AS BIGINT) * {period_us}, {ntz_epoch})")
     return (
         ev.groupBy(
             F.col("event_type").alias("symbol"),
@@ -164,10 +169,15 @@ def resample_bars(df: DataFrame, minutes: int) -> DataFrame:
     (ts, value)-struct tie-break as the events-to-bars derivations
     above; one aggregation = one shuffle with map-side partials."""
     period_us = minutes * 60 * 1_000_000
-    bucket = F.timestamp_micros(
-        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(period_us))
-         .cast("long") * F.lit(period_us))
-    )
+    # NTZ-pure bucketing: the previous unix_micros(CAST(ts AS TIMESTAMP))
+    # round-trip interpreted the naive value in the SESSION timezone
+    # (half-hour-offset or DST zones shift bucket boundaries vs the
+    # oracle's tz-free epoch_us) and emitted a TZ-typed column
+    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    bucket = F.expr(
+        f"timestampadd(MICROSECOND, CAST(floor("
+        f"timestampdiff(MICROSECOND, {ntz_epoch}, ts) / {period_us}.0"
+        f") AS BIGINT) * {period_us}, {ntz_epoch})")
     return (
         df.groupBy("symbol", bucket.alias("ts"))
         .agg(

@@ -502,3 +502,33 @@ def test_embedding_norm_by_label_no_int64_overflow(spark, tmp_path):
     oracle = con.execute(NORM_BY_LABEL_SQL).fetchdf()
     assert abs(got.loc[0, "std_norm"] - oracle.loc[0, "std_norm"]) <= 1e-9
     assert abs(got.loc[0, "mean_norm"] - oracle.loc[0, "mean_norm"]) <= 1e-9
+
+
+def test_bucketing_is_session_timezone_independent(spark):
+    """15-minute buckets and hour-coverage audits must treat naive
+    timestamps as-is: under a half-hour-offset session timezone the old
+    unix_micros(CAST(ts AS TIMESTAMP)) round-trip shifted every bucket
+    boundary by 30 minutes (and silently emitted a TZ-typed column)."""
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.ext.relational import SUITE
+    from pandas_ta_spark.sources.bars import bars_from_events_bucketed
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        b = bars_from_events_bucketed(spark, SF_DIR, minutes=15)
+        mins = (b.select(F.minute("ts").alias("m")).distinct().toPandas()
+                ["m"].sort_values().tolist())
+        # naive quarter-hour boundaries — a +5:30 interpretation would
+        # land them on :15/:45-shifted phases via the +30min offset
+        assert set(mins) <= {0, 15, 30, 45}
+        assert dict(b.dtypes)["ts"] == "timestamp_ntz"
+
+        si = SUITE["series_integrity"].query(spark, SF_DIR).toPandas()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        si_utc = SUITE["series_integrity"].query(spark, SF_DIR).toPandas()
+        for col in ("n_hours_present", "n_hours_span", "n_hour_gaps"):
+            assert si[col].tolist() == si_utc[col].tolist()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
