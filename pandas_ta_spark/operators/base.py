@@ -54,6 +54,16 @@ def sql_round(e: str, decimals: int = ROUND_DECIMALS) -> str:
     return f"floor(({e}) * {s!r} + 0.5) / {s!r}"
 
 
+def py_round(x: float, decimals: int = ROUND_DECIMALS) -> float:
+    """The Python-scalar twin of round_col/sql_round (streaming state
+    functions emit plain floats) — same ops, same order, same
+    ROUND_DECIMALS source of truth."""
+    import math
+
+    s = 10.0 ** decimals
+    return math.floor(x * s + 0.5) / s
+
+
 # Exact rank-selected percentile: the value at sorted rank
 # floor((n-1)*q)+1 — NOT an engine percentile builtin (Spark percentile
 # and DuckDB quantile_cont interpolate with different conventions; the

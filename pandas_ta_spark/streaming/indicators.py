@@ -27,6 +27,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from pandas_ta_spark.operators.base import py_round
+
 
 def stream_bars(events: DataFrame, anchor: str = "1 hour",
                 watermark: str = "2 hours") -> DataFrame:
@@ -636,11 +638,25 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
     window row has both lags inside the buffer by construction —
     the same rule in both phases.
 
-    ``pairs_fn(buf, s, m) -> iterable[(x, y)]`` builds ALL the window's
-    quantized pairs in one pass per arriving row (each log return is
-    computed once, not re-derived per neighboring pair);
+    ``pairs_fn(buf, s, m) -> iterable[(x, y) | None]`` builds ALL the
+    window's quantized pairs in one pass per arriving row (each log
+    return computed once, not per neighboring pair); a None entry marks
+    a pair invalidated by a non-positive/NaN close — excluded from every
+    sum exactly like the batch twins' NULL log returns, instead of
+    poisoning the query with a math-domain error persisted in state.
     ``final_fn(n, sx, sy, sxy, sxx, syy) -> float | None`` emits the
-    statistic. State = cap doubles per symbol, hash-sharded."""
+    statistic. The window sums are refolded from the buffer each row
+    (~BETA_N int ops — deliberate: O(1) incremental add/evict would be
+    bit-identical but needs 6 more state fields and eviction-validity
+    bookkeeping, and per-row Python work is not the measured bottleneck
+    at the ~3k rows/s the Arrow/state plumbing sustains). State = cap
+    closes per symbol (CSV string), hash-sharded. Rows WITHIN one
+    micro-batch are globally re-ordered by ts before folding; ACROSS
+    triggers the buffer appends in arrival order — in-order delivery
+    per symbol across triggers is the documented precondition (the
+    batch twins order globally and have no such constraint). Matches
+    batch up to the 1-ulp python-libm vs JVM ln difference at a
+    quantization-floor boundary (parity tests pin 2e-5)."""
     from pandas_ta_spark.ext.relational import BETA_N
 
     cap = BETA_N + long_lag
@@ -657,26 +673,31 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
 
         buf = ([float(x) for x in state.get[0].split(",") if x != ""]
                if state.exists else [])
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            rows = {"ts": [], "n_obs": [], stat_name: []}
-            for ts, close in zip(pdf["ts"], pdf["close"]):
-                buf.append(float(close))
-                if len(buf) > cap:
-                    buf.pop(0)
-                m = len(buf)
-                n = sx = sy = sxy = sxx = syy = 0
-                for x, y in pairs_fn(buf, max(0, m - BETA_N), m):
-                    n += 1
-                    sx += x
-                    sy += y
-                    sxy += x * y
-                    sxx += x * x
-                    syy += y * y
-                rows["ts"].append(ts)
-                rows["n_obs"].append(n)
-                rows[stat_name].append(final_fn(n, sx, sy, sxy, sxx, syy))
-            yield pd.DataFrame({"symbol": key[0], **rows})
+        # ONE global ts sort per micro-batch: a large group arrives as
+        # several arrow chunks in shuffle order — per-chunk sorting
+        # would append closes to the ring buffer out of order
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        rows = {"ts": [], "n_obs": [], stat_name: []}
+        for ts, close in zip(pdf["ts"], pdf["close"]):
+            buf.append(float(close))
+            if len(buf) > cap:
+                buf.pop(0)
+            m = len(buf)
+            n = sx = sy = sxy = sxx = syy = 0
+            for p in pairs_fn(buf, max(0, m - BETA_N), m):
+                if p is None:  # bad-close pair, excluded like batch NULL
+                    continue
+                x, y = p
+                n += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+                syy += y * y
+            rows["ts"].append(ts)
+            rows["n_obs"].append(n)
+            rows[stat_name].append(final_fn(n, sx, sy, sxy, sxx, syy))
+        yield pd.DataFrame({"symbol": key[0], **rows})
         state.update((",".join(repr(x) for x in buf),))
 
     ticks = ticks.withWatermark("ts", watermark)
@@ -691,7 +712,9 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
 
 def _make_quant():
     """Quantizer closure with the constants bound once (the pair builder
-    runs ~BETA_N times per arriving row — no per-call imports)."""
+    runs ~BETA_N times per arriving row — no per-call imports). Returns
+    None for a non-positive/NaN close pair — the batch twins' NULL log
+    return — instead of raising out of the state function."""
     import math
 
     from pandas_ta_spark.ext.relational import BETA_SCALE
@@ -699,7 +722,10 @@ def _make_quant():
     floor, log, scale = math.floor, math.log, BETA_SCALE
 
     def quant(buf, i, lag):
-        return int(floor(log(buf[i] / buf[i - lag]) * scale + 0.5))
+        a, b = buf[i], buf[i - lag]
+        if not (a > 0 and b > 0) or a != a or b != b:
+            return None
+        return int(floor(log(a / b) * scale + 0.5))
 
     return quant
 
@@ -707,8 +733,9 @@ def _make_quant():
 def streaming_ret_autocorr(ticks: DataFrame,
                            watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of ext/relational.py::ret_autocorr — rolling lag-1
-    return autocorrelation, exact batch parity (pinned across
-    micro-batch splits by test_streaming_ret_autocorr_matches_batch)."""
+    return autocorrelation as a continuous query (batch parity up to
+    the runner's documented 1-ulp ln caveat; pinned across micro-batch
+    splits by test_streaming_ret_autocorr_matches_batch)."""
     import math
 
     from pandas_ta_spark.ext.relational import BETA_N
@@ -719,15 +746,16 @@ def streaming_ret_autocorr(ticks: DataFrame,
         # one log per row: q_i for i in [s-1, m) covers both pair sides
         lo = max(1, s - 1)
         qs = {i: q(buf, i, 1) for i in range(lo, m)}
-        return [(qs[i], qs[i - 1]) for i in range(max(s, 2), m)]
+        return [(qs[i], qs[i - 1])
+                if qs[i] is not None and qs[i - 1] is not None else None
+                for i in range(max(s, 2), m)]
 
     def final(n, sx, sy, sxy, sxx, syy):
         cov = n * sxy - sx * sy
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
         if n >= BETA_N and vx > 0 and vy > 0:
-            ac = cov / math.sqrt(float(vx) * float(vy))
-            return math.floor(ac * 1e6 + 0.5) / 1e6
+            return py_round(cov / math.sqrt(float(vx) * float(vy)))
         return None
 
     return _rolling_regime_twin(ticks, "autocorr", 2, pairs, final,
@@ -747,15 +775,17 @@ def streaming_variance_ratio(ticks: DataFrame,
     q = _make_quant()
 
     def pairs(buf, s, m):
-        return [(q(buf, i, 1), q(buf, i, VR_Q))
-                for i in range(max(s, VR_Q), m)]
+        out = []
+        for i in range(max(s, VR_Q), m):
+            a, b = q(buf, i, 1), q(buf, i, VR_Q)
+            out.append((a, b) if a is not None and b is not None else None)
+        return out
 
     def final(n, sx, sy, sxy, sxx, syy):
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
         if n >= BETA_N and vx > 0:
-            return math.floor(
-                float(vy) / (VR_Q * float(vx)) * 1e6 + 0.5) / 1e6
+            return py_round(float(vy) / (VR_Q * float(vx)))
         return None
 
     return _rolling_regime_twin(ticks, "vr", VR_Q, pairs, final, watermark)
@@ -806,30 +836,30 @@ def streaming_drawdown_episodes(ticks: DataFrame,
         else:
             mx, highs, start_ns, end_ns, n_bars, max_dd = (
                 None, 0, 0, 0, 0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            rows = {"episode": [], "start_ts": [], "end_ts": [],
-                    "n_bars": [], "max_dd": []}
-            for ts, close in zip(pdf["ts"], pdf["close"]):
-                close = float(close)
-                if mx is None or close >= mx:
-                    if n_bars > 0:  # recovery closes the open episode
-                        rows["episode"].append(highs)
-                        rows["start_ts"].append(pd.Timestamp(start_ns))
-                        rows["end_ts"].append(pd.Timestamp(end_ns))
-                        rows["n_bars"].append(n_bars)
-                        rows["max_dd"].append(
-                            math.floor(max_dd * 1e6 + 0.5) / 1e6)
-                        n_bars, max_dd = 0, 0.0
-                    highs += 1
-                    mx = close if mx is None else max(mx, close)
-                else:
-                    if n_bars == 0:
-                        start_ns = int(ts.value)
-                    n_bars += 1
-                    end_ns = int(ts.value)
-                    max_dd = max(max_dd, mx - close)
-            yield pd.DataFrame({"symbol": key[0], **rows})
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        rows = {"episode": [], "start_ts": [], "end_ts": [],
+                "n_bars": [], "max_dd": []}
+        for ts, close in zip(pdf["ts"], pdf["close"]):
+            close = float(close)
+            if close != close:  # NaN close: poisons every later
+                continue        # comparison — drop, documented
+            if mx is None or close >= mx:
+                if n_bars > 0:  # recovery closes the open episode
+                    rows["episode"].append(highs)
+                    rows["start_ts"].append(pd.Timestamp(start_ns))
+                    rows["end_ts"].append(pd.Timestamp(end_ns))
+                    rows["n_bars"].append(n_bars)
+                    rows["max_dd"].append(py_round(max_dd))
+                    n_bars, max_dd = 0, 0.0
+                highs += 1
+                mx = close if mx is None else max(mx, close)
+            else:
+                if n_bars == 0:
+                    start_ns = int(ts.value)
+                n_bars += 1
+                end_ns = int(ts.value)
+                max_dd = max(max_dd, mx - close)
+        yield pd.DataFrame({"symbol": key[0], **rows})
         state.update((mx if mx is not None else float("nan"),
                       highs, start_ns, end_ns, n_bars, max_dd))
 

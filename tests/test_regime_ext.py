@@ -442,17 +442,11 @@ def test_streaming_drawdown_episodes_matches_batch(spark, tmp_path):
 
     exp = (drawdown_episodes(spark.createDataFrame(bars)).toPandas()
            .sort_values(["symbol", "episode"]).reset_index(drop=True))
-    # drop per symbol any final episode still open at end-of-stream
-    # (its last bar is underwater with no later recovery bar)
-    last_close_high = {
-        sym: g.sort_values("ts")["close"].to_numpy()
-        for sym, g in bars.groupby("symbol")}
-    keep = []
-    for _, r in exp.iterrows():
-        c = last_close_high[r.symbol]
-        # open iff the episode's end is the series' last bar
-        end_is_last = (r.end_ts == bars[bars.symbol == r.symbol]["ts"].max())
-        keep.append(not end_is_last)
+    # drop per symbol any final episode still open at end-of-stream:
+    # open iff the episode's end is the series' last bar (underwater
+    # with no later recovery bar)
+    last_ts = bars.groupby("symbol")["ts"].max()
+    keep = [r.end_ts != last_ts[r.symbol] for _, r in exp.iterrows()]
     exp = exp[np.array(keep)].reset_index(drop=True)
 
     assert len(got) == len(exp) > 0
@@ -525,9 +519,11 @@ def test_bucketing_is_session_timezone_independent(spark):
         assert set(mins) <= {0, 15, 30, 45}
         assert dict(b.dtypes)["ts"] == "timestamp_ntz"
 
-        si = SUITE["series_integrity"].query(spark, SF_DIR).toPandas()
+        si = (SUITE["series_integrity"].query(spark, SF_DIR).toPandas()
+              .sort_values("symbol").reset_index(drop=True))
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        si_utc = SUITE["series_integrity"].query(spark, SF_DIR).toPandas()
+        si_utc = (SUITE["series_integrity"].query(spark, SF_DIR).toPandas()
+                  .sort_values("symbol").reset_index(drop=True))
         for col in ("n_hours_present", "n_hours_span", "n_hour_gaps"):
             assert si[col].tolist() == si_utc[col].tolist()
     finally:
