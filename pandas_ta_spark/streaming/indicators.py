@@ -30,6 +30,20 @@ from pyspark.sql.types import (
 from pandas_ta_spark.operators.base import py_round
 
 
+def _one_chunk(pdfs):
+    """applyInPandasWithState hands a group over as MULTIPLE arrow chunks
+    in shuffle order (chunk size ~ spark.sql.execution.arrow.
+    maxRecordsPerBatch); the state folds below are order-sensitive, so
+    concat to ONE frame first — the body's own sort_values then orders
+    the whole micro-batch, not each chunk independently."""
+    import pandas as pd
+
+    chunks = list(pdfs)
+    if not chunks:
+        return
+    yield pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+
+
 def stream_bars(events: DataFrame, anchor: str = "1 hour",
                 watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window OHLCV bars from an event stream —
@@ -87,7 +101,7 @@ def streaming_ema(ticks: DataFrame, length: int = 10,
                 last = None  # NaN encodes "still seeding" in the state row
         else:
             pending, last = [], None
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             out_ts, out_close, out_ema = [], [], []
             for ts, close in zip(pdf["ts"], pdf["close"]):
@@ -160,7 +174,7 @@ def streaming_rsi(ticks: DataFrame, length: int = 14,
                 pg = pl = None
         else:
             last_close, gains, losses, pg, pl = None, [], [], None, None
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             out_ts, out_close, out_rsi = [], [], []
             for ts, close in zip(pdf["ts"], pdf["close"]):
@@ -250,7 +264,7 @@ def streaming_supertrend(ticks: DataFrame, length: int = 7,
             pflb = None if (pflb is not None and math.isnan(pflb)) else pflb
         else:
             last_close, pending, atr, pfub, pflb, dir_ = None, [], None, None, None, 1.0
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             rows = {k: [] for k in ("ts", "close", "supert", "supertd",
                                     "supertl", "superts")}
@@ -346,7 +360,7 @@ def streaming_atr(ticks: DataFrame, length: int = 14,
             atr = None if (atr is not None and math.isnan(atr)) else atr
         else:
             last_close, pending, atr = None, [], None
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             out_ts, out_close, out_atr = [], [], []
             for ts, h, l, c in zip(pdf["ts"], pdf["high"], pdf["low"], pdf["close"]):
@@ -432,7 +446,7 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
             ef, es, sig = denan(ef), denan(es), denan(sig)
         else:
             closes, lines, nseen, ef, es, sig = [], [], 0, None, None, None
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             rows = {k: [] for k in ("ts", "close", "macd", "macdh", "macds")}
             for ts, c in zip(pdf["ts"], pdf["close"]):
@@ -522,7 +536,7 @@ def streaming_bbands(ticks: DataFrame, length: int = 5, std: float = 2.0,
 
         buf = ([float(x) for x in state.get[0].split(",") if x != ""]
                if state.exists else [])
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             rows = {"ts": [], "close": [], "bbl": [], "bbm": [], "bbu": []}
             for ts, close in zip(pdf["ts"], pdf["close"]):
@@ -588,7 +602,7 @@ def streaming_donchian(ticks: DataFrame, lower_length: int = 20,
 
         highs, lows = ((parse(state.get[0]), parse(state.get[1]))
                        if state.exists else ([], []))
-        for pdf in pdfs:
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.sort_values("ts")
             rows = {"ts": [], "dcl": [], "dcm": [], "dcu": []}
             for ts, hi, lo in zip(pdf["ts"], pdf["high"], pdf["low"]):

@@ -159,7 +159,9 @@ def stream_attribution_attach(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         click_us, click_id = state.get if state.exists else (-1, -1)
-        for pdf in pdfs:
+        from pandas_ta_spark.streaming.indicators import _one_chunk
+
+        for pdf in _one_chunk(pdfs):
             pdf = pdf.assign(
                 _p=(pdf["event_type"] != "purchase").astype("int64"))
             pdf = pdf.sort_values(["ts", "_p", "event_id"])

@@ -528,3 +528,50 @@ def test_bucketing_is_session_timezone_independent(spark):
             assert si[col].tolist() == si_utc[col].tolist()
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_streaming_state_fold_survives_multi_chunk_groups(spark, tmp_path):
+    """applyInPandasWithState hands big groups over as multiple arrow
+    chunks in shuffle order; before the _one_chunk concat the per-chunk
+    sorts appended closes to the ring buffer out of ts order. Force
+    tiny chunks and assert the autocorr twin still matches batch."""
+    from pandas_ta_spark.ext.relational import ret_autocorr
+    from pandas_ta_spark.streaming import streaming_ret_autocorr
+
+    rng = np.random.default_rng(43)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    bars = pd.DataFrame({
+        "symbol": "A",
+        "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+        "close": np.round(np.exp(np.cumsum(rng.normal(0, 0.02, n))) * 50, 4),
+    })
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    # shuffle row order on disk too: chunk boundaries then split the
+    # group at arbitrary (non-ts) positions
+    bars.sample(frac=1, random_state=1).to_parquet(src / "p1.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        stream = (spark.readStream
+                  .schema("symbol string, ts timestamp, close double")
+                  .parquet(str(src)))
+        q = (streaming_ret_autocorr(stream)
+             .writeStream.format("memory").queryName("chunk_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = (spark.sql("SELECT * FROM chunk_stream").toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    exp = (ret_autocorr(spark.createDataFrame(bars)).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    assert len(got) == n
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    ga, ea = got["autocorr"].to_numpy(), exp["autocorr"].to_numpy()
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
