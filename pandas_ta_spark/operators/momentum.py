@@ -218,7 +218,7 @@ def cmo(length: int = 14, drift: int = 1):
     """100*(Su - Sd)/(Su + Sd), pandas (non-talib) path —
     pandas_ta/momentum/cmo.py#cmo."""
     out = name("CMO", length)
-    d = "_cmo_d"
+    d = f"_cmo_d_{drift}"
     up = F.when(F.col(d).isNull(), None).otherwise(F.greatest(F.col(d), F.lit(0.0)))
     dn = F.when(F.col(d).isNull(), None).otherwise(F.greatest(-F.col(d), F.lit(0.0)))
     su = roll(F.sum, up, length)
@@ -240,7 +240,7 @@ def coppock(length: int = 10, fast: int = 11, slow: int = 14):
     """WMA(ROC(c,fast) + ROC(c,slow), length) —
     pandas_ta/momentum/coppock.py#coppock."""
     out = name("COPC", fast, slow, length)
-    t = "_copc_roc"
+    t = f"_copc_roc_{fast}_{slow}"
     rf = 100 * (F.col("close") - shift("close", fast)) / shift("close", fast)
     rs = 100 * (F.col("close") - shift("close", slow)) / shift("close", slow)
     ws = list(reversed(mu.linear_weights(length)))
@@ -275,7 +275,7 @@ def er(length: int = 10, drift: int = 1):
     """Efficiency Ratio: |c - c.shift(n)| / sum(|diff|, n) —
     pandas_ta/momentum/er.py#er."""
     out = name("ER", length)
-    ad = "_er_absd"
+    ad = f"_er_absd_{drift}"
     e = F.abs(diff("close", length)) / roll(F.sum, ad, length)
     s = f"abs({sql_diff('close', length)}) / ({sql_roll('sum', ad, length)})"
     return Indicator(
@@ -327,7 +327,7 @@ def psl(length: int = 12, drift: int = 1):
     """Psych Line: 100 * count(diff > 0) / n —
     pandas_ta/momentum/psl.py#psl."""
     out = name("PSL", length)
-    d = "_psl_pos"
+    d = f"_psl_pos_{drift}"
     e = 100 * roll(F.sum, d, length) / length
     s = f"100 * ({sql_roll('sum', d, length)}) / {length}"
     return Indicator(

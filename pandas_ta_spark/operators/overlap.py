@@ -440,7 +440,8 @@ def hilo(high_length: int = 13, low_length: int = 21):
     §2.2 hilo trick)."""
     suffix = f"{high_length}_{low_length}"
     o, ol, os_ = f"HILO_{suffix}", f"HILOl_{suffix}", f"HILOs_{suffix}"
-    mhi_c, mlo_c, ev_c, st_c = "_hilo_mhi", "_hilo_mlo", "_hilo_ev", "_hilo_st"
+    mhi_c, mlo_c, ev_c, st_c = (f"_hilo_mhi_{suffix}", f"_hilo_mlo_{suffix}",
+                                f"_hilo_ev_{suffix}", f"_hilo_st_{suffix}")
     up_ev = F.col("close") > shift(mhi_c, 1)
     dn_ev = F.col("close") < shift(mlo_c, 1)
     ev = F.when(up_ev, F.col(mlo_c)).when(dn_ev, F.col(mhi_c))

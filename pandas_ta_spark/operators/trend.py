@@ -211,7 +211,7 @@ def dpo(length: int = 20, centered: bool = True):
     pandas_ta/trend/dpo.py#dpo: dpo_u = c_u - lead(SMA(c,n), n/2+1)."""
     out = name("DPO", length)
     t = length // 2 + 1
-    sma_c = "_dpo_sma"
+    sma_c = f"_dpo_sma_{length}"
     if centered:
         e = F.col("close") - F.lead(sma_c, t).over(w_order())
         s = f"close - lead({sma_c}, {t}) OVER ({SQL_W_ORDER})"

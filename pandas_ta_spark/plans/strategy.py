@@ -37,12 +37,25 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     layers, not 48 — fewer Window/Project nodes, one codegen span per
     layer, same single exchange+sort."""
     temps: list[str] = []
+    seen: dict[str, str] = {}  # temp name -> expression repr
     max_stages = max((len(i.stages) for i in inds), default=0)
     for k in range(max_stages):
         layer: dict = {}
         for ind in inds:
             if len(ind.stages) > k:
-                layer.update(ind.stages[k])
+                for tname, expr in ind.stages[k].items():
+                    # same kind twice with different params must not
+                    # silently overwrite a shared temp (the layer merge
+                    # would compute BOTH outputs from the second
+                    # expression); identical redefinitions dedupe
+                    r = str(expr)
+                    if seen.setdefault(tname, r) != r:
+                        raise ValueError(
+                            f"strategy temp column '{tname}' redefined "
+                            f"with a different expression by {ind.key} — "
+                            "parameterize the temp name (see hma's "
+                            "_hma_{length}_raw convention)")
+                    layer[tname] = expr
         if layer:
             df = df.withColumns(layer)
             temps.extend(c for c in layer if c not in temps)
@@ -141,17 +154,31 @@ def expression_lookback(ind: Indicator):
         clause = m.group(1).upper()
         if "ORDER BY" in clause and "ROWS" not in clause:
             return None
-    depth = 0
-    for m in re.finditer(r"(\d+)\s+PRECEDING", s):
-        depth = max(depth, int(m.group(1)))
-    # lag offsets: sql_shift/sql_wroll always emit `lag(<expr>, N) OVER`;
-    # match the offset right before `) OVER` so nested parens in <expr>
-    # don't confuse the scan. A bare `lag(x) OVER` (offset 1) never
-    # occurs in generated SQL but costs nothing to cover.
-    for m in re.finditer(r"\blag\s*\(", s):
-        depth = max(depth, 1)
-    for m in re.finditer(r",\s*(\d+)\s*\)\s*OVER", s):
-        depth = max(depth, int(m.group(1)))
+    # Depths COMPOSE across stages: stage k's windows read stage k-1's
+    # temps, so a row of stage-k output needs (stage-k depth) rows of
+    # stage k-1, each of which needs (stage k-1 depth) rows of input —
+    # hma(16) = wroll(close,16) then wroll(tmp,4) truly needs 15+3 rows,
+    # not max(15,3). Summing per-stage maxima is the exact bound for a
+    # linear stage chain and a safe over-estimate when a later stage
+    # reads bar columns directly.
+    def _depth_of(exprs) -> int:
+        t = " ".join(exprs)
+        d = 0
+        for m in re.finditer(r"(\d+)\s+PRECEDING", t):
+            d = max(d, int(m.group(1)))
+        # lag offsets: sql_shift/sql_wroll always emit `lag(<expr>, N)
+        # OVER`; match the offset right before `) OVER` so nested parens
+        # in <expr> don't confuse the scan. A bare `lag(x) OVER`
+        # (offset 1) never occurs in generated SQL but costs nothing.
+        if re.search(r"\blag\s*\(", t):
+            d = max(d, 1)
+        for m in re.finditer(r",\s*(\d+)\s*\)\s*OVER", t):
+            d = max(d, int(m.group(1)))
+        return d
+
+    depth = sum(_depth_of(st.values()) for st in ind.sql_stages or [])
+    if ind.sql_final:
+        depth += _depth_of(ind.sql_final.values())
     return depth
 
 

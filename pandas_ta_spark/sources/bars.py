@@ -69,9 +69,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: the double path (ts/1000).cast(long) rounds
+        # int64 epoch-nanos (~2^60) to 256ns multiples first, landing
+        # ~1.5% of microsecond-precision values 1us low (measured) —
+        # `div` is exact and matches DuckDB's integer ns->us truncation
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -123,6 +126,21 @@ def bars_from_events(spark: SparkSession, sf_dir: str, anchor: str = "hour") -> 
     )
 
 
+def _ntz_bucket(period_us: int):
+    """Exact NTZ-pure period bucketing of the naive ``ts`` column — the
+    ONE Spark-side definition shared by bars_from_events_bucketed and
+    resample_bars (the SQL twins share make_timestamp(epoch_us...)).
+    unix_micros(CAST(ts AS TIMESTAMP)) would interpret the naive value
+    in the SESSION timezone (half-hour-offset or DST zones shift bucket
+    boundaries vs the oracle's tz-free epoch_us) and emit a TZ-typed
+    column; this stays timestamp_ntz end to end."""
+    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return F.expr(
+        f"timestampadd(MICROSECOND, CAST(floor("
+        f"timestampdiff(MICROSECOND, {ntz_epoch}, ts) / {period_us}.0"
+        f") AS BIGINT) * {period_us}, {ntz_epoch})")
+
+
 def bars_from_events_bucketed(
     spark: SparkSession, sf_dir: str, minutes: int = 15
 ) -> DataFrame:
@@ -136,15 +154,7 @@ def bars_from_events_bucketed(
     one-shuffle shape as the anchored derivation above."""
     period_us = minutes * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-    # NTZ-pure bucketing: the previous unix_micros(CAST(ts AS TIMESTAMP))
-    # round-trip interpreted the naive value in the SESSION timezone
-    # (half-hour-offset or DST zones shift bucket boundaries vs the
-    # oracle's tz-free epoch_us) and emitted a TZ-typed column
-    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-    bucket = F.expr(
-        f"timestampadd(MICROSECOND, CAST(floor("
-        f"timestampdiff(MICROSECOND, {ntz_epoch}, ts) / {period_us}.0"
-        f") AS BIGINT) * {period_us}, {ntz_epoch})")
+    bucket = _ntz_bucket(period_us)
     return (
         ev.groupBy(
             F.col("event_type").alias("symbol"),
@@ -169,15 +179,7 @@ def resample_bars(df: DataFrame, minutes: int) -> DataFrame:
     (ts, value)-struct tie-break as the events-to-bars derivations
     above; one aggregation = one shuffle with map-side partials."""
     period_us = minutes * 60 * 1_000_000
-    # NTZ-pure bucketing: the previous unix_micros(CAST(ts AS TIMESTAMP))
-    # round-trip interpreted the naive value in the SESSION timezone
-    # (half-hour-offset or DST zones shift bucket boundaries vs the
-    # oracle's tz-free epoch_us) and emitted a TZ-typed column
-    ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-    bucket = F.expr(
-        f"timestampadd(MICROSECOND, CAST(floor("
-        f"timestampdiff(MICROSECOND, {ntz_epoch}, ts) / {period_us}.0"
-        f") AS BIGINT) * {period_us}, {ntz_epoch})")
+    bucket = _ntz_bucket(period_us)
     return (
         df.groupBy("symbol", bucket.alias("ts"))
         .agg(

@@ -48,10 +48,20 @@ def _ts_expr(df: DataFrame, ts_format: str | None):
     if ts_type == "string":
         return F.to_timestamp(ts)
     if ts_type == "bigint":
-        # epoch-nanos int64 — the repo's parquet TIMESTAMP(NANOS)
-        # convention (see sources/bars.py load_table). A bare
-        # cast("timestamp") would read the int as epoch SECONDS.
-        return F.timestamp_micros((ts / 1000).cast("long"))
+        # Vendor exports disagree on the epoch unit (yfinance JSON ships
+        # seconds, many feeds milliseconds, this repo's parquet NANOS) —
+        # a fixed assumption silently lands everything in 1970 (or year
+        # 52970). Magnitude-dispatch per value: the unit bands are ~3
+        # orders of magnitude apart, so any timestamp between 1973 and
+        # 5138 resolves unambiguously. All arithmetic is exact integer
+        # (`div`, not the double path, which drifts 1us on ~1.5% of
+        # ns-scale values — see sources/bars.py).
+        return F.expr("""
+            timestamp_micros(CASE
+                WHEN abs(ts) < 100000000000 THEN ts * 1000000
+                WHEN abs(ts) < 100000000000000 THEN ts * 1000
+                WHEN abs(ts) < 100000000000000000 THEN ts
+                ELSE ts div 1000 END)""")
     return ts.cast("timestamp")
 
 
@@ -90,12 +100,31 @@ def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
             f"bars source ts value {bad[0]['raw']!r} does not parse as a "
             "timestamp; pass ts_format= with the source's pattern"
         )
-    return df.select(
+    out = df.select(
         F.col("symbol").cast("string").alias("symbol"),
         ts.cast("timestamp").alias("ts"),
         *[F.col(c).cast("double").alias(c)
           for c in ("open", "high", "low", "close", "volume")],
     )
+    # same bounded fail-fast for the numeric columns: the engine's
+    # window min_periods masks (functions/windows.py masked()) and EWM
+    # kernel seeds REQUIRE non-null OHLCV — a NULL close from an empty
+    # CSV cell would silently diverge from the SQL oracles downstream,
+    # so reject it at the connector
+    nulls = (
+        out.limit(1000)
+        .filter(" OR ".join(
+            f"{c} IS NULL"
+            for c in ("open", "high", "low", "close", "volume")))
+        .limit(1)
+        .collect()
+    )
+    if nulls:
+        raise ValueError(
+            "bars source has NULL/unparseable OHLCV values "
+            f"(first: {nulls[0].asDict()}); the indicator engine "
+            "requires complete bars — clean or filter the source first")
+    return out
 
 
 def bars_from_csv(spark: SparkSession, path: str, *, header: bool = True,

@@ -1144,7 +1144,10 @@ def test_expression_lookback_catches_framefree_and_rank_family():
     # the real two-level-nesting case from the registry
     from pandas_ta_spark.registry import default_instance
 
-    assert expression_lookback(default_instance("eom_14")) == 13
+    # COMPOSED depth: the raw stage's lag(1) + the final's 13-PRECEDING
+    # window = 14 rows of true history (per-stage maxima SUM — the old
+    # max-only reading under-counted stacked windows, e.g. hma)
+    assert expression_lookback(default_instance("eom_14")) == 14
 
 
 def test_chunked_strategy_validate_flags_undersized_chunk(bars):

@@ -575,3 +575,43 @@ def test_streaming_state_fold_survives_multi_chunk_groups(spark, tmp_path):
     ga, ea = got["autocorr"].to_numpy(), exp["autocorr"].to_numpy()
     assert np.array_equal(np.isnan(ga), np.isnan(ea))
     assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
+
+
+def test_strategy_duplicate_kind_different_params(spark):
+    """Two instances of one indicator kind with different params in one
+    strategy must each compute from their OWN windows: before temps were
+    parameterized, the layer merge silently computed both hilo outputs
+    from the second instance's midpoint lengths."""
+    import pandas as pd
+
+    from pandas_ta_spark.plans.strategy import apply_strategy
+    from pandas_ta_spark.registry import make
+    from tests.conftest import make_pdf
+
+    bars = spark.createDataFrame(make_pdf(200))
+    both = (apply_strategy(bars, [make("hilo", high_length=13, low_length=21),
+                                  make("hilo", high_length=5, low_length=8)])
+            .toPandas().sort_values("ts").reset_index(drop=True))
+    solo = (apply_strategy(bars, [make("hilo", high_length=5, low_length=8)])
+            .toPandas().sort_values("ts").reset_index(drop=True))
+    solo13 = (apply_strategy(bars, [make("hilo", high_length=13,
+                                         low_length=21)])
+              .toPandas().sort_values("ts").reset_index(drop=True))
+    pd.testing.assert_series_equal(both["HILO_5_8"], solo["HILO_5_8"])
+    pd.testing.assert_series_equal(both["HILO_13_21"], solo13["HILO_13_21"])
+    # the two parameterizations genuinely differ on this fixture
+    assert not both["HILO_13_21"].round(6).equals(both["HILO_5_8"].round(6))
+
+    # future indicators with unparameterized temps fail LOUDLY
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.operators.base import Indicator
+
+    def fake(n):
+        return Indicator("fake", [f"OUT_{n}"], "test",
+                         stages=[{"_fake_tmp": F.lit(float(n))}],
+                         final={f"OUT_{n}": F.col("_fake_tmp")})
+
+    with pytest.raises(ValueError, match="_fake_tmp"):
+        apply_strategy(bars, [fake(1), fake(2)])
