@@ -280,6 +280,11 @@ def main():
             spark, sf_dir),
         "unigram_kl_by_source": lambda: EXT["unigram_kl_by_source"].query(
             spark, sf_dir),
+        # r8 microstructure pack: one rolling estimator (the composite,
+        # most window sums) + one global regression (one row/symbol)
+        "vol_yang_zhang_20": lambda: EXT["vol_yang_zhang_20"].query(
+            spark, sf_dir),
+        "hurst_aggvar": lambda: EXT["hurst_aggvar"].query(spark, sf_dir),
     }
 
     # Protocols (VERDICT r6 ask #3):

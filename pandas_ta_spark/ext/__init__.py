@@ -39,6 +39,7 @@ def _build():
         behavior,
         dedup,
         media,
+        microstructure,
         relational,
         sampling,
         similarity,
@@ -47,7 +48,7 @@ def _build():
 
     suite: dict[str, ExtQuery] = {}
     for mod in (dedup, similarity, text, media, agg, sampling, relational,
-                behavior):
+                behavior, microstructure):
         suite.update(mod.SUITE)
     return suite
 

@@ -1,0 +1,730 @@
+"""Volatility-estimator + market-microstructure pack (beyond-reference).
+
+Range-based OHLC volatility estimators and microstructure telemetry a
+quant user of the reference would reach for next — none exist in
+pandas-ta 0.3.14b (SURVEY.md §2 lists no range-based vol estimator;
+``stdev``/``true_range`` are the closest), but every one is a published,
+public formula:
+
+- Parkinson (1980) high/low range variance;
+- Garman & Klass (1980) OHLC variance;
+- Rogers & Satchell (1991) drift-independent OHLC variance;
+- Yang & Zhang (2000) overnight-gap-robust composite variance;
+- Amihud (2002) illiquidity (|return| per unit of dollar volume);
+- Corwin & Schultz (2012) bid-ask spread estimator from 2-bar ranges;
+- Hurst exponent via the aggregated-variance method (non-overlapping
+  k-bar return variances regressed on ln k);
+- AR(1) mean-reversion half-life of the log price.
+
+Cross-engine determinism follows the regime-pack playbook
+(ext/relational.py BETA_SCALE rationale): every log is quantized to a
+1e-6 BIGINT at the source, rolling second moments are exact-integer
+window sums (associative -> identical under Spark's sequential frames
+and DuckDB's segment trees), and float constants are injected as ONE
+Python ``repr`` literal used by both engines with the SAME op order.
+Mixed decimal-literal arithmetic is kept one-operand-double at every
+step (DuckDB parses bare numeric literals as DECIMAL; ``dec * BIGINT``
+stays exact decimal and its later double promotion can differ from
+Spark's double multiply by 1 ulp — so expressions divide/multiply
+serially against already-double values instead).
+
+Global (per-symbol, unbounded-history) moment sums use DECIMAL(38,0) /
+HUGEINT: int64 ``n * Sxx`` wraps around ~1e5 volatile bars while DuckDB
+silently promotes — the r8 overflow class (see lead_lag_corr).
+
+Scale shape: every rolling query is ONE shuffle on symbol (all window
+sums share one (symbol, ts) sort); the two global regressions are the
+same shuffle followed by a map-side-combinable aggregation emitting one
+row per symbol. Nothing collects; nothing cross-joins.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandas_ta_spark.ext import ExtQuery
+from pandas_ta_spark.operators.base import round_col, sql_round
+from pandas_ta_spark.sources.bars import bars_from_events_cached, with_bars_cte
+
+MS_N = 20            # rolling estimator window (bars)
+MS_SCALE = 1e6       # 1e-6 log quantization: |ln| <= ~10.6 on the
+                     # synthetic bars -> |q| <= 1.1e7, q^2 <= 1.2e14,
+                     # 20-row sums <= 2.4e15, n*S forms <= 4.9e16 — all
+                     # comfortably inside int64 (BETA_SCALE class bounds)
+ILLIQ_SCALE = 1e9    # Amihud per-bar ratio quantization (|r|/dv <= ~900
+                     # here -> 9e11; 20-row sum 1.8e13, int64-safe)
+CS_SCALE = 1e8       # Corwin-Schultz spread quantization: spreads are
+                     # O(1e-3..0.5); 1e-8 resolution keeps the documented
+                     # exp() 1-ulp cross-engine risk ~1e-5 per sf0.1 run
+FOURLN2_N = 4.0 * math.log(2.0) * MS_N       # Parkinson denominator
+GK_C2 = 2.0 * math.log(2.0) - 1.0            # Garman-Klass close-open term
+YZ_K = 0.34 / (1.34 + (MS_N + 1) / (MS_N - 1))  # Yang-Zhang blend weight
+CS_DEN = 3.0 - 2.0 * math.sqrt(2.0)          # Corwin-Schultz alpha denom
+CS_DENQ = CS_DEN * MS_SCALE                  # same, in 1e-6-quant units
+LN2 = 0.6931471805599453
+
+_WS_SQL = "PARTITION BY symbol ORDER BY ts"
+_WR_SQL = f"{_WS_SQL} ROWS BETWEEN {MS_N - 1} PRECEDING AND CURRENT ROW"
+
+
+def _ws():
+    return Window.partitionBy("symbol").orderBy("ts")
+
+
+def _wr():
+    return _ws().rowsBetween(-(MS_N - 1), 0)
+
+
+def _q(col):
+    """Quantize a log-space double to the exact 1e-6 BIGINT grid."""
+    return F.floor(col * F.lit(MS_SCALE) + F.lit(0.5)).cast("long")
+
+
+def _sql_q(e: str) -> str:
+    return f"CAST(floor(({e}) * {MS_SCALE!r} + 0.5) AS BIGINT)"
+
+
+# ------------------------------------------------------- Parkinson ----
+
+def parkinson(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Parkinson (1980) range volatility: sigma_P over the trailing
+    ``length`` bars = sqrt( sum(ln(high/low)^2) / (4 ln2 * n) ).
+
+    qu = 1e-6-quantized ln(high/low) >= 0; the rolling sum of qu^2 is
+    exact-integer, and the emission is two serial double divisions by a
+    shared repr literal — identical in both engines. ONE shuffle on
+    symbol."""
+    assert length == MS_N, "oracle twin is generated for MS_N"
+    qu = _q(F.log(F.col("high") / F.col("low")))
+    df = bars.select("symbol", "ts", qu.alias("qu"))
+    wr = _wr()
+    n = F.count("qu").over(wr)
+    su2 = F.sum(F.col("qu") * F.col("qu")).over(wr)
+    # var in q^2 units: su2 / (4 ln2 * n), computed as su2/C/n with C the
+    # single double literal (keeps every intermediate a double op)
+    vol = F.when(
+        n >= length,
+        F.sqrt(su2.cast("double") / F.lit(FOURLN2_N)) / F.lit(MS_SCALE),
+    )
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(vol).alias("vol_p"),
+    )
+
+
+def _parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parkinson(bars_from_events_cached(spark, sf_dir))
+
+
+PARKINSON_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts, {_sql_q('ln(high / low)')} AS qu
+    FROM bars
+),
+acc AS (
+    SELECT symbol, ts,
+           count(qu) OVER w AS n,
+           sum(qu * qu) OVER w AS su2
+    FROM r
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} THEN "
+                  f"sqrt(CAST(su2 AS DOUBLE) / {FOURLN2_N!r}) "
+                  f"/ {MS_SCALE!r} END")} AS vol_p
+FROM acc
+""".strip())
+
+
+# ----------------------------------------------------- Garman-Klass ----
+
+def garman_klass(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Garman & Klass (1980) OHLC volatility over the trailing window:
+    var = mean( 0.5*ln(h/l)^2 - (2 ln2 - 1)*ln(c/o)^2 ).
+
+    Two quantized series (qu = ln(h/l), qv = ln(c/o)) with a shared
+    validity guard (qu*qv NULL-propagation) so n counts complete rows;
+    both squared sums are exact integers; the estimator itself can go
+    negative on gap-dominated windows — emitted NULL then (documented
+    estimator domain, deterministic: the sign test runs on identical
+    doubles)."""
+    assert length == MS_N
+    qu = _q(F.log(F.col("high") / F.col("low")))
+    qv = _q(F.log(F.col("close") / F.col("open")))
+    df = bars.select("symbol", "ts", qu.alias("qu"), qv.alias("qv"))
+    wr = _wr()
+    pair = F.col("qu") * F.col("qv")
+    n = F.count(pair).over(wr)
+    su2 = F.sum(F.when(pair.isNotNull(), F.col("qu") * F.col("qu"))).over(wr)
+    sv2 = F.sum(F.when(pair.isNotNull(), F.col("qv") * F.col("qv"))).over(wr)
+    var_q = (su2.cast("double") * F.lit(0.5)
+             - sv2.cast("double") * F.lit(GK_C2)) / n
+    vol = F.when(
+        (n >= length) & (var_q > 0), F.sqrt(var_q) / F.lit(MS_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(vol).alias("vol_gk"),
+    )
+
+
+def _garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return garman_klass(bars_from_events_cached(spark, sf_dir))
+
+
+GARMAN_KLASS_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_q('ln(high / low)')} AS qu,
+           {_sql_q('ln(close / open)')} AS qv
+    FROM bars
+),
+acc AS (
+    SELECT symbol, ts,
+           count(qu * qv) OVER w AS n,
+           sum(CASE WHEN qu * qv IS NOT NULL THEN qu * qu END) OVER w AS su2,
+           sum(CASE WHEN qu * qv IS NOT NULL THEN qv * qv END) OVER w AS sv2
+    FROM r
+    WINDOW w AS ({_WR_SQL})
+),
+v AS (
+    SELECT symbol, ts, n,
+           (CAST(su2 AS DOUBLE) * 0.5
+            - CAST(sv2 AS DOUBLE) * {GK_C2!r}) / n AS var_q
+    FROM acc
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} AND var_q > 0 "
+                  f"THEN sqrt(var_q) / {MS_SCALE!r} END")} AS vol_gk
+FROM v
+""".strip())
+
+
+# -------------------------------------------------- Rogers-Satchell ----
+
+def rogers_satchell(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Rogers & Satchell (1991) drift-independent OHLC volatility:
+    var = mean( ln(h/c)ln(h/o) + ln(l/c)ln(l/o) ).
+
+    All four logs are quantized; each per-bar term is a product of two
+    BIGINTs (exact, and non-negative by construction: both h-terms >= 0,
+    both l-terms <= 0), so the rolling sum is an exact non-negative
+    integer and the emission is serial double division + sqrt."""
+    assert length == MS_N
+    hc = _q(F.log(F.col("high") / F.col("close")))
+    ho = _q(F.log(F.col("high") / F.col("open")))
+    lc = _q(F.log(F.col("low") / F.col("close")))
+    lo = _q(F.log(F.col("low") / F.col("open")))
+    rs = hc * ho + lc * lo
+    df = bars.select("symbol", "ts", rs.alias("rs"))
+    wr = _wr()
+    n = F.count("rs").over(wr)
+    srs = F.sum("rs").over(wr)
+    vol = F.when(
+        n >= length,
+        F.sqrt(srs.cast("double") / n) / F.lit(MS_SCALE),
+    )
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(vol).alias("vol_rs"),
+    )
+
+
+def _rogers_satchell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rogers_satchell(bars_from_events_cached(spark, sf_dir))
+
+
+ROGERS_SATCHELL_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_q('ln(high / close)')} * {_sql_q('ln(high / open)')}
+           + {_sql_q('ln(low / close)')} * {_sql_q('ln(low / open)')} AS rs
+    FROM bars
+),
+acc AS (
+    SELECT symbol, ts,
+           count(rs) OVER w AS n,
+           sum(rs) OVER w AS srs
+    FROM r
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} THEN "
+                  f"sqrt(CAST(srs AS DOUBLE) / n) / {MS_SCALE!r} END")} AS vol_rs
+FROM acc
+""".strip())
+
+
+# ------------------------------------------------------ Yang-Zhang ----
+
+def yang_zhang(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Yang & Zhang (2000) composite volatility — the
+    overnight-gap-robust estimator: var = Vo + k*Vc + (1-k)*Vrs, with
+    Vo = sample var of the overnight return ln(open/prev_close),
+    Vc = sample var of ln(close/open), Vrs the Rogers-Satchell mean,
+    and k = 0.34 / (1.34 + (n+1)/(n-1)) at the fixed window length.
+
+    One shared validity guard (overnight lag + all logs present) keeps
+    every count/sum on the same row set; all moments are exact-int
+    window sums; k and (1-k) are single repr literals multiplied against
+    already-double variances in the same order on both engines."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    qo = _q(F.log(F.col("open") / F.lag("close").over(ws)))
+    qc = _q(F.log(F.col("close") / F.col("open")))
+    hc = _q(F.log(F.col("high") / F.col("close")))
+    ho = _q(F.log(F.col("high") / F.col("open")))
+    lc = _q(F.log(F.col("low") / F.col("close")))
+    lo = _q(F.log(F.col("low") / F.col("open")))
+    rs = hc * ho + lc * lo
+    df = bars.select(
+        "symbol", "ts", qo.alias("qo"), qc.alias("qc"), rs.alias("rs"))
+    v = F.when(
+        F.col("qo").isNotNull() & F.col("qc").isNotNull()
+        & F.col("rs").isNotNull(), F.lit(1))
+    df = df.select("symbol", "ts", "qo", "qc", "rs", v.alias("v"))
+    n = F.count("v").over(wr)
+    so = F.sum(F.when(F.col("v").isNotNull(), F.col("qo"))).over(wr)
+    qo2 = F.sum(F.when(F.col("v").isNotNull(),
+                       F.col("qo") * F.col("qo"))).over(wr)
+    sc = F.sum(F.when(F.col("v").isNotNull(), F.col("qc"))).over(wr)
+    qc2 = F.sum(F.when(F.col("v").isNotNull(),
+                       F.col("qc") * F.col("qc"))).over(wr)
+    srs = F.sum(F.when(F.col("v").isNotNull(), F.col("rs"))).over(wr)
+    vo = (n * qo2 - so * so).cast("double") / (n * (n - F.lit(1)))
+    vc = (n * qc2 - sc * sc).cast("double") / (n * (n - F.lit(1)))
+    vrs = srs.cast("double") / n
+    var_q = vo + vc * F.lit(YZ_K) + vrs * F.lit(1.0 - YZ_K)
+    vol = F.when(
+        (n >= length) & (var_q > 0), F.sqrt(var_q) / F.lit(MS_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(vol).alias("vol_yz"),
+    )
+
+
+def _yang_zhang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return yang_zhang(bars_from_events_cached(spark, sf_dir))
+
+
+YANG_ZHANG_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_q(f'ln(open / lag(close) OVER ({_WS_SQL}))')} AS qo,
+           {_sql_q('ln(close / open)')} AS qc,
+           {_sql_q('ln(high / close)')} * {_sql_q('ln(high / open)')}
+           + {_sql_q('ln(low / close)')} * {_sql_q('ln(low / open)')} AS rs
+    FROM bars
+),
+g AS (
+    SELECT symbol, ts, qo, qc, rs,
+           CASE WHEN qo IS NOT NULL AND qc IS NOT NULL
+                     AND rs IS NOT NULL THEN 1 END AS v
+    FROM r
+),
+acc AS (
+    SELECT symbol, ts,
+           count(v) OVER w AS n,
+           sum(CASE WHEN v IS NOT NULL THEN qo END) OVER w AS so,
+           sum(CASE WHEN v IS NOT NULL THEN qo * qo END) OVER w AS qo2,
+           sum(CASE WHEN v IS NOT NULL THEN qc END) OVER w AS sc,
+           sum(CASE WHEN v IS NOT NULL THEN qc * qc END) OVER w AS qc2,
+           sum(CASE WHEN v IS NOT NULL THEN rs END) OVER w AS srs
+    FROM g
+    WINDOW w AS ({_WR_SQL})
+),
+v AS (
+    SELECT symbol, ts, n,
+           CAST(n * qo2 - so * so AS DOUBLE) / (n * (n - 1))
+           + CAST(n * qc2 - sc * sc AS DOUBLE) / (n * (n - 1)) * {YZ_K!r}
+           + CAST(srs AS DOUBLE) / n * {1.0 - YZ_K!r} AS var_q
+    FROM acc
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} AND var_q > 0 "
+                  f"THEN sqrt(var_q) / {MS_SCALE!r} END")} AS vol_yz
+FROM v
+""".strip())
+
+
+# ---------------------------------------------------------- Amihud ----
+
+def amihud(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Amihud (2002) illiquidity over the trailing window:
+    ILLIQ = mean( |r_t| / (close_t * volume_t) ).
+
+    The per-bar ratio is a chain of deterministic double ops over the
+    quantized |return| and the double dollar volume, then itself
+    quantized to the 1e-9 grid so the rolling MEAN is an exact-integer
+    sum (a raw double rolling sum is order-dependent: Spark's sequential
+    frame vs DuckDB's segment tree disagree in the last ulp)."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    aq = F.abs(_q(F.log(F.col("close") / F.lag("close").over(ws))))
+    dv = F.col("close") * F.col("volume")
+    ratio = (aq.cast("double") / F.lit(MS_SCALE)) / dv
+    iq = F.floor(ratio * F.lit(ILLIQ_SCALE) + F.lit(0.5)).cast("long")
+    df = bars.select("symbol", "ts", iq.alias("iq"))
+    n = F.count("iq").over(wr)
+    s = F.sum("iq").over(wr)
+    illiq = F.when(
+        n >= length, s.cast("double") / n / F.lit(ILLIQ_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(illiq, 9).alias("illiq"),
+    )
+
+
+def _amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return amihud(bars_from_events_cached(spark, sf_dir))
+
+
+AMIHUD_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           CAST(floor(
+               (CAST(abs({_sql_q(f'ln(close / lag(close) OVER ({_WS_SQL}))')})
+                     AS DOUBLE) / {MS_SCALE!r}) / (close * volume)
+               * {ILLIQ_SCALE!r} + 0.5) AS BIGINT) AS iq
+    FROM bars
+),
+acc AS (
+    SELECT symbol, ts,
+           count(iq) OVER w AS n,
+           sum(iq) OVER w AS s
+    FROM r
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} THEN "
+                  f"CAST(s AS DOUBLE) / n / {ILLIQ_SCALE!r} END", 9)} AS illiq
+FROM acc
+""".strip())
+
+
+# -------------------------------------------------- Corwin-Schultz ----
+
+def corwin_schultz(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Corwin & Schultz (2012) 2-bar high-low spread estimator plus its
+    trailing-window mean.
+
+    beta = ln(h/l)^2 summed over the bar pair; gamma = the 2-bar-span
+    range squared; alpha = (sqrt(2b)-sqrt(b))/(3-2*sqrt(2)) -
+    sqrt(g/(3-2*sqrt(2))); S = 2(e^a - 1)/(1 + e^a), floored at 0 (the
+    standard negative-spread treatment). All inputs are quantized ints,
+    every float step is the same op chain in both engines; exp() is not
+    IEEE-correctly-rounded, so the spread is quantized at 1e-8 (flip
+    risk ~1e-5 per sf0.1 run — the documented ln-class caveat). The mean
+    is then an exact-integer rolling sum."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    qu = _q(F.log(F.col("high") / F.col("low")))
+    qup = F.lag(qu).over(ws)
+    hh = F.greatest(F.col("high"), F.lag("high").over(ws))
+    ll = F.least(F.col("low"), F.lag("low").over(ws))
+    qg = _q(F.log(hh / ll))
+    bq = qu * qu + qup * qup
+    gq = qg * qg
+    alpha = (
+        (F.sqrt(bq.cast("double") * F.lit(2.0)) - F.sqrt(bq.cast("double")))
+        / F.lit(CS_DENQ)
+        - F.sqrt(gq.cast("double") / F.lit(CS_DEN)) / F.lit(MS_SCALE)
+    )
+    ea = F.exp(alpha)
+    # explicit NULL guard: greatest(NULL, 0.0) is 0.0 in BOTH engines
+    # (NULL-skipping greatest), which would turn the pair-less first bar
+    # into a spurious zero spread instead of a warm-up NULL
+    spread = F.when(
+        alpha.isNotNull(),
+        F.greatest(
+            (ea - F.lit(1.0)) * F.lit(2.0) / (F.lit(1.0) + ea), F.lit(0.0)))
+    sq = F.floor(spread * F.lit(CS_SCALE) + F.lit(0.5)).cast("long")
+    df = bars.select("symbol", "ts", sq.alias("sq"))
+    n = F.count("sq").over(wr)
+    s = F.sum("sq").over(wr)
+    cs = F.col("sq").cast("double") / F.lit(CS_SCALE)
+    ma = F.when(n >= length, s.cast("double") / n / F.lit(CS_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(cs, 8).alias("cs_spread"),
+        round_col(ma, 8).alias("cs_spread_ma"),
+    )
+
+
+def _corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corwin_schultz(bars_from_events_cached(spark, sf_dir))
+
+
+CORWIN_SCHULTZ_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_q('ln(high / low)')} AS qu,
+           lag({_sql_q('ln(high / low)')}) OVER ({_WS_SQL}) AS qup,
+           {_sql_q(f"ln(greatest(high, lag(high) OVER ({_WS_SQL})) "
+                   f"/ least(low, lag(low) OVER ({_WS_SQL})))")} AS qg
+    FROM bars
+),
+a AS (
+    SELECT symbol, ts,
+           (sqrt(CAST(qu * qu + qup * qup AS DOUBLE) * 2.0)
+            - sqrt(CAST(qu * qu + qup * qup AS DOUBLE))) / {CS_DENQ!r}
+           - sqrt(CAST(qg * qg AS DOUBLE) / {CS_DEN!r}) / {MS_SCALE!r}
+           AS alpha
+    FROM r
+),
+s AS (
+    SELECT symbol, ts,
+           CAST(floor(
+               CASE WHEN alpha IS NOT NULL THEN
+                   greatest((exp(alpha) - 1.0) * 2.0 / (1.0 + exp(alpha)),
+                            0.0)
+               END * {CS_SCALE!r} + 0.5) AS BIGINT) AS sq
+    FROM a
+),
+acc AS (
+    SELECT symbol, ts, sq,
+           count(sq) OVER w AS n,
+           sum(sq) OVER w AS s
+    FROM s
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CAST(sq AS DOUBLE) / {CS_SCALE!r}", 8)} AS cs_spread,
+       {sql_round(f"CASE WHEN n >= {MS_N} THEN "
+                  f"CAST(s AS DOUBLE) / n / {CS_SCALE!r} END", 8)}
+       AS cs_spread_ma
+FROM acc
+""".strip())
+
+
+# -------------------------------------------- Hurst (aggregated var) ----
+
+HURST_KS = (1, 2, 4, 8, 16)
+_HURST_X = [math.log(float(k)) for k in HURST_KS]
+_HURST_SX = math.fsum(_HURST_X)
+_HURST_DEN = len(HURST_KS) * math.fsum(x * x for x in _HURST_X) \
+    - _HURST_SX * _HURST_SX
+HURST_MIN_NK = 8  # each k-horizon needs a usable variance
+
+
+def _hurst_slope_expr(ys, lit):
+    """Shared OLS-slope construction: ys are the 5 ln-variance terms
+    (engine columns or SQL strings); returns slope/2. Left-associated
+    fixed-order sums — no data-dependent float ordering."""
+    sxy = None
+    sy = None
+    for x, y in zip(_HURST_X, ys):
+        t = y * lit(x)
+        sxy = t if sxy is None else sxy + t
+        sy = y if sy is None else sy + y
+    slope = (sxy * lit(float(len(HURST_KS))) - sy * lit(_HURST_SX)) \
+        / lit(_HURST_DEN)
+    return slope / lit(2.0)
+
+
+def hurst_aggvar(bars: DataFrame) -> DataFrame:
+    """Hurst exponent per symbol via the aggregated-variance method:
+    variance of NON-OVERLAPPING k-bar log returns for k in
+    {1,2,4,8,16}, then H = OLS-slope of ln var(k) on ln k over the five
+    points, halved. H ~ 0.5 random walk, > 0.5 persistent, < 0.5
+    anti-persistent — long-memory telemetry over the whole history.
+
+    Non-overlap: row_number % k == 0 keeps one k-return per disjoint
+    span (identical tie-free ordering both engines — ts is unique per
+    symbol). Global moment sums are DECIMAL(38,0)/HUGEINT (unbounded
+    history — the int64-wrap class); each variance is one double
+    division of exact 128-bit ints, the regression is a fixed
+    5-term expression with repr-literal x values. One shuffle, one row
+    per symbol."""
+    ws = _ws()
+    rn = F.row_number().over(ws)
+    cols = ["symbol"]
+    d38 = "decimal(38,0)"
+    sel = bars.select(
+        "symbol", "ts", "close", rn.alias("rn"),
+        *[F.lag("close", k).over(ws).alias(f"c{k}") for k in HURST_KS])
+    for k in HURST_KS:
+        qk = F.when(
+            F.col("rn") % k == 0,
+            _q(F.log(F.col("close") / F.col(f"c{k}"))))
+        sel = sel.withColumn(f"q{k}", qk)
+    aggs = [F.count(F.lit(1)).alias("n_bars")]
+    for k in HURST_KS:
+        qk = F.col(f"q{k}")
+        aggs += [
+            F.count(qk).alias(f"n{k}"),
+            F.sum(qk.cast(d38)).alias(f"s{k}"),
+            F.sum((qk * qk).cast(d38)).alias(f"p{k}"),
+        ]
+    g = sel.groupBy("symbol").agg(*aggs)
+    ys = []
+    ok = None
+    for k in HURST_KS:
+        n = F.col(f"n{k}")
+        var_k = (n.cast(d38) * F.col(f"p{k}")
+                 - F.col(f"s{k}") * F.col(f"s{k}")).cast("double") \
+            / (n * (n - F.lit(1)))
+        cond = (n >= HURST_MIN_NK) & (var_k > 0)
+        ok = cond if ok is None else (ok & cond)
+        ys.append(F.log(var_k))
+    h = F.when(ok, _hurst_slope_expr(ys, F.lit))
+    return g.select(
+        "symbol", F.col("n_bars").cast("long").alias("n_bars"),
+        round_col(h).alias("hurst"),
+    )
+
+
+def _hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hurst_aggvar(bars_from_events_cached(spark, sf_dir))
+
+
+def _hurst_sql() -> str:
+    qcols = ",\n           ".join(
+        f"CASE WHEN rn % {k} = 0 THEN "
+        f"{_sql_q(f'ln(close / lag(close, {k}) OVER ({_WS_SQL}))')} END AS q{k}"
+        for k in HURST_KS)
+    aggs = ",\n           ".join(
+        f"count(q{k}) AS n{k}, sum(CAST(q{k} AS HUGEINT)) AS s{k}, "
+        f"sum(CAST(q{k} AS HUGEINT) * q{k}) AS p{k}"
+        for k in HURST_KS)
+    vars_ = ",\n           ".join(
+        f"CAST(n{k} * p{k} - s{k} * s{k} AS DOUBLE) / (n{k} * (n{k} - 1)) "
+        f"AS v{k}"
+        for k in HURST_KS)
+    ok = " AND ".join(
+        f"n{k} >= {HURST_MIN_NK} AND v{k} > 0" for k in HURST_KS)
+
+    class _S(str):
+        def __mul__(self, o):
+            return _S(f"({self}) * ({o})")
+
+        def __add__(self, o):
+            return _S(f"({self}) + ({o})")
+
+        def __sub__(self, o):
+            return _S(f"({self}) - ({o})")
+
+        def __truediv__(self, o):
+            return _S(f"({self}) / ({o})")
+
+    slope = _hurst_slope_expr(
+        [_S(f"ln(v{k})") for k in HURST_KS], lambda x: _S(repr(x)))
+    return with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts, close,
+           row_number() OVER ({_WS_SQL}) AS rn,
+           {qcols}
+    FROM bars
+),
+g AS (
+    SELECT symbol, count(*) AS n_bars,
+           {aggs}
+    FROM r
+    GROUP BY symbol
+),
+v AS (
+    SELECT *, {vars_}
+    FROM g
+)
+SELECT symbol, CAST(n_bars AS BIGINT) AS n_bars,
+       {sql_round(f"CASE WHEN {ok} THEN {slope} END")} AS hurst
+FROM v
+""".strip())
+
+
+HURST_SQL = _hurst_sql()
+
+
+# ------------------------------------------------ AR(1) half-life ----
+
+def ar1_half_life(bars: DataFrame) -> DataFrame:
+    """AR(1) mean-reversion half-life of the log price per symbol:
+    regress (x_t - x_{t-1}) on x_{t-1} for x = 1e-6-quantized ln(close);
+    half-life = -ln2 / ln(1 + b) when -1 < b < 0 (else NULL — no mean
+    reversion). The delta is computed ON the quantized grid, so both
+    regression variables are exact ints and b is one double division of
+    DECIMAL(38,0)/HUGEINT moment sums (unbounded history). One shuffle,
+    one row per symbol; the slope is emitted alongside so a random-walk
+    series (b ~ 0, NULL half-life) is still informative."""
+    ws = _ws()
+    x = _q(F.log(F.col("close")))
+    df = bars.select("symbol", "ts", x.alias("x"))
+    xp = F.lag("x").over(ws)
+    df = df.select(
+        "symbol", xp.alias("xp"), (F.col("x") - xp).alias("y"))
+    d38 = "decimal(38,0)"
+    g = df.filter(F.col("xp").isNotNull()).groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xp").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("xp") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("xp") * F.col("xp")).cast(d38)).alias("sxx"),
+    )
+    n = F.col("n").cast(d38)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.when((F.col("n") >= 2) & (den > 0),
+               num.cast("double") / den.cast("double"))
+    hl = F.when(
+        (b > -1.0) & (b < 0.0),
+        F.lit(-LN2) / F.log(F.lit(1.0) + b))
+    return g.select(
+        "symbol", F.col("n").cast("long").alias("n_obs"),
+        round_col(b).alias("ar1_slope"),
+        round_col(hl).alias("half_life_bars"),
+    )
+
+
+def _ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ar1_half_life(bars_from_events_cached(spark, sf_dir))
+
+
+AR1_SQL = with_bars_cte(f"""
+, x AS (
+    SELECT symbol, ts, {_sql_q('ln(close)')} AS x
+    FROM bars
+),
+d AS (
+    SELECT symbol,
+           lag(x) OVER ({_WS_SQL}) AS xp,
+           x - lag(x) OVER ({_WS_SQL}) AS y
+    FROM x
+),
+g AS (
+    SELECT symbol, count(*) AS n,
+           sum(CAST(xp AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(xp AS HUGEINT) * y) AS sxy,
+           sum(CAST(xp AS HUGEINT) * xp) AS sxx
+    FROM d
+    WHERE xp IS NOT NULL
+    GROUP BY symbol
+),
+b AS (
+    SELECT symbol, n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS b
+    FROM g
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs,
+       {sql_round('b')} AS ar1_slope,
+       {sql_round(f"CASE WHEN b > -1.0 AND b < 0.0 "
+                  f"THEN (-{LN2!r}) / ln(1.0 + b) END")} AS half_life_bars
+FROM b
+""".strip())
+
+
+SUITE = {
+    "vol_parkinson_20": ExtQuery(_parkinson, PARKINSON_SQL),
+    "vol_garman_klass_20": ExtQuery(_garman_klass, GARMAN_KLASS_SQL),
+    "vol_rogers_satchell_20": ExtQuery(_rogers_satchell,
+                                       ROGERS_SATCHELL_SQL),
+    "vol_yang_zhang_20": ExtQuery(_yang_zhang, YANG_ZHANG_SQL),
+    "amihud_illiq_20": ExtQuery(_amihud, AMIHUD_SQL),
+    "cs_spread_2_20": ExtQuery(_corwin_schultz, CORWIN_SCHULTZ_SQL),
+    "hurst_aggvar": ExtQuery(_hurst, HURST_SQL),
+    "ar1_half_life": ExtQuery(_ar1, AR1_SQL),
+}

@@ -172,7 +172,12 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
         lag = shift("close", drift)
         rhs = lag * F.lit(scale) if scale is not None else lag
         cond = (F.col("close") > rhs) if increasing_ else (F.col("close") < rhs)
-        t = "_creasing_step"
+        # parameterized per (kind, pct, drift): increasing+decreasing in
+        # ONE strategy previously collided on a shared "_creasing_step"
+        # (the layer-merge conflict apply_strategy now rejects); pct is
+        # embedded dot-free
+        t = (f"_{key}_step_{drift}"
+             + (f"_{str(pct).replace('.', 'p')}" if pct is not None else ""))
         s_lag = sql_shift("close", drift)
         s_rhs = f"({s_lag}) * {scale!r}" if scale is not None else f"({s_lag})"
         # length values = length-1 steps; length<=1 degenerates to the

@@ -885,3 +885,107 @@ def streaming_drawdown_episodes(ticks: DataFrame,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_yang_zhang(ticks: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/microstructure.py::yang_zhang — the
+    overnight-gap-robust composite volatility estimator as a continuous
+    query over an OHLC bar stream (columns: symbol, ts, open, high,
+    low, close).
+
+    State = ring buffer of the last MS_N + 1 OHLC rows per symbol (the
+    +1 supplies the oldest window row's prev-close for the overnight
+    return). Each arriving bar appends and refolds the trailing-MS_N
+    exact-integer moment sums with python ints (unbounded, matching
+    BIGINT), then emits the batch emission formula verbatim — the same
+    float op order, float(int) conversions mirroring CAST AS DOUBLE.
+    While the buffer is unsaturated its index 0 is the series start, so
+    the row at buffer index 0 has no overnight return — the same
+    validity rule the batch lag produces. A bar with a non-positive or
+    NaN price yields None quant values: the row still OCCUPIES its
+    window slot (batch ROWS frames count it) but joins no sum — the
+    batch NULL-propagation guard. Same in-order-across-triggers
+    precondition and 1-ulp python-vs-JVM ln caveat as the regime twins
+    (_rolling_regime_twin); rows within one micro-batch are globally
+    re-sorted by ts before folding (arrow chunks arrive in shuffle
+    order)."""
+    import math
+
+    from pandas_ta_spark.ext.microstructure import MS_N, MS_SCALE, YZ_K
+
+    cap = MS_N + 1
+    omk = 1.0 - YZ_K
+    out_schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("n_obs", LongType()),
+        StructField("vol_yz", DoubleType()),
+    ])
+    state_schema = StructType([StructField("ohlc", StringType())])
+    floor, log = math.floor, math.log
+
+    def _lnq(a, b):
+        """quantized ln(a/b) or None — the batch NULL log return."""
+        if not (a > 0 and b > 0) or a != a or b != b:
+            return None
+        return int(floor(log(a / b) * MS_SCALE + 0.5))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        buf = []
+        if state.exists:
+            for tok in state.get[0].split(";"):
+                if tok:
+                    o, h, l, c = tok.split(":")
+                    buf.append((float(o), float(h), float(l), float(c)))
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        rows = {"ts": [], "n_obs": [], "vol_yz": []}
+        for ts, o, h, l, c in zip(pdf["ts"], pdf["open"], pdf["high"],
+                                  pdf["low"], pdf["close"]):
+            buf.append((float(o), float(h), float(l), float(c)))
+            if len(buf) > cap:
+                buf.pop(0)
+            m = len(buf)
+            n = so = qo2 = sc = qc2 = srs = 0
+            for j in range(max(0, m - MS_N), m):
+                oj, hj, lj, cj = buf[j]
+                if j == 0:
+                    continue  # no prev close: overnight return NULL
+                qo = _lnq(oj, buf[j - 1][3])
+                qc = _lnq(cj, oj)
+                hc, ho = _lnq(hj, cj), _lnq(hj, oj)
+                lc, lo = _lnq(lj, cj), _lnq(lj, oj)
+                if None in (qo, qc, hc, ho, lc, lo):
+                    continue  # batch validity guard: row joins no sum
+                rs = hc * ho + lc * lo
+                n += 1
+                so += qo
+                qo2 += qo * qo
+                sc += qc
+                qc2 += qc * qc
+                srs += rs
+            vol = None
+            if n >= MS_N:
+                vo = float(n * qo2 - so * so) / (n * (n - 1))
+                vc = float(n * qc2 - sc * sc) / (n * (n - 1))
+                vrs = float(srs) / n
+                var = vo + vc * YZ_K + vrs * omk
+                if var > 0:
+                    vol = py_round(math.sqrt(var) / MS_SCALE)
+            rows["ts"].append(ts)
+            rows["n_obs"].append(n)
+            rows["vol_yz"].append(vol)
+        yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((";".join(
+            f"{o!r}:{h!r}:{l!r}:{c!r}" for o, h, l, c in buf),))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

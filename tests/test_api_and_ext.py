@@ -41,6 +41,27 @@ def test_strategy_single_plan(bars):
     assert out.count() == 550
 
 
+def test_all_indicator_strategy_builds_and_runs(bars):
+    """Regression: the EVERYTHING-in-one-plan strategy (bench's all-145
+    headline) must build and compute. The r8 conflicting-temp guard in
+    apply_strategy raises at PLAN BUILD time when two indicators share a
+    temp column with different expressions — increasing+decreasing
+    (strict) collided on '_creasing_step' and no test exercised the full
+    set together, so bench/audit crashed while pytest stayed green."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import all_indicators
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    inds = all_indicators()
+    out = apply_strategy(bars, inds)  # the temp-conflict guard fires here
+    outputs = {o for ind in inds for o in ind.outputs}
+    missing = outputs - set(out.columns)
+    assert not missing, sorted(missing)[:5]
+    assert out.count() == 550
+
+
 def test_short_symbol_groups_survive(spark):
     """verify_series analogue: groups shorter than the window/seed emit
     NULLs, never crash — kernels and windows alike."""
@@ -299,8 +320,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 234
-    assert len(o) == 234  # zero rows-only (r8 added asof_hour_lookup,
+    assert len(q) == 242
+    assert len(o) == 242  # zero rows-only (r8 added asof_hour_lookup,
     # embedding_drift_by_slice, curation_decisions, perplexity_unigram,
     # then attribution_last_touch, user_rfm_segments, events_rate_anomaly,
     # bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram,
@@ -308,7 +329,10 @@ def test_entry_contract(spark):
     # lead_lag_corr_1h, unigram_kl_by_source, lexical_diversity,
     # hourly_seasonality, event_transition_matrix,
     # conversion_lag_percentiles, session_stats_30m,
-    # embedding_norm_by_label, active_users_daily)
+    # embedding_norm_by_label, active_users_daily, then the
+    # microstructure pack: vol_parkinson_20, vol_garman_klass_20,
+    # vol_rogers_satchell_20, vol_yang_zhang_20, amihud_illiq_20,
+    # cs_spread_2_20, hurst_aggvar, ar1_half_life)
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window

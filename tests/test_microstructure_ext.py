@@ -1,0 +1,365 @@
+"""Independent-recompute tests for the microstructure/vol-estimator pack.
+
+The oracle gate (tools/check.py) proves Spark == DuckDB on the driver
+tables; these tests recompute each estimator a THIRD way — numpy/pandas
+with the same 1e-6 integer quantization, on the synthetic conftest bars
+— so a shared misreading of a published formula in both SQL dialects
+would still be caught. Plus planted-input closed forms (flat bars,
+constant range, exact AR(1) decay) that the synthetic series never
+isolates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest  # noqa: F401
+
+from pandas_ta_spark.ext.microstructure import (
+    CS_DEN,
+    CS_SCALE,
+    FOURLN2_N,
+    GK_C2,
+    HURST_KS,
+    HURST_MIN_NK,
+    ILLIQ_SCALE,
+    MS_N,
+    MS_SCALE,
+    YZ_K,
+    _HURST_DEN,
+    _HURST_SX,
+    _HURST_X,
+    amihud,
+    ar1_half_life,
+    corwin_schultz,
+    garman_klass,
+    hurst_aggvar,
+    parkinson,
+    rogers_satchell,
+    yang_zhang,
+)
+
+
+def _q(x: np.ndarray) -> np.ndarray:
+    """floor(ln-value * 1e6 + 0.5): the shared quantization (float array,
+    NaN passes through)."""
+    return np.floor(x * MS_SCALE + 0.5)
+
+
+def _roll(vals: np.ndarray, mask: np.ndarray, n: int = MS_N):
+    """Exact trailing-n sums of int64(vals where mask) and mask counts."""
+    v = np.where(mask, vals, 0).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(v)])
+    cm = np.concatenate([[0], np.cumsum(mask.astype(np.int64))])
+    lo = np.maximum(0, np.arange(1, len(vals) + 1) - n)
+    return cs[1:] - cs[lo], cm[1:] - cm[lo]
+
+
+def _got(df, sort=("symbol", "ts")):
+    return df.toPandas().sort_values(list(sort)).reset_index(drop=True)
+
+
+def _cmp(got: pd.Series, exp: np.ndarray, tol: float, name: str):
+    a = got.to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(a), np.isnan(exp)), (
+        f"{name}: NULL pattern mismatch")
+    assert np.nanmax(np.abs(a - exp), initial=0.0) <= tol, name
+
+
+def test_parkinson_matches_numpy(spark, bars, pdf_bars):
+    got = _got(parkinson(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        qu = _q(np.log(g["high"].to_numpy() / g["low"].to_numpy()))
+        su2, n = _roll(qu * qu, ~np.isnan(qu))
+        vol = np.where(n >= MS_N,
+                       np.sqrt(su2.astype(float) / FOURLN2_N) / MS_SCALE,
+                       np.nan)
+        exps.append(vol)
+    _cmp(got["vol_p"], np.concatenate(exps), 5e-6, "vol_p")
+    assert (got["n_obs"].to_numpy() >= 1).all()
+
+
+def test_garman_klass_matches_numpy(spark, bars, pdf_bars):
+    got = _got(garman_klass(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        qu = _q(np.log(g["high"].to_numpy() / g["low"].to_numpy()))
+        qv = _q(np.log(g["close"].to_numpy() / g["open"].to_numpy()))
+        m = ~np.isnan(qu) & ~np.isnan(qv)
+        su2, n = _roll(qu * qu, m)
+        sv2, _ = _roll(qv * qv, m)
+        var = (su2.astype(float) * 0.5 - sv2.astype(float) * GK_C2) \
+            / np.maximum(n, 1)
+        vol = np.where((n >= MS_N) & (var > 0),
+                       np.sqrt(np.where(var > 0, var, np.nan)) / MS_SCALE,
+                       np.nan)
+        exps.append(vol)
+    _cmp(got["vol_gk"], np.concatenate(exps), 5e-6, "vol_gk")
+
+
+def _rs_terms(g: pd.DataFrame) -> np.ndarray:
+    h, l = g["high"].to_numpy(), g["low"].to_numpy()
+    o, c = g["open"].to_numpy(), g["close"].to_numpy()
+    return (_q(np.log(h / c)) * _q(np.log(h / o))
+            + _q(np.log(l / c)) * _q(np.log(l / o)))
+
+
+def test_rogers_satchell_matches_numpy(spark, bars, pdf_bars):
+    got = _got(rogers_satchell(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        rs = _rs_terms(g)
+        srs, n = _roll(rs, ~np.isnan(rs))
+        vol = np.where(n >= MS_N,
+                       np.sqrt(srs.astype(float) / np.maximum(n, 1))
+                       / MS_SCALE, np.nan)
+        exps.append(vol)
+    _cmp(got["vol_rs"], np.concatenate(exps), 5e-6, "vol_rs")
+
+
+def test_yang_zhang_matches_numpy(spark, bars, pdf_bars):
+    got = _got(yang_zhang(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        o, c = g["open"].to_numpy(), g["close"].to_numpy()
+        pc = np.concatenate([[np.nan], c[:-1]])
+        qo = _q(np.log(o / pc))
+        qc = _q(np.log(c / o))
+        rs = _rs_terms(g)
+        m = ~np.isnan(qo) & ~np.isnan(qc) & ~np.isnan(rs)
+        so, n = _roll(qo, m)
+        qo2, _ = _roll(np.where(m, qo, 0) ** 2, m)
+        sc, _ = _roll(qc, m)
+        qc2, _ = _roll(np.where(m, qc, 0) ** 2, m)
+        srs, _ = _roll(rs, m)
+        nn = np.maximum(n, 2).astype(float)
+        vo = (n * qo2 - so * so).astype(float) / (nn * (nn - 1))
+        vc = (n * qc2 - sc * sc).astype(float) / (nn * (nn - 1))
+        vrs = srs.astype(float) / nn
+        var = vo + vc * YZ_K + vrs * (1.0 - YZ_K)
+        vol = np.where((n >= MS_N) & (var > 0),
+                       np.sqrt(np.where(var > 0, var, np.nan)) / MS_SCALE,
+                       np.nan)
+        exps.append(vol)
+    _cmp(got["vol_yz"], np.concatenate(exps), 5e-6, "vol_yz")
+
+
+def test_amihud_matches_numpy(spark, bars, pdf_bars):
+    got = _got(amihud(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        c, v = g["close"].to_numpy(), g["volume"].to_numpy()
+        pc = np.concatenate([[np.nan], c[:-1]])
+        aq = np.abs(_q(np.log(c / pc)))
+        ratio = (aq / MS_SCALE) / (c * v)
+        iq = np.floor(ratio * ILLIQ_SCALE + 0.5)
+        m = ~np.isnan(iq)
+        s, n = _roll(iq, m)
+        illiq = np.where(n >= MS_N,
+                         s.astype(float) / np.maximum(n, 1) / ILLIQ_SCALE,
+                         np.nan)
+        exps.append(illiq)
+    _cmp(got["illiq"], np.concatenate(exps), 5e-9, "illiq")
+
+
+def test_corwin_schultz_matches_numpy(spark, bars, pdf_bars):
+    got = _got(corwin_schultz(bars))
+    sp, ma = [], []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        h, l = g["high"].to_numpy(), g["low"].to_numpy()
+        qu = _q(np.log(h / l))
+        qup = np.concatenate([[np.nan], qu[:-1]])
+        hh = np.maximum(h, np.concatenate([[np.nan], h[:-1]]))
+        ll = np.minimum(l, np.concatenate([[np.nan], l[:-1]]))
+        qg = _q(np.log(hh / ll))
+        bq = qu * qu + qup * qup
+        gq = qg * qg
+        alpha = ((np.sqrt(bq * 2.0) - np.sqrt(bq)) / (CS_DEN * MS_SCALE)
+                 - np.sqrt(gq / CS_DEN) / MS_SCALE)
+        ea = np.exp(alpha)
+        spread = np.maximum((ea - 1.0) * 2.0 / (1.0 + ea), 0.0)
+        sq = np.floor(spread * CS_SCALE + 0.5)
+        m = ~np.isnan(sq)
+        s, n = _roll(sq, m)
+        sp.append(np.where(m, sq / CS_SCALE, np.nan))
+        ma.append(np.where(n >= MS_N,
+                           s.astype(float) / np.maximum(n, 1) / CS_SCALE,
+                           np.nan))
+    _cmp(got["cs_spread"], np.concatenate(sp), 5e-8, "cs_spread")
+    _cmp(got["cs_spread_ma"], np.concatenate(ma), 5e-8, "cs_spread_ma")
+
+
+def test_hurst_matches_python_ints(spark, bars, pdf_bars):
+    got = _got(hurst_aggvar(bars), sort=("symbol",))
+    exp = []
+    for sym, g in pdf_bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        ys, ok = [], True
+        for k in HURST_KS:
+            qs = []
+            for i in range(len(c)):
+                rn = i + 1
+                if rn % k == 0 and i - k >= 0:
+                    qs.append(int(math.floor(
+                        math.log(c[i] / c[i - k]) * MS_SCALE + 0.5)))
+            n = len(qs)
+            s = sum(qs)          # python ints: n*p exceeds int64
+            p = sum(q * q for q in qs)
+            if n < HURST_MIN_NK or n * p - s * s <= 0:
+                ok = False
+                break
+            ys.append(math.log((n * p - s * s) / (n * (n - 1))))
+        if not ok:
+            exp.append(np.nan)
+            continue
+        sxy = math.fsum(x * y for x, y in zip(_HURST_X, ys))
+        sy = math.fsum(ys)
+        slope = (len(HURST_KS) * sxy - _HURST_SX * sy) / _HURST_DEN
+        exp.append(slope / 2.0)
+    _cmp(got["hurst"], np.array(exp), 2e-5, "hurst")
+    # sanity: a Gaussian random walk's H is ~0.5
+    assert np.nanmin(got["hurst"].to_numpy()) > 0.2
+    assert np.nanmax(got["hurst"].to_numpy()) < 0.8
+
+
+def test_ar1_matches_python_ints(spark, bars, pdf_bars):
+    got = _got(ar1_half_life(bars), sort=("symbol",))
+    slopes, hls = [], []
+    for sym, g in pdf_bars.groupby("symbol", sort=True):
+        x = [int(math.floor(math.log(v) * MS_SCALE + 0.5))
+             for v in g["close"]]
+        xp, y = x[:-1], [b - a for a, b in zip(x[:-1], x[1:])]
+        n = len(xp)
+        sx, sy = sum(xp), sum(y)
+        sxy = sum(a * b for a, b in zip(xp, y))
+        sxx = sum(a * a for a in xp)
+        den = n * sxx - sx * sx
+        b = (n * sxy - sx * sy) / den if den > 0 else np.nan
+        slopes.append(b)
+        hls.append(-math.log(2) / math.log(1.0 + b)
+                   if -1 < b < 0 else np.nan)
+    _cmp(got["ar1_slope"], np.array(slopes), 2e-5, "ar1_slope")
+    _cmp(got["half_life_bars"], np.array(hls), 2e-3, "half_life_bars")
+
+
+# ------------------------------------------------- planted closed forms ----
+
+def _mk_bars(spark, o, h, l, c, v=None):
+    n = len(c)
+    pdf = pd.DataFrame({
+        "symbol": "P", "ts": pd.date_range("2024-01-01", periods=n,
+                                           freq="h"),
+        "open": o, "high": h, "low": l, "close": c,
+        "volume": v if v is not None else np.full(n, 10.0),
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_planted_constant_range_closed_forms(spark):
+    """h/l == e^r constant, o == c (doji bars): Parkinson has the exact
+    closed form qu / (1e6 * sqrt(4 ln2)); GK reduces to the same scaled
+    by sqrt(0.5/ (1/(4 ln2)))... asserted via the quantized formula; RS
+    is exactly 0 only when each factor pair has a zero side — here
+    h/c = e^(r/2) > 1 and l/c = e^(-r/2) < 1, so RS > 0 with an exact
+    integer per-bar term."""
+    n, r = 40, 0.02
+    c = np.full(n, 100.0)
+    h = c * math.exp(r / 2)
+    l = c * math.exp(-r / 2)
+    df, _ = _mk_bars(spark, c, h, l, c)
+    qu = math.floor(math.log(math.exp(r / 2) / math.exp(-r / 2))
+                    * MS_SCALE + 0.5)
+    out = _got(parkinson(df))
+    expect = math.sqrt(MS_N * qu * qu / FOURLN2_N) / MS_SCALE
+    full = out[out["n_obs"] >= MS_N]
+    assert len(full) == n - MS_N + 1
+    assert np.allclose(full["vol_p"], np.floor(expect * 1e6 + 0.5) / 1e6)
+
+    # flat bars: every estimator is exactly zero-range -> vol 0 / NULL
+    flat, _ = _mk_bars(spark, c, c, c, c)
+    p = _got(parkinson(flat))
+    assert (p.loc[p["n_obs"] >= MS_N, "vol_p"] == 0).all()
+    rs = _got(rogers_satchell(flat))
+    assert (rs.loc[rs["n_obs"] >= MS_N, "vol_rs"] == 0).all()
+    gk = _got(garman_klass(flat))  # var == 0 -> NULL (strict > 0 domain)
+    assert gk.loc[gk["n_obs"] >= MS_N, "vol_gk"].isna().all()
+
+
+def test_planted_ar1_exact_decay(spark):
+    """Noiseless AR(1) log price x_t = phi * x_{t-1}: the regression
+    slope is exactly phi - 1 and half-life is -ln2/ln(phi) (up to the
+    1e-6 log-price quantization)."""
+    phi, x0, n = 0.9, 0.5, 60
+    x = x0 * phi ** np.arange(n)
+    c = np.exp(x) * 100.0  # scale shifts ln(close) by a constant only:
+    # AR(1) on a shifted series changes the intercept, not the slope,
+    # ONLY if the regression includes an intercept — it does (the
+    # n*Sxy - Sx*Sy form is the centered OLS slope).
+    df, _ = _mk_bars(spark, c, c * 1.001, c * 0.999, c)
+    out = _got(ar1_half_life(df), sort=("symbol",))
+    b = out["ar1_slope"].iloc[0]
+    hl = out["half_life_bars"].iloc[0]
+    assert abs(b - (phi - 1.0)) < 2e-3
+    assert abs(hl - (-math.log(2) / math.log(phi))) < 0.2
+
+
+def test_streaming_yang_zhang_matches_batch(spark, tmp_path):
+    """The streaming twin (MS_N+1 OHLC ring buffer per symbol,
+    applyInPandasWithState) must reproduce the batch estimator across a
+    micro-batch split landing INSIDE the rolling window — including the
+    unsaturated warm-up rows and the prev-close handoff at the split."""
+    from pandas_ta_spark.ext.microstructure import yang_zhang
+    from pandas_ta_spark.streaming import streaming_yang_zhang
+
+    rng = np.random.default_rng(23)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 70
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.02, n))) * 50, 4)
+        spread = np.round(np.abs(rng.normal(0.3, 0.1, n)), 4)
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "open": close + np.round(rng.normal(0, 0.1, n), 4),
+            "high": close + spread,
+            "low": close - spread,
+            "close": close,
+            "volume": 10.0}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "yz_src"
+    src.mkdir()
+    bars.groupby("symbol").head(30).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(40).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "symbol string, ts timestamp, open double, high double, "
+            "low double, close double, volume double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_yang_zhang(stream)
+        .writeStream.format("memory").queryName("yz_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM yz_stream").toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    exp = (yang_zhang(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) == 140
+    assert got["symbol"].tolist() == exp["symbol"].tolist()
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    ga, ea = got["vol_yz"].to_numpy(), exp["vol_yz"].to_numpy()
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    # python math.log vs JVM ln can differ by 1 ulp at a floor boundary
+    assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5

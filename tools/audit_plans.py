@@ -99,7 +99,10 @@ def main() -> None:
                 "unigram_kl_by_source", "lexical_diversity",
                 "event_transition_matrix", "conversion_lag_percentiles",
                 "session_stats_30m", "embedding_norm_by_label",
-                "active_users_daily"):
+                "active_users_daily",
+                # microstructure pack (late r8)
+                "vol_parkinson_20", "vol_yang_zhang_20", "amihud_illiq_20",
+                "cs_spread_2_20", "hurst_aggvar", "ar1_half_life"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
