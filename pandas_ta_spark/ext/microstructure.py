@@ -87,6 +87,26 @@ def _sql_q(e: str) -> str:
     return f"CAST(floor(({e}) * {MS_SCALE!r} + 0.5) AS BIGINT)"
 
 
+def _qlog(num, den):
+    """Quantized ln(num/den), NULL unless BOTH sides are strictly
+    positive. The guard is load-bearing cross-engine semantics, not
+    defensive style: sf0.1 bars contain zero lows, and there
+    ln(0/close) ERRORS in DuckDB ("cannot take logarithm of zero")
+    while Spark's ANSI-off log/division silently yield NULL — the
+    engines diverge exactly on the dirty rows. With the shared guard a
+    non-positive price makes the row invalid (joins no window sum) in
+    BOTH engines, matching the streaming twin's _lnq."""
+    return F.when((num > F.lit(0)) & (den > F.lit(0)),
+                  _q(F.log(num / den)))
+
+
+def _sql_qlog(num: str, den: str) -> str:
+    """DuckDB twin of _qlog (CASE short-circuits, so ln never sees a
+    non-positive argument; a NULL side compares NULL -> not-true)."""
+    return (f"CASE WHEN ({num}) > 0 AND ({den}) > 0 THEN "
+            f"{_sql_q(f'ln(({num}) / ({den}))')} END")
+
+
 # ------------------------------------------------------- Parkinson ----
 
 def parkinson(bars: DataFrame, length: int = MS_N) -> DataFrame:
@@ -98,7 +118,7 @@ def parkinson(bars: DataFrame, length: int = MS_N) -> DataFrame:
     shared repr literal — identical in both engines. ONE shuffle on
     symbol."""
     assert length == MS_N, "oracle twin is generated for MS_N"
-    qu = _q(F.log(F.col("high") / F.col("low")))
+    qu = _qlog(F.col("high"), F.col("low"))
     df = bars.select("symbol", "ts", qu.alias("qu"))
     wr = _wr()
     n = F.count("qu").over(wr)
@@ -121,7 +141,7 @@ def _parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARKINSON_SQL = with_bars_cte(f"""
 , r AS (
-    SELECT symbol, ts, {_sql_q('ln(high / low)')} AS qu
+    SELECT symbol, ts, {_sql_qlog('high', 'low')} AS qu
     FROM bars
 ),
 acc AS (
@@ -152,8 +172,8 @@ def garman_klass(bars: DataFrame, length: int = MS_N) -> DataFrame:
     estimator domain, deterministic: the sign test runs on identical
     doubles)."""
     assert length == MS_N
-    qu = _q(F.log(F.col("high") / F.col("low")))
-    qv = _q(F.log(F.col("close") / F.col("open")))
+    qu = _qlog(F.col("high"), F.col("low"))
+    qv = _qlog(F.col("close"), F.col("open"))
     df = bars.select("symbol", "ts", qu.alias("qu"), qv.alias("qv"))
     wr = _wr()
     pair = F.col("qu") * F.col("qv")
@@ -177,8 +197,8 @@ def _garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
 GARMAN_KLASS_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
-           {_sql_q('ln(high / low)')} AS qu,
-           {_sql_q('ln(close / open)')} AS qv
+           {_sql_qlog('high', 'low')} AS qu,
+           {_sql_qlog('close', 'open')} AS qv
     FROM bars
 ),
 acc AS (
@@ -213,10 +233,10 @@ def rogers_satchell(bars: DataFrame, length: int = MS_N) -> DataFrame:
     both l-terms <= 0), so the rolling sum is an exact non-negative
     integer and the emission is serial double division + sqrt."""
     assert length == MS_N
-    hc = _q(F.log(F.col("high") / F.col("close")))
-    ho = _q(F.log(F.col("high") / F.col("open")))
-    lc = _q(F.log(F.col("low") / F.col("close")))
-    lo = _q(F.log(F.col("low") / F.col("open")))
+    hc = _qlog(F.col("high"), F.col("close"))
+    ho = _qlog(F.col("high"), F.col("open"))
+    lc = _qlog(F.col("low"), F.col("close"))
+    lo = _qlog(F.col("low"), F.col("open"))
     rs = hc * ho + lc * lo
     df = bars.select("symbol", "ts", rs.alias("rs"))
     wr = _wr()
@@ -239,8 +259,8 @@ def _rogers_satchell(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROGERS_SATCHELL_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
-           {_sql_q('ln(high / close)')} * {_sql_q('ln(high / open)')}
-           + {_sql_q('ln(low / close)')} * {_sql_q('ln(low / open)')} AS rs
+           {_sql_qlog('high', 'close')} * {_sql_qlog('high', 'open')}
+           + {_sql_qlog('low', 'close')} * {_sql_qlog('low', 'open')} AS rs
     FROM bars
 ),
 acc AS (
@@ -272,12 +292,12 @@ def yang_zhang(bars: DataFrame, length: int = MS_N) -> DataFrame:
     already-double variances in the same order on both engines."""
     assert length == MS_N
     ws, wr = _ws(), _wr()
-    qo = _q(F.log(F.col("open") / F.lag("close").over(ws)))
-    qc = _q(F.log(F.col("close") / F.col("open")))
-    hc = _q(F.log(F.col("high") / F.col("close")))
-    ho = _q(F.log(F.col("high") / F.col("open")))
-    lc = _q(F.log(F.col("low") / F.col("close")))
-    lo = _q(F.log(F.col("low") / F.col("open")))
+    qo = _qlog(F.col("open"), F.lag("close").over(ws))
+    qc = _qlog(F.col("close"), F.col("open"))
+    hc = _qlog(F.col("high"), F.col("close"))
+    ho = _qlog(F.col("high"), F.col("open"))
+    lc = _qlog(F.col("low"), F.col("close"))
+    lo = _qlog(F.col("low"), F.col("open"))
     rs = hc * ho + lc * lo
     df = bars.select(
         "symbol", "ts", qo.alias("qo"), qc.alias("qc"), rs.alias("rs"))
@@ -312,10 +332,10 @@ def _yang_zhang(spark: SparkSession, sf_dir: str) -> DataFrame:
 YANG_ZHANG_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
-           {_sql_q(f'ln(open / lag(close) OVER ({_WS_SQL}))')} AS qo,
-           {_sql_q('ln(close / open)')} AS qc,
-           {_sql_q('ln(high / close)')} * {_sql_q('ln(high / open)')}
-           + {_sql_q('ln(low / close)')} * {_sql_q('ln(low / open)')} AS rs
+           {_sql_qlog('open', f'lag(close) OVER ({_WS_SQL})')} AS qo,
+           {_sql_qlog('close', 'open')} AS qc,
+           {_sql_qlog('high', 'close')} * {_sql_qlog('high', 'open')}
+           + {_sql_qlog('low', 'close')} * {_sql_qlog('low', 'open')} AS rs
     FROM bars
 ),
 g AS (
@@ -362,8 +382,9 @@ def amihud(bars: DataFrame, length: int = MS_N) -> DataFrame:
     frame vs DuckDB's segment tree disagree in the last ulp)."""
     assert length == MS_N
     ws, wr = _ws(), _wr()
-    aq = F.abs(_q(F.log(F.col("close") / F.lag("close").over(ws))))
-    dv = F.col("close") * F.col("volume")
+    aq = F.abs(_qlog(F.col("close"), F.lag("close").over(ws)))
+    dv = F.col("close") * F.col("volume")  # dv == 0 divides to NULL in
+    # BOTH engines (probed: DuckDB x/0.0 and Spark ANSI-off agree)
     ratio = (aq.cast("double") / F.lit(MS_SCALE)) / dv
     iq = F.floor(ratio * F.lit(ILLIQ_SCALE) + F.lit(0.5)).cast("long")
     df = bars.select("symbol", "ts", iq.alias("iq"))
@@ -385,7 +406,7 @@ AMIHUD_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
            CAST(floor(
-               (CAST(abs({_sql_q(f'ln(close / lag(close) OVER ({_WS_SQL}))')})
+               (CAST(abs({_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')})
                      AS DOUBLE) / {MS_SCALE!r}) / (close * volume)
                * {ILLIQ_SCALE!r} + 0.5) AS BIGINT) AS iq
     FROM bars
@@ -420,11 +441,11 @@ def corwin_schultz(bars: DataFrame, length: int = MS_N) -> DataFrame:
     is then an exact-integer rolling sum."""
     assert length == MS_N
     ws, wr = _ws(), _wr()
-    qu = _q(F.log(F.col("high") / F.col("low")))
+    qu = _qlog(F.col("high"), F.col("low"))
     qup = F.lag(qu).over(ws)
     hh = F.greatest(F.col("high"), F.lag("high").over(ws))
     ll = F.least(F.col("low"), F.lag("low").over(ws))
-    qg = _q(F.log(hh / ll))
+    qg = _qlog(hh, ll)
     bq = qu * qu + qup * qup
     gq = qg * qg
     alpha = (
@@ -460,10 +481,10 @@ def _corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORWIN_SCHULTZ_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
-           {_sql_q('ln(high / low)')} AS qu,
-           lag({_sql_q('ln(high / low)')}) OVER ({_WS_SQL}) AS qup,
-           {_sql_q(f"ln(greatest(high, lag(high) OVER ({_WS_SQL})) "
-                   f"/ least(low, lag(low) OVER ({_WS_SQL})))")} AS qg
+           {_sql_qlog('high', 'low')} AS qu,
+           lag({_sql_qlog('high', 'low')}) OVER ({_WS_SQL}) AS qup,
+           {_sql_qlog(f"greatest(high, lag(high) OVER ({_WS_SQL}))",
+                      f"least(low, lag(low) OVER ({_WS_SQL}))")} AS qg
     FROM bars
 ),
 a AS (
@@ -548,7 +569,7 @@ def hurst_aggvar(bars: DataFrame) -> DataFrame:
     for k in HURST_KS:
         qk = F.when(
             F.col("rn") % k == 0,
-            _q(F.log(F.col("close") / F.col(f"c{k}"))))
+            _qlog(F.col("close"), F.col(f"c{k}")))
         sel = sel.withColumn(f"q{k}", qk)
     aggs = [F.count(F.lit(1)).alias("n_bars")]
     for k in HURST_KS:
@@ -583,7 +604,7 @@ def _hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hurst_sql() -> str:
     qcols = ",\n           ".join(
         f"CASE WHEN rn % {k} = 0 THEN "
-        f"{_sql_q(f'ln(close / lag(close, {k}) OVER ({_WS_SQL}))')} END AS q{k}"
+        f"{_sql_qlog('close', f'lag(close, {k}) OVER ({_WS_SQL})')} END AS q{k}"
         for k in HURST_KS)
     aggs = ",\n           ".join(
         f"count(q{k}) AS n{k}, sum(CAST(q{k} AS HUGEINT)) AS s{k}, "
@@ -649,13 +670,16 @@ def ar1_half_life(bars: DataFrame) -> DataFrame:
     one row per symbol; the slope is emitted alongside so a random-walk
     series (b ~ 0, NULL half-life) is still informative."""
     ws = _ws()
-    x = _q(F.log(F.col("close")))
+    x = F.when(F.col("close") > 0, _q(F.log(F.col("close"))))
     df = bars.select("symbol", "ts", x.alias("x"))
     xp = F.lag("x").over(ws)
     df = df.select(
         "symbol", xp.alias("xp"), (F.col("x") - xp).alias("y"))
     d38 = "decimal(38,0)"
-    g = df.filter(F.col("xp").isNotNull()).groupBy("symbol").agg(
+    # y-null filter matters once closes can be non-positive: count(*)
+    # counts rows the sums would skip otherwise
+    g = df.filter(F.col("xp").isNotNull()
+                  & F.col("y").isNotNull()).groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("xp").cast(d38)).alias("sx"),
         F.sum(F.col("y").cast(d38)).alias("sy"),
@@ -683,7 +707,8 @@ def _ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AR1_SQL = with_bars_cte(f"""
 , x AS (
-    SELECT symbol, ts, {_sql_q('ln(close)')} AS x
+    SELECT symbol, ts,
+           CASE WHEN close > 0 THEN {_sql_q('ln(close)')} END AS x
     FROM bars
 ),
 d AS (
@@ -699,7 +724,7 @@ g AS (
            sum(CAST(xp AS HUGEINT) * y) AS sxy,
            sum(CAST(xp AS HUGEINT) * xp) AS sxx
     FROM d
-    WHERE xp IS NOT NULL
+    WHERE xp IS NOT NULL AND y IS NOT NULL
     GROUP BY symbol
 ),
 b AS (
