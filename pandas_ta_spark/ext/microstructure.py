@@ -742,6 +742,191 @@ FROM b
 """.strip())
 
 
+
+
+
+# ------------------------------------------- risk-adjusted telemetry ----
+
+def rolling_sharpe(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Rolling per-bar Sharpe ratio: mean(r) / sample-std(r) over the
+    trailing window of 1-bar log returns (no annualization — per-bar
+    units; multiply by sqrt(bars/year) downstream). Both moments come
+    from exact-integer window sums, and because mean and std share the
+    1e-6 quantization the ratio needs NO rescaling. One symbol
+    shuffle."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    q = _qlog(F.col("close"), F.lag("close").over(ws))
+    df = bars.select("symbol", "ts", q.alias("q"))
+    n = F.count("q").over(wr)
+    s = F.sum("q").over(wr)
+    q2 = F.sum(F.col("q") * F.col("q")).over(wr)
+    mean = s.cast("double") / n
+    var = (n * q2 - s * s).cast("double") / (n * (n - F.lit(1)))
+    sharpe = F.when((n >= length) & (n * q2 - s * s > 0),
+                    mean / F.sqrt(var))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(sharpe).alias("sharpe"),
+    )
+
+
+def _sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_sharpe(bars_from_events_cached(spark, sf_dir))
+
+
+SHARPE_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')} AS q
+    FROM bars
+),
+acc AS (
+    SELECT symbol, ts,
+           count(q) OVER w AS n,
+           sum(q) OVER w AS s,
+           sum(q * q) OVER w AS q2
+    FROM r
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} AND n * q2 - s * s > 0 THEN "
+                  "(CAST(s AS DOUBLE) / n) "
+                  "/ sqrt(CAST(n * q2 - s * s AS DOUBLE) / (n * (n - 1))) "
+                  "END")} AS sharpe
+FROM acc
+""".strip())
+
+
+def rolling_sortino(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Rolling per-bar Sortino ratio: mean(r) / downside-deviation over
+    the trailing window, dd = sqrt(mean(min(r, 0)^2)). The downside leg
+    is exact-integer too (least of a quantized BIGINT and 0). NB
+    least/greatest are NULL-SKIPPING in both engines (the cs_spread
+    lesson), so the clamp is wrapped in an explicit validity CASE."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    q = _qlog(F.col("close"), F.lag("close").over(ws))
+    df = bars.select("symbol", "ts", q.alias("q"))
+    d = F.when(F.col("q").isNotNull(), F.least(F.col("q"), F.lit(0)))
+    df = df.select("symbol", "ts", "q", d.alias("d"))
+    n = F.count("q").over(wr)
+    s = F.sum("q").over(wr)
+    d2 = F.sum(F.col("d") * F.col("d")).over(wr)
+    mean = s.cast("double") / n
+    dd = F.sqrt(d2.cast("double") / n)
+    sortino = F.when((n >= length) & (d2 > 0), mean / dd)
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(sortino).alias("sortino"),
+    )
+
+
+def _sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_sortino(bars_from_events_cached(spark, sf_dir))
+
+
+SORTINO_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')} AS q
+    FROM bars
+),
+c AS (
+    SELECT symbol, ts, q,
+           CASE WHEN q IS NOT NULL THEN least(q, 0) END AS d
+    FROM r
+),
+acc AS (
+    SELECT symbol, ts,
+           count(q) OVER w AS n,
+           sum(q) OVER w AS s,
+           sum(d * d) OVER w AS d2
+    FROM c
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} AND d2 > 0 THEN "
+                  "(CAST(s AS DOUBLE) / n) "
+                  "/ sqrt(CAST(d2 AS DOUBLE) / n) END")} AS sortino
+FROM acc
+""".strip())
+
+
+VAR_N = 100   # order-statistic window (needs enough tail mass: 5% of
+              # 20 bars is one element — the window minimum)
+VAR_K = 5     # ceil(0.05 * VAR_N): the 95% VaR rank, and the CVaR
+              # averaging depth
+
+
+def var_cvar(bars: DataFrame) -> DataFrame:
+    """Rolling historical 95% VaR and CVaR (expected shortfall) per
+    symbol: VaR = the VAR_K-th smallest of the trailing VAR_N 1-bar log
+    returns (an EXACT order statistic — no interpolation), CVaR = the
+    mean of those VAR_K tail returns (exact-integer sum / VAR_K).
+
+    Rows with an invalid return (warm-up lag, non-positive close) are
+    dropped BEFORE the window in BOTH engines, so the frame is the last
+    VAR_N valid returns — Spark's collect_list skips NULLs while
+    DuckDB's list() keeps them, making the pre-filter the only
+    frame definition the engines agree on (and the semantically useful
+    one). Order-statistic windows hold O(VAR_N) values per row — the
+    same cost class as the TA quantile/median ops; at 100 TB the
+    alternative is a two-pass t-digest/bucketed approximation, which
+    trades the exactness this op exists to provide."""
+    ws = _ws()
+    q = _qlog(F.col("close"), F.lag("close").over(ws))
+    df = (bars.select("symbol", "ts", q.alias("q"))
+          .filter(F.col("q").isNotNull()))
+    wr = _ws().rowsBetween(-(VAR_N - 1), 0)
+    srt = F.sort_array(F.collect_list("q").over(wr))
+    n = F.size(srt)
+    var_q = F.element_at(srt, VAR_K)
+    tail_sum = F.aggregate(
+        F.slice(srt, 1, VAR_K), F.lit(0).cast("long"), lambda a, x: a + x)
+    full = n >= VAR_N
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(F.when(full, var_q.cast("double") / F.lit(MS_SCALE)))
+        .alias("var_95"),
+        round_col(F.when(
+            full,
+            tail_sum.cast("double") / F.lit(float(VAR_K)) / F.lit(MS_SCALE)))
+        .alias("cvar_95"),
+    )
+
+
+def _var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return var_cvar(bars_from_events_cached(spark, sf_dir))
+
+
+VAR_CVAR_SQL = with_bars_cte(f"""
+, r AS (
+    SELECT symbol, ts,
+           {_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')} AS q
+    FROM bars
+),
+v AS (
+    SELECT symbol, ts, q FROM r WHERE q IS NOT NULL
+),
+acc AS (
+    SELECT symbol, ts,
+           list_sort(list(q) OVER w) AS srt
+    FROM v
+    WINDOW w AS ({_WS_SQL} ROWS BETWEEN {VAR_N - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT symbol, ts, CAST(len(srt) AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN len(srt) >= {VAR_N} THEN "
+                  f"CAST(srt[{VAR_K}] AS DOUBLE) / {MS_SCALE!r} END")}
+       AS var_95,
+       {sql_round(f"CASE WHEN len(srt) >= {VAR_N} THEN "
+                  f"CAST(list_sum(srt[1:{VAR_K}]) AS DOUBLE) "
+                  f"/ {float(VAR_K)!r} / {MS_SCALE!r} END")} AS cvar_95
+FROM acc
+""".strip())
+
+
 SUITE = {
     "vol_parkinson_20": ExtQuery(_parkinson, PARKINSON_SQL),
     "vol_garman_klass_20": ExtQuery(_garman_klass, GARMAN_KLASS_SQL),
@@ -752,4 +937,7 @@ SUITE = {
     "cs_spread_2_20": ExtQuery(_corwin_schultz, CORWIN_SCHULTZ_SQL),
     "hurst_aggvar": ExtQuery(_hurst, HURST_SQL),
     "ar1_half_life": ExtQuery(_ar1, AR1_SQL),
+    "rolling_sharpe_20": ExtQuery(_sharpe, SHARPE_SQL),
+    "rolling_sortino_20": ExtQuery(_sortino, SORTINO_SQL),
+    "var_cvar_95_100": ExtQuery(_var_cvar, VAR_CVAR_SQL),
 }

@@ -363,3 +363,66 @@ def test_streaming_yang_zhang_matches_batch(spark, tmp_path):
     assert np.array_equal(np.isnan(ga), np.isnan(ea))
     # python math.log vs JVM ln can differ by 1 ulp at a floor boundary
     assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
+
+
+def test_rolling_sharpe_sortino_match_numpy(spark, bars, pdf_bars):
+    from pandas_ta_spark.ext.microstructure import (
+        rolling_sharpe,
+        rolling_sortino,
+    )
+
+    got_sh = _got(rolling_sharpe(bars))
+    got_so = _got(rolling_sortino(bars))
+    esh, eso = [], []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        pc = np.concatenate([[np.nan], c[:-1]])
+        q = _q(np.log(c / pc))
+        m = ~np.isnan(q)
+        s, n = _roll(q, m)
+        q2, _ = _roll(np.where(m, q, 0) ** 2, m)
+        d = np.minimum(np.where(m, q, 0), 0)
+        d2, _ = _roll(d * d, m)
+        nn = np.maximum(n, 2).astype(float)
+        mean = s.astype(float) / nn
+        var = (n * q2 - s * s).astype(float) / (nn * (nn - 1))
+        esh.append(np.where((n >= MS_N) & (n * q2 - s * s > 0),
+                            mean / np.sqrt(np.where(var > 0, var, np.nan)),
+                            np.nan))
+        eso.append(np.where(
+            (n >= MS_N) & (d2 > 0),
+            mean / np.sqrt(np.where(d2 > 0, d2, np.nan)
+                           / nn), np.nan))
+    _cmp(got_sh["sharpe"], np.concatenate(esh), 2e-5, "sharpe")
+    _cmp(got_so["sortino"], np.concatenate(eso), 2e-5, "sortino")
+
+
+def test_var_cvar_matches_numpy(spark, bars, pdf_bars):
+    from pandas_ta_spark.ext.microstructure import (
+        VAR_K,
+        VAR_N,
+        var_cvar,
+    )
+
+    got = _got(var_cvar(bars))
+    evar, ecvar, rows = [], [], 0
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        pc = np.concatenate([[np.nan], c[:-1]])
+        q = _q(np.log(c / pc))
+        q = q[~np.isnan(q)].astype(np.int64)  # pre-filter like the op
+        rows += len(q)
+        for i in range(len(q)):
+            w = np.sort(q[max(0, i - VAR_N + 1): i + 1])
+            if len(w) >= VAR_N:
+                evar.append(w[VAR_K - 1] / MS_SCALE)
+                ecvar.append(int(w[:VAR_K].sum()) / VAR_K / MS_SCALE)
+            else:
+                evar.append(np.nan)
+                ecvar.append(np.nan)
+    assert len(got) == rows
+    _cmp(got["var_95"], np.array(evar), 2e-6, "var_95")
+    _cmp(got["cvar_95"], np.array(ecvar), 2e-6, "cvar_95")
+    # the tail mean can never exceed its rank cut
+    full = got["n_obs"] >= VAR_N
+    assert (got.loc[full, "cvar_95"] <= got.loc[full, "var_95"] + 1e-12).all()
