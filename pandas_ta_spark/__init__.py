@@ -36,6 +36,7 @@ from pandas_ta_spark.strategy_spec import (
 from pandas_ta_spark.sources.formats import (
     bars_from_csv,
     bars_from_json,
+    bars_from_orc,
     bars_from_parquet,
     ticker,
 )
@@ -43,5 +44,5 @@ from pandas_ta_spark.sources.formats import (
 __all__ = ["__version__", "Category", "indicators", "make", "ta", "TA",
            "bind", "create_dir", "import_dir",
            "Strategy", "AllStrategy", "CommonStrategy",
-           "bars_from_csv", "bars_from_json", "bars_from_parquet",
+           "bars_from_csv", "bars_from_json", "bars_from_orc", "bars_from_parquet",
            "ticker"]

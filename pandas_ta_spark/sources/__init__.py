@@ -10,6 +10,7 @@ from pandas_ta_spark.sources.bars import (
 from pandas_ta_spark.sources.formats import (
     bars_from_csv,
     bars_from_json,
+    bars_from_orc,
     bars_from_parquet,
     ticker,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "bars_from_csv",
     "bars_from_events",
     "bars_from_json",
+    "bars_from_orc",
     "bars_from_orders",
     "bars_from_parquet",
     "load_table",

@@ -255,3 +255,13 @@ def bars_from_parquet(spark: SparkSession, path: str) -> DataFrame:
     it would make this connector order-dependent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _normalize(spark.read.parquet(path), None)
+
+
+def bars_from_orc(spark: SparkSession, path: str,
+                  ts_format: str | None = None) -> DataFrame:
+    """Read bars from ORC — the other columnar lake format Spark reads
+    natively (Hive-era lakes are usually ORC). Same free column pruning
+    + predicate pushdown as parquet; no nanos quirk (ORC timestamps are
+    microsecond-class), so the shared _normalize handles epoch or
+    string ts like the other connectors."""
+    return _normalize(spark.read.orc(path), ts_format)

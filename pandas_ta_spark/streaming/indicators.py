@@ -989,3 +989,86 @@ def streaming_yang_zhang(ticks: DataFrame,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_var_cvar(ticks: DataFrame,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/microstructure.py::var_cvar — live rolling
+    historical 95% VaR / CVaR per symbol over a close stream.
+
+    State = the previous close plus a ring of the last VAR_N quantized
+    VALID returns (the batch op pre-filters invalid returns before its
+    window, so the streaming frame is the same last-VAR_N-valid set by
+    construction). A bar with a non-positive/NaN close (or following
+    one) produces no valid return: it emits NOTHING — the batch output
+    has no row for it either — but still becomes the next bar's lag
+    base, exactly like the batch lag over unfiltered bars. Emission
+    mirrors the batch float chain op-for-op (float(int) = CAST AS
+    DOUBLE, /VAR_K as float literal, /MS_SCALE). Same
+    in-order-across-triggers precondition and 1-ulp ln caveat as the
+    other twins; micro-batch rows are globally ts-sorted before the
+    fold."""
+    import math
+
+    from pandas_ta_spark.ext.microstructure import MS_SCALE, VAR_K, VAR_N
+
+    out_schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("n_obs", LongType()),
+        StructField("var_95", DoubleType()),
+        StructField("cvar_95", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("prev_close", DoubleType()),
+        StructField("ring", StringType()),
+    ])
+    floor, log = math.floor, math.log
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            prev, ring_s = state.get
+            if prev is not None and prev != prev:  # NaN sentinel
+                prev = None
+            ring = [int(t) for t in ring_s.split(",") if t != ""]
+        else:
+            prev, ring = None, []
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        rows = {"ts": [], "n_obs": [], "var_95": [], "cvar_95": []}
+        for ts, close in zip(pdf["ts"], pdf["close"]):
+            close = float(close)
+            q = None
+            if (prev is not None and prev > 0 and close > 0
+                    and close == close and prev == prev):
+                q = int(floor(log(close / prev) * MS_SCALE + 0.5))
+            prev = close
+            if q is None:
+                continue  # batch filters invalid returns out of output
+            ring.append(q)
+            if len(ring) > VAR_N:
+                ring.pop(0)
+            n = len(ring)
+            var = cvar = None
+            if n >= VAR_N:
+                srt = sorted(ring)
+                var = py_round(float(srt[VAR_K - 1]) / MS_SCALE)
+                cvar = py_round(
+                    float(sum(srt[:VAR_K])) / float(VAR_K) / MS_SCALE)
+            rows["ts"].append(ts)
+            rows["n_obs"].append(n)
+            rows["var_95"].append(var)
+            rows["cvar_95"].append(cvar)
+        yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((prev if prev is not None else float("nan"),
+                      ",".join(str(x) for x in ring)))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

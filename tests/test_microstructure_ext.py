@@ -426,3 +426,80 @@ def test_var_cvar_matches_numpy(spark, bars, pdf_bars):
     # the tail mean can never exceed its rank cut
     full = got["n_obs"] >= VAR_N
     assert (got.loc[full, "cvar_95"] <= got.loc[full, "var_95"] + 1e-12).all()
+
+
+def test_streaming_var_cvar_matches_batch(spark, tmp_path):
+    """The VaR/CVaR twin (prev-close + VAR_N-return ring state) must
+    reproduce the batch order-statistic op across a micro-batch split
+    landing inside the 100-return window — including warm-up rows and
+    the prev-close handoff at the split."""
+    from pandas_ta_spark.ext.microstructure import var_cvar
+    from pandas_ta_spark.streaming import streaming_var_cvar
+
+    rng = np.random.default_rng(31)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 160
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.02, n))) * 50, 4)
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "open": close, "high": close * 1.01, "low": close * 0.99,
+            "close": close, "volume": 10.0}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "vc_src"
+    src.mkdir()
+    bars.groupby("symbol").head(120).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(40).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "symbol string, ts timestamp, open double, high double, "
+            "low double, close double, volume double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_var_cvar(stream)
+        .writeStream.format("memory").queryName("vc_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM vc_stream").toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    exp = (var_cvar(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) == 318  # one invalid warm-up row/symbol
+    assert got["symbol"].tolist() == exp["symbol"].tolist()
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    for col in ("var_95", "cvar_95"):
+        ga, ea = got[col].to_numpy(), exp[col].to_numpy()
+        assert np.array_equal(np.isnan(ga), np.isnan(ea)), col
+        assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5, col
+
+
+def test_bars_from_orc_roundtrip(spark, bars, pdf_bars, tmp_path):
+    """ORC connector lands on the canonical bars schema, values agree
+    with the in-memory frame, and indicators run unchanged on top
+    (write via Spark — pandas has no ORC writer in this container)."""
+    from pandas_ta_spark.registry import make
+    from pandas_ta_spark.sources.formats import bars_from_orc
+
+    p = str(tmp_path / "bars_orc")
+    bars.write.orc(p)
+    df = bars_from_orc(spark, p)
+    assert [f.name for f in df.schema.fields] == [
+        "symbol", "ts", "open", "high", "low", "close", "volume"]
+    assert df.count() == len(pdf_bars)
+    got = (df.orderBy("symbol", "ts").toPandas()["close"]
+           .round(6).tolist())
+    want = (pdf_bars.sort_values(["symbol", "ts"])["close"]
+            .round(6).tolist())
+    assert got == want
+    out = make("sma", length=5).apply(df)
+    assert "SMA_5" in out.columns and out.count() == len(pdf_bars)

@@ -257,6 +257,22 @@ def main() -> None:
           bars, "symbol string, ts timestamp, close double",
           "drawdown_episodes", len(bars))
 
+    # microstructure twins: OHLC ring (yang-zhang) + return ring (VaR)
+    from pandas_ta_spark.streaming import (
+        streaming_var_cvar,
+        streaming_yang_zhang,
+    )
+
+    obars = (bars_from_events_cached(spark, SF_DIR)
+             .select("symbol", "ts", "open", "high", "low", "close",
+                     "volume").toPandas()
+             .sort_values(["symbol", "ts"]))
+    obars["ts"] = obars["ts"].astype("datetime64[us]")
+    oschema = ("symbol string, ts timestamp, open double, high double, "
+               "low double, close double, volume double")
+    drain(streaming_yang_zhang, obars, oschema, "yang_zhang", len(obars))
+    drain(streaming_var_cvar, obars, oschema, "var_cvar", len(obars))
+
     print(json.dumps(out))
 
 
