@@ -56,6 +56,9 @@ MS_SCALE = 1e6       # 1e-6 log quantization: |ln| <= ~10.6 on the
                      # comfortably inside int64 (BETA_SCALE class bounds)
 ILLIQ_SCALE = 1e9    # Amihud per-bar ratio quantization (|r|/dv <= ~900
                      # here -> 9e11; 20-row sum 1.8e13, int64-safe)
+ILLIQ_MAX = 9e9      # per-bar ratio cap: 9e9 * ILLIQ_SCALE = 9e18 stays
+                     # inside int64 (Spark's non-ANSI overflow cast
+                     # SATURATES where DuckDB errors — see amihud)
 CS_SCALE = 1e8       # Corwin-Schultz spread quantization: spreads are
                      # O(1e-3..0.5); 1e-8 resolution keeps the documented
                      # exp() 1-ulp cross-engine risk ~1e-5 per sf0.1 run
@@ -89,21 +92,27 @@ def _sql_q(e: str) -> str:
 
 def _qlog(num, den):
     """Quantized ln(num/den), NULL unless BOTH sides are strictly
-    positive. The guard is load-bearing cross-engine semantics, not
-    defensive style: sf0.1 bars contain zero lows, and there
-    ln(0/close) ERRORS in DuckDB ("cannot take logarithm of zero")
-    while Spark's ANSI-off log/division silently yield NULL — the
-    engines diverge exactly on the dirty rows. With the shared guard a
-    non-positive price makes the row invalid (joins no window sum) in
-    BOTH engines, matching the streaming twin's _lnq."""
-    return F.when((num > F.lit(0)) & (den > F.lit(0)),
+    positive and non-NaN. The guard is load-bearing cross-engine
+    semantics, not defensive style: sf0.1 bars contain zero lows, and
+    there ln(0/close) ERRORS in DuckDB ("cannot take logarithm of
+    zero") while Spark's ANSI-off log/division silently yield NULL —
+    the engines diverge exactly on the dirty rows. NaN needs its OWN
+    leg because NaN > 0 is TRUE in both engines, and an unguarded NaN
+    diverges three ways: Spark floor(NaN)::long is silently 0 (a fake
+    zero return in every window), DuckDB's BIGINT cast hard-errors,
+    and the streaming twins' `a != a` check drops the row. With the
+    shared guard a non-positive or NaN price makes the row invalid
+    (joins no window sum) in BOTH engines, matching _lnq."""
+    return F.when((num > F.lit(0)) & (den > F.lit(0))
+                  & ~F.isnan(num) & ~F.isnan(den),
                   _q(F.log(num / den)))
 
 
 def _sql_qlog(num: str, den: str) -> str:
     """DuckDB twin of _qlog (CASE short-circuits, so ln never sees a
     non-positive argument; a NULL side compares NULL -> not-true)."""
-    return (f"CASE WHEN ({num}) > 0 AND ({den}) > 0 THEN "
+    return (f"CASE WHEN ({num}) > 0 AND ({den}) > 0 "
+            f"AND NOT isnan({num}) AND NOT isnan({den}) THEN "
             f"{_sql_q(f'ln(({num}) / ({den}))')} END")
 
 
@@ -379,14 +388,23 @@ def amihud(bars: DataFrame, length: int = MS_N) -> DataFrame:
     quantized |return| and the double dollar volume, then itself
     quantized to the 1e-9 grid so the rolling MEAN is an exact-integer
     sum (a raw double rolling sum is order-dependent: Spark's sequential
-    frame vs DuckDB's segment tree disagree in the last ulp)."""
+    frame vs DuckDB's segment tree disagree in the last ulp).
+
+    Validity: the row needs a valid return (aq), a strictly-positive
+    non-NaN dollar volume, AND a quantized ratio inside int64 — a
+    near-zero dv pushes ratio*1e9 past 2^63, where Spark's non-ANSI
+    cast SATURATES to Long.MAX (poisoning the rolling sum) while DuckDB
+    errors; ILLIQ_MAX makes such bars invalid in both engines (an
+    effectively untradeable bar carries no liquidity signal anyway)."""
     assert length == MS_N
     ws, wr = _ws(), _wr()
     aq = F.abs(_qlog(F.col("close"), F.lag("close").over(ws)))
     dv = F.col("close") * F.col("volume")  # dv == 0 divides to NULL in
     # BOTH engines (probed: DuckDB x/0.0 and Spark ANSI-off agree)
     ratio = (aq.cast("double") / F.lit(MS_SCALE)) / dv
-    iq = F.floor(ratio * F.lit(ILLIQ_SCALE) + F.lit(0.5)).cast("long")
+    iq = F.when(
+        (dv > F.lit(0)) & ~F.isnan(dv) & (ratio < F.lit(ILLIQ_MAX)),
+        F.floor(ratio * F.lit(ILLIQ_SCALE) + F.lit(0.5)).cast("long"))
     df = bars.select("symbol", "ts", iq.alias("iq"))
     n = F.count("iq").over(wr)
     s = F.sum("iq").over(wr)
@@ -403,13 +421,18 @@ def _amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AMIHUD_SQL = with_bars_cte(f"""
-, r AS (
-    SELECT symbol, ts,
-           CAST(floor(
-               (CAST(abs({_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')})
-                     AS DOUBLE) / {MS_SCALE!r}) / (close * volume)
-               * {ILLIQ_SCALE!r} + 0.5) AS BIGINT) AS iq
+, q AS (
+    SELECT symbol, ts, close * volume AS dv,
+           (CAST(abs({_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')})
+                 AS DOUBLE) / {MS_SCALE!r}) / (close * volume) AS ratio
     FROM bars
+),
+r AS (
+    SELECT symbol, ts,
+           CASE WHEN dv > 0 AND NOT isnan(dv) AND ratio < {ILLIQ_MAX!r}
+                THEN CAST(floor(ratio * {ILLIQ_SCALE!r} + 0.5) AS BIGINT)
+           END AS iq
+    FROM q
 ),
 acc AS (
     SELECT symbol, ts,
@@ -670,7 +693,8 @@ def ar1_half_life(bars: DataFrame) -> DataFrame:
     one row per symbol; the slope is emitted alongside so a random-walk
     series (b ~ 0, NULL half-life) is still informative."""
     ws = _ws()
-    x = F.when(F.col("close") > 0, _q(F.log(F.col("close"))))
+    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close")),
+               _q(F.log(F.col("close"))))
     df = bars.select("symbol", "ts", x.alias("x"))
     xp = F.lag("x").over(ws)
     df = df.select(
@@ -708,7 +732,8 @@ def _ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
 AR1_SQL = with_bars_cte(f"""
 , x AS (
     SELECT symbol, ts,
-           CASE WHEN close > 0 THEN {_sql_q('ln(close)')} END AS x
+           CASE WHEN close > 0 AND NOT isnan(close)
+                THEN {_sql_q('ln(close)')} END AS x
     FROM bars
 ),
 d AS (

@@ -175,9 +175,11 @@ def _creasing(increasing_: bool, length: int = 1, strict: bool = False,
         # parameterized per (kind, pct, drift): increasing+decreasing in
         # ONE strategy previously collided on a shared "_creasing_step"
         # (the layer-merge conflict apply_strategy now rejects); pct is
-        # embedded dot-free
+        # embedded identifier-safe (./- would break the unquoted column
+        # in the SQL twin — str(5e-05) carries a minus sign)
         t = (f"_{key}_step_{drift}"
-             + (f"_{str(pct).replace('.', 'p')}" if pct is not None else ""))
+             + (f"_{str(pct).replace('.', 'p').replace('-', 'm')}"
+                if pct is not None else ""))
         s_lag = sql_shift("close", drift)
         s_rhs = f"({s_lag}) * {scale!r}" if scale is not None else f"({s_lag})"
         # length values = length-1 steps; length<=1 degenerates to the

@@ -48,9 +48,11 @@ def test_all_indicator_strategy_builds_and_runs(bars):
     temp column with different expressions — increasing+decreasing
     (strict) collided on '_creasing_step' and no test exercised the full
     set together, so bench/audit crashed while pytest stayed green."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from bench import all_indicators
     from pandas_ta_spark.plans.strategy import apply_strategy
 

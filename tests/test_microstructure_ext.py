@@ -503,3 +503,60 @@ def test_bars_from_orc_roundtrip(spark, bars, pdf_bars, tmp_path):
     assert got == want
     out = make("sma", length=5).apply(df)
     assert "SMA_5" in out.columns and out.count() == len(pdf_bars)
+
+
+def test_nan_and_tiny_dollar_volume_rows_are_invalid(spark):
+    """Review-pass pins: (1) NaN prices must NOT pass the positivity
+    guard (NaN > 0 is TRUE in both engines; unguarded, Spark floor(NaN)
+    ::long silently fabricates a ZERO log return while the DuckDB twin
+    hard-errors); (2) a near-zero dollar volume must invalidate the
+    Amihud bar instead of saturating the int64 cast to Long.MAX and
+    poisoning the rolling sum."""
+    from pandas_ta_spark.ext.microstructure import (
+        amihud,
+        parkinson,
+        yang_zhang,
+    )
+
+    n = 50
+    close = 100 + np.arange(n, dtype=float)
+    high, low, vol = close * 1.01, close * 0.99, np.full(n, 10.0)
+    high[25] = np.nan            # NaN range bar
+    vol[30] = 1e-15              # ~zero dollar volume: ratio ~6e10 > ILLIQ_MAX
+    df, _ = _mk_bars(spark, close, high, low, close, vol)
+
+    p = _got(parkinson(df))
+    # the NaN bar contributes to no window: every window spanning row 25
+    # has n_obs < MS_N and a NULL estimate — and row 25 itself counts 19
+    assert p.loc[25, "n_obs"] == min(25 + 1, MS_N) - 1
+    assert p.loc[25:25 + MS_N - 1, "vol_p"].isna().all()
+    assert p.loc[25 + MS_N, "vol_p"] > 0  # recovers exactly after
+
+    yz = _got(yang_zhang(df))
+    assert (yz.loc[25:25 + MS_N - 1, "n_obs"] < MS_N).all()
+
+    am = _got(amihud(df))
+    # row 30's ratio would be ~1e10 * return; it must be INVALID, not a
+    # saturated Long.MAX poisoning the next 20 means
+    assert am.loc[30, "n_obs"] < am.loc[29, "n_obs"] + 1
+    full = am["n_obs"] >= MS_N
+    assert (am.loc[full, "illiq"] < 1.0).all()  # no 9.2e9-class garbage
+
+
+def test_strict_percent_temp_name_identifier_safe(spark, bars):
+    """str(5e-05) carries '-' which would break the unquoted temp column
+    in the generated SQL twin; the parameterized name must stay
+    [A-Za-z0-9_] and two strict variants must compose in one strategy."""
+    import re
+
+    from pandas_ta_spark.operators.trend import decreasing, increasing
+    from pandas_ta_spark.plans.strategy import apply_strategy
+
+    inc = increasing(3, strict=True, percent=0.00005)
+    dec = decreasing(3, strict=True, percent=1.5)
+    for ind in (inc, dec):
+        for stage in ind.stages:
+            for tname in stage:
+                assert re.fullmatch(r"[A-Za-z0-9_]+", tname), tname
+    out = apply_strategy(bars, [inc, dec])
+    assert out.count() == 550
