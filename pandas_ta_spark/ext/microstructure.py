@@ -12,9 +12,13 @@ public formula:
 - Yang & Zhang (2000) overnight-gap-robust composite variance;
 - Amihud (2002) illiquidity (|return| per unit of dollar volume);
 - Corwin & Schultz (2012) bid-ask spread estimator from 2-bar ranges;
+- Roll (1984) implied spread from the serial covariance of price
+  changes;
 - Hurst exponent via the aggregated-variance method (non-overlapping
   k-bar return variances regressed on ln k);
-- AR(1) mean-reversion half-life of the log price.
+- AR(1) mean-reversion half-life of the log price;
+- risk-adjusted telemetry: rolling Sharpe/Sortino and exact
+  order-statistic 95% VaR/CVaR.
 
 Cross-engine determinism follows the regime-pack playbook
 (ext/relational.py BETA_SCALE rationale): every log is quantized to a
@@ -952,6 +956,90 @@ FROM acc
 """.strip())
 
 
+# -------------------------------------------------- Roll (1984) spread ----
+
+DELTA_SCALE = 1e4  # price-change quantization (price units, not logs:
+                   # Roll's estimator lives in price space). |dp| <= ~390
+                   # -> |dq| <= 3.9e6, pair products <= 1.6e13, 20-row
+                   # sums <= 3.2e14, n*S forms <= 6.4e15 — int64-safe
+                   # (1e-6 here would overflow: n*Sxy ~ 6e19)
+
+
+def roll_spread(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Roll (1984) implied effective spread: s = 2 * sqrt(-cov) where
+    cov is the rolling first-order serial covariance of price CHANGES —
+    bid-ask bounce makes adjacent changes negatively correlated, and
+    the bounce magnitude recovers the spread. Positive-cov windows are
+    emitted NULL (the estimator's documented domain, as in the paper).
+
+    dq = 1e-4-quantized (close_t - close_{t-1}); the pair
+    (dq_t, dq_{t-1}) feeds exact-integer covariance sums restricted to
+    complete pairs (the x*y NULL-propagation guard), so cov is one
+    double expression over exact ints. Validity needs finite closes
+    only — price changes have no positivity domain (NaN legs explicit:
+    NaN > 0 traps don't apply, but floor(NaN) still would). One symbol
+    shuffle; emitted in price units."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    c, cp = F.col("close"), F.lag("close").over(ws)
+    dq = F.when(~F.isnan(c) & ~F.isnan(cp),
+                F.floor((c - cp) * F.lit(DELTA_SCALE) + F.lit(0.5))
+                .cast("long"))
+    df = bars.select("symbol", "ts", dq.alias("dq"))
+    dqp = F.lag("dq").over(ws)
+    df = df.select("symbol", "ts", "dq", dqp.alias("dqp"))
+    pair = F.col("dq") * F.col("dqp")
+    n = F.count(pair).over(wr)
+    sx = F.sum(F.when(pair.isNotNull(), F.col("dq"))).over(wr)
+    sy = F.sum(F.when(pair.isNotNull(), F.col("dqp"))).over(wr)
+    sxy = F.sum(pair).over(wr)
+    cov_s = n * sxy - sx * sy
+    cov = cov_s.cast("double") / (n * (n - F.lit(1)))
+    spread = F.when((n >= length) & (cov_s < 0),
+                    F.sqrt(-cov) * F.lit(2.0) / F.lit(DELTA_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(spread).alias("roll_spread"),
+    )
+
+
+def _roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roll_spread(bars_from_events_cached(spark, sf_dir))
+
+
+ROLL_SPREAD_SQL = with_bars_cte(f"""
+, d AS (
+    SELECT symbol, ts,
+           CASE WHEN NOT isnan(close)
+                     AND NOT isnan(lag(close) OVER ({_WS_SQL})) THEN
+               CAST(floor((close - lag(close) OVER ({_WS_SQL}))
+                          * {DELTA_SCALE!r} + 0.5) AS BIGINT)
+           END AS dq
+    FROM bars
+),
+p AS (
+    SELECT symbol, ts, dq,
+           lag(dq) OVER ({_WS_SQL}) AS dqp
+    FROM d
+),
+acc AS (
+    SELECT symbol, ts,
+           count(dq * dqp) OVER w AS n,
+           sum(CASE WHEN dq * dqp IS NOT NULL THEN dq END) OVER w AS sx,
+           sum(CASE WHEN dq * dqp IS NOT NULL THEN dqp END) OVER w AS sy,
+           sum(dq * dqp) OVER w AS sxy
+    FROM p
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} AND n * sxy - sx * sy < 0 THEN "
+                  "sqrt(-(CAST(n * sxy - sx * sy AS DOUBLE) "
+                  "/ (n * (n - 1)))) "
+                  f"* 2.0 / {DELTA_SCALE!r} END")} AS roll_spread
+FROM acc
+""".strip())
+
+
 SUITE = {
     "vol_parkinson_20": ExtQuery(_parkinson, PARKINSON_SQL),
     "vol_garman_klass_20": ExtQuery(_garman_klass, GARMAN_KLASS_SQL),
@@ -965,4 +1053,5 @@ SUITE = {
     "rolling_sharpe_20": ExtQuery(_sharpe, SHARPE_SQL),
     "rolling_sortino_20": ExtQuery(_sortino, SORTINO_SQL),
     "var_cvar_95_100": ExtQuery(_var_cvar, VAR_CVAR_SQL),
+    "roll_spread_20": ExtQuery(_roll_spread, ROLL_SPREAD_SQL),
 }

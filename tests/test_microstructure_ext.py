@@ -560,3 +560,47 @@ def test_strict_percent_temp_name_identifier_safe(spark, bars):
                 assert re.fullmatch(r"[A-Za-z0-9_]+", tname), tname
     out = apply_strategy(bars, [inc, dec])
     assert out.count() == 550
+
+
+def test_roll_spread_matches_numpy(spark, bars, pdf_bars):
+    from pandas_ta_spark.ext.microstructure import DELTA_SCALE, roll_spread
+
+    got = _got(roll_spread(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        dq = np.concatenate([[np.nan],
+                             np.floor((c[1:] - c[:-1]) * DELTA_SCALE + 0.5)])
+        dqp = np.concatenate([[np.nan], dq[:-1]])
+        pair = ~np.isnan(dq) & ~np.isnan(dqp)
+        a, b = np.where(pair, dq, 0), np.where(pair, dqp, 0)
+        sx, n = _roll(a, pair)
+        sy, _ = _roll(b, pair)
+        sxy, _ = _roll(a * b, pair)
+        cov_s = n * sxy - sx * sy
+        nn = np.maximum(n, 2).astype(float)
+        cov = cov_s.astype(float) / (nn * (nn - 1))
+        exps.append(np.where((n >= MS_N) & (cov_s < 0),
+                             np.sqrt(np.where(cov < 0, -cov, np.nan))
+                             * 2.0 / DELTA_SCALE, np.nan))
+    _cmp(got["roll_spread"], np.concatenate(exps), 2e-5, "roll_spread")
+
+
+def test_roll_spread_planted_bounce(spark):
+    """DETERMINISTIC alternation p +/- s/2 gives per-step changes of
+    +/-s with every adjacent product exactly -s^2, so the serial
+    covariance is -s^2 (twice the Roll model's iid-bounce -s^2/4 ...
+    scaled: iid q_t makes cov = -S^2/4 -> spread = S; forced
+    alternation doubles |cov| twice over -> the estimator reads 2s, up
+    to the sample-covariance n/(n-1) inflation). The planted value
+    pins the formula exactly: 2 * s * sqrt(n/(n-1))."""
+    from pandas_ta_spark.ext.microstructure import roll_spread
+
+    n, s = 60, 0.5
+    c = 100.0 + np.where(np.arange(n) % 2 == 0, s / 2, -s / 2)
+    df, _ = _mk_bars(spark, c, c + 0.01, c - 0.01, c)
+    out = _got(roll_spread(df))
+    full = out[out["n_obs"] >= MS_N]
+    assert len(full) > 0
+    expect = 2.0 * s * math.sqrt(MS_N / (MS_N - 1.0))
+    assert (np.abs(full["roll_spread"] - expect) < 1e-4).all()
