@@ -1114,7 +1114,85 @@ FROM g
 """.strip()
 
 
+# ------------------------------------------------- document chunking ----
+
+CHUNK_TOK = 128   # tokens per training chunk
+CHUNK_OVL = 16    # overlap between adjacent chunks
+CHUNK_STRIDE = CHUNK_TOK - CHUNK_OVL
+
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pretraining chunking step (context-window packing inputs).
+    chunk i covers tokens [i*STRIDE, i*STRIDE + CHUNK); a doc with
+    n <= CHUNK tokens is one chunk; otherwise 1 + ceil((n-CHUNK)/STRIDE)
+    chunks so the tail is always covered (the last chunk may be short).
+
+    Emits (doc_id, chunk_id, start_tok, n_tok, chunk_hash) — the hash
+    (md5 of the space-rejoined slice, identical in both engines) is the
+    dedup/lineage key downstream packing and exact-dedup steps join on.
+
+    100 TB shape: ZERO shuffles — tokenize, a small integer sequence,
+    one explode, a slice: pure map-side projection, fan-out ~n/STRIDE
+    rows per doc (linear in corpus tokens, the floor for any chunker)."""
+    toks = _toks()
+    n = F.size(toks)
+    extra = F.when(n <= CHUNK_TOK, F.lit(0)).otherwise(
+        F.floor((n - CHUNK_TOK + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE))
+        .cast("int"))
+    d = docs.select("doc_id", toks.alias("toks"), extra.alias("extra"))
+    d = d.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("extra"))).alias("chunk_id"))
+    sl = F.slice(F.col("toks"),
+                 F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOK)
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("long").alias("start_tok"),
+        F.size(sl).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
+    )
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_chunks(load_table(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
+
+
+DOC_CHUNKS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) <= {CHUNK_TOK} THEN 0
+                ELSE CAST(floor((len(toks) - {CHUNK_TOK} + {CHUNK_STRIDE - 1})
+                                / {CHUNK_STRIDE}) AS INT)
+           END AS extra
+    FROM d
+),
+e AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, extra)) AS chunk_id
+    FROM m
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1
+                     : chunk_id * {CHUNK_STRIDE} + {CHUNK_TOK}])
+            AS BIGINT) AS n_tok,
+       md5(array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1
+                                : chunk_id * {CHUNK_STRIDE} + {CHUNK_TOK}],
+                           ' ')) AS chunk_hash
+FROM e
+""".strip()
+
+
 SUITE = {
+    "doc_chunk_128_16": ExtQuery(_doc_chunks, DOC_CHUNKS_SQL),
     "source_token_profile": ExtQuery(
         _source_token_profile, _source_token_profile_sql()),
     "unigram_kl_by_source": ExtQuery(_unigram_kl_by_source, UNIGRAM_KL_SQL),
