@@ -1040,6 +1040,140 @@ FROM acc
 """.strip())
 
 
+# ------------------------------------------------ pairs-trading spread ----
+
+PAIR_N = 24        # rolling z window over the spread (one hourly day)
+SPREAD_MAX = 1e8   # |spread| validity cap in 1e-6 log units: sq^2 <=
+                   # 1e16, 24-row sums <= 2.4e17, n*Q <= 5.8e18 — int64
+                   # stays safe even for pathological hedge ratios
+
+
+def pair_spread_z(bars: DataFrame) -> DataFrame:
+    """Stat-arb pair telemetry: for every unordered symbol pair
+    (a < b), fit the GLOBAL hedge ratio beta = OLS slope of ln(close_a)
+    on ln(close_b) over the aligned hourly grid, then score the spread
+    x_a - beta * x_b with a rolling z over the trailing PAIR_N bars —
+    the entry/exit signal of a pairs strategy, and a cross-sectional
+    op the one-frame-per-instrument reference cannot express.
+
+    Architecture is fit-small/apply-distributed: the ts-aligned
+    self-join computes 128-bit global moments per pair (S*(S-1)/2 rows
+    — 10 here), beta is one exact-int division, and the TINY beta
+    relation broadcasts back onto the pair rows (no second shuffle for
+    the fit). The spread is re-quantized (floor+0.5) so the rolling
+    mean/std are exact-integer window sums; |spread| > SPREAD_MAX (a
+    diverged fit) makes the row invalid in both engines instead of
+    silently wrapping int64. At a 10k-symbol universe the S^2 join
+    fans out like lead_lag_corr — same documented blocking scale path.
+    """
+    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close")),
+               _q(F.log(F.col("close"))))
+    xdf = (bars.select("symbol", "ts", x.alias("x"))
+           .filter(F.col("x").isNotNull()))
+    a = xdf.select(F.col("symbol").alias("sym_a"), "ts",
+                   F.col("x").alias("xa"))
+    b = xdf.select(F.col("symbol").alias("sym_b"), "ts",
+                   F.col("x").alias("xb"))
+    p = a.join(b, "ts").filter(F.col("sym_a") < F.col("sym_b"))
+    d38 = "decimal(38,0)"
+    g = p.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xa").cast(d38)).alias("sx"),
+        F.sum(F.col("xb").cast(d38)).alias("sy"),
+        F.sum((F.col("xa") * F.col("xb")).cast(d38)).alias("sxy"),
+        F.sum((F.col("xb") * F.col("xb")).cast(d38)).alias("syy"),
+    )
+    n = F.col("n").cast(d38)
+    den = n * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") \
+        / den.cast("double")
+    bt = (g.filter((F.col("n") >= 2) & (den > 0))
+          .select("sym_a", "sym_b", beta.alias("beta")))
+    j = p.join(F.broadcast(bt), ["sym_a", "sym_b"])
+    spread = F.col("xa").cast("double") - F.col("beta") * F.col("xb")
+    sq = F.when((spread < F.lit(SPREAD_MAX)) & (spread > F.lit(-SPREAD_MAX)),
+                F.floor(spread + F.lit(0.5)).cast("long"))
+    j = j.select("sym_a", "sym_b", "ts", "beta", sq.alias("sq"))
+    wp = Window.partitionBy("sym_a", "sym_b").orderBy("ts")
+    wr = wp.rowsBetween(-(PAIR_N - 1), 0)
+    nn = F.count("sq").over(wr)
+    s = F.sum("sq").over(wr)
+    q2 = F.sum(F.col("sq") * F.col("sq")).over(wr)
+    var_s = nn * q2 - s * s
+    z = F.when(
+        (nn >= PAIR_N) & (var_s > 0),
+        (F.col("sq").cast("double") - s.cast("double") / nn)
+        / F.sqrt(var_s.cast("double") / (nn * (nn - F.lit(1)))))
+    return j.select(
+        "sym_a", "sym_b", "ts",
+        nn.cast("long").alias("n_obs"),
+        round_col(F.col("beta")).alias("beta"),
+        round_col(z).alias("spread_z"),
+    )
+
+
+def _pair_spread_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pair_spread_z(bars_from_events_cached(spark, sf_dir))
+
+
+PAIR_SPREAD_SQL = with_bars_cte(f"""
+, x AS (
+    SELECT symbol, ts,
+           CASE WHEN close > 0 AND NOT isnan(close)
+                THEN {_sql_q('ln(close)')} END AS x
+    FROM bars
+),
+v AS (SELECT symbol, ts, x FROM x WHERE x IS NOT NULL),
+p AS (
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts,
+           a.x AS xa, b.x AS xb
+    FROM v a JOIN v b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+g AS (
+    SELECT sym_a, sym_b, count(*) AS n,
+           sum(CAST(xa AS HUGEINT)) AS sx,
+           sum(CAST(xb AS HUGEINT)) AS sy,
+           sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+           sum(CAST(xb AS HUGEINT) * xb) AS syy
+    FROM p
+    GROUP BY sym_a, sym_b
+),
+bt AS (
+    SELECT sym_a, sym_b,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * syy - sy * sy AS DOUBLE) AS beta
+    FROM g
+    WHERE n >= 2 AND n * syy - sy * sy > 0
+),
+sp AS (
+    SELECT p.sym_a, p.sym_b, p.ts, bt.beta,
+           CASE WHEN (CAST(xa AS DOUBLE) - bt.beta * xb) < {SPREAD_MAX!r}
+                     AND (CAST(xa AS DOUBLE) - bt.beta * xb)
+                         > -{SPREAD_MAX!r}
+                THEN CAST(floor((CAST(xa AS DOUBLE) - bt.beta * xb) + 0.5)
+                          AS BIGINT)
+           END AS sq
+    FROM p JOIN bt USING (sym_a, sym_b)
+),
+acc AS (
+    SELECT sym_a, sym_b, ts, beta, sq,
+           count(sq) OVER w AS nn,
+           sum(sq) OVER w AS s,
+           sum(sq * sq) OVER w AS q2
+    FROM sp
+    WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY ts
+                 ROWS BETWEEN {PAIR_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT sym_a, sym_b, ts, CAST(nn AS BIGINT) AS n_obs,
+       {sql_round('beta')} AS beta,
+       {sql_round(f"CASE WHEN nn >= {PAIR_N} AND nn * q2 - s * s > 0 THEN "
+                  "(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) / nn) "
+                  "/ sqrt(CAST(nn * q2 - s * s AS DOUBLE) / (nn * (nn - 1))) "
+                  "END")} AS spread_z
+FROM acc
+""".strip())
+
+
 SUITE = {
     "vol_parkinson_20": ExtQuery(_parkinson, PARKINSON_SQL),
     "vol_garman_klass_20": ExtQuery(_garman_klass, GARMAN_KLASS_SQL),
@@ -1054,4 +1188,5 @@ SUITE = {
     "rolling_sortino_20": ExtQuery(_sortino, SORTINO_SQL),
     "var_cvar_95_100": ExtQuery(_var_cvar, VAR_CVAR_SQL),
     "roll_spread_20": ExtQuery(_roll_spread, ROLL_SPREAD_SQL),
+    "pair_spread_z_24": ExtQuery(_pair_spread_z, PAIR_SPREAD_SQL),
 }

@@ -656,3 +656,66 @@ def test_doc_chunks_matches_python(spark):
     # overlap: token index sets of adjacent chunks intersect in OVL ids
     g4 = got[got.doc_id == 4]
     assert (g4["start_tok"].diff().dropna() == CHUNK_STRIDE).all()
+
+
+def test_pair_spread_z_matches_python(spark, bars, pdf_bars):
+    """Third-way recompute of the pairs op: python-int OLS hedge ratio
+    over the ts-aligned grid, then int-quantized spread + exact rolling
+    moments. The conftest fixture has two symbols of different lengths
+    (300 vs 250), so the alignment (inner join) also gets pinned."""
+    from pandas_ta_spark.ext.microstructure import (
+        PAIR_N,
+        pair_spread_z,
+    )
+
+    got = _got(pair_spread_z(bars), sort=("sym_a", "sym_b", "ts"))
+
+    a = pdf_bars[pdf_bars.symbol == "A"].set_index("ts")
+    b = pdf_bars[pdf_bars.symbol == "B"].set_index("ts")
+    common = a.index.intersection(b.index).sort_values()
+    xa = [int(math.floor(math.log(v) * MS_SCALE + 0.5))
+          for v in a.loc[common, "close"]]
+    xb = [int(math.floor(math.log(v) * MS_SCALE + 0.5))
+          for v in b.loc[common, "close"]]
+    n = len(xa)
+    sx, sy = sum(xa), sum(xb)
+    sxy = sum(p * q for p, q in zip(xa, xb))
+    syy = sum(q * q for q in xb)
+    beta = float(n * sxy - sx * sy) / float(n * syy - sy * sy)
+
+    sq = [math.floor((float(p) - beta * q) + 0.5) for p, q in zip(xa, xb)]
+    zs = []
+    for i in range(n):
+        w = sq[max(0, i - PAIR_N + 1): i + 1]
+        nn, s, q2 = len(w), sum(w), sum(v * v for v in w)
+        var_s = nn * q2 - s * s
+        if nn >= PAIR_N and var_s > 0:
+            zs.append((float(sq[i]) - float(s) / nn)
+                      / math.sqrt(float(var_s) / (nn * (nn - 1))))
+        else:
+            zs.append(np.nan)
+
+    assert len(got) == n  # inner alignment: min(300, 250) shared hours
+    assert (got["sym_a"] == "A").all() and (got["sym_b"] == "B").all()
+    _cmp(got["beta"],
+         np.full(n, np.floor(beta * 1e6 + 0.5) / 1e6), 2e-6, "beta")
+    _cmp(got["spread_z"], np.array(zs), 2e-5, "spread_z")
+    # a perfectly cointegrated planted pair: z stays bounded and the
+    # fitted beta recovers the planted ratio
+    t0 = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(5)
+    base = np.exp(np.cumsum(rng.normal(0, 0.01, 120))) * 40
+    planted = pd.concat([
+        pd.DataFrame({"symbol": "P", "ts": pd.date_range(t0, periods=120,
+                                                         freq="h"),
+                      "open": base, "high": base, "low": base,
+                      "close": base, "volume": 1.0}),
+        pd.DataFrame({"symbol": "Q", "ts": pd.date_range(t0, periods=120,
+                                                         freq="h"),
+                      "open": base, "high": base, "low": base,
+                      "close": base ** 2, "volume": 1.0}),
+    ], ignore_index=True)
+    out = _got(pair_spread_z(spark.createDataFrame(planted)),
+               sort=("sym_a", "sym_b", "ts"))
+    # ln(P) = 0.5 * ln(Q) exactly -> beta 0.5, spread ~constant
+    assert abs(out["beta"].iloc[0] - 0.5) < 1e-3
