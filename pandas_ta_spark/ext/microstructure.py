@@ -959,10 +959,12 @@ FROM acc
 # -------------------------------------------------- Roll (1984) spread ----
 
 DELTA_SCALE = 1e4  # price-change quantization (price units, not logs:
-                   # Roll's estimator lives in price space). |dp| <= ~390
-                   # -> |dq| <= 3.9e6, pair products <= 1.6e13, 20-row
-                   # sums <= 3.2e14, n*S forms <= 6.4e15 — int64-safe
-                   # (1e-6 here would overflow: n*Sxy ~ 6e19)
+                   # Roll's estimator lives in price space). Price space
+                   # has NO a-priori magnitude bound (a BRK.A-class
+                   # symbol's |dq| ~ 1.8e8 puts n*Sxy past 2^63), so the
+                   # moment sums go through DECIMAL(38,0)/HUGEINT like
+                   # the other unbounded-magnitude paths — Spark wraps
+                   # int64 silently where DuckDB promotes
 
 
 def roll_spread(bars: DataFrame, length: int = MS_N) -> DataFrame:
@@ -988,12 +990,13 @@ def roll_spread(bars: DataFrame, length: int = MS_N) -> DataFrame:
     df = bars.select("symbol", "ts", dq.alias("dq"))
     dqp = F.lag("dq").over(ws)
     df = df.select("symbol", "ts", "dq", dqp.alias("dqp"))
-    pair = F.col("dq") * F.col("dqp")
+    d38 = "decimal(38,0)"
+    pair = F.col("dq").cast(d38) * F.col("dqp")
     n = F.count(pair).over(wr)
-    sx = F.sum(F.when(pair.isNotNull(), F.col("dq"))).over(wr)
-    sy = F.sum(F.when(pair.isNotNull(), F.col("dqp"))).over(wr)
+    sx = F.sum(F.when(pair.isNotNull(), F.col("dq").cast(d38))).over(wr)
+    sy = F.sum(F.when(pair.isNotNull(), F.col("dqp").cast(d38))).over(wr)
     sxy = F.sum(pair).over(wr)
-    cov_s = n * sxy - sx * sy
+    cov_s = n.cast(d38) * sxy - sx * sy
     cov = cov_s.cast("double") / (n * (n - F.lit(1)))
     spread = F.when((n >= length) & (cov_s < 0),
                     F.sqrt(-cov) * F.lit(2.0) / F.lit(DELTA_SCALE))
@@ -1025,9 +1028,11 @@ p AS (
 acc AS (
     SELECT symbol, ts,
            count(dq * dqp) OVER w AS n,
-           sum(CASE WHEN dq * dqp IS NOT NULL THEN dq END) OVER w AS sx,
-           sum(CASE WHEN dq * dqp IS NOT NULL THEN dqp END) OVER w AS sy,
-           sum(dq * dqp) OVER w AS sxy
+           sum(CASE WHEN dq * dqp IS NOT NULL
+                    THEN CAST(dq AS HUGEINT) END) OVER w AS sx,
+           sum(CASE WHEN dq * dqp IS NOT NULL
+                    THEN CAST(dqp AS HUGEINT) END) OVER w AS sy,
+           sum(CAST(dq AS HUGEINT) * dqp) OVER w AS sxy
     FROM p
     WINDOW w AS ({_WR_SQL})
 )
@@ -1056,16 +1061,19 @@ def pair_spread_z(bars: DataFrame) -> DataFrame:
     the entry/exit signal of a pairs strategy, and a cross-sectional
     op the one-frame-per-instrument reference cannot express.
 
-    Architecture is fit-small/apply-distributed: the ts-aligned
-    self-join computes 128-bit global moments per pair (S*(S-1)/2 rows
-    — 10 here), beta is one exact-int division, and the TINY beta
-    relation broadcasts back onto the pair rows (no second shuffle for
-    the fit). The spread is re-quantized (floor+0.5) so the rolling
-    mean/std are exact-integer window sums; |spread| > SPREAD_MAX (a
-    diverged fit) makes the row invalid in both engines instead of
-    silently wrapping int64. At a 10k-symbol universe the S^2 join
-    fans out like lead_lag_corr — same documented blocking scale path.
-    """
+    Architecture is a SINGLE-PASS window fit: after the ts-aligned
+    self-join, the 128-bit global moments come from unbounded window
+    aggregates over the pair partition — the same exchange the rolling
+    z needs anyway — so the join executes ONCE and there is no
+    aggregate+join-back round trip (the review pass measured the
+    broadcast variant executing the S^2 join twice). A degenerate fit
+    (n < 2 or zero x_b variance) emits NULL beta/z rows instead of
+    dropping the pair. The spread is re-quantized (floor+0.5) so the
+    rolling mean/std are exact-integer window sums; |spread| >
+    SPREAD_MAX (a diverged fit) makes the row invalid in both engines
+    instead of silently wrapping int64. At a 10k-symbol universe the
+    S^2 join fans out like lead_lag_corr — same documented blocking
+    scale path."""
     x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close")),
                _q(F.log(F.col("close"))))
     xdf = (bars.select("symbol", "ts", x.alias("x"))
@@ -1076,20 +1084,18 @@ def pair_spread_z(bars: DataFrame) -> DataFrame:
                    F.col("x").alias("xb"))
     p = a.join(b, "ts").filter(F.col("sym_a") < F.col("sym_b"))
     d38 = "decimal(38,0)"
-    g = p.groupBy("sym_a", "sym_b").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("xa").cast(d38)).alias("sx"),
-        F.sum(F.col("xb").cast(d38)).alias("sy"),
-        F.sum((F.col("xa") * F.col("xb")).cast(d38)).alias("sxy"),
-        F.sum((F.col("xb") * F.col("xb")).cast(d38)).alias("syy"),
-    )
-    n = F.col("n").cast(d38)
-    den = n * F.col("syy") - F.col("sy") * F.col("sy")
-    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") \
-        / den.cast("double")
-    bt = (g.filter((F.col("n") >= 2) & (den > 0))
-          .select("sym_a", "sym_b", beta.alias("beta")))
-    j = p.join(F.broadcast(bt), ["sym_a", "sym_b"])
+    wall = Window.partitionBy("sym_a", "sym_b")
+    n = F.count(F.lit(1)).over(wall)
+    sx = F.sum(F.col("xa").cast(d38)).over(wall)
+    sy = F.sum(F.col("xb").cast(d38)).over(wall)
+    sxy = F.sum((F.col("xa") * F.col("xb")).cast(d38)).over(wall)
+    syy = F.sum((F.col("xb") * F.col("xb")).cast(d38)).over(wall)
+    nd = n.cast(d38)
+    den = nd * syy - sy * sy
+    beta = F.when(
+        (n >= 2) & (den > 0),
+        (nd * sxy - sx * sy).cast("double") / den.cast("double"))
+    j = p.select("sym_a", "sym_b", "ts", "xa", "xb", beta.alias("beta"))
     spread = F.col("xa").cast("double") - F.col("beta") * F.col("xb")
     sq = F.when((spread < F.lit(SPREAD_MAX)) & (spread > F.lit(-SPREAD_MAX)),
                 F.floor(spread + F.lit(0.5)).cast("long"))
@@ -1130,30 +1136,31 @@ p AS (
     FROM v a JOIN v b ON a.ts = b.ts AND a.symbol < b.symbol
 ),
 g AS (
-    SELECT sym_a, sym_b, count(*) AS n,
-           sum(CAST(xa AS HUGEINT)) AS sx,
-           sum(CAST(xb AS HUGEINT)) AS sy,
-           sum(CAST(xa AS HUGEINT) * xb) AS sxy,
-           sum(CAST(xb AS HUGEINT) * xb) AS syy
+    SELECT sym_a, sym_b, ts, xa, xb,
+           count(*) OVER pw AS n,
+           sum(CAST(xa AS HUGEINT)) OVER pw AS sx,
+           sum(CAST(xb AS HUGEINT)) OVER pw AS sy,
+           sum(CAST(xa AS HUGEINT) * xb) OVER pw AS sxy,
+           sum(CAST(xb AS HUGEINT) * xb) OVER pw AS syy
     FROM p
-    GROUP BY sym_a, sym_b
+    WINDOW pw AS (PARTITION BY sym_a, sym_b)
 ),
 bt AS (
-    SELECT sym_a, sym_b,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * syy - sy * sy AS DOUBLE) AS beta
+    SELECT sym_a, sym_b, ts, xa, xb,
+           CASE WHEN n >= 2 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * syy - sy * sy AS DOUBLE) END AS beta
     FROM g
-    WHERE n >= 2 AND n * syy - sy * sy > 0
 ),
 sp AS (
-    SELECT p.sym_a, p.sym_b, p.ts, bt.beta,
-           CASE WHEN (CAST(xa AS DOUBLE) - bt.beta * xb) < {SPREAD_MAX!r}
-                     AND (CAST(xa AS DOUBLE) - bt.beta * xb)
+    SELECT sym_a, sym_b, ts, beta,
+           CASE WHEN (CAST(xa AS DOUBLE) - beta * xb) < {SPREAD_MAX!r}
+                     AND (CAST(xa AS DOUBLE) - beta * xb)
                          > -{SPREAD_MAX!r}
-                THEN CAST(floor((CAST(xa AS DOUBLE) - bt.beta * xb) + 0.5)
+                THEN CAST(floor((CAST(xa AS DOUBLE) - beta * xb) + 0.5)
                           AS BIGINT)
            END AS sq
-    FROM p JOIN bt USING (sym_a, sym_b)
+    FROM bt
 ),
 acc AS (
     SELECT sym_a, sym_b, ts, beta, sq,

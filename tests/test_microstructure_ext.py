@@ -606,58 +606,6 @@ def test_roll_spread_planted_bounce(spark):
     assert (np.abs(full["roll_spread"] - expect) < 1e-4).all()
 
 
-def test_doc_chunks_matches_python(spark):
-    """Third-way recompute of the chunker on planted docs hitting every
-    branch: short doc (1 chunk), exact-boundary doc (128 tokens, still
-    1 chunk), one-past-boundary (129 -> 2 chunks with a short tail),
-    and a long doc; chunk hashes pinned against hashlib over the same
-    slices. Also pins the overlap: chunk i starts at i*112, so
-    consecutive chunks share exactly 16 tokens."""
-    import hashlib
-
-    import pandas as pd
-
-    from pandas_ta_spark.ext.text import (
-        CHUNK_OVL,
-        CHUNK_STRIDE,
-        CHUNK_TOK,
-        doc_chunks,
-    )
-
-    docs = {
-        1: "alpha beta gamma",
-        2: " ".join(f"t{i}" for i in range(CHUNK_TOK)),          # ==128
-        3: " ".join(f"t{i}" for i in range(CHUNK_TOK + 1)),      # 129
-        4: " ".join(f"t{i}" for i in range(400)),
-    }
-    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
-    got = (doc_chunks(spark.createDataFrame(pdf)).toPandas()
-           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
-
-    exp_rows = []
-    for did, text in docs.items():
-        toks = text.strip().lower().split(" ")
-        n = len(toks)
-        n_chunks = 1 if n <= CHUNK_TOK else 1 + math.ceil(
-            (n - CHUNK_TOK) / CHUNK_STRIDE)
-        for i in range(n_chunks):
-            sl = toks[i * CHUNK_STRIDE: i * CHUNK_STRIDE + CHUNK_TOK]
-            exp_rows.append((did, i, i * CHUNK_STRIDE, len(sl),
-                             hashlib.md5(" ".join(sl).encode()).hexdigest()))
-    exp = pd.DataFrame(exp_rows, columns=[
-        "doc_id", "chunk_id", "start_tok", "n_tok", "chunk_hash"])
-    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
-    for col in ("chunk_id", "start_tok", "n_tok", "chunk_hash"):
-        assert got[col].tolist() == exp[col].tolist(), col
-    # branch pins: 128 tokens -> 1 chunk; 129 -> 2 (tail = overlap+1)
-    assert (got[got.doc_id == 2]["n_tok"].tolist() == [CHUNK_TOK])
-    assert got[got.doc_id == 3]["n_tok"].tolist() == [
-        CHUNK_TOK, CHUNK_OVL + 1]
-    # overlap: token index sets of adjacent chunks intersect in OVL ids
-    g4 = got[got.doc_id == 4]
-    assert (g4["start_tok"].diff().dropna() == CHUNK_STRIDE).all()
-
-
 def test_pair_spread_z_matches_python(spark, bars, pdf_bars):
     """Third-way recompute of the pairs op: python-int OLS hedge ratio
     over the ts-aligned grid, then int-quantized spread + exact rolling

@@ -104,7 +104,7 @@ def main() -> None:
                 "vol_parkinson_20", "vol_yang_zhang_20", "amihud_illiq_20",
                 "cs_spread_2_20", "hurst_aggvar", "ar1_half_life",
                 "rolling_sharpe_20", "var_cvar_95_100", "roll_spread_20",
-                "doc_chunk_128_16"):
+                "doc_chunk_128_16", "pair_spread_z_24"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
