@@ -1072,3 +1072,70 @@ def streaming_var_cvar(ticks: DataFrame,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_parkinson(ticks: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/microstructure.py::parkinson — the
+    simplest vol-estimator twin: each bar's quantized range log
+    qu = floor(ln(high/low)*1e6+0.5) is computable on arrival (no
+    lags), so state is just the ring of the last MS_N VALUES (None for
+    an invalid bar — it still occupies its window slot exactly like
+    the batch ROWS frame counts it). Emission mirrors the batch float
+    chain: float(su2) / FOURLN2_N (the single shared repr literal),
+    sqrt, / MS_SCALE. Same in-order precondition and 1-ulp ln caveat
+    as the other twins."""
+    import math
+
+    from pandas_ta_spark.ext.microstructure import (
+        FOURLN2_N,
+        MS_N,
+        MS_SCALE,
+    )
+
+    out_schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("n_obs", LongType()),
+        StructField("vol_p", DoubleType()),
+    ])
+    state_schema = StructType([StructField("ring", StringType())])
+    floor, log = math.floor, math.log
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ring = ([None if t == "n" else int(t)
+                 for t in state.get[0].split(",") if t != ""]
+                if state.exists else [])
+        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        rows = {"ts": [], "n_obs": [], "vol_p": []}
+        for ts, h, l in zip(pdf["ts"], pdf["high"], pdf["low"]):
+            h, l = float(h), float(l)
+            qu = (int(floor(log(h / l) * MS_SCALE + 0.5))
+                  if h > 0 and l > 0 and h == h and l == l else None)
+            ring.append(qu)
+            if len(ring) > MS_N:
+                ring.pop(0)
+            vals = [v for v in ring if v is not None]
+            n = len(vals)
+            vol = None
+            if n >= MS_N:
+                su2 = sum(v * v for v in vals)
+                vol = py_round(
+                    math.sqrt(float(su2) / FOURLN2_N) / MS_SCALE)
+            rows["ts"].append(ts)
+            rows["n_obs"].append(n)
+            rows["vol_p"].append(vol)
+        yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((",".join("n" if v is None else str(v)
+                               for v in ring),))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

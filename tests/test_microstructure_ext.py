@@ -667,3 +667,59 @@ def test_pair_spread_z_matches_python(spark, bars, pdf_bars):
                sort=("sym_a", "sym_b", "ts"))
     # ln(P) = 0.5 * ln(Q) exactly -> beta 0.5, spread ~constant
     assert abs(out["beta"].iloc[0] - 0.5) < 1e-3
+
+
+def test_streaming_parkinson_matches_batch(spark, tmp_path):
+    """The Parkinson twin (qu-value ring, invalid bars hold their window
+    slot as None) must match the batch estimator across a mid-window
+    micro-batch split — including a planted NaN bar that must occupy a
+    slot in both engines without contributing."""
+    from pandas_ta_spark.ext.microstructure import parkinson
+    from pandas_ta_spark.streaming import streaming_parkinson
+
+    rng = np.random.default_rng(41)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 70
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.02, n))) * 50, 4)
+        spread = np.round(np.abs(rng.normal(0.3, 0.1, n)), 4)
+        high, low = close + spread, close - spread
+        high[33] = np.nan  # occupies a window slot, contributes nothing
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "open": close, "high": high, "low": low,
+            "close": close, "volume": 10.0}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "pk_src"
+    src.mkdir()
+    bars.groupby("symbol").head(40).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(30).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "symbol string, ts timestamp, open double, high double, "
+            "low double, close double, volume double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_parkinson(stream)
+        .writeStream.format("memory").queryName("pk_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM pk_stream").toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    exp = (parkinson(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) == 140
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    ga, ea = got["vol_p"].to_numpy(), exp["vol_p"].to_numpy()
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5

@@ -258,7 +258,9 @@ def main() -> None:
           "drawdown_episodes", len(bars))
 
     # microstructure twins: OHLC ring (yang-zhang) + return ring (VaR)
+    # + value ring (parkinson)
     from pandas_ta_spark.streaming import (
+        streaming_parkinson,
         streaming_var_cvar,
         streaming_yang_zhang,
     )
@@ -272,6 +274,7 @@ def main() -> None:
                "low double, close double, volume double")
     drain(streaming_yang_zhang, obars, oschema, "yang_zhang", len(obars))
     drain(streaming_var_cvar, obars, oschema, "var_cvar", len(obars))
+    drain(streaming_parkinson, obars, oschema, "parkinson", len(obars))
 
     print(json.dumps(out))
 
