@@ -1191,8 +1191,71 @@ FROM e
 """.strip()
 
 
+def chunk_dup_rate(docs: DataFrame) -> DataFrame:
+    """Boilerplate-contamination telemetry built ON the chunker: the
+    share of each source's 128-token chunks whose hash appears more
+    than once ANYWHERE in the corpus (headers, footers, templated spans
+    — the content exact-dedup misses because the doc ids differ). Per
+    source: total chunks, duplicated chunks, dup_rate.
+
+    Plan: chunker (map-side) -> one shuffle on chunk_hash counting
+    global multiplicity (map-side partial agg on a uniform key) -> one
+    shuffle on source for the rollup. Exact integers end to end except
+    the final ratio (one double division)."""
+    ch = doc_chunks(docs.select("doc_id", "text"))
+    src = docs.select("doc_id", "source")
+    w = Window.partitionBy("chunk_hash")
+    mult = ch.select("doc_id", "chunk_hash",
+                     F.count(F.lit(1)).over(w).alias("mult"))
+    j = mult.join(src, "doc_id")
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("mult") > 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_dup"),
+    )
+    return g.select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        round_col(F.col("n_dup").cast("double") / F.col("n_chunks"))
+        .alias("dup_rate"),
+    )
+
+
+def _chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dup_rate(load_table(spark, sf_dir, "documents")
+                          .select("doc_id", "text", "source"))
+
+
+CHUNK_DUP_RATE_SQL = f"""
+WITH ch AS (
+    SELECT * FROM ({DOC_CHUNKS_SQL}) cq
+),
+m AS (
+    SELECT doc_id, chunk_hash,
+           count(*) OVER (PARTITION BY chunk_hash) AS mult
+    FROM ch
+),
+j AS (
+    SELECT m.doc_id, m.mult, d.source
+    FROM m JOIN documents d USING (doc_id)
+),
+g AS (
+    SELECT source, count(*) AS n_chunks,
+           sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS n_dup
+    FROM j
+    GROUP BY source
+)
+SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       {sql_round('CAST(n_dup AS DOUBLE) / n_chunks')} AS dup_rate
+FROM g
+""".strip()
+
+
 SUITE = {
     "doc_chunk_128_16": ExtQuery(_doc_chunks, DOC_CHUNKS_SQL),
+    "chunk_dup_rate": ExtQuery(_chunk_dup_rate, CHUNK_DUP_RATE_SQL),
     "source_token_profile": ExtQuery(
         _source_token_profile, _source_token_profile_sql()),
     "unigram_kl_by_source": ExtQuery(_unigram_kl_by_source, UNIGRAM_KL_SQL),

@@ -322,8 +322,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 248
-    assert len(o) == 248  # zero rows-only (r8 added asof_hour_lookup,
+    assert len(q) == 249
+    assert len(o) == 249  # zero rows-only (r8 added asof_hour_lookup,
     # embedding_drift_by_slice, curation_decisions, perplexity_unigram,
     # then attribution_last_touch, user_rfm_segments, events_rate_anomaly,
     # bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram,
@@ -336,7 +336,7 @@ def test_entry_contract(spark):
     # vol_rogers_satchell_20, vol_yang_zhang_20, amihud_illiq_20,
     # cs_spread_2_20, hurst_aggvar, ar1_half_life, rolling_sharpe_20,
     # rolling_sortino_20, var_cvar_95_100, roll_spread_20,
-    # doc_chunk_128_16, pair_spread_z_24)
+    # doc_chunk_128_16, pair_spread_z_24, chunk_dup_rate)
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window
@@ -1783,3 +1783,38 @@ def test_doc_chunks_matches_python(spark):
     # overlap: token index sets of adjacent chunks intersect in OVL ids
     g4 = got[got.doc_id == 4]
     assert (g4["start_tok"].diff().dropna() == CHUNK_STRIDE).all()
+
+
+def test_chunk_dup_rate_planted_boilerplate(spark):
+    """Planted boilerplate: two docs of source 'web' share an identical
+    160-token templated span (which chunks to identical hashes in their
+    window grid) while a 'book' doc is all-unique; dup chunks appear
+    only where the template lands chunk-aligned, dup_rate reflects
+    exact global hash multiplicity."""
+    import pandas as pd
+
+    from pandas_ta_spark.ext.text import chunk_dup_rate, doc_chunks
+
+    tpl = " ".join(f"tpl{i}" for i in range(128))  # one exact chunk
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [tpl, tpl, " ".join(f"u{i}" for i in range(150))],
+        "source": ["web", "web", "book"],
+    })
+    out = (chunk_dup_rate(spark.createDataFrame(docs)).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    book = out[out.source == "book"].iloc[0]
+    web = out[out.source == "web"].iloc[0]
+    assert book["n_dup"] == 0 and book["dup_rate"] == 0.0
+    # both web docs are the same single 128-token chunk -> all dup
+    assert web["n_chunks"] == 2 and web["n_dup"] == 2
+    assert abs(web["dup_rate"] - 1.0) < 1e-9
+
+    # the chunker itself is STATELESS, so it applies to a readStream
+    # DataFrame unchanged — declarative ops are streaming-ready
+    sdf = spark.readStream.format("rate").load().selectExpr(
+        "value AS doc_id", "'alpha beta gamma' AS text")
+    chunked = doc_chunks(sdf)
+    assert chunked.isStreaming
+    assert set(chunked.columns) == {
+        "doc_id", "chunk_id", "start_tok", "n_tok", "chunk_hash"}
