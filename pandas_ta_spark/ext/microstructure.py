@@ -104,11 +104,17 @@ def _qlog(num, den):
     leg because NaN > 0 is TRUE in both engines, and an unguarded NaN
     diverges three ways: Spark floor(NaN)::long is silently 0 (a fake
     zero return in every window), DuckDB's BIGINT cast hard-errors,
-    and the streaming twins' `a != a` check drops the row. With the
-    shared guard a non-positive or NaN price makes the row invalid
-    (joins no window sum) in BOTH engines, matching _lnq."""
+    and the streaming twins' isfinite check drops the row. +inf needs
+    ITS own leg too (inf > 0 is true, ln(inf) is inf, and the BIGINT
+    cast saturates in Spark / errors in DuckDB — same class); a
+    num != inf test excludes it exactly (inf = inf in both engines'
+    total order, and -inf already fails > 0). With the shared guard a
+    non-positive, NaN or infinite price makes the row invalid (joins
+    no window sum) in BOTH engines, matching the streaming _lnq."""
+    inf = F.lit(float("inf"))
     return F.when((num > F.lit(0)) & (den > F.lit(0))
-                  & ~F.isnan(num) & ~F.isnan(den),
+                  & ~F.isnan(num) & ~F.isnan(den)
+                  & (num != inf) & (den != inf),
                   _q(F.log(num / den)))
 
 
@@ -116,7 +122,7 @@ def _sql_qlog(num: str, den: str) -> str:
     """DuckDB twin of _qlog (CASE short-circuits, so ln never sees a
     non-positive argument; a NULL side compares NULL -> not-true)."""
     return (f"CASE WHEN ({num}) > 0 AND ({den}) > 0 "
-            f"AND NOT isnan({num}) AND NOT isnan({den}) THEN "
+            f"AND isfinite({num}) AND isfinite({den}) THEN "
             f"{_sql_q(f'ln(({num}) / ({den}))')} END")
 
 
@@ -407,7 +413,8 @@ def amihud(bars: DataFrame, length: int = MS_N) -> DataFrame:
     # BOTH engines (probed: DuckDB x/0.0 and Spark ANSI-off agree)
     ratio = (aq.cast("double") / F.lit(MS_SCALE)) / dv
     iq = F.when(
-        (dv > F.lit(0)) & ~F.isnan(dv) & (ratio < F.lit(ILLIQ_MAX)),
+        (dv > F.lit(0)) & ~F.isnan(dv) & (dv != F.lit(float("inf")))
+        & (ratio < F.lit(ILLIQ_MAX)),
         F.floor(ratio * F.lit(ILLIQ_SCALE) + F.lit(0.5)).cast("long"))
     df = bars.select("symbol", "ts", iq.alias("iq"))
     n = F.count("iq").over(wr)
@@ -433,7 +440,7 @@ AMIHUD_SQL = with_bars_cte(f"""
 ),
 r AS (
     SELECT symbol, ts,
-           CASE WHEN dv > 0 AND NOT isnan(dv) AND ratio < {ILLIQ_MAX!r}
+           CASE WHEN dv > 0 AND isfinite(dv) AND ratio < {ILLIQ_MAX!r}
                 THEN CAST(floor(ratio * {ILLIQ_SCALE!r} + 0.5) AS BIGINT)
            END AS iq
     FROM q
@@ -697,7 +704,8 @@ def ar1_half_life(bars: DataFrame) -> DataFrame:
     one row per symbol; the slope is emitted alongside so a random-walk
     series (b ~ 0, NULL half-life) is still informative."""
     ws = _ws()
-    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close")),
+    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
+               & (F.col("close") != F.lit(float("inf"))),
                _q(F.log(F.col("close"))))
     df = bars.select("symbol", "ts", x.alias("x"))
     xp = F.lag("x").over(ws)
@@ -736,7 +744,7 @@ def _ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
 AR1_SQL = with_bars_cte(f"""
 , x AS (
     SELECT symbol, ts,
-           CASE WHEN close > 0 AND NOT isnan(close)
+           CASE WHEN close > 0 AND isfinite(close)
                 THEN {_sql_q('ln(close)')} END AS x
     FROM bars
 ),
@@ -984,7 +992,9 @@ def roll_spread(bars: DataFrame, length: int = MS_N) -> DataFrame:
     assert length == MS_N
     ws, wr = _ws(), _wr()
     c, cp = F.col("close"), F.lag("close").over(ws)
-    dq = F.when(~F.isnan(c) & ~F.isnan(cp),
+    inf = F.lit(float("inf"))
+    dq = F.when(~F.isnan(c) & ~F.isnan(cp)
+                & (F.abs(c) != inf) & (F.abs(cp) != inf),
                 F.floor((c - cp) * F.lit(DELTA_SCALE) + F.lit(0.5))
                 .cast("long"))
     df = bars.select("symbol", "ts", dq.alias("dq"))
@@ -1013,8 +1023,8 @@ def _roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLL_SPREAD_SQL = with_bars_cte(f"""
 , d AS (
     SELECT symbol, ts,
-           CASE WHEN NOT isnan(close)
-                     AND NOT isnan(lag(close) OVER ({_WS_SQL})) THEN
+           CASE WHEN isfinite(close)
+                     AND isfinite(lag(close) OVER ({_WS_SQL})) THEN
                CAST(floor((close - lag(close) OVER ({_WS_SQL}))
                           * {DELTA_SCALE!r} + 0.5) AS BIGINT)
            END AS dq
@@ -1074,7 +1084,8 @@ def pair_spread_z(bars: DataFrame) -> DataFrame:
     instead of silently wrapping int64. At a 10k-symbol universe the
     S^2 join fans out like lead_lag_corr — same documented blocking
     scale path."""
-    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close")),
+    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
+               & (F.col("close") != F.lit(float("inf"))),
                _q(F.log(F.col("close"))))
     xdf = (bars.select("symbol", "ts", x.alias("x"))
            .filter(F.col("x").isNotNull()))
@@ -1125,7 +1136,7 @@ def _pair_spread_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_SPREAD_SQL = with_bars_cte(f"""
 , x AS (
     SELECT symbol, ts,
-           CASE WHEN close > 0 AND NOT isnan(close)
+           CASE WHEN close > 0 AND isfinite(close)
                 THEN {_sql_q('ln(close)')} END AS x
     FROM bars
 ),

@@ -1198,19 +1198,27 @@ def chunk_dup_rate(docs: DataFrame) -> DataFrame:
     — the content exact-dedup misses because the doc ids differ). Per
     source: total chunks, duplicated chunks, dup_rate.
 
-    Plan: chunker (map-side) -> one shuffle on chunk_hash counting
-    global multiplicity (map-side partial agg on a uniform key) -> one
-    shuffle on source for the rollup. Exact integers end to end except
-    the final ratio (one double division)."""
+    Plan (the 100 TB shape): chunker (map-side) -> doc_id join for the
+    source label -> groupBy(chunk_hash, source).count() — a REAL
+    map-side partial aggregation that shrinks the row-level chunk
+    stream to distinct (hash, source) pairs BEFORE any full shuffle —
+    -> global multiplicity as a window sum over the already-aggregated
+    relation (tiny) -> per-source rollup. Exact integers end to end
+    except the final ratio (one double division). (The first cut did
+    count(*) OVER (PARTITION BY chunk_hash) on the ROW-LEVEL stream —
+    a full sort-shuffle of every chunk with zero partial agg — which a
+    review pass caught against this docstring's own claim.)"""
     ch = doc_chunks(docs.select("doc_id", "text"))
     src = docs.select("doc_id", "source")
+    j = ch.select("doc_id", "chunk_hash").join(src, "doc_id")
+    g1 = j.groupBy("chunk_hash", "source").agg(
+        F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("chunk_hash")
-    mult = ch.select("doc_id", "chunk_hash",
-                     F.count(F.lit(1)).over(w).alias("mult"))
-    j = mult.join(src, "doc_id")
-    g = j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("mult") > 1, F.lit(1)).otherwise(F.lit(0)))
+    mult = F.sum("c").over(w)
+    g2 = g1.select("source", "c", mult.alias("mult"))
+    g = g2.groupBy("source").agg(
+        F.sum("c").alias("n_chunks"),
+        F.sum(F.when(F.col("mult") > 1, F.col("c")).otherwise(F.lit(0)))
         .alias("n_dup"),
     )
     return g.select(
@@ -1231,19 +1239,24 @@ CHUNK_DUP_RATE_SQL = f"""
 WITH ch AS (
     SELECT * FROM ({DOC_CHUNKS_SQL}) cq
 ),
-m AS (
-    SELECT doc_id, chunk_hash,
-           count(*) OVER (PARTITION BY chunk_hash) AS mult
-    FROM ch
-),
 j AS (
-    SELECT m.doc_id, m.mult, d.source
-    FROM m JOIN documents d USING (doc_id)
+    SELECT ch.chunk_hash, d.source
+    FROM ch JOIN documents d USING (doc_id)
+),
+g1 AS (
+    SELECT chunk_hash, source, count(*) AS c
+    FROM j
+    GROUP BY chunk_hash, source
+),
+g2 AS (
+    SELECT source, c,
+           sum(c) OVER (PARTITION BY chunk_hash) AS mult
+    FROM g1
 ),
 g AS (
-    SELECT source, count(*) AS n_chunks,
-           sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS n_dup
-    FROM j
+    SELECT source, sum(c) AS n_chunks,
+           sum(CASE WHEN mult > 1 THEN c ELSE 0 END) AS n_dup
+    FROM g2
     GROUP BY source
 )
 SELECT source, CAST(n_chunks AS BIGINT) AS n_chunks,

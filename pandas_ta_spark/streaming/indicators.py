@@ -724,22 +724,29 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
     )
 
 
-def _make_quant():
-    """Quantizer closure with the constants bound once (the pair builder
-    runs ~BETA_N times per arriving row — no per-call imports). Returns
-    None for a non-positive/NaN close pair — the batch twins' NULL log
-    return — instead of raising out of the state function."""
+def _lnq(a: float, b: float, scale: float) -> int | None:
+    """THE shared quantized-log-with-validity-guard for every streaming
+    twin: floor(ln(a/b)*scale + 0.5), or None unless both sides are
+    strictly positive AND FINITE. The finite leg is load-bearing: a
+    vendor inf price passes a bare a > 0 check, log(inf) is inf, and
+    int(floor(inf)) raises OverflowError — a poison pill that aborts
+    the micro-batch and kills the query (the e78ecf5 bad-close class).
+    NaN fails a > 0; inf needs math.isfinite. Single-sourced so a guard
+    fix lands in every twin at once (the _toks() lesson)."""
     import math
 
+    if not (a > 0 and b > 0 and math.isfinite(a) and math.isfinite(b)):
+        return None
+    return int(math.floor(math.log(a / b) * scale + 0.5))
+
+
+def _make_quant():
+    """Quantizer closure over the shared _lnq with BETA_SCALE bound once
+    (the pair builder runs ~BETA_N times per arriving row)."""
     from pandas_ta_spark.ext.relational import BETA_SCALE
 
-    floor, log, scale = math.floor, math.log, BETA_SCALE
-
     def quant(buf, i, lag):
-        a, b = buf[i], buf[i - lag]
-        if not (a > 0 and b > 0) or a != a or b != b:
-            return None
-        return int(floor(log(a / b) * scale + 0.5))
+        return _lnq(buf[i], buf[i - lag], BETA_SCALE)
 
     return quant
 
@@ -923,13 +930,9 @@ def streaming_yang_zhang(ticks: DataFrame,
         StructField("vol_yz", DoubleType()),
     ])
     state_schema = StructType([StructField("ohlc", StringType())])
-    floor, log = math.floor, math.log
 
-    def _lnq(a, b):
-        """quantized ln(a/b) or None — the batch NULL log return."""
-        if not (a > 0 and b > 0) or a != a or b != b:
-            return None
-        return int(floor(log(a / b) * MS_SCALE + 0.5))
+    def q2(a, b):  # the shared guard+quantizer at MS_SCALE
+        return _lnq(a, b, MS_SCALE)
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -953,10 +956,10 @@ def streaming_yang_zhang(ticks: DataFrame,
                 oj, hj, lj, cj = buf[j]
                 if j == 0:
                     continue  # no prev close: overnight return NULL
-                qo = _lnq(oj, buf[j - 1][3])
-                qc = _lnq(cj, oj)
-                hc, ho = _lnq(hj, cj), _lnq(hj, oj)
-                lc, lo = _lnq(lj, cj), _lnq(lj, oj)
+                qo = q2(oj, buf[j - 1][3])
+                qc = q2(cj, oj)
+                hc, ho = q2(hj, cj), q2(hj, oj)
+                lc, lo = q2(lj, cj), q2(lj, oj)
                 if None in (qo, qc, hc, ho, lc, lo):
                     continue  # batch validity guard: row joins no sum
                 rs = hc * ho + lc * lo
@@ -1008,8 +1011,6 @@ def streaming_var_cvar(ticks: DataFrame,
     in-order-across-triggers precondition and 1-ulp ln caveat as the
     other twins; micro-batch rows are globally ts-sorted before the
     fold."""
-    import math
-
     from pandas_ta_spark.ext.microstructure import MS_SCALE, VAR_K, VAR_N
 
     out_schema = StructType([
@@ -1023,7 +1024,6 @@ def streaming_var_cvar(ticks: DataFrame,
         StructField("prev_close", DoubleType()),
         StructField("ring", StringType()),
     ])
-    floor, log = math.floor, math.log
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -1039,10 +1039,7 @@ def streaming_var_cvar(ticks: DataFrame,
         rows = {"ts": [], "n_obs": [], "var_95": [], "cvar_95": []}
         for ts, close in zip(pdf["ts"], pdf["close"]):
             close = float(close)
-            q = None
-            if (prev is not None and prev > 0 and close > 0
-                    and close == close and prev == prev):
-                q = int(floor(log(close / prev) * MS_SCALE + 0.5))
+            q = _lnq(close, prev, MS_SCALE) if prev is not None else None
             prev = close
             if q is None:
                 continue  # batch filters invalid returns out of output
@@ -1100,7 +1097,6 @@ def streaming_parkinson(ticks: DataFrame,
         StructField("vol_p", DoubleType()),
     ])
     state_schema = StructType([StructField("ring", StringType())])
-    floor, log = math.floor, math.log
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -1111,9 +1107,7 @@ def streaming_parkinson(ticks: DataFrame,
         pdf = pd.concat(list(pdfs)).sort_values("ts")
         rows = {"ts": [], "n_obs": [], "vol_p": []}
         for ts, h, l in zip(pdf["ts"], pdf["high"], pdf["low"]):
-            h, l = float(h), float(l)
-            qu = (int(floor(log(h / l) * MS_SCALE + 0.5))
-                  if h > 0 and l > 0 and h == h and l == l else None)
+            qu = _lnq(float(h), float(l), MS_SCALE)
             ring.append(qu)
             if len(ring) > MS_N:
                 ring.pop(0)

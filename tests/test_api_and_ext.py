@@ -1786,19 +1786,24 @@ def test_doc_chunks_matches_python(spark):
 
 
 def test_chunk_dup_rate_planted_boilerplate(spark):
-    """Planted boilerplate: two docs of source 'web' share an identical
-    160-token templated span (which chunks to identical hashes in their
-    window grid) while a 'book' doc is all-unique; dup chunks appear
-    only where the template lands chunk-aligned, dup_rate reflects
-    exact global hash multiplicity."""
+    """Planted boilerplate: two docs of source 'web' start with an
+    identical 160-token templated span followed by per-doc unique
+    tails (260 tokens each -> chunk grid 0/112/224), while a 'book'
+    doc is all-unique. Only chunk 0 (tokens 0..127, fully inside the
+    shared template) hashes identically across the two docs; chunk 1
+    (112..239) mixes template tail with unique tokens and chunk 2 is
+    all-unique — so dup chunks appear exactly where the template lands
+    chunk-aligned: n_dup = 2 of 6 web chunks."""
     import pandas as pd
 
     from pandas_ta_spark.ext.text import chunk_dup_rate, doc_chunks
 
-    tpl = " ".join(f"tpl{i}" for i in range(128))  # one exact chunk
+    tpl = " ".join(f"tpl{i}" for i in range(160))
     docs = pd.DataFrame({
         "doc_id": [1, 2, 3],
-        "text": [tpl, tpl, " ".join(f"u{i}" for i in range(150))],
+        "text": [tpl + " " + " ".join(f"a{i}" for i in range(100)),
+                 tpl + " " + " ".join(f"b{i}" for i in range(100)),
+                 " ".join(f"u{i}" for i in range(150))],
         "source": ["web", "web", "book"],
     })
     out = (chunk_dup_rate(spark.createDataFrame(docs)).toPandas()
@@ -1806,9 +1811,9 @@ def test_chunk_dup_rate_planted_boilerplate(spark):
     book = out[out.source == "book"].iloc[0]
     web = out[out.source == "web"].iloc[0]
     assert book["n_dup"] == 0 and book["dup_rate"] == 0.0
-    # both web docs are the same single 128-token chunk -> all dup
-    assert web["n_chunks"] == 2 and web["n_dup"] == 2
-    assert abs(web["dup_rate"] - 1.0) < 1e-9
+    # 3 chunks per web doc; only the template-aligned chunk 0 dups
+    assert web["n_chunks"] == 6 and web["n_dup"] == 2
+    assert abs(web["dup_rate"] - 2.0 / 6.0) < 1e-6
 
     # the chunker itself is STATELESS, so it applies to a readStream
     # DataFrame unchanged — declarative ops are streaming-ready
