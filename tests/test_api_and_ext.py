@@ -1823,3 +1823,38 @@ def test_chunk_dup_rate_planted_boilerplate(spark):
     assert chunked.isStreaming
     assert set(chunked.columns) == {
         "doc_id", "chunk_id", "start_tok", "n_tok", "chunk_hash"}
+
+
+def test_doc_chunks_tiling_property(spark):
+    """Property: for ANY token count n >= 1 the chunk grid tiles the doc
+    — starts are 0, STRIDE, 2*STRIDE, ...; every token index 0..n-1 is
+    covered by >= 1 chunk; consecutive chunks overlap by exactly
+    CHUNK_OVL token positions (except a short tail covers less); the
+    LAST chunk always reaches token n-1 (no dropped tail); and chunk
+    sizes are CHUNK_TOK except possibly the final one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandas_ta_spark.ext.text import CHUNK_STRIDE, CHUNK_TOK, doc_chunks
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.integers(min_value=1, max_value=700))
+    def check(n):
+        pdf = pd.DataFrame(
+            {"doc_id": [1], "text": [" ".join(f"t{i}" for i in range(n))]})
+        out = (doc_chunks(spark.createDataFrame(pdf)).toPandas()
+               .sort_values("chunk_id").reset_index(drop=True))
+        starts = out["start_tok"].tolist()
+        sizes = out["n_tok"].tolist()
+        assert starts == [i * CHUNK_STRIDE for i in range(len(out))]
+        assert all(s == CHUNK_TOK for s in sizes[:-1])
+        covered = set()
+        for s, k in zip(starts, sizes):
+            covered |= set(range(s, s + k))
+        assert covered == set(range(n))          # full tiling, no gaps
+        assert starts[-1] + sizes[-1] == n       # tail reaches the end
+        if len(out) > 1:
+            assert sizes[-1] >= 1                # never an empty chunk
+
+    check()
