@@ -109,10 +109,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   the microstructure/risk pack (vol_parkinson_20, vol_garman_klass_20,
 #   vol_rogers_satchell_20, vol_yang_zhang_20, amihud_illiq_20,
 #   cs_spread_2_20, roll_spread_20, hurst_aggvar, ar1_half_life,
-#   rolling_sharpe_20, rolling_sortino_20, var_cvar_95_100) plus
-#   doc_chunk_128_16, chunk_dup_rate and pair_spread_z_24 — after that
-#   the sweep is complete and the window returns to flagship +
-#   kind-class representation.
+#   rolling_sharpe_20, rolling_sortino_20, var_cvar_95_100,
+#   rolling_mdd_100) plus doc_chunk_128_16, chunk_dup_rate and
+#   pair_spread_z_24 — after that the sweep is complete and the window
+#   returns to flagship + kind-class representation.
 # Rotated-out keys remain value-checked in the full gate
 # (tools/check.py) and the judge's rerun; only the truncated 50-key
 # artifact loses them. Tests pin _PRIORITY <= queries() and exact order.

@@ -1192,6 +1192,99 @@ FROM acc
 """.strip())
 
 
+# ------------------------------------------------ rolling max drawdown ----
+
+def rolling_mdd(bars: DataFrame) -> DataFrame:
+    """Rolling maximum drawdown of the LOG price over the trailing
+    VAR_N valid bars: mdd = max over j in the window of
+    (prefix-max_{k<=j} x_k - x_j), in log units (exp(-mdd) is the
+    worst peak-to-trough ratio inside the window) — the third leg of
+    the rolling tail-risk family next to VaR/CVaR.
+
+    Exactness: x is the 1e-6-quantized ln(close); the drawdown is a
+    LEFT-ASSOCIATED integer fold over the window list (Spark
+    F.aggregate with a (prefix_max, mdd) struct; DuckDB list_reduce
+    over the same struct with the same merge) — every comparison and
+    subtraction is exact-int, so the fold is bit-identical. Same
+    pre-filter frame convention as var_cvar (the last VAR_N VALID
+    closes; collect_list/list() preserve frame order in both engines).
+    Same O(VAR_N)-values-per-row window cost class as the
+    order-statistic ops."""
+    ws = _ws()
+    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
+               & (F.col("close") != F.lit(float("inf"))),
+               _q(F.log(F.col("close"))))
+    df = (bars.select("symbol", "ts", x.alias("x"))
+          .filter(F.col("x").isNotNull()))
+    wr = _ws().rowsBetween(-(VAR_N - 1), 0)
+    # collect (ts, x) and SORT explicitly: DuckDB's windowed list() does
+    # not guarantee frame order (segment-tree combining emitted ~8% of
+    # frames out of order in the gate), and the drawdown fold is order-
+    # sensitive — unlike var_cvar's sorted order statistics. Both
+    # engines sort the struct list by the unique ts, making the fold
+    # input identical by construction.
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("ts").alias("t"),
+                                F.col("x").alias("x"))).over(wr))
+    n = F.size(lst)
+    init = F.struct(
+        F.lit(-(2 ** 62)).cast("long").alias("pm"),
+        F.lit(0).cast("long").alias("mdd"))
+    st = F.aggregate(
+        lst, init,
+        lambda a, v: F.struct(
+            F.greatest(a["pm"], v["x"]).alias("pm"),
+            F.greatest(a["mdd"],
+                       F.greatest(a["pm"], v["x"]) - v["x"]).alias("mdd")))
+    mdd = F.when(n >= VAR_N,
+                 st["mdd"].cast("double") / F.lit(MS_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(mdd).alias("mdd_log"),
+    )
+
+
+def _rolling_mdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_mdd(bars_from_events_cached(spark, sf_dir))
+
+
+ROLLING_MDD_SQL = with_bars_cte(f"""
+, x AS (
+    SELECT symbol, ts,
+           CASE WHEN close > 0 AND isfinite(close)
+                THEN {_sql_q('ln(close)')} END AS x
+    FROM bars
+),
+v AS (SELECT symbol, ts, x FROM x WHERE x IS NOT NULL),
+acc AS (
+    SELECT symbol, ts,
+           list_sort(list({{'t': ts, 'x': x}}) OVER w) AS lst
+    FROM v
+    WINDOW w AS ({_WS_SQL} ROWS BETWEEN {VAR_N - 1} PRECEDING
+                 AND CURRENT ROW)
+),
+f AS (
+    -- NOT list_reduce: DuckDB 1.0 evaluates list_reduce over a
+    -- WINDOW-produced list column incorrectly for a fraction of rows
+    -- (the same lambda over the identical list as a literal returns
+    -- the right fold — probed; likely vectorized-state bleed), so the
+    -- running-max fold runs as a correlated subquery over the
+    -- unnested list instead, where window semantics are sound.
+    SELECT symbol, ts, len(lst) AS n,
+           (SELECT max(pm - v) FROM (
+               SELECT v, max(v) OVER (ORDER BY idx) AS pm
+               FROM (SELECT unnest(list_transform(lst, e -> e.x)) AS v,
+                            unnest(generate_series(1, len(lst))) AS idx))
+            z) AS mdd_q
+    FROM acc
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {VAR_N} THEN "
+                  f"CAST(mdd_q AS DOUBLE) / {MS_SCALE!r} END")} AS mdd_log
+FROM f
+""".strip())
+
+
 SUITE = {
     "vol_parkinson_20": ExtQuery(_parkinson, PARKINSON_SQL),
     "vol_garman_klass_20": ExtQuery(_garman_klass, GARMAN_KLASS_SQL),
@@ -1207,4 +1300,5 @@ SUITE = {
     "var_cvar_95_100": ExtQuery(_var_cvar, VAR_CVAR_SQL),
     "roll_spread_20": ExtQuery(_roll_spread, ROLL_SPREAD_SQL),
     "pair_spread_z_24": ExtQuery(_pair_spread_z, PAIR_SPREAD_SQL),
+    "rolling_mdd_100": ExtQuery(_rolling_mdd, ROLLING_MDD_SQL),
 }

@@ -322,8 +322,8 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 249
-    assert len(o) == 249  # zero rows-only (r8 added asof_hour_lookup,
+    assert len(q) == 250
+    assert len(o) == 250  # zero rows-only (r8 added asof_hour_lookup,
     # embedding_drift_by_slice, curation_decisions, perplexity_unigram,
     # then attribution_last_touch, user_rfm_segments, events_rate_anomaly,
     # bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram,
@@ -336,7 +336,8 @@ def test_entry_contract(spark):
     # vol_rogers_satchell_20, vol_yang_zhang_20, amihud_illiq_20,
     # cs_spread_2_20, hurst_aggvar, ar1_half_life, rolling_sharpe_20,
     # rolling_sortino_20, var_cvar_95_100, roll_spread_20,
-    # doc_chunk_128_16, pair_spread_z_24, chunk_dup_rate)
+    # doc_chunk_128_16, pair_spread_z_24, chunk_dup_rate,
+    # rolling_mdd_100)
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window

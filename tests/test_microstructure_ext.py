@@ -723,3 +723,41 @@ def test_streaming_parkinson_matches_batch(spark, tmp_path):
     ga, ea = got["vol_p"].to_numpy(), exp["vol_p"].to_numpy()
     assert np.array_equal(np.isnan(ga), np.isnan(ea))
     assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-5
+
+
+def test_rolling_mdd_matches_python(spark, bars, pdf_bars):
+    """Third-way recompute of the rolling max drawdown (python-int fold
+    over each trailing window) plus a planted V-shape: a monotone drop
+    of d log units followed by full recovery must report mdd == d while
+    the drop is in-window, decaying as it ages out."""
+    from pandas_ta_spark.ext.microstructure import VAR_N, rolling_mdd
+
+    got = _got(rolling_mdd(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        xs = [int(math.floor(math.log(v) * MS_SCALE + 0.5))
+              for v in c if v > 0 and math.isfinite(v)]
+        for i in range(len(xs)):
+            w = xs[max(0, i - VAR_N + 1): i + 1]
+            if len(w) >= VAR_N:
+                pm, mdd = -10**18, 0
+                for v in w:
+                    pm = max(pm, v)
+                    mdd = max(mdd, pm - v)
+                exps.append(mdd / MS_SCALE)
+            else:
+                exps.append(np.nan)
+    _cmp(got["mdd_log"], np.array(exps), 2e-6, "mdd_log")
+
+    # planted V: flat 100, drop to 100*e^-0.2 at one bar, recover
+    n = 130
+    c = np.full(n, 100.0)
+    c[60] = 100.0 * math.exp(-0.2)
+    df, _ = _mk_bars(spark, c, c * 1.001, c * 0.999, c)
+    out = _got(rolling_mdd(df))
+    full = out[out["n_obs"] >= VAR_N]
+    in_win = full[(full.index >= 99) & (full.index <= 60 + VAR_N - 1)]
+    assert np.allclose(in_win["mdd_log"], 0.2, atol=2e-6)
+    after = full[full.index > 60 + VAR_N - 1]
+    assert (after["mdd_log"] == 0).all()
