@@ -105,7 +105,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   conversion_lag_percentiles, session_stats_30m,
 #   embedding_norm_by_label, active_users_daily) —
 #   44 keys, exactly fills the window with the 5 anchors (49 of 50).
-# - r10 tranche (the final residual): the 13 keys ADDED latest in r8 —
+# - r10 tranche (the final residual): the 16 keys ADDED latest in r8 —
 #   the microstructure/risk pack (vol_parkinson_20, vol_garman_klass_20,
 #   vol_rogers_satchell_20, vol_yang_zhang_20, amihud_illiq_20,
 #   cs_spread_2_20, roll_spread_20, hurst_aggvar, ar1_half_life,

@@ -126,6 +126,19 @@ def _sql_qlog(num: str, den: str) -> str:
             f"{_sql_q(f'ln(({num}) / ({den}))')} END")
 
 
+def _qx_close():
+    """Quantized guarded ln(close) — the log-PRICE (not ratio) variant
+    of _qlog, single-sourced for ar1/pair/mdd (the e652874 inf-guard
+    fix had to be hand-applied to each inlined copy; never again)."""
+    return F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
+                  & (F.col("close") != F.lit(float("inf"))),
+                  _q(F.log(F.col("close"))))
+
+
+_SQL_QX_CLOSE = (f"CASE WHEN close > 0 AND isfinite(close) "
+                 f"THEN {_sql_q('ln(close)')} END")
+
+
 # ------------------------------------------------------- Parkinson ----
 
 def parkinson(bars: DataFrame, length: int = MS_N) -> DataFrame:
@@ -704,9 +717,7 @@ def ar1_half_life(bars: DataFrame) -> DataFrame:
     one row per symbol; the slope is emitted alongside so a random-walk
     series (b ~ 0, NULL half-life) is still informative."""
     ws = _ws()
-    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
-               & (F.col("close") != F.lit(float("inf"))),
-               _q(F.log(F.col("close"))))
+    x = _qx_close()
     df = bars.select("symbol", "ts", x.alias("x"))
     xp = F.lag("x").over(ws)
     df = df.select(
@@ -744,8 +755,7 @@ def _ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
 AR1_SQL = with_bars_cte(f"""
 , x AS (
     SELECT symbol, ts,
-           CASE WHEN close > 0 AND isfinite(close)
-                THEN {_sql_q('ln(close)')} END AS x
+           {_SQL_QX_CLOSE} AS x
     FROM bars
 ),
 d AS (
@@ -1084,9 +1094,7 @@ def pair_spread_z(bars: DataFrame) -> DataFrame:
     instead of silently wrapping int64. At a 10k-symbol universe the
     S^2 join fans out like lead_lag_corr — same documented blocking
     scale path."""
-    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
-               & (F.col("close") != F.lit(float("inf"))),
-               _q(F.log(F.col("close"))))
+    x = _qx_close()
     xdf = (bars.select("symbol", "ts", x.alias("x"))
            .filter(F.col("x").isNotNull()))
     a = xdf.select(F.col("symbol").alias("sym_a"), "ts",
@@ -1136,8 +1144,7 @@ def _pair_spread_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_SPREAD_SQL = with_bars_cte(f"""
 , x AS (
     SELECT symbol, ts,
-           CASE WHEN close > 0 AND isfinite(close)
-                THEN {_sql_q('ln(close)')} END AS x
+           {_SQL_QX_CLOSE} AS x
     FROM bars
 ),
 v AS (SELECT symbol, ts, x FROM x WHERE x IS NOT NULL),
@@ -1202,18 +1209,18 @@ def rolling_mdd(bars: DataFrame) -> DataFrame:
     the rolling tail-risk family next to VaR/CVaR.
 
     Exactness: x is the 1e-6-quantized ln(close); the drawdown is a
-    LEFT-ASSOCIATED integer fold over the window list (Spark
-    F.aggregate with a (prefix_max, mdd) struct; DuckDB list_reduce
-    over the same struct with the same merge) — every comparison and
-    subtraction is exact-int, so the fold is bit-identical. Same
+    LEFT-ASSOCIATED integer fold over the window list — every
+    comparison and subtraction is exact-int. The fold input is a
+    ts-SORTED struct list on BOTH engines because DuckDB's windowed
+    list() does NOT guarantee frame order (segment-tree combining),
+    and the DuckDB side folds via a correlated running-max subquery
+    rather than list_reduce — DuckDB 1.0 mis-evaluates list_reduce
+    over WINDOW-produced list columns (probed: the identical literal
+    list folds correctly; see the oracle's inline comment). Same
     pre-filter frame convention as var_cvar (the last VAR_N VALID
-    closes; collect_list/list() preserve frame order in both engines).
-    Same O(VAR_N)-values-per-row window cost class as the
+    closes); same O(VAR_N)-values-per-row window cost class as the
     order-statistic ops."""
-    ws = _ws()
-    x = F.when((F.col("close") > 0) & ~F.isnan(F.col("close"))
-               & (F.col("close") != F.lit(float("inf"))),
-               _q(F.log(F.col("close"))))
+    x = _qx_close()
     df = (bars.select("symbol", "ts", x.alias("x"))
           .filter(F.col("x").isNotNull()))
     wr = _ws().rowsBetween(-(VAR_N - 1), 0)
@@ -1251,8 +1258,7 @@ def _rolling_mdd(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_MDD_SQL = with_bars_cte(f"""
 , x AS (
     SELECT symbol, ts,
-           CASE WHEN close > 0 AND isfinite(close)
-                THEN {_sql_q('ln(close)')} END AS x
+           {_SQL_QX_CLOSE} AS x
     FROM bars
 ),
 v AS (SELECT symbol, ts, x FROM x WHERE x IS NOT NULL),

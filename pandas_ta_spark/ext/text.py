@@ -1121,7 +1121,7 @@ CHUNK_OVL = 16    # overlap between adjacent chunks
 CHUNK_STRIDE = CHUNK_TOK - CHUNK_OVL
 
 
-def doc_chunks(docs: DataFrame) -> DataFrame:
+def doc_chunks(docs: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Split documents into fixed-size token windows with overlap — the
     standard pretraining chunking step (context-window packing inputs).
     chunk i covers tokens [i*STRIDE, i*STRIDE + CHUNK); a doc with
@@ -1134,20 +1134,25 @@ def doc_chunks(docs: DataFrame) -> DataFrame:
 
     100 TB shape: ZERO shuffles — tokenize, a small integer sequence,
     one explode, a slice: pure map-side projection, fan-out ~n/STRIDE
-    rows per doc (linear in corpus tokens, the floor for any chunker)."""
+    rows per doc (linear in corpus tokens, the floor for any chunker).
+    ``passthrough`` names extra input columns carried onto every chunk
+    row (e.g. source) so downstream per-chunk rollups need NO join
+    back to the doc relation — the chunker is a projection, and one
+    more projected column is free."""
     toks = _toks()
     n = F.size(toks)
     extra = F.when(n <= CHUNK_TOK, F.lit(0)).otherwise(
         F.floor((n - CHUNK_TOK + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE))
         .cast("int"))
-    d = docs.select("doc_id", toks.alias("toks"), extra.alias("extra"))
+    pt = list(passthrough)
+    d = docs.select("doc_id", *pt, toks.alias("toks"), extra.alias("extra"))
     d = d.select(
-        "doc_id", "toks",
+        "doc_id", *pt, "toks",
         F.explode(F.sequence(F.lit(0), F.col("extra"))).alias("chunk_id"))
     sl = F.slice(F.col("toks"),
                  F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOK)
     return d.select(
-        "doc_id",
+        "doc_id", *pt,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         (F.col("chunk_id") * CHUNK_STRIDE).cast("long").alias("start_tok"),
         F.size(sl).cast("long").alias("n_tok"),
@@ -1198,20 +1203,22 @@ def chunk_dup_rate(docs: DataFrame) -> DataFrame:
     — the content exact-dedup misses because the doc ids differ). Per
     source: total chunks, duplicated chunks, dup_rate.
 
-    Plan (the 100 TB shape): chunker (map-side) -> doc_id join for the
-    source label -> groupBy(chunk_hash, source).count() — a REAL
-    map-side partial aggregation that shrinks the row-level chunk
-    stream to distinct (hash, source) pairs BEFORE any full shuffle —
-    -> global multiplicity as a window sum over the already-aggregated
-    relation (tiny) -> per-source rollup. Exact integers end to end
-    except the final ratio (one double division). (The first cut did
-    count(*) OVER (PARTITION BY chunk_hash) on the ROW-LEVEL stream —
-    a full sort-shuffle of every chunk with zero partial agg — which a
-    review pass caught against this docstring's own claim.)"""
-    ch = doc_chunks(docs.select("doc_id", "text"))
-    src = docs.select("doc_id", "source")
-    j = ch.select("doc_id", "chunk_hash").join(src, "doc_id")
-    g1 = j.groupBy("chunk_hash", "source").agg(
+    Plan (the 100 TB shape): the chunker carries ``source`` as a
+    passthrough projection column (shuffle-free — a later review pass
+    caught that the doc_id join-back this replaced sort-merge-shuffled
+    the FULL row-level chunk stream at scale, where the one-row-per-doc
+    side is far beyond any broadcast threshold), so the FIRST exchange
+    is already the groupBy(chunk_hash, source).count() partial agg that
+    shrinks the stream to distinct (hash, source) pairs; global
+    multiplicity is then a window sum over that tiny aggregated
+    relation, and the per-source rollup ends it. Exact integers end to
+    end except the final ratio (one double division). (The first cut
+    did count(*) OVER (PARTITION BY chunk_hash) on the ROW-LEVEL
+    stream — a full sort-shuffle with zero partial agg.) The DuckDB
+    twin keeps a doc_id join: it is a correctness oracle, not a plan."""
+    ch = doc_chunks(docs.select("doc_id", "text", "source"),
+                    passthrough=("source",))
+    g1 = ch.groupBy("chunk_hash", "source").agg(
         F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("chunk_hash")
     mult = F.sum("c").over(w)

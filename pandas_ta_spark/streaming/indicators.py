@@ -29,6 +29,13 @@ from pyspark.sql.types import (
 
 from pandas_ta_spark.operators.base import py_round
 
+# bound ONCE at module scope: _lnq runs ~window-length times per
+# arriving row in every twin — per-call `import math` + attribute
+# lookups were the exact cost the old _make_quant closure avoided
+import math as _math
+
+_floor, _log, _isfinite = _math.floor, _math.log, _math.isfinite
+
 
 def _one_chunk(pdfs):
     """applyInPandasWithState hands a group over as MULTIPLE arrow chunks
@@ -690,7 +697,14 @@ def _rolling_regime_twin(ticks: DataFrame, stat_name: str, long_lag: int,
         # ONE global ts sort per micro-batch: a large group arrives as
         # several arrow chunks in shuffle order — per-chunk sorting
         # would append closes to the ring buffer out of order
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        pdf = None
+        for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
+            pdf = pdf.sort_values("ts")
+        if pdf is None:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                 "low", "close")})
         rows = {"ts": [], "n_obs": [], stat_name: []}
         for ts, close in zip(pdf["ts"], pdf["close"]):
             buf.append(float(close))
@@ -731,13 +745,13 @@ def _lnq(a: float, b: float, scale: float) -> int | None:
     vendor inf price passes a bare a > 0 check, log(inf) is inf, and
     int(floor(inf)) raises OverflowError — a poison pill that aborts
     the micro-batch and kills the query (the e78ecf5 bad-close class).
-    NaN fails a > 0; inf needs math.isfinite. Single-sourced so a guard
-    fix lands in every twin at once (the _toks() lesson)."""
-    import math
-
-    if not (a > 0 and b > 0 and math.isfinite(a) and math.isfinite(b)):
+    NaN fails a > 0; inf needs isfinite. Single-sourced so a guard
+    fix lands in every twin at once (the _toks() lesson); math
+    functions are bound once at module scope — this is the per-row
+    hot path."""
+    if not (a > 0 and b > 0 and _isfinite(a) and _isfinite(b)):
         return None
-    return int(math.floor(math.log(a / b) * scale + 0.5))
+    return int(_floor(_log(a / b) * scale + 0.5))
 
 
 def _make_quant():
@@ -857,7 +871,14 @@ def streaming_drawdown_episodes(ticks: DataFrame,
         else:
             mx, highs, start_ns, end_ns, n_bars, max_dd = (
                 None, 0, 0, 0, 0, 0.0)
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        pdf = None
+        for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
+            pdf = pdf.sort_values("ts")
+        if pdf is None:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                 "low", "close")})
         rows = {"episode": [], "start_ts": [], "end_ts": [],
                 "n_bars": [], "max_dd": []}
         for ts, close in zip(pdf["ts"], pdf["close"]):
@@ -943,7 +964,14 @@ def streaming_yang_zhang(ticks: DataFrame,
                 if tok:
                     o, h, l, c = tok.split(":")
                     buf.append((float(o), float(h), float(l), float(c)))
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        pdf = None
+        for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
+            pdf = pdf.sort_values("ts")
+        if pdf is None:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                 "low", "close")})
         rows = {"ts": [], "n_obs": [], "vol_yz": []}
         for ts, o, h, l, c in zip(pdf["ts"], pdf["open"], pdf["high"],
                                   pdf["low"], pdf["close"]):
@@ -1035,7 +1063,14 @@ def streaming_var_cvar(ticks: DataFrame,
             ring = [int(t) for t in ring_s.split(",") if t != ""]
         else:
             prev, ring = None, []
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        pdf = None
+        for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
+            pdf = pdf.sort_values("ts")
+        if pdf is None:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                 "low", "close")})
         rows = {"ts": [], "n_obs": [], "var_95": [], "cvar_95": []}
         for ts, close in zip(pdf["ts"], pdf["close"]):
             close = float(close)
@@ -1104,7 +1139,14 @@ def streaming_parkinson(ticks: DataFrame,
         ring = ([None if t == "n" else int(t)
                  for t in state.get[0].split(",") if t != ""]
                 if state.exists else [])
-        pdf = pd.concat(list(pdfs)).sort_values("ts")
+        pdf = None
+        for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
+            pdf = pdf.sort_values("ts")
+        if pdf is None:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                 "low", "close")})
         rows = {"ts": [], "n_obs": [], "vol_p": []}
         for ts, h, l in zip(pdf["ts"], pdf["high"], pdf["low"]):
             qu = _lnq(float(h), float(l), MS_SCALE)

@@ -750,14 +750,23 @@ def test_rolling_mdd_matches_python(spark, bars, pdf_bars):
                 exps.append(np.nan)
     _cmp(got["mdd_log"], np.array(exps), 2e-6, "mdd_log")
 
-    # planted V: flat 100, drop to 100*e^-0.2 at one bar, recover
-    n = 130
+    # planted V: flat 100, drop to 100*e^-0.2 at bar 20, recover. A
+    # drawdown needs the pre-drop PEAK in-window too: the last window
+    # holding both peak (bar 19) and trough (bar 20) is
+    # [19 .. 19 + VAR_N - 1], so mdd == 0.2 through row 118 and 0 from
+    # row 119 on (at 119 the window STARTS at the trough — no peak).
+    # The first cut planted the drop at 60 of 130 bars, making the
+    # aging-out selection EMPTY and the decay assertion vacuously true
+    # (review-pass finding).
+    n, drop_at = 130, 20
     c = np.full(n, 100.0)
-    c[60] = 100.0 * math.exp(-0.2)
+    c[drop_at] = 100.0 * math.exp(-0.2)
     df, _ = _mk_bars(spark, c, c * 1.001, c * 0.999, c)
     out = _got(rolling_mdd(df))
     full = out[out["n_obs"] >= VAR_N]
-    in_win = full[(full.index >= 99) & (full.index <= 60 + VAR_N - 1)]
+    last_with_peak = drop_at - 1 + VAR_N - 1
+    in_win = full[full.index <= last_with_peak]
+    after = full[full.index > last_with_peak]
+    assert len(in_win) > 0 and len(after) > 0  # both branches exercised
     assert np.allclose(in_win["mdd_log"], 0.2, atol=2e-6)
-    after = full[full.index > 60 + VAR_N - 1]
     assert (after["mdd_log"] == 0).all()
