@@ -231,9 +231,9 @@ WITH per_user AS (
     SELECT user_id,
            max(date_trunc('day', ts)) AS last_day,
            count(*) AS frequency,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
-               AS monetary_cents
+                AS BIGINT) AS monetary_cents
     FROM events GROUP BY 1
 ),
 anchor AS (SELECT max(date_trunc('day', ts)) AS anchor_day FROM events),

@@ -305,8 +305,8 @@ def _lang_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LANG_SOURCE_AGG_SQL = """
 SELECT lang, source, count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       sum(n_chars) / count(*) AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY 1, 2
@@ -340,8 +340,10 @@ WITH e AS (
            TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT) AS k
     FROM events
 )
-SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
-       sum(k) / count(k) AS avg_k, min(k) AS min_k, max(k) AS max_k
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS BIGINT) / count(k) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
 FROM e GROUP BY 1
 """.strip()
 
@@ -1065,7 +1067,7 @@ terms AS (
                * 1000000000.0 + 0.5) AS BIGINT) AS t9
     FROM w
 )
-SELECT source, max(ns) AS n_tokens, max(n_types) AS n_types,
+SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens, max(n_types) AS n_types,
        {sql_round('(CAST(sum(t9) AS DOUBLE) / 1000000000.0'
                   ' + ln(CAST(sum(max(ns)) OVER () AS DOUBLE)))'
                   f' / {LN2!r}')} AS kl_bits
@@ -1101,8 +1103,8 @@ def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEXICAL_DIVERSITY_SQL = f"""
 {_ST_COUNTS_CTE},
 g AS (
-    SELECT source, sum(cst) AS n_tokens, count(*) AS n_types,
-           sum(CASE WHEN cst = 1 THEN 1 ELSE 0 END) AS n_hapax
+    SELECT source, CAST(sum(cst) AS BIGINT) AS n_tokens, count(*) AS n_types,
+           CAST(sum(CASE WHEN cst = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
     FROM st GROUP BY source
 )
 SELECT source, n_tokens, n_types, n_hapax,

@@ -66,6 +66,33 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kind(dtype) -> str | None:
+    """Coarse dtype family for driver-hash parity: the driver stringifies
+    values, so int64 662 vs float64 662.0 hash-differ even when the exact
+    values match (the r8 lang_source_agg/events_props_agg failure class:
+    DuckDB sum(INT) -> HUGEINT -> pandas float64 vs Spark BIGINT)."""
+    k = np.dtype(dtype).kind if not isinstance(dtype, pd.api.types.CategoricalDtype) else "O"
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(k)
+
+
+def kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose dtype family differs cross-engine (int vs float etc.).
+    Null-carrying columns are exempt: pandas upcasts nullable ints to
+    float64 on BOTH sides, and a null-pattern divergence is a value
+    failure the value compare already reports."""
+    out = []
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        ks, ko = _kind(sdf[c].dtype), _kind(odf[c].dtype)
+        if ks is None or ko is None or ks == ko:
+            continue
+        if sdf[c].isna().any() or odf[c].isna().any():
+            continue
+        out.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return out
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     if len(sdf) != len(odf):
         return f"ROWS spark={len(sdf)} oracle={len(odf)}"
@@ -86,6 +113,7 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
             neq = ~(x.eq(y) | (x.isna() & y.isna()))
             if neq.any():
                 bad.append(f"{c}: {int(neq.sum())} diff")
+    bad.extend(f"DTYPE {m}" for m in kind_mismatches(sdf, odf))
     return "; ".join(bad) if bad else ""
 
 
