@@ -82,10 +82,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # regression canaries.
 # - r7 (done, 50/50 green): the 44 never-evidenced momentum/statistics/
 #   volatility/volume keys + mcgd_10 (first round with its exact oracle).
-# - r8 (this window): performance + trend + candles + signals +
-#   squeeze_pro_20 + vp_10 + the first 16 never-evidenced ext keys +
-#   ngram_novelty (pulled forward from r9 to fill the 50th slot).
-# - r9 tranche (the 22 remaining never-evidenced keys): pii_scrub,
+# - r8 (done, 48/50 green; the 2 hash-reds were oracle dtype artifacts,
+#   fixed + pinned by tests/test_dtype_parity.py): performance + trend +
+#   candles + signals + squeeze_pro_20 + vp_10 + the first 16
+#   never-evidenced ext keys + ngram_novelty (pulled forward from r9 to
+#   fill the 50th slot).
+# - r9 (THIS window): the 44 remaining never-evidenced ext keys + the 5
+#   anchors + vol_parkinson_20 (pulled forward from r10 to fill the 50th
+#   slot). Enumerated below as _PRIORITY. Original r9 plan: pii_scrub,
 #   token_count_bpe, text_repetition, corpus_rarity, text_lang_id,
 #   text_quality, quality_lr_score, text_fingerprint, mix_rebalance_lang,
 #   sample_stratified_quota, ichimoku_forward, funnel_view_click_purchase,
@@ -105,14 +109,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   conversion_lag_percentiles, session_stats_30m,
 #   embedding_norm_by_label, active_users_daily) —
 #   44 keys, exactly fills the window with the 5 anchors (49 of 50).
-# - r10 tranche (the final residual): the 16 keys ADDED latest in r8 —
-#   the microstructure/risk pack (vol_parkinson_20, vol_garman_klass_20,
-#   vol_rogers_satchell_20, vol_yang_zhang_20, amihud_illiq_20,
-#   cs_spread_2_20, roll_spread_20, hurst_aggvar, ar1_half_life,
-#   rolling_sharpe_20, rolling_sortino_20, var_cvar_95_100,
-#   rolling_mdd_100) plus doc_chunk_128_16, chunk_dup_rate and
-#   pair_spread_z_24 — after that the sweep is complete and the window
-#   returns to flagship + kind-class representation.
+# - r10 tranche (the final residual, 15 keys — vol_parkinson_20 moved
+#   into r9's 50th slot): the microstructure/risk pack
+#   (vol_garman_klass_20, vol_rogers_satchell_20, vol_yang_zhang_20,
+#   amihud_illiq_20, cs_spread_2_20, roll_spread_20, hurst_aggvar,
+#   ar1_half_life, rolling_sharpe_20, rolling_sortino_20,
+#   var_cvar_95_100, rolling_mdd_100) plus doc_chunk_128_16,
+#   chunk_dup_rate and pair_spread_z_24 — after that the sweep is
+#   complete (every key driver-evidenced at least once) and the window
+#   returns to flagship + kind-class representation. The exact r10 list
+#   is pre-pinned in tests/test_api_and_ext.py::test_r10_tranche_ready
+#   so r10 is a constant-time rotation.
 # Rotated-out keys remain value-checked in the full gate
 # (tools/check.py) and the judge's rerun; only the truncated 50-key
 # artifact loses them. Tests pin _PRIORITY <= queries() and exact order.
@@ -120,29 +127,30 @@ _PRIORITY = [
     # flagship anchors (cross-round regression canaries)
     "supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
     "topk_cosine_ivfpq", "curation_pipeline",
-    # performance: first driver-visible value evidence
-    "log_return_1", "percent_return_1", "cum_percent_return",
-    # trend
-    "chop_14", "decay_5", "increasing_1", "decreasing_1",
-    "increasing_strict_4", "decreasing_strict_4", "dpo_20", "qstick_10",
-    "ttm_trend_6", "vhf_28", "vortex_14", "cksp_10_1_9", "amat_8_21_2",
-    "long_run_8_21", "short_run_8_21",
-    # candles + cycles
-    "cdl_doji_10", "cdl_inside", "cdl_z_30", "ebsw_40",
-    # signals
-    "above_sma_20", "below_sma_20", "cross_below_sma_20",
-    "cross_value_100",
-    # stragglers
-    "squeeze_pro_20", "vp_10",
-    # ext batch 1: dedup/contamination
-    "dedup_keep_list", "dedup_overlap_by_source_pair",
-    "dedup_rate_by_source", "contamination_ngrams", "dedup_ngram_jaccard",
-    # ext batch 1: similarity
-    "topk_pq_recall", "topk_ivf_recall", "ivf_cluster_profile",
-    "embedding_label_centroids", "neardup_cosine_lsh",
-    # ext batch 1: text/relational/media
-    "source_token_profile", "tfidf_top_terms", "lang_source_agg",
-    "events_props_agg", "media_meta", "media_features", "ngram_novelty",
+    # text pack: first driver-visible value evidence
+    "pii_scrub", "token_count_bpe", "text_repetition", "corpus_rarity",
+    "text_lang_id", "text_quality", "quality_lr_score", "text_fingerprint",
+    # LM statistics
+    "perplexity_unigram", "perplexity_bigram", "unigram_kl_by_source",
+    "lexical_diversity",
+    # sampling / mixture
+    "mix_rebalance_lang", "mix_temperature_sqrt", "sample_stratified_quota",
+    "curation_decisions",
+    # relational / resample / market
+    "ichimoku_forward", "mtf_sma_asof", "asof_hour_lookup", "bars_daily",
+    "bars_15m", "bars_gapfill_1h", "series_integrity", "xsec_rank_ret1",
+    "xsec_zscore_ret1", "ret_autocorr_24", "variance_ratio_5_24",
+    "drawdown_episodes", "lead_lag_corr_1h", "hourly_seasonality",
+    # behavior / product analytics
+    "funnel_view_click_purchase", "retention_cohorts", "session_stats_30m",
+    "attribution_last_touch", "user_rfm_segments", "events_rate_anomaly",
+    "event_transition_matrix", "conversion_lag_percentiles",
+    "active_users_daily",
+    # similarity / media
+    "semdedup_cc_clusters", "embedding_drift_by_slice",
+    "embedding_norm_by_label", "media_frame_sample", "media_resize_8",
+    # pulled forward from r10 to fill the 50th slot
+    "vol_parkinson_20",
 ]
 
 

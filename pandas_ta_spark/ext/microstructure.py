@@ -1071,9 +1071,41 @@ PAIR_N = 24        # rolling z window over the spread (one hourly day)
 SPREAD_MAX = 1e8   # |spread| validity cap in 1e-6 log units: sq^2 <=
                    # 1e16, 24-row sums <= 2.4e17, n*Q <= 5.8e18 — int64
                    # stays safe even for pathological hedge ratios
+PAIR_TOP_N = 100   # default candidate-universe bound: the S^2 pair
+                   # fan-out runs over at most top_n symbols selected by
+                   # dollar volume (100 -> <=4950 pairs regardless of
+                   # universe size); the sf testdata's 5 symbols all
+                   # qualify, so the gate oracle is unchanged
 
 
-def pair_spread_z(bars: DataFrame) -> DataFrame:
+def _top_dollar_volume(bars: DataFrame, top_n: int) -> DataFrame:
+    """Top-n symbols by total dollar volume — the candidate universe for
+    the S^2 cross-sectional ops. One map-side-partial groupBy to S rows,
+    then a deterministic (dv desc, symbol) pick; the result is a tiny
+    relation meant to be broadcast-semi-joined onto the bar stream."""
+    return (bars.groupBy("symbol")
+            .agg(F.sum(F.col("close") * F.col("volume")).alias("dv"))
+            .orderBy(F.desc("dv"), "symbol")
+            .limit(top_n)
+            .select("symbol"))
+
+
+def bound_universe(bars: DataFrame, top_n: int | None,
+                   symbols=None) -> DataFrame:
+    """Restrict a bar stream to the pair-candidate universe: an explicit
+    symbol list, or the top_n dollar-volume names (broadcast semi-join —
+    no shuffle of the bar stream). top_n=None and symbols=None leaves
+    the stream unbounded (the caller opts back into S^2)."""
+    if symbols is not None:
+        return bars.filter(F.col("symbol").isin(list(symbols)))
+    if top_n is not None:
+        cand = _top_dollar_volume(bars, top_n)
+        return bars.join(F.broadcast(cand), "symbol", "left_semi")
+    return bars
+
+
+def pair_spread_z(bars: DataFrame, top_n: int | None = PAIR_TOP_N,
+                  symbols=None) -> DataFrame:
     """Stat-arb pair telemetry: for every unordered symbol pair
     (a < b), fit the GLOBAL hedge ratio beta = OLS slope of ln(close_a)
     on ln(close_b) over the aligned hourly grid, then score the spread
@@ -1091,9 +1123,15 @@ def pair_spread_z(bars: DataFrame) -> DataFrame:
     dropping the pair. The spread is re-quantized (floor+0.5) so the
     rolling mean/std are exact-integer window sums; |spread| >
     SPREAD_MAX (a diverged fit) makes the row invalid in both engines
-    instead of silently wrapping int64. At a 10k-symbol universe the
-    S^2 join fans out like lead_lag_corr — same documented blocking
-    scale path."""
+    instead of silently wrapping int64.
+
+    Scale: the S^2 fan-out is BOUNDED BY DEFAULT — the pair universe is
+    the top ``top_n`` symbols by dollar volume (or an explicit
+    ``symbols`` list), applied as a broadcast semi-join before the
+    ts-align, so a 10k-symbol corpus still joins at most
+    top_n*(top_n-1)/2 pairs. ``top_n=None`` opts back into the full
+    S^2 (telemetry on small universes only)."""
+    bars = bound_universe(bars, top_n, symbols)
     x = _qx_close()
     xdf = (bars.select("symbol", "ts", x.alias("x"))
            .filter(F.col("x").isNotNull()))

@@ -1293,7 +1293,8 @@ GROUP BY symbol, hod
 
 # ---------------------------------------------------- lead-lag matrix ----
 
-def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lead_lag_corr(bars: DataFrame, top_n: int | None = None,
+                  symbols=None) -> DataFrame:
     """Cross-symbol lead-lag matrix: for every ORDERED symbol pair
     (leader, follower), corr(r_follower(t), r_leader(t-1)) over the
     aligned hourly grid — "does yesterday's move in A predict today's
@@ -1304,12 +1305,16 @@ def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-lagged with the SAME sort, then a single equi-join on ts and one
     (leader, follower) aggregation of exact-integer corr sums — the
     final corr is one double expression over exact integers, identical
-    in both engines. Output is S*(S-1) rows. At a 10k-symbol universe
-    the ts-join fans out S^2 row pairs per timestamp; the scale path is
-    blocking the universe (sector/cluster blocks) or restricting leaders
-    to a candidate list — the join itself stays an equi-join either way.
-    """
-    bars = bars_from_events_cached(spark, sf_dir)
+    in both engines. Output is S*(S-1) rows over the candidate universe.
+
+    Scale: the S^2 fan-out is BOUNDED BY DEFAULT in the suite entry —
+    the universe is the top ``top_n`` dollar-volume symbols (or an
+    explicit ``symbols`` list), applied as a broadcast semi-join before
+    the return computation, so both join sides shrink together; the
+    join itself stays an equi-join either way."""
+    from pandas_ta_spark.ext.microstructure import bound_universe
+
+    bars = bound_universe(bars, top_n, symbols)
     ws = Window.partitionBy("symbol").orderBy("ts")
     r = F.log(F.col("close") / F.lag("close").over(ws))
     q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
@@ -1350,6 +1355,16 @@ def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_obs"),
         round_col(corr).alias("leadlag_corr"),
     )
+
+
+LEAD_LAG_TOP_N = 100  # suite default bound (<=9900 ordered pairs); the
+                      # sf testdata's 5 symbols all qualify, so the gate
+                      # oracle below needs no universe CTE
+
+
+def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lead_lag_corr(bars_from_events_cached(spark, sf_dir),
+                         top_n=LEAD_LAG_TOP_N)
 
 
 LEAD_LAG_SQL = with_bars_cte(f"""

