@@ -111,19 +111,34 @@ def _qlog(num, den):
     total order, and -inf already fails > 0). With the shared guard a
     non-positive, NaN or infinite price makes the row invalid (joins
     no window sum) in BOTH engines, matching the streaming _lnq."""
+    return _q(_glog(num, den))
+
+
+def _glog(num, den):
+    """Guarded UNQUANTIZED ln(num/den) — the same legs as _qlog (whose
+    docstring carries the full cross-engine rationale) for call sites
+    that keep the return in double space (e.g. signal_equity's
+    strat_ret). A failed guard yields NULL, which quantization
+    (floor/cast of NULL) also maps to NULL — so _qlog == _q(_glog)."""
     inf = F.lit(float("inf"))
     return F.when((num > F.lit(0)) & (den > F.lit(0))
                   & ~F.isnan(num) & ~F.isnan(den)
                   & (num != inf) & (den != inf),
-                  _q(F.log(num / den)))
+                  F.log(num / den))
 
 
 def _sql_qlog(num: str, den: str) -> str:
     """DuckDB twin of _qlog (CASE short-circuits, so ln never sees a
     non-positive argument; a NULL side compares NULL -> not-true)."""
-    return (f"CASE WHEN ({num}) > 0 AND ({den}) > 0 "
+    return _sql_q(_sql_glog(num, den))
+
+
+def _sql_glog(num: str, den: str) -> str:
+    """DuckDB twin of _glog. _sql_q over the whole CASE keeps NULL
+    rows NULL (floor/CAST of NULL), so _sql_qlog composes exactly."""
+    return (f"(CASE WHEN ({num}) > 0 AND ({den}) > 0 "
             f"AND isfinite({num}) AND isfinite({den}) THEN "
-            f"{_sql_q(f'ln(({num}) / ({den}))')} END")
+            f"ln(({num}) / ({den})) END)")
 
 
 def _qx_close():

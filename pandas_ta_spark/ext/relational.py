@@ -607,7 +607,12 @@ def _signal_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = bars.select("symbol", "ts", "close", trend.alias("trend"))
     pos = F.lag("trend").over(ws)
-    lr = F.log(F.col("close") / F.lag("close").over(ws))
+    # guarded (unquantized) log return: a zero/NaN/inf close must yield
+    # a NULL strat_ret in BOTH engines (DuckDB ln(0) hard-errors), which
+    # coalesce() then books as a flat day — see microstructure._glog
+    from pandas_ta_spark.ext.microstructure import _glog
+
+    lr = _glog(F.col("close"), F.lag("close").over(ws))
     df = df.select(
         "symbol", "ts", pos.alias("position"),
         (pos * lr).alias("strat_ret"),
@@ -644,7 +649,7 @@ p AS (
     SELECT symbol, ts,
            lag(trend) OVER (PARTITION BY symbol ORDER BY ts) AS position,
            lag(trend) OVER (PARTITION BY symbol ORDER BY ts)
-             * ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts))
+             * {_sql_glog_ret()}
              AS strat_ret
     FROM t
 ),
@@ -794,6 +799,39 @@ BETA_N = 24  # one day of hourly bars
 BETA_SCALE = 1e6
 
 
+def _qret(lag_n: int = 1):
+    """Guarded quantized log return ln(close / close[-lag_n]) on the
+    (symbol, ts) ordering — microstructure's _qlog guard (positivity +
+    NaN + inf legs on BOTH engines' semantics) reused for every
+    log-return quantization in this module (ADVICE r8: an unguarded
+    floor(ln(...))::long silently fabricates a 0 return on a NaN close
+    in Spark, hard-errors in DuckDB, and diverges from the streaming
+    twins' _lnq isfinite leg — a dirty close must yield an invalid row
+    in all three). BETA_SCALE == microstructure MS_SCALE == 1e6, so the
+    quantization grid is unchanged."""
+    from pandas_ta_spark.ext.microstructure import _qlog
+
+    ws = Window.partitionBy("symbol").orderBy("ts")
+    return _qlog(F.col("close"), F.lag("close", lag_n).over(ws))
+
+
+def _sql_qret(lag_n: int = 1) -> str:
+    """DuckDB twin of _qret: same guard legs via microstructure's
+    _sql_qlog over an inline lag window expression."""
+    from pandas_ta_spark.ext.microstructure import _sql_qlog
+
+    prev = f"lag(close, {lag_n}) OVER (PARTITION BY symbol ORDER BY ts)"
+    return _sql_qlog("close", prev)
+
+
+def _sql_glog_ret() -> str:
+    """Guarded UNQUANTIZED SQL log return (signal_equity's strat_ret)."""
+    from pandas_ta_spark.ext.microstructure import _sql_glog
+
+    prev = "lag(close) OVER (PARTITION BY symbol ORDER BY ts)"
+    return _sql_glog("close", prev)
+
+
 def _rolling_corr_sums(x: str, y: str, ws):
     """Exact-integer rolling second-moment sums over the trailing BETA_N
     rows of the (symbol, ts) ordering: (n, n*Sxy - Sx*Sy, n*Sxx - Sx^2,
@@ -840,9 +878,7 @@ def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar relation, which is already resampled far below tick volume."""
     bars = bars_from_events_cached(spark, sf_dir)
     ws = Window.partitionBy("symbol").orderBy("ts")
-    r = F.log(F.col("close") / F.lag("close").over(ws))
-    q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
-    df = bars.select("symbol", "ts", q.alias("q"))
+    df = bars.select("symbol", "ts", _qret().alias("q"))
     wt = Window.partitionBy("ts")
     # integer market mean at the same BETA_SCALE (1e6): exact sum / count, one
     # double division + floor -> identical integer in both engines
@@ -868,9 +904,7 @@ def _rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_BETA_SQL = with_bars_cte(f"""
 , r AS (
-    SELECT symbol, ts,
-           CAST(floor(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts))
-                      * {BETA_SCALE!r} + 0.5) AS BIGINT) AS q
+    SELECT symbol, ts, {_sql_qret()} AS q
     FROM bars
 ),
 mkt AS (
@@ -976,9 +1010,7 @@ def ret_autocorr(bars: DataFrame) -> DataFrame:
     ONE shuffle on symbol; two stacked lag expressions and the rolling
     sums reuse the same (symbol, ts) sort."""
     ws = Window.partitionBy("symbol").orderBy("ts")
-    r = F.log(F.col("close") / F.lag("close").over(ws))
-    q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
-    df = (bars.select("symbol", "ts", q.alias("q"))
+    df = (bars.select("symbol", "ts", _qret().alias("q"))
           .select("symbol", "ts", "q", F.lag("q").over(ws).alias("ql")))
     n, cov_s, varx_s, vary_s = _rolling_corr_sums("q", "ql", ws)
     full = n >= BETA_N
@@ -1000,9 +1032,7 @@ def _ret_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RET_AUTOCORR_SQL = with_bars_cte(f"""
 , r AS (
-    SELECT symbol, ts,
-           CAST(floor(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts))
-                      * {BETA_SCALE!r} + 0.5) AS BIGINT) AS q
+    SELECT symbol, ts, {_sql_qret()} AS q
     FROM bars
 ),
 l AS (
@@ -1118,11 +1148,8 @@ def variance_ratio(bars: DataFrame) -> DataFrame:
     engines. ONE shuffle on symbol; the q-horizon lag reuses the same
     (symbol, ts) sort."""
     ws = Window.partitionBy("symbol").orderBy("ts")
-    r1 = F.log(F.col("close") / F.lag("close").over(ws))
-    rq = F.log(F.col("close") / F.lag("close", VR_Q).over(ws))
-    q1 = F.floor(r1 * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
-    qq = F.floor(rq * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
-    df = bars.select("symbol", "ts", q1.alias("q1"), qq.alias("qq"))
+    df = bars.select("symbol", "ts", _qret().alias("q1"),
+                     _qret(VR_Q).alias("qq"))
     n, _cov, var1_s, varq_s = _rolling_corr_sums("q1", "qq", ws)
     full = n >= BETA_N
     vr = F.when(
@@ -1143,12 +1170,9 @@ def _variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANCE_RATIO_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, ts,
-           CAST(floor(ln(close / lag(close) OVER sym) * {BETA_SCALE!r} + 0.5)
-                AS BIGINT) AS q1,
-           CAST(floor(ln(close / lag(close, {VR_Q}) OVER sym)
-                      * {BETA_SCALE!r} + 0.5) AS BIGINT) AS qq
+           {_sql_qret()} AS q1,
+           {_sql_qret(VR_Q)} AS qq
     FROM bars
-    WINDOW sym AS (PARTITION BY symbol ORDER BY ts)
 ),
 acc AS (
     SELECT symbol, ts,
@@ -1249,9 +1273,7 @@ def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol for the return lag, then one 24*S-group aggregation with
     map-side partials. Output 24*S rows."""
     bars = bars_from_events_cached(spark, sf_dir)
-    ws = Window.partitionBy("symbol").orderBy("ts")
-    r = F.log(F.col("close") / F.lag("close").over(ws))
-    aq = F.abs(F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long"))
+    aq = F.abs(_qret())
     df = bars.select(
         "symbol", F.hour("ts").alias("hod"),
         aq.alias("aq"),
@@ -1275,9 +1297,7 @@ def _hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOURLY_SEASONALITY_SQL = with_bars_cte(f"""
 , r AS (
     SELECT symbol, CAST(hour(ts) AS BIGINT) AS hod,
-           abs(CAST(floor(ln(close / lag(close) OVER
-                              (PARTITION BY symbol ORDER BY ts))
-                          * {BETA_SCALE!r} + 0.5) AS BIGINT)) AS aq,
+           abs({_sql_qret()}) AS aq,
            CAST(floor(volume) AS BIGINT) AS vol
     FROM bars
 )
@@ -1316,12 +1336,10 @@ def lead_lag_corr(bars: DataFrame, top_n: int | None = None,
 
     bars = bound_universe(bars, top_n, symbols)
     ws = Window.partitionBy("symbol").orderBy("ts")
-    r = F.log(F.col("close") / F.lag("close").over(ws))
-    q = F.floor(r * F.lit(BETA_SCALE) + F.lit(0.5)).cast("long")
     # both lags in ONE window pass over one relation; the self-join's two
     # sides are projections of it, so the exchange is computed once and
     # reused (ReusedExchange in the physical plan)
-    rets = bars.select("symbol", "ts", q.alias("q")).select(
+    rets = bars.select("symbol", "ts", _qret().alias("q")).select(
         "symbol", "ts", "q", F.lag("q").over(ws).alias("ql"))
     lead = rets.select(F.col("symbol").alias("leader"), "ts", "ql")
     foll = rets.select(F.col("symbol").alias("follower"), "ts", "q")
@@ -1369,11 +1387,8 @@ def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LEAD_LAG_SQL = with_bars_cte(f"""
 , r AS (
-    SELECT symbol, ts,
-           CAST(floor(ln(close / lag(close) OVER sym) * {BETA_SCALE!r} + 0.5)
-                AS BIGINT) AS q
+    SELECT symbol, ts, {_sql_qret()} AS q
     FROM bars
-    WINDOW sym AS (PARTITION BY symbol ORDER BY ts)
 ),
 l AS (
     SELECT symbol AS leader, ts,

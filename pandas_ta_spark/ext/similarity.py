@@ -553,8 +553,14 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
         StructField("ce", ArrayType(DoubleType(), False), False),
         StructField("cn", DoubleType(), False),
     ])
-    centn = materialize(spark.createDataFrame(
-        _train_centroids_numpy(sample), cent_schema))
+    # NOT materialize()d: the K-row centroid table is createDataFrame
+    # over DRIVER-LOCAL numpy output — its "lineage" is the local list
+    # itself (a LocalTableScan), so the eager checkpoint bought nothing
+    # and cost a whole job (profiled at 1.6s cold / ~0.4s hot of the
+    # x10 build-net regression, tools/profile_ivf.py). Downstream uses
+    # broadcast it; re-serializing 16 local rows per use is free.
+    centn = spark.createDataFrame(
+        _train_centroids_numpy(sample), cent_schema)
     # the inverted file is materialized too — (vec_id, centroid_id) longs,
     # the on-disk artifact a real IVF deployment persists next to the
     # centroids — so probes scan lists instead of re-running assignment

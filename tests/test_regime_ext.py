@@ -615,3 +615,51 @@ def test_strategy_duplicate_kind_different_params(spark):
 
     with pytest.raises(ValueError, match="_fake_tmp"):
         apply_strategy(bars, [fake(1), fake(2)])
+
+
+def test_dirty_close_yields_invalid_rows_not_fake_zeros(spark):
+    """ADVICE r8 (medium): every log-return quantization in relational.py
+    must go through the shared _qlog guard, so a zero/NaN/inf close makes
+    the affected returns INVALID (NULL) instead of Spark's non-ANSI
+    floor(NaN)::long fabricating a 0 return while the DuckDB twin
+    hard-errors and the streaming twins drop the row.
+
+    The guard's semantics are exactly "dirty close == NULL close": both
+    return legs touching the bar become NULL and every downstream window
+    statistic sees one fewer complete pair. So the pin is an equality:
+    each op over bars with planted dirty closes must equal the same op
+    over bars where those closes are NULL."""
+    from pandas_ta_spark.ext.relational import (
+        lead_lag_corr,
+        ret_autocorr,
+        variance_ratio,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    frames = []
+    for sym, seed in (("A", 3), ("B", 4)):
+        rng = np.random.default_rng(seed)
+        c = 100 + np.cumsum(rng.normal(0, 1, 120))
+        frames.append(pd.DataFrame(
+            {"symbol": sym, "ts": pd.date_range(t0, periods=120, freq="h"),
+             "open": c, "high": c + 0.5, "low": c - 0.5, "close": c,
+             "volume": 7.0}))
+    pdf = pd.concat(frames, ignore_index=True)
+    dirty = pdf.copy()
+    dirty.loc[40, "close"] = 0.0          # DuckDB ln(0) class
+    dirty.loc[80, "close"] = float("nan")  # floor(NaN)::long class
+    dirty.loc[150, "close"] = float("inf")  # saturating-cast class
+    nulled = pdf.copy()
+    nulled.loc[[40, 80, 150], "close"] = None
+
+    for op in (ret_autocorr, variance_ratio, lead_lag_corr):
+        got = (op(spark.createDataFrame(dirty)).toPandas()
+               .sort_values(list(op(spark.createDataFrame(dirty)).columns))
+               .reset_index(drop=True))
+        want = (op(spark.createDataFrame(nulled)).toPandas()
+                .sort_values(list(got.columns)).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # and the dirty rows really did invalidate something: fewer
+        # complete pairs than the clean series would have
+        clean = op(spark.createDataFrame(pdf)).toPandas()
+        assert got["n_obs"].sum() < clean["n_obs"].sum()
