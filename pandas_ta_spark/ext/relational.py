@@ -953,14 +953,21 @@ def bars_gapfill(bars: DataFrame) -> DataFrame:
     left join on (symbol, h) — hour spreads the symbol key, no skew —
     then ONE ordered window pass for the carry. The DuckDB twin fills
     via the engine's native ASOF JOIN (b.ts <= h) instead of a carry
-    window: independent mechanisms, identical semantics."""
+    window: independent mechanisms, identical semantics.
+
+    NULL-close bars (ADVICE r8): is_gap tests bar EXISTENCE on both
+    sides (a join marker here, b.ts IS NULL in the twin) — a present
+    bar carrying a NULL close is is_gap=0, and close_ff carries the
+    last NON-NULL close over it in both engines (ignorenulls here, a
+    close-filtered ASOF side in the twin)."""
     hour = F.expr("INTERVAL 1 HOUR")
     span = bars.groupBy("symbol").agg(
         F.min("ts").alias("mn"), F.max("ts").alias("mx"))
     spine = span.select(
         "symbol", F.explode(F.sequence("mn", "mx", hour)).alias("h"))
     j = spine.join(
-        bars.select("symbol", F.col("ts").alias("h"), "close", "volume"),
+        bars.select("symbol", F.col("ts").alias("h"), "close", "volume",
+                    F.lit(1).alias("present")),
         ["symbol", "h"], "left")
     w = (
         Window.partitionBy("symbol").orderBy("h")
@@ -970,7 +977,7 @@ def bars_gapfill(bars: DataFrame) -> DataFrame:
         "symbol", "h",
         round_col(F.last("close", ignorenulls=True).over(w)).alias("close_ff"),
         round_col(F.coalesce("volume", F.lit(0.0))).alias("volume"),
-        F.col("close").isNull().cast("int").alias("is_gap"),
+        F.col("present").isNull().cast("int").alias("is_gap"),
     )
 
 
@@ -991,7 +998,8 @@ SELECT s.symbol, s.h,
        {sql_round('coalesce(b.volume, 0)')} AS volume,
        CASE WHEN b.ts IS NULL THEN 1 ELSE 0 END AS is_gap
 FROM spine s
-ASOF JOIN bars f ON f.symbol = s.symbol AND f.ts <= s.h
+ASOF JOIN (SELECT * FROM bars WHERE close IS NOT NULL) f
+    ON f.symbol = s.symbol AND f.ts <= s.h
 LEFT JOIN bars b ON b.symbol = s.symbol AND b.ts = s.h
 """.strip())
 

@@ -70,7 +70,8 @@ def _ts_expr(df: DataFrame, ts_format: str | None):
 _TS_ALIASES = ("ts", "date", "datetime", "timestamp", "time")
 
 
-def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
+def _normalize(df: DataFrame, ts_format: str | None,
+               strict: bool = False) -> DataFrame:
     # case-insensitive header mapping (Close == close), like Spark's
     # default resolver; last-one-wins on true case collisions
     lower = {c.lower(): c for c in df.columns}
@@ -86,10 +87,14 @@ def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
     ts = _ts_expr(df, ts_format)
     # bounded fail-fast: a wrong ts format turns EVERY row's ts NULL
     # silently under non-ANSI to_timestamp; checking a 1000-row sample
+    # (an ARBITRARY, partition-order-dependent 1000 rows — ADVICE r8)
     # costs one tiny job and catches it at the connector instead of in
-    # NULL-ordered windows far downstream
+    # NULL-ordered windows far downstream. strict=True scans the whole
+    # source instead: the check becomes exhaustive at the price of one
+    # full pass — the right trade for a one-time ingest of an untrusted
+    # feed, the wrong one inside a hot re-read loop.
     bad = (
-        df.limit(1000)
+        (df if strict else df.limit(1000))
         .select(F.col("ts").alias("raw"), ts.alias("parsed"))
         .filter(F.col("raw").isNotNull() & F.col("parsed").isNull())
         .limit(1)
@@ -112,7 +117,7 @@ def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
     # CSV cell would silently diverge from the SQL oracles downstream,
     # so reject it at the connector
     nulls = (
-        out.limit(1000)
+        (out if strict else out.limit(1000))
         .filter(" OR ".join(
             f"{c} IS NULL"
             for c in ("open", "high", "low", "close", "volume")))
@@ -123,12 +128,16 @@ def _normalize(df: DataFrame, ts_format: str | None) -> DataFrame:
         raise ValueError(
             "bars source has NULL/unparseable OHLCV values "
             f"(first: {nulls[0].asDict()}); the indicator engine "
-            "requires complete bars — clean or filter the source first")
+            "requires complete bars — clean or filter the source first"
+            + ("" if strict else
+               " (checked a 1000-row sample; pass strict=True for a "
+               "full-scan check)"))
     return out
 
 
 def bars_from_csv(spark: SparkSession, path: str, *, header: bool = True,
-                  sep: str = ",", ts_format: str | None = None) -> DataFrame:
+                  sep: str = ",", ts_format: str | None = None,
+                  strict: bool = False) -> DataFrame:
     """Read OHLCV bars from CSV without an inference pre-scan.
 
     With a header, columns are mapped BY NAME (no schema passed — Spark
@@ -141,11 +150,12 @@ def bars_from_csv(spark: SparkSession, path: str, *, header: bool = True,
     reader = spark.read.option("header", str(header).lower()).option("sep", sep)
     if not header:
         reader = reader.schema(", ".join(f"{c} STRING" for c in _CANON))
-    return _normalize(reader.csv(path), ts_format)
+    return _normalize(reader.csv(path), ts_format, strict)
 
 
 def bars_from_json(spark: SparkSession, path: str, *,
-                   ts_format: str | None = None) -> DataFrame:
+                   ts_format: str | None = None,
+                   strict: bool = False) -> DataFrame:
     """Read OHLCV bars from line-delimited JSON with an explicit schema
     (no sampling pass; unknown keys are simply never parsed)."""
     fields = ", ".join(
@@ -153,7 +163,7 @@ def bars_from_json(spark: SparkSession, path: str, *,
         for c in _CANON
     )
     df = spark.read.schema(fields).json(path)
-    return _normalize(df, ts_format)
+    return _normalize(df, ts_format, strict)
 
 
 def ticker(
@@ -246,7 +256,8 @@ def _interval_minutes(interval: str) -> int:
     return int(m.group(1)) * per
 
 
-def bars_from_parquet(spark: SparkSession, path: str) -> DataFrame:
+def bars_from_parquet(spark: SparkSession, path: str,
+                      strict: bool = False) -> DataFrame:
     """Read bars already in (or castable to) the canonical layout from
     parquet — column pruning + predicate pushdown for free. Sets the
     nanos-as-long legacy conf itself: pandas-exported parquet stores
@@ -254,14 +265,15 @@ def bars_from_parquet(spark: SparkSession, path: str) -> DataFrame:
     rejects, and relying on an earlier load_table() call to have flipped
     it would make this connector order-dependent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _normalize(spark.read.parquet(path), None)
+    return _normalize(spark.read.parquet(path), None, strict)
 
 
 def bars_from_orc(spark: SparkSession, path: str,
-                  ts_format: str | None = None) -> DataFrame:
+                  ts_format: str | None = None,
+                  strict: bool = False) -> DataFrame:
     """Read bars from ORC — the other columnar lake format Spark reads
     natively (Hive-era lakes are usually ORC). Same free column pruning
     + predicate pushdown as parquet; no nanos quirk (ORC timestamps are
     microsecond-class), so the shared _normalize handles epoch or
     string ts like the other connectors."""
-    return _normalize(spark.read.orc(path), ts_format)
+    return _normalize(spark.read.orc(path), ts_format, strict)

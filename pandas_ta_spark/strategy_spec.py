@@ -176,4 +176,7 @@ def resolve_strategy(spec, exclude=()) -> list[Indicator]:
         raise ValueError(
             f"unknown strategy {spec!r}: not 'all' or a category "
             f"({sorted(Category)})")
-    return list(spec)  # already a list of Indicator plan fragments
+    # already a list of Indicator plan fragments — but exclude still
+    # applies (ADVICE r8: the passthrough silently kept excluded kinds,
+    # unlike every other spec form)
+    return [ind for ind in spec if ind.key.lower() not in exclude]

@@ -608,6 +608,30 @@ def test_bars_format_roundtrip(spark, pdf_bars, tmp_path):
         _normalize(spark.createDataFrame([(1,)], "x INT"), None)
 
 
+def test_bars_connector_strict_full_scan(spark, pdf_bars, tmp_path):
+    """ADVICE r8: the connector's NULL-OHLCV fail-fast samples only 1000
+    arbitrary rows, so a NULL bar beyond the sample passes silently;
+    strict=True must scan the whole source and catch it."""
+    import pytest as _pytest
+
+    from pandas_ta_spark.sources.formats import bars_from_csv
+
+    # one file, >1000 rows, the ONLY null close on the very last row —
+    # a single-file CSV scans in order, so the 1000-row sample misses it
+    src = pd.concat([pdf_bars] * 3, ignore_index=True)
+    src = src.sort_values(["symbol", "ts"], kind="stable").reset_index(drop=True)
+    assert len(src) > 1000
+    src.loc[len(src) - 1, "close"] = None
+    d = tmp_path / "bars_csv_tail_null"
+    d.mkdir()
+    src.to_csv(d / "part.csv", index=False)
+
+    lax = bars_from_csv(spark, str(d))           # sample misses the tail
+    assert lax.count() == len(src)
+    with _pytest.raises(ValueError, match="NULL/unparseable OHLCV"):
+        bars_from_csv(spark, str(d), strict=True)
+
+
 def test_ticker_vendor_dir_adapter(spark, pdf_bars, tmp_path):
     """Offline ticker(): symbol -> vendor-file resolution (yfinance-
     style CSV with Date header and no symbol column), canonical schema,
@@ -1722,6 +1746,14 @@ def test_strategy_dataclass_surface(spark, bars, pdf_bars):
     assert len(all1) > 100
     outs = [o for i in all1 for o in i.outputs]
     assert len(outs) == len(set(outs))  # no output collisions
+
+    # exclude applies to the native list-of-Indicator passthrough too
+    # (ADVICE r8: it was silently ignored on this form)
+    from pandas_ta_spark.registry import make
+
+    kept = resolve_strategy([make("sma", length=5), make("rsi", length=14)],
+                            exclude=("rsi",))
+    assert [i.key for i in kept] == ["sma"]
 
     # unknown spec fails loudly
     with _pytest.raises(ValueError, match="unknown strategy"):

@@ -81,6 +81,41 @@ def test_bars_gapfill_planted_gap(spark):
     assert len(b) == 1 and b["is_gap"].iloc[0] == 0
 
 
+def test_bars_gapfill_null_close_bar_cross_engine(spark):
+    """ADVICE r8: is_gap must test bar EXISTENCE on both engines — a
+    present bar carrying a NULL close is is_gap=0 with the last
+    non-NULL close carried over it, in Spark AND in the DuckDB twin
+    (whose bars CTE is swapped for the same planted relation here)."""
+    import duckdb
+
+    from pandas_ta_spark.ext.relational import BARS_GAPFILL_SQL, bars_gapfill
+
+    rows = [
+        ("A", _ts("2024-01-01 00:00:00"), 10.0, 5.0),
+        ("A", _ts("2024-01-01 01:00:00"), None, 2.0),  # present, NULL close
+        # 02:00 missing (halt)
+        ("A", _ts("2024-01-01 03:00:00"), 12.0, 3.0),
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, close double, volume double")
+    got = (bars_gapfill(bars).toPandas()
+           .sort_values("h").reset_index(drop=True))
+    assert got["is_gap"].tolist() == [0, 0, 1, 0]
+    assert got["close_ff"].tolist() == [10.0, 10.0, 10.0, 12.0]
+    assert got["volume"].tolist() == [5.0, 2.0, 0.0, 3.0]
+
+    # the twin, over the same planted bars (CTE body swapped)
+    suffix = BARS_GAPFILL_SQL[BARS_GAPFILL_SQL.index(", span"):]
+    sql = "WITH bars AS (SELECT * FROM planted_bars)\n" + suffix
+    con = duckdb.connect()
+    con.register("planted_bars", pd.DataFrame(
+        rows, columns=["symbol", "ts", "close", "volume"]))
+    odf = con.execute(sql).df().sort_values("h").reset_index(drop=True)
+    assert odf["is_gap"].tolist() == got["is_gap"].tolist()
+    assert odf["close_ff"].tolist() == got["close_ff"].tolist()
+    assert odf["volume"].tolist() == got["volume"].tolist()
+
+
 def test_rate_anomaly_outage_and_spike_flagged(spark):
     """The zero-filled outage hour and the spike hour must both flag;
     ordinary jitter must not."""
