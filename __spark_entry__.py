@@ -119,7 +119,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   complete (every key driver-evidenced at least once) and the window
 #   returns to flagship + kind-class representation. The exact r10 list
 #   is pre-pinned in tests/test_api_and_ext.py::test_r10_tranche_ready
-#   so r10 is a constant-time rotation.
+#   so r10 is a constant-time rotation; the three ops ADDED in r9
+#   (kyle_lambda_20, contamination_prefix, mix_epochs_plan) take three
+#   of r10's free slots for their first driver evidence.
 # Rotated-out keys remain value-checked in the full gate
 # (tools/check.py) and the judge's rerun; only the truncated 50-key
 # artifact loses them. Tests pin _PRIORITY <= queries() and exact order.

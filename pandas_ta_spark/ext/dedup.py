@@ -768,6 +768,59 @@ FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
 """.strip()
 
 
+PREFIX_K = 16  # fingerprint = first 16 whitespace tokens
+
+
+def _contamination_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-fingerprint benchmark decontamination — the exact-match
+    layer of the decontamination stack, keyed on md5 of the first
+    PREFIX_K whitespace tokens instead of the whole text: catches
+    truncated, extended, or suffix-perturbed verbatim copies that a
+    whole-document hash misses entirely (this corpus has ZERO whole-text
+    exact dups — probed — while 22 prefix clusters exist at sf0.01; a
+    whole-hash variant would be vacuous evidence). Uses the FUZZY id
+    split (doc_id % MOD = REM): the synthetic corpus's duplicate
+    clusters never cross source boundaries, so a source-based eval set
+    would also be vacuous (same rationale as contamination_minhash).
+
+    100 TB shape: the eval side collapses to one row per distinct eval
+    prefix (tiny) and is BROADCAST; the training corpus is scanned
+    once, never shuffled — the per-doc flag is a map-side hash probe.
+    Output: every flagged train doc with its prefix hash and how many
+    eval docs share it (an exact-int count)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    h = F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_K)))
+    hashed = docs.select("doc_id", h.alias("prefix_hash"))
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
+    ev = (hashed.filter(is_eval)
+          .groupBy("prefix_hash")
+          .agg(F.count(F.lit(1)).alias("n_eval_docs")))
+    return (hashed.filter(~is_eval)
+            .join(F.broadcast(ev), "prefix_hash")
+            .select("doc_id", "prefix_hash", "n_eval_docs"))
+
+
+def _contamination_prefix_oracle() -> str:
+    return f"""
+WITH hashed AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               string_split(lower(trim(text)), ' ')[1:{PREFIX_K}], ' '))
+               AS prefix_hash
+    FROM documents
+),
+ev AS (
+    SELECT prefix_hash, count(*) AS n_eval_docs
+    FROM hashed WHERE doc_id % {FUZZY_EVAL_MOD} = {FUZZY_EVAL_REM}
+    GROUP BY 1
+)
+SELECT t.doc_id, t.prefix_hash, e.n_eval_docs
+FROM hashed t JOIN ev e USING (prefix_hash)
+WHERE t.doc_id % {FUZZY_EVAL_MOD} <> {FUZZY_EVAL_REM}
+""".strip()
+
+
 FUZZY_CONTAM_THRESHOLD = 0.3  # lower than dedup: partial eval overlap matters
 # Held-out "benchmark" slice for the FUZZY scan: a deterministic doc_id
 # split rather than the source split contamination_ngrams uses — the
@@ -1100,6 +1153,8 @@ SUITE = {
         _dup_overlap_sources, _dup_overlap_oracle()),
     "dedup_spans": ExtQuery(_span_dedup, _span_dedup_oracle()),
     "dedup_rate_by_source": ExtQuery(_dup_rate_by_source, _dup_rate_oracle()),
+    "contamination_prefix": ExtQuery(_contamination_prefix,
+                                     _contamination_prefix_oracle()),
     "contamination_ngrams": ExtQuery(_contamination, _contamination_oracle()),
     "contamination_minhash": ExtQuery(
         _contamination_minhash, _contamination_minhash_oracle()),

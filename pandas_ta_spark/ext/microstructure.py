@@ -487,6 +487,99 @@ FROM acc
 """.strip())
 
 
+# ------------------------------------------------------- Kyle's lambda ----
+
+def kyle_lambda(bars: DataFrame, length: int = MS_N) -> DataFrame:
+    """Kyle (1985) lambda — rolling price impact: the OLS slope of the
+    quantized log return dp on tick-rule signed volume sv =
+    sign(dp) * floor(volume) over the trailing MS_N bars. The inverse
+    market-depth estimate that complements `amihud_illiq_20` (impact
+    per unit signed flow rather than per dollar traded); bars have no
+    trade signs, so the tick rule signs the bar's own return — the
+    standard low-frequency proxy.
+
+    Exactness: dp is on the shared 1e-6 log grid (_qlog guard: a
+    zero/NaN/inf close invalidates the bar in BOTH engines); sv is an
+    exact BIGINT (floor(volume), guarded finite/non-negative — a dirty
+    volume invalidates the pair without touching dp's own validity).
+    Second moments accumulate in DECIMAL(38,0)/HUGEINT, NOT int64:
+    volume magnitude is unbounded at 100 TB (1e9-share bars put sv^2 at
+    1e18, the int64 wrap class of trap #6), unlike the bounded 24-row
+    log-quant kernels. lambda = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) / 1e6
+    is ONE double division of exact integers (division first, then the
+    grid descale), reported on the 1e-12 grid — lambda lives at
+    ~1e-7 ln-price per unit volume, far below the default 1e-6 grid.
+
+    Plan: ONE shuffle on symbol; the sign lag, pair masks, and all five
+    rolling sums share the same (symbol, ts) sort."""
+    assert length == MS_N
+    ws, wr = _ws(), _wr()
+    dp = _qlog(F.col("close"), F.lag("close").over(ws))
+    inf = F.lit(float("inf"))
+    vol_ok = ((F.col("volume") >= 0) & ~F.isnan(F.col("volume"))
+              & (F.col("volume") != inf))
+    sv = F.when(vol_ok,
+                F.signum(dp.cast("double")).cast("long")
+                * F.floor(F.col("volume")).cast("long"))
+    df = bars.select("symbol", "ts", dp.alias("dp"), sv.alias("sv"))
+    d38 = "decimal(38,0)"
+    pair = F.col("sv").isNotNull()  # sv valid => dp valid (sign(NULL)=NULL)
+    n = F.count(F.when(pair, 1)).over(wr)
+    sx = F.sum(F.when(pair, F.col("sv")).cast(d38)).over(wr)
+    sy = F.sum(F.when(pair, F.col("dp")).cast(d38)).over(wr)
+    sxy = F.sum(F.when(pair, F.col("sv")).cast(d38) * F.col("dp")).over(wr)
+    sxx = F.sum(F.when(pair, F.col("sv")).cast(d38) * F.col("sv")).over(wr)
+    nd = n.cast(d38)
+    cov_s = nd * sxy - sx * sy
+    var_s = nd * sxx - sx * sx
+    lam = F.when(
+        (n >= length) & (var_s > 0),
+        (cov_s.cast("double") / var_s.cast("double")) / F.lit(MS_SCALE))
+    return df.select(
+        "symbol", "ts", n.cast("long").alias("n_obs"),
+        round_col(lam, 12).alias("kyle_lambda"),
+    )
+
+
+def _kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kyle_lambda(bars_from_events_cached(spark, sf_dir))
+
+
+KYLE_LAMBDA_SQL = with_bars_cte(f"""
+, d AS (
+    SELECT symbol, ts,
+           {_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')} AS dp,
+           CASE WHEN volume >= 0 AND isfinite(volume)
+                THEN CAST(sign({_sql_qlog('close',
+                                          f'lag(close) OVER ({_WS_SQL})')})
+                          AS BIGINT)
+                     * CAST(floor(volume) AS BIGINT)
+           END AS sv
+    FROM bars
+),
+acc AS (
+    SELECT symbol, ts,
+           count(CASE WHEN sv IS NOT NULL THEN 1 END) OVER w AS n,
+           sum(CASE WHEN sv IS NOT NULL
+                    THEN CAST(sv AS HUGEINT) END) OVER w AS sx,
+           sum(CASE WHEN sv IS NOT NULL
+                    THEN CAST(dp AS HUGEINT) END) OVER w AS sy,
+           sum(CASE WHEN sv IS NOT NULL
+                    THEN CAST(sv AS HUGEINT) * dp END) OVER w AS sxy,
+           sum(CASE WHEN sv IS NOT NULL
+                    THEN CAST(sv AS HUGEINT) * sv END) OVER w AS sxx
+    FROM d
+    WINDOW w AS ({_WR_SQL})
+)
+SELECT symbol, ts, CAST(n AS BIGINT) AS n_obs,
+       {sql_round(f"CASE WHEN n >= {MS_N} AND n * sxx - sx * sx > 0 THEN "
+                  "(CAST(n * sxy - sx * sy AS DOUBLE) "
+                  "/ CAST(n * sxx - sx * sx AS DOUBLE)) "
+                  f"/ {MS_SCALE!r} END", 12)} AS kyle_lambda
+FROM acc
+""".strip())
+
+
 # -------------------------------------------------- Corwin-Schultz ----
 
 def corwin_schultz(bars: DataFrame, length: int = MS_N) -> DataFrame:
@@ -1351,6 +1444,7 @@ SUITE = {
                                        ROGERS_SATCHELL_SQL),
     "vol_yang_zhang_20": ExtQuery(_yang_zhang, YANG_ZHANG_SQL),
     "amihud_illiq_20": ExtQuery(_amihud, AMIHUD_SQL),
+    "kyle_lambda_20": ExtQuery(_kyle_lambda, KYLE_LAMBDA_SQL),
     "cs_spread_2_20": ExtQuery(_corwin_schultz, CORWIN_SCHULTZ_SQL),
     "hurst_aggvar": ExtQuery(_hurst, HURST_SQL),
     "ar1_half_life": ExtQuery(_ar1, AR1_SQL),

@@ -500,8 +500,87 @@ FROM per, tot
 """.strip()
 
 
+EPOCH_BUDGET_X = 3  # token budget = 3x the corpus (the "how many epochs
+                    # can each source sustain" planning question)
+
+
+def _mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan per source for a temperature-weighted token budget —
+    the pretraining-mix planning table: given BUDGET = EPOCH_BUDGET_X x
+    total corpus tokens and sqrt-temperature source weights (same
+    alpha=0.5 IEEE-exactness rationale as `mix_temperature_sqrt`), how
+    many tokens each source is allotted and how many EPOCHS (passes
+    over its own data) that implies — with a repeat_gt4 flag marking
+    sources pushed past the ~4-epoch repetition-harm threshold
+    (Muennighoff et al. 2023), the signal to cap-and-redistribute.
+
+    Exactness: per-source token counts are exact BIGINT sums of
+    whitespace-token counts; sqrt(n_tokens) quantizes to 1e-6 BIGINTs so
+    the normalizing sum is exact-integer; target_tokens is one
+    floor(double) of exact operands and epochs ONE double division —
+    bit-identical cross-engine. Plan shape at 100 TB: one token-count
+    aggregate with map-side partials (S rows out), a 1-row total
+    broadcast back — the corpus shuffles nothing."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    ntok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(ntok.cast("long")).alias("n_tokens")))
+    s = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * SQRT_SCALE
+                + F.lit(0.5)).cast("long")
+    per = per.withColumn("s", s)
+    tot = per.agg(F.sum("n_tokens").alias("tot_tok"),
+                  F.sum("s").alias("tot_s"))
+    w = F.col("s").cast("double") / F.col("tot_s")
+    budget = (F.col("tot_tok") * F.lit(EPOCH_BUDGET_X)).cast("double")
+    target = F.floor(w * budget + F.lit(0.5)).cast("long")
+    df = per.crossJoin(F.broadcast(tot)).withColumn("target_tokens", target)
+    epochs = (F.col("target_tokens").cast("double") / F.col("n_tokens"))
+    return df.select(
+        "source", "n_docs", "n_tokens",
+        round_col(w).alias("weight"),
+        "target_tokens",
+        round_col(epochs).alias("epochs"),
+        (epochs > F.lit(4.0)).cast("int").alias("repeat_gt4"),
+    )
+
+
+def _mix_epochs_oracle() -> str:
+    return f"""
+WITH per AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+q AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {SQRT_SCALE}
+                         + 0.5) AS BIGINT) AS s
+    FROM per
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+               CAST(sum(s) AS BIGINT) AS tot_s FROM q),
+t AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(s AS DOUBLE) / tot_s AS w,
+           CAST(floor(CAST(s AS DOUBLE) / tot_s
+                      * CAST(tot_tok * {EPOCH_BUDGET_X} AS DOUBLE) + 0.5)
+                AS BIGINT) AS target_tokens
+    FROM q, tot
+)
+SELECT source, n_docs, n_tokens,
+       {sql_round('w')} AS weight,
+       target_tokens,
+       {sql_round('CAST(target_tokens AS DOUBLE) / n_tokens')} AS epochs,
+       CAST(CAST(target_tokens AS DOUBLE) / n_tokens > 4.0 AS INT)
+           AS repeat_gt4
+FROM t
+""".strip()
+
+
 SUITE = {
     "sample_hash_deterministic": ExtQuery(_sample_hash, _sample_hash_oracle()),
+    "mix_epochs_plan": ExtQuery(_mix_epochs, _mix_epochs_oracle()),
     "mix_temperature_sqrt": ExtQuery(_mix_temperature, _mix_temperature_oracle()),
     "split_assign": ExtQuery(_split_assign, _split_assign_oracle()),
     "mix_rebalance_lang": ExtQuery(_mix_rebalance, _mix_rebalance_oracle()),

@@ -322,8 +322,9 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 250
-    assert len(o) == 250  # zero rows-only (r8 added asof_hour_lookup,
+    assert len(q) == 253
+    assert len(o) == 253  # zero rows-only (r9 added kyle_lambda_20,
+    # contamination_prefix, mix_epochs_plan; r8 added asof_hour_lookup,
     # embedding_drift_by_slice, curation_decisions, perplexity_unigram,
     # then attribution_last_touch, user_rfm_segments, events_rate_anomaly,
     # bars_gapfill_1h, mix_temperature_sqrt, perplexity_bigram,
@@ -863,6 +864,73 @@ def test_contamination_minhash_flags_cross_split_neardup(spark, tmp_path):
     row = out.set_index("train_id").loc[0]
     assert row["n_eval_matches"] == 1
     assert row["max_jaccard"] > 0.5
+
+
+def test_contamination_prefix_planted(spark, tmp_path):
+    """Prefix-fingerprint decontamination: a train doc sharing the first
+    PREFIX_K tokens with an eval doc flags even when its TAIL diverges
+    completely (the truncated/extended-copy case a whole-text hash
+    misses); a doc differing inside the prefix does not flag."""
+    from pandas_ta_spark.ext.dedup import (
+        FUZZY_EVAL_MOD,
+        FUZZY_EVAL_REM,
+        PREFIX_K,
+        SUITE,
+    )
+
+    prefix = " ".join(f"w{i}" for i in range(PREFIX_K))
+    eval_id = FUZZY_EVAL_REM
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, eval_id],
+        "text": [prefix + " completely different tail content here",
+                 prefix + " another tail that also diverges a lot",
+                 "w0 w1 CHANGED " + prefix + " same tail as eval",  # shifted
+                 prefix + " the eval continuation text"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [1] * 4,
+    })
+    assert all(d % FUZZY_EVAL_MOD != FUZZY_EVAL_REM for d in (0, 1, 2))
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    out = SUITE["contamination_prefix"].query(spark, str(tmp_path)).toPandas()
+    assert set(out["doc_id"]) == {0, 1}
+    assert (out["n_eval_docs"] == 1).all()
+
+
+def test_mix_epochs_plan_matches_python(spark):
+    """Exact-arithmetic recompute of the epoch plan on sf0.001, plus the
+    invariants: targets partition ~the whole budget, epochs = target /
+    n_tokens, and the repeat flag trips exactly above 4."""
+    import math
+    import re as _re
+
+    from pandas_ta_spark.ext.sampling import EPOCH_BUDGET_X, SUITE
+
+    sf = "/root/testdata/sf0.001"
+    out = (SUITE["mix_epochs_plan"].query(spark, sf).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("source", "text").toPandas())
+    ntok = docs["text"].map(
+        lambda t: len(_re.split(r"\s+", t.strip().lower())))
+    per = (pd.DataFrame({"source": docs["source"], "n": ntok})
+           .groupby("source")["n"].sum().sort_index())
+    s = {src: int(math.floor(math.sqrt(n) * 1e6 + 0.5))
+         for src, n in per.items()}
+    tot_tok, tot_s = int(per.sum()), sum(s.values())
+    for _, row in out.iterrows():
+        src = row["source"]
+        assert row["n_tokens"] == per[src]
+        target = int(math.floor(
+            s[src] / tot_s * float(tot_tok * EPOCH_BUDGET_X) + 0.5))
+        assert row["target_tokens"] == target
+        ep = target / per[src]
+        assert abs(row["epochs"] - math.floor(ep * 1e6 + 0.5) / 1e6) < 1e-12
+        assert row["repeat_gt4"] == int(ep > 4.0)
+    # the temperature targets still spend ~the whole budget (rounding
+    # drift only)
+    assert abs(out["target_tokens"].sum()
+               - tot_tok * EPOCH_BUDGET_X) <= len(out)
 
 
 def test_quantize_sq_code_range_and_extremes(spark, tmp_path):

@@ -810,3 +810,62 @@ def test_rolling_mdd_matches_python(spark, bars, pdf_bars):
     assert len(in_win) > 0 and len(after) > 0  # both branches exercised
     assert np.allclose(in_win["mdd_log"], 0.2, atol=2e-6)
     assert (after["mdd_log"] == 0).all()
+
+
+def test_kyle_lambda_matches_python(spark, bars, pdf_bars):
+    """Third-way recompute of Kyle's lambda: python-int rolling OLS of
+    the quantized log return on tick-rule signed volume (exact unbounded
+    ints, so the 128-bit claim is checked against true integers). Plus a
+    planted linear-impact series where the recovered slope must equal
+    the planted lambda."""
+    from pandas_ta_spark.ext.microstructure import MS_N, kyle_lambda
+
+    got = _got(kyle_lambda(bars))
+    exps = []
+    for _, g in pdf_bars.groupby("symbol", sort=True):
+        c = g["close"].to_numpy()
+        v = g["volume"].to_numpy()
+        dp = [None] + [
+            int(math.floor(math.log(c[i] / c[i - 1]) * MS_SCALE + 0.5))
+            for i in range(1, len(c))
+        ]
+        sv = [None if d is None else
+              (0 if d == 0 else (1 if d > 0 else -1)) * int(math.floor(v[i]))
+              for i, d in enumerate(dp)]
+        lam = []
+        for i in range(len(c)):
+            xs = [(sv[j], dp[j]) for j in range(max(0, i - MS_N + 1), i + 1)
+                  if sv[j] is not None]
+            n = len(xs)
+            if n >= MS_N:
+                sx = sum(x for x, _ in xs)
+                sy = sum(y for _, y in xs)
+                sxy = sum(x * y for x, y in xs)
+                sxx = sum(x * x for x, _ in xs)
+                var_s = n * sxx - sx * sx
+                if var_s > 0:
+                    lam.append((float(n * sxy - sx * sy) / float(var_s))
+                               / MS_SCALE)
+                    continue
+            lam.append(np.nan)
+        exps.append(np.floor(np.array(lam) * 1e12 + 0.5) / 1e12)
+    _cmp(got["kyle_lambda"], np.concatenate(exps), 1e-12, "kyle_lambda")
+
+    # planted linear impact: dp = LAM * sv exactly (volume varies), so
+    # the OLS slope recovers LAM (in 1e-6 log units -> LAM / 1e6 output)
+    n = 60
+    rng = np.random.default_rng(9)
+    vols = rng.integers(50, 500, n).astype(float)
+    signs = np.where(np.arange(n) % 2 == 0, 1, -1)
+    LAM = 3  # quantized-units of return per share
+    c = [100.0]
+    for i in range(1, n):
+        dq = LAM * signs[i] * vols[i]
+        c.append(c[-1] * math.exp(dq / MS_SCALE))
+    c = np.array(c)
+    df, _ = _mk_bars(spark, c, c + 0.01, c - 0.01, c, v=vols)
+    out = _got(kyle_lambda(df))
+    full = out[out["n_obs"] >= MS_N]
+    assert len(full) > 0
+    # quantization of dp introduces at most 0.5/|sv| slope error
+    assert (np.abs(full["kyle_lambda"] - LAM / MS_SCALE) < 1e-7).all()

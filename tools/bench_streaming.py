@@ -65,10 +65,19 @@ def main() -> None:
     out: dict = {"metric": "streaming_throughput", "sf_dir": SF_DIR}
     ts = pd.Timestamp("2026-01-01")
 
-    def drain(builder, src_df, schema, name, n_rows):
+    def drain(builder, src_df, schema, name, n_rows, extra=None):
+        """Run one availableNow drain. ``extra`` (optional list of
+        DataFrames) lands as separate files with maxFilesPerTrigger=1 —
+        the watermark-flush pattern for append-mode window twins, whose
+        windows only emit once a LATER batch advances the watermark."""
         d = tempfile.mkdtemp(prefix=f"sbench_{name}_")
         src_df.to_parquet(f"{d}/a1.parquet")
-        stream = spark.readStream.schema(schema).parquet(d)
+        for i, e in enumerate(extra or []):
+            e.to_parquet(f"{d}/b{i}.parquet")
+        reader = spark.readStream.schema(schema)
+        if extra:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        stream = reader.parquet(d)
         t0 = time.time()
         q = (builder(stream)
              .writeStream.format("noop")
@@ -78,17 +87,22 @@ def main() -> None:
         dt = time.time() - t0
         out[f"{name}_sec"] = round(dt, 3)
         out[f"{name}_rows_per_sec"] = round(n_rows / dt)
-        # state telemetry: the bounded-state claims as a measured
-        # artifact — operator count + peak total state rows across the
-        # run's progress events (0/0 for the stateless gates)
-        n_ops = rows_peak = 0
+        # state telemetry: the bounded-state claims as MEASURED numbers —
+        # operator count, peak total state rows, and peak state bytes
+        # across the run's progress events (0/0/0 for stateless gates).
+        # bytes/rows is the per-key state footprint a capacity plan
+        # multiplies by key cardinality.
+        n_ops = rows_peak = bytes_peak = 0
         for prog in q.recentProgress:
             ops = prog.get("stateOperators") or []
             n_ops = max(n_ops, len(ops))
             rows_peak = max(rows_peak,
                             sum(o.get("numRowsTotal", 0) for o in ops))
+            bytes_peak = max(bytes_peak,
+                             sum(o.get("memoryUsedBytes", 0) for o in ops))
         out[f"{name}_state_ops"] = n_ops
         out[f"{name}_state_rows_peak"] = rows_peak
+        out[f"{name}_state_bytes_peak"] = bytes_peak
 
     # one-time index builds (session-cached), reported separately
     t0 = time.time()
@@ -275,6 +289,52 @@ def main() -> None:
     drain(streaming_yang_zhang, obars, oschema, "yang_zhang", len(obars))
     drain(streaming_var_cvar, obars, oschema, "var_cvar", len(obars))
     drain(streaming_parkinson, obars, oschema, "parkinson", len(obars))
+
+    # the three r8 twins previously missing rows (VERDICT r8 ask #8)
+    # point-in-time as-of attach: STATELESS two stream-static joins —
+    # state columns must read 0
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.streaming import stream_asof_attach
+
+    barsdf = bars_from_events_cached(spark, SF_DIR)
+    evp = (load_table(spark, SF_DIR, "events")
+           .select("event_id", F.col("event_type").alias("symbol"),
+                   "ts", "value").toPandas()
+           .sort_values(["ts", "event_id"]))
+    evp["ts"] = evp["ts"].astype("datetime64[us]")
+    drain(lambda st: stream_asof_attach(st, barsdf),
+          evp, "event_id long, symbol string, ts timestamp, value double",
+          "asof_attach", len(evp))
+
+    # windowed rate anomaly vs the batch-fitted (med, mad) baseline;
+    # far-future sentinel flushes the append-mode windows
+    from pandas_ta_spark.ext.behavior import rate_anomaly
+    from pandas_ta_spark.streaming import stream_rate_anomaly
+
+    ev_t = load_table(spark, SF_DIR, "events").select("event_type", "ts")
+    baseline = rate_anomaly(ev_t).select(
+        "event_type", "med", "mad").distinct()
+    epd = ev_t.toPandas().sort_values("ts")
+    epd["ts"] = epd["ts"].astype("datetime64[us]")
+    sentinel = pd.DataFrame({
+        "event_type": ["sentinel"],
+        "ts": [epd["ts"].max() + pd.Timedelta(days=2)],
+    }).astype({"ts": "datetime64[us]"})
+    drain(lambda st: stream_rate_anomaly(st, baseline),
+          epd, "event_type string, ts timestamp",
+          "rate_anomaly", len(epd), extra=[sentinel])
+
+    # per-window embedding drift vs the corpus mean (same flush pattern)
+    from pandas_ta_spark.streaming import stream_embedding_drift
+
+    flusher = emb_all.iloc[:1].copy()
+    flusher["ingest_ts"] = ts + pd.Timedelta(hours=8)
+    flusher["ingest_ts"] = flusher["ingest_ts"].astype("datetime64[ms]")
+    drain(lambda st: stream_embedding_drift(st, spark, SF_DIR),
+          emb_all,
+          "vec_id long, embedding array<double>, ingest_ts timestamp",
+          "embedding_drift", len(emb_all), extra=[flusher])
 
     print(json.dumps(out))
 
