@@ -304,18 +304,21 @@ def main():
     #   run pays one-time Python-worker spawn + codegen compile, which a
     #   resident cluster amortizes away; measured rep0 6.7s, rep1 2.2s,
     #   rep2+ steady ~1.5s on the 24-ind strategy).
-    # Unsalted 5-symbol strategies additionally run at 31 shuffle
-    # partitions: with only 5 window groups, the other 56 of 61 tasks
-    # are pure scheduler overhead ACROSS EVERY STAGE of the plan —
-    # measured ~0.1s of the 0.7s headline. 31 keeps the prime
-    # no-collision property (5 distinct buckets) at half the empty-task
-    # count; salted/replicated variants keep 61 (40-100 real groups).
+    # Unsalted 5-symbol strategies additionally run at 11 shuffle
+    # partitions: with only 5 window groups, every extra task is pure
+    # scheduler overhead ACROSS EVERY STAGE of the plan. 11 is the
+    # SMALLEST prime that hashes these 5 symbols collision-free
+    # (measured: p=7 collides to 2 buckets and serializes the window
+    # stage, 1.32s; p=11/13 give 5 buckets at 0.72s vs 0.81s at the old
+    # 31 — the r9 prime sweep). Salted/replicated variants keep 61
+    # (40-100 real groups). At 100 TB symbol cardinality >> partitions,
+    # so this low-cardinality collision tuning disappears.
     HEADLINES = ("tick_strategy_24ind", "tick_strategy_all145ind")
     ONE_SHOT = ("vecs_cache_build",)  # builds: rep0 IS the number
     QUERY_CONF = {
-        "tick_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
-        "bars_strategy_24ind": {"spark.sql.shuffle.partitions": "31"},
-        "tick_strategy_all145ind": {"spark.sql.shuffle.partitions": "31"},
+        "tick_strategy_24ind": {"spark.sql.shuffle.partitions": "11"},
+        "bars_strategy_24ind": {"spark.sql.shuffle.partitions": "11"},
+        "tick_strategy_all145ind": {"spark.sql.shuffle.partitions": "11"},
         # the sf0.1 vector relation holds 2k keys; 61 shuffle partitions
         # is ~30 keys/task of pure scheduler overhead across the
         # stats-broadcast + code-rollup stages (measured isolated:

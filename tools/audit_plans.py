@@ -104,7 +104,10 @@ def main() -> None:
                 "vol_parkinson_20", "vol_yang_zhang_20", "amihud_illiq_20",
                 "cs_spread_2_20", "hurst_aggvar", "ar1_half_life",
                 "rolling_sharpe_20", "var_cvar_95_100", "roll_spread_20",
-                "doc_chunk_128_16", "pair_spread_z_24"):
+                "doc_chunk_128_16", "pair_spread_z_24",
+                # r9 additions
+                "kyle_lambda_20", "contamination_prefix",
+                "mix_epochs_plan"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     rows = []
