@@ -783,11 +783,14 @@ def _contamination_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters never cross source boundaries, so a source-based eval set
     would also be vacuous (same rationale as contamination_minhash).
 
-    100 TB shape: the eval side collapses to one row per distinct eval
-    prefix (tiny) and is BROADCAST; the training corpus is scanned
-    once, never shuffled — the per-doc flag is a map-side hash probe.
-    Output: every flagged train doc with its prefix hash and how many
-    eval docs share it (an exact-int count)."""
+    100 TB shape: TWO scans of documents (one builds the eval-side
+    aggregate, one probes the train side) and the only shuffle moves
+    the eval SUBSET's hashes (tiny) into its groupBy; the eval relation
+    then BROADCASTS, so the per-doc flag is a map-side hash probe and
+    the training corpus itself is never shuffled. A real deployment
+    reads the eval suite from its own small table, making it one corpus
+    scan. Output: every flagged train doc with its prefix hash and how
+    many eval docs share it (an exact-int count)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     h = F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_K)))

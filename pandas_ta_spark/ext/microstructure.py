@@ -63,6 +63,10 @@ ILLIQ_SCALE = 1e9    # Amihud per-bar ratio quantization (|r|/dv <= ~900
 ILLIQ_MAX = 9e9      # per-bar ratio cap: 9e9 * ILLIQ_SCALE = 9e18 stays
                      # inside int64 (Spark's non-ANSI overflow cast
                      # SATURATES where DuckDB errors — see amihud)
+I64_BAR_MAX = 9e18  # per-bar magnitude guard before a ::long quantize:
+                    # Spark's non-ANSI cast SATURATES to Long.MAX past
+                    # 2^63 (silently poisoning sums) while DuckDB errors
+                    # — the same trap class ILLIQ_MAX/SPREAD_MAX close
 CS_SCALE = 1e8       # Corwin-Schultz spread quantization: spreads are
                      # O(1e-3..0.5); 1e-8 resolution keeps the documented
                      # exp() 1-ulp cross-engine risk ~1e-5 per sf0.1 run
@@ -515,9 +519,12 @@ def kyle_lambda(bars: DataFrame, length: int = MS_N) -> DataFrame:
     assert length == MS_N
     ws, wr = _ws(), _wr()
     dp = _qlog(F.col("close"), F.lag("close").over(ws))
-    inf = F.lit(float("inf"))
+    # the < I64_BAR_MAX leg closes the saturate-vs-error trap: a finite
+    # volume >= 2^63 passes a bare finite/non-negative guard, then
+    # Spark's non-ANSI ::long SATURATES (silently wrong lambda) while
+    # the DuckDB twin's CAST hard-errors
     vol_ok = ((F.col("volume") >= 0) & ~F.isnan(F.col("volume"))
-              & (F.col("volume") != inf))
+              & (F.col("volume") < F.lit(I64_BAR_MAX)))
     sv = F.when(vol_ok,
                 F.signum(dp.cast("double")).cast("long")
                 * F.floor(F.col("volume")).cast("long"))
@@ -549,7 +556,8 @@ KYLE_LAMBDA_SQL = with_bars_cte(f"""
 , d AS (
     SELECT symbol, ts,
            {_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')} AS dp,
-           CASE WHEN volume >= 0 AND isfinite(volume)
+           CASE WHEN volume >= 0 AND NOT isnan(volume)
+                     AND volume < {I64_BAR_MAX!r}
                 THEN CAST(sign({_sql_qlog('close',
                                           f'lag(close) OVER ({_WS_SQL})')})
                           AS BIGINT)
@@ -1190,9 +1198,21 @@ def _top_dollar_volume(bars: DataFrame, top_n: int) -> DataFrame:
     """Top-n symbols by total dollar volume — the candidate universe for
     the S^2 cross-sectional ops. One map-side-partial groupBy to S rows,
     then a deterministic (dv desc, symbol) pick; the result is a tiny
-    relation meant to be broadcast-semi-joined onto the bar stream."""
+    relation meant to be broadcast-semi-joined onto the bar stream.
+
+    The rank key is an exact-integer sum of per-bar floor(close*volume)
+    (guarded non-negative, finite, < I64_BAR_MAX; DECIMAL(38,0)
+    accumulation — per-symbol totals exceed int64 long before 100 TB),
+    NOT a raw double sum: double accumulation is partition-order-
+    dependent, so near-tied symbols could swap in/out of the universe
+    between runs, and one NaN close would rank its symbol FIRST (NaN
+    sorts above every real value under desc). Invalid-everywhere
+    symbols sort last (NULL desc default)."""
+    dv = F.col("close") * F.col("volume")
+    dvq = F.when((dv >= 0) & ~F.isnan(dv) & (dv < F.lit(I64_BAR_MAX)),
+                 F.floor(dv).cast("long"))
     return (bars.groupBy("symbol")
-            .agg(F.sum(F.col("close") * F.col("volume")).alias("dv"))
+            .agg(F.sum(dvq.cast("decimal(38,0)")).alias("dv"))
             .orderBy(F.desc("dv"), "symbol")
             .limit(top_n)
             .select("symbol"))

@@ -998,7 +998,7 @@ SELECT s.symbol, s.h,
        {sql_round('coalesce(b.volume, 0)')} AS volume,
        CASE WHEN b.ts IS NULL THEN 1 ELSE 0 END AS is_gap
 FROM spine s
-ASOF JOIN (SELECT * FROM bars WHERE close IS NOT NULL) f
+ASOF LEFT JOIN (SELECT * FROM bars WHERE close IS NOT NULL) f
     ON f.symbol = s.symbol AND f.ts <= s.h
 LEFT JOIN bars b ON b.symbol = s.symbol AND b.ts = s.h
 """.strip())
@@ -1321,7 +1321,7 @@ GROUP BY symbol, hod
 
 # ---------------------------------------------------- lead-lag matrix ----
 
-def lead_lag_corr(bars: DataFrame, top_n: int | None = None,
+def lead_lag_corr(bars: DataFrame, top_n: int | None = 100,
                   symbols=None) -> DataFrame:
     """Cross-symbol lead-lag matrix: for every ORDERED symbol pair
     (leader, follower), corr(r_follower(t), r_leader(t-1)) over the
@@ -1335,11 +1335,12 @@ def lead_lag_corr(bars: DataFrame, top_n: int | None = None,
     final corr is one double expression over exact integers, identical
     in both engines. Output is S*(S-1) rows over the candidate universe.
 
-    Scale: the S^2 fan-out is BOUNDED BY DEFAULT in the suite entry —
-    the universe is the top ``top_n`` dollar-volume symbols (or an
-    explicit ``symbols`` list), applied as a broadcast semi-join before
-    the return computation, so both join sides shrink together; the
-    join itself stays an equi-join either way."""
+    Scale: the S^2 fan-out is BOUNDED BY DEFAULT (top_n=100, matching
+    pair_spread_z's PAIR_TOP_N) — the universe is the top ``top_n``
+    dollar-volume symbols (or an explicit ``symbols`` list), applied as
+    a broadcast semi-join before the return computation, so both join
+    sides shrink together; the join itself stays an equi-join either
+    way. ``top_n=None`` opts back into the full S^2."""
     from pandas_ta_spark.ext.microstructure import bound_universe
 
     bars = bound_universe(bars, top_n, symbols)
@@ -1383,14 +1384,10 @@ def lead_lag_corr(bars: DataFrame, top_n: int | None = None,
     )
 
 
-LEAD_LAG_TOP_N = 100  # suite default bound (<=9900 ordered pairs); the
-                      # sf testdata's 5 symbols all qualify, so the gate
-                      # oracle below needs no universe CTE
-
-
 def _lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lead_lag_corr(bars_from_events_cached(spark, sf_dir),
-                         top_n=LEAD_LAG_TOP_N)
+    # default bound (<=9900 ordered pairs); the sf testdata's 5 symbols
+    # all qualify, so the gate oracle below needs no universe CTE
+    return lead_lag_corr(bars_from_events_cached(spark, sf_dir))
 
 
 LEAD_LAG_SQL = with_bars_cte(f"""

@@ -91,6 +91,10 @@ def test_bars_gapfill_null_close_bar_cross_engine(spark):
     from pandas_ta_spark.ext.relational import BARS_GAPFILL_SQL, bars_gapfill
 
     rows = [
+        # LEADING NULL close: spine rows before the first valid close
+        # must still exist in BOTH engines (the twin's close-filtered
+        # ASOF side needs ASOF LEFT JOIN — inner ASOF drops them)
+        ("A", _ts("2023-12-31 23:00:00"), None, 1.0),
         ("A", _ts("2024-01-01 00:00:00"), 10.0, 5.0),
         ("A", _ts("2024-01-01 01:00:00"), None, 2.0),  # present, NULL close
         # 02:00 missing (halt)
@@ -100,9 +104,11 @@ def test_bars_gapfill_null_close_bar_cross_engine(spark):
         rows, "symbol string, ts timestamp, close double, volume double")
     got = (bars_gapfill(bars).toPandas()
            .sort_values("h").reset_index(drop=True))
-    assert got["is_gap"].tolist() == [0, 0, 1, 0]
-    assert got["close_ff"].tolist() == [10.0, 10.0, 10.0, 12.0]
-    assert got["volume"].tolist() == [5.0, 2.0, 0.0, 3.0]
+    assert got["is_gap"].tolist() == [0, 0, 0, 1, 0]
+    assert got["close_ff"].isna().tolist() == [True, False, False, False,
+                                               False]
+    assert got["close_ff"].tolist()[1:] == [10.0, 10.0, 10.0, 12.0]
+    assert got["volume"].tolist() == [1.0, 5.0, 2.0, 0.0, 3.0]
 
     # the twin, over the same planted bars (CTE body swapped)
     suffix = BARS_GAPFILL_SQL[BARS_GAPFILL_SQL.index(", span"):]
@@ -111,8 +117,10 @@ def test_bars_gapfill_null_close_bar_cross_engine(spark):
     con.register("planted_bars", pd.DataFrame(
         rows, columns=["symbol", "ts", "close", "volume"]))
     odf = con.execute(sql).df().sort_values("h").reset_index(drop=True)
+    assert len(odf) == len(got)  # inner ASOF would drop the leading row
     assert odf["is_gap"].tolist() == got["is_gap"].tolist()
-    assert odf["close_ff"].tolist() == got["close_ff"].tolist()
+    pd.testing.assert_series_equal(odf["close_ff"], got["close_ff"],
+                                   check_dtype=False)
     assert odf["volume"].tolist() == got["volume"].tolist()
 
 

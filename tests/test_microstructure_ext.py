@@ -703,10 +703,13 @@ def test_pair_universe_bound(spark):
 
     ll = lead_lag_corr(bars3, top_n=2).toPandas()
     assert set(zip(ll["leader"], ll["follower"])) == {("B", "C"), ("C", "B")}
-    # default (unbounded) still produces all ordered pairs on a small
-    # universe — the suite entry passes LEAD_LAG_TOP_N explicitly
-    ll_all = lead_lag_corr(bars3).toPandas()
+    # top_n=None opts back into the full S^2 (both public functions
+    # default to the top-100 bound — all 3 symbols qualify here, so the
+    # default and the opt-out agree on this universe)
+    ll_all = lead_lag_corr(bars3, top_n=None).toPandas()
     assert len(set(zip(ll_all["leader"], ll_all["follower"]))) == 6
+    assert len(set(zip(*(lead_lag_corr(bars3).toPandas()[c]
+                         for c in ("leader", "follower"))))) == 6
 
 
 def test_streaming_parkinson_matches_batch(spark, tmp_path):

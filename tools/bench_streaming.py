@@ -73,7 +73,15 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix=f"sbench_{name}_")
         src_df.to_parquet(f"{d}/a1.parquet")
         for i, e in enumerate(extra or []):
-            e.to_parquet(f"{d}/b{i}.parquet")
+            path = f"{d}/b{i}.parquet"
+            e.to_parquet(path)
+            # FileStreamSource orders batches by mtime: on a coarse-
+            # granularity filesystem the sentinel could tie with the
+            # data file and process FIRST, advancing the watermark past
+            # all real rows (everything dropped as late, telemetry
+            # silently vacuous). Bump the sentinel's mtime explicitly.
+            t_future = time.time() + 5 * (i + 1)
+            os.utime(path, (t_future, t_future))
         reader = spark.readStream.schema(schema)
         if extra:
             reader = reader.option("maxFilesPerTrigger", 1)
