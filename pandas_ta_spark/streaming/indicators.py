@@ -1175,3 +1175,112 @@ def streaming_parkinson(ticks: DataFrame,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_kyle_lambda(ticks: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ext/microstructure.py::kyle_lambda — live
+    rolling price impact per symbol over a (close, volume) stream.
+
+    State = the previous close plus a ring of the last MS_N bars'
+    (sv, dp) pairs, where an INVALID bar (no previous close, dirty
+    close via the shared _lnq guard, or a volume that is negative,
+    NaN, or >= I64_BAR_MAX — the batch op's saturate-vs-error leg)
+    holds its window slot as None without contributing, exactly like
+    the batch ROWS window over unfiltered bars. Every bar emits a row
+    (n_obs = valid pairs in the trailing window; lambda NULL until the
+    window is full), matching the batch output row-for-row. Sums fold
+    in unbounded python ints — the streaming analogue of the batch
+    DECIMAL(38,0)/HUGEINT moments (volume magnitude is unbounded).
+    Emission mirrors the batch float chain: float(cov)/float(var),
+    then /MS_SCALE, rounded on the 1e-12 grid. Same
+    in-order-across-triggers precondition and 1-ulp ln caveat as the
+    other twins."""
+    from pandas_ta_spark.ext.microstructure import (
+        I64_BAR_MAX,
+        MS_N,
+        MS_SCALE,
+    )
+
+    out_schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("n_obs", LongType()),
+        StructField("kyle_lambda", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("prev_close", DoubleType()),
+        StructField("ring", StringType()),
+    ])
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            prev, ring_s = state.get
+            if prev is not None and prev != prev:  # NaN sentinel
+                prev = None
+            ring = []
+            for tok in ring_s.split(","):
+                if tok == "":
+                    continue
+                if tok == "x":
+                    ring.append(None)
+                else:
+                    a, b = tok.split(":")
+                    ring.append((int(a), int(b)))
+        else:
+            prev, ring = None, []
+        pdf = None
+        for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
+            pdf = pdf.sort_values("ts")
+        if pdf is None:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                 "low", "close",
+                                                 "volume")})
+        rows = {"ts": [], "n_obs": [], "kyle_lambda": []}
+        for ts, close, vol in zip(pdf["ts"], pdf["close"], pdf["volume"]):
+            close, vol = float(close), float(vol)
+            dp = _lnq(close, prev, MS_SCALE) if prev is not None else None
+            prev = close
+            entry = None
+            if (dp is not None and vol >= 0 and _isfinite(vol)
+                    and vol < I64_BAR_MAX):
+                sign = 1 if dp > 0 else (-1 if dp < 0 else 0)
+                entry = (sign * int(_floor(vol)), dp)
+            ring.append(entry)
+            if len(ring) > MS_N:
+                ring.pop(0)
+            n = sx = sy = sxy = sxx = 0
+            for p in ring:
+                if p is None:
+                    continue
+                x, y = p
+                n += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+            lam = None
+            var_s = n * sxx - sx * sx
+            if n >= MS_N and var_s > 0:
+                lam = py_round(
+                    float(n * sxy - sx * sy) / float(var_s) / MS_SCALE, 12)
+            rows["ts"].append(ts)
+            rows["n_obs"].append(n)
+            rows["kyle_lambda"].append(lam)
+        yield pd.DataFrame({"symbol": key[0], **rows})
+        state.update((prev if prev is not None else float("nan"),
+                      ",".join("x" if p is None else f"{p[0]}:{p[1]}"
+                               for p in ring)))
+
+    ticks = ticks.withWatermark("ts", watermark)
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

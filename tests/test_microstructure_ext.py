@@ -872,3 +872,61 @@ def test_kyle_lambda_matches_python(spark, bars, pdf_bars):
     assert len(full) > 0
     # quantization of dp introduces at most 0.5/|sv| slope error
     assert (np.abs(full["kyle_lambda"] - LAM / MS_SCALE) < 1e-7).all()
+
+
+def test_streaming_kyle_lambda_matches_batch(spark, tmp_path):
+    """The Kyle-lambda twin ((sv, dp) ring, invalid bars hold their
+    window slot as None) must match the batch op row-for-row across a
+    mid-window micro-batch split — including a planted NaN close AND a
+    dirty (negative) volume that must each occupy a slot in both
+    engines without contributing."""
+    from pandas_ta_spark.ext.microstructure import kyle_lambda
+    from pandas_ta_spark.streaming import streaming_kyle_lambda
+
+    rng = np.random.default_rng(43)
+    frames = []
+    t0 = pd.Timestamp("2024-01-01")
+    for sym in ("A", "B"):
+        n = 70
+        close = np.round(np.exp(np.cumsum(rng.normal(0, 0.02, n))) * 50, 4)
+        vol = rng.integers(50, 500, n).astype(float)
+        close[33] = np.nan   # dirty close: dp AND sv both invalid
+        vol[48] = -5.0       # dirty volume: sv invalid while dp is fine
+        frames.append(pd.DataFrame({
+            "symbol": sym,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "open": close, "high": close, "low": close,
+            "close": close, "volume": vol}))
+    bars = pd.concat(frames, ignore_index=True)
+    bars["ts"] = bars["ts"].astype("datetime64[ms]")
+
+    src = tmp_path / "kl_src"
+    src.mkdir()
+    bars.groupby("symbol").head(40).to_parquet(src / "p1.parquet")
+    bars.groupby("symbol").tail(30).to_parquet(src / "p2.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "symbol string, ts timestamp, open double, high double, "
+            "low double, close double, volume double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_kyle_lambda(stream)
+        .writeStream.format("memory").queryName("kl_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM kl_stream").toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    exp = (kyle_lambda(spark.createDataFrame(bars)).toPandas()
+           .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) == 140
+    assert got["n_obs"].tolist() == exp["n_obs"].tolist()
+    ga = got["kyle_lambda"].to_numpy(dtype=float)
+    ea = exp["kyle_lambda"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    assert np.nanmax(np.abs(ga - ea), initial=0.0) <= 2e-11

@@ -298,6 +298,11 @@ def main() -> None:
     drain(streaming_var_cvar, obars, oschema, "var_cvar", len(obars))
     drain(streaming_parkinson, obars, oschema, "parkinson", len(obars))
 
+    # r9: live Kyle-lambda price-impact monitor ((sv, dp) ring/symbol)
+    from pandas_ta_spark.streaming import streaming_kyle_lambda
+
+    drain(streaming_kyle_lambda, obars, oschema, "kyle_lambda", len(obars))
+
     # the three r8 twins previously missing rows (VERDICT r8 ask #8)
     # point-in-time as-of attach: STATELESS two stream-static joins —
     # state columns must read 0
