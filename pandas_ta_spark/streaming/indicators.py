@@ -1235,11 +1235,8 @@ def streaming_kyle_lambda(ticks: DataFrame,
         for pdf in _one_chunk(pdfs):  # chunk-order + empty-group guard
             pdf = pdf.sort_values("ts")
         if pdf is None:
-            import pandas as _pd
-
-            pdf = _pd.DataFrame({c: [] for c in ("ts", "open", "high",
-                                                 "low", "close",
-                                                 "volume")})
+            pdf = pd.DataFrame({c: [] for c in ("ts", "open", "high",
+                                                "low", "close", "volume")})
         rows = {"ts": [], "n_obs": [], "kyle_lambda": []}
         for ts, close, vol in zip(pdf["ts"], pdf["close"], pdf["volume"]):
             close, vol = float(close), float(vol)

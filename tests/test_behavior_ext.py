@@ -120,7 +120,7 @@ def test_bars_gapfill_null_close_bar_cross_engine(spark):
     assert len(odf) == len(got)  # inner ASOF would drop the leading row
     assert odf["is_gap"].tolist() == got["is_gap"].tolist()
     pd.testing.assert_series_equal(odf["close_ff"], got["close_ff"],
-                                   check_dtype=False)
+                                   check_dtype=False, check_exact=True)
     assert odf["volume"].tolist() == got["volume"].tolist()
 
 

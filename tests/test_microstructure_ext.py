@@ -904,6 +904,14 @@ def test_streaming_kyle_lambda_matches_batch(spark, tmp_path):
     src.mkdir()
     bars.groupby("symbol").head(40).to_parquet(src / "p1.parquet")
     bars.groupby("symbol").tail(30).to_parquet(src / "p2.parquet")
+    # FileStreamSource orders batches by mtime: a tie on a coarse-
+    # granularity filesystem could process p2 first and watermark-drop
+    # all of p1 (the bench_streaming sentinel fix's failure mode)
+    import os as _os
+    import time as _time
+
+    t2 = _time.time() + 5
+    _os.utime(src / "p2.parquet", (t2, t2))
 
     stream = (
         spark.readStream.schema(
