@@ -123,12 +123,21 @@ def _glog(num, den):
     docstring carries the full cross-engine rationale) for call sites
     that keep the return in double space (e.g. signal_equity's
     strat_ret). A failed guard yields NULL, which quantization
-    (floor/cast of NULL) also maps to NULL — so _qlog == _q(_glog)."""
+    (floor/cast of NULL) also maps to NULL — so _qlog == _q(_glog).
+
+    The RATIO gets its own guard legs: two individually-finite positive
+    sides can still overflow the double division (1e308/1e-320 -> inf,
+    where ln(inf)=inf saturates Spark's ::long while DuckDB's CAST
+    errors) or underflow it (1e-320/1e308 -> 0, where ln(0) is NULL in
+    Spark and a hard error in DuckDB) — found by the adversarial
+    primitive-parity test, not by any corpus."""
     inf = F.lit(float("inf"))
+    r = num / den
     return F.when((num > F.lit(0)) & (den > F.lit(0))
                   & ~F.isnan(num) & ~F.isnan(den)
-                  & (num != inf) & (den != inf),
-                  F.log(num / den))
+                  & (num != inf) & (den != inf)
+                  & (r > F.lit(0)) & (r != inf),
+                  F.log(r))
 
 
 def _sql_qlog(num: str, den: str) -> str:
@@ -138,10 +147,13 @@ def _sql_qlog(num: str, den: str) -> str:
 
 
 def _sql_glog(num: str, den: str) -> str:
-    """DuckDB twin of _glog. _sql_q over the whole CASE keeps NULL
-    rows NULL (floor/CAST of NULL), so _sql_qlog composes exactly."""
+    """DuckDB twin of _glog (incl. the ratio overflow/underflow legs).
+    _sql_q over the whole CASE keeps NULL rows NULL (floor/CAST of
+    NULL), so _sql_qlog composes exactly."""
     return (f"(CASE WHEN ({num}) > 0 AND ({den}) > 0 "
-            f"AND isfinite({num}) AND isfinite({den}) THEN "
+            f"AND isfinite({num}) AND isfinite({den}) "
+            f"AND ({num}) / ({den}) > 0 "
+            f"AND isfinite(({num}) / ({den})) THEN "
             f"ln(({num}) / ({den})) END)")
 
 

@@ -39,19 +39,34 @@ ROUND_DECIMALS = 6  # float-determinism guard for the driver's value hash
 # evaluated identically (multiply, add, floor, divide) in both engines.
 _SCALE = 10.0 ** ROUND_DECIMALS
 
+# Identity band (adversarial primitive-parity test find): Spark's
+# floor(DOUBLE) returns LONG, so for |x| >= ~9.2e18/scale the scaled
+# value saturates Long.MAX (and floor(NaN)::long fabricates 0) while
+# DuckDB's double-space floor sails through — round_col(1e15) read
+# 9.22e12 in Spark and 1e15 in DuckDB, round_col(NaN) read 0.0 vs NaN.
+# All three twins therefore pass |x| >= 9e18/scale (and NaN, whose
+# comparison is false in all three engines) through UNROUNDED: above
+# that bound the grid step is finer than one double ulp anyway, so
+# identity is the only faithful semantic — and it is the SAME branch in
+# all three, keeping the cross-engine hash exact in the band where the
+# floor paths would disagree ulp-wise.
+_ROUND_GUARD = 9e18
+
 
 def round_col(c, decimals: int = ROUND_DECIMALS):
     """Deterministic cross-engine rounding of a Spark Column."""
     from pyspark.sql import functions as F
 
     s = 10.0 ** decimals
-    return F.floor(c * s + F.lit(0.5)) / s
+    return F.when(F.abs(c) < F.lit(_ROUND_GUARD / s),
+                  F.floor(c * s + F.lit(0.5)) / s).otherwise(c)
 
 
 def sql_round(e: str, decimals: int = ROUND_DECIMALS) -> str:
     """The DuckDB twin of round_col — same ops, same order."""
     s = 10.0 ** decimals
-    return f"floor(({e}) * {s!r} + 0.5) / {s!r}"
+    return (f"(CASE WHEN abs({e}) < {_ROUND_GUARD / s!r} "
+            f"THEN floor(({e}) * {s!r} + 0.5) / {s!r} ELSE ({e}) END)")
 
 
 def py_round(x: float, decimals: int = ROUND_DECIMALS) -> float:
@@ -61,6 +76,8 @@ def py_round(x: float, decimals: int = ROUND_DECIMALS) -> float:
     import math
 
     s = 10.0 ** decimals
+    if not (abs(x) < _ROUND_GUARD / s):  # NaN/inf/huge: identity branch
+        return x
     return math.floor(x * s + 0.5) / s
 
 

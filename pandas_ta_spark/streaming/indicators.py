@@ -751,7 +751,13 @@ def _lnq(a: float, b: float, scale: float) -> int | None:
     hot path."""
     if not (a > 0 and b > 0 and _isfinite(a) and _isfinite(b)):
         return None
-    return int(_floor(_log(a / b) * scale + 0.5))
+    r = a / b
+    # ratio legs: finite positives can still overflow the division to
+    # inf (int(floor(inf)) raises — the poison-pill class) or underflow
+    # it to 0 (log(0) raises ValueError); matches _glog/_sql_glog
+    if not (r > 0 and _isfinite(r)):
+        return None
+    return int(_floor(_log(r) * scale + 0.5))
 
 
 def _make_quant():
