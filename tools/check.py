@@ -123,9 +123,23 @@ def main(keys: list[str]) -> int:
 
     spark = get_spark()
     qs, orc = E.queries(), E.oracle_sql()
-    con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    def fresh_con():
+        """A NEW DuckDB connection per oracle. One long-lived connection
+        accumulated native memory across the 253-query run and died with
+        'Failed to allocate block of 16384 bytes' ~185 keys into the
+        sf0.1/x10 gates (a hard std::bad_alloc abort on one run, a
+        caught per-query OOM on another) while the box showed >100 GB
+        free — fragmentation/arena growth, not data size. View setup is
+        10 trivial statements; per-key reconnect removes the whole
+        accumulation class."""
+        c = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        return c
+
     n_ok = n_bad = n_rowsonly = 0
     for k in qs:
         if keys and k not in keys:
@@ -143,7 +157,11 @@ def main(keys: list[str]) -> int:
             n_rowsonly += 1
             continue
         try:
-            odf = con.execute(orc[k]).df()
+            con = fresh_con()
+            try:
+                odf = con.execute(orc[k]).df()
+            finally:
+                con.close()
         except Exception as e:
             print(f"FAIL  {k}: oracle error: {type(e).__name__}: {str(e)[:300]}")
             n_bad += 1
