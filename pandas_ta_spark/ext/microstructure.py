@@ -130,9 +130,16 @@ def _glog(num, den):
     where ln(inf)=inf saturates Spark's ::long while DuckDB's CAST
     errors) or underflow it (1e-320/1e308 -> 0, where ln(0) is NULL in
     Spark and a hard error in DuckDB) — found by the adversarial
-    primitive-parity test, not by any corpus."""
+    primitive-parity test, not by any corpus.
+
+    The ratio uses try_divide, NOT the / operator: the division now
+    sits in the WHEN condition (evaluated on every row, unlike the old
+    then-branch-only division), and under Spark 4's DEFAULT ANSI mode a
+    bare close/0.0 there aborts the whole query, where the engine's
+    documented posture (load_table sets ansi=false) and DuckDB both
+    yield NULL — try_divide is NULL in both modes."""
     inf = F.lit(float("inf"))
-    r = num / den
+    r = F.try_divide(num, den)
     return F.when((num > F.lit(0)) & (den > F.lit(0))
                   & ~F.isnan(num) & ~F.isnan(den)
                   & (num != inf) & (den != inf)

@@ -63,7 +63,15 @@ def round_col(c, decimals: int = ROUND_DECIMALS):
 
 
 def sql_round(e: str, decimals: int = ROUND_DECIMALS) -> str:
-    """The DuckDB twin of round_col — same ops, same order."""
+    """The DuckDB twin of round_col — same ops, same order.
+
+    The guard interpolates ``e`` three times (abs test, floor branch,
+    identity branch). Accepted trade-off: oracles must stay
+    SELF-CONTAINED SQL strings (the driver's DuckDB session has only
+    the table views — no macros), so there is no aliasing point for a
+    single evaluation; DuckDB CSEs identical subtrees, and the full
+    253-key gate (largest oracle ~190 kB post-change) stayed green at
+    sf0.01/sf0.1/x10 with no measurable slowdown."""
     s = 10.0 ** decimals
     return (f"(CASE WHEN abs({e}) < {_ROUND_GUARD / s!r} "
             f"THEN floor(({e}) * {s!r} + 0.5) / {s!r} ELSE ({e}) END)")

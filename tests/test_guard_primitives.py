@@ -35,6 +35,18 @@ ADVERSARIAL = [
     0.01, 387.0, 99.99999949999999, 100.0000005,
 ]
 
+# pairs that must hit specific ratio legs regardless of how the rotated
+# grid lines up: overflow (finite/finite -> inf), underflow
+# (finite/finite -> 0.0, the ln(0) DuckDB-hard-error leg), and their
+# clean neighbours
+EXPLICIT_PAIRS = [
+    (1e308, 1e-320),   # ratio overflows to inf
+    (5e-324, 1e6),     # ratio underflows to 0.0
+    (1e-320, 1e308),   # ratio underflows to 0.0 (both subnormal-ish)
+    (1e308, 1.0),      # huge but finite ratio (ln ~ 709, valid)
+    (1.0, 1e308),      # tiny but nonzero ratio (ln ~ -709, valid)
+]
+
 
 def _values():
     rng = np.random.default_rng(17)
@@ -80,25 +92,31 @@ def test_round_and_qlog_primitives_cross_engine(spark):
 
     from pyspark.sql import functions as F
 
-    # the engine's documented session posture (load_table sets it for
-    # every real query path): non-ANSI, where x/0.0 is NULL in BOTH
-    # engines instead of Spark 4's ANSI divide-by-zero error
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-
     vals = _values()
     # pair every value with a rotated copy so the (num, den) grid hits
-    # dirty/clean combinations on both sides
+    # dirty/clean combinations on both sides, plus the explicit
+    # ratio-leg pairs
     pairs = pd.DataFrame({
-        "a": vals,
-        "b": vals[7:] + vals[:7],
+        "a": vals + [p[0] for p in EXPLICIT_PAIRS],
+        "b": vals[7:] + vals[:7] + [p[1] for p in EXPLICIT_PAIRS],
     })
 
-    sdf = spark.createDataFrame(pairs)
-    got_s = sdf.select(
-        round_col(F.col("a")).alias("r"),
-        _qlog(F.col("a"), F.col("b")).alias("q"),
-        _glog(F.col("a"), F.col("b")).alias("g"),
-    ).toPandas()
+    # the engine's documented session posture (load_table sets it for
+    # every real query path): non-ANSI, where x/0.0 is NULL in BOTH
+    # engines instead of Spark 4's ANSI divide-by-zero error. Saved and
+    # RESTORED: the conftest session is shared, and leaking the flag
+    # would make later tests order-dependent.
+    saved_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        sdf = spark.createDataFrame(pairs)
+        got_s = sdf.select(
+            round_col(F.col("a")).alias("r"),
+            _qlog(F.col("a"), F.col("b")).alias("q"),
+            _glog(F.col("a"), F.col("b")).alias("g"),
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved_ansi)
 
     con = duckdb.connect()
     con.register("pairs", pairs)
@@ -109,16 +127,25 @@ def test_round_and_qlog_primitives_cross_engine(spark):
         FROM pairs
     """).df()
 
+    rs_all, rd_all = _col(got_s, "r"), _col(got_d, "r")
+    qs_all, qd_all = _col(got_s, "q"), _col(got_d, "q")
+    gs_all, gd_all = _col(got_s, "g"), _col(got_d, "g")
+
     n_checked = 0
     for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"])):
-        # round primitive: Spark vs DuckDB on everything; python on
-        # finite values (py_round is only reached behind twin guards,
-        # and math.floor(inf) raises by design)
-        rs, rd = _col(got_s, "r")[i], _col(got_d, "r")[i]
+        # round primitive: all three twins on EVERYTHING, including the
+        # identity band (NaN/inf/huge pass through unrounded — the
+        # branch this round added; dropping it from any one twin must
+        # fail here)
+        rs, rd = rs_all[i], rd_all[i]
         assert _nan_eq(rs, rd), f"round: a={a!r} spark={rs!r} duck={rd!r}"
-        if math.isfinite(a):
-            assert _nan_eq(py_round(a), rs), \
-                f"py_round: a={a!r} py={py_round(a)!r} spark={rs!r}"
+        # pandas collapses NULL and NaN in float64 columns, so _col
+        # maps NaN -> None for the engine sides; normalize the python
+        # side identically (py_round(NaN) IS NaN via the identity band)
+        pr = py_round(a)
+        pr = None if (isinstance(pr, float) and math.isnan(pr)) else pr
+        assert _nan_eq(pr, rs), \
+            f"py_round: a={a!r} py={pr!r} spark={rs!r}"
         # guarded log ratio: the VALIDITY pattern (which rows are
         # invalid) must agree EXACTLY across all three engines — that is
         # the bug class the guards exist for. Values agree up to the
@@ -127,8 +154,8 @@ def test_round_and_qlog_primitives_cross_engine(spark):
         # straddling ulp flips one floor — absorbed by every op-level
         # tolerance, and empirically absent on corpus values where the
         # exact gate stays green).
-        qs, qd = _col(got_s, "q")[i], _col(got_d, "q")[i]
-        gs, gd = _col(got_s, "g")[i], _col(got_d, "g")[i]
+        qs, qd = qs_all[i], qd_all[i]
+        gs, gd = gs_all[i], gd_all[i]
         lq = _lnq(a, b, MS_SCALE)
         lqf = float(lq) if lq is not None else None
         assert (qs is None) == (qd is None) == (lqf is None), \
@@ -143,12 +170,25 @@ def test_round_and_qlog_primitives_cross_engine(spark):
                 np.spacing(gs)), f"glog: ({a!r},{b!r}) {gs!r} vs {gd!r}"
         n_checked += 1
     assert n_checked == len(pairs)
-    # the dirty legs genuinely fired: every NaN/inf/non-positive input
-    # produced an invalid (None) qlog in every engine
+
+    # the dirty legs genuinely fired, including BOTH ratio legs: every
+    # NaN/inf/non-positive input AND every overflowing/underflowing
+    # ratio produced an invalid (None) qlog in every engine
+    def _ratio_ok(a, b):
+        if not (a > 0 and b > 0 and math.isfinite(a) and math.isfinite(b)):
+            return False
+        r = a / b
+        return r > 0 and math.isfinite(r)
+
     dirty = [i for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"]))
-             if not (a > 0 and b > 0 and math.isfinite(a)
-                     and math.isfinite(b))]
-    assert dirty, "adversarial grid lost its dirty rows"
+             if not _ratio_ok(a, b)]
+    over = [i for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"]))
+            if a > 0 and b > 0 and math.isfinite(a) and math.isfinite(b)
+            and math.isinf(a / b)]
+    under = [i for i, (a, b) in enumerate(zip(pairs["a"], pairs["b"]))
+             if a > 0 and b > 0 and math.isfinite(a) and math.isfinite(b)
+             and a / b == 0.0]
+    assert over and under, "ratio-leg pairs missing from the grid"
     for i in dirty:
-        assert _col(got_s, "q")[i] is None
-        assert _col(got_d, "q")[i] is None
+        assert qs_all[i] is None
+        assert qd_all[i] is None

@@ -133,9 +133,10 @@ def main(keys: list[str]) -> int:
         free — fragmentation/arena growth, not data size. View setup is
         10 trivial statements; per-key reconnect removes the whole
         accumulation class."""
+        from pandas_ta_spark.sources.bars import TABLES
+
         c = duckdb.connect()
-        for t in ("region nation customer supplier part orders lineitem "
-                  "events documents embeddings").split():
+        for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
         return c

@@ -93,7 +93,10 @@ def main() -> None:
        .write.mode("overwrite").parquet(f"{out}/_events_dir"))
     _flatten(out, "events")
 
-    for t in "region nation customer supplier part orders lineitem".split():
+    from pandas_ta_spark.sources.bars import TABLES
+
+    replicated = {"documents", "embeddings", "events"}
+    for t in [t for t in TABLES if t not in replicated]:
         src = f"{sf_dir}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
         if os.path.isdir(src):
