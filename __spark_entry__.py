@@ -87,7 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   candles + signals + squeeze_pro_20 + vp_10 + the first 16
 #   never-evidenced ext keys + ngram_novelty (pulled forward from r9 to
 #   fill the 50th slot).
-# - r9 (THIS window): the 44 remaining never-evidenced ext keys + the 5
+# - r9 (done, 50/50 green): the 44 remaining never-evidenced ext keys + the 5
 #   anchors + vol_parkinson_20 (pulled forward from r10 to fill the 50th
 #   slot). Enumerated below as _PRIORITY. Original r9 plan: pii_scrub,
 #   token_count_bpe, text_repetition, corpus_rarity, text_lang_id,
@@ -109,50 +109,83 @@ def entry(spark: SparkSession) -> DataFrame:
 #   conversion_lag_percentiles, session_stats_30m,
 #   embedding_norm_by_label, active_users_daily) —
 #   44 keys, exactly fills the window with the 5 anchors (49 of 50).
-# - r10 tranche (the final residual, 15 keys — vol_parkinson_20 moved
-#   into r9's 50th slot): the microstructure/risk pack
-#   (vol_garman_klass_20, vol_rogers_satchell_20, vol_yang_zhang_20,
-#   amihud_illiq_20, cs_spread_2_20, roll_spread_20, hurst_aggvar,
-#   ar1_half_life, rolling_sharpe_20, rolling_sortino_20,
-#   var_cvar_95_100, rolling_mdd_100) plus doc_chunk_128_16,
-#   chunk_dup_rate and pair_spread_z_24 — after that the sweep is
-#   complete (every key driver-evidenced at least once) and the window
-#   returns to flagship + kind-class representation. The exact r10 list
-#   is pre-pinned in tests/test_api_and_ext.py::test_r10_tranche_ready
-#   so r10 is a constant-time rotation; the three ops ADDED in r9
-#   (kyle_lambda_20, contamination_prefix, mix_epochs_plan) take three
-#   of r10's free slots for their first driver evidence.
+# - r10 (THIS window — the final sweep tranche, executed exactly as
+#   pre-pinned in tests/test_api_and_ext.py::test_r10_tranche_ready):
+#   the 15-key R10_TRANCHE (microstructure/risk pack + doc_chunk_128_16
+#   + chunk_dup_rate + pair_spread_z_24), the three ops ADDED in r9
+#   (kyle_lambda_20, contamination_prefix, mix_epochs_plan — never
+#   driver-evidenced), and two free slots spent on lang_source_agg +
+#   events_props_agg whose latest driver row is the r8 dtype-red
+#   (fixed in d9c9498, judge-verified green r9; this flips the
+#   artifact). That completes the sweep: every one of the 253 keys has
+#   a green driver row at least once. The remaining 25 slots seed the
+#   post-sweep steady state (below).
+# - r11+ STEADY STATE (VERDICT r9 ask #3): the sweep is complete, so
+#   the window stops rotating and pins _STEADY_WINDOW — 5 anchors +
+#   kind-class representation (one per §2 family) + the most
+#   scale-sensitive ext keys (LSH/IVF joins, fixed-point overflow
+#   classes, skewed aggs, the bench-watch regressions). Future
+#   regressions then surface in the riskiest queries' driver rows
+#   instead of re-proving settled ones. Pinned by
+#   tests/test_api_and_ext.py::test_steady_window_pinned.
 # Rotated-out keys remain value-checked in the full gate
 # (tools/check.py) and the judge's rerun; only the truncated 50-key
 # artifact loses them. Tests pin _PRIORITY <= queries() and exact order.
+
+# The 25 steady-state representatives shared by the r10 window and
+# _STEADY_WINDOW: one kind-class representative per §2 family plus the
+# scale-sensitive ext classes and the three r9 bench-watch keys.
+_STEADY_CORE = [
+    # §2 kind-class representation
+    "rsi_14", "ema_10", "vwap", "log_return_1", "zscore_30", "adx_14",
+    "psar", "atr_14", "bbands_5_2.0", "obv", "vp_10", "cdl_pattern_all",
+    "ha",
+    # scale-sensitive ext: pair-graph CC, span explode, IVF probe+recall,
+    # corpus-wide tf-idf, token packing, media Arrow pass, sessionization
+    "dedup_cc_clusters", "dedup_spans", "topk_cosine_ivf",
+    "topk_ivf_recall", "tfidf_top_terms", "shard_pack_tokens",
+    "media_meta", "session_stats_30m",
+    # relational joins + the r9 bench-watch regressions
+    "asof_join_bars", "bars_gapfill_1h", "lead_lag_corr_1h",
+    "rolling_beta_24",
+]
+
+# r11+ window of record (50 keys): anchors + steady core + the
+# overflow/dtype-risk and remaining scale-sensitive classes.
+_STEADY_WINDOW = [
+    "supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
+    "topk_cosine_ivfpq", "curation_pipeline",
+    *_STEADY_CORE,
+    # dtype/overflow risk classes (HUGEINT vs BIGINT; decimal(38,0))
+    "lang_source_agg", "events_props_agg", "kyle_lambda_20",
+    "var_cvar_95_100", "vol_yang_zhang_20",
+    # contamination / semantic dedup / PQ family
+    "contamination_minhash", "semdedup_keep", "dedup_exact",
+    "topk_cosine_pq", "topk_pq_recall", "neardup_cosine_lsh",
+    # LM statistics + mixture planning
+    "perplexity_bigram", "corpus_rarity", "token_count_bpe",
+    "mix_epochs_plan", "sample_stratified_quota",
+    # media fan-out, cohort/skew aggs, panel standardization
+    "media_frame_sample", "retention_cohorts", "event_transition_matrix",
+    "xsec_zscore_ret1",
+]
+
 _PRIORITY = [
     # flagship anchors (cross-round regression canaries)
     "supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
     "topk_cosine_ivfpq", "curation_pipeline",
-    # text pack: first driver-visible value evidence
-    "pii_scrub", "token_count_bpe", "text_repetition", "corpus_rarity",
-    "text_lang_id", "text_quality", "quality_lr_score", "text_fingerprint",
-    # LM statistics
-    "perplexity_unigram", "perplexity_bigram", "unigram_kl_by_source",
-    "lexical_diversity",
-    # sampling / mixture
-    "mix_rebalance_lang", "mix_temperature_sqrt", "sample_stratified_quota",
-    "curation_decisions",
-    # relational / resample / market
-    "ichimoku_forward", "mtf_sma_asof", "asof_hour_lookup", "bars_daily",
-    "bars_15m", "bars_gapfill_1h", "series_integrity", "xsec_rank_ret1",
-    "xsec_zscore_ret1", "ret_autocorr_24", "variance_ratio_5_24",
-    "drawdown_episodes", "lead_lag_corr_1h", "hourly_seasonality",
-    # behavior / product analytics
-    "funnel_view_click_purchase", "retention_cohorts", "session_stats_30m",
-    "attribution_last_touch", "user_rfm_segments", "events_rate_anomaly",
-    "event_transition_matrix", "conversion_lag_percentiles",
-    "active_users_daily",
-    # similarity / media
-    "semdedup_cc_clusters", "embedding_drift_by_slice",
-    "embedding_norm_by_label", "media_frame_sample", "media_resize_8",
-    # pulled forward from r10 to fill the 50th slot
-    "vol_parkinson_20",
+    # R10_TRANCHE: the last 15 never-driver-evidenced keys
+    "vol_garman_klass_20", "vol_rogers_satchell_20", "vol_yang_zhang_20",
+    "amihud_illiq_20", "cs_spread_2_20", "roll_spread_20", "hurst_aggvar",
+    "ar1_half_life", "rolling_sharpe_20", "rolling_sortino_20",
+    "var_cvar_95_100", "rolling_mdd_100", "doc_chunk_128_16",
+    "chunk_dup_rate", "pair_spread_z_24",
+    # the three ops added in r9 — first driver evidence
+    "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan",
+    # dtype-fixed keys whose latest driver row is the r8 red
+    "lang_source_agg", "events_props_agg",
+    # post-sweep steady-state seed (kind-class + scale-sensitive)
+    *_STEADY_CORE,
 ]
 
 

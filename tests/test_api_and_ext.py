@@ -342,32 +342,38 @@ def test_entry_contract(spark):
     assert set(o) <= set(q)
     # Truncation insurance: EVERY pinned key must still exist — a renamed
     # pinned key would otherwise silently fall out of the gate window
-    # (ADVICE r4) — and the r9 sweep window must hold the 5 flagship
-    # anchors + the 45 never-driver-evidenced keys it promises
-    # (the sweep plan documented above _PRIORITY).
+    # (ADVICE r4) — and the r10 window must hold the 5 flagship anchors +
+    # the pre-pinned final tranche + the two dtype-fixed keys + the
+    # steady-state seed (the sweep plan documented above _PRIORITY).
     assert set(E._PRIORITY) <= set(q)
     assert list(q)[: len(E._PRIORITY)] == E._PRIORITY
     assert len(E._PRIORITY) == 50
     first50 = list(q)[:50]
     for must in ("supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
                  "topk_cosine_ivfpq", "curation_pipeline",
-                 # one spot-check per swept family
-                 "pii_scrub", "perplexity_bigram", "mix_temperature_sqrt",
-                 "bars_daily", "retention_cohorts", "semdedup_cc_clusters",
-                 "media_resize_8", "vol_parkinson_20"):
+                 # the two r8 dtype-reds whose driver row must flip green
+                 "lang_source_agg", "events_props_agg",
+                 # the three r9-new ops' first driver evidence
+                 "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan",
+                 # one spot-check per steady-seed family
+                 "rsi_14", "vp_10", "dedup_cc_clusters", "topk_cosine_ivf",
+                 "lead_lag_corr_1h", "rolling_beta_24"):
         assert must in first50, must
-    # r9 tranche: everything after the 5 anchors is first-time evidence
+    # r10 sweep promise: the 18 first-timers (tranche + r9-new ops) have
+    # never appeared in a prior driver artifact.
     import json
     seen = set()
-    for rn in range(1, 9):
+    for rn in range(1, 10):
         try:
             seen |= set(json.load(
                 open(f"/root/repo/CORRECTNESS_r0{rn}.json")))
         except FileNotFoundError:
             pass
+    first_timers = set(R10_TRANCHE) | {
+        "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan"}
     if seen:  # artifacts present: the sweep promise is enforceable
-        assert all(k not in seen for k in E._PRIORITY[5:]), (
-            "sweep window contains already-evidenced keys")
+        assert all(k not in seen for k in first_timers), (
+            "r10 first-timer key already driver-evidenced")
 
 
 # The final sweep tranche, pre-pinned (VERDICT r8 ask #7) so r10 is a
@@ -383,9 +389,9 @@ R10_TRANCHE = (
 
 
 def test_r10_tranche_ready(spark):
-    """Every r10-tranche key already exists with an exact oracle, and none
-    overlaps the r9 window — the r10 rotation cannot be blocked by a
-    rename or a missing oracle discovered at rotation time."""
+    """The r10 rotation was executed exactly as pre-pinned: every
+    tranche key sits in the window with an exact oracle, immediately
+    after the 5 anchors (VERDICT r9 ask #1)."""
     import __spark_entry__ as E
 
     q, o = E.queries(), E.oracle_sql()
@@ -393,7 +399,33 @@ def test_r10_tranche_ready(spark):
     for k in R10_TRANCHE:
         assert k in q, k
         assert k in o, k
-        assert k not in E._PRIORITY, k
+    assert E._PRIORITY[5:20] == list(R10_TRANCHE)
+    assert E._PRIORITY[20:25] == [
+        "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan",
+        "lang_source_agg", "events_props_agg"]
+
+
+def test_steady_window_pinned(spark):
+    """The r11+ post-sweep window of record (VERDICT r9 ask #3): 50 keys,
+    anchors first, every key resolvable with an exact oracle, and the
+    r10 window already seeds its 25-key steady core so the steady state
+    is continuous, not a cliff."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    w = E._STEADY_WINDOW
+    assert len(w) == 50 and len(set(w)) == 50
+    assert w[:5] == ["supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
+                     "topk_cosine_ivfpq", "curation_pipeline"]
+    for k in w:
+        assert k in q, k
+        assert k in o, k
+    # continuity: the steady core is live in the r10 window already
+    assert set(E._STEADY_CORE) <= set(E._PRIORITY)
+    assert set(E._STEADY_CORE) <= set(w)
+    # the dtype/overflow risk classes stay under permanent driver watch
+    for k in ("lang_source_agg", "events_props_agg", "kyle_lambda_20"):
+        assert k in w, k
 
 
 def test_readme_counts_match_registry():
