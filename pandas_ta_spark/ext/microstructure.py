@@ -67,6 +67,18 @@ I64_BAR_MAX = 9e18  # per-bar magnitude guard before a ::long quantize:
                     # Spark's non-ANSI cast SATURATES to Long.MAX past
                     # 2^63 (silently poisoning sums) while DuckDB errors
                     # — the same trap class ILLIQ_MAX/SPREAD_MAX close
+KYLE_VOL_MAX = 1e17  # kyle-specific per-bar |sv| cap: the SECOND moments
+                     # must fit the 128-bit accumulators, not just sv
+                     # itself in int64. With MS_N=20, |sv| < 1e17 bounds
+                     # |sx| <= 2e18, so sx*sx and n*sxx <= 4e36 — inside
+                     # decimal(38,0) (~1e38; non-ANSI Spark silently
+                     # NULLs past it) AND DuckDB HUGEINT (~1.7e38; hard
+                     # error) with >=20x margin, while the streaming twin's
+                     # unbounded python ints agree by construction. Under
+                     # the bare I64_BAR_MAX guard, volumes >= ~6.5e17
+                     # opened a three-way saturate-vs-error-vs-value
+                     # divergence (ADVICE r9). Pinned cross-engine in
+                     # tests/test_guard_primitives.py.
 CS_SCALE = 1e8       # Corwin-Schultz spread quantization: spreads are
                      # O(1e-3..0.5); 1e-8 resolution keeps the documented
                      # exp() 1-ulp cross-engine risk ~1e-5 per sf0.1 run
@@ -523,12 +535,15 @@ def kyle_lambda(bars: DataFrame, length: int = MS_N) -> DataFrame:
 
     Exactness: dp is on the shared 1e-6 log grid (_qlog guard: a
     zero/NaN/inf close invalidates the bar in BOTH engines); sv is an
-    exact BIGINT (floor(volume), guarded finite/non-negative — a dirty
-    volume invalidates the pair without touching dp's own validity).
-    Second moments accumulate in DECIMAL(38,0)/HUGEINT, NOT int64:
-    volume magnitude is unbounded at 100 TB (1e9-share bars put sv^2 at
-    1e18, the int64 wrap class of trap #6), unlike the bounded 24-row
-    log-quant kernels. lambda = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) / 1e6
+    exact BIGINT (floor(volume), guarded finite/non-negative and
+    < KYLE_VOL_MAX — a dirty volume invalidates the pair without
+    touching dp's own validity). Second moments accumulate in
+    DECIMAL(38,0)/HUGEINT, NOT int64: volume magnitude is unbounded at
+    100 TB (1e9-share bars put sv^2 at 1e18, the int64 wrap class of
+    trap #6), unlike the bounded 24-row log-quant kernels — and the
+    KYLE_VOL_MAX cap in turn keeps sx*sx / n*sxx inside THOSE 128-bit
+    accumulators (see the constant's derivation).
+    lambda = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) / 1e6
     is ONE double division of exact integers (division first, then the
     grid descale), reported on the 1e-12 grid — lambda lives at
     ~1e-7 ln-price per unit volume, far below the default 1e-6 grid.
@@ -538,12 +553,14 @@ def kyle_lambda(bars: DataFrame, length: int = MS_N) -> DataFrame:
     assert length == MS_N
     ws, wr = _ws(), _wr()
     dp = _qlog(F.col("close"), F.lag("close").over(ws))
-    # the < I64_BAR_MAX leg closes the saturate-vs-error trap: a finite
-    # volume >= 2^63 passes a bare finite/non-negative guard, then
-    # Spark's non-ANSI ::long SATURATES (silently wrong lambda) while
-    # the DuckDB twin's CAST hard-errors
+    # the < KYLE_VOL_MAX leg closes BOTH saturate-vs-error traps: a
+    # finite volume >= 2^63 would saturate Spark's non-ANSI ::long while
+    # the DuckDB twin's CAST hard-errors, and a volume >= ~6.5e17 keeps
+    # sv itself int64-clean but overflows the sx*sx / n*sxx second
+    # moments (decimal(38,0) silent-NULL vs HUGEINT hard-error vs the
+    # streaming twin's real python-int value — ADVICE r9)
     vol_ok = ((F.col("volume") >= 0) & ~F.isnan(F.col("volume"))
-              & (F.col("volume") < F.lit(I64_BAR_MAX)))
+              & (F.col("volume") < F.lit(KYLE_VOL_MAX)))
     sv = F.when(vol_ok,
                 F.signum(dp.cast("double")).cast("long")
                 * F.floor(F.col("volume")).cast("long"))
@@ -576,7 +593,7 @@ KYLE_LAMBDA_SQL = with_bars_cte(f"""
     SELECT symbol, ts,
            {_sql_qlog('close', f'lag(close) OVER ({_WS_SQL})')} AS dp,
            CASE WHEN volume >= 0 AND NOT isnan(volume)
-                     AND volume < {I64_BAR_MAX!r}
+                     AND volume < {KYLE_VOL_MAX!r}
                 THEN CAST(sign({_sql_qlog('close',
                                           f'lag(close) OVER ({_WS_SQL})')})
                           AS BIGINT)

@@ -1191,7 +1191,8 @@ def streaming_kyle_lambda(ticks: DataFrame,
     State = the previous close plus a ring of the last MS_N bars'
     (sv, dp) pairs, where an INVALID bar (no previous close, dirty
     close via the shared _lnq guard, or a volume that is negative,
-    NaN, or >= I64_BAR_MAX — the batch op's saturate-vs-error leg)
+    NaN, or >= KYLE_VOL_MAX — the batch op's second-moment-overflow
+    guard, mirrored so all three twins agree on validity)
     holds its window slot as None without contributing, exactly like
     the batch ROWS window over unfiltered bars. Every bar emits a row
     (n_obs = valid pairs in the trailing window; lambda NULL until the
@@ -1203,7 +1204,7 @@ def streaming_kyle_lambda(ticks: DataFrame,
     in-order-across-triggers precondition and 1-ulp ln caveat as the
     other twins."""
     from pandas_ta_spark.ext.microstructure import (
-        I64_BAR_MAX,
+        KYLE_VOL_MAX,
         MS_N,
         MS_SCALE,
     )
@@ -1250,7 +1251,7 @@ def streaming_kyle_lambda(ticks: DataFrame,
             prev = close
             entry = None
             if (dp is not None and vol >= 0 and _isfinite(vol)
-                    and vol < I64_BAR_MAX):
+                    and vol < KYLE_VOL_MAX):
                 sign = 1 if dp > 0 else (-1 if dp < 0 else 0)
                 entry = (sign * int(_floor(vol)), dp)
             ring.append(entry)

@@ -442,6 +442,13 @@ def test_readme_counts_match_registry():
     assert int(m.group(1)) == len(q)
     assert int(m.group(2)) == len(o)
     assert int(m.group(3)) == len(q) - len(o)
+    # Prose can't drift either (VERDICT r9 ask #2): while the registry
+    # has zero oracle-less keys, no README sentence may claim that some
+    # class of ops "use(s) rows-only checks".
+    if len(q) - len(o) == 0:
+        assert not re.search(r"use rows-only checks", text), (
+            "README claims rows-only checks exist but the gate is "
+            "fully value-checked")
 
 
 def test_ta_accessor(spark, bars, pdf_bars):

@@ -192,3 +192,109 @@ def test_round_and_qlog_primitives_cross_engine(spark):
     for i in dirty:
         assert qs_all[i] is None
         assert qd_all[i] is None
+
+
+def test_kyle_vol_cap_closes_second_moment_overflow(spark):
+    """KYLE_VOL_MAX (ADVICE r9): sv inside int64 is NOT enough — the
+    second moments sx*sx and n*sxx must fit decimal(38,0) AND HUGEINT.
+    Under the bare I64_BAR_MAX guard, a window of ~8e17-share bars kept
+    every sv int64-clean yet put n*sxx at ~2.6e38: Spark's non-ANSI
+    decimal silently NULLed lambda, DuckDB hard-errored, and the
+    streaming twin's unbounded python ints computed a real value — a
+    three-way divergence invisible to the corpus gate (sf volumes are
+    tiny). This pins (a) the static bound, (b) all-engine agreement on
+    a planted near-cap / above-cap / ordinary volume grid, including
+    that near-cap FULL windows stay finite (the silent-NULL class) and
+    above-cap bars are invalid everywhere."""
+    from pandas_ta_spark.ext.microstructure import (
+        KYLE_LAMBDA_SQL,
+        KYLE_VOL_MAX,
+        MS_N,
+        MS_SCALE,
+        kyle_lambda,
+    )
+    from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
+
+    # (a) static invariant: worst-case same-sign window second moments
+    # fit both 128-bit accumulators with margin, and sv fits int64
+    worst = (MS_N * KYLE_VOL_MAX) ** 2          # bounds sx*sx and n*sxx
+    assert worst * 20 < 10.0 ** 38              # Spark decimal(38,0)
+    assert worst * 20 < 1.7e38                  # DuckDB HUGEINT
+    assert KYLE_VOL_MAX < 2.0 ** 63
+
+    # (b) planted grid: phase1 near-cap valid, phase2 the old trap
+    # class (int64-clean but second-moment-overflowing), phase3 ordinary
+    n = 4 * MS_N
+    p1_end, p2_end = MS_N + 2, 2 * MS_N + 2
+    closes, vols, p = [], [], 100.0
+    for i in range(n):
+        p *= 1.002 if i % 2 == 0 else 1.0 / 1.001
+        closes.append(p)
+        vols.append(KYLE_VOL_MAX * 0.9 if i < p1_end
+                    else KYLE_VOL_MAX * 8.0 if i < p2_end
+                    else 1000.0 + i)
+    pdf = pd.DataFrame({
+        "symbol": "K",
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+        "open": closes, "high": [c * 1.01 for c in closes],
+        "low": [c * 0.99 for c in closes], "close": closes,
+        "volume": vols,
+    })
+
+    saved_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got_s = (kyle_lambda(spark.createDataFrame(pdf))
+                 .toPandas().sort_values("ts").reset_index(drop=True))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved_ansi)
+
+    # the REAL SQL twin, re-rooted at the planted bars (must not error:
+    # pre-fix this query HUGEINT-overflowed on phase2)
+    prefix = f"WITH bars AS (\n{BARS_FROM_EVENTS_SQL}\n)\n"
+    assert KYLE_LAMBDA_SQL.startswith(prefix)
+    con = duckdb.connect()
+    con.register("planted", pdf)
+    got_d = (con.execute("WITH bars AS (SELECT * FROM planted)\n"
+                         + KYLE_LAMBDA_SQL[len(prefix):])
+             .df().sort_values("ts").reset_index(drop=True))
+
+    # third way: unbounded python ints with the streaming twin's guard
+    exp, ring, prev = [], [], None
+    for close, vol in zip(closes, vols):
+        dp = (int(math.floor(math.log(close / prev) * MS_SCALE + 0.5))
+              if prev is not None else None)
+        prev = close
+        entry = None
+        if dp is not None and 0 <= vol < KYLE_VOL_MAX and math.isfinite(vol):
+            sign = 1 if dp > 0 else (-1 if dp < 0 else 0)
+            entry = (sign * int(math.floor(vol)), dp)
+        ring.append(entry)
+        if len(ring) > MS_N:
+            ring.pop(0)
+        xs = [q for q in ring if q is not None]
+        lam = None
+        if len(xs) >= MS_N:
+            sx = sum(x for x, _ in xs)
+            sy = sum(y for _, y in xs)
+            var_s = len(xs) * sum(x * x for x, _ in xs) - sx * sx
+            if var_s > 0:
+                cov_s = (len(xs) * sum(x * y for x, y in xs) - sx * sy)
+                lam = float(cov_s) / float(var_s) / MS_SCALE
+        exp.append(lam)
+
+    ls, ld = _col(got_s, "kyle_lambda"), _col(got_d, "kyle_lambda")
+    assert len(ls) == len(ld) == n
+    for i in range(n):
+        assert (ls[i] is None) == (ld[i] is None) == (exp[i] is None), \
+            f"validity i={i} vol={vols[i]!r}: {ls[i]!r}/{ld[i]!r}/{exp[i]!r}"
+        if ls[i] is not None:
+            assert abs(ls[i] - ld[i]) <= 1e-15 + 1e-9 * abs(ls[i]), i
+            assert abs(ls[i] - exp[i]) <= 1e-12 + 1e-6 * abs(exp[i]), i
+    # the phases genuinely fired: near-cap full windows FINITE (the
+    # silent-NULL overflow would None them), above-cap rows invalid,
+    # and the window recovers to finite on ordinary volumes
+    assert any(v is not None for v in ls[MS_N:p1_end]), "phase1 vacuous"
+    assert all(v is None for v in ls[p1_end:p2_end + MS_N - 1]), \
+        "above-cap bar contributed to a window"
+    assert ls[-1] is not None, "phase3 never recovered"

@@ -892,6 +892,10 @@ def test_streaming_kyle_lambda_matches_batch(spark, tmp_path):
         vol = rng.integers(50, 500, n).astype(float)
         close[33] = np.nan   # dirty close: dp AND sv both invalid
         vol[48] = -5.0       # dirty volume: sv invalid while dp is fine
+        vol[55] = 8e17       # above KYLE_VOL_MAX: the second-moment
+        # overflow class (ADVICE r9) — invalid in BOTH twins
+        vol[60] = 9e16       # just below the cap: valid in both, and its
+        # huge sv must not overflow either engine's accumulators
         frames.append(pd.DataFrame({
             "symbol": sym,
             "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
