@@ -580,15 +580,21 @@ def _dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain of near-dup pairs (A~B, B~C => {A,B,C} one cluster, which the
     pairwise keep-list cannot express).
 
-    Algorithm: min-label propagation to fixpoint. Each round is one
-    distributed join+groupBy (labels propagate along edges); the driver
-    only reads a scalar convergence count per round — the canonical
-    Pregel-style loop (GraphX/GraphFrames do the same). Rounds needed =
-    graph diameter, which for dup clusters is tiny (chains of near-identical
-    docs); the CC_MAX_ITERS cap turns a pathological input into a loud
-    error instead of an infinite loop. At 100 TB each round shuffles only
-    the pair graph (orders of magnitude smaller than the corpus), and the
-    label frame is persisted per round with lineage truncated.
+    Algorithm: min-label propagation WITH POINTER JUMPING to fixpoint.
+    Each round is one distributed edge-join+groupBy (labels propagate
+    along edges) composed with one node-sized label(label) self-join
+    (pointer doubling); the driver only reads a scalar convergence count
+    per round. Plain propagation needs diameter-many rounds — fine for
+    clique-ish dup clusters, but CHAIN-shaped clusters (each doc
+    near-dup of the next, e.g. successive crawl snapshots or the
+    x100-replica gate's perturbed embeddings) have diameter O(cluster
+    size) and turned the loop into O(d) full-graph shuffles. Jumping
+    doubles label reach per round, so rounds = O(log d) and the
+    CC_MAX_ITERS=20 cap covers diameter ~2^20 while still turning a
+    pathological input into a loud error instead of an infinite loop.
+    At 100 TB each round shuffles only the pair graph (orders of
+    magnitude smaller than the corpus), and the label frame is persisted
+    per round with lineage truncated.
     """
     pairs = _pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     # The verified pair graph is orders of magnitude smaller than the
@@ -635,13 +641,34 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
+            stepped = labels.join(prop, "doc_id", "left").select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+            )
+            # pointer jumping: label <- label(label). Neighbor-min alone
+            # moves the component min ONE hop per round (O(diameter)
+            # rounds — a chain-shaped near-dup cluster of depth d needs d
+            # rounds and d full-graph shuffles); composing it with one
+            # label-of-label hop doubles the reach each round, so rounds
+            # = O(log d) and CC_MAX_ITERS=20 covers diameter ~2^20. Every
+            # label value is a node id of the same component (labels
+            # start as self-ids and only adopt neighbor labels), so the
+            # self-join hits; the node-sized join costs far less than the
+            # edge-sized rounds it eliminates. Fixpoint unchanged: labels
+            # are monotone non-increasing and bounded by the component
+            # min, and a no-change round still certifies label(u) ==
+            # label(v) across every edge. Pinned by the deep-chain test
+            # (tests/test_dedup_ext.py::test_cc_deep_chain_converges).
             # materialize: truncate lineage -> O(1) plan depth per round
             new_labels = materialize(
-                labels.join(prop, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
-                )
+                stepped.alias("l").join(
+                    stepped.select(
+                        F.col("doc_id").alias("cluster_id"),
+                        F.col("cluster_id").alias("jump"),
+                    ).alias("p"),
+                    "cluster_id", "left")
+                .select("doc_id",
+                        F.coalesce("jump", "cluster_id").alias("cluster_id"))
             )
             changed = (
                 new_labels.alias("n")

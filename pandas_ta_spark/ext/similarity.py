@@ -26,14 +26,27 @@ from pandas_ta_spark.sources.bars import load_table
 DIM = 64
 N_QUERIES = 10
 TOP_K = 5
-N_PLANES = 4  # 16 LSH buckets
+N_PLANES = 4  # 16 LSH buckets (the broadcast-query ANN path)
+# Near-dup pair LSH is BANDED (MinHash-LSH style): ND_BANDS tables of
+# ND_BITS sign bits each; a pair is a candidate in its FIRST matching
+# band only (exactly-once emission, no distinct shuffle). A single
+# 4-bit table collapses any corpus into 16 buckets — at 50k vectors the
+# self-join already produced ~184M candidate rows (measured on the
+# x100-replica gate), and at 100 TB it IS the all-pairs join. Banding
+# fixes selectivity AND recall simultaneously: random pairs collide per
+# 8-bit band w.p. ~2^-8, while a cosine>=0.99 pair (angle <= 8.1deg,
+# per-plane agreement ~0.955) matches a band w.p. 0.955^8 ~ 0.69 and
+# ANY of 4 bands w.p. ~0.991 (vs 0.955^4 ~ 0.83 for the old single
+# table); near-identical dups (cos ~ 0.9999) match w.p. ~1-1e-7.
+ND_BANDS = 4
+ND_BITS = 8
 
 
-def _planes() -> list[list[float]]:
+def _planes(n: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible
     from public code alone, identical literals on both engines."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
@@ -116,20 +129,49 @@ def _spark_dot(a: str, b: str):
     return F.expr(_dot_str(a, b))
 
 
-def _bucket_expr(e: str):
-    """All N_PLANES sign bits + concat as ONE parsed expression (the
-    Column-operator equivalent costs ~1000 py4j round-trips). Plane
-    literals are CAST(<repr> AS DOUBLE): correctly-rounded to the same
-    double that F.lit(python_float) and the DuckDB oracle's literal
-    produce, so bucket assignment is bit-identical cross-engine."""
-    planes = _planes()
-    cases = ", ".join(
+def _sig_cases(e: str, planes: list[list[float]]) -> str:
+    """Sign-bit CASE list for F.expr. Plane literals are
+    CAST(<repr> AS DOUBLE): correctly-rounded to the same double that
+    F.lit(python_float) and the DuckDB oracle's literal produce, so
+    bucket assignment is bit-identical cross-engine."""
+    return ", ".join(
         "CASE WHEN ("
         + " + ".join(f"{e}[{i}] * CAST({p[i]!r} AS DOUBLE)" for i in range(DIM))
         + ") >= 0 THEN '1' ELSE '0' END"
         for p in planes
     )
-    return F.expr(f"concat({cases})")
+
+
+def _bucket_expr(e: str):
+    """The ANN query path's single 2^N_PLANES-bucket signature as ONE
+    parsed expression (the Column-operator equivalent costs ~1000 py4j
+    round-trips)."""
+    return F.expr(f"concat({_sig_cases(e, _planes())})")
+
+
+def _nd_bands_expr(e: str):
+    """The banded near-dup signature as array<string>: ND_BANDS strings
+    of ND_BITS sign bits, each band built DIRECTLY from its own plane
+    slice. (Slicing one concatenated signature with substring looks
+    equivalent, but projection collapse inlines the full 32-plane chain
+    into every slice — a 4x expression blowup that, duplicated again
+    across both join sides of the streaming twin, OOMed codegen.)"""
+    planes = _planes(ND_BANDS * ND_BITS)
+    return F.array(*[
+        F.expr(f"concat({_sig_cases(e, planes[k * ND_BITS:(k + 1) * ND_BITS])})")
+        for k in range(ND_BANDS)
+    ])
+
+
+def _nd_band_sql(e: str, k: int) -> str:
+    """DuckDB twin of one _nd_bands_expr band: identical plane literals,
+    1-based array indexing."""
+    planes = _planes(ND_BANDS * ND_BITS)
+    return " || ".join(
+        f"CASE WHEN ({_plane_dot_sql(e, planes[p])}) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for p in range(k * ND_BITS, (k + 1) * ND_BITS)
+    )
 
 
 def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,15 +284,32 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.99) via LSH buckets —
-    the embedding-space analogue of MinHash dedup."""
+    """Embedding near-duplicate pairs (cosine >= 0.99) via BANDED LSH —
+    the embedding-space analogue of MinHash band-dedup (see the
+    ND_BANDS/ND_BITS derivation): ND_BANDS equi-joins on ND_BITS-bit
+    sign slices of one 32-plane signature, realized as ONE shuffle of
+    the band-exploded relation. Exactly-once pair emission without a
+    distinct shuffle: a pair that collides in several bands is kept
+    only at its FIRST matching band (both sides carry the full band
+    array, so the min-matching-band test is a per-row expression — the
+    same trick keeps the streaming twin stateless). Plan: explode to
+    ND_BANDS rows/vector, hash-join on (band, bits), per-row min-band
+    filter, exact cosine verify on candidates only."""
     v = _spark_vectors_cached(spark, sf_dir)
-    v = v.select("vec_id", "e", "nrm", _bucket_expr("e").alias("bucket"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                 F.col("nrm").alias("na"), "bucket")
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-                 F.col("nrm").alias("nb"), "bucket")
-    joined = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    vb = v.select("vec_id", "e", "nrm", _nd_bands_expr("e").alias("bands"))
+    ex = vb.select("vec_id", "e", "nrm", "bands",
+                   F.posexplode("bands").alias("band", "bits"))
+    a = ex.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                  F.col("nrm").alias("na"), F.col("bands").alias("abands"),
+                  "band", "bits")
+    b = ex.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                  F.col("nrm").alias("nb"), F.col("bands").alias("bbands"),
+                  "band", "bits")
+    first_match = F.expr(
+        "array_position(zip_with(abands, bbands, (x, y) -> x = y), true) - 1")
+    joined = (a.join(b, ["band", "bits"])
+              .filter(F.col("vec_a") < F.col("vec_b"))
+              .filter(F.col("band") == first_match))
     score = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         joined.select("vec_a", "vec_b", score.alias("score"))
@@ -262,23 +321,34 @@ def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_ctes() -> str:
     """Shared DuckDB CTE chain ending in `pairs(vec_a, vec_b, score)` —
-    the SQL twin of ``_neardup_cosine``'s bucketed pair derivation.
-    Reused by the pair query and the SemDeDup keep-list oracle."""
-    planes = _planes()
-    bits = " || ".join(
-        f"CASE WHEN ({_plane_dot_sql('e', planes[p])}) >= 0 THEN '1' ELSE '0' END"
-        for p in range(N_PLANES)
-    )
+    the SQL twin of ``_neardup_cosine``'s banded pair derivation: the
+    same 32-plane signature sliced into band columns, one equi-join per
+    band with the literal "no earlier band matched" conjunction (the
+    min-matching-band rule), UNION ALL (disjoint by construction), then
+    the exact cosine on candidates. Reused by the pair query and the
+    SemDeDup keep-list / CC oracles."""
+    band_cols = ", ".join(
+        f"{_nd_band_sql('e', k)} AS b{k}" for k in range(ND_BANDS))
+    unions = []
+    for k in range(ND_BANDS):
+        cond = " AND ".join(
+            [f"a.b{k} = b.b{k}"]
+            + [f"a.b{j} <> b.b{j}" for j in range(k)]
+            + ["a.vec_id < b.vec_id"])
+        unions.append(
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea,\n"
+            "           b.e AS eb, a.nrm AS na, b.nrm AS nb\n"
+            f"    FROM n a JOIN n b ON {cond}")
+    cand = "\n    UNION ALL\n    ".join(unions)
     return f"""v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 n AS (
-    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {bits} AS bucket FROM v
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {band_cols} FROM v
 ),
 pairs AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ({_dot_sql('a.e', 'b.e')}) / (a.nrm * b.nrm) AS score
-    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    SELECT vec_a, vec_b, ({_dot_sql('ea', 'eb')}) / (na * nb) AS score
+    FROM ({cand}) cand
 )"""
 
 

@@ -498,29 +498,33 @@ def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
     embedding space).
 
     Input needs (vec_id, embedding array<float/double>, ingest_ts).
-    Fully STATELESS: the bucket signature is one per-row expression
-    (`_bucket_expr`, bit-identical to the batch bucketing), candidates
-    come from a stream-static equi-join on the single bucket key, and
-    the exact cosine (same left-associated dot as batch) filters at
-    ``threshold``. One vector lives in exactly one bucket, so no
-    multi-band pair dedup is needed — no watermark, no state store.
-    Emits (vec_id, corpus_vec_id, score, ingest_ts), score fixed-point
+    Fully STATELESS: the banded signature is one per-row expression
+    (`_nd_bands_expr`, bit-identical to the batch bucketing),
+    candidates come from a stream-static equi-join on the
+    band-exploded (band, bits) key, a candidate that collides in
+    several bands is kept only at its FIRST matching band (both sides
+    carry the full band array, so the dedup is a per-row expression —
+    no watermark, no state store), and the exact cosine (same
+    left-associated dot as batch) filters at ``threshold``. Emits
+    (vec_id, corpus_vec_id, score, ingest_ts), score fixed-point
     rounded exactly as the batch pair op; a corpus vector with the same
     id is excluded as a self-match (replay parity).
 
-    100 TB shape: bucket keys are uniform sign-bit strings (2^N_PLANES
-    buckets); per streamed vector the join touches one bucket's corpus
-    list. Recall matches the batch op's by construction — identical
+    100 TB shape: per streamed vector the join touches ND_BANDS
+    band-buckets' corpus lists (~2^-ND_BITS of the corpus each).
+    Recall matches the batch op's by construction — identical banded
     bucketing, so identical candidate sets."""
     from pandas_ta_spark.ext.similarity import (
-        _bucket_expr, _spark_dot, _spark_vectors_cached,
+        _nd_bands_expr, _spark_dot, _spark_vectors_cached,
     )
 
     v = _spark_vectors_cached(spark, sf_dir)
-    idx = v.select(
-        F.col("vec_id").alias("corpus_vec_id"),
-        F.col("e").alias("ce"), F.col("nrm").alias("cn"),
-        _bucket_expr("e").alias("bucket"),
+    idx = (
+        v.select("vec_id", "e", "nrm", _nd_bands_expr("e").alias("bands"))
+        .select(F.col("vec_id").alias("corpus_vec_id"),
+                F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+                F.col("bands").alias("cbands"),
+                F.posexplode("bands").alias("band", "bits"))
     )
     q = (
         vecs.select(
@@ -529,12 +533,17 @@ def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
                         lambda x: x.cast("double")).alias("qe"),
         )
         .withColumn("qn", F.sqrt(_spark_dot("qe", "qe")))
-        .withColumn("bucket", _bucket_expr("qe"))
+        .withColumn("qbands", _nd_bands_expr("qe"))
+        .select("vec_id", "ingest_ts", "qe", "qn", "qbands",
+                F.posexplode("qbands").alias("band", "bits"))
     )
+    first_match = F.expr(
+        "array_position(zip_with(qbands, cbands, (x, y) -> x = y), true) - 1")
     score = _spark_dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     return (
-        q.join(idx, "bucket")
+        q.join(idx, ["band", "bits"])
         .filter(F.col("corpus_vec_id") != F.col("vec_id"))
+        .filter(F.col("band") == first_match)
         .select("vec_id", "corpus_vec_id",
                 score.alias("score"), "ingest_ts")
         .filter(F.col("score") >= threshold)

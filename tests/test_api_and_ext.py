@@ -176,6 +176,24 @@ def test_cc_clusters_merge_chain(spark, tmp_path):
     assert set(out[out["cluster_id"] == 0]["n_members"]) == {3}
 
 
+def test_cc_deep_chain_converges(spark):
+    """Pointer-jumping pin: a PATH graph of depth 1500 converges within
+    CC_MAX_ITERS=20 rounds (log2(1500) ~ 11 with label doubling; plain
+    min-label propagation would need 1499 rounds and raise). Chain-shaped
+    clusters are real at scale — successive crawl snapshots, the
+    x100-replica gate's perturbed embeddings — so O(diameter) rounds is
+    a 100 TB scale bug, not a corner case."""
+    from pandas_ta_spark.ext.dedup import _cc_loop
+
+    n = 1500
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    out = _cc_loop(pairs).toPandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+    assert (out["n_members"] == n).all()
+
+
 def test_topk_cosine_finds_nearest(spark, tmp_path):
     rng = np.random.default_rng(3)
     base = rng.normal(0, 1, 64).astype(np.float32)
