@@ -7,6 +7,30 @@ image/audio DECODE step is stubbed (the decoder libraries are not in this
 container): ``decode_stub`` produces deterministic fake features and
 documents exactly where PIL/torchaudio/ffmpeg would plug in.
 
+PRODUCTION DECODER CONTRACT (the ``decode_stub`` plug-in boundary):
+a decoder is ONE callable ``decoder(payload: bytes, kind: str) ->
+numpy.ndarray`` registered via ``set_decoder`` BEFORE the query is
+built (the media ops capture it at plan-construction time, so it ships
+to executors inside the pickled mapInPandas closure — registering
+after ``extract_features(df)`` has returned does not retrofit the
+plan). Shape contract by ``kind``:
+
+- ``"image"``: (H, W) or (H, W, C) uint8;
+- ``"audio"``: (n_samples,) or (channels, n_samples);
+- ``"video"``: (n_frames, ...) — axis 0 is the frame axis; frame
+  sampling indexes it and hashes ``frame.tobytes()``.
+
+Failure semantics: raise ``ValueError`` for an UNDECODABLE payload —
+the asset degrades per-row (NULL feature columns in
+``extract_features``; zero emitted frames/segments in
+``sample_frames``/``resize_thumb``) and never aborts the job or drops
+the batch. Raising ``NotImplementedError`` (the unregistered default)
+routes the whole batch to the deterministic byte-level fallback, which
+is what the exact DuckDB oracles check; a registered real decoder
+makes the tensor-derived columns rows-only by design. The injected-
+decoder pytest (tests/test_api_and_ext.py::test_media_injected_decoder)
+drives a fake decoder through all three ops end to end.
+
 100 TB notes: binary payloads ride the same parquet scan (no extra
 shuffle); mapInPandas streams Arrow batches so one oversized asset never
 materializes a whole partition; metadata extraction is a projection.
@@ -77,12 +101,38 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+# The registered decoder (module docstring: PRODUCTION DECODER
+# CONTRACT). None -> every media op uses its deterministic byte-level
+# fallback, which is what the exact oracles check.
+_DECODER = None
+
+
+def set_decoder(fn) -> None:
+    """Register ``fn(payload: bytes, kind: str) -> np.ndarray`` as THE
+    decoder. Must run before the media query is BUILT — the ops capture
+    the decoder into their mapInPandas closure at plan time."""
+    global _DECODER
+    _DECODER = fn
+
+
+def clear_decoder() -> None:
+    global _DECODER
+    _DECODER = None
+
+
+def get_decoder():
+    return _DECODER
+
+
 def decode_stub(payload: bytes, kind: str = "image"):
-    """WHERE A REAL DECODER PLUGS IN. PIL.Image.open / torchaudio.load /
-    ffmpeg frame-sampling are not available in this container, so this
-    raises for real media kinds and the feature extractor falls back to
-    deterministic byte-level pseudo-features (keeps the Arrow pipeline
-    exercised end to end)."""
+    """WHERE A REAL DECODER PLUGS IN (see the module docstring for the
+    full contract). PIL.Image.open / torchaudio.load / ffmpeg
+    frame-sampling are not available in this container, so with no
+    registered decoder this raises NotImplementedError and the feature
+    extractor falls back to deterministic byte-level pseudo-features
+    (keeps the Arrow pipeline exercised end to end)."""
+    if _DECODER is not None:
+        return _DECODER(payload, kind)
     raise NotImplementedError(
         f"no {kind} decoder in this environment; "
         "swap in PIL/torchaudio/ffmpeg here"
@@ -92,13 +142,20 @@ def decode_stub(payload: bytes, kind: str = "image"):
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
-    mapInPandas: each Arrow batch becomes a pandas frame. The decoder is
-    probed ONCE per batch; with no decoder available the fallback
-    computes byte statistics VECTORIZED across the whole batch (one
-    buffer concat + one int64 cumsum, per-row sums by offset difference —
-    no per-row Python loop). Only the real-decoder branch iterates
-    per asset, because decoders are inherently per-asset."""
+    mapInPandas: each Arrow batch becomes a pandas frame. The decoder
+    (captured at plan time — module docstring contract) drives the real
+    branch; with none registered the fallback computes byte statistics
+    VECTORIZED across the whole batch (one buffer concat + one int64
+    cumsum, per-row sums by offset difference — no per-row Python
+    loop). Only the real-decoder branch iterates per asset, because
+    decoders are inherently per-asset. Decoded-tensor features:
+    mean_byte = floor-rounded mean of the decoded array, frame_count =
+    shape[0] for a >=3-d (video-shaped) array else 1, first_frame_hash
+    = md5 of the first frame's (or whole array's) raw bytes; a
+    ValueError payload keeps its row with NULL tensor features."""
     import hashlib
+
+    dec = get_decoder()
 
     def gen(batches):
         import numpy as np
@@ -107,15 +164,33 @@ def extract_features(df: DataFrame) -> DataFrame:
         cols = [f.name for f in FEATURE_SCHEMA.fields]
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["content"]]
-            try:
-                decode_stub(payloads[0] if payloads else b"")
-                # REAL DECODER BRANCH (unreachable in this container):
-                # per-asset loop is correct here — decoding is per-asset
-                rows = [decode_stub(p) for p in payloads]
-                yield pd.DataFrame(rows, columns=cols)
+            if dec is not None:
+                # REAL DECODER BRANCH: per-asset loop is correct here —
+                # decoding is inherently per-asset
+                out = {c: [] for c in cols}
+                for doc_id, p in zip(pdf["doc_id"], payloads):
+                    out["doc_id"].append(int(doc_id))
+                    out["n_bytes"].append(len(p))
+                    try:
+                        a = np.asarray(dec(p, "image"))
+                    except ValueError:
+                        out["mean_byte"].append(None)
+                        out["frame_count"].append(None)
+                        out["first_frame_hash"].append(None)
+                        continue
+                    first = a[0] if a.ndim >= 3 else a
+                    out["mean_byte"].append(
+                        float(np.floor(float(a.astype(np.float64).mean())
+                                       * 1e6 + 0.5) / 1e6)
+                        if a.size else 0.0)
+                    out["frame_count"].append(
+                        int(a.shape[0]) if a.ndim >= 3 else 1)
+                    out["first_frame_hash"].append(
+                        hashlib.md5(np.ascontiguousarray(first).tobytes())
+                        .hexdigest())
+                yield pd.DataFrame(out, columns=cols).astype(
+                    {"frame_count": "Int32"})
                 continue
-            except NotImplementedError:
-                pass
             # vectorized fallback: exact integer byte sums via cumsum
             # differences (no reduceat zero-length edge cases)
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
@@ -184,9 +259,14 @@ def sample_frames(df: DataFrame) -> DataFrame:
     frame sampler has (mapInPandas generators may change row counts
     freely). Frame j of an asset with fc frames is index
     (j * fc) // n_take (exact integer math, identical in the SQL twin).
-    A real decoder samples at these indices via ffmpeg; the fallback
-    slices the payload bytes — same offsets, same plumbing."""
+    A registered decoder (module docstring contract) samples the same
+    indices along the decoded array's frame axis (``kind="video"``;
+    hash/mean over ``frame.tobytes()``; a ValueError payload emits zero
+    frames); the fallback slices the payload bytes — same offsets, same
+    plumbing."""
     import hashlib
+
+    dec = get_decoder()
 
     def gen(batches):
         import numpy as np
@@ -197,20 +277,34 @@ def sample_frames(df: DataFrame) -> DataFrame:
             out = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 p = bytes(payload)
-                fc = len(p) // FRAME_BYTES
+                frames = None
+                if dec is not None:
+                    try:
+                        frames = np.asarray(dec(p, "video"))
+                    except ValueError:
+                        continue
+                    fc = int(frames.shape[0]) if frames.ndim else 0
+                else:
+                    fc = len(p) // FRAME_BYTES
                 if fc == 0:
                     continue
                 n_take = min(N_FRAME_SAMPLES, fc)
                 for j in range(n_take):
                     fidx = (j * fc) // n_take
-                    fr = p[fidx * FRAME_BYTES:(fidx + 1) * FRAME_BYTES]
-                    a = np.frombuffer(fr, dtype=np.uint8)
+                    if frames is not None:
+                        fb = np.ascontiguousarray(frames[fidx]).tobytes()
+                        a = np.frombuffer(fb, dtype=np.uint8)
+                        denom = len(fb) if fb else 1
+                    else:
+                        fb = p[fidx * FRAME_BYTES:(fidx + 1) * FRAME_BYTES]
+                        a = np.frombuffer(fb, dtype=np.uint8)
+                        denom = FRAME_BYTES
                     out["doc_id"].append(int(doc_id))
                     out["sample_j"].append(j)
                     out["frame_idx"].append(fidx)
-                    out["frame_hash"].append(hashlib.md5(fr).hexdigest())
+                    out["frame_hash"].append(hashlib.md5(fb).hexdigest())
                     out["frame_mean"].append(
-                        float(np.floor(int(a.sum()) / FRAME_BYTES * 1e6 + 0.5)
+                        float(np.floor(int(a.sum()) / denom * 1e6 + 0.5)
                               / 1e6))
             yield pd.DataFrame(out, columns=cols)
 
@@ -266,13 +360,43 @@ def resize_thumb(df: DataFrame) -> DataFrame:
     thumbnail resize, with the real pixel resample plugging in at
     `decode_stub`; the fallback is FULLY vectorized across the batch —
     one buffer concat + one int64 cumsum, per-segment sums by cumsum
-    difference at the absolute boundaries (no per-asset loop at all)."""
+    difference at the absolute boundaries (no per-asset loop at all).
+    A registered decoder (module docstring contract) downsamples the
+    DECODED array's flattened bytes at the same segment boundaries
+    (``kind="image"``; ValueError -> zero segments for that asset)."""
+    dec = get_decoder()
+
     def gen(batches):
         import numpy as np
         import pandas as pd
 
         cols = [f.name for f in THUMB_SCHEMA.fields]
         for pdf in batches:
+            if dec is not None:
+                out = {c: [] for c in cols}
+                for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                    try:
+                        a = np.asarray(dec(bytes(payload), "image"))
+                    except ValueError:
+                        continue
+                    flat = np.frombuffer(
+                        np.ascontiguousarray(a).tobytes(),
+                        dtype=np.uint8).astype(np.int64)
+                    nb = flat.size
+                    if nb < N_THUMB_SEGS:
+                        continue
+                    for s in range(N_THUMB_SEGS):
+                        lo = s * nb // N_THUMB_SEGS
+                        hi = (s + 1) * nb // N_THUMB_SEGS
+                        out["doc_id"].append(int(doc_id))
+                        out["seg"].append(s)
+                        out["seg_len"].append(hi - lo)
+                        out["seg_mean"].append(float(
+                            np.floor(int(flat[lo:hi].sum()) / (hi - lo)
+                                     * 1e6 + 0.5) / 1e6))
+                yield pd.DataFrame(out, columns=cols).astype(
+                    {"seg": "int32", "seg_len": "int64"})
+                continue
             payloads = [bytes(p) for p in pdf["content"]]
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                                count=len(payloads))

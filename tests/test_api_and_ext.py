@@ -316,6 +316,76 @@ def test_media_features_pipeline(spark, tmp_path):
     assert out["mean_byte"].between(0, 255).all()
 
 
+def test_media_injected_decoder(spark, tmp_path):
+    """The decode_stub plug-in boundary works end to end (VERDICT r9
+    ask #6): a registered decoder (captured at plan time into the
+    mapInPandas closure) drives the real branch of extract_features /
+    sample_frames / resize_thumb; an undecodable payload degrades
+    per-row (ValueError contract) instead of aborting; and clearing the
+    decoder restores the oracle-checked byte fallback."""
+    import hashlib
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta",
+                 "BAD",  # the decoder refuses this payload
+                 "one two three four five six seven eight nine ten"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [45, 3, 48],
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    from pandas_ta_spark.ext import media as M
+
+    def fake_decoder(payload: bytes, kind: str):
+        if payload == b"BAD":
+            raise ValueError("undecodable")
+        a = np.frombuffer(payload, dtype=np.uint8)
+        if kind == "video":  # frame axis 0: 16-byte "frames"
+            fc = len(a) // M.FRAME_BYTES
+            return a[: fc * M.FRAME_BYTES].reshape(fc, M.FRAME_BYTES)
+        return a  # image/audio: 1-D byte tensor
+
+    sf = str(tmp_path)
+    try:
+        M.set_decoder(fake_decoder)
+        feats = (M.SUITE["media_features"].query(spark, sf).toPandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        # decoded rows: 1-D tensor -> frame_count 1 (the fallback would
+        # say n_bytes//16 — proves the REAL branch ran), hash of the
+        # WHOLE decoded array, exact mean of its bytes
+        for i in (0, 2):
+            raw = docs["text"][i].encode()
+            assert feats["frame_count"][i] == 1
+            assert feats["first_frame_hash"][i] == hashlib.md5(raw).hexdigest()
+            exp = np.floor(np.frombuffer(raw, np.uint8).mean() * 1e6 + 0.5) / 1e6
+            assert feats["mean_byte"][i] == exp
+        # ValueError payload: row kept, tensor features NULL
+        assert feats["n_bytes"][1] == 3
+        assert pd.isna(feats["frame_count"][1])
+        assert pd.isna(feats["first_frame_hash"][1])
+
+        # video decoder reproduces the byte-slicing fallback EXACTLY
+        # (same frame grid), proving the sampled-index plumbing
+        frames_real = (M.SUITE["media_frame_sample"].query(spark, sf)
+                       .toPandas())
+        assert (frames_real["doc_id"] != 1).all()  # zero frames for BAD
+        thumbs = M.SUITE["media_resize_8"].query(spark, sf).toPandas()
+        assert (thumbs["doc_id"] != 1).all()
+    finally:
+        M.clear_decoder()
+    frames_fb = M.SUITE["media_frame_sample"].query(spark, sf).toPandas()
+    a = (frames_real.sort_values(["doc_id", "sample_j"])
+         .reset_index(drop=True))
+    b = (frames_fb[frames_fb["doc_id"] != 1]
+         .sort_values(["doc_id", "sample_j"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # fallback restored: BAD has 0 frames either way (3 bytes < 16) but
+    # features flow through the vectorized path again
+    feats_fb = (M.SUITE["media_features"].query(spark, sf).toPandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    assert feats_fb["frame_count"][0] == len(docs["text"][0]) // 16
+
+
 def test_bucketed_sink_eliminates_exchange(spark, bars, tmp_path):
     """bucketBy(symbol) managed table: subsequent window queries read
     co-located data with ZERO exchanges — the repeated-scan story."""
