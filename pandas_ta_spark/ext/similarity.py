@@ -362,7 +362,7 @@ FROM pairs WHERE score >= 0.99
 
 def _semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding-level dedup keep-list: a vector is
-    DROPPED when a lower-id vector in its LSH bucket is cosine-similar
+    DROPPED when a lower-id banded-LSH candidate is cosine-similar
     (>= 0.99); the displacing representative is reported. The min-id
     representative rule replaces the paper's greedy scan with one
     relational pass — deterministic, rerun-stable, and at 100 TB it is
