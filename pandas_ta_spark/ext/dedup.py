@@ -641,10 +641,15 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            stepped = labels.join(prop, "doc_id", "left").select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
-            )
+            # materialized: the jump self-join below reads `stepped` on
+            # BOTH sides — without the barrier the edge-sized
+            # propagation join+agg would execute twice per round
+            stepped = materialize(
+                labels.join(prop, "doc_id", "left").select(
+                    "doc_id",
+                    F.least("cluster_id",
+                            F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+                ))
             # pointer jumping: label <- label(label). Neighbor-min alone
             # moves the component min ONE hop per round (O(diameter)
             # rounds — a chain-shaped near-dup cluster of depth d needs d
@@ -658,7 +663,7 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
             # are monotone non-increasing and bounded by the component
             # min, and a no-change round still certifies label(u) ==
             # label(v) across every edge. Pinned by the deep-chain test
-            # (tests/test_dedup_ext.py::test_cc_deep_chain_converges).
+            # (tests/test_api_and_ext.py::test_cc_deep_chain_converges).
             # materialize: truncate lineage -> O(1) plan depth per round
             new_labels = materialize(
                 stepped.alias("l").join(

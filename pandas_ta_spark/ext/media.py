@@ -162,35 +162,45 @@ def extract_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+        def real_branch(pdf, payloads):
+            # per-asset loop is correct here — decoding is inherently
+            # per-asset. ValueError degrades the row (NULL tensor
+            # features); an empty video tensor (shape (0, ...)) is a
+            # legal decode with frame_count 0 and the hash of an empty
+            # buffer — never an abort.
+            out = {c: [] for c in cols}
+            for doc_id, p in zip(pdf["doc_id"], payloads):
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(len(p))
+                try:
+                    a = np.asarray(dec(p, "image"))
+                except ValueError:
+                    out["mean_byte"].append(None)
+                    out["frame_count"].append(None)
+                    out["first_frame_hash"].append(None)
+                    continue
+                first = a[0] if a.ndim >= 3 and a.shape[0] else a
+                out["mean_byte"].append(
+                    float(np.floor(float(a.astype(np.float64).mean())
+                                   * 1e6 + 0.5) / 1e6)
+                    if a.size else 0.0)
+                out["frame_count"].append(
+                    int(a.shape[0]) if a.ndim >= 3 else 1)
+                out["first_frame_hash"].append(
+                    hashlib.md5(np.ascontiguousarray(first).tobytes())
+                    .hexdigest())
+            return pd.DataFrame(out, columns=cols).astype(
+                {"frame_count": "Int32"})
+
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["content"]]
             if dec is not None:
-                # REAL DECODER BRANCH: per-asset loop is correct here —
-                # decoding is inherently per-asset
-                out = {c: [] for c in cols}
-                for doc_id, p in zip(pdf["doc_id"], payloads):
-                    out["doc_id"].append(int(doc_id))
-                    out["n_bytes"].append(len(p))
-                    try:
-                        a = np.asarray(dec(p, "image"))
-                    except ValueError:
-                        out["mean_byte"].append(None)
-                        out["frame_count"].append(None)
-                        out["first_frame_hash"].append(None)
-                        continue
-                    first = a[0] if a.ndim >= 3 else a
-                    out["mean_byte"].append(
-                        float(np.floor(float(a.astype(np.float64).mean())
-                                       * 1e6 + 0.5) / 1e6)
-                        if a.size else 0.0)
-                    out["frame_count"].append(
-                        int(a.shape[0]) if a.ndim >= 3 else 1)
-                    out["first_frame_hash"].append(
-                        hashlib.md5(np.ascontiguousarray(first).tobytes())
-                        .hexdigest())
-                yield pd.DataFrame(out, columns=cols).astype(
-                    {"frame_count": "Int32"})
-                continue
+                try:
+                    yield real_branch(pdf, payloads)
+                    continue
+                except NotImplementedError:
+                    pass  # contract: route the whole batch to fallback
             # vectorized fallback: exact integer byte sums via cumsum
             # differences (no reduceat zero-length edge cases)
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
@@ -273,40 +283,56 @@ def sample_frames(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         cols = [f.name for f in FRAME_SCHEMA.fields]
-        for pdf in batches:
+
+        def emit(out, doc_id, j, fidx, fb, a, denom):
+            out["doc_id"].append(int(doc_id))
+            out["sample_j"].append(j)
+            out["frame_idx"].append(fidx)
+            out["frame_hash"].append(hashlib.md5(fb).hexdigest())
+            out["frame_mean"].append(
+                float(np.floor(int(a.sum()) / denom * 1e6 + 0.5) / 1e6))
+
+        def real_branch(pdf):
             out = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                p = bytes(payload)
-                frames = None
-                if dec is not None:
-                    try:
-                        frames = np.asarray(dec(p, "video"))
-                    except ValueError:
-                        continue
-                    fc = int(frames.shape[0]) if frames.ndim else 0
-                else:
-                    fc = len(p) // FRAME_BYTES
+                try:
+                    frames = np.asarray(dec(bytes(payload), "video"))
+                except ValueError:
+                    continue  # undecodable asset: zero frames
+                fc = int(frames.shape[0]) if frames.ndim else 0
                 if fc == 0:
                     continue
                 n_take = min(N_FRAME_SAMPLES, fc)
                 for j in range(n_take):
                     fidx = (j * fc) // n_take
-                    if frames is not None:
-                        fb = np.ascontiguousarray(frames[fidx]).tobytes()
-                        a = np.frombuffer(fb, dtype=np.uint8)
-                        denom = len(fb) if fb else 1
-                    else:
-                        fb = p[fidx * FRAME_BYTES:(fidx + 1) * FRAME_BYTES]
-                        a = np.frombuffer(fb, dtype=np.uint8)
-                        denom = FRAME_BYTES
-                    out["doc_id"].append(int(doc_id))
-                    out["sample_j"].append(j)
-                    out["frame_idx"].append(fidx)
-                    out["frame_hash"].append(hashlib.md5(fb).hexdigest())
-                    out["frame_mean"].append(
-                        float(np.floor(int(a.sum()) / denom * 1e6 + 0.5)
-                              / 1e6))
-            yield pd.DataFrame(out, columns=cols)
+                    fb = np.ascontiguousarray(frames[fidx]).tobytes()
+                    a = np.frombuffer(fb, dtype=np.uint8)
+                    emit(out, doc_id, j, fidx, fb, a, len(fb) if fb else 1)
+            return pd.DataFrame(out, columns=cols)
+
+        def fallback(pdf):
+            out = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                p = bytes(payload)
+                fc = len(p) // FRAME_BYTES
+                if fc == 0:
+                    continue
+                n_take = min(N_FRAME_SAMPLES, fc)
+                for j in range(n_take):
+                    fidx = (j * fc) // n_take
+                    fb = p[fidx * FRAME_BYTES:(fidx + 1) * FRAME_BYTES]
+                    a = np.frombuffer(fb, dtype=np.uint8)
+                    emit(out, doc_id, j, fidx, fb, a, FRAME_BYTES)
+            return pd.DataFrame(out, columns=cols)
+
+        for pdf in batches:
+            if dec is not None:
+                try:
+                    yield real_branch(pdf)
+                    continue
+                except NotImplementedError:
+                    pass  # contract: route the whole batch to fallback
+            yield fallback(pdf)
 
     return df.mapInPandas(gen, FRAME_SCHEMA)
 
@@ -371,32 +397,39 @@ def resize_thumb(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         cols = [f.name for f in THUMB_SCHEMA.fields]
+
+        def real_branch(pdf):
+            out = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    a = np.asarray(dec(bytes(payload), "image"))
+                except ValueError:
+                    continue
+                flat = np.frombuffer(
+                    np.ascontiguousarray(a).tobytes(),
+                    dtype=np.uint8).astype(np.int64)
+                nb = flat.size
+                if nb < N_THUMB_SEGS:
+                    continue
+                for s in range(N_THUMB_SEGS):
+                    lo = s * nb // N_THUMB_SEGS
+                    hi = (s + 1) * nb // N_THUMB_SEGS
+                    out["doc_id"].append(int(doc_id))
+                    out["seg"].append(s)
+                    out["seg_len"].append(hi - lo)
+                    out["seg_mean"].append(float(
+                        np.floor(int(flat[lo:hi].sum()) / (hi - lo)
+                                 * 1e6 + 0.5) / 1e6))
+            return pd.DataFrame(out, columns=cols).astype(
+                {"seg": "int32", "seg_len": "int64"})
+
         for pdf in batches:
             if dec is not None:
-                out = {c: [] for c in cols}
-                for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                    try:
-                        a = np.asarray(dec(bytes(payload), "image"))
-                    except ValueError:
-                        continue
-                    flat = np.frombuffer(
-                        np.ascontiguousarray(a).tobytes(),
-                        dtype=np.uint8).astype(np.int64)
-                    nb = flat.size
-                    if nb < N_THUMB_SEGS:
-                        continue
-                    for s in range(N_THUMB_SEGS):
-                        lo = s * nb // N_THUMB_SEGS
-                        hi = (s + 1) * nb // N_THUMB_SEGS
-                        out["doc_id"].append(int(doc_id))
-                        out["seg"].append(s)
-                        out["seg_len"].append(hi - lo)
-                        out["seg_mean"].append(float(
-                            np.floor(int(flat[lo:hi].sum()) / (hi - lo)
-                                     * 1e6 + 0.5) / 1e6))
-                yield pd.DataFrame(out, columns=cols).astype(
-                    {"seg": "int32", "seg_len": "int64"})
-                continue
+                try:
+                    yield real_branch(pdf)
+                    continue
+                except NotImplementedError:
+                    pass  # contract: route the whole batch to fallback
             payloads = [bytes(p) for p in pdf["content"]]
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                                count=len(payloads))

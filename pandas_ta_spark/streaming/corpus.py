@@ -488,6 +488,35 @@ def stream_span_dup_gate(docs: DataFrame, spark, sf_dir: str,
 
 # -------------------------------------------- embedding (SemDeDup) gate ----
 
+_BANDED_VEC_INDEX_CACHE: dict = {}
+
+
+def _corpus_banded_vec_index(spark, sf_dir: str):
+    """The static side of the semantic gate, materialized ONCE per
+    session: corpus vectors with their banded signature, exploded to
+    (band, bits) join rows. Without the cache every micro-batch
+    re-evaluated the 32-plane signature (2048 multiply-adds per corpus
+    vector) plus the 4x posexplode on top of the cached vector relation
+    (code-review r10)."""
+    from pandas_ta_spark.ckpt import materialize
+    from pandas_ta_spark.ext.similarity import (
+        _nd_bands_expr, _spark_vectors_cached,
+    )
+
+    def build():
+        v = _spark_vectors_cached(spark, sf_dir)
+        return materialize(
+            v.select("vec_id", "e", "nrm",
+                     _nd_bands_expr("e").alias("bands"))
+            .select(F.col("vec_id").alias("corpus_vec_id"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+                    F.col("bands").alias("cbands"),
+                    F.posexplode("bands").alias("band", "bits"))
+        )
+
+    return _session_cached(_BANDED_VEC_INDEX_CACHE, spark, (sf_dir,), build)
+
+
 def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
                          threshold: float = 0.99) -> DataFrame:
     """Ingestion-time SEMANTIC dedup: every streamed embedding is checked
@@ -514,18 +543,9 @@ def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
     band-buckets' corpus lists (~2^-ND_BITS of the corpus each).
     Recall matches the batch op's by construction — identical banded
     bucketing, so identical candidate sets."""
-    from pandas_ta_spark.ext.similarity import (
-        _nd_bands_expr, _spark_dot, _spark_vectors_cached,
-    )
+    from pandas_ta_spark.ext.similarity import _nd_bands_expr, _spark_dot
 
-    v = _spark_vectors_cached(spark, sf_dir)
-    idx = (
-        v.select("vec_id", "e", "nrm", _nd_bands_expr("e").alias("bands"))
-        .select(F.col("vec_id").alias("corpus_vec_id"),
-                F.col("e").alias("ce"), F.col("nrm").alias("cn"),
-                F.col("bands").alias("cbands"),
-                F.posexplode("bands").alias("band", "bits"))
-    )
+    idx = _corpus_banded_vec_index(spark, sf_dir)
     q = (
         vecs.select(
             "vec_id", "ingest_ts",

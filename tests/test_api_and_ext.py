@@ -386,6 +386,59 @@ def test_media_injected_decoder(spark, tmp_path):
     assert feats_fb["frame_count"][0] == len(docs["text"][0]) // 16
 
 
+def test_media_decoder_nie_fallback_and_empty_video(spark, tmp_path):
+    """The two remaining decoder-contract legs: a registered decoder
+    raising NotImplementedError routes the WHOLE batch to the byte
+    fallback (bit-identical to no-decoder output, never an abort), and
+    an empty video tensor (shape (0, ...)) is a legal decode — features
+    report frame_count 0, frame sampling emits zero rows."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta",
+                 "one two three four five six seven eight nine ten"],
+        "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [45, 48],
+    })
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    from pandas_ta_spark.ext import media as M
+
+    sf = str(tmp_path)
+    base_feats = (M.SUITE["media_features"].query(spark, sf).toPandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+    base_frames = (M.SUITE["media_frame_sample"].query(spark, sf)
+                   .toPandas().sort_values(["doc_id", "sample_j"])
+                   .reset_index(drop=True))
+
+    def refusing_decoder(payload: bytes, kind: str):
+        raise NotImplementedError(f"no {kind} support in this deployment")
+
+    def empty_video_decoder(payload: bytes, kind: str):
+        # a zero-frame video-shaped tensor: pre-fix, features' a[0]
+        # raised IndexError and aborted the task
+        return np.empty((0, 4, 4), dtype=np.uint8)
+
+    try:
+        M.set_decoder(refusing_decoder)
+        got_feats = (M.SUITE["media_features"].query(spark, sf).toPandas()
+                     .sort_values("doc_id").reset_index(drop=True))
+        got_frames = (M.SUITE["media_frame_sample"].query(spark, sf)
+                      .toPandas().sort_values(["doc_id", "sample_j"])
+                      .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_feats, base_feats)
+        pd.testing.assert_frame_equal(got_frames, base_frames)
+        thumbs = M.SUITE["media_resize_8"].query(spark, sf).toPandas()
+        assert len(thumbs) == 2 * M.N_THUMB_SEGS  # fallback segments
+
+        M.set_decoder(empty_video_decoder)
+        feats = (M.SUITE["media_features"].query(spark, sf).toPandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        assert (feats["frame_count"] == 0).all()
+        assert (feats["mean_byte"] == 0.0).all()
+        frames = M.SUITE["media_frame_sample"].query(spark, sf).toPandas()
+        assert len(frames) == 0
+    finally:
+        M.clear_decoder()
+
+
 def test_bucketed_sink_eliminates_exchange(spark, bars, tmp_path):
     """bucketBy(symbol) managed table: subsequent window queries read
     co-located data with ZERO exchanges — the repeated-scan story."""

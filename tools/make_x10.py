@@ -70,8 +70,11 @@ def main() -> None:
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))).alias("rep")
 
     def offset(col: str, stride: int):
-        """orig + (max+1)*rep: distinct across replicas while keeping the
-        original id's residue pattern inside each replica (FUZZY split)."""
+        """orig + (max+1)*rep: distinct across replicas. Replica r's
+        mod-10 residues are the original's ROTATED by (stride*rep) % 10
+        — not preserved per-doc, but every replica keeps a full residue
+        mix, so the FUZZY eval/train split lands in every replica (the
+        invariant the build asserts below)."""
         return (F.col(col) + F.lit(stride) * F.col("rep")).alias(col)
 
     docs = load_table(spark, sf_dir, "documents")
