@@ -710,6 +710,13 @@ def test_pair_universe_bound(spark):
     assert len(set(zip(ll_all["leader"], ll_all["follower"]))) == 6
     assert len(set(zip(*(lead_lag_corr(bars3).toPandas()[c]
                          for c in ("leader", "follower"))))) == 6
+    # identity-bound skip (r10): when the cached distinct-symbol count
+    # already fits inside top_n, the semi-join is elided entirely — the
+    # default top-100 plan on this 3-symbol universe has NO semi-join,
+    # yet (asserted above) identical results
+    plan_skip = (pair_spread_z(bars3, top_n=100)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" not in plan_skip, plan_skip
 
 
 def test_streaming_parkinson_matches_batch(spark, tmp_path):
