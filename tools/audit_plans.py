@@ -171,12 +171,13 @@ def main() -> None:
     lines.append("  (persist-shared shingles, band self-join) is documented in")
     lines.append("  ext/dedup.py. CC clustering is iterative (plan per round),")
     lines.append("  audited separately there.")
-    lines.append("- `pair_spread_z_24` / `lead_lag_corr_1h`: 4 of the")
-    lines.append("  exchanges belong to the r9 top-N dollar-volume universe")
-    lines.append("  bound (one map-side-partial groupBy to S rows, then the")
-    lines.append("  sort+limit of that S-row relation and its broadcast back)")
-    lines.append("  — candidate-sized, not bar-stream-sized; the bound is what")
-    lines.append("  keeps the pair fan-out O(top_n^2) at a 10k-symbol universe.")
+    lines.append("- `pair_spread_z_24` / `lead_lag_corr_1h`: the r9 top-N")
+    lines.append("  dollar-volume universe bound is ELIDED here (r10) — the")
+    lines.append("  session-cached symbol count fits top_n, so the audited")
+    lines.append("  plan is semi-join-free. At a 10k-symbol universe the")
+    lines.append("  bound re-appears as 4 candidate-sized exchanges (groupBy")
+    lines.append("  to S rows, sort+limit, broadcast back) and keeps the pair")
+    lines.append("  fan-out O(top_n^2); pinned by test_pair_universe_bound.")
     lines.append("- Codegen shows 0 for AQE-wrapped plans pre-execution; spans")
     lines.append("  materialize at runtime.")
     lines.append("")
