@@ -488,6 +488,95 @@ def main():
         times[name] = round(best, 3)
         rep_df.unpersist(blocking=True)
 
+    # Skewed-universe stress (VERDICT r10 ask #6): same x20 volume, but
+    # 80% of rows land on ONE symbol — the hot-hash-partition shape a
+    # real corpus has (an index instrument, a mega-popular doc source).
+    # Three rows tell the whole story (isolated stage profile r11:
+    # window stage ~10s serialized on the hot partition, kernel pass
+    # ~12s single-group — run_kernels can't epoch-chunk strat24 because
+    # its EWM kernels carry unbounded state):
+    #  * 24ind plain — the unmitigated hot partition. Exact IIR
+    #    recursions (EMA/RSI/MACD/ADX) are inherently sequential over
+    #    one symbol's history, so 80% of all rows on one symbol
+    #    serializes ~80% of the work on one core: ~13x uniform. At
+    #    100 TB the engine's prescribed path for the EWM family on hot
+    #    symbols is the streaming twins (O(1) state, per-event update —
+    #    streaming/indicators.py), not a batch re-scan.
+    #  * bounded plain / bounded CHUNKED — the mitigation the engine
+    #    ships for everything non-IIR: apply_strategy_chunked time-
+    #    chunks each symbol with a lookback carry (exact results,
+    #    validated lookbacks), turning the hot symbol into ~100
+    #    parallel (symbol, chunk) tasks. Bar: chunked within 2x the
+    #    uniform bounded row (`skew_ratio` fields below; measured 12.5x
+    #    plain -> ~1.3-2x chunked). Correctness of chunked-under-skew
+    #    is pinned by test_chunked_kernels_skewed_hot_symbol.
+    from pandas_ta_spark.plans.strategy import (
+        apply_strategy_chunked, expression_lookback)
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep")
+    skew_df = (
+        ticks.select("*", rep)
+        .select(
+            F.when(F.col("rep") < 16, F.lit("HOT"))  # 16/20 = 80%
+            .otherwise(F.concat("symbol", F.lit("#"), F.col("rep")))
+            .alias("symbol"),
+            # the hot symbol needs a unique per-row timeline: offset each
+            # replica by its own multi-year stride so ts stays distinct
+            F.timestamp_add("SECOND",
+                            F.col("rep") * F.lit(400_000_000), F.col("ts"))
+            .alias("ts"),
+            "open", "high", "low", "close", "volume",
+        )
+    )
+    # chunk-safe subset of strat24 (the same two predicates
+    # apply_strategy_chunked enforces), lookback = its deepest window
+    skew_lb = 0
+    bounded = []
+    for ind in strat24:
+        if ind.kernel is not None and (
+                ind.kernel.carry_rows is None
+                or getattr(ind.kernel, "lead_rows", 0)):
+            continue
+        depth = expression_lookback(ind)
+        if depth is None:
+            continue
+        skew_lb = max(skew_lb, depth,
+                      ind.kernel.carry_rows if ind.kernel else 0)
+        bounded.append(ind)
+
+    skew_df.cache().count()
+    try:
+        for name, frame, build in (
+                ("tick_strategy_24ind_x20skew80", skew_df,
+                 lambda df: apply_strategy(df, strat24)),
+                ("tick_strategy_bounded_x20skew80", skew_df,
+                 lambda df: apply_strategy(df, bounded)),
+                ("tick_strategy_bounded_x20skew80_chunked", skew_df,
+                 lambda df: apply_strategy_chunked(
+                     df, bounded, lookback=skew_lb, chunk="5 days")),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                force(build(frame))
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+    finally:
+        skew_df.unpersist(blocking=True)
+    # uniform denominator for the bounded-chunked bar (same subset,
+    # even symbols): reuse the cached x20 uniform replica shape
+    uni_df = replicate(20)
+    uni_df.cache().count()
+    try:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(apply_strategy(uni_df, bounded))
+            best = min(best, time.time() - t0)
+        times["tick_strategy_bounded_x20scale"] = round(best, 3)
+    finally:
+        uni_df.unpersist(blocking=True)
+
     # Bucketed-table re-read path (VERDICT r6 ask #7): the 100 TB
     # repeated-scan story claims bucketBy(symbol) pre-pays the shuffle at
     # write time so every later window/kernel pass re-reads co-located
@@ -585,8 +674,49 @@ def main():
         "x100_scale_rows_per_sec": round(100 * n_ticks
                                          / times["tick_strategy_24ind_x100scale"])
         if times.get("tick_strategy_24ind_x100scale") else None,
+        # skew stress (VERDICT r10 ask #6): the bar is the CHUNKED
+        # mitigation within 2x uniform on the same bounded op set; the
+        # plain ratios quantify the unmitigated hot partition (IIR
+        # recursion serial floor — see the skew section comment)
+        "skew_ratio_24ind_plain": round(
+            times["tick_strategy_24ind_x20skew80"]
+            / times["tick_strategy_24ind_x20scale"], 3)
+        if times.get("tick_strategy_24ind_x20skew80")
+        and times.get("tick_strategy_24ind_x20scale") else None,
+        "skew_ratio_bounded_plain": round(
+            times["tick_strategy_bounded_x20skew80"]
+            / times["tick_strategy_bounded_x20scale"], 3)
+        if times.get("tick_strategy_bounded_x20skew80")
+        and times.get("tick_strategy_bounded_x20scale") else None,
+        "skew_ratio_bounded_chunked": round(
+            times["tick_strategy_bounded_x20skew80_chunked"]
+            / times["tick_strategy_bounded_x20scale"], 3)
+        if times.get("tick_strategy_bounded_x20skew80_chunked")
+        and times.get("tick_strategy_bounded_x20scale") else None,
         "cpus": int(cpus),
     }
+
+    # Per-key noise bands from the committed drift-isolation runs
+    # (tools/drift_isolate.sh + tools/drift_bands.py, VERDICT r10 ask
+    # #1): min/median/max of 5 quiet-box bench runs, so single-run
+    # drift in BENCH_r{N} can be read against the measured variance
+    # instead of eyeballed across rounds.
+    drift_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "artifacts", "drift_r11", "DRIFT.json")
+    if os.path.exists(drift_path):
+        try:
+            with open(drift_path) as fh:
+                drift = json.load(fh)
+            full["noise_bands"] = {
+                k: drift["keys"][k]
+                for k in ("vecs_cache_build", "dedup_minhash_lsh_x10corpus",
+                          "topk_cosine_ivf_x10corpus", "topk_cosine_ivfpq",
+                          "tick_strategy_24ind_x100scale",
+                          "topk_cosine_ivf_x10_build")
+                if k in drift.get("keys", {})}
+            full["noise_bands_derived"] = drift.get("derived", {})
+        except (OSError, KeyError, ValueError):
+            pass
     print(json.dumps(full))
 
     # Full artifact on disk: the driver's capture keeps only a 2000-char

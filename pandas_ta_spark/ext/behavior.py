@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
 from pandas_ta_spark.operators.base import (
+    APPROX_PERCENTILE_ACCURACY,
     rank_pick,
     round_col,
     sql_rank_pick,
     sql_round,
+    use_approx_percentile,
 )
 from pandas_ta_spark.sources.bars import load_table
 
@@ -112,7 +114,8 @@ FROM p ASOF LEFT JOIN c
 RFM_QS = (0.2, 0.4, 0.6, 0.8)  # quintile boundaries
 
 
-def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rfm(spark: SparkSession, sf_dir: str,
+         approx: bool | None = None) -> DataFrame:
     """RFM segmentation: per user, recency (days since last activity,
     anchored to the corpus max day), frequency (event count), monetary
     (purchase value in exact cents), each scored 1-5 against the
@@ -123,10 +126,13 @@ def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDARIES are one 4-double-per-metric aggregate, broadcast, and
     scoring is a pure projection (1 + #boundaries strictly below the
     metric), so the plan is two aggregations + a broadcast join however
-    many users exist. At real scale the boundary agg swaps to
-    approx_percentile (t-digest, mergeable) with nothing else changing;
-    the exact interpolated form here is what DuckDB can reproduce
-    bit-for-bit (integer metrics -> (a+b)/2-exact boundaries).
+    many users exist. Past the size threshold (``approx=None``
+    auto-gates on Catalyst's input-size estimate) the boundary agg
+    swaps to approx_percentile (mergeable sketch, fixed-size partial
+    buffers — the exact `percentile` aggregate buffers every value)
+    with nothing else changing; the exact interpolated form below it
+    is what DuckDB can reproduce bit-for-bit (integer metrics ->
+    (a+b)/2-exact boundaries).
 
     Monetary sums exact integer cents (floor(value*100+0.5)), the
     fixed-point rule used by every unbounded sum in this repo."""
@@ -157,14 +163,25 @@ def _rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_qs = list(reversed(RFM_QS))
     assert all(a + b == 1 for a, b in zip(qs, rev_qs))
     epoch = "DATE'1970-01-01'"
+    if approx is None:
+        approx = use_approx_percentile(per_user)
+    if approx:
+        # same reflection identity (rank-based picks commute with
+        # monotone transforms within the sketch's rank error); sketch
+        # buffers are fixed-size and mergeable, so the 1-row exchange
+        # moves KB, not the full per-user relation
+        acc = APPROX_PERCENTILE_ACCURACY
+        pctl = (lambda col, grid:
+                f"approx_percentile({col}, array({', '.join(map(str, grid))}),"
+                f" {acc})")
+    else:
+        pctl = (lambda col, grid:
+                f"percentile({col}, array({', '.join(map(str, grid))}))")
     bounds = per_user.agg(
         F.max("last_day").alias("anchor_day"),
-        F.expr(f"percentile(datediff(last_day, {epoch}),"
-               f" array({', '.join(map(str, rev_qs))}))").alias("db"),
-        F.expr(f"percentile(frequency, array({', '.join(map(str, qs))}))")
-        .alias("fb"),
-        F.expr(f"percentile(monetary_cents, array({', '.join(map(str, qs))}))")
-        .alias("mb"),
+        F.expr(pctl(f"datediff(last_day, {epoch})", rev_qs)).alias("db"),
+        F.expr(pctl("frequency", qs)).alias("fb"),
+        F.expr(pctl("monetary_cents", qs)).alias("mb"),
     ).select(
         "anchor_day",
         # boundaries 1e-6-rounded on BOTH engines: true boundary values
@@ -442,20 +459,31 @@ FROM g
 CONV_QS = (0.5, 0.9, 0.99)
 
 
-def _conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Click-to-purchase latency profile: exact rank-selected p50/p90/p99
-    of the attribution gap — "how stale is the click we credit?", the
+def _conversion_lags(spark: SparkSession, sf_dir: str,
+                     approx: bool | None = None) -> DataFrame:
+    """Click-to-purchase latency profile: rank-selected p50/p90/p99 of
+    the attribution gap — "how stale is the click we credit?", the
     distribution the attribution window policy is tuned against.
 
-    Percentiles are EXACT rank picks (sorted rank floor((n-1)*q)+1, the
-    same convention as source_token_profile — not an interpolating
-    engine builtin), so both engines select the identical BIGINT
-    microsecond gap. Plan: the attribution rollup (one user shuffle),
-    then one rank window over the n_conv attributed rows and a 1-row
-    aggregation; at 100 TB the documented swap is approx_percentile on
-    the same column."""
+    Below the size threshold percentiles are EXACT rank picks (sorted
+    rank floor((n-1)*q)+1, the same convention as source_token_profile
+    — not an interpolating engine builtin), so both engines select the
+    identical BIGINT microsecond gap. Above it (``approx=None`` auto-
+    gates on Catalyst's input-size estimate; pass True/False to force)
+    the rank window — a single-partition sort of every attributed row —
+    swaps to mergeable ``approx_percentile``: same output schema, same
+    member-of-multiset semantics within rank error n/accuracy, map-side
+    partial sketches instead of a global sort."""
     attributed = _attribution(spark, sf_dir).filter(
         F.col("click_event_id").isNotNull())
+    if approx is None:
+        approx = use_approx_percentile(attributed)
+    if approx:
+        return attributed.agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            *[F.percentile_approx(
+                "gap_us", q, APPROX_PERCENTILE_ACCURACY)
+              .alias(f"p{int(q * 100)}_gap_us") for q in CONV_QS])
     n = F.count(F.lit(1)).over(Window.partitionBy())
     rk = F.row_number().over(
         Window.partitionBy().orderBy("gap_us", "event_id"))

@@ -641,15 +641,22 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            # materialized: the jump self-join below reads `stepped` on
-            # BOTH sides — without the barrier the edge-sized
-            # propagation join+agg would execute twice per round
-            stepped = materialize(
+            # persist+count barrier: the jump self-join below reads
+            # `stepped` on BOTH sides — without the barrier the
+            # edge-sized propagation join+agg would execute twice per
+            # round. persist (not checkpoint) so the round's
+            # intermediate is unpersistable below: checkpoint blocks
+            # would stay pinned until ContextCleaner GC, up to
+            # CC_MAX_ITERS node-sized frames on a long-lived gate
+            # session (ADVICE r10). Lineage stays shallow regardless —
+            # `labels` is checkpointed every round.
+            stepped = (
                 labels.join(prop, "doc_id", "left").select(
                     "doc_id",
                     F.least("cluster_id",
                             F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
-                ))
+                ).persist())
+            stepped.count()
             # pointer jumping: label <- label(label). Neighbor-min alone
             # moves the component min ONE hop per round (O(diameter)
             # rounds — a chain-shaped near-dup cluster of depth d needs d
@@ -675,6 +682,9 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
                 .select("doc_id",
                         F.coalesce("jump", "cluster_id").alias("cluster_id"))
             )
+            # new_labels is materialized -> stepped's cache is dead
+            # weight from here; release it before the next round
+            stepped.unpersist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")

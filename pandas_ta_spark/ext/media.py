@@ -148,14 +148,28 @@ def extract_features(df: DataFrame) -> DataFrame:
     VECTORIZED across the whole batch (one buffer concat + one int64
     cumsum, per-row sums by offset difference — no per-row Python
     loop). Only the real-decoder branch iterates per asset, because
-    decoders are inherently per-asset. Decoded-tensor features:
-    mean_byte = floor-rounded mean of the decoded array, frame_count =
-    shape[0] for a >=3-d (video-shaped) array else 1, first_frame_hash
-    = md5 of the first frame's (or whole array's) raw bytes; a
-    ValueError payload keeps its row with NULL tensor features."""
+    decoders are inherently per-asset.
+
+    The decoder is called with each asset's ACTUAL kind, derived from
+    ``media_meta.mime`` when the input carries it (``image/*`` /
+    ``audio/*`` / ``video/*`` prefix; anything else — including the
+    test corpus's ``application/fake`` — defaults to ``"image"``), so
+    a kind-dispatching production decoder decodes video as video
+    (ADVICE r10). Decoded-tensor features: mean_byte = floor-rounded
+    mean of the decoded array; frame_count = shape[0] along the frame
+    axis for a ``video`` asset (or for a >=3-d video-SHAPED return
+    from a non-video request, e.g. an animated-image decode), else 1;
+    first_frame_hash = md5 of the first frame's (or whole array's) raw
+    bytes; a ValueError payload keeps its row with NULL tensor
+    features."""
     import hashlib
 
     dec = get_decoder()
+    has_meta = "media_meta" in df.columns
+
+    def _kind(mime) -> str:
+        top = str(mime).split("/", 1)[0] if mime else ""
+        return top if top in ("image", "audio", "video") else "image"
 
     def gen(batches):
         import numpy as np
@@ -169,24 +183,30 @@ def extract_features(df: DataFrame) -> DataFrame:
             # features); an empty video tensor (shape (0, ...)) is a
             # legal decode with frame_count 0 and the hash of an empty
             # buffer — never an abort.
+            if has_meta:
+                kinds = [_kind(m["mime"] if m is not None else None)
+                         for m in pdf["media_meta"]]
+            else:
+                kinds = ["image"] * len(payloads)
             out = {c: [] for c in cols}
-            for doc_id, p in zip(pdf["doc_id"], payloads):
+            for doc_id, p, kind in zip(pdf["doc_id"], payloads, kinds):
                 out["doc_id"].append(int(doc_id))
                 out["n_bytes"].append(len(p))
                 try:
-                    a = np.asarray(dec(p, "image"))
+                    a = np.asarray(dec(p, kind))
                 except ValueError:
                     out["mean_byte"].append(None)
                     out["frame_count"].append(None)
                     out["first_frame_hash"].append(None)
                     continue
-                first = a[0] if a.ndim >= 3 and a.shape[0] else a
+                framed = (kind == "video" and a.ndim >= 1) or a.ndim >= 3
+                first = a[0] if framed and a.shape[0] else a
                 out["mean_byte"].append(
                     float(np.floor(float(a.astype(np.float64).mean())
                                    * 1e6 + 0.5) / 1e6)
                     if a.size else 0.0)
                 out["frame_count"].append(
-                    int(a.shape[0]) if a.ndim >= 3 else 1)
+                    int(a.shape[0]) if framed else 1)
                 out["first_frame_hash"].append(
                     hashlib.md5(np.ascontiguousarray(first).tobytes())
                     .hexdigest())

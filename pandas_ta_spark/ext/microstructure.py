@@ -1254,28 +1254,55 @@ def _top_dollar_volume(bars: DataFrame, top_n: int) -> DataFrame:
             .select("symbol"))
 
 
-# Distinct-symbol count per (applicationId, semantic plan hash): the
-# top-N bound is an identity when the whole universe fits inside top_n,
-# and the gate/bench corpus (5 symbols) hits exactly that case — the
-# candidate groupBy+limit+broadcast stages are ~0.38 s of pure fixed
-# overhead there (measured r10). Same PATH-versioned invalidation
-# contract as the other session caches: rewriting data under an
-# unchanged plan serves the stale count until the key is popped.
-_SYMBOL_COUNT_CACHE: dict[tuple[str, int], int] = {}
+# Distinct-symbol count per (applicationId, semantic plan hash, input
+# fingerprint): the top-N bound is an identity when the whole universe
+# fits inside top_n, and the gate/bench corpus (5 symbols) hits exactly
+# that case — the candidate groupBy+limit+broadcast stages are ~0.38 s
+# of pure fixed overhead there (measured r10). The count is a BOUND,
+# not just a perf artifact, so staleness must be impossible:
+#   * file-scan plans fold the scan's file listing into the key —
+#     overwrite/append at the same path (same semanticHash, Spark part
+#     file names are fresh per write job) lands on a new key and
+#     re-counts, so growth past top_n re-materializes the semi-join;
+#   * non-file plans (localCheckpoint snapshots, local relations) have
+#     no listing, but their canonicalized plan hashes the backing RDD /
+#     rows, which cannot change under the key;
+#   * anything unkeyable returns None and the caller bounds
+#     unconditionally (the safe direction).
+# `invalidate_symbol_counts()` is the explicit hook for write paths.
+_SYMBOL_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+_SYMBOL_COUNT_CACHE_MAX = 256
+
+
+def invalidate_symbol_counts() -> None:
+    """Drop every cached universe count — call after rewriting bar data
+    in-place when the writer bypasses Spark's fresh-part-file naming
+    (e.g. mutating bytes of existing files)."""
+    _SYMBOL_COUNT_CACHE.clear()
 
 
 def _symbol_count_cached(bars: DataFrame) -> int | None:
     try:
         h = int(bars._jdf.queryExecution().analyzed().semanticHash())
         app = bars.sparkSession.sparkContext.applicationId
+        # data-version signal: the analyzed plan's file listing (cheap —
+        # the file index is already built and cached by analysis)
+        fp = hash(tuple(sorted(bars.inputFiles())))
     except Exception:
         return None  # unkeyable plan: caller bounds unconditionally
-    key = (app, h)
+    key = (app, h, fp)
     n = _SYMBOL_COUNT_CACHE.get(key)
     if n is None:
         for stale in [k for k in _SYMBOL_COUNT_CACHE if k[0] != app]:
             del _SYMBOL_COUNT_CACHE[stale]
-        n = bars.select("symbol").distinct().count()
+        if len(_SYMBOL_COUNT_CACHE) >= _SYMBOL_COUNT_CACHE_MAX:
+            _SYMBOL_COUNT_CACHE.clear()
+        # NULL symbols never survive the semi-join (null keys match
+        # nothing), so they must not count toward the universe either —
+        # both paths below filter them, keeping elided/bounded
+        # row-identical
+        n = (bars.filter(F.col("symbol").isNotNull())
+             .select("symbol").distinct().count())
         _SYMBOL_COUNT_CACHE[key] = n
     return n
 
@@ -1287,15 +1314,18 @@ def bound_universe(bars: DataFrame, top_n: int | None,
     no shuffle of the bar stream). top_n=None and symbols=None leaves
     the stream unbounded (the caller opts back into S^2). When the
     session-cached distinct-symbol count already fits inside top_n the
-    semi-join is skipped — every symbol qualifies, so the result is
-    identical and the small-universe case pays one cached count instead
-    of four candidate stages per query."""
+    semi-join is skipped — every NON-NULL symbol qualifies, so the
+    result is identical (the elided path applies the same
+    symbol-IS-NOT-NULL filter the equi-join implies; Catalyst drops it
+    when the schema is already non-nullable) and the small-universe
+    case pays one cached count instead of four candidate stages per
+    query."""
     if symbols is not None:
         return bars.filter(F.col("symbol").isin(list(symbols)))
     if top_n is not None:
         n = _symbol_count_cached(bars)
         if n is not None and n <= top_n:
-            return bars
+            return bars.filter(F.col("symbol").isNotNull())
         cand = _top_dollar_volume(bars, top_n)
         return bars.join(F.broadcast(cand), "symbol", "left_semi")
     return bars

@@ -29,10 +29,12 @@ from pyspark.sql import functions as F
 
 from pandas_ta_spark.ext import ExtQuery
 from pandas_ta_spark.operators.base import (
+    APPROX_PERCENTILE_ACCURACY,
     rank_pick,
     round_col,
     sql_rank_pick,
     sql_round,
+    use_approx_percentile,
 )
 from pandas_ta_spark.sources.bars import (
     bars_from_events_cached,
@@ -1207,19 +1209,37 @@ FROM acc
 SESSION_QS = (0.5, 0.9)
 
 
-def _session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _session_stats(spark: SparkSession, sf_dir: str,
+                   approx: bool | None = None) -> DataFrame:
     """Session-distribution rollup: the one-row summary product analytics
-    puts on a dashboard — session count, exact rank-selected p50/p90
-    duration, mean events per session, and bounce share (single-event
-    sessions). Composes the sessionize_30m manifest, so the gap rule and
-    its streaming twin stay single-sourced.
+    puts on a dashboard — session count, rank-selected p50/p90 duration,
+    mean events per session, and bounce share (single-event sessions).
+    Composes the sessionize_30m manifest, so the gap rule and its
+    streaming twin stay single-sourced.
 
-    Percentiles are exact rank picks (floor((n-1)*q)+1 over a
-    deterministic (duration, user_id, session_no) order); the global
-    rank window sorts the SESSION manifest, orders of magnitude smaller
-    than the event log — and the documented 100 TB swap is
-    approx_percentile on the same column. Ratios divide exact integers."""
+    Below the size threshold percentiles are exact rank picks
+    (floor((n-1)*q)+1 over a deterministic (duration, user_id,
+    session_no) order); the global rank window sorts the SESSION
+    manifest, orders of magnitude smaller than the event log. Above it
+    (``approx=None`` auto-gates on Catalyst's size estimate) the window
+    swaps to mergeable ``approx_percentile`` — same schema, no
+    single-partition sort. Ratios divide exact integers either way."""
     s = _sessionize(spark, sf_dir)
+    if approx is None:
+        approx = use_approx_percentile(s)
+    if approx:
+        n_total = F.count(F.lit(1))
+        return s.agg(
+            n_total.alias("n_sessions"),
+            *[F.percentile_approx(
+                "duration_sec", q, APPROX_PERCENTILE_ACCURACY)
+              .alias(f"p{int(q * 100)}_duration_sec")
+              for q in SESSION_QS],
+            round_col(F.sum("n_events").cast("double") / n_total)
+            .alias("mean_events"),
+            round_col(F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                      .cast("double") / n_total).alias("bounce_share"),
+        )
     n = F.count(F.lit(1)).over(Window.partitionBy())
     rk = F.row_number().over(Window.partitionBy().orderBy(
         "duration_sec", "user_id", "session_no"))

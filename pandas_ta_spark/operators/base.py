@@ -105,6 +105,31 @@ def rank_pick(q: float, value, rk, n):
     return F.max(F.when(rk == F.floor((n - 1) * F.lit(q)) + 1, value))
 
 
+# Row-count-gated percentile strategy (VERDICT r10 ask #3): the exact
+# forms above (rank-pick window / `percentile` aggregate) buffer or
+# single-partition-sort the full column — fine below the threshold,
+# a scale-killer above it. Past the threshold every percentile query
+# swaps to `approx_percentile` (Greenwald-Khanna sketch: fixed-size
+# partial buffers, mergeable map-side, returns an actual member of the
+# multiset within rank error n/accuracy). The gate reads Catalyst's
+# optimizedPlan size ESTIMATE — file-stat-based, zero extra jobs — so
+# the small-input gate/bench path is byte-identical to before.
+PERCENTILE_EXACT_MAX_BYTES = 8 << 30  # ~x1000 gate data; 100 TB >> this
+APPROX_PERCENTILE_ACCURACY = 100_000  # rank error n/1e5
+
+
+def use_approx_percentile(df) -> bool:
+    """True when ``df``'s estimated input size exceeds the exact-
+    percentile threshold (see PERCENTILE_EXACT_MAX_BYTES). Unestimable
+    plans stay exact — the oracle-checked default."""
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan()
+                 .stats().sizeInBytes())
+    except Exception:
+        return False
+    return sz > PERCENTILE_EXACT_MAX_BYTES
+
+
 def sql_rank_pick(q: float, value: str, rk: str = "rk",
                   n: str = "n") -> str:
     """The DuckDB twin of rank_pick — same arithmetic, same order."""

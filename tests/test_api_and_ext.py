@@ -439,6 +439,53 @@ def test_media_decoder_nie_fallback_and_empty_video(spark, tmp_path):
         M.clear_decoder()
 
 
+def test_media_features_kind_dispatch(spark):
+    """extract_features calls the decoder with each asset's ACTUAL kind
+    from media_meta.mime (ADVICE r10): a video/* asset is decoded as
+    video and gets the frame-axis contract (frame_count = shape[0] even
+    for a 2-d (n_frames, frame_len) return), an image/* asset as image,
+    and an unknown mime defaults to image."""
+    import hashlib
+
+    from pandas_ta_spark.ext import media as M
+    from pyspark.sql import functions as F
+
+    rows = [(0, b"0123456789abcdef" * 3, "video/mp4"),
+            (1, b"0123456789abcdef" * 3, "image/png"),
+            (2, b"0123456789abcdef" * 3, "application/fake")]
+    df = (spark.createDataFrame(rows, "doc_id long, content binary, mime string")
+          .select("doc_id", "content",
+                  F.struct(F.col("mime"),
+                           F.length("content").alias("n_bytes"),
+                           F.lit(1).alias("width"),
+                           F.lit(1).alias("height")).alias("media_meta")))
+
+    seen = {}
+
+    def kind_decoder(payload: bytes, kind: str):
+        a = np.frombuffer(payload, dtype=np.uint8)
+        if kind == "video":  # contract: axis 0 is the frame axis
+            return a.reshape(3, 16)
+        return a
+
+    try:
+        M.set_decoder(kind_decoder)
+        got = (M.extract_features(df).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        M.clear_decoder()
+
+    # video asset: 3 frames, first-frame hash over 16 bytes
+    assert got["frame_count"][0] == 3
+    assert got["first_frame_hash"][0] == hashlib.md5(
+        b"0123456789abcdef").hexdigest()
+    # image + unknown-mime assets: whole 1-D tensor, frame_count 1
+    whole = hashlib.md5(b"0123456789abcdef" * 3).hexdigest()
+    for i in (1, 2):
+        assert got["frame_count"][i] == 1
+        assert got["first_frame_hash"][i] == whole
+
+
 def test_bucketed_sink_eliminates_exchange(spark, bars, tmp_path):
     """bucketBy(symbol) managed table: subsequent window queries read
     co-located data with ZERO exchanges — the repeated-scan story."""

@@ -438,6 +438,98 @@ def test_conversion_lag_percentiles_exact_rank(spark, tmp_path):
         assert got.loc[0, col] == gaps[int(np.floor((n - 1) * q))]
 
 
+def test_percentile_swap_boundary_parity(spark):
+    """The size-gated approx_percentile branch (VERDICT r10 ask #3) is
+    schema-identical and rank-consistent with the exact branch at the
+    boundary: forcing each branch on the SAME corpus yields identical
+    column names/dtypes, identical counts/ratios, each approx
+    percentile an actual multiset member within one sorted rank of the
+    exact pick (accuracy >> n), and RFM scores that move at most one
+    notch for boundary-sitting users."""
+    import numpy as np
+
+    from pandas_ta_spark.ext.behavior import (
+        SUITE, _conversion_lags, _rfm)
+    from pandas_ta_spark.ext.relational import _session_stats
+
+    sf = "/root/testdata/sf0.001"
+
+    def rank_neighborhood(sorted_vals, q, got):
+        idx = int(np.floor((len(sorted_vals) - 1) * q))
+        lo, hi = max(0, idx - 1), min(len(sorted_vals) - 1, idx + 1)
+        assert got in set(sorted_vals[lo:hi + 1].tolist()), (
+            q, got, sorted_vals[lo:hi + 1])
+
+    # conversion lags ----------------------------------------------------
+    def names_types(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    ex = _conversion_lags(spark, sf, approx=False)
+    ap = _conversion_lags(spark, sf, approx=True)
+    assert names_types(ex) == names_types(ap)
+    exp, app = ex.toPandas(), ap.toPandas()
+    assert exp.loc[0, "n_conversions"] == app.loc[0, "n_conversions"]
+    att = SUITE["attribution_last_touch"].query(spark, sf).toPandas()
+    gaps = np.sort(att.loc[att.click_event_id.notna(), "gap_us"]
+                   .to_numpy().astype(np.int64))
+    for q, col in ((0.5, "p50_gap_us"), (0.9, "p90_gap_us"),
+                   (0.99, "p99_gap_us")):
+        rank_neighborhood(gaps, q, app.loc[0, col])
+
+    # session stats ------------------------------------------------------
+    ex = _session_stats(spark, sf, approx=False)
+    ap = _session_stats(spark, sf, approx=True)
+    assert names_types(ex) == names_types(ap)
+    exp, app = ex.toPandas(), ap.toPandas()
+    assert exp.loc[0, "n_sessions"] == app.loc[0, "n_sessions"]
+    assert exp.loc[0, "mean_events"] == app.loc[0, "mean_events"]
+    assert exp.loc[0, "bounce_share"] == app.loc[0, "bounce_share"]
+    from pandas_ta_spark.ext.relational import _sessionize
+    durs = np.sort(_sessionize(spark, sf).toPandas()["duration_sec"]
+                   .to_numpy().astype(np.int64))
+    for q, col in ((0.5, "p50_duration_sec"), (0.9, "p90_duration_sec")):
+        rank_neighborhood(durs, q, app.loc[0, col])
+
+    # RFM ----------------------------------------------------------------
+    ex = _rfm(spark, sf, approx=False)
+    ap = _rfm(spark, sf, approx=True)
+    assert names_types(ex) == names_types(ap)
+    exp = ex.toPandas().set_index("user_id").sort_index()
+    app = ap.toPandas().set_index("user_id").sort_index()
+    assert exp.index.equals(app.index)
+    for m in ("recency_days", "frequency", "monetary_cents"):
+        assert (exp[m] == app[m]).all()  # metrics identical, only
+        #                                   boundaries move
+    for s in ("r_score", "f_score", "m_score"):
+        assert (exp[s] - app[s]).abs().max() <= 1
+    assert app["segment"].isin(
+        ["champion", "recent", "loyal_at_risk", "big_spender_lapsed",
+         "hibernating"]).all()
+
+
+def test_percentile_swap_auto_gate(spark):
+    """approx=None auto-gates on Catalyst's input-size estimate: the
+    tiny gate corpus stays on the oracle-checked exact plan (a
+    SinglePartition full-row window), and shrinking the threshold to 0
+    flips the SAME call to the sketch plan (no row_number window)."""
+    from pandas_ta_spark.ext.relational import _session_stats
+    from pandas_ta_spark.operators import base as B
+
+    sf = "/root/testdata/sf0.001"
+    plan_exact = (_session_stats(spark, sf)
+                  ._jdf.queryExecution().optimizedPlan().toString())
+    assert "row_number" in plan_exact
+    old = B.PERCENTILE_EXACT_MAX_BYTES
+    B.PERCENTILE_EXACT_MAX_BYTES = 0
+    try:
+        plan_approx = (_session_stats(spark, sf)
+                       ._jdf.queryExecution().optimizedPlan().toString())
+    finally:
+        B.PERCENTILE_EXACT_MAX_BYTES = old
+    assert "row_number" not in plan_approx
+    assert "percentile_approx" in plan_approx
+
+
 def test_active_users_daily_vs_pandas(spark):
     """DAU/WAU/stickiness recomputed independently in pandas (set algebra
     per day, brute-force trailing-7 union) on the sf0.001 events."""

@@ -719,6 +719,85 @@ def test_pair_universe_bound(spark):
     assert "LeftSemi" not in plan_skip, plan_skip
 
 
+def test_universe_bound_cache_invalidation(spark, tmp_path):
+    """The elision's cached symbol count is a BOUND, not a perf hint
+    (ADVICE r10): rewriting data at the same path — same analyzed plan,
+    same semanticHash — must invalidate the cached count, so a universe
+    that grows past top_n gets the semi-join back instead of silently
+    fanning out S^2 over the full universe."""
+    from pandas_ta_spark.ext.microstructure import (
+        _SYMBOL_COUNT_CACHE, bound_universe, invalidate_symbol_counts)
+
+    path = str(tmp_path / "bars_rw")
+    t0 = pd.Timestamp("2024-01-01")
+
+    def write(n_syms):
+        frames = []
+        for i in range(n_syms):
+            c = 100.0 + i
+            frames.append(pd.DataFrame(
+                {"symbol": f"S{i:02d}",
+                 "ts": pd.date_range(t0, periods=8, freq="h"),
+                 "open": c, "high": c + 1, "low": c - 1, "close": c,
+                 "volume": float(i + 1)}))
+        (spark.createDataFrame(pd.concat(frames, ignore_index=True))
+         .coalesce(1).write.mode("overwrite").parquet(path))
+
+    write(3)
+    bars = spark.read.parquet(path)
+    out = bound_universe(bars, top_n=5)
+    assert out.select("symbol").distinct().count() == 3
+    assert "LeftSemi" not in (
+        out._jdf.queryExecution().executedPlan().toString())
+
+    # rewrite IN PLACE: 8 symbols now live under the identical plan
+    write(8)
+    bars2 = spark.read.parquet(path)
+    out2 = bound_universe(bars2, top_n=5)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan2 and "Broadcast" in plan2, plan2
+    # the bound actually bites: top-5 by dollar volume = S03..S07
+    got = sorted(r.symbol for r in
+                 out2.select("symbol").distinct().collect())
+    assert got == [f"S{i:02d}" for i in range(3, 8)]
+
+    # explicit hook clears the session cache
+    assert _SYMBOL_COUNT_CACHE
+    invalidate_symbol_counts()
+    assert not _SYMBOL_COUNT_CACHE
+
+
+def test_universe_bound_null_symbol_parity(spark):
+    """Elided and semi-joined paths must be row-identical on NULL
+    symbols (ADVICE r10): the equi-join drops null keys, so the elision
+    filters them too and the cached count ignores them."""
+    from pandas_ta_spark.ext.microstructure import bound_universe
+
+    pdf = pd.DataFrame({
+        "symbol": ["A", "A", None, "B", None],
+        "ts": pd.date_range("2024-01-01", periods=5, freq="h"),
+        "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+        "volume": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    bars = spark.createDataFrame(pdf)
+
+    elided = bound_universe(bars, top_n=10)     # 2 non-null symbols <= 10
+    # force the semi-join path for the SAME top_n (both symbols still
+    # qualify) by disabling the count cache
+    from pandas_ta_spark.ext import microstructure as M
+    orig = M._symbol_count_cached
+    M._symbol_count_cached = lambda df: None
+    try:
+        bounded = bound_universe(bars, top_n=10)
+    finally:
+        M._symbol_count_cached = orig
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan             # ...verify it did
+    rows = lambda df: sorted(
+        map(tuple, df.select("symbol", "ts", "volume").collect()))
+    assert rows(elided) == rows(bounded)
+    assert all(r[0] is not None for r in rows(elided))
+
+
 def test_streaming_parkinson_matches_batch(spark, tmp_path):
     """The Parkinson twin (qu-value ring, invalid bars hold their window
     slot as None) must match the batch estimator across a mid-window

@@ -360,6 +360,52 @@ def test_chunked_kernels_match_unchunked(bars):
         assert same.all(), f"{c}: {int((~same).sum())} rows differ"
 
 
+def test_chunked_kernels_skewed_hot_symbol(spark):
+    """Skewed-universe stress (VERDICT r10 ask #6): ONE symbol holds 80%
+    of all rows — at production scale that symbol exceeds CHUNK_ROWS and
+    epoch-chunks while simultaneously being the hot hash partition.
+    Chunked output must EXACTLY equal unchunked on the skewed frame,
+    through a full strategy pass (window stages + kernel pass sharing
+    the hot hash(symbol) exchange), including planted NaN bars inside
+    the hot symbol's chunk boundaries."""
+    from tests.conftest import make_pdf
+    from pandas_ta_spark.plans import kernels as K
+    from pandas_ta_spark.plans.strategy import apply_strategy
+    from pandas_ta_spark.operators import momentum, statistics, volatility
+
+    # HOT: 2400 rows (80%); four cold symbols: 150 rows each (20%)
+    frames = [make_pdf(2400, 3, "HOT")]
+    frames += [make_pdf(150, 11 + i, f"C{i}") for i in range(4)]
+    pdf = pd.concat(frames, ignore_index=True)
+    # NaN bars land inside the hot symbol, straddling the 500-row epoch
+    # grid (rows 499/500 are an epoch boundary at chunk_rows=500)
+    for r in (499, 500, 1203):
+        pdf.loc[r, ["high", "low", "close"]] = np.nan
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    inds = [statistics.median(30), momentum.stoch(), momentum.cci(14),
+            volatility.bbands(), volatility.donchian()]
+    cols = sorted(o for i in inds for o in i.kernel.outputs)
+
+    old = K.CHUNK_ROWS
+    try:
+        K.CHUNK_ROWS = 500  # hot symbol -> 5 epochs; cold symbols -> 1
+        chunked = (apply_strategy(df, inds).orderBy("symbol", "ts")
+                   .toPandas())
+        K.CHUNK_ROWS = 10**9
+        whole = (apply_strategy(df, inds).orderBy("symbol", "ts")
+                 .toPandas())
+    finally:
+        K.CHUNK_ROWS = old
+
+    assert len(whole) == len(chunked) == 3000
+    for c in cols:
+        x = whole[c].to_numpy(float)
+        y = chunked[c].to_numpy(float)
+        same = (np.isnan(x) & np.isnan(y)) | (x == y)
+        assert same.all(), f"{c}: {int((~same).sum())} rows differ"
+
+
 def test_chunked_kernel_forward_carry(bars):
     """lead_rows chunking: ichimoku's chikou column reads kijun-1 FUTURE
     rows, so epoch e must receive the leading rows of epoch e+1

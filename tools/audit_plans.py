@@ -21,6 +21,7 @@ SF = "/root/testdata/sf0.01"
 NODES = {
     "Exchange": r"Exchange (?!SinglePartition)",  # data shuffles (not collect)
     "SinglePart": r"Exchange SinglePartition",
+    "ScalarReduce": None,  # computed below, carved out of SinglePart
     "Sort": r"\bSort \[",
     "ArrowPass": r"FlatMapGroupsInPandas|MapInPandas|ArrowEvalPython",
     "PyRowUDF": r"BatchEvalPython",
@@ -34,8 +35,27 @@ NODES = {
 def count_nodes(plan: str) -> dict[str, int]:
     out = {}
     for k, pat in NODES.items():
-        out[k] = len(re.findall(pat, plan))
+        if pat is not None:
+            out[k] = len(re.findall(pat, plan))
     out["Codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    # split SinglePartition exchanges into ROW-BEARING ones (a window /
+    # sort / limit funnels the full relation through one partition —
+    # the scale signal this audit exists to catch) vs partial-aggregate
+    # scalar reduces (the exchange moves one fixed-size agg buffer per
+    # map partition — the only way any engine produces a 1-row result,
+    # benign at any scale). The child line of the exchange tells them
+    # apart: a partial agg renders as functions=[partial_...].
+    lines = plan.splitlines()
+    row_bearing = scalar = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            if "partial_" in nxt:
+                scalar += 1
+            else:
+                row_bearing += 1
+    out["SinglePart"] = row_bearing
+    out["ScalarReduce"] = scalar
     return out
 
 
@@ -110,6 +130,20 @@ def main() -> None:
                 "mix_epochs_plan"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
+    # the size-gated approx_percentile branch (VERDICT r10 ask #3): what
+    # these three queries plan as once the input estimate crosses
+    # PERCENTILE_EXACT_MAX_BYTES — forced here so the audit shows the
+    # large-input plan (no row-bearing SinglePart window/sort)
+    from pandas_ta_spark.ext.behavior import _conversion_lags, _rfm
+    from pandas_ta_spark.ext.relational import _session_stats
+
+    queries["conversion_lag_percentiles (approx, large-input)"] = (
+        lambda: _conversion_lags(spark, SF, approx=True))
+    queries["session_stats_30m (approx, large-input)"] = (
+        lambda: _session_stats(spark, SF, approx=True))
+    queries["user_rfm_segments (approx, large-input)"] = (
+        lambda: _rfm(spark, SF, approx=True))
+
     rows = []
     for name, build in queries.items():
         df = build()
@@ -178,6 +212,18 @@ def main() -> None:
     lines.append("  bound re-appears as 4 candidate-sized exchanges (groupBy")
     lines.append("  to S rows, sort+limit, broadcast back) and keeps the pair")
     lines.append("  fan-out O(top_n^2); pinned by test_pair_universe_bound.")
+    lines.append("- **SinglePart** counts ROW-BEARING single-partition")
+    lines.append("  exchanges only (window/sort/limit funneling the full")
+    lines.append("  relation through one task — the scale-killer);")
+    lines.append("  **ScalarReduce** is the partial-aggregate final reduce")
+    lines.append("  (one fixed-size buffer per map partition — how any")
+    lines.append("  engine yields a 1-row result, benign at any scale).")
+    lines.append("- The `(approx, large-input)` rows are the size-gated")
+    lines.append("  approx_percentile branch of the three percentile queries")
+    lines.append("  (past PERCENTILE_EXACT_MAX_BYTES): SinglePart=0 — the")
+    lines.append("  exact rank window is replaced by a mergeable sketch;")
+    lines.append("  parity at the boundary is pinned by")
+    lines.append("  test_percentile_swap_boundary_parity.")
     lines.append("- Codegen shows 0 for AQE-wrapped plans pre-execution; spans")
     lines.append("  materialize at runtime.")
     lines.append("")

@@ -1,24 +1,36 @@
 """Repeatable beyond-gate scale check: the pinned scale-sensitive key
-list vs DuckDB on an Nx replica of an sf dir.
+list (or the FULL 253-key suite) vs DuckDB on an Nx replica of an sf dir.
 
-    python tools/scale_gate.py [--n 100] [--sf-dir /root/testdata/sf0.01] [key ...]
+    python tools/scale_gate.py [--n 100] [--sf-dir /root/testdata/sf0.01]
+                               [--full] [--round R] [--json PATH] [key ...]
 
 Builds the replica via tools/make_x10.py if the target dir is absent,
 then runs tools/check.py (the driver-style exact value-hash gate) over
-SCALE_KEYS (or an explicit key subset). The list is the r10 x100 pass
-set: every fixed-point/overflow class (the microstructure/risk pack,
-kyle's KYLE_VOL_MAX cap, the HUGEINT dtype keys), the dedup/similarity
-join classes (banded LSH, pointer-jumping CC, IVF/IVF-PQ), 1M-event
-behavior skew, and the flagship anchors. These are the queries where
-scale-DEPENDENT divergence has actually bitten (BETA_SCALE r6, dtype
-r8, second-moment overflow + LSH fan-out + CC diameter r10).
+SCALE_KEYS (or ``--full`` = every __spark_entry__.queries() key, or an
+explicit key subset), sliced into bounded subprocesses with ONE capped
+retry of any keys a slice failed to report (the r10 x100 run needed
+exactly that once — a wall-clock hiccup, not a correctness failure).
+With --full/--json the per-key verdicts land in SCALE_r{R}.json — the
+single-command, single-artifact form of the x100 pass (VERDICT r10
+ask #5).
+
+SCALE_KEYS is the r10 x100 pass set: every fixed-point/overflow class
+(the microstructure/risk pack, kyle's KYLE_VOL_MAX cap, the HUGEINT
+dtype keys), the dedup/similarity join classes (banded LSH,
+pointer-jumping CC, IVF/IVF-PQ), 1M-event behavior skew, and the
+flagship anchors. These are the queries where scale-DEPENDENT
+divergence has actually bitten (BETA_SCALE r6, dtype r8, second-moment
+overflow + LSH fan-out + CC diameter r10).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -48,11 +60,49 @@ SCALE_KEYS = [
 ]
 
 
+_LINE = re.compile(r"^(OK|FAIL|ok\?)\s+(\S+?):.*?\((\d+(?:\.\d+)?)s\)",
+                   re.M)
+SLICE_TIMEOUT = 1800  # wall cap per 8-key slice (x100 slices ran <8 min r10)
+
+
+def _run_slice(slice_keys: list[str], env: dict) -> dict[str, dict]:
+    """One check.py subprocess over <=8 keys; parse per-key verdicts."""
+    results: dict[str, dict] = {}
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "check.py"), *slice_keys],
+            env=env, capture_output=True, text=True, timeout=SLICE_TIMEOUT)
+        out = r.stdout
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        if r.returncode and not out:
+            sys.stderr.write(r.stderr[-2000:])
+    except subprocess.TimeoutExpired as exc:
+        out = (exc.stdout or b"").decode() if isinstance(
+            exc.stdout, bytes) else (exc.stdout or "")
+        print(f"SLICE TIMEOUT after {SLICE_TIMEOUT}s: {slice_keys}")
+    for status, key, sec in _LINE.findall(out):
+        results[key] = {
+            "ok": status in ("OK", "ok?"),
+            "status": {"OK": "ok", "FAIL": "fail",
+                       "ok?": "rows-only"}[status],
+            "sec": float(sec),
+        }
+    # FAIL lines without a timing suffix (spark/oracle errors)
+    for m in re.finditer(r"^FAIL\s+(\S+?):", out, re.M):
+        results.setdefault(m.group(1),
+                           {"ok": False, "status": "fail", "sec": None})
+    return results
+
+
 def main() -> int:
     args = sys.argv[1:]
     n = 100
     sf_dir = "/root/testdata/sf0.01"
     keys: list[str] = []
+    full = False
+    rnd = int(os.environ.get("SPARK_GRAFT_ROUND", "11"))
+    json_path: str | None = None
     i = 0
     while i < len(args):
         if args[i] == "--n":
@@ -60,6 +110,15 @@ def main() -> int:
             i += 2
         elif args[i] == "--sf-dir":
             sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--full":
+            full = True
+            i += 1
+        elif args[i] == "--round":
+            rnd = int(args[i + 1])
+            i += 2
+        elif args[i] == "--json":
+            json_path = args[i + 1]
             i += 2
         else:
             keys.append(args[i])
@@ -71,16 +130,53 @@ def main() -> int:
             [sys.executable, os.path.join(HERE, "make_x10.py"),
              sf_dir, str(n)], check=True)
     env = dict(os.environ, CHECK_SF_DIR=rep_dir)
-    rc = 0
-    todo = keys or SCALE_KEYS
+    if full:
+        sys.path.insert(0, os.path.dirname(HERE))
+        import __spark_entry__ as E
+
+        todo = list(E.queries())
+    else:
+        todo = keys or SCALE_KEYS
+
+    t_start = time.time()
+    results: dict[str, dict] = {}
     # chunked: one long-lived gate process per slice keeps peak memory
     # bounded and a slow key from starving the rest of a single timeout
     for lo in range(0, len(todo), 8):
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "check.py"),
-             *todo[lo:lo + 8]], env=env)
-        rc = rc or r.returncode
-    return rc
+        results.update(_run_slice(todo[lo:lo + 8], env))
+    # ONE retry pass for keys that failed or never reported (slice
+    # timeout / process death): re-run them in fresh slices
+    redo = [k for k in todo if not results.get(k, {}).get("ok")]
+    if redo:
+        print(f"\nretrying {len(redo)} key(s): {redo}")
+        for lo in range(0, len(redo), 8):
+            for k, v in _run_slice(redo[lo:lo + 8], env).items():
+                prev = results.get(k)
+                v["retried"] = True
+                if prev is None or v["ok"] or not prev.get("ok"):
+                    results[k] = v
+
+    missing = [k for k in todo if k not in results]
+    n_ok = sum(1 for v in results.values() if v["status"] == "ok")
+    n_rows = sum(1 for v in results.values() if v["status"] == "rows-only")
+    n_fail = sum(1 for v in results.values() if v["status"] == "fail")
+    summary = {
+        "n": n, "sf_dir": sf_dir, "replica": rep_dir,
+        "total": len(todo), "ok": n_ok, "rows_only": n_rows,
+        "fail": n_fail, "missing": missing,
+        "wall_sec": round(time.time() - t_start, 1),
+    }
+    print(f"\nscale x{n}: {n_ok} ok, {n_fail} fail, {n_rows} rows-only,"
+          f" {len(missing)} missing of {len(todo)}"
+          f" ({summary['wall_sec']:.0f}s)")
+    if full and json_path is None:
+        json_path = os.path.join(os.path.dirname(HERE),
+                                 f"SCALE_r{rnd}.json")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"summary": summary, "keys": results}, f, indent=1)
+        print(f"wrote {json_path}")
+    return 1 if (n_fail or missing) else 0
 
 
 if __name__ == "__main__":
