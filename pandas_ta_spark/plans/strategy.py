@@ -123,17 +123,24 @@ def expression_lookback(ind: Indicator):
       chunked output would silently diverge from the unchunked plan.
 
     Kernel-only indicators return 0 (their history lives in the kernel's
-    ``carry_rows``, checked separately).
+    ``carry_rows``, checked separately): when the indicator has NO Spark
+    expression stages, its SQL strings exist purely as the DuckDB oracle
+    twin and never execute on Spark — an oracle that happens to use a
+    positional trick (aroon's reversed ``list_position`` argmax renders
+    as ``row_number``) must not veto chunking of a kernel whose finite
+    ``carry_rows`` already passed the kernel check (found while building
+    the r11 skew bench: aroon is a carry_rows=14 kernel yet was
+    rejected on its oracle's shape).
     """
+    if not ind.stages and not ind.final:
+        return 0  # kernel-only execution: SQL twin is oracle-only
     parts: list[str] = []
     for st in ind.sql_stages or []:
         parts.extend(st.values())
     if ind.sql_final:
         parts.extend(ind.sql_final.values())
     if not parts:
-        if ind.stages or ind.final:
-            return None  # expression stages with no SQL twin: unknowable
-        return 0
+        return None  # expression stages with no SQL twin: unknowable
     s = " ".join(parts)
     if ("UNBOUNDED PRECEDING" in s or re.search(r"\brow_number\s*\(", s)
             or re.search(r"\brank\s*\(", s) or re.search(r"\blead\s*\(", s)

@@ -1390,11 +1390,16 @@ def test_chunked_strategy_exact_parity(spark, bars):
     """apply_strategy_chunked must reproduce the unchunked results
     bit-for-bit for bounded-lookback indicators: each retained row's
     frames see the same rows via the carry replicas."""
-    from pandas_ta_spark.operators import momentum, overlap, statistics, volatility
+    from pandas_ta_spark.operators import (
+        momentum, overlap, statistics, trend, volatility)
     from pandas_ta_spark.plans.strategy import apply_strategy, apply_strategy_chunked
 
+    # aroon: carry_rows=14 KERNEL whose SQL twin renders a positional
+    # argmax (row_number) — oracle-only shape must not veto chunking
+    # of a finite-carry kernel (r11 fix)
     inds = [overlap.sma(20), overlap.wma(10), statistics.stdev(30),
-            volatility.donchian(20), momentum.roc(10), momentum.mom(10)]
+            volatility.donchian(20), momentum.roc(10), momentum.mom(10),
+            trend.aroon(14)]
     plain = (apply_strategy(bars, inds).toPandas()
              .sort_values(["symbol", "ts"]).reset_index(drop=True))
     chunked = (apply_strategy_chunked(bars, inds, lookback=30, chunk="3 days")
@@ -1483,6 +1488,9 @@ def test_chunked_strategy_rejects_deep_and_unbounded_expressions(bars):
     assert expression_lookback(overlap.sma(20)) == 19
     assert expression_lookback(overlap.sma(50)) == 49
     assert expression_lookback(trend.decay(5)) is None
+    # kernel-only execution: the SQL twin is oracle-only, so aroon's
+    # positional-argmax oracle must not make it look unbounded (r11)
+    assert expression_lookback(trend.aroon(14)) == 0
 
 
 def test_expression_lookback_catches_framefree_and_rank_family():
