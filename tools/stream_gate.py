@@ -3,7 +3,8 @@ the streaming twins, equivalent to the CORRECTNESS rows the batch ops get.
 
 Two sections, one JSON:
 
-1. ``replay`` — drives each stateful indicator twin over the DRIVER
+1. ``replay`` — drives each streaming twin (14 stateful indicator twins
+   plus the corpus / panel / session / asof families) over the DRIVER
    corpus replayed as a micro-batch file stream (3 time-ordered parquet
    chunks, ``maxFilesPerTrigger=1``, availableNow), then compares its
    full output against the batch operator on the identical input:
@@ -222,6 +223,221 @@ def run_replay(sf_dir: str) -> dict:
     return out
 
 
+def run_replay_corpus(sf_dir: str) -> dict:
+    """Driver-corpus replay parity for the corpus / panel / relational /
+    session twins: each streaming op replayed over the driver tables as
+    a micro-batch file stream and compared field-by-field against its
+    batch counterpart on identical input. Comparisons are EXACT (tol 0)
+    except where a twin's pytest documents a tolerance."""
+    import pandas as pd
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("stream-gate-corpus")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pandas_ta_spark.ext.media import SUITE as MEDIA_SUITE
+    from pandas_ta_spark.ext.relational import SUITE as REL_SUITE
+    from pandas_ta_spark.ext.relational import _sessionize, asof_join
+    from pandas_ta_spark.ext.sampling import split_expr
+    from pandas_ta_spark.ext.text import quality_exprs, quality_lr_exprs
+    from pandas_ta_spark.sources.bars import bars_from_events, load_table
+    from pandas_ta_spark import streaming as ST
+
+    out: dict = {}
+    base_dir = tempfile.mkdtemp(prefix="stream_gate_corpus_")
+
+    def replay(name, frames, ddl, build, exp_df, key_cols, tol,
+               mode="append", drop=None):
+        t0 = time.time()
+        try:
+            d = os.path.join(base_dir, name)
+            os.makedirs(d, exist_ok=True)
+            for i, f in enumerate(frames):
+                f.to_parquet(os.path.join(d, f"c{i}.parquet"))
+            stream = (spark.readStream.schema(ddl)
+                      .option("maxFilesPerTrigger", 1).parquet(d))
+            sink = f"sgc_{name}"
+            q = (build(stream).writeStream.format("memory")
+                 .queryName(sink).outputMode(mode)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            got = spark.sql(f"SELECT * FROM {sink}").toPandas()
+            spark.catalog.dropTempView(sink)
+            if drop is not None:
+                got = drop(got)
+            exp = exp_df if isinstance(exp_df, pd.DataFrame) \
+                else exp_df.toPandas()
+            ok, detail = _compare(name, got, exp, key_cols, tol)
+        except Exception as exc:  # noqa: BLE001 — recorded, not raised
+            ok, detail = False, {"error": f"{type(exc).__name__}: {exc}"}
+        detail["ok"] = ok
+        detail["sec"] = round(time.time() - t0, 3)
+        out[name] = detail
+        print(f"replay {name:24s} {'ok' if ok else 'FAIL'}"
+              f"  {detail['sec']:.1f}s", flush=True)
+
+    def chunks3(pdf):
+        n = len(pdf)
+        return [pdf.iloc[:n // 3], pdf.iloc[n // 3:2 * n // 3],
+                pdf.iloc[2 * n // 3:]]
+
+    try:
+        docs_sdf = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars")
+        docs = docs_sdf.toPandas().sort_values("doc_id")
+        t0 = pd.Timestamp("2026-01-01 00:10:00")
+        docs["ingest_ts"] = (t0 + pd.to_timedelta(
+            docs["doc_id"].astype("int64") % 3000, unit="s")
+        ).astype("datetime64[ms]")
+        DOCS_DDL = ("doc_id long, text string, lang string, source string,"
+                    " n_chars long, ingest_ts timestamp")
+        docs_batch = spark.createDataFrame(docs)
+
+        # stateless corpus twins: batch = the same scoring/assignment
+        # expressions applied batch-side to the identical frame
+        qx = quality_exprs()
+        replay("quality_keep", chunks3(docs), DOCS_DDL,
+               ST.stream_quality_keep,
+               docs_batch.select(
+                   "doc_id", qx["n_tokens"].alias("n_tokens"),
+                   qx["quality_score"].alias("quality_score"),
+                   qx["keep"].alias("keep"))
+               .filter(F.col("keep") == 1).drop("keep"),
+               ["doc_id"], 0.0)
+        qlr = quality_lr_exprs()
+        replay("quality_lr_keep", chunks3(docs), DOCS_DDL,
+               ST.stream_quality_lr_keep,
+               docs_batch.select(
+                   "doc_id", qlr["n_tokens"].alias("n_tokens"),
+                   qlr["z"].alias("z"), qlr["p_keep"].alias("p_keep"),
+                   qlr["keep"].alias("keep"))
+               .filter(F.col("keep") == 1).drop("keep"),
+               ["doc_id"], 0.0)
+        replay("split_assign", chunks3(docs), DOCS_DDL,
+               ST.stream_split_assign,
+               docs_batch.select("doc_id", "text",
+                                 split_expr().alias("split")),
+               ["doc_id"], 0.0)
+
+        # media features: Arrow mapInPandas over the binary column
+        replay("media_features", chunks3(docs), DOCS_DDL,
+               ST.stream_media_features,
+               MEDIA_SUITE["media_features"].query(spark, sf_dir),
+               ["doc_id"], 0.0)
+
+        # exact dedup: first-seen per normalized-text hash. Same-batch
+        # tie order is engine-internal, so compare per-hash KEPT COUNTS
+        # (exactly one survivor per hash, hash sets equal), not doc ids.
+        h = F.md5(F.lower(F.trim(F.col("text"))))
+        exp_hashes = (docs_batch.select(h.alias("text_hash"))
+                      .groupBy("text_hash")
+                      .agg(F.lit(1).cast("long").alias("n_kept")))
+        replay("dedup_exact", chunks3(docs), DOCS_DDL,
+               lambda s: ST.stream_dedup_exact(s, watermark="6 hours"),
+               exp_hashes, ["text_hash"], 0.0,
+               drop=lambda g: g.groupby("text_hash", as_index=False)
+               .size().rename(columns={"size": "n_kept"}))
+
+        # token rate: watermarked tumbling windows; two flusher docs
+        # advance the watermark past every real window, then drop them
+        flush = docs.iloc[:1].copy()
+        flush["source"] = "zz_flush"
+        flush["ingest_ts"] = pd.Series(
+            [t0 + pd.Timedelta(hours=6)], index=flush.index
+        ).astype("datetime64[ms]")
+        flush2 = flush.copy()
+        flush2["ingest_ts"] = (flush["ingest_ts"]
+                               + pd.Timedelta(hours=1)).astype("datetime64[ms]")
+        n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), " ")) \
+            .cast("long")
+        exp_rate = (docs_batch
+                    .select("source", "ingest_ts", n_tok.alias("n_tok"))
+                    .groupBy("source",
+                             F.window("ingest_ts", "1 hour").alias("w"))
+                    .agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.sum("n_tok").alias("n_tokens"))
+                    .select("source",
+                            F.col("w.start").alias("window_start"),
+                            "n_docs", "n_tokens"))
+        replay("token_rate", chunks3(docs) + [flush, flush2], DOCS_DDL,
+               lambda s: ST.stream_token_rate(s, window="1 hour",
+                                              watermark="1 hour"),
+               exp_rate, ["source", "window_start"], 0.0,
+               drop=lambda g: g[g["source"] != "zz_flush"])
+
+        # sessions: native session_window vs the batch lag->running-sum
+        # sessionize on the driver event log (complete mode emits all)
+        ev = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "ts", "event_type")
+              .toPandas().sort_values(["ts", "event_id"]))
+        ev["ts"] = ev["ts"].astype("datetime64[us]")
+        exp_sess = _sessionize(spark, sf_dir).drop("session_no")
+        replay("sessions_30m", chunks3(ev),
+               "event_id long, user_id long, ts timestamp,"
+               " event_type string",
+               lambda s: ST.stream_sessions(s, gap="30 minutes",
+                                            watermark="10 minutes"),
+               exp_sess, ["user_id", "session_start"], 0.0,
+               mode="complete")
+
+        # asof attach: stream events against the static bar relation;
+        # one past-the-end event exercises the clamp, dropped before
+        # the compare (the batch side never saw it)
+        bars = bars_from_events(spark, sf_dir)
+        ev_sdf = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("event_type").alias("symbol"), "ts", "value")
+        exp_asof = asof_join(ev_sdf, bars)
+        epd = ev_sdf.toPandas().sort_values("event_id")
+        epd["ts"] = epd["ts"].astype("datetime64[us]")
+        late = epd.iloc[:1].copy()
+        late["event_id"] = 10_000_001
+        late["ts"] = pd.Series([epd["ts"].max() + pd.Timedelta(days=1)],
+                               index=late.index).astype("datetime64[us]")
+        replay("asof_attach", chunks3(epd) + [late],
+               "event_id long, symbol string, ts timestamp, value double",
+               lambda s: ST.stream_asof_attach(s, bars),
+               exp_asof, ["event_id"], 0.0,
+               drop=lambda g: g[g["event_id"] != 10_000_001])
+
+        # panel standardization/rank: per-ts panels split across TWO
+        # micro-batches (integer moments are arrival-order-independent),
+        # two flusher rows advance the watermark past the last panel
+        ws = Window.partitionBy("symbol").orderBy("ts")
+        rets = (bars.select(
+            "symbol", "ts",
+            (F.col("close") / F.lag("close").over(ws) - 1).alias("ret_1"))
+            .filter(F.col("ret_1").isNotNull()).toPandas()
+            .sort_values(["ts", "symbol"]).reset_index(drop=True))
+        fl = pd.DataFrame({
+            "symbol": ["zz"],
+            "ts": [rets["ts"].max() + pd.Timedelta(hours=5)],
+            "ret_1": [0.5]})
+        fl2 = fl.assign(ts=fl["ts"] + pd.Timedelta(hours=1))
+        xframes = []
+        for f in (rets.iloc[::2], rets.iloc[1::2], fl, fl2):
+            f = f.copy()
+            f["ts"] = f["ts"].astype("datetime64[us]")
+            xframes.append(f)
+        RETS_DDL = "symbol string, ts timestamp, ret_1 double"
+        for key, twin in (("xsec_zscore_ret1", ST.stream_xsec_zscore),
+                          ("xsec_rank_ret1", ST.stream_xsec_rank)):
+            replay(key, xframes, RETS_DDL, twin,
+                   REL_SUITE[key].query(spark, sf_dir),
+                   ["ts", "symbol"], 0.0,
+                   drop=lambda g: g[g["symbol"] != "zz"])
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 def run_pytests() -> dict:
     """The planted-edge-case streaming suite, parsed to per-test rows."""
     import xml.etree.ElementTree as ET
@@ -276,6 +492,7 @@ def main() -> int:
             raise SystemExit(f"unknown arg {args[i]}")
 
     replay = run_replay(sf_dir)
+    replay.update(run_replay_corpus(sf_dir))
     result = {"sf_dir": sf_dir, "replay": replay}
     if not skip_pytest:
         result["pytest"] = run_pytests()
