@@ -423,9 +423,9 @@ def main():
         # the query refreshes the downstream pair cache as a side effect;
         # drop the x10 entry so the deleted temp dir's materialization
         # doesn't pin executor memory through the scale entries below
-        from pandas_ta_spark.ext.dedup import _PAIRS_CACHE
+        from pandas_ta_spark.ext.dedup import invalidate_pairs_dir
 
-        _PAIRS_CACHE.pop((spark.sparkContext.applicationId, x10_dir), None)
+        invalidate_pairs_dir(spark, x10_dir)
         shutil.rmtree(x10_dir, ignore_errors=True)
 
     # ANN at 10x corpus: the same would-it-scale measurement for the IVF
@@ -463,12 +463,9 @@ def main():
         ivf_build_net = round(
             max(times["topk_cosine_ivf_x10_build"] - best, 0.0), 3)
     finally:
-        from pandas_ta_spark.ext.similarity import (
-            _IVF_CACHE, _PQ_CACHE, _VECS_CACHE,
-        )
+        from pandas_ta_spark.ext.similarity import invalidate_dir
 
-        for cache in (_IVF_CACHE, _PQ_CACHE, _VECS_CACHE):
-            cache.pop((spark.sparkContext.applicationId, x10v_dir), None)
+        invalidate_dir(spark, x10v_dir)
         shutil.rmtree(x10v_dir, ignore_errors=True)
 
     # scale entries LAST, each with a private cache lifetime: keeping both

@@ -303,7 +303,7 @@ def _dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refresh the downstream-consumer cache (see _pairs_cached): this call
     # always derives fresh — so its own cost stays honestly measured — but
     # keep-list/CC/telemetry consumers get the newest materialization free
-    _PAIRS_CACHE[(spark.sparkContext.applicationId, sf_dir)] = out
+    _PAIRS_CACHE[_pairs_key(spark, sf_dir)] = out
     return out
 
 
@@ -517,16 +517,36 @@ SELECT doc_id, {bits} AS simhash16 FROM agg
 # `dedup_minhash_lsh` query itself stays UNCACHED so its benchmark number
 # reports the true derivation cost. At 100 TB the analogue is writing the
 # pair set to a temp table once per pipeline run.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _pairs_key(spark: SparkSession, sf_dir: str) -> tuple:
+    # (applicationId, sf_dir, documents-file-fingerprint): the
+    # fingerprint versions the corpus CONTENT, so a rewrite under the
+    # same path re-derives the pair set instead of serving the stale
+    # materialization (r11, same contract as similarity._dir_key)
+    from pandas_ta_spark.sources.bars import table_fingerprint
+
+    return (spark.sparkContext.applicationId, sf_dir,
+            table_fingerprint(sf_dir, "documents"))
+
+
+def invalidate_pairs_dir(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the cached pair set for (this app, sf_dir) — any
+    fingerprint version (bench teardown uses it)."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PAIRS_CACHE
+              if k[0] == app and k[1] == sf_dir]:
+        del _PAIRS_CACHE[k]
 
 
 def _pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from pandas_ta_spark.sources.bars import evict_dir_keys
+
+    key = _pairs_key(spark, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
-        # evict stopped-application entries (see sources/bars.py)
-        for stale in [k for k in _PAIRS_CACHE if k[0] != key[0]]:
-            del _PAIRS_CACHE[stale]
+        evict_dir_keys(_PAIRS_CACHE, key)
         df = _dedup_minhash(spark, sf_dir)
         _PAIRS_CACHE[key] = df
     return df

@@ -80,25 +80,44 @@ def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "embedding table + norms" any resident vector engine keeps.
 #
 # INVALIDATION CONTRACT (applies to _VECS_CACHE, _IVF_CACHE, _PQ_CACHE):
-# keys are (applicationId, sf_dir) with NO content invalidation —
-# rewriting the parquet under the same path mid-session serves a stale
-# vectors/index snapshot until the caller pops the key (as bench.py's
-# x10-corpus teardown does). That is the deliberate semantics of a
-# trained-index artifact: an ANN deployment versions its corpus by PATH
-# (immutable snapshot dirs), so a changed path is a new key and a
-# changed file under the same path is an un-versioned mutation the
-# engine cannot see. Callers that must mutate in place: pop the
-# (applicationId, dir) key from all three caches first.
-_VECS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# keys are (applicationId, sf_dir, embeddings-file-fingerprint) — the
+# fingerprint (sources/bars.py table_fingerprint: names+sizes+mtimes of
+# the table's files) is the content-version signal, so rewriting or
+# appending the parquet under the same path mid-session re-derives the
+# vectors AND retrains the index instead of serving a stale snapshot
+# (r11; previously the caller had to pop the key by hand). Superseded
+# fingerprints of the same dir are evicted on the next build so the old
+# materialization doesn't stay pinned. Non-local URIs fingerprint as
+# None — path = corpus version, the pre-r11 contract (an ANN deployment
+# on an object store versions its corpus by immutable snapshot dirs).
+# `invalidate_dir(spark, sf_dir)` drops all three caches' entries for a
+# dir explicitly (bench teardown uses it).
+_VECS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dir_key(spark: SparkSession, sf_dir: str) -> tuple:
+    from pandas_ta_spark.sources.bars import table_fingerprint
+
+    return (spark.sparkContext.applicationId, sf_dir,
+            table_fingerprint(sf_dir, "embeddings"))
+
+
+def invalidate_dir(spark: SparkSession, sf_dir: str) -> None:
+    """Drop every vector/index cache entry for (this app, sf_dir) —
+    any fingerprint version."""
+    app = spark.sparkContext.applicationId
+    for cache in (_VECS_CACHE, _IVF_CACHE, _PQ_CACHE):
+        for k in [k for k in cache if k[0] == app and k[1] == sf_dir]:
+            del cache[k]
 
 
 def _spark_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from pandas_ta_spark.sources.bars import evict_dir_keys
+
+    key = _dir_key(spark, sf_dir)
     df = _VECS_CACHE.get(key)
     if df is None:
-        # evict stopped-application entries (see sources/bars.py)
-        for stale in [k for k in _VECS_CACHE if k[0] != key[0]]:
-            del _VECS_CACHE[stale]
+        evict_dir_keys(_VECS_CACHE, key)
         # Lay the resident vector relation out at cluster parallelism:
         # the source parquet's split count (a writer artifact — the x10
         # bench corpus is coalesce(4)) would otherwise cap EVERY
@@ -594,7 +613,7 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
     `_train_centroids_numpy`; the driver's oracle gate verifies the
     composed result exactly."""
     v = _spark_vectors_cached(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _dir_key(spark, sf_dir)
     hit = _IVF_CACHE.get(key)
     if hit is not None:
         return (v, *hit)
@@ -635,8 +654,9 @@ def _ivf_lists(spark: SparkSession, sf_dir: str):
     # the on-disk artifact a real IVF deployment persists next to the
     # centroids — so probes scan lists instead of re-running assignment
     lists = materialize(assign_vectors(v, centn))
-    for stale in [k for k in _IVF_CACHE if k[0] != key[0]]:
-        del _IVF_CACHE[stale]
+    from pandas_ta_spark.sources.bars import evict_dir_keys
+
+    evict_dir_keys(_IVF_CACHE, key)
     _IVF_CACHE[key] = (centn, lists)
     return v, centn, lists
 
@@ -1234,7 +1254,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     partition-local. The whole build runs in the input-sized shuffle
     scope (see _shuffle_sized_to_input)."""
     v = _spark_vectors_cached(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _dir_key(spark, sf_dir)
     hit = _PQ_CACHE.get(key)
     if hit is not None:
         return (v, *hit)
@@ -1242,8 +1262,9 @@ def _pq_index(spark: SparkSession, sf_dir: str):
 
     with _shuffle_sized_to_input(spark, _input_bytes(spark, sf_dir, "embeddings")):
         out = _pq_build(spark, v)
-    for stale in [k for k in _PQ_CACHE if k[0] != key[0]]:
-        del _PQ_CACHE[stale]
+    from pandas_ta_spark.sources.bars import evict_dir_keys
+
+    evict_dir_keys(_PQ_CACHE, key)
     _PQ_CACHE[key] = out
     return (v, *out)
 

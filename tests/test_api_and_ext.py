@@ -486,6 +486,63 @@ def test_media_features_kind_dispatch(spark):
         assert got["first_frame_hash"][i] == whole
 
 
+def test_session_caches_invalidate_on_rewrite(spark, tmp_path):
+    """r11 engine-wide cache-versioning: every (applicationId, dir)-keyed
+    session cache folds a file fingerprint (names+sizes+mtimes) into its
+    key, so rewriting a table under the SAME path re-derives the cached
+    artifact instead of serving the stale snapshot — bars derivation,
+    the normalized-vector relation, and the explicit invalidation
+    hooks."""
+    import os
+    import time as _time
+
+    from pandas_ta_spark.ext import similarity as S
+    from pandas_ta_spark.sources.bars import bars_from_events_cached
+
+    sf = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def write_events(n_types):
+        rows = []
+        for t in range(n_types):
+            for i in range(4):
+                rows.append((f"et{t}", t0 + pd.Timedelta(hours=i),
+                             float(10 * t + i)))
+        pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("overwrite").parquet(f"{sf}/events.parquet"))
+
+    write_events(2)
+    assert bars_from_events_cached(spark, sf).count() == 8
+    # rewrite IN PLACE: same path, same plan — more symbols
+    _time.sleep(0.01)  # ensure a distinct mtime even on coarse clocks
+    write_events(3)
+    assert bars_from_events_cached(spark, sf).count() == 12
+
+    def write_embeddings(n):
+        pdf = pd.DataFrame({
+            "vec_id": range(n),
+            "embedding": [[float(i + 1), 0.0, 1.0, 0.5] for i in range(n)],
+            "label": ["a"] * n})
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("overwrite").parquet(f"{sf}/embeddings.parquet"))
+
+    write_embeddings(5)
+    assert S._spark_vectors_cached(spark, sf).count() == 5
+    _time.sleep(0.01)
+    write_embeddings(7)
+    assert S._spark_vectors_cached(spark, sf).count() == 7
+    # superseded fingerprints were evicted: exactly one live entry for
+    # this dir, and the explicit hook clears it
+    app = spark.sparkContext.applicationId
+    assert sum(1 for k in S._VECS_CACHE
+               if k[0] == app and k[1] == sf) == 1
+    S.invalidate_dir(spark, sf)
+    assert not any(k[0] == app and k[1] == sf for k in S._VECS_CACHE)
+    assert os.path.exists(f"{sf}/embeddings.parquet")
+
+
 def test_bucketed_sink_eliminates_exchange(spark, bars, tmp_path):
     """bucketBy(symbol) managed table: subsequent window queries read
     co-located data with ZERO exchanges — the repeated-scan story."""

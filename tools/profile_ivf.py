@@ -96,8 +96,7 @@ def main():
         lists = materialize(S.assign_vectors(v, centn))
         t["invfile_materialize"] = round(time.time() - t0, 3)
 
-        key = (spark.sparkContext.applicationId, x10v_dir)
-        S._IVF_CACHE[key] = (centn, lists)
+        S._IVF_CACHE[S._dir_key(spark, x10v_dir)] = (centn, lists)
 
         def force(df):
             df.write.format("noop").mode("overwrite").save()
@@ -116,8 +115,7 @@ def main():
             + t["centroid_create"] + t["invfile_materialize"]
             + t["first_probe"] - t["steady_probe"], 3)
     finally:
-        for cache in (S._IVF_CACHE, S._PQ_CACHE, S._VECS_CACHE):
-            cache.pop((spark.sparkContext.applicationId, x10v_dir), None)
+        S.invalidate_dir(spark, x10v_dir)
         shutil.rmtree(x10v_dir, ignore_errors=True)
 
     print(json.dumps({"metric": "ivf_x10_build_profile", "sf_dir": sf_dir,
