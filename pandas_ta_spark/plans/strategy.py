@@ -132,7 +132,7 @@ def expression_lookback(ind: Indicator):
     the r11 skew bench: aroon is a carry_rows=14 kernel yet was
     rejected on its oracle's shape).
     """
-    if not ind.stages and not ind.final:
+    if ind.kernel is not None and not ind.stages and not ind.final:
         return 0  # kernel-only execution: SQL twin is oracle-only
     parts: list[str] = []
     for st in ind.sql_stages or []:
