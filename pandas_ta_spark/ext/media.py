@@ -92,6 +92,29 @@ FROM documents
 """.strip()
 
 
+def _md5_hex(b: bytes) -> str:
+    """Fingerprint contract for frame/first-frame hashes: md5 over the
+    UPPERCASE HEX encoding of the slice bytes (not the raw bytes).
+    Hex-of-bytes is bijective, so the fingerprint quality is identical —
+    and it is the only byte-exact form a SQL oracle can reproduce:
+    DuckDB's md5() accepts VARCHAR only (no BLOB overload), while
+    hex(encode(text)) round-trips arbitrary payload bytes losslessly.
+    ASCII corpora hashed raw == hex only by accident; unicode payloads
+    exposed the divergence (fuzz gate, unicode profile)."""
+    import hashlib
+
+    return hashlib.md5(b.hex().upper().encode()).hexdigest()
+
+
+def _sql_byte(hx: str, i: str) -> str:
+    """SQL for the byte value at 1-based byte index ``i`` of the
+    uppercase-hex string ``hx`` — the DuckDB twin of payload[i-1]."""
+    h1 = f"ord(substr({hx}, 2*({i})-1, 1))"
+    h2 = f"ord(substr({hx}, 2*({i}), 1))"
+    return (f"((({h1}) - CASE WHEN ({h1}) >= 65 THEN 55 ELSE 48 END) * 16"
+            f" + (({h2}) - CASE WHEN ({h2}) >= 65 THEN 55 ELSE 48 END))")
+
+
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -159,11 +182,9 @@ def extract_features(df: DataFrame) -> DataFrame:
     mean of the decoded array; frame_count = shape[0] along the frame
     axis for a ``video`` asset (or for a >=3-d video-SHAPED return
     from a non-video request, e.g. an animated-image decode), else 1;
-    first_frame_hash = md5 of the first frame's (or whole array's) raw
-    bytes; a ValueError payload keeps its row with NULL tensor
-    features."""
-    import hashlib
-
+    first_frame_hash = the _md5_hex fingerprint of the first frame's
+    (or whole array's) raw bytes; a ValueError payload keeps its row
+    with NULL tensor features."""
     dec = get_decoder()
     has_meta = "media_meta" in df.columns
 
@@ -208,8 +229,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 out["frame_count"].append(
                     int(a.shape[0]) if framed else 1)
                 out["first_frame_hash"].append(
-                    hashlib.md5(np.ascontiguousarray(first).tobytes())
-                    .hexdigest())
+                    _md5_hex(np.ascontiguousarray(first).tobytes()))
             return pd.DataFrame(out, columns=cols).astype(
                 {"frame_count": "Int32"})
 
@@ -239,7 +259,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 "frame_count": (lens // 16).astype("int32"),
                 # md5 is per-row by nature; hashing 16-byte slices is cheap
                 "first_frame_hash": [
-                    hashlib.md5(p[:16]).hexdigest() for p in payloads
+                    _md5_hex(p[:16]) for p in payloads
                 ],
             }, columns=cols)
 
@@ -251,22 +271,29 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_media_column(docs))
 
 
-# Oracle for the decoder-independent fallback features. The test payload
-# is utf-8 text and the corpus is pure ASCII (verified: octet_length ==
-# char length across testdata), so byte positions == char positions and
-# every fallback column is plain SQL: octet_length, per-char ord() sum,
-# md5 of the 16-byte prefix. A real-decoder deployment would drop back to
-# rows-only for tensor outputs.
-MEDIA_FEATURES_SQL = """
+# Oracle for the decoder-independent fallback features, BYTE-exact for
+# any unicode payload: hex(encode(text)) exposes the utf-8 bytes to SQL
+# (2 hex chars per byte), byte values come from hex-pair arithmetic
+# (_sql_byte), and hashes follow the _md5_hex contract (md5 of the
+# uppercase hex slice — DuckDB md5 has no BLOB overload). The previous
+# per-CHAR ord()/substr() forms matched only while the corpus was pure
+# ASCII (fuzz gate, unicode profile). A real-decoder deployment would
+# drop back to rows-only for tensor outputs.
+MEDIA_FEATURES_SQL = f"""
+WITH h AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           floor(list_sum(list_transform(range(1, length(text) + 1),
-                                         i -> ord(substr(text, i, 1))))
-                 / length(text) * 1e6 + 0.5) / 1e6 END AS mean_byte,
-       CAST(octet_length(encode(text)) // 16 AS INT) AS frame_count,
-       md5(substr(text, 1, 16)) AS first_frame_hash
-FROM documents
+       CAST(nb AS BIGINT) AS n_bytes,
+       CASE WHEN nb = 0 THEN 0.0 ELSE
+           floor(CAST(list_sum(list_transform(range(1, nb + 1),
+                                              i -> {_sql_byte('hx', 'i')}))
+                      AS DOUBLE) / nb * 1e6 + 0.5) / 1e6 END AS mean_byte,
+       CAST(nb // 16 AS INT) AS frame_count,
+       md5(substr(hx, 1, 32)) AS first_frame_hash
+FROM h
 """.strip()
 
 
@@ -291,11 +318,9 @@ def sample_frames(df: DataFrame) -> DataFrame:
     (j * fc) // n_take (exact integer math, identical in the SQL twin).
     A registered decoder (module docstring contract) samples the same
     indices along the decoded array's frame axis (``kind="video"``;
-    hash/mean over ``frame.tobytes()``; a ValueError payload emits zero
-    frames); the fallback slices the payload bytes — same offsets, same
-    plumbing."""
-    import hashlib
-
+    hash/mean over ``frame.tobytes()`` with the _md5_hex fingerprint; a
+    ValueError payload emits zero frames); the fallback slices the
+    payload bytes — same offsets, same plumbing."""
     dec = get_decoder()
 
     def gen(batches):
@@ -308,7 +333,7 @@ def sample_frames(df: DataFrame) -> DataFrame:
             out["doc_id"].append(int(doc_id))
             out["sample_j"].append(j)
             out["frame_idx"].append(fidx)
-            out["frame_hash"].append(hashlib.md5(fb).hexdigest())
+            out["frame_hash"].append(_md5_hex(fb))
             out["frame_mean"].append(
                 float(np.floor(int(a.sum()) / denom * 1e6 + 0.5) / 1e6))
 
@@ -362,27 +387,31 @@ def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_media_column(docs))
 
 
+# Byte-exact twin of the fallback sampler: frame slices come from the
+# hex encoding (32 hex chars = 16 payload bytes), hashes follow the
+# _md5_hex contract, means use hex-pair byte values — see
+# MEDIA_FEATURES_SQL's unicode rationale.
 MEDIA_FRAME_SAMPLE_SQL = f"""
 WITH f AS (
-    SELECT doc_id, text,
+    SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) // {FRAME_BYTES} AS fc
     FROM documents
 ),
 t AS (
-    SELECT doc_id, text, fc, least({N_FRAME_SAMPLES}, fc) AS n_take
+    SELECT doc_id, hx, fc, least({N_FRAME_SAMPLES}, fc) AS n_take
     FROM f WHERE fc > 0
 ),
 s AS (
     SELECT doc_id, u.j AS sample_j, (u.j * fc) // n_take AS frame_idx,
-           substr(text, ((u.j * fc) // n_take) * {FRAME_BYTES} + 1,
-                  {FRAME_BYTES}) AS fr
+           substr(hx, ((u.j * fc) // n_take) * {2 * FRAME_BYTES} + 1,
+                  {2 * FRAME_BYTES}) AS frh
     FROM t, unnest(range(0, n_take)) AS u(j)
 )
 SELECT doc_id, CAST(sample_j AS INT) AS sample_j,
        CAST(frame_idx AS INT) AS frame_idx,
-       md5(fr) AS frame_hash,
+       md5(frh) AS frame_hash,
        floor(CAST(list_sum(list_transform(range(1, {FRAME_BYTES} + 1),
-                                          i -> ord(substr(fr, i, 1))))
+                                          i -> {_sql_byte('frh', 'i')}))
                   AS DOUBLE) / {FRAME_BYTES}.0 * 1e6 + 0.5) / 1e6 AS frame_mean
 FROM s
 """.strip()
@@ -481,13 +510,16 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_thumb(with_media_column(docs))
 
 
+# Byte-exact twin of the fallback thumbnailer: segment sums read true
+# payload bytes via hex-pair arithmetic — see MEDIA_FEATURES_SQL's
+# unicode rationale.
 MEDIA_RESIZE_SQL = f"""
 WITH f AS (
-    SELECT doc_id, text, octet_length(encode(text)) AS nb
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
     FROM documents
 ),
 s AS (
-    SELECT doc_id, text, u.s AS seg,
+    SELECT doc_id, hx, u.s AS seg,
            (u.s * nb) // {N_THUMB_SEGS} AS lo,
            ((u.s + 1) * nb) // {N_THUMB_SEGS} AS hi
     FROM f, unnest(range(0, {N_THUMB_SEGS})) AS u(s)
@@ -496,7 +528,7 @@ s AS (
 SELECT doc_id, CAST(seg AS INT) AS seg,
        CAST(hi - lo AS BIGINT) AS seg_len,
        floor(CAST(list_sum(list_transform(range(lo + 1, hi + 1),
-                                          i -> ord(substr(text, i, 1))))
+                                          i -> {_sql_byte('hx', 'i')}))
                   AS DOUBLE) / CAST(hi - lo AS DOUBLE) * 1e6 + 0.5) / 1e6
            AS seg_mean
 FROM s

@@ -1198,11 +1198,15 @@ p AS (
     FROM d
 ),
 acc AS (
+    -- pair-completeness guards test null-ness directly: `dq * dqp IS
+    -- NOT NULL` computed the BIGINT product first, which overflows at
+    -- |dq| ~ 1e10 (1e6-scale prices x the 1e4 quantizer — fuzz gate)
     SELECT symbol, ts,
-           count(dq * dqp) OVER w AS n,
-           sum(CASE WHEN dq * dqp IS NOT NULL
+           count(CASE WHEN dq IS NOT NULL AND dqp IS NOT NULL
+                      THEN 1 END) OVER w AS n,
+           sum(CASE WHEN dq IS NOT NULL AND dqp IS NOT NULL
                     THEN CAST(dq AS HUGEINT) END) OVER w AS sx,
-           sum(CASE WHEN dq * dqp IS NOT NULL
+           sum(CASE WHEN dq IS NOT NULL AND dqp IS NOT NULL
                     THEN CAST(dqp AS HUGEINT) END) OVER w AS sy,
            sum(CAST(dq AS HUGEINT) * dqp) OVER w AS sxy
     FROM p

@@ -146,29 +146,52 @@ def dist_to_extreme_pd(x: pd.Series, window: int, is_max: bool) -> pd.Series:
     return pd.Series(_swv_apply(v, window, fn), index=x.index)
 
 
+def roll_const_mask(x: pd.Series, n: int):
+    """True where the trailing n-frame is EXACTLY constant (frame max ==
+    frame min — order statistics, no FP summation). The dispersion
+    kernels below pin such frames to their exact value (0 for central
+    moments): the computed path's mean carries a last-ulp error, so a
+    constant frame otherwise yields noise-squared instead of 0 — and the
+    SQL engine's different noise (naive sum-of-squares cancellation at
+    large offsets) disagrees by far more than the 1e-6 grid (fuzz gate,
+    extreme profile). The SQL twins carry the same max=min guard."""
+    import numpy as np
+
+    mx = x.rolling(n, min_periods=n).max().to_numpy()
+    mn = x.rolling(n, min_periods=n).min().to_numpy()
+    with np.errstate(invalid="ignore"):
+        return mx == mn
+
+
 def roll_std_pd(x: pd.Series, n: int, ddof: int = 1) -> pd.Series:
     """Rolling std via per-frame two-pass numpy (exact frame recompute —
-    same association as the engines' windowed stddev, no online drift)."""
+    same association as the engines' windowed stddev, no online drift).
+    Constant frames emit exactly 0 (roll_const_mask rationale)."""
     v = x.to_numpy(dtype="float64")
     out = _swv_apply(v, n, lambda w: w.std(axis=1, ddof=ddof))
+    out[roll_const_mask(x, n)] = 0.0
     return pd.Series(out, index=x.index)
 
 
 def roll_var_pd(x: pd.Series, n: int, ddof: int = 1) -> pd.Series:
     v = x.to_numpy(dtype="float64")
     out = _swv_apply(v, n, lambda w: w.var(axis=1, ddof=ddof))
+    out[roll_const_mask(x, n)] = 0.0
     return pd.Series(out, index=x.index)
 
 
 def roll_cmom_pd(x: pd.Series, n: int, k: int) -> pd.Series:
     """Rolling k-th central moment mean((x - frame_mean)^k) — the HOF-list
-    aggregate of statistics/skew.py and kurtosis.py."""
+    aggregate of statistics/skew.py and kurtosis.py. Constant frames
+    emit exactly 0 (roll_const_mask rationale)."""
     v = x.to_numpy(dtype="float64")
 
     def fn(w):
         return ((w - w.mean(axis=1, keepdims=True)) ** k).mean(axis=1)
 
-    return pd.Series(_swv_apply(v, n, fn), index=x.index)
+    out = _swv_apply(v, n, fn)
+    out[roll_const_mask(x, n)] = 0.0
+    return pd.Series(out, index=x.index)
 
 
 def wroll_pd(x: pd.Series, weights: list[float], normalize: bool = True) -> pd.Series:

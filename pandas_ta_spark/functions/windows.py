@@ -77,17 +77,58 @@ def roll(agg_fn, src: Column | str, n: int, min_periods: int | None = None) -> C
 LARGE_WINDOW_THRESHOLD = 128
 
 
+# Quantized-term saturation bound for the 128-bit cumsums: one term may
+# contribute at most ±2^62 grid units (±4.6e10 in value units at
+# CUM_SCALE — beyond any real data). Saturating DETERMINISTICALLY on
+# both engines is the only bit-exact option out there: Spark's
+# floor(DOUBLE) silently clips at 2^63 (fuzz gate: PVT terms at 1e28
+# summed as 9.2e18 on Spark while DuckDB stayed exact), and Spark's
+# double->decimal cast routes through the SHORTEST STRING repr
+# (BigDecimal.valueOf), which disagrees with DuckDB's exact binary
+# conversion by ~32 ulps at 1e28. Both engines clamp at the same double
+# threshold to the same constant, so sums stay exact and identical at
+# ANY input magnitude; NaN terms are NULL (skipped) on both.
+#
+# Residual cross-engine bound: the SUM integers are bit-identical, but
+# the consumer's final int->double conversion is correctly rounded on
+# Spark (BigDecimal) and NOT on DuckDB v1.0 (hugeint->double recombines
+# upper*2^64 + lower with two roundings) — measured 1-2 ulp apart for
+# sums past 2^53 grid units. At the output domain bound (|cum| <= 9e9,
+# where the 1e-6 grid is representable) that is <= ~2e-8 absolute —
+# below the grid — so in-domain results still compare exact; beyond it
+# the fuzz gate's ulp classifier applies.
+Q_SAT = 2 ** 62
+
+
+def _q128(x: Column) -> Column:
+    """floor(x) as decimal(38,0), clamped to ±Q_SAT (see above)."""
+    sat = F.lit(float(Q_SAT))
+    return (
+        F.when(F.isnan(x), F.lit(None).cast("decimal(38,0)"))
+        .when(x >= sat, F.lit(Q_SAT).cast("decimal(38,0)"))
+        .when(x <= -sat, F.lit(-Q_SAT).cast("decimal(38,0)"))
+        .otherwise(F.floor(x).cast("decimal(38,0)"))
+    )
+
+
+def _sql_q128(e: str) -> str:
+    """The DuckDB twin of _q128 — same branches, same constants."""
+    return (f"(CASE WHEN isnan({e}) THEN NULL"
+            f" WHEN ({e}) >= {float(Q_SAT)!r} THEN CAST({Q_SAT} AS HUGEINT)"
+            f" WHEN ({e}) <= {-float(Q_SAT)!r} THEN CAST({-Q_SAT} AS HUGEINT)"
+            f" ELSE CAST(floor({e}) AS HUGEINT) END)")
+
+
 def cumsum_int(src: Column | str, scale: float = CUM_SCALE) -> Column:
     """Stage 1 of the rewrite: expanding BIGINT sum of quantized terms
     (exact, associative). Window functions cannot nest, so the difference
     step lives in a later stage — see overlap.sma(large=True)."""
     src_col = F.col(src) if isinstance(src, str) else src
-    q = F.floor(src_col * scale + F.lit(0.5)).cast("long")
-    return F.sum(q).over(w_all())
+    return F.sum(_q128(src_col * scale + F.lit(0.5))).over(w_all())
 
 
 def sql_cumsum_int(src_sql: str, scale: float = CUM_SCALE) -> str:
-    return (f"sum(CAST(floor(({src_sql}) * {scale!r} + 0.5) AS BIGINT))"
+    return (f"sum({_sql_q128(f'({src_sql}) * {scale!r} + 0.5')})"
             f" OVER ({SQL_W_ALL})")
 
 
@@ -134,14 +175,23 @@ def cumsum_fixed(term: Column, scale: float = CUM_SCALE) -> Column:
     run-to-run reproducibility at 100 TB. Integer summation is exact and
     associative, so every engine/ordering produces bit-identical results.
     Costs 1e-8 absolute quantization per term (documented tolerance for
-    golden-parity tests of CUM ops)."""
-    q = F.floor(term * scale + F.lit(0.5)).cast("long")
-    return F.sum(q).over(w_all()) / F.lit(scale)
+    golden-parity tests of CUM ops).
+
+    128-bit accumulators (decimal(38,0) / HUGEINT), not BIGINT: an
+    unbounded cumulative sum of quantized terms can pass 9.2e18 on real
+    data (PVT's ROC%% x volume terms did at the fuzz gate's magnitudes),
+    and at that boundary Spark's non-ANSI cast SATURATES silently while
+    DuckDB errors — silent wrong answers on one engine, a crash on the
+    other. decimal(38,0) keeps the sum exact-associative with 1e38
+    headroom; per-term exactness is still bounded by the double mantissa
+    (terms > 9e15/scale quantize identically on both engines either
+    way)."""
+    return F.sum(_q128(term * scale + F.lit(0.5))).over(w_all()) / F.lit(scale)
 
 
 def sql_cumsum_fixed(term_sql: str, scale: float = CUM_SCALE) -> str:
-    """DuckDB twin of cumsum_fixed — same quantization, exact BIGINT sum."""
-    return (f"(sum(CAST(floor(({term_sql}) * {scale!r} + 0.5) AS BIGINT))"
+    """DuckDB twin of cumsum_fixed — same quantization, exact 128-bit sum."""
+    return (f"(sum({_sql_q128(f'({term_sql}) * {scale!r} + 0.5')})"
             f" OVER ({SQL_W_ALL}) / {scale!r})")
 
 
@@ -191,6 +241,18 @@ def sql_masked(expr_sql: str, src_sql: str, n: int, min_periods: int | None = No
 
 def sql_roll(agg: str, src_sql: str, n: int, min_periods: int | None = None) -> str:
     return sql_masked(f"{agg}({src_sql}) OVER ({sql_w_rows(n)})", src_sql, n, min_periods)
+
+
+def sql_const_guard(src_sql: str, n: int, then_sql: str, else_sql: str) -> str:
+    """Constant-frame guard for dispersion SQL (pdkernels.roll_const_mask
+    twin): a FULL n-frame whose max equals its min takes ``then_sql``
+    (the exact value — 0 for central moments, NULL for ratios of them);
+    anything else, including partial warmup frames, keeps ``else_sql``
+    and its own masking."""
+    w = sql_w_rows(n)
+    return (f"CASE WHEN count({src_sql}) OVER ({w}) >= {n}"
+            f" AND max({src_sql}) OVER ({w}) = min({src_sql}) OVER ({w})"
+            f" THEN {then_sql} ELSE {else_sql} END")
 
 
 def sql_wroll(src_sql: str, weights: list[float], normalize: bool = True) -> str:

@@ -89,6 +89,59 @@ def py_round(x: float, decimals: int = ROUND_DECIMALS) -> float:
     return math.floor(x * s + 0.5) / s
 
 
+def np_round(a, decimals: int = ROUND_DECIMALS):
+    """The numpy-array twin of round_col/sql_round/py_round — same ops,
+    same order, same guard (NaN/inf/huge pass through unrounded)."""
+    import numpy as np
+
+    s = 10.0 ** decimals
+    a = np.asarray(a, dtype="float64")
+    with np.errstate(invalid="ignore"):
+        mask = np.abs(a) < _ROUND_GUARD / s
+    return np.where(mask, np.floor(a * s + 0.5) / s, a)
+
+
+# Near-tie flag discipline: a boolean that thresholds an UNROUNDED
+# recursion/aggregate output (EMA diff > 0, fast MA > slow MA) is
+# decided by the last ulp whenever the true value sits at the
+# threshold — and the two engines' last ulps differ (pandas ewm's
+# weighted-average form vs the plain recursion; Spark's per-row frame
+# re-aggregation vs DuckDB's segment tree). A locally-constant input
+# makes the true value EXACTLY 0, so ulp noise alone picks the flag
+# (fuzz gate: aobv's short-run flag flipped on a flat OBV stretch).
+# Quantizing the comparand to the same 1e-6 grid the outputs are
+# rounded to makes both engines compare identical doubles — and makes
+# every flag consistent with the values the user actually sees.
+
+def flag_quantize(c, decimals: int = ROUND_DECIMALS):
+    """Quantize a Spark comparand for a boolean threshold (grid
+    integers, not divided back — only the sign/ordering matters).
+
+    NaN maps to NULL explicitly: Spark's floor(DOUBLE) returns LONG and
+    turns NaN into 0 while DuckDB's stays NaN (> 0 true) — NULL makes
+    the flag NULL on both engines, which downstream coalesce renders
+    false. Saturation past 2^63 is sign-preserving on Spark and absent
+    on DuckDB, so sign thresholds stay cross-engine exact at any
+    magnitude."""
+    from pyspark.sql import functions as F
+
+    return F.when(F.isnan(c), F.lit(None)).otherwise(
+        F.floor(c * F.lit(10.0 ** decimals) + F.lit(0.5)))
+
+
+def sql_flag_quantize(e: str, decimals: int = ROUND_DECIMALS) -> str:
+    """The DuckDB twin of flag_quantize — same ops, same order."""
+    return (f"(CASE WHEN isnan({e}) THEN NULL"
+            f" ELSE floor(({e}) * {10.0 ** decimals!r} + 0.5) END)")
+
+
+def np_flag_quantize(a, decimals: int = ROUND_DECIMALS):
+    """The numpy twin (Arrow kernels) — same ops, same order."""
+    import numpy as np
+
+    return np.floor(a * 10.0 ** decimals + 0.5)
+
+
 # Exact rank-selected percentile: the value at sorted rank
 # floor((n-1)*q)+1 — NOT an engine percentile builtin (Spark percentile
 # and DuckDB quantile_cont interpolate with different conventions; the

@@ -65,19 +65,30 @@ def cdl_z(length: int = 30):
     """Z-scored OHLC — pandas_ta/candles/cdl_z.py#cdl_z (Arrow kernel:
     8 sliding mean/stddev frames, same per-frame recompute as the
     absorbed statistics ops; SQL twin unchanged)."""
+    from pandas_ta_spark.functions.windows import sql_const_guard
+
     cols = ["open", "high", "low", "close"]
     outs = [f"{c}_Z_{length}" for c in cols]
     sql_final = {}
     for c, o in zip(cols, outs):
-        sql_final[o] = (f"({c} - ({sql_roll('avg', c, length)}))"
-                        f" / ({sql_roll('stddev_samp', c, length)})")
+        # constant frame -> 0/0 -> NULL on both engines
+        # (pdkernels.roll_const_mask rationale)
+        sql_final[o] = sql_const_guard(
+            c, length, "CAST(NULL AS DOUBLE)",
+            f"({c} - ({sql_roll('avg', c, length)}))"
+            f" / ({sql_roll('stddev_samp', c, length)})")
 
     def fn(pdf):
-        from pandas_ta_spark.functions.pdkernels import roll_mean_pd, roll_std_pd
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import (
+            roll_const_mask, roll_mean_pd, roll_std_pd)
 
         for c, o in zip(cols, outs):
             x = pdf[c]
-            pdf[o] = (x - roll_mean_pd(x, length)) / roll_std_pd(x, length)
+            z = (x - roll_mean_pd(x, length)) / roll_std_pd(x, length)
+            z[roll_const_mask(x, length)] = np.nan
+            pdf[o] = z
         return pdf
 
     return Indicator(
@@ -145,24 +156,27 @@ def ebsw(length: int = 40, bars: int = 10):
         c = pdf["close"].to_numpy()
         n = len(pdf)
         res = np.full(n, np.nan)
-        if n >= length:
-            last_close = c[0]
-            last_hp = 0.0
-            filt_hist = [0.0, 0.0]
-            alpha1 = (1 - math.sin(2 * math.pi / length)) / math.cos(2 * math.pi / length)
-            angle = math.sqrt(2) * math.pi / bars
-            a1 = math.exp(-angle)
-            b1 = 2 * a1 * math.cos(angle)
-            c2, c3 = b1, -a1 * a1
-            c1 = 1 - c2 - c3
-            for i in range(1, n):
-                hp = 0.5 * (1 + alpha1) * (c[i] - last_close) + alpha1 * last_hp
-                filt = c1 * (hp + last_hp) / 2 + c2 * filt_hist[1] + c3 * filt_hist[0]
-                wave = (filt + filt_hist[1] + filt_hist[0]) / 3
-                pwr = (filt ** 2 + filt_hist[1] ** 2 + filt_hist[0] ** 2) / 3
-                res[i] = wave / math.sqrt(pwr) if pwr > 0 else float("nan")
-                filt_hist = [filt_hist[1], filt]
-                last_close, last_hp = c[i], hp
+        # no group-size gate: the oracle anchors at row 1 and emits from
+        # row 2 for ANY group size — a kernel-side `n >= length` refusal
+        # made sub-length groups all-NaN on Spark only (fuzz gate, tiny
+        # profile). Warmup row 1 stays NaN via the loop start.
+        last_close = c[0] if n else 0.0
+        last_hp = 0.0
+        filt_hist = [0.0, 0.0]
+        alpha1 = (1 - math.sin(2 * math.pi / length)) / math.cos(2 * math.pi / length)
+        angle = math.sqrt(2) * math.pi / bars
+        a1 = math.exp(-angle)
+        b1 = 2 * a1 * math.cos(angle)
+        c2, c3 = b1, -a1 * a1
+        c1 = 1 - c2 - c3
+        for i in range(1, n):
+            hp = 0.5 * (1 + alpha1) * (c[i] - last_close) + alpha1 * last_hp
+            filt = c1 * (hp + last_hp) / 2 + c2 * filt_hist[1] + c3 * filt_hist[0]
+            wave = (filt + filt_hist[1] + filt_hist[0]) / 3
+            pwr = (filt ** 2 + filt_hist[1] ** 2 + filt_hist[0] ** 2) / 3
+            res[i] = wave / math.sqrt(pwr) if pwr > 0 else float("nan")
+            filt_hist = [filt_hist[1], filt]
+            last_close, last_hp = c[i], hp
         pdf[out] = res
         return pdf
 

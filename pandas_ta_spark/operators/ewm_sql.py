@@ -111,11 +111,23 @@ def _emit_ewm_ctes(steps: list, start_rel: str, ctes: list[str],
         ctes.append(
             f"{p_rel} AS MATERIALIZED (SELECT symbol, _rn, _x{k}, _nv{k}, _sma{k} FROM {s_rel})"
         )
+        # step formula mirrors pandas ewm(adjust=False) BITWISE,
+        # including its constant-series guard ("avoid numerical errors
+        # on constant series", pandas window/aggregations.pyx): when the
+        # running value already EQUALS the input, pandas holds it
+        # exactly, while the raw recursion a*x + (1-a)*x can drift a
+        # last-ulp off x (alpha-and-value dependent) — which flipped
+        # 1e-6-grid roundings and threshold flags against the kernels
+        # on constant stretches (fuzz gate). Off the guard, pandas
+        # computes (1-a)*y + a*x — commutatively identical to the form
+        # below (verified bit-exact on random series).
         ctes.append(
             f"{r_rel} AS ("
             f"SELECT symbol, _rn, _sma{k} AS _y FROM {p_rel} WHERE _nv{k} = {n}"
             f" UNION ALL "
-            f"SELECT s.symbol, s._rn, {a} * s._x{k} + (1 - {a}) * r._y"
+            f"SELECT s.symbol, s._rn,"
+            f" CASE WHEN r._y = s._x{k} THEN r._y"
+            f" ELSE {a} * s._x{k} + (1 - {a}) * r._y END"
             f" FROM {p_rel} s JOIN {r_rel} r"
             f" ON s.symbol = r.symbol AND s._rn = r._rn + 1)"
         )

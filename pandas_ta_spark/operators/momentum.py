@@ -29,6 +29,7 @@ from pandas_ta_spark.functions.windows import (
     w_order,
     w_rows,
     wroll,
+    sql_const_guard,
 )
 from pandas_ta_spark.operators.base import Indicator, KernelSpec
 from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
@@ -136,8 +137,16 @@ def brar(length: int = 26):
         prevc = c.shift(1)
         hcy = np.maximum(0.0, h - prevc)  # NaN-propagating greatest
         cyl = np.maximum(0.0, prevc - low)
-        pdf[ar] = 100 * roll_sum_pd(h - o, length) / roll_sum_pd(o - low, length)
-        pdf[br] = 100 * roll_sum_pd(hcy, length) / roll_sum_pd(cyl, length)
+
+        def ratio(num, den):
+            # zero denominator -> NaN, matching the SQL twin's NULL
+            # (DuckDB x/0 is NULL; numpy's inf/nan diverged — fuzz gate:
+            # a monotone series makes every bar's open == low, so the
+            # o-l window sum is EXACTLY 0 for 26 straight bars)
+            return (100 * num / den).where(den != 0)
+
+        pdf[ar] = ratio(roll_sum_pd(h - o, length), roll_sum_pd(o - low, length))
+        pdf[br] = ratio(roll_sum_pd(hcy, length), roll_sum_pd(cyl, length))
         return pdf
 
     return Indicator(
@@ -968,7 +977,8 @@ def squeeze(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
         return pdf
 
     s_mid = sql_roll("avg", "close", bb_length)
-    s_sd = sql_roll("stddev_pop", "close", bb_length)
+    s_sd = sql_const_guard("close", bb_length, "0.0",
+                           sql_roll("stddev_pop", "close", bb_length))
     s_bbl, s_bbu = f"(({s_mid}) - {bb_std!r} * ({s_sd}))", f"(({s_mid}) + {bb_std!r} * ({s_sd}))"
     s_kmid = sql_roll("avg", "close", kc_length)
     s_kband = sql_roll("avg", tr_c, kc_length)
@@ -1036,7 +1046,8 @@ def squeeze_pro(bb_length: int = 20, bb_std: float = 2.0, kc_length: int = 20,
         return pdf
 
     s_mid = sql_roll("avg", "close", bb_length)
-    s_sd = sql_roll("stddev_pop", "close", bb_length)
+    s_sd = sql_const_guard("close", bb_length, "0.0",
+                           sql_roll("stddev_pop", "close", bb_length))
     s_bbl, s_bbu = f"(({s_mid}) - {bb_std!r} * ({s_sd}))", f"(({s_mid}) + {bb_std!r} * ({s_sd}))"
     s_kmid = sql_roll("avg", "close", kc_length)
     s_kband = sql_roll("avg", tr_c, kc_length)
@@ -1260,7 +1271,17 @@ def stc(tclength: int = 10, fast: int = 12, slow: int = 26, factor: float = 0.5)
     def fn(pdf):
         import numpy as np
 
-        line = (ema_pd(pdf["close"], fast) - ema_pd(pdf["close"], slow)).to_numpy()
+        from pandas_ta_spark.operators.base import np_round
+
+        # the stoch stages consume the ROUNDED MACD line — the value
+        # STCmacd actually reports. The engines' EMA seeds differ in the
+        # last ulp (numpy pairwise mean vs the window avg), and the
+        # stochastic ratios amplify that into 1e-6-grid flips (fuzz
+        # gate); downstream of the shared grid, every remaining op is
+        # mirrored 1:1 in the oracle, so the recursions stay
+        # bit-identical.
+        line = np_round(
+            (ema_pd(pdf["close"], fast) - ema_pd(pdf["close"], slow)).to_numpy())
         n = len(pdf)
         import pandas as pd
 
@@ -1324,7 +1345,8 @@ def _stc_oracle(o, o_m, o_s, tclength, fast, slow, factor) -> str:
         [
             EwmStage("_ef", "close", 2.0 / (fast + 1), fast),
             EwmStage("_es", "close", 2.0 / (slow + 1), slow),
-            {"_line": "_ef - _es"},
+            # rounded line — the kernel's np_round twin (see fn above)
+            {"_line": sql_round("_ef - _es")},
         ],
         "base", ctes, tag="m",
     )

@@ -816,7 +816,11 @@ def vidya(length: int = 14):
         c = pdf["close"].to_numpy()
         n = len(pdf)
         res = np.full(n, np.nan)
-        if n > length:
+        # >= not >: the anchor row (index length-1) exists for a group of
+        # EXACTLY length rows, and the oracle (anchor_where _rn = length)
+        # emits it — n > length suppressed the whole group at the
+        # boundary (fuzz gate, tiny profile)
+        if n >= length:
             d = np.diff(c, prepend=c[0])
             up = np.where(d > 0, d, 0.0)
             dn = np.where(d < 0, -d, 0.0)

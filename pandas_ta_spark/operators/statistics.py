@@ -17,6 +17,7 @@ from pandas_ta_spark.functions.windows import (
     SQL_W_ORDER,
     masked,
     roll,
+    sql_const_guard,
     sql_masked,
     sql_roll,
     sql_w_rows,
@@ -40,9 +41,13 @@ def stdev(length: int = 30, ddof: int = 1, src: str = "close"):
         pdf[out] = roll_std_pd(pdf[src], length, ddof)
         return pdf
 
-    return Indicator("stdev", [out], CAT,
-                     kernel=KernelSpec(fn, [out], [src], carry_rows=length - 1),
-                     sql_final={out: sql_roll(agg, src, length)})
+    return Indicator(
+        "stdev", [out], CAT,
+        kernel=KernelSpec(fn, [out], [src], carry_rows=length - 1),
+        # constant-frame guard: exact 0 on both engines
+        # (pdkernels.roll_const_mask rationale)
+        sql_final={out: sql_const_guard(src, length, "0.0",
+                                        sql_roll(agg, src, length))})
 
 
 def variance(length: int = 30, ddof: int = 1, src: str = "close"):
@@ -56,9 +61,11 @@ def variance(length: int = 30, ddof: int = 1, src: str = "close"):
         pdf[out] = roll_var_pd(pdf[src], length, ddof)
         return pdf
 
-    return Indicator("variance", [out], CAT,
-                     kernel=KernelSpec(fn, [out], [src], carry_rows=length - 1),
-                     sql_final={out: sql_roll(agg, src, length)})
+    return Indicator(
+        "variance", [out], CAT,
+        kernel=KernelSpec(fn, [out], [src], carry_rows=length - 1),
+        sql_final={out: sql_const_guard(src, length, "0.0",
+                                        sql_roll(agg, src, length))})
 
 
 def zscore(length: int = 30, std: float = 1.0):
@@ -66,15 +73,24 @@ def zscore(length: int = 30, std: float = 1.0):
     out = name("ZS", length)
 
     def fn(pdf):
-        from pandas_ta_spark.functions.pdkernels import roll_mean_pd, roll_std_pd
+        import numpy as np
 
-        pdf[out] = (pdf["close"] - roll_mean_pd(pdf["close"], length)) / (
+        from pandas_ta_spark.functions.pdkernels import (
+            roll_const_mask, roll_mean_pd, roll_std_pd)
+
+        z = (pdf["close"] - roll_mean_pd(pdf["close"], length)) / (
             std * roll_std_pd(pdf["close"], length, 1)
         )
+        # constant frame: 0/0 — the computed path's noise/noise garbage
+        # differs per engine; NaN on both (roll_const_mask rationale)
+        z[roll_const_mask(pdf["close"], length)] = np.nan
+        pdf[out] = z
         return pdf
 
-    s = (f"(close - ({sql_roll('avg', 'close', length)}))"
-         f" / ({std!r} * ({sql_roll('stddev_samp', 'close', length)}))")
+    s = sql_const_guard(
+        "close", length, "CAST(NULL AS DOUBLE)",
+        f"(close - ({sql_roll('avg', 'close', length)}))"
+        f" / ({std!r} * ({sql_roll('stddev_samp', 'close', length)}))")
     return Indicator("zscore", [out], CAT,
                      kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
                      sql_final={out: s})
@@ -181,7 +197,10 @@ def skew(length: int = 30):
 
     s2 = _sql_central_moment(2, n, m)
     s3 = _sql_central_moment(3, n, m)
-    s = sql_masked(f"{adj!r} * ({s3}) / (({s2}) ** 1.5)", "close", n)
+    # constant frame -> 0/0 -> NULL on both engines (roll_const_mask)
+    s = sql_const_guard(
+        "close", n, "CAST(NULL AS DOUBLE)",
+        sql_masked(f"{adj!r} * ({s3}) / (({s2}) ** 1.5)", "close", n))
     return Indicator(
         "skew", [out], CAT,
         kernel=KernelSpec(fn, [out], ["close"], carry_rows=n - 1),
@@ -212,7 +231,9 @@ def kurtosis(length: int = 30):
 
     q4 = f"(({_sql_central_moment(4, n, m)}) * {n})"
     qv = f"(({_sql_central_moment(2, n, m)}) * {n} / {n - 1})"
-    s = sql_masked(f"{c1!r} * {q4} / ({qv} ** 2) - {c2!r}", "close", n)
+    s = sql_const_guard(
+        "close", n, "CAST(NULL AS DOUBLE)",
+        sql_masked(f"{c1!r} * {q4} / ({qv} ** 2) - {c2!r}", "close", n))
     return Indicator(
         "kurtosis", [out], CAT,
         kernel=KernelSpec(fn, [out], ["close"], carry_rows=n - 1),

@@ -398,18 +398,25 @@ def amat(fast: int = 8, slow: int = 21, lookback: int = 2):
     os_ = f"AMATe_SR_{fast}_{slow}_{lookback}"
 
     def fn(pdf):
+        from pandas_ta_spark.operators.base import np_flag_quantize
+
         ef = ema_pd(pdf["close"], fast)
         es = ema_pd(pdf["close"], slow)
-        fi = ef.diff(lookback) > 0
-        fd = ef.diff(lookback) < 0
-        si = es.diff(lookback) > 0
-        sd = es.diff(lookback) < 0
+        # quantized-diff thresholds — base.py flag_quantize rationale
+        fq = np_flag_quantize(ef.diff(lookback))
+        sq = np_flag_quantize(es.diff(lookback))
+        fi, fd = fq > 0, fq < 0
+        si, sd = sq > 0, sq < 0
         pdf[ol] = ((fi & sd) | (fi & si)).astype(float)
         pdf[os_] = ((fd & si) | (fd & sd)).astype(float)
         return pdf
 
     def s_d(col):
-        return f"({col} - lag({col}, {lookback}) OVER (PARTITION BY symbol ORDER BY _rn))"
+        from pandas_ta_spark.operators.base import sql_flag_quantize
+
+        return sql_flag_quantize(
+            f"{col} - lag({col}, {lookback})"
+            f" OVER (PARTITION BY symbol ORDER BY _rn)")
 
     fi, fd = f"({s_d('_ef')} > 0)", f"({s_d('_ef')} < 0)"
     si, sd = f"({s_d('_es')} > 0)", f"({s_d('_es')} < 0)"
@@ -432,11 +439,19 @@ def tsignals(fast: int = 8, slow: int = 21):
     pandas_ta/trend/tsignals.py#tsignals (trend input bound to the classic
     MA-cross for the driver suite; any boolean Column works via
     ``tsignals_of``)."""
-    trend = masked(F.avg("close").over(w_rows(fast)), "close", fast) > masked(
-        F.avg("close").over(w_rows(slow)), "close", slow
+    from pandas_ta_spark.operators.base import (
+        flag_quantize,
+        sql_flag_quantize,
     )
-    s_trend = (f"(({sql_roll('avg', 'close', fast)}) >"
-               f" ({sql_roll('avg', 'close', slow)}))")
+
+    # quantized MA-cross — base.py flag_quantize rationale (equal-MA
+    # stretches put the true difference at exactly 0)
+    trend = flag_quantize(
+        masked(F.avg("close").over(w_rows(fast)), "close", fast)
+        - masked(F.avg("close").over(w_rows(slow)), "close", slow)) > 0
+    s_trend = ("(" + sql_flag_quantize(
+        f"({sql_roll('avg', 'close', fast)})"
+        f" - ({sql_roll('avg', 'close', slow)})") + " > 0)")
     return tsignals_of(trend, s_trend)
 
 
@@ -472,17 +487,25 @@ def _run_bools(increasing_first: bool, fast_n: int, slow_n: int, length: int):
     """Shared long_run/short_run machinery over the classic SMA pair —
     pandas_ta/trend/long_run.py#long_run, #short_run. NaN diffs compare
     False (0.0), matching pandas."""
+    from pandas_ta_spark.operators.base import (
+        flag_quantize,
+        sql_flag_quantize,
+    )
+
     f_c, s_c = f"_run_f{fast_n}", f"_run_s{slow_n}"
-    fd = F.col(f_c) - shift(f_c, length)
-    sd = F.col(s_c) - shift(s_c, length)
+    # quantized-diff thresholds — base.py flag_quantize rationale (the
+    # two engines' windowed avg differ in the last ulp: per-row frame
+    # re-aggregation vs segment tree)
+    fd = flag_quantize(F.col(f_c) - shift(f_c, length))
+    sd = flag_quantize(F.col(s_c) - shift(s_c, length))
     fi, fde = fd > 0, fd < 0
     si, sde = sd > 0, sd < 0
     if increasing_first:  # long: potential bottom or both rising
         e = (fi & sde) | (fi & si)
     else:  # short: potential top or both falling
         e = (fde & si) | (fde & sde)
-    s_fd = f"({f_c} - ({sql_shift(f_c, length)}))"
-    s_sd = f"({s_c} - ({sql_shift(s_c, length)}))"
+    s_fd = sql_flag_quantize(f"{f_c} - ({sql_shift(f_c, length)})")
+    s_sd = sql_flag_quantize(f"{s_c} - ({sql_shift(s_c, length)})")
     s_fi, s_fde = f"({s_fd} > 0)", f"({s_fd} < 0)"
     s_si, s_sde = f"({s_sd} > 0)", f"({s_sd} < 0)"
     if increasing_first:
@@ -581,6 +604,10 @@ def psar(af0: float = 0.02, af: float = 0.02, max_af: float = 0.2):
         af_arr = np.full(n, np.nan)
         rev = np.zeros(n)
         if n < 2:
+            # the oracle's anchor row emits af0 (and rev 0) for ANY
+            # group, including a single-row one — mirror it (fuzz gate)
+            if n == 1:
+                af_arr[0] = af0
             pdf[outs[0]], pdf[outs[1]] = psar_l, psar_s
             pdf[outs[2]], pdf[outs[3]] = af_arr, rev
             return pdf

@@ -20,6 +20,7 @@ from pandas_ta_spark.functions.windows import (
     sql_shift,
     sql_w_rows,
     w_rows,
+    sql_const_guard,
 )
 from pandas_ta_spark.operators.base import Indicator, KernelSpec
 from pandas_ta_spark.operators.ewm_sql import EwmStage, ewm_pipeline_sql
@@ -123,7 +124,11 @@ def bbands(length: int = 5, std: float = 2.0, ddof: int = 0):
         "bbands", outs, CAT,
         kernel=KernelSpec(fn, outs, ["close"], carry_rows=length - 1),
         sql_stages=[{mid_c: sql_roll("avg", "close", length),
-                     sd_c: sql_roll(sd_agg, "close", length)}],
+                     # constant-frame std pinned to exact 0, matching the
+                     # kernel (pdkernels.roll_const_mask rationale)
+                     sd_c: sql_const_guard(
+                         "close", length, "0.0",
+                         sql_roll(sd_agg, "close", length))}],
         sql_final={
             outs[0]: s_low,
             outs[1]: mid_c,

@@ -315,16 +315,21 @@ def aobv(fast: int = 4, slow: int = 12, max_lookback: int = 2,
     def fn(pdf):
         import numpy as np
 
+        from pandas_ta_spark.operators.base import np_flag_quantize
+
         d = pdf["close"].diff(1)
         sgn = np.sign(d)
         sgn.iloc[0] = 1.0
         obv_line = (sgn * pdf["volume"]).cumsum()
         ef = ema_pd(obv_line, fast)
         es = ema_pd(obv_line, slow)
-        fi = ef.diff(max_lookback) > 0
-        fd = ef.diff(max_lookback) < 0
-        si = es.diff(max_lookback) > 0
-        sd = es.diff(max_lookback) < 0
+        # run flags threshold the 1e-6-QUANTIZED diff (base.py
+        # flag_quantize): a flat OBV stretch drives the true diff to
+        # exactly 0, where the engines' ulp noise disagrees on sign
+        fq = np_flag_quantize(ef.diff(max_lookback))
+        sq = np_flag_quantize(es.diff(max_lookback))
+        fi, fd = fq > 0, fq < 0
+        si, sd = sq > 0, sq < 0
         pdf[outs[0]] = obv_line
         pdf[outs[1]] = obv_line.rolling(min_lookback).min()
         pdf[outs[2]] = obv_line.rolling(max_lookback).max()
@@ -338,8 +343,11 @@ def aobv(fast: int = 4, slow: int = 12, max_lookback: int = 2,
     s_sgn = f"CASE WHEN _rn = 1 THEN 1.0 ELSE sign({sql_diff('close', 1)}) END"
 
     def s_d(col):
-        return (f"({col} - lag({col}, {max_lookback})"
-                f" OVER (PARTITION BY symbol ORDER BY _rn))")
+        from pandas_ta_spark.operators.base import sql_flag_quantize
+
+        return sql_flag_quantize(
+            f"{col} - lag({col}, {max_lookback})"
+            f" OVER (PARTITION BY symbol ORDER BY _rn)")
 
     fi, fd = f"({s_d('_ef')} > 0)", f"({s_d('_ef')} < 0)"
     si, sd_ = f"({s_d('_es')} > 0)", f"({s_d('_es')} < 0)"

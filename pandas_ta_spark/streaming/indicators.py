@@ -51,6 +51,16 @@ def _one_chunk(pdfs):
     yield pd.concat(chunks) if len(chunks) > 1 else chunks[0]
 
 
+def _ewm_step(alpha: float, x: float, y: float) -> float:
+    """pandas ewm(adjust=False) step, BITWISE: hold exactly when the
+    running value already equals the input (pandas' constant-series
+    guard — the raw recursion a*x + (1-a)*x can drift a last-ulp off x),
+    else the plain recursion. Keeps the streaming twins bit-identical
+    to the batch kernels (pdkernels.ewm_seeded) and the recursive-CTE
+    oracles (ewm_sql) on constant stretches."""
+    return y if y == x else alpha * x + (1 - alpha) * y
+
+
 def stream_bars(events: DataFrame, anchor: str = "1 hour",
                 watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window OHLCV bars from an event stream —
@@ -120,7 +130,7 @@ def streaming_ema(ticks: DataFrame, length: int = 10,
                     else:
                         val = None
                 else:
-                    last = alpha * float(close) + (1 - alpha) * last
+                    last = _ewm_step(alpha, float(close), last)
                     val = last
                 out_ts.append(ts)
                 out_close.append(float(close))
@@ -197,8 +207,8 @@ def streaming_rsi(ticks: DataFrame, length: int = 14,
                             pg = sum(gains) / len(gains)
                             pl = sum(losses) / len(losses)
                     else:
-                        pg = alpha * g + (1 - alpha) * pg
-                        pl = alpha * l + (1 - alpha) * pl
+                        pg = _ewm_step(alpha, g, pg)
+                        pl = _ewm_step(alpha, l, pl)
                     if pg is not None and (pg + pl):
                         val = 100.0 * pg / (pg + pl)
                 last_close = close
@@ -285,7 +295,7 @@ def streaming_supertrend(ticks: DataFrame, length: int = 7,
                         if len(pending) >= length:
                             atr = sum(pending) / len(pending)
                     else:
-                        atr = alpha * tr + (1 - alpha) * atr
+                        atr = _ewm_step(alpha, tr, atr)
                 if atr is not None:
                     hl2 = (h + l) / 2
                     ub = hl2 + multiplier * atr
@@ -379,7 +389,7 @@ def streaming_atr(ticks: DataFrame, length: int = 14,
                         if len(pending) >= length:
                             atr = sum(pending) / len(pending)
                     else:
-                        atr = alpha * tr + (1 - alpha) * atr
+                        atr = _ewm_step(alpha, tr, atr)
                 last_close = c
                 out_ts.append(ts)
                 out_close.append(c)
@@ -465,13 +475,13 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
                     if nseen >= fast:
                         ef = sum(closes[:fast]) / fast
                 else:
-                    ef = af * c + (1 - af) * ef
+                    ef = _ewm_step(af, c, ef)
                 if es is None:
                     if nseen >= slow:
                         es = sum(closes[:slow]) / slow
                         closes = []
                 else:
-                    es = as_ * c + (1 - as_) * es
+                    es = _ewm_step(as_, c, es)
                 line = hist = None
                 if es is not None:
                     line = ef - es
@@ -480,7 +490,7 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
                         if len(lines) >= signal:
                             sig = sum(lines[:signal]) / signal
                     else:
-                        sig = ag * line + (1 - ag) * sig
+                        sig = _ewm_step(ag, line, sig)
                     if sig is not None:
                         hist = line - sig
                 rows["ts"].append(ts)

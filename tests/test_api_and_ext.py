@@ -356,7 +356,8 @@ def test_media_injected_decoder(spark, tmp_path):
         for i in (0, 2):
             raw = docs["text"][i].encode()
             assert feats["frame_count"][i] == 1
-            assert feats["first_frame_hash"][i] == hashlib.md5(raw).hexdigest()
+            assert feats["first_frame_hash"][i] == hashlib.md5(
+                raw.hex().upper().encode()).hexdigest()
             exp = np.floor(np.frombuffer(raw, np.uint8).mean() * 1e6 + 0.5) / 1e6
             assert feats["mean_byte"][i] == exp
         # ValueError payload: row kept, tensor features NULL
@@ -475,12 +476,14 @@ def test_media_features_kind_dispatch(spark):
     finally:
         M.clear_decoder()
 
-    # video asset: 3 frames, first-frame hash over 16 bytes
+    # video asset: 3 frames, first-frame hash over 16 bytes (the
+    # _md5_hex fingerprint contract: md5 of the uppercase hex)
     assert got["frame_count"][0] == 3
     assert got["first_frame_hash"][0] == hashlib.md5(
-        b"0123456789abcdef").hexdigest()
+        b"0123456789abcdef".hex().upper().encode()).hexdigest()
     # image + unknown-mime assets: whole 1-D tensor, frame_count 1
-    whole = hashlib.md5(b"0123456789abcdef" * 3).hexdigest()
+    whole = hashlib.md5(
+        (b"0123456789abcdef" * 3).hex().upper().encode()).hexdigest()
     for i in (1, 2):
         assert got["frame_count"][i] == 1
         assert got["first_frame_hash"][i] == whole
