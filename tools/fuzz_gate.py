@@ -329,13 +329,18 @@ EXPLORATORY = {"beyond": gen_beyond}
 _LINE = re.compile(r"^(OK|FAIL|ok\?)\s+(\S+?):?\s+(.*)$")
 
 
-def run_profile(name: str, gen, keys: list[str], keep: bool) -> dict:
+def run_profile(name: str, gen, keys: list[str], keep: bool,
+                seed: int = 0) -> dict:
     import zlib
 
     d = tempfile.mkdtemp(prefix=f"pts_fuzz_{name}_")
     # crc32, not hash(): str hash is salted per process (PYTHONHASHSEED),
-    # which silently made every run a different dataset
-    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    # which silently made every run a different dataset. --seed N shifts
+    # every profile to a fresh deterministic draw — divergences can be
+    # draw-dependent (the aobv flat-stretch flag flip appeared on 1 of
+    # 41 event draws), so sweeps across seeds widen coverage while each
+    # (profile, seed) stays exactly reproducible.
+    rng = np.random.default_rng(zlib.crc32(name.encode()) + seed)
     gen(d, rng)
     # passthrough tables the suite doesn't fuzz (orders feeds only the
     # alternate bars derivation; region..lineitem are view-registration
@@ -405,6 +410,7 @@ def main(argv: list[str]) -> int:
     out_path = os.path.join(REPO, "FUZZ.json")
     keep = False
     skip_exploratory = False
+    seed = 0
     it = iter(argv)
     for a in it:
         if a == "--profiles":
@@ -416,9 +422,12 @@ def main(argv: list[str]) -> int:
             keep = True
         elif a == "--no-beyond":
             skip_exploratory = True
+        elif a == "--seed":
+            seed = int(next(it))
         else:
             keys.append(a)
-    report = {"profiles": {}, "total_fail": 0, "exploratory": {}}
+    report = {"profiles": {}, "total_fail": 0, "exploratory": {},
+              "seed": seed}
     gens = dict(PROFILES, **EXPLORATORY)
     if not skip_exploratory:
         profiles = profiles + list(EXPLORATORY)
@@ -426,7 +435,7 @@ def main(argv: list[str]) -> int:
         gating = p not in EXPLORATORY
         print(f"=== profile {p}{'' if gating else ' (non-gating)'}",
               flush=True)
-        r = run_profile(p, gens[p], keys, keep)
+        r = run_profile(p, gens[p], keys, keep, seed)
         (report["profiles"] if gating else report["exploratory"])[p] = r
         if gating:
             report["total_fail"] += r["fail"]
