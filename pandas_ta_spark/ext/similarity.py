@@ -525,9 +525,13 @@ def _train_centroids_numpy(rows) -> list[tuple]:
     nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
     seed_ids = [r["vec_id"] for r in rows
                 if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS]
+    # zero-norm SEEDS are dropped like zero-norm means (see the Lloyd
+    # loop below): a NaN score column would capture numpy's argmax
+    # while SQL's NULL column never wins
     cents = [(r["vec_id"] - N_QUERIES, np.array(r["e"]), float(r["nrm"]))
              for r in rows
-             if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS]
+             if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS
+             and float(r["nrm"]) > 0]
     assert seed_ids, "seed vectors missing from training collect"
     train_mask = np.array([r["vec_id"] % TRAIN_MOD == 0 for r in rows])
     # ADVICE r7: a corpus so tiny/sparsely-id'd that no vec_id hits the
@@ -555,6 +559,16 @@ def _train_centroids_numpy(rows) -> list[tuple]:
             if cnt == 0:
                 continue  # empty cluster drops out, as in GROUP BY
             s = q6[m].sum(axis=0, dtype=np.int64)
+            if not s.any():
+                # ZERO-NORM centroid (all member coords quantize to 0 —
+                # e.g. a cluster of 1e-8-magnitude vectors): cosine
+                # against it is x/0, which numpy scores inf (the
+                # centroid then captures EVERYTHING via argmax) while
+                # SQL scores NULL (it never wins) — the engines trained
+                # entirely different clusterings (fuzz gate, extreme
+                # embeddings). Unscorable -> dropped, like an empty
+                # cluster; the oracle applies the same cn > 0 filter.
+                continue
             ce = s.astype(np.float64) / 1e6 / float(cnt)
             cn = 0.0
             for d in range(DIM):
@@ -790,8 +804,11 @@ ns AS (
     WHERE vec_id % {TRAIN_MOD} = 0 AND vec_id < {TRAIN_MOD * TRAIN_CAP}
 ),
 cn0 AS (
+    -- cn > 0: zero-norm seeds are unscorable (x/0) and dropped, the
+    -- twin of the numpy trainer's seed guard
     SELECT vec_id - {N_QUERIES} AS centroid_id, e AS ce, nrm AS cn
     FROM n WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
+      AND nrm > 0
 )"""]
     cent_rel = "cn0"
     for i in range(LLOYD_ITERS):
@@ -807,7 +824,12 @@ ce{i} AS (
     SELECT centroid_id, [{comps}] AS ce FROM cm{i}
 ),
 cn{i + 1} AS (
-    SELECT centroid_id, ce, sqrt({_dot_sql('ce', 'ce')}) AS cn FROM ce{i}
+    -- cn > 0: a zero-norm mean (all member coords quantized to 0) is
+    -- unscorable and dropped, like an empty cluster — the twin of the
+    -- numpy trainer's `not s.any()` guard
+    SELECT * FROM (
+        SELECT centroid_id, ce, sqrt({_dot_sql('ce', 'ce')}) AS cn
+        FROM ce{i}) WHERE cn > 0
 )""")
         cent_rel = f"cn{i + 1}"
     parts.append(f"centn AS (SELECT * FROM {cent_rel})")

@@ -41,7 +41,16 @@ def ewm_seeded(x: pd.Series, alpha: float, seed_n: int) -> pd.Series:
     if seed_end > n:
         return out
     res = np.full(n, np.nan)
-    y = v[fv:seed_end].mean()
+    # the SMA seed is QUANTIZED to the 1e-6 output grid: numpy's
+    # pairwise mean and the oracle's window avg differ in the last ulp,
+    # and the recursion propagates that into half-grid rounding flips
+    # downstream (fuzz gate: ema_10 itself flipped one row at an
+    # adversarial draw). Off the seed, the recursion is bit-identical
+    # to the CTE (constant-hold guard + commutative-identical step).
+    # The oracle anchors on sql_round(_sma) — the same grid.
+    from pandas_ta_spark.operators.base import py_round
+
+    y = py_round(float(v[fv:seed_end].mean()))
     res[seed_end - 1] = y
     rest = v[seed_end:]
     if len(rest):

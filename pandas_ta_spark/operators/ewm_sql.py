@@ -123,7 +123,10 @@ def _emit_ewm_ctes(steps: list, start_rel: str, ctes: list[str],
         # below (verified bit-exact on random series).
         ctes.append(
             f"{r_rel} AS ("
-            f"SELECT symbol, _rn, _sma{k} AS _y FROM {p_rel} WHERE _nv{k} = {n}"
+            # seed quantized to the output grid — the kernel's py_round
+            # twin (pdkernels.ewm_seeded seed note)
+            f"SELECT symbol, _rn, {sql_round(f'_sma{k}')} AS _y"
+            f" FROM {p_rel} WHERE _nv{k} = {n}"
             f" UNION ALL "
             f"SELECT s.symbol, s._rn,"
             f" CASE WHEN r._y = s._x{k} THEN r._y"

@@ -662,9 +662,15 @@ satr AS MATERIALIZED (SELECT symbol, _rn, _tr,
     avg(_tr) OVER ({wo} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS _sma
     FROM base),
 ratr AS (
-    SELECT symbol, _rn, _sma AS _atr FROM satr WHERE _nv = {n}
+    -- seed rounded to the output grid + pandas constant-hold step:
+    -- the same mirror as EwmStage (ewm_sql.py) — the kernel's ATR is
+    -- rma_pd, whose seed/step carry both
+    SELECT symbol, _rn, {sql_round('_sma')} AS _atr
+    FROM satr WHERE _nv = {n}
     UNION ALL
-    SELECT s.symbol, s._rn, {a} * s._tr + (1 - {a}) * r._atr
+    SELECT s.symbol, s._rn,
+           CASE WHEN r._atr = s._tr THEN r._atr
+           ELSE {a} * s._tr + (1 - {a}) * r._atr END
     FROM satr s JOIN ratr r ON s.symbol = r.symbol AND s._rn = r._rn + 1
 ),
 wb AS MATERIALIZED (

@@ -57,7 +57,8 @@ def _ewm_step(alpha: float, x: float, y: float) -> float:
     guard — the raw recursion a*x + (1-a)*x can drift a last-ulp off x),
     else the plain recursion. Keeps the streaming twins bit-identical
     to the batch kernels (pdkernels.ewm_seeded) and the recursive-CTE
-    oracles (ewm_sql) on constant stretches."""
+    oracles (ewm_sql) on constant stretches. SMA seeds are py_round'd
+    at the same grid for the same reason (seed note in ewm_seeded)."""
     return y if y == x else alpha * x + (1 - alpha) * y
 
 
@@ -125,7 +126,7 @@ def streaming_ema(ticks: DataFrame, length: int = 10,
                 if last is None:
                     pending.append(float(close))
                     if len(pending) >= length:
-                        last = sum(pending) / len(pending)
+                        last = py_round(sum(pending) / len(pending))
                         val = last
                     else:
                         val = None
@@ -204,8 +205,8 @@ def streaming_rsi(ticks: DataFrame, length: int = 14,
                         gains.append(g)
                         losses.append(l)
                         if len(gains) >= length:
-                            pg = sum(gains) / len(gains)
-                            pl = sum(losses) / len(losses)
+                            pg = py_round(sum(gains) / len(gains))
+                            pl = py_round(sum(losses) / len(losses))
                     else:
                         pg = _ewm_step(alpha, g, pg)
                         pl = _ewm_step(alpha, l, pl)
@@ -293,7 +294,7 @@ def streaming_supertrend(ticks: DataFrame, length: int = 7,
                     if atr is None:
                         pending.append(tr)
                         if len(pending) >= length:
-                            atr = sum(pending) / len(pending)
+                            atr = py_round(sum(pending) / len(pending))
                     else:
                         atr = _ewm_step(alpha, tr, atr)
                 if atr is not None:
@@ -387,7 +388,7 @@ def streaming_atr(ticks: DataFrame, length: int = 14,
                     if atr is None:
                         pending.append(tr)
                         if len(pending) >= length:
-                            atr = sum(pending) / len(pending)
+                            atr = py_round(sum(pending) / len(pending))
                     else:
                         atr = _ewm_step(alpha, tr, atr)
                 last_close = c
@@ -473,12 +474,12 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
                     closes.append(c)
                 if ef is None:
                     if nseen >= fast:
-                        ef = sum(closes[:fast]) / fast
+                        ef = py_round(sum(closes[:fast]) / fast)
                 else:
                     ef = _ewm_step(af, c, ef)
                 if es is None:
                     if nseen >= slow:
-                        es = sum(closes[:slow]) / slow
+                        es = py_round(sum(closes[:slow]) / slow)
                         closes = []
                 else:
                     es = _ewm_step(as_, c, es)
@@ -488,7 +489,7 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
                     if sig is None:
                         lines.append(line)
                         if len(lines) >= signal:
-                            sig = sum(lines[:signal]) / signal
+                            sig = py_round(sum(lines[:signal]) / signal)
                     else:
                         sig = _ewm_step(ag, line, sig)
                     if sig is not None:

@@ -392,14 +392,18 @@ def _reexamine(d: str, out: dict) -> None:
     except subprocess.TimeoutExpired:
         return
     out["ulp_drift"] = {}
+    out["grid_edge"] = {}
     for line in proc.stdout.splitlines():
         if not line.startswith("REEXAMINE "):
             continue
         r = json.loads(line[len("REEXAMINE "):])
-        if r.get("verdict") == "ulp_drift":
+        v = r.get("verdict")
+        if v in ("ulp_drift", "grid_edge"):
             k = r["key"]
-            out["ulp_drift"][k] = {
-                "n_diffs": r["n_diffs"], "worst_rel": r["worst_rel"],
+            out[v][k] = {
+                "n_diffs": r["n_diffs"],
+                "n_grid_edge": r.get("n_grid_edge", 0),
+                "worst_rel": r["worst_rel"],
                 "msg": out["failures"].pop(k)}
             out["fail"] -= 1
 
@@ -449,6 +453,9 @@ def main(argv: list[str]) -> int:
         for k, info in r.get("ulp_drift", {}).items():
             print(f"    ulp  {k}: {info['n_diffs']} beyond-grid diffs,"
                   f" worst_rel {info['worst_rel']:.2e}", flush=True)
+        for k, info in r.get("grid_edge", {}).items():
+            print(f"    edge {k}: {info['n_grid_edge']} half-grid-boundary"
+                  f" rows (of {info['n_diffs']} diffs)", flush=True)
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"metric": "fuzz_gate_failures",

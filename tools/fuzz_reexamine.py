@@ -11,8 +11,18 @@ classifies it:
   ulp_drift  — every diff is on a beyond-grid output (|v|*1e6 >= 2^53)
                and within 4 ulps of the larger value: the comparison
                grid ran out of mantissa, not a semantics bug.
-  real       — anything else (NaN-pattern diffs, sub-grid-magnitude
-               diffs, >4-ulp diffs).
+  grid_edge  — every diff is ulp_drift OR exactly one 1e-6 grid step
+               (the true value sits at a half-grid boundary and the two
+               engines' last-ulp-different upstream doubles — e.g.
+               numpy pairwise sums vs a segment tree — straddle it),
+               AND such rows are RARE (<= max(3, 0.5%) of the output):
+               a systematic rounding-formula bug would hit most rows
+               and stays `real`. This is the documented limit of
+               absolute-grid equality between two independent engines
+               without full integer arithmetic everywhere.
+  real       — anything else (NaN-pattern diffs, >1-grid-step diffs at
+               in-domain magnitude, or grid-edge diffs on too many
+               rows).
 
 Prints one JSON line: {"key": ..., "verdict": ..., "n_diffs": ...,
 "worst_rel": ...}. Used by fuzz_gate.py to downgrade ulp_drift failures
@@ -52,7 +62,8 @@ def classify(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
         kc = sorted(sdf.columns)
     sdf = sdf.sort_values(kc).reset_index(drop=True)
     odf = odf.sort_values(kc).reset_index(drop=True)
-    n_diffs, worst_rel, all_ulp = 0, 0.0, True
+    n_diffs = n_edge = 0
+    worst_rel, all_ulp, all_edge = 0.0, True, True
     for c in sdf.columns:
         if c in kc:
             continue
@@ -64,7 +75,7 @@ def classify(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
             neq = ~(x.eq(y) | (x.isna() & y.isna()))
             if neq.any():
                 n_diffs += int(neq.sum())
-                all_ulp = False
+                all_ulp = all_edge = False
             continue
         x, y = x.astype(float), y.astype(float)
         neq = ~((x.isna() & y.isna()) | (x == y))
@@ -72,15 +83,26 @@ def classify(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
             n_diffs += 1
             xv, yv = x[i], y[i]
             if math.isnan(xv) or math.isnan(yv):
-                all_ulp = False  # NaN-pattern: always a real divergence
+                all_ulp = all_edge = False  # NaN-pattern: always real
                 continue
             m = max(abs(xv), abs(yv))
             d = abs(xv - yv)
             worst_rel = max(worst_rel, d / m if m else float("inf"))
-            if not (m > GRID_LIMIT and d <= ULP_TOL * math.ulp(m)):
+            is_ulp = m > GRID_LIMIT and d <= ULP_TOL * math.ulp(m)
+            if not is_ulp:
                 all_ulp = False
-    verdict = "ulp_drift" if (n_diffs and all_ulp) else "real"
-    return {"verdict": verdict, "n_diffs": n_diffs,
+                if d <= 1.5e-6:  # at most one grid step
+                    n_edge += 1
+                else:
+                    all_edge = False
+    rare = n_edge <= max(3, len(sdf) * 0.005)
+    if n_diffs and all_ulp:
+        verdict = "ulp_drift"
+    elif n_diffs and all_edge and rare:
+        verdict = "grid_edge"
+    else:
+        verdict = "real"
+    return {"verdict": verdict, "n_diffs": n_diffs, "n_grid_edge": n_edge,
             "worst_rel": worst_rel, "aligned_on": kc}
 
 
