@@ -15,6 +15,7 @@ text) contribute via ``pandas_ta_spark.ext``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,7 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   fill the 50th slot).
 # - r9 (done, 50/50 green): the 44 remaining never-evidenced ext keys + the 5
 #   anchors + vol_parkinson_20 (pulled forward from r10 to fill the 50th
-#   slot). Enumerated below as _PRIORITY. Original r9 plan: pii_scrub,
+#   slot). Enumerated below as _R11_WINDOW. Original r9 plan: pii_scrub,
 #   token_count_bpe, text_repetition, corpus_rarity, text_lang_id,
 #   text_quality, quality_lr_score, text_fingerprint, mix_rebalance_lang,
 #   sample_stratified_quota, ichimoku_forward, funnel_view_click_purchase,
@@ -120,21 +121,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #   artifact). That completes the sweep: every one of the 253 keys has
 #   a green driver row at least once. The remaining 25 slots seed the
 #   post-sweep steady state (below).
-# - r11+ STEADY STATE (VERDICT r9 ask #3): the sweep is complete, so
-#   the window stops rotating and pins _STEADY_WINDOW — 5 anchors +
-#   kind-class representation (one per §2 family) + the most
-#   scale-sensitive ext keys (LSH/IVF joins, fixed-point overflow
-#   classes, skewed aggs, the bench-watch regressions). Future
-#   regressions then surface in the riskiest queries' driver rows
-#   instead of re-proving settled ones. Pinned by
-#   tests/test_api_and_ext.py::test_steady_window_pinned.
+# - r11 STEADY STATE (VERDICT r9 ask #3, superseded): r11 pinned the
+#   same 50 keys as r10 (kept as the historical record
+#   _R11_WINDOW), so 200+ keys stopped accumulating driver-side rows.
+# - r12+ RING ROTATION (VERDICT r11 ask #1): the window rotates again,
+#   permanently. _rotation_ring() orders all suite keys as
+#   [keys never in the r11 window, sorted] + [the r11 window in its
+#   emission order], and _window_for_round(r) takes 50 keys cyclically
+#   starting at ((r - 12) * 50) % len(ring). Consequences, by design:
+#   * the r12 window is DISJOINT from the r10/r11 window (ring prefix),
+#   * every key gets a driver row at least once per ceil(N/50) rounds
+#     (N=264 -> every ~6 rounds; wrap-around keeps the cadence even as
+#     keys are added — additions shift the phase, never the guarantee),
+#   * the round number is read from the repo's own CORRECTNESS_r*.json
+#     artifacts (max N + 1 — the driver writes one per round), so the
+#     schedule needs no clock and replays deterministically.
 # Rotated-out keys remain value-checked in the full gate
 # (tools/check.py) and the judge's rerun; only the truncated 50-key
-# artifact loses them. Tests pin _PRIORITY <= queries() and exact order.
+# artifact loses them. tests/test_api_and_ext.py pins the ring and the
+# r12-disjointness promise.
 
-# The 25 steady-state representatives shared by the r10 window and
-# _STEADY_WINDOW: one kind-class representative per §2 family plus the
-# scale-sensitive ext classes and the three r9 bench-watch keys.
+# The 25 steady-state representatives of the r10/r11 window: one
+# kind-class representative per §2 family plus the scale-sensitive ext
+# classes and the three r9 bench-watch keys.
 _STEADY_CORE = [
     # §2 kind-class representation
     "rsi_14", "ema_10", "vwap", "log_return_1", "zscore_30", "adx_14",
@@ -150,27 +159,10 @@ _STEADY_CORE = [
     "rolling_beta_24",
 ]
 
-# r11+ window of record (50 keys): anchors + steady core + the
-# overflow/dtype-risk and remaining scale-sensitive classes.
-_STEADY_WINDOW = [
-    "supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
-    "topk_cosine_ivfpq", "curation_pipeline",
-    *_STEADY_CORE,
-    # dtype/overflow risk classes (HUGEINT vs BIGINT; decimal(38,0))
-    "lang_source_agg", "events_props_agg", "kyle_lambda_20",
-    "var_cvar_95_100", "vol_yang_zhang_20",
-    # contamination / semantic dedup / PQ family
-    "contamination_minhash", "semdedup_keep", "dedup_exact",
-    "topk_cosine_pq", "topk_pq_recall", "neardup_cosine_lsh",
-    # LM statistics + mixture planning
-    "perplexity_bigram", "corpus_rarity", "token_count_bpe",
-    "mix_epochs_plan", "sample_stratified_quota",
-    # media fan-out, cohort/skew aggs, panel standardization
-    "media_frame_sample", "retention_cohorts", "event_transition_matrix",
-    "xsec_zscore_ret1",
-]
-
-_PRIORITY = [
+# Historical record: the exact 50-key window the driver evidenced in
+# r10 AND r11 (identical by the since-superseded steady-state plan).
+# The rotation ring is anchored on it so r12 starts disjoint from it.
+_R11_WINDOW = [
     # flagship anchors (cross-round regression canaries)
     "supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
     "topk_cosine_ivfpq", "curation_pipeline",
@@ -187,6 +179,47 @@ _PRIORITY = [
     # post-sweep steady-state seed (kind-class + scale-sensitive)
     *_STEADY_CORE,
 ]
+
+_WINDOW_SIZE = 50
+_FIRST_ROTATION_ROUND = 12
+
+
+def _current_round() -> int:
+    """Round number, read from the repo's own driver artifacts.
+
+    The driver writes CORRECTNESS_r{N}.json once per round, so
+    max(N) + 1 is the round currently being built. Deterministic (no
+    clock), replayable, and overridable for tests via
+    $SPARK_GRAFT_ROUND."""
+    import re
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in here.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else _FIRST_ROTATION_ROUND
+
+
+def _rotation_ring(all_keys) -> list[str]:
+    """Deterministic key order the window rotates over: never-in-r11
+    keys first (sorted), then the r11 window in its emission order."""
+    r11 = [k for k in _R11_WINDOW if k in all_keys]
+    rest = sorted(k for k in all_keys if k not in set(r11))
+    return rest + r11
+
+
+def _window_for_round(round_no: int, all_keys) -> list[str]:
+    """The 50-key driver-evidence window for a round (cyclic slice)."""
+    ring = _rotation_ring(all_keys)
+    n = len(ring)
+    start = ((round_no - _FIRST_ROTATION_ROUND) * _WINDOW_SIZE) % n
+    return [ring[(start + i) % n] for i in range(min(_WINDOW_SIZE, n))]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -215,7 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unordered[key] = ext.query
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for key in _PRIORITY:
+    for key in _window_for_round(_current_round(), list(unordered)):
         # A renamed/removed pinned key must not take down the whole
         # queries() surface; the suite-size pin in tests catches the
         # omission loudly instead.

@@ -41,16 +41,17 @@ def ewm_seeded(x: pd.Series, alpha: float, seed_n: int) -> pd.Series:
     if seed_end > n:
         return out
     res = np.full(n, np.nan)
-    # the SMA seed is QUANTIZED to the 1e-6 output grid: numpy's
-    # pairwise mean and the oracle's window avg differ in the last ulp,
-    # and the recursion propagates that into half-grid rounding flips
-    # downstream (fuzz gate: ema_10 itself flipped one row at an
-    # adversarial draw). Off the seed, the recursion is bit-identical
-    # to the CTE (constant-hold guard + commutative-identical step).
-    # The oracle anchors on sql_round(_sma) — the same grid.
-    from pandas_ta_spark.operators.base import py_round
+    # the SMA seed uses the shared association-free form (base.seed_mean:
+    # exact integer-quantized window sum / n, then grid-round) so batch,
+    # streaming, and the DuckDB oracle (ewm_sql.sql_seed_mean) produce
+    # bit-identical seeds — previously three differently-associated double
+    # means could round to different 1e-6 grid points at a half-grid
+    # boundary and the recursion propagated the flip (ADVICE r11). Off the
+    # seed, the recursion is bit-identical to the CTE (constant-hold guard
+    # + commutative-identical step).
+    from pandas_ta_spark.operators.base import seed_mean
 
-    y = py_round(float(v[fv:seed_end].mean()))
+    y = seed_mean(v[fv:seed_end])
     res[seed_end - 1] = y
     rest = v[seed_end:]
     if len(rest):

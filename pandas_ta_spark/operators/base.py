@@ -89,6 +89,40 @@ def py_round(x: float, decimals: int = ROUND_DECIMALS) -> float:
     return math.floor(x * s + 0.5) / s
 
 
+# EWM seed parity (ADVICE r11): the SMA seed used to be three
+# differently-associated double means (numpy pairwise mean in the batch
+# kernels, Python left-to-right sum()/n in streaming, engine window avg
+# in the DuckDB oracles); at a half-grid boundary they could round to
+# different 1e-6 grid points, and the EWM recursion propagates that flip
+# through every later row. The shared exact form below removes the
+# association entirely: quantize each seed input to the output grid as
+# an EXACT integer, sum in arbitrary precision, then divide with one
+# fixed float-op order ((double(sum)/n)/1e6). All three paths (seed_mean
+# here, the HUGEINT window sum in ewm_sql._emit_ewm_ctes, streaming's
+# seed buffers) now produce bit-identical seeds whenever every input is
+# finite and inside SEED_GUARD — the same band where py_round grid-rounds
+# at all. Outside it (inf/NaN/huge: the fuzz gate's extreme profile) each
+# path keeps its legacy mean, which py_round passes through unrounded.
+SEED_GUARD = _ROUND_GUARD / _SCALE  # 9e12
+
+
+def seed_mean(values) -> float:
+    """Association-free SMA seed shared by batch kernels and streaming.
+
+    SQL twin: ewm_sql.sql_seed_mean (same quantize-sum-divide op order).
+    """
+    import math
+
+    vals = [float(v) for v in values]
+    n = len(vals)
+    if n == 0:
+        return float("nan")
+    if not all(math.isfinite(v) and abs(v) < SEED_GUARD for v in vals):
+        return py_round(sum(vals) / n)  # legacy path (extreme profile)
+    q = sum(int(math.floor(v * _SCALE + 0.5)) for v in vals)
+    return py_round((float(q) / n) / _SCALE)
+
+
 def np_round(a, decimals: int = ROUND_DECIMALS):
     """The numpy-array twin of round_col/sql_round/py_round — same ops,
     same order, same guard (NaN/inf/huge pass through unrounded)."""

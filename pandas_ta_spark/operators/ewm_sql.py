@@ -25,7 +25,29 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pandas_ta_spark.functions.windows import SQL_W_ORDER
-from pandas_ta_spark.operators.base import sql_round
+from pandas_ta_spark.operators.base import SEED_GUARD, _SCALE, sql_round
+
+
+def sql_seed_mean(x: str, frame: str) -> str:
+    """DuckDB twin of base.seed_mean over a window frame.
+
+    Quantize each input to the 1e-6 grid (floor(x*1e6+0.5): the exact
+    double op sequence py_round uses), sum EXACTLY as HUGEINT, then
+    divide with the same float-op order as the Python side
+    ((double(sum)/count)/1e6). The guard branch (any non-finite or
+    >= SEED_GUARD input in the frame: max(abs) is NaN-poisoned in
+    DuckDB, so one predicate covers inf/NaN/huge) falls back to the
+    legacy window avg — matching seed_mean's legacy sum()/n branch up
+    to association, in the band where py_round passes values through
+    unrounded anyway. Divides by count(x) (not the nominal n) so
+    interior-NULL frames keep today's avg semantics.
+    """
+    return (
+        f"(CASE WHEN max(abs({x})) OVER {frame} < {SEED_GUARD!r}"
+        f" THEN (CAST(sum(CAST(floor(({x}) * {_SCALE!r} + 0.5) AS HUGEINT))"
+        f" OVER {frame} AS DOUBLE) / count(({x})) OVER {frame}) / {_SCALE!r}"
+        f" ELSE avg(({x})) OVER {frame} END)"
+    )
 
 
 @dataclass
@@ -98,11 +120,12 @@ def _emit_ewm_ctes(steps: list, start_rel: str, ctes: list[str],
         p_rel = f"p{k}"
         r_rel = f"r{k}"
         o_rel = f"o{k}"
+        seed_frame = (f"(PARTITION BY symbol ORDER BY _rn"
+                      f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)")
         ctes.append(
             f"{s_rel} AS MATERIALIZED (SELECT *, ({st.src_sql}) AS _x{k},"
             f" count(({st.src_sql})) OVER (PARTITION BY symbol ORDER BY _rn) AS _nv{k},"
-            f" avg(({st.src_sql})) OVER (PARTITION BY symbol ORDER BY _rn"
-            f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS _sma{k}"
+            f" {sql_seed_mean(st.src_sql, seed_frame)} AS _sma{k}"
             f" FROM {prev})"
         )
         # recursion walks a slim (symbol, rn, x) projection; wide bar

@@ -101,10 +101,28 @@ def ao(fast: int = 5, slow: int = 34):
     )
 
 
-def apo(fast: int = 12, slow: int = 26):
-    """SMA(c,fast) - SMA(c,slow) (default mamode=sma) —
-    pandas_ta/momentum/apo.py#apo."""
+def apo(fast: int = 12, slow: int = 26, mamode: str = "sma"):
+    """MA(c,fast) - MA(c,slow) (default mamode=sma) —
+    pandas_ta/momentum/apo.py#apo.
+
+    mamode="ema" switches both legs to SMA-seeded EMAs (the MACD line
+    shape) — kernel + recursive-CTE oracle instead of window avgs."""
     out = name("APO", fast, slow)
+    if mamode == "ema":
+        def fn(pdf):
+            pdf[out] = ema_pd(pdf["close"], fast) - ema_pd(pdf["close"], slow)
+            return pdf
+
+        sql = ewm_pipeline_sql(
+            [
+                EwmStage("_ef", "close", 2.0 / (fast + 1), fast),
+                EwmStage("_es", "close", 2.0 / (slow + 1), slow),
+            ],
+            {out: "_ef - _es"},
+        )
+        return Indicator("apo", [out], CAT,
+                         kernel=KernelSpec(fn, [out], ["close"]),
+                         sql_full=sql)
     e = roll(F.avg, "close", fast) - roll(F.avg, "close", slow)
     s = f"({sql_roll('avg', 'close', fast)}) - ({sql_roll('avg', 'close', slow)})"
     return Indicator("apo", [out], CAT, final={out: e}, sql_final={out: s})
@@ -1521,8 +1539,10 @@ FACTORIES = {
 }
 
 SUITE = {
-    "mom_10": mom, "roc_10": roc, "slope_1": slope, "bop": bop, "ao_5_34": ao,
-    "apo_12_26": apo, "bias_26": bias, "brar_26": brar, "cci_14": cci,
+    "mom_10": mom, "roc_10": roc, "slope_1": slope,
+    "slope_angle_1": lambda: slope(1, as_angle=True), "bop": bop, "ao_5_34": ao,
+    "apo_12_26": apo, "apo_ema_12_26": lambda: apo(mamode="ema"),
+    "bias_26": bias, "brar_26": brar, "cci_14": cci,
     "cfo_9": cfo, "cg_10": cg, "cmo_14": cmo, "coppock": coppock,
     "cti_12": cti, "er_10": er, "kst": kst, "psl_12": psl, "stoch_14_3_3": stoch,
     "willr_14": willr, "uo_7_14_28": uo, "td_seq": td_seq, "rsi_14": rsi,

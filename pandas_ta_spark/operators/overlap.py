@@ -308,18 +308,29 @@ def _ewm_kernel(key: str, out: str, fn, inputs=("close",), sql_full=None):
                      sql_full=sql_full)
 
 
-def ema(length: int = 10):
-    """EMA alpha=2/(n+1), SMA-seeded — pandas_ta/overlap/ema.py#ema."""
+def ema(length: int = 10, presma: bool = True):
+    """EMA alpha=2/(n+1) — pandas_ta/overlap/ema.py#ema.
+
+    presma=True (default): SMA(length)-seeded recursion with NULL warmup
+    (the reference's ``sma=True`` branch). presma=False: the recursion
+    starts at the first value (pandas ``ewm(span=n, adjust=False)`` from
+    row 0, the reference's ``sma=False`` branch) — expressed here as the
+    same seeded kernel with a 1-row seed window, so the seed passes
+    through the shared quantized form (base.seed_mean) like every other
+    smoother and the recursive-CTE oracle stays exact."""
     out = name("EMA", length)
+    seed_n = length if presma else 1
 
     def fn(pdf):
-        pdf[out] = ema_pd(pdf["close"], length)
+        from pandas_ta_spark.functions.pdkernels import ewm_seeded
+
+        pdf[out] = ewm_seeded(pdf["close"], 2.0 / (length + 1), seed_n)
         return pdf
 
     from pandas_ta_spark.operators.ewm_sql import sql_ewm_simple
 
     return _ewm_kernel("ema", out, fn,
-                       sql_full=sql_ewm_simple(out, "close", 2.0 / (length + 1), length))
+                       sql_full=sql_ewm_simple(out, "close", 2.0 / (length + 1), seed_n))
 
 
 def rma(length: int = 10):
@@ -625,6 +636,7 @@ def _supertrend_oracle(outs, length: int, multiplier: float) -> str:
     recursion feeding the band-carry / direction-flip state machine —
     value-level oracle for the flagship KERNEL op."""
     from pandas_ta_spark.operators.base import sql_round
+    from pandas_ta_spark.operators.ewm_sql import sql_seed_mean
     from pandas_ta_spark.operators.momentum import _sql_true_range
     from pandas_ta_spark.sources.bars import BARS_FROM_EVENTS_SQL
 
@@ -659,12 +671,12 @@ base AS MATERIALIZED (SELECT *, ({_sql_true_range()}) AS _tr,
     row_number() OVER (PARTITION BY symbol ORDER BY ts) AS _rn FROM bars),
 satr AS MATERIALIZED (SELECT symbol, _rn, _tr,
     count(_tr) OVER ({wo}) AS _nv,
-    avg(_tr) OVER ({wo} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW) AS _sma
+    {sql_seed_mean('_tr', f'({wo} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)')} AS _sma
     FROM base),
 ratr AS (
-    -- seed rounded to the output grid + pandas constant-hold step:
+    -- association-free quantized seed + pandas constant-hold step:
     -- the same mirror as EwmStage (ewm_sql.py) — the kernel's ATR is
-    -- rma_pd, whose seed/step carry both
+    -- rma_pd, whose seed (base.seed_mean) and step carry both
     SELECT symbol, _rn, {sql_round('_sma')} AS _atr
     FROM satr WHERE _nv = {n}
     UNION ALL
@@ -1052,7 +1064,8 @@ SUITE = {
     "linreg_slope_14": lambda: linreg(14, "slope"),
     "wma_10": wma, "pwma_10": pwma, "fwma_10": fwma, "swma_10": swma,
     "sinwma_14": sinwma, "alma_10": alma, "hma_10": hma, "vwap": vwap,
-    "ema_10": ema, "rma_10": rma, "dema_10": dema, "tema_10": tema,
+    "ema_10": ema, "ema_noseed_10": lambda: ema(10, presma=False),
+    "rma_10": rma, "dema_10": dema, "tema_10": tema,
     "t3_10": t3, "zlma_10": zlma, "hilo_13_21": hilo, "ichimoku": ichimoku,
     "supertrend_7": supertrend, "kama_10": kama, "mcgd_10": mcgd,
     "vidya_14": vidya, "ssf_10": ssf, "hwma": hwma, "jma_7": jma,

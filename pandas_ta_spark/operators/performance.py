@@ -76,8 +76,9 @@ FACTORIES = {
 
 SUITE = {
     "drawdown": drawdown,
-    "log_return_1": log_return,
+    "log_return_1": log_return, "log_return_5": lambda: log_return(5),
     "cum_log_return": lambda: log_return(cumulative=True),
     "percent_return_1": percent_return,
+    "percent_return_5": lambda: percent_return(5),
     "cum_percent_return": lambda: percent_return(cumulative=True),
 }

@@ -336,7 +336,8 @@ FACTORIES = {
 }
 
 SUITE = {
-    "stdev_30": stdev, "variance_30": variance, "zscore_30": zscore,
+    "stdev_30": stdev, "stdev_30_ddof0": lambda: stdev(30, ddof=0),
+    "variance_30": variance, "variance_30_ddof0": lambda: variance(30, ddof=0), "zscore_30": zscore,
     "median_30": median, "quantile_30_0.5": quantile, "mad_30": mad,
     "skew_30": skew, "kurtosis_30": kurtosis, "entropy_10": entropy,
     "tos_stdevall": tos_stdevall,

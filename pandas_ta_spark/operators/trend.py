@@ -234,10 +234,26 @@ def dpo(length: int = 20, centered: bool = True):
     )
 
 
-def qstick(length: int = 10):
-    """SMA(c - o, n) — pandas_ta/trend/qstick.py#qstick."""
+def qstick(length: int = 10, mamode: str = "sma"):
+    """MA(c - o, n), default SMA — pandas_ta/trend/qstick.py#qstick.
+
+    mamode="ema" smooths the candle body with the SMA-seeded EMA kernel
+    (recursive-CTE oracle) instead of the window avg."""
     out = name("QS", length)
     t = "_qs_co"
+    if mamode == "ema":
+        def fn(pdf):
+            pdf[out] = ema_pd(pdf["close"] - pdf["open"], length)
+            return pdf
+
+        sql = ewm_pipeline_sql(
+            [EwmStage("_qs", t, 2.0 / (length + 1), length)],
+            {out: "_qs"},
+            pre={t: "(close - open)"},
+        )
+        return Indicator("qstick", [out], CAT,
+                         kernel=KernelSpec(fn, [out], ["open", "close"]),
+                         sql_full=sql)
     return Indicator(
         "qstick", [out], CAT,
         stages=[{t: F.col("close") - F.col("open")}],
@@ -391,17 +407,26 @@ def cksp(p: int = 10, x: float = 1.0, q: int = 9):
                      sql_full=sql)
 
 
-def amat(fast: int = 8, slow: int = 21, lookback: int = 2):
-    """Archer MA Trends: long_run/short_run of EMA(fast) vs EMA(slow) —
-    pandas_ta/trend/amat.py#amat, trend/long_run.py#long_run."""
-    ol = f"AMATe_LR_{fast}_{slow}_{lookback}"
-    os_ = f"AMATe_SR_{fast}_{slow}_{lookback}"
+def amat(fast: int = 8, slow: int = 21, lookback: int = 2,
+         mamode: str = "ema"):
+    """Archer MA Trends: long_run/short_run of MA(fast) vs MA(slow) —
+    pandas_ta/trend/amat.py#amat, trend/long_run.py#long_run.
+
+    mamode selects the smoother for both legs (default "ema" as the
+    reference; "sma" swaps in rolling means — window exprs, no kernel)."""
+    tag = mamode[0]  # AMATe_* / AMATs_* (reference naming)
+    ol = f"AMAT{tag}_LR_{fast}_{slow}_{lookback}"
+    os_ = f"AMAT{tag}_SR_{fast}_{slow}_{lookback}"
 
     def fn(pdf):
         from pandas_ta_spark.operators.base import np_flag_quantize
 
-        ef = ema_pd(pdf["close"], fast)
-        es = ema_pd(pdf["close"], slow)
+        if mamode == "sma":
+            ef = pdf["close"].rolling(fast).mean()
+            es = pdf["close"].rolling(slow).mean()
+        else:
+            ef = ema_pd(pdf["close"], fast)
+            es = ema_pd(pdf["close"], slow)
         # quantized-diff thresholds — base.py flag_quantize rationale
         fq = np_flag_quantize(ef.diff(lookback))
         sq = np_flag_quantize(es.diff(lookback))
@@ -420,11 +445,20 @@ def amat(fast: int = 8, slow: int = 21, lookback: int = 2):
 
     fi, fd = f"({s_d('_ef')} > 0)", f"({s_d('_ef')} < 0)"
     si, sd = f"({s_d('_es')} > 0)", f"({s_d('_es')} < 0)"
-    sql = ewm_pipeline_sql(
-        [
+    if mamode == "sma":
+        steps = [{
+            "_ef": sql_masked(f"avg(close) OVER ({sql_w_rows(fast)})",
+                              "close", fast),
+            "_es": sql_masked(f"avg(close) OVER ({sql_w_rows(slow)})",
+                              "close", slow),
+        }]
+    else:
+        steps = [
             EwmStage("_ef", "close", 2.0 / (fast + 1), fast),
             EwmStage("_es", "close", 2.0 / (slow + 1), slow),
-        ],
+        ]
+    sql = ewm_pipeline_sql(
+        steps,
         # coalesce: pandas bool-of-NaN compares False (0.0) in warmup
         {ol: f"CAST(coalesce(({fi} AND {sd}) OR ({fi} AND {si}), false) AS DOUBLE)",
          os_: f"CAST(coalesce(({fd} AND {si}) OR ({fd} AND {sd}), false) AS DOUBLE)"},
@@ -730,9 +764,12 @@ SUITE = {
     "increasing_strict_4": lambda: increasing(4, strict=True),
     "decreasing_strict_4": lambda: decreasing(4, strict=True),
     "dpo_20": dpo,
-    "qstick_10": qstick, "ttm_trend_6": ttm_trend, "vhf_28": vhf,
+    "qstick_10": qstick, "qstick_ema_10": lambda: qstick(10, mamode="ema"),
+    "ttm_trend_6": ttm_trend, "vhf_28": vhf,
     "vortex_14": vortex, "adx_14": adx, "cksp_10_1_9": cksp,
-    "amat_8_21_2": amat, "tsignals_8_21": tsignals, "psar": psar,
+    "amat_8_21_2": amat,
+    "amat_sma_8_21_2": lambda: amat(8, 21, 2, mamode="sma"),
+    "tsignals_8_21": tsignals, "psar": psar,
     "long_run_8_21": long_run, "short_run_8_21": short_run,
     "xsignals_z30": xsignals,
 }

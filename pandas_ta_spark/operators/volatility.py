@@ -454,8 +454,11 @@ FACTORIES = {
 
 SUITE = {
     "hwc": hwc,
-    "true_range": true_range, "atr_14": atr, "natr_14": natr,
-    "bbands_5_2.0": bbands, "donchian_20": donchian, "kc_20": kc,
+    "true_range": true_range, "atr_14": atr,
+    "atr_14_percent": lambda: atr(14, percent=True),
+    "natr_14": natr,
+    "bbands_5_2.0": bbands,
+    "bbands_ddof1_5_2.0": lambda: bbands(5, 2.0, ddof=1), "donchian_20": donchian, "kc_20": kc,
     "massi_9_25": massi, "pdist": pdist, "ui_14": ui, "accbands_20": accbands,
     "rvi_14": rvi, "thermo_20": thermo, "aberration_5_15": aberration,
 }

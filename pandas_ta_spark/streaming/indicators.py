@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from pandas_ta_spark.operators.base import py_round
+from pandas_ta_spark.operators.base import py_round, seed_mean
 
 # bound ONCE at module scope: _lnq runs ~window-length times per
 # arriving row in every twin — per-call `import math` + attribute
@@ -126,7 +126,7 @@ def streaming_ema(ticks: DataFrame, length: int = 10,
                 if last is None:
                     pending.append(float(close))
                     if len(pending) >= length:
-                        last = py_round(sum(pending) / len(pending))
+                        last = seed_mean(pending)
                         val = last
                     else:
                         val = None
@@ -205,8 +205,8 @@ def streaming_rsi(ticks: DataFrame, length: int = 14,
                         gains.append(g)
                         losses.append(l)
                         if len(gains) >= length:
-                            pg = py_round(sum(gains) / len(gains))
-                            pl = py_round(sum(losses) / len(losses))
+                            pg = seed_mean(gains)
+                            pl = seed_mean(losses)
                     else:
                         pg = _ewm_step(alpha, g, pg)
                         pl = _ewm_step(alpha, l, pl)
@@ -294,7 +294,7 @@ def streaming_supertrend(ticks: DataFrame, length: int = 7,
                     if atr is None:
                         pending.append(tr)
                         if len(pending) >= length:
-                            atr = py_round(sum(pending) / len(pending))
+                            atr = seed_mean(pending)
                     else:
                         atr = _ewm_step(alpha, tr, atr)
                 if atr is not None:
@@ -388,7 +388,7 @@ def streaming_atr(ticks: DataFrame, length: int = 14,
                     if atr is None:
                         pending.append(tr)
                         if len(pending) >= length:
-                            atr = py_round(sum(pending) / len(pending))
+                            atr = seed_mean(pending)
                     else:
                         atr = _ewm_step(alpha, tr, atr)
                 last_close = c
@@ -474,12 +474,12 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
                     closes.append(c)
                 if ef is None:
                     if nseen >= fast:
-                        ef = py_round(sum(closes[:fast]) / fast)
+                        ef = seed_mean(closes[:fast])
                 else:
                     ef = _ewm_step(af, c, ef)
                 if es is None:
                     if nseen >= slow:
-                        es = py_round(sum(closes[:slow]) / slow)
+                        es = seed_mean(closes[:slow])
                         closes = []
                 else:
                     es = _ewm_step(as_, c, es)
@@ -489,7 +489,7 @@ def streaming_macd(ticks: DataFrame, fast: int = 12, slow: int = 26,
                     if sig is None:
                         lines.append(line)
                         if len(lines) >= signal:
-                            sig = py_round(sum(lines[:signal]) / signal)
+                            sig = seed_mean(lines[:signal])
                     else:
                         sig = _ewm_step(ag, line, sig)
                     if sig is not None:

@@ -570,8 +570,13 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 253
-    assert len(o) == 253  # zero rows-only (r9 added kyle_lambda_20,
+    assert len(q) == 264
+    assert len(o) == 264  # zero rows-only (r12 added the 11 param-variant
+    # keys: ema_noseed_10, apo_ema_12_26, slope_angle_1, stdev_30_ddof0,
+    # variance_30_ddof0, atr_14_percent, bbands_ddof1_5_2.0, log_return_5,
+    # percent_return_5, qstick_ema_10, amat_sma_8_21_2 — VERDICT r11 ask
+    # #2: non-default branches were previously un-oracled; r9 added
+    # kyle_lambda_20,
     # contamination_prefix, mix_epochs_plan; r8 added asof_hour_lookup,
     # embedding_drift_by_slice, curation_decisions, perplexity_unigram,
     # then attribution_last_touch, user_rfm_segments, events_rate_anomaly,
@@ -588,92 +593,77 @@ def test_entry_contract(spark):
     # doc_chunk_128_16, pair_spread_z_24, chunk_dup_rate,
     # rolling_mdd_100)
     assert set(o) <= set(q)
-    # Truncation insurance: EVERY pinned key must still exist — a renamed
-    # pinned key would otherwise silently fall out of the gate window
-    # (ADVICE r4) — and the r10 window must hold the 5 flagship anchors +
-    # the pre-pinned final tranche + the two dtype-fixed keys + the
-    # steady-state seed (the sweep plan documented above _PRIORITY).
-    assert set(E._PRIORITY) <= set(q)
-    assert list(q)[: len(E._PRIORITY)] == E._PRIORITY
-    assert len(E._PRIORITY) == 50
-    first50 = list(q)[:50]
-    for must in ("supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
-                 "topk_cosine_ivfpq", "curation_pipeline",
-                 # the two r8 dtype-reds whose driver row must flip green
-                 "lang_source_agg", "events_props_agg",
-                 # the three r9-new ops' first driver evidence
-                 "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan",
-                 # one spot-check per steady-seed family
-                 "rsi_14", "vp_10", "dedup_cc_clusters", "topk_cosine_ivf",
-                 "lead_lag_corr_1h", "rolling_beta_24"):
-        assert must in first50, must
-    # r10 sweep promise: the 18 first-timers (tranche + r9-new ops) have
-    # never appeared in a prior driver artifact.
-    import json
-    seen = set()
-    for rn in range(1, 10):
-        try:
-            seen |= set(json.load(
-                open(f"/root/repo/CORRECTNESS_r0{rn}.json")))
-        except FileNotFoundError:
-            pass
-    first_timers = set(R10_TRANCHE) | {
-        "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan"}
-    if seen:  # artifacts present: the sweep promise is enforceable
-        assert all(k not in seen for k in first_timers), (
-            "r10 first-timer key already driver-evidenced")
+    # Truncation insurance (ADVICE r4): every ring key must still exist —
+    # a renamed key would otherwise silently fall out of the rotation —
+    # and the emission prefix must be exactly this round's window.
+    ring = E._rotation_ring(list(q))
+    assert sorted(ring) == sorted(q)
+    window = E._window_for_round(E._current_round(), list(q))
+    assert list(q)[: len(window)] == window
+    assert len(window) == 50 and len(set(window)) == 50
+    for k in window:
+        assert k in o, k  # every evidenced key is value-checked, not rows-only
 
 
-# The final sweep tranche, pre-pinned (VERDICT r8 ask #7) so r10 is a
-# constant-time rotation: _PRIORITY becomes ANCHORS + R10_TRANCHE and
-# the window's remaining 30 slots return to kind-class representation.
-R10_TRANCHE = (
-    "vol_garman_klass_20", "vol_rogers_satchell_20", "vol_yang_zhang_20",
-    "amihud_illiq_20", "cs_spread_2_20", "roll_spread_20", "hurst_aggvar",
-    "ar1_half_life", "rolling_sharpe_20", "rolling_sortino_20",
-    "var_cvar_95_100", "rolling_mdd_100", "doc_chunk_128_16",
-    "chunk_dup_rate", "pair_spread_z_24",
-)
+def test_rotation_window_schedule(spark):
+    """VERDICT r11 ask #1: the driver-evidence window rotates again.
 
+    Pins the three promises the schedule makes: (a) the r12 window is
+    DISJOINT from the frozen r10/r11 window, (b) a full cycle of
+    ceil(N/50) consecutive rounds covers every suite key at least once,
+    (c) the window is deterministic in the round number alone."""
+    import math
 
-def test_r10_tranche_ready(spark):
-    """The r10 rotation was executed exactly as pre-pinned: every
-    tranche key sits in the window with an exact oracle, immediately
-    after the 5 anchors (VERDICT r9 ask #1)."""
     import __spark_entry__ as E
 
-    q, o = E.queries(), E.oracle_sql()
-    assert len(R10_TRANCHE) == 15
-    for k in R10_TRANCHE:
-        assert k in q, k
-        assert k in o, k
-    assert E._PRIORITY[5:20] == list(R10_TRANCHE)
-    assert E._PRIORITY[20:25] == [
-        "kyle_lambda_20", "contamination_prefix", "mix_epochs_plan",
-        "lang_source_agg", "events_props_agg"]
+    q = E.queries()
+    keys = list(q)
+    w12 = E._window_for_round(12, keys)
+    assert not (set(w12) & set(E._R11_WINDOW))
+    cycle = math.ceil(len(keys) / E._WINDOW_SIZE)
+    covered = set()
+    for r in range(12, 12 + cycle):
+        w = E._window_for_round(r, keys)
+        assert len(w) == E._WINDOW_SIZE and len(set(w)) == len(w)
+        assert E._window_for_round(r, keys) == w  # deterministic
+        covered |= set(w)
+    assert covered == set(keys)
+    # round detection reads the repo's own artifacts (max N + 1)
+    assert E._current_round() >= 12
 
 
-def test_steady_window_pinned(spark):
-    """The r11+ post-sweep window of record (VERDICT r9 ask #3): 50 keys,
-    anchors first, every key resolvable with an exact oracle, and the
-    r10 window already seeds its 25-key steady core so the steady state
-    is continuous, not a cliff."""
+def test_r11_window_is_historical_record(spark):
+    """The frozen r10/r11 window stays resolvable (it anchors the ring
+    order), even though it no longer gates emission by itself."""
     import __spark_entry__ as E
 
-    q, o = E.queries(), E.oracle_sql()
-    w = E._STEADY_WINDOW
-    assert len(w) == 50 and len(set(w)) == 50
-    assert w[:5] == ["supertrend_7", "macd_12_26_9", "dedup_minhash_lsh",
-                     "topk_cosine_ivfpq", "curation_pipeline"]
-    for k in w:
+    q = E.queries()
+    assert len(E._R11_WINDOW) == 50
+    for k in E._R11_WINDOW:
         assert k in q, k
-        assert k in o, k
-    # continuity: the steady core is live in the r10 window already
-    assert set(E._STEADY_CORE) <= set(E._PRIORITY)
-    assert set(E._STEADY_CORE) <= set(w)
-    # the dtype/overflow risk classes stay under permanent driver watch
-    for k in ("lang_source_agg", "events_props_agg", "kyle_lambda_20"):
-        assert k in w, k
+
+
+def test_coverage_md_fresh(spark):
+    """VERDICT r11 ask #8: COVERAGE.md is generated, so it can silently
+    stale. A fresh render must match the committed file byte-for-byte —
+    mutating a SUITE entry without re-running tools/gen_coverage.py
+    fails here, naming the first divergent line."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_coverage
+
+    fresh = gen_coverage.render()
+    committed = open("/root/repo/COVERAGE.md").read()
+    if fresh != committed:
+        for i, (a, b) in enumerate(zip(fresh.splitlines(),
+                                       committed.splitlines())):
+            assert a == b, (
+                f"COVERAGE.md stale at line {i + 1}:\n"
+                f"  fresh:     {a}\n  committed: {b}\n"
+                "run: python tools/gen_coverage.py")
+        raise AssertionError(
+            "COVERAGE.md stale (length differs): run python tools/gen_coverage.py")
 
 
 def test_readme_counts_match_registry():
