@@ -533,6 +533,16 @@ def _train_centroids_numpy(rows) -> list[tuple]:
              if N_QUERIES <= r["vec_id"] < N_QUERIES + K_CENTROIDS
              and float(r["nrm"]) > 0]
     assert seed_ids, "seed vectors missing from training collect"
+    # ADVICE r11: assert the FILTERED list too — if every seed vector is
+    # zero-norm, the numpy Lloyd argmax would raise an opaque ValueError
+    # over zero candidate columns while the SQL twin silently returned an
+    # empty relation. Both engines must fail loudly and identically, so
+    # the degenerate corpus is rejected here with a named cause.
+    assert cents, (
+        f"all {len(seed_ids)} IVF seed vectors are zero-norm — the "
+        f"corpus has no usable centroid seeds (every candidate filtered "
+        f"by the nrm > 0 guard); cosine clustering is undefined on an "
+        f"all-degenerate seed set")
     train_mask = np.array([r["vec_id"] % TRAIN_MOD == 0 for r in rows])
     # ADVICE r7: a corpus so tiny/sparsely-id'd that no vec_id hits the
     # TRAIN_MOD stride would otherwise surface as an opaque np.argmax

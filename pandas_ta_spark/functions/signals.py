@@ -6,14 +6,21 @@ named ``{A}_A_{B}`` (above), ``{A}_B_{B}`` (below), ``{A}_XA_{B}`` (cross
 above), ``{A}_XB_{B}`` (cross below). Pure projections + one lag — stays
 inside whole-stage codegen, shares the canonical (symbol, ts) sort.
 
-Every comparison thresholds the 1e-6-QUANTIZED difference
-(operators/base.py flag_quantize): when one side is a computed aggregate
-(the classic close-vs-SMA pair), a true tie is decided by the engines'
-differing last ulps otherwise — and the grid is what the reported values
-round to anyway, so signals agree with what users see. (a - b) >= 0 is
-exactly equivalent to a >= b in IEEE doubles (a != b implies a - b != 0
-with gradual underflow), so the rewrite changes nothing off the grid
-edges."""
+Grid-tie semantics (user contract — also documented in README
+"Signal comparison semantics"): every comparison thresholds the
+1e-6-QUANTIZED difference (operators/base.py flag_quantize) by default.
+When one side is a computed aggregate (the classic close-vs-SMA pair), a
+true tie would otherwise be decided by the engines' differing last ulps
+— and the grid is what the reported values round to anyway, so signals
+agree with what users see. Two visible consequences: (1) above(a, b)
+returns 1 when a is within half a grid step (~5e-7) below b, and
+(2) NaN comparands yield NULL, not a 0 flag. Both diverge from upstream
+pandas_ta's strict raw comparisons; users feeding RAW (un-rounded)
+inputs can opt out with ``quantize=False``, which compares the raw
+doubles and maps NaN/NULL comparands to 0 exactly like pandas boolean
+indexing. (a - b) >= 0 is exactly equivalent to a >= b in IEEE doubles
+(a != b implies a - b != 0 with gradual underflow), so the quantized
+rewrite changes nothing off the grid edges."""
 
 from __future__ import annotations
 
@@ -32,39 +39,67 @@ def _qd(a: Column | str, b: Column | str) -> Column:
     return flag_quantize(_col(a) - _col(b))
 
 
-def above(a: Column | str, b: Column | str) -> Column:
-    """1 where a >= b else 0 (pandas_ta/utils/_signals.py#_above_below)."""
-    return (_qd(a, b) >= 0).cast("int")
+def _raw_flag(cond: Column, *cols: Column) -> Column:
+    """Strict-comparison flag with pandas boolean-indexing semantics:
+    NaN/NULL comparands compare False -> 0 (upstream pandas_ta's raw
+    contract), never NULL."""
+    bad = None
+    for c in cols:
+        t = F.isnan(c) | c.isNull()
+        bad = t if bad is None else (bad | t)
+    return F.when(bad, F.lit(0)).otherwise(cond.cast("int"))
 
 
-def below(a: Column | str, b: Column | str) -> Column:
-    return (_qd(a, b) <= 0).cast("int")
+def above(a: Column | str, b: Column | str, quantize: bool = True) -> Column:
+    """1 where a >= b else 0 (pandas_ta/utils/_signals.py#_above_below).
+
+    quantize=False opts out of the grid-tie contract (module docstring)
+    for raw un-rounded inputs: strict IEEE comparison, NaN/NULL -> 0."""
+    if quantize:
+        return (_qd(a, b) >= 0).cast("int")
+    ca, cb = _col(a), _col(b)
+    return _raw_flag(ca >= cb, ca, cb)
 
 
-def above_value(a: Column | str, value: float) -> Column:
-    return above(a, F.lit(float(value)))
+def below(a: Column | str, b: Column | str, quantize: bool = True) -> Column:
+    if quantize:
+        return (_qd(a, b) <= 0).cast("int")
+    ca, cb = _col(a), _col(b)
+    return _raw_flag(ca <= cb, ca, cb)
 
 
-def below_value(a: Column | str, value: float) -> Column:
-    return below(a, F.lit(float(value)))
+def above_value(a: Column | str, value: float, quantize: bool = True) -> Column:
+    return above(a, F.lit(float(value)), quantize)
 
 
-def cross(a: Column | str, b: Column | str, above: bool = True) -> Column:
+def below_value(a: Column | str, value: float, quantize: bool = True) -> Column:
+    return below(a, F.lit(float(value)), quantize)
+
+
+def cross(a: Column | str, b: Column | str, above: bool = True,
+          quantize: bool = True) -> Column:
     """1 on the bar where a crosses above (below) b:
     now a > b (a < b) and previously a <= b (a >= b) —
     pandas_ta/utils/_signals.py#cross. The previous-row comparison reads
-    the SHIFTED quantized diff, so both rows sit on the same grid."""
-    d = _qd(a, b)
-    pd_ = shift(d, 1)
-    if above:
-        e = (d > 0) & (pd_ <= 0)
-    else:
-        e = (d < 0) & (pd_ >= 0)
-    return e.cast("int")
+    the SHIFTED quantized diff, so both rows sit on the same grid.
+    quantize=False: strict raw comparisons, NaN/NULL rows -> 0."""
+    if quantize:
+        d = _qd(a, b)
+        pd_ = shift(d, 1)
+        if above:
+            e = (d > 0) & (pd_ <= 0)
+        else:
+            e = (d < 0) & (pd_ >= 0)
+        return e.cast("int")
+    ca, cb = _col(a), _col(b)
+    pa, pb = shift(ca, 1), shift(cb, 1)
+    e = ((ca > cb) & (pa <= pb)) if above else ((ca < cb) & (pa >= pb))
+    return _raw_flag(e, ca, cb, pa, pb)
 
 
-def cross_value(a: Column | str, value: float, above: bool = True) -> Column:
-    return cross(_col(a), F.lit(float(value)), above)
+def cross_value(a: Column | str, value: float, above: bool = True,
+                quantize: bool = True) -> Column:
+    return cross(_col(a), F.lit(float(value)), above, quantize)
 
 
 # ----------------------------------------------------------- SQL twins ----

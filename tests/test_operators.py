@@ -426,3 +426,45 @@ def test_chunked_kernel_forward_carry(bars):
         x, y = a[c].to_numpy(float), b[c].to_numpy(float)
         same = (np.isnan(x) & np.isnan(y)) | (x == y)
         assert same.all(), f"{c}: {int((~same).sum())} rows differ"
+
+
+def test_signals_quantize_opt_out(spark):
+    """ADVICE r11: quantize=False gives strict raw comparisons with
+    pandas boolean-indexing NaN semantics (NaN/NULL -> 0), while the
+    default grid-tie contract counts a half-grid-step shortfall as a
+    tie and propagates NULL on NaN comparands."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.functions.signals import above, cross
+
+    pdf = pd.DataFrame({
+        "symbol": ["A"] * 5,
+        "ts": pd.date_range("2024-01-01", periods=5, freq="h"),
+        # row0: a a full grid step below b (real difference)
+        # row1: a 3e-7 below b (inside the grid tie band)
+        # row2: exactly equal
+        # row3: NaN comparand
+        # row4: a above b
+        "a": [1.0 - 1.1e-6, 1.0 - 3e-7, 1.0, math.nan, 1.5],
+        "b": [1.0, 1.0, 1.0, 1.0, 1.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = (df.orderBy("ts")
+             .withColumn("q", above("a", "b"))
+             .withColumn("raw", above("a", "b", quantize=False))
+             .withColumn("xq", cross("a", "b"))
+             .withColumn("xraw", cross("a", "b", quantize=False))
+             .toPandas().sort_values("ts").reset_index(drop=True))
+    # quantized: grid tie counts as >=, NaN -> NULL
+    assert list(out["q"][:3]) == [0, 1, 1]
+    assert pd.isna(out["q"][3])
+    assert out["q"][4] == 1
+    # raw opt-out: strict comparison, NaN -> 0 (pandas semantics)
+    assert list(out["raw"][:3]) == [0, 0, 1]
+    assert out["raw"][3] == 0
+    assert out["raw"][4] == 1
+    # raw cross flags 0 (not NULL) on warmup/NaN rows
+    assert out["xraw"].notna().all()

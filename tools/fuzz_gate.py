@@ -462,6 +462,14 @@ def main(argv: list[str]) -> int:
                       "value": report["total_fail"],
                       "profiles": {p: r["fail"]
                                    for p, r in report["profiles"].items()},
+                      # downgraded-but-real value differences stay visible
+                      # in the exit summary (ADVICE r11): a regression that
+                      # hides inside the grid_edge rate budget is noticed
+                      # here, not just in the per-profile logs
+                      "grid_edge_keys": {
+                          p: sorted(r.get("grid_edge", {}))
+                          for p, r in report["profiles"].items()
+                          if r.get("grid_edge")},
                       "beyond_domain_drift": {
                           p: r["fail"]
                           for p, r in report["exploratory"].items()}}))

@@ -46,6 +46,7 @@ sys.path.insert(0, "/root/repo/tools")
 
 GRID_LIMIT = 2.0 ** 53 / 1e6  # |v| above this: 1e-6 grid unrepresentable
 ULP_TOL = 4
+MIN_ROWS_FOR_RATE = 600  # 0.5% of this = 3 rows, the old absolute floor
 
 
 def classify(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
@@ -95,7 +96,14 @@ def classify(sdf: pd.DataFrame, odf: pd.DataFrame) -> dict:
                     n_edge += 1
                 else:
                     all_edge = False
-    rare = n_edge <= max(3, len(sdf) * 0.005)
+    # Rate-only downgrade (ADVICE r11): the old max(3, rows*0.5%) floor
+    # let up to 3 genuinely divergent rows pass un-gated on small outputs
+    # regardless of rate. Now a grid_edge verdict requires BOTH a large
+    # enough output for a rate to mean anything (>= MIN_ROWS_FOR_RATE)
+    # and <= 0.5% of rows on the boundary; any edge diff on a small
+    # output is classified real and gates. Keys downgraded here are also
+    # surfaced in fuzz_gate's exit-summary JSON (grid_edge_keys).
+    rare = len(sdf) >= MIN_ROWS_FOR_RATE and n_edge <= len(sdf) * 0.005
     if n_diffs and all_ulp:
         verdict = "ulp_drift"
     elif n_diffs and all_edge and rare:
