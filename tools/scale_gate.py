@@ -2,7 +2,12 @@
 list (or the FULL 253-key suite) vs DuckDB on an Nx replica of an sf dir.
 
     python tools/scale_gate.py [--n 100] [--sf-dir /root/testdata/sf0.01]
-                               [--full] [--round R] [--json PATH] [key ...]
+                               [--full] [--recall] [--round R]
+                               [--json PATH] [key ...]
+
+``--recall`` runs the ANN quality section instead: IVF/PQ recall@k vs
+brute force at the base dir AND the replica, floor-checked (run_recall)
+into RECALL_x{n}.json.
 
 Builds the replica via tools/make_x10.py if the target dir is absent,
 then runs tools/check.py (the driver-style exact value-hash gate) over
@@ -62,6 +67,62 @@ SCALE_KEYS = [
 
 _LINE = re.compile(r"^(OK|FAIL|ok\?)\s+(\S+?):.*?\((\d+(?:\.\d+)?)s\)",
                    re.M)
+RECALL_FLOOR = 0.9  # x-replica mean recall must keep >= 90% of base
+
+
+def run_recall(sf_dir: str, rep_dir: str, n: int, rnd: int) -> int:
+    """ANN quality at scale (VERDICT r11 ask #4): recall@k of the IVF and
+    PQ indexes vs exact brute force, measured at the BASE sf dir and on
+    the Nx replica. Recall is exactly what degrades as the corpus grows
+    (more vectors per centroid at fixed NPROBE/K_CENTROIDS), so the gate
+    asserts the replica keeps >= RECALL_FLOOR of the base mean recall
+    per index family and writes RECALL_x{n}.json."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    import __spark_entry__ as E
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true")
+             .appName("recall-gate").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    q = E.queries()
+    report: dict = {"round": rnd, "n": n, "base": sf_dir,
+                    "replica": rep_dir, "floor": RECALL_FLOOR}
+    ok = True
+    t0 = time.time()
+    for fam, key in (("ivf", "topk_ivf_recall"), ("pq", "topk_pq_recall")):
+        entry: dict = {"key": key}
+        for tag, d in (("base", sf_dir), ("replica", rep_dir)):
+            row = (q[key](spark, d)
+                   .agg(F.avg("recall").alias("mean_recall"),
+                        F.min("recall").alias("min_recall"),
+                        F.count(F.lit(1)).alias("n_queries"))
+                   .first())
+            entry[tag] = {"mean_recall": round(float(row["mean_recall"]), 6),
+                          "min_recall": round(float(row["min_recall"]), 6),
+                          "n_queries": int(row["n_queries"])}
+        ratio = (entry["replica"]["mean_recall"]
+                 / entry["base"]["mean_recall"])
+        entry["ratio"] = round(ratio, 6)
+        entry["ok"] = ratio >= RECALL_FLOOR
+        ok = ok and entry["ok"]
+        print(f"recall {fam}: base {entry['base']['mean_recall']:.4f} -> "
+              f"x{n} {entry['replica']['mean_recall']:.4f} "
+              f"(ratio {ratio:.3f}, floor {RECALL_FLOOR}) "
+              f"{'ok' if entry['ok'] else 'FAIL'}", flush=True)
+        report[fam] = entry
+    report["wall_sec"] = round(time.time() - t0, 1)
+    report["ok"] = ok
+    out_path = os.path.join(os.path.dirname(HERE), f"RECALL_x{n}.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out_path}")
+    return 0 if ok else 1
+
+
 SLICE_TIMEOUT = 1800  # wall cap per 8-key slice (x100 slices ran <8 min r10)
 
 
@@ -101,6 +162,7 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     keys: list[str] = []
     full = False
+    recall = False
     rnd = int(os.environ.get("SPARK_GRAFT_ROUND", "11"))
     json_path: str | None = None
     i = 0
@@ -113,6 +175,9 @@ def main() -> int:
             i += 2
         elif args[i] == "--full":
             full = True
+            i += 1
+        elif args[i] == "--recall":
+            recall = True
             i += 1
         elif args[i] == "--round":
             rnd = int(args[i + 1])
@@ -129,6 +194,8 @@ def main() -> int:
         subprocess.run(
             [sys.executable, os.path.join(HERE, "make_x10.py"),
              sf_dir, str(n)], check=True)
+    if recall:
+        return run_recall(sf_dir, rep_dir, n, rnd)
     env = dict(os.environ, CHECK_SF_DIR=rep_dir)
     if full:
         sys.path.insert(0, os.path.dirname(HERE))

@@ -3,7 +3,7 @@ the streaming twins, equivalent to the CORRECTNESS rows the batch ops get.
 
 Two sections, one JSON:
 
-1. ``replay`` — drives each streaming twin (14 stateful indicator twins
+1. ``replay`` — drives each streaming twin (19 stateful indicator twins
    plus the corpus / panel / session / asof families) over the DRIVER
    corpus replayed as a micro-batch file stream (3 time-ordered parquet
    chunks, ``maxFilesPerTrigger=1``, availableNow), then compares its
@@ -106,6 +106,25 @@ def _specs():
         ("drawdown_episodes", lambda s: ST.streaming_drawdown_episodes(s),
          lambda b: RL.drawdown_episodes(b), ["symbol", "episode"], 1e-9,
          drop_open_episodes),
+        # r12 (VERDICT r11 ask #6): the remaining KERNEL state machines
+        ("psar", lambda s: ST.streaming_psar(s),
+         reg("psar", {"PSARl_0.02_0.2": "psarl", "PSARs_0.02_0.2": "psars",
+                      "PSARaf_0.02_0.2": "psaraf",
+                      "PSARr_0.02_0.2": "psarr"}), kts, 1e-9, None),
+        ("qqe_14_5", lambda s: ST.streaming_qqe(s),
+         reg("qqe", {"QQE_14_5_4.236": "qqe",
+                     "QQE_14_5_4.236_RSIMA": "rsima",
+                     "QQEl_14_5_4.236": "qqel",
+                     "QQEs_14_5_4.236": "qqes"}), kts, 1e-9, None),
+        ("stc_10_12_26", lambda s: ST.streaming_stc(s),
+         reg("stc", {"STC_10_12_26_0.5": "stc",
+                     "STCmacd_10_12_26_0.5": "stcmacd",
+                     "STCstoch_10_12_26_0.5": "stcstoch"}), kts, 1e-9, None),
+        ("hwc", lambda s: ST.streaming_hwc(s),
+         reg("hwc", {"HWM": "hwm", "HWU": "hwu", "HWL": "hwl"}),
+         kts, 1e-9, None),
+        ("ebsw_40_10", lambda s: ST.streaming_ebsw(s),
+         reg("ebsw", {"EBSW_40_10": "ebsw"}), kts, 1e-9, None),
     ]
 
 
@@ -445,6 +464,7 @@ def run_pytests() -> dict:
     xml_path = tempfile.mktemp(prefix="stream_gate_", suffix=".xml")
     targets = [
         "tests/test_streaming_custom.py",
+        "tests/test_streaming_state_machines.py",
         "tests/test_microstructure_ext.py",
         "tests/test_regime_ext.py",
     ]
