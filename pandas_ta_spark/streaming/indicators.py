@@ -57,8 +57,8 @@ def _ewm_step(alpha: float, x: float, y: float) -> float:
     guard — the raw recursion a*x + (1-a)*x can drift a last-ulp off x),
     else the plain recursion. Keeps the streaming twins bit-identical
     to the batch kernels (pdkernels.ewm_seeded) and the recursive-CTE
-    oracles (ewm_sql) on constant stretches. SMA seeds are py_round'd
-    at the same grid for the same reason (seed note in ewm_seeded)."""
+    oracles (ewm_sql) on constant stretches. SMA seeds use the shared
+    association-free quantized form (base.seed_mean) on all paths."""
     return y if y == x else alpha * x + (1 - alpha) * y
 
 

@@ -182,6 +182,7 @@ def _expr_ops():
         "mom_10": lambda g: g["close"].diff(10),
         "roc_10": lambda g: g["close"].pct_change(10) * 100,
         "slope_1": lambda g: g["close"].diff(1),
+        "slope_angle_1": lambda g: np.degrees(np.arctan(g["close"].diff(1))),
         "bop": lambda g: (g["close"] - g["open"]) / (g["high"] - g["low"]),
         "ao_5_34": lambda g: _sma((g["high"] + g["low"]) / 2, 5)
         - _sma((g["high"] + g["low"]) / 2, 34),
@@ -207,8 +208,10 @@ def _expr_ops():
             np.log(g["close"].cummax()) - np.log(g["close"]),
         ],
         "log_return_1": lambda g: np.log(g["close"] / g["close"].shift(1)),
+        "log_return_5": lambda g: np.log(g["close"] / g["close"].shift(5)),
         "cum_log_return": lambda g: np.log(g["close"] / g["close"].shift(1)).cumsum(),
         "percent_return_1": lambda g: g["close"].pct_change(),
+        "percent_return_5": lambda g: g["close"].pct_change(5),
         "cum_percent_return": lambda g: (1 + g["close"].pct_change()).cumprod() - 1,
         "chop_14": lambda g: 100 * np.log10(
             _tr(g).rolling(14).sum()
@@ -300,7 +303,13 @@ def build_workloads():
     # binds to exactly the variant Spark runs (a name-prefix match could
     # price sma_200_large for sma_20). Unmatched ops are a hard error:
     # silently dropping one would understate the published baseline.
-    outs_to_key = {tuple(default_instance(k).outputs): k for k in _SUITE}
+    # setdefault: param-variant suite keys (r12: apo_ema_12_26,
+    # qstick_ema_10, ema_noseed_10, ...) share output columns with their
+    # defaults; the DEFAULT key (first in suite order) must win or every
+    # default expression op would resolve to its un-priced variant
+    outs_to_key: dict = {}
+    for k in _SUITE:
+        outs_to_key.setdefault(tuple(default_instance(k).outputs), k)
 
     def plan(inds):
         kernels, exprs, missing = [], [], []
