@@ -1579,4 +1579,13 @@ FACTORIES = {
 SUITE = {
     "cdl_doji_10": cdl_doji, "cdl_inside": cdl_inside, "cdl_z_30": cdl_z,
     "ha": ha, "ebsw_40": ebsw, "cdl_pattern_all": cdl_pattern,
+    # standalone keys for the trickiest multi-bar patterns (VERDICT r11
+    # ask #5): a break in one of these names itself in the DRIVER
+    # artifact, not just in the composite hash / the per-pattern pytest
+    "cdl_abandonedbaby": lambda: cdl_pattern("abandonedbaby"),
+    "cdl_risefall3methods": lambda: cdl_pattern("risefall3methods"),
+    "cdl_mathold": lambda: cdl_pattern("mathold"),
+    "cdl_concealbabyswall": lambda: cdl_pattern("concealbabyswall"),
+    "cdl_hikkake_mod": lambda: cdl_pattern("hikkakemod"),
+    "cdl_3starsinsouth": lambda: cdl_pattern("3starsinsouth"),
 }

@@ -570,11 +570,14 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 264
-    assert len(o) == 264  # zero rows-only (r12 added the 11 param-variant
+    assert len(q) == 270
+    assert len(o) == 270  # zero rows-only (r12 added the 11 param-variant
     # keys: ema_noseed_10, apo_ema_12_26, slope_angle_1, stdev_30_ddof0,
     # variance_30_ddof0, atr_14_percent, bbands_ddof1_5_2.0, log_return_5,
-    # percent_return_5, qstick_ema_10, amat_sma_8_21_2 — VERDICT r11 ask
+    # percent_return_5, qstick_ema_10, amat_sma_8_21_2 plus 6 standalone
+    # multi-bar candle keys (cdl_abandonedbaby, cdl_risefall3methods,
+    # cdl_mathold, cdl_concealbabyswall, cdl_hikkake_mod,
+    # cdl_3starsinsouth) — VERDICT r11 ask
     # #2: non-default branches were previously un-oracled; r9 added
     # kyle_lambda_20,
     # contamination_prefix, mix_epochs_plan; r8 added asof_hour_lookup,
