@@ -42,9 +42,18 @@ def sql_seed_mean(x: str, frame: str) -> str:
     unrounded anyway. Divides by count(x) (not the nominal n) so
     interior-NULL frames keep today's avg semantics.
     """
+    # window exprs are evaluated for every row BEFORE the CASE picks a
+    # branch, so the HUGEINT cast must never see NaN/inf/huge: clamp
+    # each element to 0 outside the guard (the outer CASE discards the
+    # clamped sum whenever any element is out-of-guard, so the substituted
+    # zeros are never read) — without this, one NaN row hard-errors the
+    # whole oracle instead of taking the legacy branch
+    # (test_seed_mean_three_path_parity).
+    q1 = (f"CAST(floor((CASE WHEN abs({x}) < {SEED_GUARD!r} THEN ({x})"
+          f" ELSE 0.0 END) * {_SCALE!r} + 0.5) AS HUGEINT)")
     return (
         f"(CASE WHEN max(abs({x})) OVER {frame} < {SEED_GUARD!r}"
-        f" THEN (CAST(sum(CAST(floor(({x}) * {_SCALE!r} + 0.5) AS HUGEINT))"
+        f" THEN (CAST(sum({q1})"
         f" OVER {frame} AS DOUBLE) / count(({x})) OVER {frame}) / {_SCALE!r}"
         f" ELSE avg(({x})) OVER {frame} END)"
     )

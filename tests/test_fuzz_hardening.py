@@ -230,3 +230,32 @@ def test_flag_quantize_nan_parity(spark):
         f" {sql_flag_quantize('2.5e-7')},"
         f" {sql_flag_quantize('-3.2')}").fetchone()
     assert got[0] is None and got[1] == 0 and got[2] == -3200000
+
+
+def test_grid_edge_downgrade_is_rate_only():
+    """ADVICE r11: the grid_edge downgrade requires a large enough output
+    for a rate to be meaningful. On small outputs ANY one-grid-step diff
+    is classified real (gating); on large outputs the 0.5% rate budget
+    applies — and the old max(3, ...) absolute floor is gone."""
+    from fuzz_reexamine import MIN_ROWS_FOR_RATE, classify
+
+    def frames(n, n_edge):
+        ids = np.arange(n, dtype=np.int64)
+        base = np.linspace(1.0, 2.0, n)
+        other = base.copy()
+        other[:n_edge] = other[:n_edge] + 1e-6  # exactly one grid step
+        a = pd.DataFrame({"doc_id": ids, "v": base})
+        b = pd.DataFrame({"doc_id": ids, "v": other})
+        return a, b
+
+    # small output: 1 edge diff on 100 rows -> real, not grid_edge
+    small = classify(*frames(100, 1))
+    assert small["verdict"] == "real"
+    # large output: 3 edge rows on 1000 (0.3% <= 0.5%) -> grid_edge
+    large = classify(*frames(1000, 3))
+    assert large["verdict"] == "grid_edge"
+    # large output over budget: 9 rows on 1000 (0.9%) -> real
+    over = classify(*frames(1000, 9))
+    assert over["verdict"] == "real"
+    # the boundary constant is what the gate documents
+    assert MIN_ROWS_FOR_RATE == 600

@@ -298,3 +298,54 @@ def test_kyle_vol_cap_closes_second_moment_overflow(spark):
     assert all(v is None for v in ls[p1_end:p2_end + MS_N - 1]), \
         "above-cap bar contributed to a window"
     assert ls[-1] is not None, "phase3 never recovered"
+
+
+def test_seed_mean_three_path_parity():
+    """r12 seed unification (ADVICE r11): base.seed_mean (the batch +
+    streaming path), its numpy-slice usage, and the DuckDB evaluation of
+    ewm_sql.sql_seed_mean must produce BIT-IDENTICAL seeds for any
+    finite in-guard window — including half-grid-boundary means that the
+    old three-association scheme could round to different grid points.
+    Out-of-guard windows (inf/NaN/huge) take the legacy branch on both
+    sides, which py_round passes through unrounded."""
+    import duckdb as ddb
+
+    from pandas_ta_spark.operators.base import SEED_GUARD, py_round, seed_mean
+    from pandas_ta_spark.operators.ewm_sql import sql_seed_mean
+
+    rng = np.random.default_rng(7)
+    windows = [
+        # half-grid boundary: mean lands exactly on k + 0.5e-6
+        [1.0000005, 1.0000005, 1.0000005],
+        [0.1, 0.2, 0.3000001],
+        list(rng.uniform(-1e6, 1e6, 14)),
+        list(rng.uniform(-1e-5, 1e-5, 30)),
+        list(rng.uniform(1e9, 9e12 - 1, 10)),   # near the guard, inside
+        [-5.5e-7, 5.5e-7],                       # signed tie
+        [9e12, 1.0, 2.0],                        # guard breach -> legacy
+        [float("nan"), 1.0],                     # NaN -> legacy (NaN out)
+    ]
+    con = ddb.connect()
+    frame = "(ORDER BY rn ROWS BETWEEN {n} PRECEDING AND CURRENT ROW)"
+    for w in windows:
+        w = [float(v) for v in w]
+        got_py = seed_mean(w)
+        # numpy-slice entry point (the exact call ewm_seeded makes)
+        got_np = seed_mean(np.asarray(w, dtype="float64"))
+        rows = ", ".join(
+            f"({i}, {chr(39) + 'NaN' + chr(39) if math.isnan(v) else repr(v)}::DOUBLE)"
+            for i, v in enumerate(w))
+        expr = sql_seed_mean("x", frame.format(n=len(w) - 1))
+        sql_val = con.execute(
+            f"SELECT {expr} AS s FROM (VALUES {rows}) t(rn, x) "
+            f"ORDER BY rn DESC LIMIT 1").fetchone()[0]
+        # the CTE anchors on sql_round(_sma) — apply the same twin
+        from pandas_ta_spark.operators.base import _ROUND_GUARD  # noqa: F401
+
+        got_sql = py_round(float(sql_val)) if sql_val is not None else None
+        for name, got in (("numpy", got_np), ("duckdb", got_sql)):
+            if math.isnan(got_py):
+                assert got is None or math.isnan(got), (name, w, got)
+            else:
+                assert got == got_py, (name, w, got, got_py)
+    con.close()
