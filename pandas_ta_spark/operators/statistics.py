@@ -271,22 +271,43 @@ def entropy(length: int = 10, base: float = 2.0):
     )
 
 
+# in-domain bound for the exact-integer tos_stdevall branch: just above
+# the documented |price| <= 1e6 value domain, so q = close*1e6 <= 1.1e12
+# and the HUGEINT moment sums (q^2 <= 1.21e24, rn*q <= n*1.1e12) stay far
+# inside 128 bits for any realistic series length
+TOS_GUARD = 1.1e6
+
+
 def tos_stdevall(stds: tuple = (1, 2, 3)):
     """TD Ameritrade 'stdev all': whole-series per-symbol linreg line ±
     k*sigma bands — pandas_ta/statistics/tos_stdevall.py#tos_stdevall.
 
-    Runs in the Arrow kernel pass: the seven whole-partition regr_*/
-    stddev window aggregates were the second-heaviest window indicator
-    (~1.7s of the sf0.1 all-indicator strategy, ImperativeAggregate per
-    row x 7 functions); closed-form least squares over x = 1..n is one
-    numpy pass. The window-SQL oracle twin is unchanged; whole-series
-    dependency means unbounded carry (no epoch chunking — inherent to
-    the op's semantics, it regresses over the ENTIRE series)."""
+    Runs in the Arrow kernel pass (the seven whole-partition regr_*/
+    stddev window aggregates were the second-heaviest window indicator);
+    whole-series dependency means unbounded carry (no epoch chunking —
+    inherent to the op's semantics, it regresses over the ENTIRE series).
+
+    Cross-engine exactness (r12, fuzz seed-sweep find): the float
+    closed-form (numpy pairwise sums) and DuckDB's regr_slope/
+    regr_intercept/stddev_samp accumulate in different orders, and on
+    adversarial data a last-ulp difference flips a half-grid row. Both
+    engines now derive slope/intercept/stdev from the SAME exact
+    integer moments of the 1e-6-quantized series (the ar1/rolling_beta
+    fixed-point pattern): q = floor(close*1e6+0.5) as exact ints,
+    Sy/Sxy/Syy as exact integer sums, x-moments in closed form, then ONE
+    fixed float-op order on both sides. The bands therefore measure the
+    dispersion of the grid-quantized series (difference from raw-series
+    stdev is <= one grid quantum — far inside the reference's
+    correlation tolerance). Out-of-domain series (any |close| >=
+    TOS_GUARD, or non-finite) take the legacy float branch on both
+    engines, where outputs are beyond grid-exactness anyway."""
     base = "TOS_STDEVALL"
     outs = [f"{base}_LR"] + [f"{base}_{s}_{d}" for d in stds for s in ("L", "U")]
     rncol = f"_tos_rn"
 
     def fn(pdf):
+        import math
+
         import numpy as np
 
         y = pdf["close"].to_numpy(dtype="float64")
@@ -295,6 +316,21 @@ def tos_stdevall(stds: tuple = (1, 2, 3)):
         if n < 2:
             lr = np.full(n, np.nan)
             sd = np.nan
+        elif bool(np.isfinite(y).all()) and float(np.abs(y).max()) < TOS_GUARD:
+            # exact-integer branch: Python-int sums are overflow-free and
+            # association-free (tolist -> exact ints; q <= 1.1e12)
+            ql = np.floor(y * 1e6 + 0.5).astype(np.int64).tolist()
+            sy = sum(ql)
+            syy = sum(v * v for v in ql)
+            sxy = sum(i * v for i, v in enumerate(ql, 1))
+            sx = n * (n + 1) // 2
+            sxx = n * (n + 1) * (2 * n + 1) // 6
+            slope_q = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+            icpt_q = (float(sy) - slope_q * float(sx)) / float(n)
+            lr = (icpt_q + slope_q * x) / 1e6
+            var_num = n * syy - sy * sy
+            sd = (math.sqrt(float(var_num) / float(n * (n - 1))) / 1e6
+                  if var_num > 0 else 0.0)
         else:
             mx, my = x.mean(), y.mean()
             dx = x - mx
@@ -311,15 +347,45 @@ def tos_stdevall(stds: tuple = (1, 2, 3)):
         return pdf
 
     sql_w = "PARTITION BY symbol"
+    # exact-integer branch (the kernel's twin): identical ints, identical
+    # float-op order. The per-element CASE clamp keeps the HUGEINT cast
+    # from ever seeing NaN/inf/huge (window exprs evaluate in BOTH CASE
+    # branches — same trap as ewm_sql.sql_seed_mean).
+    qe = (f"CAST(floor((CASE WHEN abs(close) < {TOS_GUARD!r} THEN close"
+          f" ELSE 0.0 END) * 1000000.0 + 0.5) AS HUGEINT)")
+    nn = f"CAST(count(*) OVER ({sql_w}) AS HUGEINT)"
+    sy = f"sum({qe}) OVER ({sql_w})"
+    sxy = f"sum(CAST({rncol} AS HUGEINT) * {qe}) OVER ({sql_w})"
+    syy = f"sum({qe} * {qe}) OVER ({sql_w})"
+    sx = f"({nn} * ({nn} + 1) / 2)"
+    sxx = f"({nn} * ({nn} + 1) * (2 * {nn} + 1) / 6)"
+    slope_q = (f"(CAST({nn} * ({sxy}) - {sx} * ({sy}) AS DOUBLE)"
+               f" / CAST({nn} * {sxx} - {sx} * {sx} AS DOUBLE))")
+    icpt_q = (f"((CAST({sy} AS DOUBLE) - {slope_q} * CAST({sx} AS DOUBLE))"
+              f" / CAST({nn} AS DOUBLE))")
+    e_lr = f"(({icpt_q} + {slope_q} * {rncol}) / 1000000.0)"
+    var_num = f"({nn} * ({syy}) - ({sy}) * ({sy}))"
+    e_sd = (f"(CASE WHEN {var_num} > 0 THEN"
+            f" sqrt(CAST({var_num} AS DOUBLE)"
+            f" / CAST({nn} * ({nn} - 1) AS DOUBLE)) / 1000000.0"
+            f" ELSE 0.0 END)")
+    # legacy float branch (out-of-domain): the engine-native aggregates
     s_slope = f"regr_slope(close, {rncol}) OVER ({sql_w})"
     s_icpt = f"regr_intercept(close, {rncol}) OVER ({sql_w})"
     s_sd = f"stddev_samp(close) OVER ({sql_w})"
     s_lr = f"(({s_icpt}) + ({s_slope}) * {rncol})"
-    sql_final = {outs[0]: s_lr}
+    guard = f"(max(abs(close)) OVER ({sql_w}) < {TOS_GUARD!r})"
+
+    def pick(exact, legacy):
+        return f"(CASE WHEN {guard} THEN {exact} ELSE {legacy} END)"
+
+    sql_final = {outs[0]: pick(e_lr, s_lr)}
     i = 1
     for d in stds:
-        sql_final[outs[i]] = f"({s_lr} - {d} * ({s_sd}))"
-        sql_final[outs[i + 1]] = f"({s_lr} + {d} * ({s_sd}))"
+        sql_final[outs[i]] = pick(f"({e_lr} - {d} * {e_sd})",
+                                  f"({s_lr} - {d} * ({s_sd}))")
+        sql_final[outs[i + 1]] = pick(f"({e_lr} + {d} * {e_sd})",
+                                      f"({s_lr} + {d} * ({s_sd}))")
         i += 2
     return Indicator(
         "tos_stdevall", outs, CAT,
