@@ -303,6 +303,23 @@ def main() -> None:
 
     drain(streaming_kyle_lambda, obars, oschema, "kyle_lambda", len(obars))
 
+    # r12: the five remaining KERNEL-class state-machine twins
+    from pandas_ta_spark.streaming import (
+        streaming_ebsw,
+        streaming_hwc,
+        streaming_psar,
+        streaming_qqe,
+        streaming_stc,
+    )
+
+    drain(streaming_psar, obars, oschema, "psar", len(obars))
+    cbars = bars  # (symbol, ts, close) frame from the regime block
+    cschema = "symbol string, ts timestamp, close double"
+    drain(streaming_qqe, cbars, cschema, "qqe", len(cbars))
+    drain(streaming_stc, cbars, cschema, "stc", len(cbars))
+    drain(streaming_hwc, cbars, cschema, "hwc", len(cbars))
+    drain(streaming_ebsw, cbars, cschema, "ebsw", len(cbars))
+
     # the three r8 twins previously missing rows (VERDICT r8 ask #8)
     # point-in-time as-of attach: STATELESS two stream-static joins —
     # state columns must read 0
