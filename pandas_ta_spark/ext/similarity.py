@@ -38,8 +38,47 @@ N_PLANES = 4  # 16 LSH buckets (the broadcast-query ANN path)
 # per-plane agreement ~0.955) matches a band w.p. 0.955^8 ~ 0.69 and
 # ANY of 4 bands w.p. ~0.991 (vs 0.955^4 ~ 0.83 for the old single
 # table); near-identical dups (cos ~ 0.9999) match w.p. ~1-1e-7.
+#
+# ADAPTIVE BITS (r12, x100-of-sf0.1 scale find): with a FIXED bit count
+# the expected bucket occupancy grows linearly with the corpus and the
+# in-bucket self-join grows QUADRATICALLY — at 2M vectors the 8-bit
+# tables produced ~3e10 candidate pairs and the pair query blew the
+# scale gate's slice budget. _nd_bits() widens each band to the
+# smallest b with N <= ND_TARGET_BUCKET * 2^b, which pins expected
+# occupancy at ~ND_TARGET_BUCKET and makes TOTAL candidates grow
+# LINEARLY (~N * ND_TARGET_BUCKET * ND_BANDS / 2). Plane layout is
+# prefix-stable: band k owns the fixed ND_MAXBITS-plane slice
+# [k*ND_MAXBITS, (k+1)*ND_MAXBITS) and uses its first b planes, so the
+# SQL twin can truncate a static full-width signature with substr()
+# driven by a count(*) scalar — bit-identical to the Spark prefix.
+# Recall trades gently: a 0.99-cosine pair matches one 13-bit band w.p.
+# 0.955^13 ~ 0.55, any of 4 bands w.p. ~0.96 (vs 0.99 at 8 bits); at
+# N > ND_TARGET_BUCKET * 2^ND_MAXBITS (~16.7M vectors) bits saturate —
+# beyond that, raise ND_MAXBITS (the Spark side is unconstrained; the
+# cap exists so the DuckDB oracle's static SQL stays bounded).
 ND_BANDS = 4
-ND_BITS = 8
+ND_BITS = 8       # minimum band width (ladder floor)
+ND_MAXBITS = 16   # band plane-slice width / ladder cap
+ND_TARGET_BUCKET = 64  # expected bucket occupancy the ladder holds
+
+
+def _nd_bits(n_vectors: int) -> int:
+    """Smallest band width (>= ND_BITS, <= ND_MAXBITS) holding the
+    expected bucket occupancy at ~ND_TARGET_BUCKET. Pure-integer ladder
+    (no float log2 — engines' libm could disagree at a boundary)."""
+    b, cap = ND_BITS, ND_TARGET_BUCKET << ND_BITS
+    while n_vectors > cap and b < ND_MAXBITS:
+        b += 1
+        cap <<= 1
+    return b
+
+
+def _nd_bits_sql(n_expr: str) -> str:
+    """DuckDB twin of _nd_bits: the same integer ladder as one CASE."""
+    legs = " ".join(
+        f"WHEN ({n_expr}) <= {ND_TARGET_BUCKET << b} THEN {b}"
+        for b in range(ND_BITS, ND_MAXBITS))
+    return f"(CASE {legs} ELSE {ND_MAXBITS} END)"
 
 
 def _planes(n: int = N_PLANES) -> list[list[float]]:
@@ -168,28 +207,39 @@ def _bucket_expr(e: str):
     return F.expr(f"concat({_sig_cases(e, _planes())})")
 
 
-def _nd_bands_expr(e: str):
+def _nd_bands_expr(e: str, bits: int = ND_BITS):
     """The banded near-dup signature as array<string>: ND_BANDS strings
-    of ND_BITS sign bits, each band built DIRECTLY from its own plane
-    slice. (Slicing one concatenated signature with substring looks
-    equivalent, but projection collapse inlines the full 32-plane chain
-    into every slice — a 4x expression blowup that, duplicated again
-    across both join sides of the streaming twin, OOMed codegen.)"""
-    planes = _planes(ND_BANDS * ND_BITS)
+    of ``bits`` sign bits. Band k uses the first ``bits`` planes of its
+    fixed ND_MAXBITS-wide slice (prefix layout — the SQL twin truncates
+    the full-width band with substr to the same prefix). Each band is
+    built DIRECTLY from its own plane slice. (Slicing one concatenated
+    signature with substring looks equivalent, but projection collapse
+    inlines the full plane chain into every slice — a 4x expression
+    blowup that, duplicated again across both join sides of the
+    streaming twin, OOMed codegen.)"""
+    planes = _planes(ND_BANDS * ND_MAXBITS)
     return F.array(*[
-        F.expr(f"concat({_sig_cases(e, planes[k * ND_BITS:(k + 1) * ND_BITS])})")
+        F.expr(f"concat({_sig_cases(e, planes[k * ND_MAXBITS:k * ND_MAXBITS + bits])})")
         for k in range(ND_BANDS)
     ])
 
 
+def _corpus_nd_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Band width for a corpus dir: the _nd_bits ladder over the cached
+    vector relation's count (the count the SQL twin's scalar subquery
+    reproduces)."""
+    return _nd_bits(_spark_vectors_cached(spark, sf_dir).count())
+
+
 def _nd_band_sql(e: str, k: int) -> str:
-    """DuckDB twin of one _nd_bands_expr band: identical plane literals,
-    1-based array indexing."""
-    planes = _planes(ND_BANDS * ND_BITS)
+    """DuckDB twin of one FULL-width (ND_MAXBITS) band: identical plane
+    literals, 1-based array indexing. Callers truncate with
+    substr(..., 1, bits) to the corpus-adaptive prefix."""
+    planes = _planes(ND_BANDS * ND_MAXBITS)
     return " || ".join(
         f"CASE WHEN ({_plane_dot_sql(e, planes[p])}) >= 0 "
         "THEN '1' ELSE '0' END"
-        for p in range(k * ND_BITS, (k + 1) * ND_BITS)
+        for p in range(k * ND_MAXBITS, (k + 1) * ND_MAXBITS)
     )
 
 
@@ -315,20 +365,31 @@ def _neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ND_BANDS rows/vector, hash-join on (band, bits), per-row min-band
     filter, exact cosine verify on candidates only."""
     v = _spark_vectors_cached(spark, sf_dir)
-    vb = v.select("vec_id", "e", "nrm", _nd_bands_expr("e").alias("bands"))
-    ex = vb.select("vec_id", "e", "nrm", "bands",
+    bits = _nd_bits(v.count())  # corpus-adaptive width (constants note)
+    # SLIM band join (r12 scale find #2): the equi-join output is the
+    # candidate fan-out — carrying the 64-double embeddings through it
+    # multiplied the shuffle by ~1KB/row (82 GB at 2M vectors). The join
+    # moves only (vec_id, band strings); the verify re-attaches vectors
+    # by id afterwards — two hash joins whose build side is the corpus
+    # relation itself, not the candidate blow-up.
+    vb = v.select("vec_id", _nd_bands_expr("e", bits).alias("bands"))
+    ex = vb.select("vec_id", "bands",
                    F.posexplode("bands").alias("band", "bits"))
-    a = ex.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                  F.col("nrm").alias("na"), F.col("bands").alias("abands"),
-                  "band", "bits")
-    b = ex.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-                  F.col("nrm").alias("nb"), F.col("bands").alias("bbands"),
-                  "band", "bits")
+    a = ex.select(F.col("vec_id").alias("vec_a"),
+                  F.col("bands").alias("abands"), "band", "bits")
+    b = ex.select(F.col("vec_id").alias("vec_b"),
+                  F.col("bands").alias("bbands"), "band", "bits")
     first_match = F.expr(
         "array_position(zip_with(abands, bbands, (x, y) -> x = y), true) - 1")
-    joined = (a.join(b, ["band", "bits"])
-              .filter(F.col("vec_a") < F.col("vec_b"))
-              .filter(F.col("band") == first_match))
+    cand = (a.join(b, ["band", "bits"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .filter(F.col("band") == first_match)
+            .select("vec_a", "vec_b"))
+    ea = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                  F.col("nrm").alias("na"))
+    eb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                  F.col("nrm").alias("nb"))
+    joined = cand.join(ea, "vec_a").join(eb, "vec_b")
     score = _spark_dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         joined.select("vec_a", "vec_b", score.alias("score"))
@@ -346,8 +407,11 @@ def _neardup_ctes() -> str:
     min-matching-band rule), UNION ALL (disjoint by construction), then
     the exact cosine on candidates. Reused by the pair query and the
     SemDeDup keep-list / CC oracles."""
+    full_cols = ", ".join(
+        f"{_nd_band_sql('e', k)} AS f{k}" for k in range(ND_BANDS))
     band_cols = ", ".join(
-        f"{_nd_band_sql('e', k)} AS b{k}" for k in range(ND_BANDS))
+        f"substr(f{k}, 1, (SELECT bits FROM ndb)) AS b{k}"
+        for k in range(ND_BANDS))
     unions = []
     for k in range(ND_BANDS):
         cond = " AND ".join(
@@ -355,19 +419,30 @@ def _neardup_ctes() -> str:
             + [f"a.b{j} <> b.b{j}" for j in range(k)]
             + ["a.vec_id < b.vec_id"])
         unions.append(
-            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea,\n"
-            "           b.e AS eb, a.nrm AS na, b.nrm AS nb\n"
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
             f"    FROM n a JOIN n b ON {cond}")
     cand = "\n    UNION ALL\n    ".join(unions)
     return f"""v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
+ndb AS (
+    -- the corpus-adaptive band width (integer ladder, _nd_bits twin)
+    SELECT {_nd_bits_sql('count(*)')} AS bits FROM v
+),
+w AS (
+    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {full_cols} FROM v
+),
 n AS (
-    SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {band_cols} FROM v
+    -- slim join relation: ids + band prefixes only (the Spark twin's
+    -- candidate join carries no vectors either)
+    SELECT vec_id, {band_cols} FROM w
 ),
 pairs AS (
-    SELECT vec_a, vec_b, ({_dot_sql('ea', 'eb')}) / (na * nb) AS score
-    FROM ({cand}) cand
+    SELECT c.vec_a, c.vec_b,
+           ({_dot_sql('va.e', 'vb.e')}) / (va.nrm * vb.nrm) AS score
+    FROM ({cand}) c
+    JOIN w va ON va.vec_id = c.vec_a
+    JOIN w vb ON vb.vec_id = c.vec_b
 )"""
 
 

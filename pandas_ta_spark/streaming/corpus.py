@@ -500,14 +500,15 @@ def _corpus_banded_vec_index(spark, sf_dir: str):
     (code-review r10)."""
     from pandas_ta_spark.ckpt import materialize
     from pandas_ta_spark.ext.similarity import (
-        _nd_bands_expr, _spark_vectors_cached,
+        _corpus_nd_bits, _nd_bands_expr, _spark_vectors_cached,
     )
 
     def build():
         v = _spark_vectors_cached(spark, sf_dir)
+        bits = _corpus_nd_bits(spark, sf_dir)  # batch-parity band width
         return materialize(
             v.select("vec_id", "e", "nrm",
-                     _nd_bands_expr("e").alias("bands"))
+                     _nd_bands_expr("e", bits).alias("bands"))
             .select(F.col("vec_id").alias("corpus_vec_id"),
                     F.col("e").alias("ce"), F.col("nrm").alias("cn"),
                     F.col("bands").alias("cbands"),
@@ -543,9 +544,12 @@ def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
     band-buckets' corpus lists (~2^-ND_BITS of the corpus each).
     Recall matches the batch op's by construction — identical banded
     bucketing, so identical candidate sets."""
-    from pandas_ta_spark.ext.similarity import _nd_bands_expr, _spark_dot
+    from pandas_ta_spark.ext.similarity import (
+        _corpus_nd_bits, _nd_bands_expr, _spark_dot,
+    )
 
     idx = _corpus_banded_vec_index(spark, sf_dir)
+    bits = _corpus_nd_bits(spark, sf_dir)  # same width as the index
     q = (
         vecs.select(
             "vec_id", "ingest_ts",
@@ -553,7 +557,7 @@ def stream_semdedup_gate(vecs: DataFrame, spark, sf_dir: str,
                         lambda x: x.cast("double")).alias("qe"),
         )
         .withColumn("qn", F.sqrt(_spark_dot("qe", "qe")))
-        .withColumn("qbands", _nd_bands_expr("qe"))
+        .withColumn("qbands", _nd_bands_expr("qe", bits))
         .select("vec_id", "ingest_ts", "qe", "qn", "qbands",
                 F.posexplode("qbands").alias("band", "bits"))
     )
