@@ -500,8 +500,15 @@ def _semdedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members)."""
     from pandas_ta_spark.ext.dedup import _cc_loop
 
-    pairs = _neardup_cosine(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    # materialize the pair graph BEFORE the loop: _cc_loop references its
+    # input once per round, and re-expanding the banded-signature plan
+    # (thousands of plane-dot terms at adaptive widths) each round both
+    # recomputes the 100x-costlier join and, at x100-replica pair
+    # volumes, grew the generated code past janino's method limit inside
+    # AQE stage materialization (hard job failure, not a codegen
+    # fallback — r12 scale find #3)
+    pairs = materialize(_neardup_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")))
     return materialize(
         _cc_loop(pairs).withColumnsRenamed({"doc_id": "vec_id"}))
 
