@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import tempfile
 import time
 
@@ -134,7 +135,13 @@ def same_session_pandas_baseline(sf_dir: str) -> dict:
             capture_output=True, text=True, timeout=600,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        lines = out.stdout.strip().splitlines()
+        if out.returncode != 0 or not lines:
+            # name the breakage (r12 shipped "IndexError: list index out
+            # of range" where the real story was a baseline SystemExit)
+            return {"error": f"baseline rc={out.returncode}: "
+                             f"{(out.stderr or '').strip()[-500:]}"}
+        return json.loads(lines[-1])
     except Exception as exc:  # noqa: BLE001 — telemetry, never fatal
         return {"error": f"{type(exc).__name__}: {exc}"}
 
@@ -685,8 +692,8 @@ def main():
         "ratio_bands_vs_same_session_pandas": {
             short: {
                 "min": round(min(headline_reps[name]) / den, 3),
-                "median": round(sorted(headline_reps[name])[
-                    len(headline_reps[name]) // 2] / den, 3),
+                "median": round(
+                    statistics.median(headline_reps[name]) / den, 3),
                 "max": round(max(headline_reps[name]) / den, 3),
                 "n_draws": len(headline_reps[name]),
             }

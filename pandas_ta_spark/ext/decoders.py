@@ -117,11 +117,18 @@ def numpy_decoder(payload: bytes, kind: str) -> np.ndarray:
     video). Anything else is undecodable -> ValueError (per-row degrade,
     media.py failure semantics)."""
     if payload[:2] in (b"P6", b"P5"):
+        if kind == "audio":
+            # an (H, W) matrix handed to audio ops would be silently
+            # read as (channels, n_samples) — shape-contract misuse,
+            # so mismatched container class degrades per-row instead
+            raise ValueError("payload is a netpbm image, not audio")
         img = decode_ppm(payload)
         return img[None, ...] if kind == "video" else img
     if payload[:4] == b"RIFF":
-        wav = decode_wav(payload)
-        return wav[None, ...] if kind == "video" else wav
+        if kind != "audio":
+            raise ValueError("payload is RIFF/WAVE audio, not "
+                             f"{kind} (no frame axis to synthesize)")
+        return decode_wav(payload)
     raise ValueError(
         f"numpy_decoder cannot decode this payload (magic "
         f"{payload[:4]!r}; supported: P6/P5 netpbm, RIFF/WAVE PCM)")

@@ -2,7 +2,9 @@
 
 cdl_doji/cdl_inside/cdl_z are lag/window projections; ha (Heikin-Ashi)
 carries a per-row open recursion and ebsw a band-pass IIR loop — both run
-as Arrow kernels (rows-only checks).
+as Arrow kernels, value-checked against recursive-CTE DuckDB twins
+(operators/ewm_sql.py) like every other key; the suite has no rows-only
+checks.
 """
 
 from __future__ import annotations

@@ -576,7 +576,8 @@ def ichimoku_forward(df, tenkan: int = 9, kijun: int = 26, senkou: int = 52,
 def supertrend(length: int = 7, multiplier: float = 3.0):
     """SuperTrend: ATR bands + direction-flip state machine —
     pandas_ta/overlap/supertrend.py#supertrend (flagship KERNEL op;
-    genuinely sequential, Arrow kernel per symbol, rows-only check)."""
+    genuinely sequential, Arrow kernel per symbol; value-checked against
+    a recursive-CTE DuckDB twin since r9 — see operators/ewm_sql.py)."""
     suffix = f"{length}_{multiplier}"
     outs = [f"SUPERT_{suffix}", f"SUPERTd_{suffix}",
             f"SUPERTl_{suffix}", f"SUPERTs_{suffix}"]

@@ -357,8 +357,14 @@ def tos_stdevall(stds: tuple = (1, 2, 3)):
     sy = f"sum({qe}) OVER ({sql_w})"
     sxy = f"sum(CAST({rncol} AS HUGEINT) * {qe}) OVER ({sql_w})"
     syy = f"sum({qe} * {qe}) OVER ({sql_w})"
-    sx = f"({nn} * ({nn} + 1) / 2)"
-    sxx = f"({nn} * ({nn} + 1) * (2 * {nn} + 1) / 6)"
+    # '//' (integer division — both divisions are exact) keeps sx/sxx
+    # HUGEINT: DuckDB '/' is FLOAT division, which made nn*sxy - sx*sy
+    # round each ~1e20 cross product at 2^53 BEFORE the subtraction,
+    # while the kernel subtracts exact ints and converts once (r12
+    # ADVICE: slope diverged in the 8th digit on a 20k-row near-flat
+    # series). Now both engines share one exact-int → single-CAST order.
+    sx = f"({nn} * ({nn} + 1) // 2)"
+    sxx = f"({nn} * ({nn} + 1) * (2 * {nn} + 1) // 6)"
     slope_q = (f"(CAST({nn} * ({sxy}) - {sx} * ({sy}) AS DOUBLE)"
                f" / CAST({nn} * {sxx} - {sx} * {sx} AS DOUBLE))")
     icpt_q = (f"((CAST({sy} AS DOUBLE) - {slope_q} * CAST({sx} AS DOUBLE))"

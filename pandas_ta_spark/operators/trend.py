@@ -5,7 +5,8 @@ bars_since_extreme); decay uses the monotone-transform rewrite that turns
 the per-row recursion into a single expanding max (exact for non-negative
 series — SURVEY.md §2.5 decay row); adx/cksp/amat smooth with the shared
 EWM kernel pass + recursive-CTE oracles; psar is the flagship per-row
-state machine (plans/kernels.py, rows-only check).
+state machine (plans/kernels.py), value-checked against a recursive-CTE
+DuckDB twin like every other key — the suite has no rows-only checks.
 """
 
 from __future__ import annotations
@@ -622,7 +623,8 @@ def xsignals(length: int = 30, xa: float = 1.0, xb: float = -1.0):
 def psar(af0: float = 0.02, af: float = 0.02, max_af: float = 0.2):
     """Parabolic SAR state machine — pandas_ta/trend/psar.py#psar.
     Per-row data-dependent recursion: Arrow kernel per symbol (the one
-    class of op that is genuinely sequential; rows-only check)."""
+    class of op that is genuinely sequential); value-checked against a
+    recursive-CTE DuckDB twin (operators/ewm_sql.py)."""
     suffix = f"{af}_{max_af}"
     outs = [f"PSARl_{suffix}", f"PSARs_{suffix}", f"PSARaf_{suffix}", f"PSARr_{suffix}"]
 

@@ -398,10 +398,17 @@ def streaming_stc(ticks: DataFrame, tclength: int = 10, fast: int = 12,
                 if es is None:
                     if nseen >= slow:
                         es = seed_mean(closes[:slow])
-                        closes = []
                 else:
                     es = _ewm_step(asl, c, es)
-                line = py_round(ef - es) if es is not None else None
+                # drop the seed buffer only once BOTH smoothers exist —
+                # clearing at es-seed time assumed slow >= fast; with
+                # fast > slow the ef seed would read a restarted buffer
+                if ef is not None and es is not None and closes:
+                    closes = []
+                # guard BOTH smoothers: with fast > slow, es seeds
+                # before ef and (None - float) would kill the query
+                line = (py_round(ef - es)
+                        if ef is not None and es is not None else None)
                 # stage 1: rolling stoch of the line, %K-smoothed
                 ring1.append(line)
                 if len(ring1) > tclength:
@@ -435,7 +442,9 @@ def streaming_stc(ticks: DataFrame, tclength: int = 10, fast: int = 12,
                 rows["stcstoch"].append(pf)
             yield pd.DataFrame({"symbol": key[0], **rows})
         state.update((
-            _dump(closes[:slow]), nseen, _nan(ef), _nan(es),
+            # both seeds draw from this buffer: cap at the LONGER span
+            # (closes[:slow] truncated the ef seed when fast > slow)
+            _dump(closes[:max(fast, slow)]), nseen, _nan(ef), _nan(es),
             _dump(ring1), _nan(prev_pf), _dump(ring2), _nan(prev_stc),
         ))
 

@@ -112,14 +112,65 @@ def test_numpy_decoder_e2e_through_media_features(spark, tmp_path):
     # PAYLOAD bytes — different on both counts, proving the real branch
     assert feats["frame_count"][0] != len(ppm) // 16
 
-    # WAV row: 1-D samples tensor -> 1 frame, stats over samples only
-    samp = np.frombuffer(wav_samples, np.uint8)
-    assert feats["frame_count"][1] == 1
-    assert feats["first_frame_hash"][1] == hashlib.md5(
-        samp.tobytes().hex().upper().encode()).hexdigest()
-    assert feats["mean_byte"][1] == np.floor(samp.mean() * 1e6 + 0.5) / 1e6
+    # WAV row: the fake corpus mime is 'application/*' so the op
+    # requests kind='image'; r13 kind-contract enforcement degrades the
+    # container-class mismatch per-row (audio-as-image would otherwise
+    # hand a (channels, n_samples) matrix to image ops silently)
+    assert feats["n_bytes"][1] == len(wav)
+    assert pd.isna(feats["frame_count"][1])
+    assert pd.isna(feats["first_frame_hash"][1])
 
     # undecodable row: ValueError -> row kept, tensor features NULL
     assert feats["n_bytes"][2] == 10
     assert pd.isna(feats["frame_count"][2])
     assert pd.isna(feats["first_frame_hash"][2])
+
+
+def test_numpy_decoder_kind_contract():
+    """Container class must match the requested kind (r12 ADVICE):
+    audio-as-image / image-as-audio degrade per-row instead of silently
+    swapping shape contracts; still-image-as-1-frame-video stays legal."""
+    ppm, pix = _ppm_bytes(2, 3)
+    wav = _wav_bytes(bytes(range(40, 56)))
+    np.testing.assert_array_equal(numpy_decoder(ppm, "image"),
+                                  pix.reshape(2, 3, 3))
+    assert numpy_decoder(ppm, "video").shape == (1, 2, 3, 3)
+    assert numpy_decoder(wav, "audio").shape == (16,)
+    with pytest.raises(ValueError, match="not audio"):
+        numpy_decoder(ppm, "audio")
+    with pytest.raises(ValueError, match="audio, not image"):
+        numpy_decoder(wav, "image")
+    with pytest.raises(ValueError, match="audio, not video"):
+        numpy_decoder(wav, "video")
+
+
+def test_media_features_audio_kind_e2e(spark):
+    """A media_meta.mime of audio/* routes kind='audio' into the
+    registered decoder, so a real WAV decodes e2e (1-D samples -> one
+    frame, stats over samples — the path the suite's 'application/fake'
+    corpus can't reach)."""
+    from pyspark.sql import functions as F
+
+    from pandas_ta_spark.ext import media as M
+
+    samples = bytes(range(32, 80))
+    wav = _wav_bytes(samples)
+    sdf = (spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "payload": [bytearray(wav)]}))
+        .select(
+            "doc_id", F.col("payload").cast("binary").alias("content"),
+            F.struct(
+                F.lit("audio/wav").alias("mime"),
+                F.length("payload").alias("n_bytes"),
+                F.lit(0).alias("width"), F.lit(0).alias("height"),
+            ).alias("media_meta")))
+    try:
+        M.set_decoder(numpy_decoder)
+        feats = M.extract_features(sdf).toPandas()
+    finally:
+        M.clear_decoder()
+    samp = np.frombuffer(samples, np.uint8)
+    assert feats["frame_count"][0] == 1
+    assert feats["first_frame_hash"][0] == hashlib.md5(
+        samp.tobytes().hex().upper().encode()).hexdigest()
+    assert feats["mean_byte"][0] == np.floor(samp.mean() * 1e6 + 0.5) / 1e6

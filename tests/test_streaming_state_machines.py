@@ -131,3 +131,18 @@ def test_streaming_state_machines_multi_symbol(spark, pdf_bars, tmp_path):
              .reset_index(drop=True))
         assert_close(g["hwm"], ref["HWM"], 1e-9, f"hwm-{sym}")
         assert_close(g["hwu"], ref["HWU"], 1e-9, f"hwu-{sym}")
+
+
+def test_streaming_stc_fast_gt_slow_survives(spark, pdf_bars, tmp_path):
+    """fast > slow seeds the slow smoother FIRST; the MACD line must stay
+    None until BOTH smoothers exist instead of raising (None - float)
+    executor-side (r12 ADVICE). Parity vs the batch kernel still holds."""
+    from pandas_ta_spark.operators.momentum import stc
+    from pandas_ta_spark.streaming import streaming_stc
+
+    a = one_symbol(pdf_bars)
+    got = _replay(spark, tmp_path, "stc_swap_stream", a, ["close"],
+                  lambda s: streaming_stc(s, fast=26, slow=12),
+                  splits=[15, 40, 150])
+    ref = _batch_ref(stc(fast=26, slow=12), pdf_bars)
+    assert_close(got["stc"], ref["STC_10_26_12_0.5"], 1e-9, "stc")

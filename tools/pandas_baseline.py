@@ -90,6 +90,50 @@ def _linreg(x: pd.Series, n: int, slope_only: bool = False) -> pd.Series:
     return x.rolling(n).mean() + slope * (n - 1 - i.mean())
 
 
+def _bar(g: pd.DataFrame):
+    """Candle-anatomy accessor: b(k, attr) -> Series at lag k (the pandas
+    twin of operators/candles.py:_Bar). Memoized per (k, attr) so one
+    pattern evaluation prices ONE pass of shifts/compares, matching the
+    Spark expression's single codegen stage."""
+    cache: dict = {}
+
+    def b(k: int, attr: str):
+        key = (k, attr)
+        if key in cache:
+            return cache[key]
+        if attr in ("o", "h", "l", "c"):
+            col = {"o": "open", "h": "high", "l": "low", "c": "close"}[attr]
+            v = g[col].shift(k) if k else g[col]
+        elif attr == "body":
+            v = (b(k, "c") - b(k, "o")).abs()
+        elif attr == "rng":
+            v = b(k, "h") - b(k, "l")
+        elif attr == "top":
+            v = np.maximum(b(k, "o"), b(k, "c"))
+        elif attr == "bot":
+            v = np.minimum(b(k, "o"), b(k, "c"))
+        elif attr == "mid":
+            v = (b(k, "o") + b(k, "c")) / 2
+        elif attr == "losh":
+            v = b(k, "bot") - b(k, "l")
+        elif attr == "green":
+            v = b(k, "c") > b(k, "o")
+        elif attr == "red":
+            v = b(k, "c") < b(k, "o")
+        elif attr == "doji":
+            v = (b(k, "rng") > 0) & (b(k, "body") <= 0.05 * b(k, "rng"))
+        elif attr == "maru":
+            v = (b(k, "rng") > 0) & (b(k, "body") >= 0.95 * b(k, "rng"))
+        elif attr == "longb":
+            v = (b(k, "rng") > 0) & (b(k, "body") >= 0.5 * b(k, "rng"))
+        else:  # pragma: no cover
+            raise KeyError(attr)
+        cache[key] = v
+        return v
+
+    return b
+
+
 # Expression-op pandas equivalents (public pandas-ta formulas), keyed by
 # suite key. Each fn(g) -> one or more Series over one symbol group.
 def _expr_ops():
@@ -274,6 +318,57 @@ def _expr_ops():
         "cdl_inside": lambda g: (g["high"] < g["high"].shift(1))
         & (g["low"] > g["low"].shift(1)),
         "cdl_pattern_all": cdl_pattern_all,
+        # r13: the six STANDALONE multi-bar pattern keys bench swept into
+        # the all-ind headline in r12 (VERDICT r12 "What's wrong" #1) —
+        # without these rows plan() SystemExits and BENCH ships null
+        # ratios. Same lag/boolean primitives as the Spark expressions
+        # (operators/candles.py:1111-1325): cost-faithful, shift+compare.
+        "cdl_abandonedbaby": lambda g: (lambda b: (
+            (b(2, "red") & b(1, "doji") & (b(1, "h") < b(2, "l"))
+             & b(0, "green") & (b(0, "l") > b(1, "h"))
+             & (b(0, "c") > b(2, "mid")))
+            | (b(2, "green") & b(1, "doji") & (b(1, "l") > b(2, "h"))
+               & b(0, "red") & (b(0, "h") < b(1, "l"))
+               & (b(0, "c") < b(2, "mid")))))(_bar(g)),
+        "cdl_3starsinsouth": lambda g: (lambda b: (
+            b(2, "red") & (b(2, "losh") > b(2, "body"))
+            & b(1, "red") & (b(1, "body") < b(2, "body"))
+            & (b(1, "l") > b(2, "l"))
+            & b(0, "red") & (b(0, "body") < b(1, "body"))
+            & (b(0, "h") <= b(1, "h")) & (b(0, "l") >= b(1, "l"))))(_bar(g)),
+        "cdl_hikkake_mod": lambda g: (lambda b: (lambda ins: (
+            (ins & (b(0, "h") < b(1, "h")) & (b(0, "l") < b(1, "l"))
+             & (b(1, "c") <= b(1, "l") + b(1, "rng") / 3))
+            | (ins & (b(0, "h") > b(1, "h")) & (b(0, "l") > b(1, "l"))
+               & (b(1, "c") >= b(1, "h") - b(1, "rng") / 3))))(
+            (b(1, "h") < b(2, "h")) & (b(1, "l") > b(2, "l"))
+            & (b(1, "rng") > 0)))(_bar(g)),
+        "cdl_concealbabyswall": lambda g: (lambda b: (
+            b(3, "red") & b(3, "maru") & b(2, "red") & b(2, "maru")
+            & b(1, "red") & (b(1, "top") < b(2, "c"))
+            & (b(1, "h") > b(2, "c"))
+            & b(0, "red") & (b(0, "h") > b(1, "h"))
+            & (b(0, "c") < b(1, "l"))))(_bar(g)),
+        "cdl_mathold": lambda g: (lambda b: (
+            b(4, "green") & b(4, "longb") & b(3, "red")
+            & (b(3, "bot") > b(4, "c"))
+            & (b(2, "l") > b(4, "mid")) & (b(1, "l") > b(4, "mid"))
+            & b(0, "green")
+            & (b(0, "c") > np.maximum(np.maximum(b(3, "h"), b(2, "h")),
+                                      b(1, "h")))))(_bar(g)),
+        "cdl_risefall3methods": lambda g: (lambda b: (lambda held: (
+            (b(4, "green") & b(4, "longb")
+             & b(3, "red") & b(2, "red") & b(1, "red")
+             & held(3) & held(2) & held(1)
+             & (b(2, "c") < b(3, "c")) & (b(1, "c") < b(2, "c"))
+             & b(0, "green") & (b(0, "c") > b(4, "c")))
+            | (b(4, "red") & b(4, "longb")
+               & b(3, "green") & b(2, "green") & b(1, "green")
+               & held(3) & held(2) & held(1)
+               & (b(2, "c") > b(3, "c")) & (b(1, "c") > b(2, "c"))
+               & b(0, "red") & (b(0, "c") < b(4, "c")))))(
+            lambda k: (b(k, "h") <= b(4, "h"))
+            & (b(k, "l") >= b(4, "l"))))(_bar(g)),
         "above_sma_20": lambda g: (g["close"] >= _sma(g["close"], 20)),
         "below_sma_20": lambda g: (g["close"] <= _sma(g["close"], 20)),
         "cross_above_sma_20": lambda g: (lambda a: a & ~a.shift(1).fillna(False))(
