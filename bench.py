@@ -568,13 +568,30 @@ def main():
     skew_df.cache().count()
     try:
         for name, frame, build in (
+                # auto_chunk_rows=None pins the UNMITIGATED plan: this
+                # row prices the raw hot-partition serialization that
+                # r13's auto-router exists to remove
                 ("tick_strategy_24ind_x20skew80", skew_df,
+                 lambda df: apply_strategy(df, strat24,
+                                           auto_chunk_rows=None)),
+                # default auto-routing (VERDICT r12 ask #4): the same
+                # call an unaware user makes — the router counts the hot
+                # symbol, row-chunks the bounded subset, appends the EWM
+                # kernels plain. Bar: well under the plain row; the EWM
+                # per-symbol recursions stay the irreducible tail.
+                ("tick_strategy_24ind_x20skew80_auto", skew_df,
                  lambda df: apply_strategy(df, strat24)),
                 ("tick_strategy_bounded_x20skew80", skew_df,
-                 lambda df: apply_strategy(df, bounded)),
+                 lambda df: apply_strategy(df, bounded,
+                                           auto_chunk_rows=None)),
                 ("tick_strategy_bounded_x20skew80_chunked", skew_df,
                  lambda df: apply_strategy_chunked(
                      df, bounded, lookback=skew_lb, chunk="5 days")),
+                # the router's own backend on the bounded subset (row
+                # chunks, count-free exactness) — comparable to the
+                # time-chunked row above
+                ("tick_strategy_bounded_x20skew80_auto", skew_df,
+                 lambda df: apply_strategy(df, bounded)),
         ):
             best = float("inf")
             for _ in range(2):
@@ -735,6 +752,20 @@ def main():
             times["tick_strategy_bounded_x20skew80_chunked"]
             / times["tick_strategy_bounded_x20scale"], 3)
         if times.get("tick_strategy_bounded_x20skew80_chunked")
+        and times.get("tick_strategy_bounded_x20scale") else None,
+        # r13 auto-router (VERDICT r12 ask #4): same calls as the plain
+        # rows, no opt-in — the bounded_auto ratio should track the
+        # chunked one, the 24ind_auto ratio is bounded below by the EWM
+        # kernels' per-symbol serial floor
+        "skew_ratio_24ind_auto": round(
+            times["tick_strategy_24ind_x20skew80_auto"]
+            / times["tick_strategy_24ind_x20scale"], 3)
+        if times.get("tick_strategy_24ind_x20skew80_auto")
+        and times.get("tick_strategy_24ind_x20scale") else None,
+        "skew_ratio_bounded_auto": round(
+            times["tick_strategy_bounded_x20skew80_auto"]
+            / times["tick_strategy_bounded_x20scale"], 3)
+        if times.get("tick_strategy_bounded_x20skew80_auto")
         and times.get("tick_strategy_bounded_x20scale") else None,
         "cpus": int(cpus),
     }

@@ -18,6 +18,8 @@ Net: a 50-indicator strategy costs the same shuffles as one indicator.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,15 +29,119 @@ from pandas_ta_spark.functions.windows import SYMBOL, TS
 from pandas_ta_spark.operators.base import Indicator
 from pandas_ta_spark.plans.kernels import run_kernels
 
+# Per-symbol row count above which apply_strategy auto-routes the
+# chunk-safe indicators through the row-chunked path (VERDICT r12 ask
+# #4: the 14x hot-symbol skew blowup was opt-in-mitigated only). Above
+# ~1M rows one symbol's WindowExec partition is a single external-sorted
+# task — minutes of serialized work per window chain at 100 TB — while
+# row-chunking turns it into (rows / chunk) parallel tasks with a
+# lookback carry, bit-identical outputs.
+AUTO_CHUNK_ROWS = 1_000_000
 
-def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = False) -> DataFrame:
+# routing decisions memoized per DataFrame OBJECT (bench reps and
+# resident engines re-apply strategies to the same cached frame; the
+# groupBy count that sizes the hottest symbol then runs once, not per
+# call). Keyed weakly: dropping the frame drops the entry.
+_HOT_ROWS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+# below this optimizer-estimated input size no symbol can hold
+# AUTO_CHUNK_ROWS rows (1M OHLCV rows are >= ~40 MB in any layout), so
+# the router skips even the count JOB — zero cost for test-sized and
+# headline-sized frames. The estimate comes from plan statistics
+# (parquet footers / cache metadata), not a job.
+_AUTO_CHUNK_MIN_BYTES = 32 << 20
+
+
+def _plan_maybe_big(df: DataFrame) -> bool:
+    try:
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(str(sz)) >= _AUTO_CHUNK_MIN_BYTES
+    except Exception:  # stats unavailable (connect, exotic plans):
+        return True    # fall through to the real count — conservative
+
+
+def _max_rows_per_symbol(df: DataFrame) -> int:
+    try:
+        return _HOT_ROWS_CACHE[df]
+    except (KeyError, TypeError):
+        pass
+    if not _plan_maybe_big(df):
+        hot = 0  # provably below threshold without running a job
+    else:
+        row = df.groupBy(SYMBOL).count().agg(F.max("count")).first()
+        hot = int(row[0] or 0)
+    try:
+        _HOT_ROWS_CACHE[df] = hot
+    except TypeError:  # unhashable/unweakrefable frame: just don't memo
+        pass
+    return hot
+
+
+def split_chunkable(inds: list[Indicator]):
+    """Partition a strategy into (lookback, chunk-safe, not-chunk-safe).
+
+    Chunk-safe = the exact predicates ``apply_strategy_chunked``
+    enforces: kernels with finite ``carry_rows`` and no ``lead_rows``;
+    expression indicators whose SQL-twin-introspected lookback is
+    bounded. ``lookback`` is the max depth over the safe set."""
+    lb, safe, unsafe = 0, [], []
+    for ind in inds:
+        if ind.kernel is not None and (
+                ind.kernel.carry_rows is None
+                or getattr(ind.kernel, "lead_rows", 0)):
+            unsafe.append(ind)
+            continue
+        depth = expression_lookback(ind)
+        if depth is None:
+            unsafe.append(ind)
+            continue
+        lb = max(lb, depth, ind.kernel.carry_rows if ind.kernel else 0)
+        safe.append(ind)
+    return lb, safe, unsafe
+
+
+def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = False,
+                   auto_chunk_rows: int | None = AUTO_CHUNK_ROWS) -> DataFrame:
     """Append every indicator's output columns in one composite plan.
 
     Stage maps are merged ACROSS indicators layer by layer (an
     indicator's stage k only references its own stages < k or bar
     columns), so 24 indicators with 2 stages each become 3 projection
     layers, not 48 — fewer Window/Project nodes, one codegen span per
-    layer, same single exchange+sort."""
+    layer, same single exchange+sort.
+
+    Skew auto-routing (``auto_chunk_rows``, default 1M; pass ``None``
+    to pin the single-pass plan): when the hottest symbol holds more
+    rows than the threshold (one memoized count-by-symbol job), the
+    chunk-safe indicators run through ``apply_strategy_chunked_rows``
+    — bit-identical outputs, hot partition split into parallel
+    (symbol, chunk) tasks — and the rest (EWM/cumulative: genuinely
+    sequential per symbol) append on top via the plain path. Removes
+    the measured 14x hot-symbol trap without the caller asking."""
+    if auto_chunk_rows and not keep_temps and len(inds) > 0:
+        lb, safe, unsafe = split_chunkable(inds)
+        if safe:
+            hot = _max_rows_per_symbol(df)
+            if hot > auto_chunk_rows:
+                chunk_rows = max(65_536, 32 * lb, hot // 1024)
+                out = apply_strategy_chunked_rows(df, safe, lb, chunk_rows)
+                if unsafe:
+                    # the non-chunkable half runs on the NARROW original
+                    # frame and joins back on the (symbol, ts) key —
+                    # stacking it on the chunked output instead re-ran
+                    # the chunked subtree inside its exchange and
+                    # shuffled every chunked column through the kernel
+                    # pass (measured 30.7s vs 24s plain on the skew
+                    # bench; the join shape runs the two independent
+                    # stage trees concurrently). Exactness assumes
+                    # (symbol, ts) uniquely keys rows — the same
+                    # assumption every per-symbol window here makes.
+                    keep = [SYMBOL, TS] + [
+                        c for c in df.columns if c not in (SYMBOL, TS)]
+                    add = apply_strategy(df, unsafe, auto_chunk_rows=None)
+                    out = out.join(add.drop(*keep[2:]), [SYMBOL, TS])
+                return out
     temps: list[str] = []
     seen: dict[str, str] = {}  # temp name -> expression repr
     max_stages = max((len(i.stages) for i in inds), default=0)
@@ -233,57 +339,7 @@ def apply_strategy_chunked(
     union, then the normal strategy over the salted symbol — the same
     shuffles as ``apply_strategy``, each partition now chunk-sized.
     """
-    # bounded-lookback kernels (finite carry_rows <= lookback, no
-    # forward-looking rows) chunk exactly like window expressions: the
-    # carry replicas are precisely the history their declared carry
-    # needs. Unbounded (EWM, carry_rows=None), deeper-than-lookback, or
-    # lead-consuming kernels would silently reseed per chunk — reject.
-    bad = [
-        i for i in inds
-        if i.kernel is not None and (
-            i.kernel.carry_rows is None
-            or i.kernel.carry_rows > lookback
-            or getattr(i.kernel, "lead_rows", 0)
-        )
-    ]
-    if bad:
-        raise ValueError(
-            "apply_strategy_chunked requires bounded-lookback indicators "
-            "(window exprs or kernels with carry_rows <= lookback and no "
-            "lead_rows); EWM/unbounded kernels have their own chunking "
-            f"(plans/kernels.py): {[i.outputs for i in bad]}"
-        )
-    # expression-path depth check (ADVICE r6): a window-expression
-    # indicator deeper than the lookback — sma(50) under lookback=30 —
-    # used to be ACCEPTED and silently diverge; introspect each
-    # indicator's SQL-twin depth (kept in lockstep with the Spark
-    # expressions) and enforce the same contract the kernels get.
-    too_deep = []
-    unbounded = []
-    for i in inds:
-        d = expression_lookback(i)
-        if d is None:
-            unbounded.append(i)
-        elif d > lookback:
-            too_deep.append((i, d))
-    if unbounded:
-        raise ValueError(
-            "apply_strategy_chunked cannot chunk position-dependent or "
-            "unbounded expression indicators (cumulative windows, "
-            "row_number/rank, lead): their values change when the "
-            "partition is split, so chunked output would silently "
-            "diverge from the unchunked plan: "
-            f"{[i.outputs for i in unbounded]}"
-        )
-    if too_deep:
-        raise ValueError(
-            "expression indicator(s) read more history than "
-            f"lookback={lookback} — retained rows near chunk starts "
-            "would see truncated frames and silently diverge from the "
-            "unchunked plan: "
-            f"{[(i.outputs, d) for i, d in too_deep]}. "
-            "Raise lookback to at least the max depth."
-        )
+    _reject_unchunkable(inds, lookback)
     # .cast: parquet TIMESTAMP_NTZ inputs — unix_micros wants TIMESTAMP
     us = F.unix_micros(F.col(TS).cast("timestamp"))
     # parse "N days"/"N hours" without relying on engine interval math
@@ -326,12 +382,137 @@ def apply_strategy_chunked(
         .withColumn("_carry", F.lit(1))
     )
     u = base.withColumn("_carry", F.lit(0)).unionByName(carry)
+    return _salt_apply_unsalt(u, inds)
+
+
+def _salt_apply_unsalt(u: DataFrame, inds: list[Indicator]) -> DataFrame:
+    """Shared tail of the chunked paths: salt symbol with the chunk id,
+    run the normal one-plan strategy over the salted key (auto-routing
+    off — the groups are chunk-bounded by construction), drop carries."""
     salted = u.withColumn("_sym", F.col(SYMBOL)).withColumn(
         SYMBOL, F.concat_ws("#", SYMBOL, F.col("_chk").cast("string"))
     )
-    out = apply_strategy(salted, inds)
+    out = apply_strategy(salted, inds, auto_chunk_rows=None)
     return (
         out.filter(F.col("_carry") == 0)
         .withColumn(SYMBOL, F.col("_sym"))
         .drop("_sym", "_chk", "_carry")
     )
+
+
+def _reject_unchunkable(inds: list[Indicator], lookback: int) -> None:
+    """The chunked-exactness contract, both halves (ADVICE r6).
+
+    Bounded-lookback kernels (finite ``carry_rows <= lookback``, no
+    forward-looking rows) chunk exactly like window expressions: the
+    carry replicas are precisely the history their declared carry
+    needs. Unbounded (EWM, carry_rows=None), deeper-than-lookback, or
+    lead-consuming kernels would silently reseed per chunk — reject.
+    Expression indicators are depth-checked via ``expression_lookback``
+    (SQL-twin introspection): a window deeper than the lookback —
+    sma(50) under lookback=30 — used to be ACCEPTED and silently
+    diverge; cumulative/position-dependent expressions (CUM,
+    row_number, lead) raise instead of silently diverging."""
+    bad = [
+        i for i in inds
+        if i.kernel is not None and (
+            i.kernel.carry_rows is None
+            or i.kernel.carry_rows > lookback
+            or getattr(i.kernel, "lead_rows", 0)
+        )
+    ]
+    if bad:
+        raise ValueError(
+            "apply_strategy_chunked requires bounded-lookback indicators "
+            "(window exprs or kernels with carry_rows <= lookback and no "
+            "lead_rows); EWM/unbounded kernels have their own chunking "
+            f"(plans/kernels.py): {[i.outputs for i in bad]}"
+        )
+    too_deep = []
+    unbounded = []
+    for i in inds:
+        d = expression_lookback(i)
+        if d is None:
+            unbounded.append(i)
+        elif d > lookback:
+            too_deep.append((i, d))
+    if unbounded:
+        raise ValueError(
+            "apply_strategy_chunked cannot chunk position-dependent or "
+            "unbounded expression indicators (cumulative windows, "
+            "row_number/rank, lead): their values change when the "
+            "partition is split, so chunked output would silently "
+            "diverge from the unchunked plan: "
+            f"{[i.outputs for i in unbounded]}"
+        )
+    if too_deep:
+        raise ValueError(
+            "expression indicator(s) read more history than "
+            f"lookback={lookback} — retained rows near chunk starts "
+            "would see truncated frames and silently diverge from the "
+            "unchunked plan: "
+            f"{[(i.outputs, d) for i, d in too_deep]}. "
+            "Raise lookback to at least the max depth."
+        )
+
+
+def apply_strategy_chunked_rows(
+    df: DataFrame,
+    inds: list[Indicator],
+    lookback: int,
+    chunk_rows: int = 262_144,
+) -> DataFrame:
+    """``apply_strategy_chunked`` with ROW-count chunks instead of time
+    chunks — the auto-routing backend (see ``apply_strategy``).
+
+    Time chunks need a validation aggregation to promise every
+    non-empty chunk holds >= lookback rows (sparse symbols can land an
+    undersized chunk and truncate a frame). Row chunks make that
+    guarantee BY CONSTRUCTION: chunk k of a symbol is rows
+    [k*chunk_rows, (k+1)*chunk_rows) of its ts-ordered sequence, so
+    every non-last chunk has exactly ``chunk_rows >= lookback`` rows
+    and the trailing-``lookback`` carry always fills its successor's
+    frames — bit-identical to the unchunked plan, count-free.
+
+    Plan shape: one cheap streaming window pass (row_number per symbol:
+    running function, no frame buffering; the per-symbol sort is the
+    same sort the strategy itself needs), a broadcast anti-filter is
+    unnecessary (carries to a chunk beyond the symbol's last row can't
+    exist: the filter keeps only tails whose successor chunk index
+    exists among the base rows), then the shared salt/apply/unsalt
+    tail. Determinism note: like every per-symbol window in this
+    engine, exactness assumes (symbol, ts) uniquely orders rows."""
+    if chunk_rows < max(lookback, 1):
+        raise ValueError(
+            f"chunk_rows={chunk_rows} < lookback={lookback}: non-last "
+            "chunks could not carry enough history")
+    _reject_unchunkable(inds, lookback)
+    # single-subtree chunk assignment: each row EXPLODES into its own
+    # chunk entry plus (when it sits in the trailing-lookback positions)
+    # a carry entry for chunk k+1 — no union, so the row_number window
+    # evaluates ONCE per action (the union/succ-map shape re-ran the
+    # per-symbol sort 3x: measured 9.3s -> 6.5s on the 1.6M-row skew
+    # bench). Carries past a symbol's last chunk land in phantom
+    # (symbol, chunk) groups holding only carry rows — computed over
+    # <= lookback rows and fully dropped by the _carry filter, which is
+    # cheaper than the broadcast successor map that suppressed them.
+    wsym = Window.partitionBy(SYMBOL).orderBy(TS)
+    # window exprs must resolve in their own Window node before the
+    # explode projection can reference them
+    base = df.withColumn("_rn0", F.row_number().over(wsym) - F.lit(1))
+    chk = F.floor(F.col("_rn0") / F.lit(chunk_rows)).cast("long")
+    pos = F.col("_rn0") % F.lit(chunk_rows)
+    pairs = F.array(
+        F.struct(chk.alias("_chk"), F.lit(0).alias("_carry")),
+        F.when(pos >= F.lit(chunk_rows - lookback),
+               F.struct((chk + F.lit(1)).alias("_chk"),
+                        F.lit(1).alias("_carry"))),
+    )
+    u = (
+        base.select("*", F.explode(
+            F.filter(pairs, lambda x: x.isNotNull())).alias("_pc"))
+        .withColumn("_chk", F.col("_pc._chk"))
+        .withColumn("_carry", F.col("_pc._carry"))
+        .drop("_pc", "_rn0")
+    )
+    return _salt_apply_unsalt(u, inds)

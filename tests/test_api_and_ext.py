@@ -2274,3 +2274,92 @@ def test_doc_chunks_tiling_property(spark):
             assert sizes[-1] >= 1                # never an empty chunk
 
     check()
+
+
+def test_chunked_rows_strategy_exact_parity(spark, bars):
+    """apply_strategy_chunked_rows (the auto-router backend) must match
+    the unchunked plan bit-for-bit, including at the degenerate edges:
+    chunk_rows == lookback (maximal carry overlap) and chunk_rows larger
+    than any symbol's series (single chunk, no carries)."""
+    from pandas_ta_spark.operators import (
+        momentum, overlap, statistics, trend, volatility)
+    from pandas_ta_spark.plans.strategy import (
+        apply_strategy, apply_strategy_chunked_rows)
+
+    inds = [overlap.sma(20), overlap.wma(10), statistics.stdev(30),
+            volatility.donchian(20), momentum.roc(10), momentum.mom(10),
+            trend.aroon(14)]
+    plain = (apply_strategy(bars, inds, auto_chunk_rows=None).toPandas()
+             .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    for chunk_rows in (30, 64, 100_000):  # == lookback, mid, > series
+        chunked = (apply_strategy_chunked_rows(
+            bars, inds, lookback=30, chunk_rows=chunk_rows)
+            .toPandas().sort_values(["symbol", "ts"])
+            .reset_index(drop=True))
+        assert list(plain.columns) == list(chunked.columns)
+        assert len(plain) == len(chunked)
+        for c in plain.columns:
+            a, b = plain[c], chunked[c]
+            if a.dtype == object or c in ("symbol", "ts"):
+                assert (a == b).all(), (chunk_rows, c)
+            else:
+                assert ((a == b) | (a.isna() & b.isna())).all(), (
+                    chunk_rows, c)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_rows"):
+        apply_strategy_chunked_rows(bars, inds, lookback=30, chunk_rows=29)
+    with _pytest.raises(ValueError, match="bounded-lookback"):
+        apply_strategy_chunked_rows(bars, [momentum.rsi(14)], lookback=30,
+                                    chunk_rows=64)
+
+
+def test_auto_chunk_routing_skewed_parity(spark, monkeypatch):
+    """The r13 skew auto-router: a plain apply_strategy call on a frame
+    whose hottest symbol exceeds the threshold must (a) actually take
+    the row-chunked path and (b) return bit-identical results — with
+    the non-chunkable EWM/cumulative indicators appended on top."""
+    import pandas as pd
+
+    from pandas_ta_spark.operators import momentum, overlap, statistics
+    from pandas_ta_spark.plans import strategy as S
+    from tests.conftest import make_pdf
+
+    pdf = pd.concat([make_pdf(2500, 7, "HOT"), make_pdf(300, 11, "B")],
+                    ignore_index=True)
+    df = spark.createDataFrame(pdf).repartition(4)
+    inds = [overlap.sma(20), statistics.stdev(30), momentum.mom(10),
+            overlap.ema(10), momentum.rsi(14), overlap.vwap()]
+
+    plain = (S.apply_strategy(df, inds, auto_chunk_rows=None).toPandas()
+             .sort_values(["symbol", "ts"]).reset_index(drop=True))
+
+    routed = {"n": 0}
+    real = S.apply_strategy_chunked_rows
+
+    def spy(*a, **k):
+        routed["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "apply_strategy_chunked_rows", spy)
+    monkeypatch.setattr(S, "_AUTO_CHUNK_MIN_BYTES", 0)
+    auto = (S.apply_strategy(df, inds, auto_chunk_rows=1000).toPandas()
+            .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    assert routed["n"] == 1  # the router fired, no opt-in
+    assert set(plain.columns) == set(auto.columns)
+    assert len(plain) == len(auto)
+    for c in plain.columns:
+        a, b = plain[c], auto[c]
+        if a.dtype == object or c in ("symbol", "ts"):
+            assert (a == b).all(), c
+        else:
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+    # below the threshold the router must NOT fire (fresh frame object:
+    # the hot-rows memo is per DataFrame identity)
+    df2 = spark.createDataFrame(pdf).repartition(4)
+    routed["n"] = 0
+    out = S.apply_strategy(df2, inds, auto_chunk_rows=1_000_000)
+    out.limit(1).collect()
+    assert routed["n"] == 0
