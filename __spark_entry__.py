@@ -206,12 +206,29 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else _FIRST_ROTATION_ROUND
 
 
+# Keys added AFTER the r12 ring was laid down. They append at the ring
+# TAIL (after the r11 block) instead of sorting into the prefix: a
+# sorted insertion would shift every later key's phase, silently
+# re-overlapping consecutive windows that the rotation promises are
+# disjoint (the r13 window must not intersect the r12 artifact). Each
+# future round appends its new suite keys here, in introduction order.
+_POST_R12_KEYS = [
+    "above_value_100_raw",   # r13: quantize=False strict-signal oracle
+    "cross_value_100_raw",   # r13: quantize=False cross oracle
+]
+
+
 def _rotation_ring(all_keys) -> list[str]:
-    """Deterministic key order the window rotates over: never-in-r11
-    keys first (sorted), then the r11 window in its emission order."""
+    """Deterministic key order the window rotates over: the r12-era
+    keys first (never-in-r11 sorted, then the r11 window in its
+    emission order), then post-r12 additions in introduction order —
+    the r12-era prefix never shifts, so consecutive-window
+    disjointness survives key additions."""
     r11 = [k for k in _R11_WINDOW if k in all_keys]
-    rest = sorted(k for k in all_keys if k not in set(r11))
-    return rest + r11
+    skip = set(r11) | set(_POST_R12_KEYS)
+    rest = sorted(k for k in all_keys if k not in skip)
+    post = [k for k in _POST_R12_KEYS if k in all_keys]
+    return rest + r11 + post
 
 
 def _window_for_round(round_no: int, all_keys) -> list[str]:

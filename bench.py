@@ -89,6 +89,10 @@ PARAM_VARIANT_KEYS = {
     "variance_30_ddof0", "atr_14_percent", "bbands_ddof1_5_2.0",
     "log_return_5", "percent_return_5", "qstick_ema_10",
     "amat_sma_8_21_2",
+    # r13 quantize=False signal branches: oracle-coverage keys, same
+    # comparison cost as their quantized defaults — excluded so the
+    # all-ind headline workload stays pinned at the r12 153-op set
+    "above_value_100_raw", "cross_value_100_raw",
 }
 
 

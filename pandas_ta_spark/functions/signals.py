@@ -122,3 +122,34 @@ def sql_cross(a: str, b: str, above: bool = True) -> str:
     if above:
         return f"CAST(({d} > 0) AND ({pd_} <= 0) AS INT)"
     return f"CAST(({d} < 0) AND ({pd_} >= 0) AS INT)"
+
+
+# raw (quantize=False) twins — strict IEEE comparison, NaN/NULL -> 0.
+# DuckDB orders NaN ABOVE every value in comparisons (Spark comparisons
+# on NaN are false), so the NaN guard is load-bearing, not defensive.
+# Cross-engine exactness contract: raw twins are only hash-stable when
+# BOTH comparands are engine-independent bit-identical values (raw
+# input columns, literals, lags thereof) — a derived value like a
+# rolling mean may differ in the last ulp between engines, which is the
+# case the default quantized path exists for.
+
+def _sql_raw_flag(cond: str, *cols: str) -> str:
+    bad = " OR ".join(f"(({c}) IS NULL OR isnan({c}))" for c in cols)
+    return f"(CASE WHEN {bad} THEN 0 ELSE CAST({cond} AS INT) END)"
+
+
+def sql_above_raw(a: str, b: str) -> str:
+    return _sql_raw_flag(f"({a}) >= ({b})", a, b)
+
+
+def sql_below_raw(a: str, b: str) -> str:
+    return _sql_raw_flag(f"({a}) <= ({b})", a, b)
+
+
+def sql_cross_raw(a: str, b: str, above: bool = True) -> str:
+    pa, pb = sql_shift(a, 1), sql_shift(b, 1)
+    if above:
+        cond = f"(({a}) > ({b})) AND (({pa}) <= ({pb}))"
+    else:
+        cond = f"(({a}) < ({b})) AND (({pa}) >= ({pb}))"
+    return _sql_raw_flag(cond, a, b, pa, pb)

@@ -69,8 +69,40 @@ def cross_value(value: float = 100.0, above_: bool = True):
     )
 
 
+def above_value_raw(value: float = 100.0):
+    """close >= constant with quantize=False (r11 strict opt-out), as a
+    value-checked oracle key. Raw twins compare un-rounded doubles, so
+    the oracle contract holds only for engine-independent comparands —
+    here the raw parquet close against a literal (a rolling mean would
+    differ in the last ulp between engines; that case is what the
+    default grid-quantized signals exist for)."""
+    v = repr(float(value))
+    out = f"close_A_{value}_RAW"
+    return Indicator(
+        "above_value", [out], CAT,
+        final={out: sig.above_value("close", value, quantize=False)},
+        sql_final={out: sig.sql_above_raw("close", v)},
+    )
+
+
+def cross_value_raw(value: float = 100.0, above_: bool = True):
+    """cross_value with quantize=False — strict IEEE comparisons on the
+    raw close and its lag (engine-stable comparands, see
+    above_value_raw)."""
+    v = repr(float(value))
+    kind = "XAv" if above_ else "XBv"
+    out = f"close_{kind}_{value}_RAW"
+    return Indicator(
+        "cross_value", [out], CAT,
+        final={out: sig.cross_value("close", value, above=above_,
+                                    quantize=False)},
+        sql_final={out: sig.sql_cross_raw("close", v, above=above_)},
+    )
+
+
 FACTORIES = {
     "above": above, "below": below, "cross": cross, "cross_value": cross_value,
+    "above_value_raw": above_value_raw, "cross_value_raw": cross_value_raw,
 }
 
 SUITE = {
@@ -78,4 +110,6 @@ SUITE = {
     "cross_above_sma_20": cross,
     "cross_below_sma_20": lambda: cross(above_=False),
     "cross_value_100": cross_value,
+    "above_value_100_raw": above_value_raw,
+    "cross_value_100_raw": cross_value_raw,
 }

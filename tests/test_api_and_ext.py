@@ -2363,3 +2363,22 @@ def test_auto_chunk_routing_skewed_parity(spark, monkeypatch):
     out = S.apply_strategy(df2, inds, auto_chunk_rows=1_000_000)
     out.limit(1).collect()
     assert routed["n"] == 0
+
+
+def test_rotation_ring_tail_anchors_new_keys(spark):
+    """Key additions append at the ring TAIL (after the r11 block), so
+    the r12-era prefix keeps its phase and the r13 window stays disjoint
+    from the r12 driver artifact even as the suite grows (r13: the two
+    quantize=False signal keys would otherwise have sorted into the
+    prefix and shifted every later key)."""
+    import json
+
+    import __spark_entry__ as E
+
+    keys = list(E.queries())
+    ring = E._rotation_ring(keys)
+    for k in E._POST_R12_KEYS:
+        assert k in ring[-len(E._POST_R12_KEYS):], k
+    w13 = set(E._window_for_round(13, keys))
+    r12_artifact = set(json.load(open("/root/repo/CORRECTNESS_r12.json")))
+    assert not (w13 & r12_artifact)
