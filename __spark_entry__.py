@@ -215,6 +215,8 @@ def _current_round() -> int:
 _POST_R12_KEYS = [
     "above_value_100_raw",   # r13: quantize=False strict-signal oracle
     "cross_value_100_raw",   # r13: quantize=False cross oracle
+    "topk_cosine_pq_rerank",  # r13: PQ shortlist + exact rerank
+    "topk_pq_rerank_recall",  # r13: reranked-PQ recall vs brute force
 ]
 
 

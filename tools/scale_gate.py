@@ -93,7 +93,11 @@ def run_recall(sf_dir: str, rep_dir: str, n: int, rnd: int) -> int:
                     "replica": rep_dir, "floor": RECALL_FLOOR}
     ok = True
     t0 = time.time()
-    for fam, key in (("ivf", "topk_ivf_recall"), ("pq", "topk_pq_recall")):
+    # pq = raw ADC code-order recall (the compression-loss dashboard);
+    # pq_rerank = the served pipeline (ADC shortlist + exact rerank,
+    # VERDICT r12 ask #8) — the number with a non-zero base floor
+    for fam, key in (("ivf", "topk_ivf_recall"), ("pq", "topk_pq_recall"),
+                     ("pq_rerank", "topk_pq_rerank_recall")):
         entry: dict = {"key": key}
         for tag, d in (("base", sf_dir), ("replica", rep_dir)):
             row = (q[key](spark, d)
