@@ -49,9 +49,17 @@ def ewm_seeded(x: pd.Series, alpha: float, seed_n: int) -> pd.Series:
     # boundary and the recursion propagated the flip (ADVICE r11). Off the
     # seed, the recursion is bit-identical to the CTE (constant-hold guard
     # + commutative-identical step).
+    # seed_n == 1 (ema presma=False): the reference's sma=False branch
+    # (pandas ewm adjust=False) starts the recursion from the RAW first
+    # value — a 1-row "mean" through seed_mean would quantize it to the
+    # 1e-6 grid and propagate up to a half-grid step through the whole
+    # recursion (r12 ADVICE). A single raw value is already
+    # association-free, so the grid tie-break the quantized seed exists
+    # for cannot arise; the SQL twin (ewm_sql._emit_ewm_ctes n==1
+    # branch) passes the same raw value through.
     from pandas_ta_spark.operators.base import seed_mean
 
-    y = seed_mean(v[fv:seed_end])
+    y = float(v[fv]) if seed_n == 1 else seed_mean(v[fv:seed_end])
     res[seed_end - 1] = y
     rest = v[seed_end:]
     if len(rest):

@@ -153,11 +153,15 @@ def _emit_ewm_ctes(steps: list, start_rel: str, ctes: list[str],
         # on constant stretches (fuzz gate). Off the guard, pandas
         # computes (1-a)*y + a*x — commutatively identical to the form
         # below (verified bit-exact on random series).
+        # seed: quantized SMA for n > 1 (the kernel's py_round twin,
+        # pdkernels.ewm_seeded seed note); n == 1 passes the RAW first
+        # value through un-rounded — the reference's ema(sma=False)
+        # branch seeds from the value itself, and a single double needs
+        # no association-free form (r12 ADVICE; kernel twin mirrors).
+        seed_expr = f"_x{k}" if n == 1 else sql_round(f"_sma{k}")
         ctes.append(
             f"{r_rel} AS ("
-            # seed quantized to the output grid — the kernel's py_round
-            # twin (pdkernels.ewm_seeded seed note)
-            f"SELECT symbol, _rn, {sql_round(f'_sma{k}')} AS _y"
+            f"SELECT symbol, _rn, {seed_expr} AS _y"
             f" FROM {p_rel} WHERE _nv{k} = {n}"
             f" UNION ALL "
             f"SELECT s.symbol, s._rn,"

@@ -314,10 +314,11 @@ def ema(length: int = 10, presma: bool = True):
     presma=True (default): SMA(length)-seeded recursion with NULL warmup
     (the reference's ``sma=True`` branch). presma=False: the recursion
     starts at the first value (pandas ``ewm(span=n, adjust=False)`` from
-    row 0, the reference's ``sma=False`` branch) — expressed here as the
-    same seeded kernel with a 1-row seed window, so the seed passes
-    through the shared quantized form (base.seed_mean) like every other
-    smoother and the recursive-CTE oracle stays exact."""
+    row 0, the reference's ``sma=False`` branch) — the 1-row seed passes
+    the RAW first value through un-rounded on both engines (r12 ADVICE:
+    the quantized 1-row "mean" deviated from the reference by up to a
+    half grid step propagated through the recursion; a single double
+    needs no association-free form, so reference-exactness is free)."""
     out = name("EMA", length)
     seed_n = length if presma else 1
 

@@ -31,7 +31,10 @@ def _ref_ewm_seeded(x: pd.Series, alpha: float, seed_n: int) -> pd.Series:
                 continue  # leading NaN pushes the seed window forward
             buf.append(val)
             if len(buf) >= seed_n:
-                y = seed_mean(buf)
+                # seed_n == 1 seeds from the RAW value (the reference's
+                # ema sma=False branch = pandas ewm adjust=False from
+                # row 0; r12 ADVICE) — no 1e-6 seed quantization
+                y = buf[0] if seed_n == 1 else seed_mean(buf)
                 out[i] = y
             continue
         y = y if y == val else alpha * val + (1 - alpha) * y

@@ -129,14 +129,28 @@ def run_recall(sf_dir: str, rep_dir: str, n: int, rnd: int) -> int:
 
 SLICE_TIMEOUT = 1800  # wall cap per 8-key slice (x100 slices ran <8 min r10)
 
+# Pair-graph keys whose WORK (not just output) grows with replica
+# multiplicity by construction: an Nx replica makes every original's N
+# perturbed copies mutual near-dups, so the candidate/pair volume is
+# quadratic in N no matter how good the banding is. Sharing a 1800s
+# slice with 7 other keys starved them at x100-of-sf0.1 (r12: three
+# `missing` rows indistinguishable from hangs). They get DEDICATED
+# single-key slices with their own budget so the artifact always
+# carries a per-key verdict.
+HEAVY_PAIR_KEYS = {
+    "neardup_cosine_lsh", "semdedup_keep", "semdedup_cc_clusters",
+}
+SLICE_TIMEOUT_HEAVY = 5400
 
-def _run_slice(slice_keys: list[str], env: dict) -> dict[str, dict]:
+
+def _run_slice(slice_keys: list[str], env: dict,
+               timeout: int = SLICE_TIMEOUT) -> dict[str, dict]:
     """One check.py subprocess over <=8 keys; parse per-key verdicts."""
     results: dict[str, dict] = {}
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "check.py"), *slice_keys],
-            env=env, capture_output=True, text=True, timeout=SLICE_TIMEOUT)
+            env=env, capture_output=True, text=True, timeout=timeout)
         out = r.stdout
         sys.stdout.write(out)
         sys.stdout.flush()
@@ -145,7 +159,7 @@ def _run_slice(slice_keys: list[str], env: dict) -> dict[str, dict]:
     except subprocess.TimeoutExpired as exc:
         out = (exc.stdout or b"").decode() if isinstance(
             exc.stdout, bytes) else (exc.stdout or "")
-        print(f"SLICE TIMEOUT after {SLICE_TIMEOUT}s: {slice_keys}")
+        print(f"SLICE TIMEOUT after {timeout}s: {slice_keys}")
     for status, key, sec in _LINE.findall(out):
         results[key] = {
             "ok": status in ("OK", "ok?"),
@@ -212,20 +226,36 @@ def main() -> int:
     t_start = time.time()
     results: dict[str, dict] = {}
     # chunked: one long-lived gate process per slice keeps peak memory
-    # bounded and a slow key from starving the rest of a single timeout
-    for lo in range(0, len(todo), 8):
-        results.update(_run_slice(todo[lo:lo + 8], env))
+    # bounded and a slow key from starving the rest of a single timeout.
+    # Replica-quadratic pair keys run in their own single-key slices
+    # with the heavy budget (r12: they starved to `missing` at x100).
+    light = [k for k in todo if k not in HEAVY_PAIR_KEYS]
+    heavy = [k for k in todo if k in HEAVY_PAIR_KEYS]
+    for lo in range(0, len(light), 8):
+        results.update(_run_slice(light[lo:lo + 8], env))
+    for k in heavy:
+        results.update(_run_slice([k], env, timeout=SLICE_TIMEOUT_HEAVY))
     # ONE retry pass for keys that failed or never reported (slice
     # timeout / process death): re-run them in fresh slices
     redo = [k for k in todo if not results.get(k, {}).get("ok")]
     if redo:
         print(f"\nretrying {len(redo)} key(s): {redo}")
-        for lo in range(0, len(redo), 8):
-            for k, v in _run_slice(redo[lo:lo + 8], env).items():
+        redo_light = [k for k in redo if k not in HEAVY_PAIR_KEYS]
+        for lo in range(0, len(redo_light), 8):
+            for k, v in _run_slice(redo_light[lo:lo + 8], env).items():
                 prev = results.get(k)
                 v["retried"] = True
                 if prev is None or v["ok"] or not prev.get("ok"):
                     results[k] = v
+        for k in redo:
+            if k not in HEAVY_PAIR_KEYS:
+                continue
+            for kk, v in _run_slice([k], env,
+                                    timeout=SLICE_TIMEOUT_HEAVY).items():
+                prev = results.get(kk)
+                v["retried"] = True
+                if prev is None or v["ok"] or not prev.get("ok"):
+                    results[kk] = v
 
     missing = [k for k in todo if k not in results]
     n_ok = sum(1 for v in results.values() if v["status"] == "ok")
