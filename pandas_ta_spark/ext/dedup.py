@@ -730,23 +730,59 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
     )
 
 
+CC_ORACLE_ROUNDS = 21  # reach doubles per round: covers any <=2^21-vertex graph
+
+
+def cc_label_rounds_sql(id_out: str, rounds: int = CC_ORACLE_ROUNDS) -> str:
+    """Static hash-to-min + pointer-doubling CC as a chained-CTE block
+    (expects ``edges(s, t)`` already defined, both directions): ends at
+    ``lab({id_out}, cluster_id)``.
+
+    Replaces the recursive-CTE transitive closure, whose accumulated
+    ``reach`` table is SUM OVER COMPONENTS OF |C|^2 rows — at the
+    x100-of-sf0.1 replica the embedding near-dup graph merges label
+    clusters into ~25k-member components and the closure OOM-killed the
+    gate process (r13 scale find). This form is the DuckDB twin of the
+    Spark ``_cc_loop``: per round, every vertex takes the min label over
+    itself and its neighbors (one edge-sized join) and then jumps to its
+    label's label (one vertex-sized self-join) — O(V+E) rows per round,
+    reach at least doubles per round, so ``rounds`` static rounds reach
+    the fixpoint for any graph with <= 2^rounds vertices. A corpus
+    beyond that would value-hash MISMATCH (loud FAIL), never silently
+    pass. Every CTE is MATERIALIZED: DuckDB 1.0 inlines (duplicates)
+    multi-referenced CTEs, and each round references its predecessor
+    twice — unmaterialized, the plan would blow up 2^rounds."""
+    ctes = [
+        "l0 AS MATERIALIZED ("
+        "SELECT s AS v, min(least(s, t)) AS l FROM edges GROUP BY s)"
+    ]
+    for k in range(1, rounds + 1):
+        a, p = f"a{k}", f"l{k - 1}"
+        ctes.append(
+            f"{a} AS MATERIALIZED (SELECT v, min(l) AS l FROM ("
+            f"SELECT v, l FROM {p}"
+            f" UNION ALL"
+            f" SELECT e.t AS v, x.l FROM edges e JOIN {p} x ON x.v = e.s"
+            f") GROUP BY v)")
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT a.v, least(a.l, b.l) AS l"
+            f" FROM {a} a JOIN {a} b ON b.v = a.l)")
+    ctes.append(
+        f"lab AS MATERIALIZED (SELECT v AS {id_out}, l AS cluster_id"
+        f" FROM l{rounds})")
+    return ",\n".join(ctes)
+
+
 def _cc_oracle() -> str:
-    """Transitive closure via recursive CTE: reach(s, t) = t reachable
-    from s; cluster_id = min(t). UNION (not UNION ALL) dedups rows so the
-    recursion terminates on cycles."""
+    """Min-label CC over the pair graph (see cc_label_rounds_sql)."""
     return f"""
-WITH RECURSIVE {_pair_ctes()},
+WITH {_pair_ctes()},
 edges AS MATERIALIZED (
     SELECT doc_a AS s, doc_b AS t FROM pairs
     UNION
     SELECT doc_b AS s, doc_a AS t FROM pairs
 ),
-reach(s, t) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
-),
-lab AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+{cc_label_rounds_sql("doc_id")},
 members AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
 SELECT l.doc_id, l.cluster_id, m.n_members
 FROM lab l JOIN members m ON m.cluster_id = l.cluster_id

@@ -514,19 +514,21 @@ def _semdedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_cc_oracle() -> str:
+    """Min-label CC over the near-dup pair graph — the same static
+    hash-to-min + pointer-doubling chain as the text CC oracle
+    (ext/dedup.py#cc_label_rounds_sql; the recursive transitive closure
+    it replaces was Sum|C|^2 rows and OOM-killed the x100-of-sf0.1 gate
+    when replica label clusters merged into ~25k-member components)."""
+    from pandas_ta_spark.ext.dedup import cc_label_rounds_sql
+
     return f"""
-WITH RECURSIVE {_neardup_ctes()},
+WITH {_neardup_ctes()},
 edges AS MATERIALIZED (
     SELECT vec_a AS s, vec_b AS t FROM pairs WHERE score >= 0.99
     UNION
     SELECT vec_b AS s, vec_a AS t FROM pairs WHERE score >= 0.99
 ),
-reach(s, t) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
-),
-lab AS (SELECT s AS vec_id, min(t) AS cluster_id FROM reach GROUP BY s),
+{cc_label_rounds_sql("vec_id")},
 members AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
 SELECT l.vec_id, l.cluster_id, m.n_members
 FROM lab l JOIN members m ON m.cluster_id = l.cluster_id

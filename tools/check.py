@@ -45,12 +45,18 @@ def _parse_args(argv: list[str]) -> list[str]:
 def get_spark():
     from pyspark.sql import SparkSession
 
+    # env knobs (scale_gate heavy-pair slices): a 200k-vector pair join
+    # at local[8]/8g pays GC + spill the 8-key driver gate never sees —
+    # the replica gate sizes its dedicated slices up instead
+    cpus = os.environ.get("CHECK_SPARK_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("CHECK_SHUFFLE_PARTS", cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory",
+                os.environ.get("CHECK_DRIVER_MEM", "8g"))
         .appName("check")
         .getOrCreate()
     )

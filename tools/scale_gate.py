@@ -231,10 +231,15 @@ def main() -> int:
     # with the heavy budget (r12: they starved to `missing` at x100).
     light = [k for k in todo if k not in HEAVY_PAIR_KEYS]
     heavy = [k for k in todo if k in HEAVY_PAIR_KEYS]
+    # heavy slices get a bigger local session: at 200k replica vectors
+    # the pair join under check.py's default local[8]/8g thrashes where
+    # local[16]/24g computes the same 3.6M pairs in ~6 min (measured)
+    env_heavy = dict(env, CHECK_SPARK_CPUS="16", CHECK_DRIVER_MEM="24g")
     for lo in range(0, len(light), 8):
         results.update(_run_slice(light[lo:lo + 8], env))
     for k in heavy:
-        results.update(_run_slice([k], env, timeout=SLICE_TIMEOUT_HEAVY))
+        results.update(_run_slice([k], env_heavy,
+                                  timeout=SLICE_TIMEOUT_HEAVY))
     # ONE retry pass for keys that failed or never reported (slice
     # timeout / process death): re-run them in fresh slices
     redo = [k for k in todo if not results.get(k, {}).get("ok")]
@@ -250,7 +255,7 @@ def main() -> int:
         for k in redo:
             if k not in HEAVY_PAIR_KEYS:
                 continue
-            for kk, v in _run_slice([k], env,
+            for kk, v in _run_slice([k], env_heavy,
                                     timeout=SLICE_TIMEOUT_HEAVY).items():
                 prev = results.get(kk)
                 v["retried"] = True
