@@ -120,10 +120,14 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     sequential per symbol) append on top via the plain path. Removes
     the measured 14x hot-symbol trap without the caller asking."""
     if auto_chunk_rows and not keep_temps and len(inds) > 0:
-        lb, safe, unsafe = split_chunkable(inds)
-        if safe:
-            hot = _max_rows_per_symbol(df)
-            if hot > auto_chunk_rows:
+        # size gate FIRST: split_chunkable regex-introspects every
+        # indicator's SQL twin (~153 long strings for the all-ind
+        # strategy) — running it before the cheap stats/memoized-count
+        # gate added ~10% to every all-ind plan build (r13 bench find)
+        hot = _max_rows_per_symbol(df)
+        if hot > auto_chunk_rows:
+            lb, safe, unsafe = split_chunkable(inds)
+            if safe:
                 chunk_rows = max(65_536, 32 * lb, hot // 1024)
                 out = apply_strategy_chunked_rows(df, safe, lb, chunk_rows)
                 if unsafe:
