@@ -90,6 +90,14 @@ def main() -> None:
         "strategy_all145ind (242 cols)": lambda: apply_strategy(
             bars, B.all_indicators()),
     }
+    # the r13 skew auto-router backend, forced (the audit corpus is too
+    # small to trigger the router): the plan the hot-symbol route runs
+    from pandas_ta_spark.plans.strategy import (
+        apply_strategy_chunked_rows, split_chunkable)
+
+    _lb, _safe, _ = split_chunkable(B.strategy_indicators())
+    queries["strategy_bounded (row-chunked skew route)"] = (
+        lambda: apply_strategy_chunked_rows(bars, _safe, _lb, 65_536))
     for key in ("dedup_exact", "dedup_minhash_lsh", "topk_cosine",
                 "topk_cosine_lsh", "topk_cosine_ivf", "contamination_ngrams",
                 "corpus_rarity", "text_stats", "text_repetition",
@@ -127,7 +135,9 @@ def main() -> None:
                 "doc_chunk_128_16", "pair_spread_z_24",
                 # r9 additions
                 "kyle_lambda_20", "contamination_prefix",
-                "mix_epochs_plan"):
+                "mix_epochs_plan",
+                # r13 additions
+                "topk_cosine_pq_rerank", "topk_pq_rerank_recall"):
         queries[key] = (lambda k: lambda: EXT[k].query(spark, SF))(key)
 
     # the size-gated approx_percentile branch (VERDICT r10 ask #3): what
@@ -192,6 +202,10 @@ def main() -> None:
     lines.append("  assignment itself); its pre-execution Exchange count")
     lines.append("  overstates runtime cost — the persisted vector relation's")
     lines.append("  exchanges are reused across the train/assign/probe phases.")
+    lines.append("- recall telemetry rows (`topk_pq_rerank_recall`) COMPOSE the")
+    lines.append("  brute baseline as their ground truth, so they inherit its")
+    lines.append("  broadcast-10-row NestedLoop (twice: the per-query k count")
+    lines.append("  and the hit join) — baseline instances, not scan joins.")
     lines.append("- `mix_rebalance_lang`'s NestedLoop broadcasts a single-row")
     lines.append("  computed quota; `tfidf_top_terms`'s NestedLoop is the same")
     lines.append("  pattern (1-row source-count cross join). Its exchanges past")
