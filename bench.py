@@ -790,12 +790,26 @@ def main():
     # #1): min/median/max of 5 quiet-box bench runs, so single-run
     # drift in BENCH_r{N} can be read against the measured variance
     # instead of eyeballed across rounds.
-    drift_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "artifacts", "drift_r11", "DRIFT.json")
-    if os.path.exists(drift_path):
+    # Latest committed isolation round wins; the per-key wall bands are
+    # valid variance context from any round, but the DERIVED ratio bands
+    # are only embedded from r14+ — r13 changed the ratio definition
+    # (the 6 standalone candle keys priced into both sides), so the
+    # frozen r11 derived block contradicted the fresh per-draw bands in
+    # the same artifact (VERDICT r13 #3).
+    import glob as _glob
+    import re as _re
+    _drift_glob = sorted(
+        _glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts", "drift_r*", "DRIFT.json")),
+        key=lambda p: int(_re.search(r"drift_r(\d+)", p).group(1)))
+    if _drift_glob:
+        drift_path = _drift_glob[-1]
+        drift_round = int(_re.search(r"drift_r(\d+)", drift_path).group(1))
         try:
             with open(drift_path) as fh:
                 drift = json.load(fh)
+            full["noise_bands_round"] = drift_round
             full["noise_bands"] = {
                 k: drift["keys"][k]
                 for k in ("vecs_cache_build", "dedup_minhash_lsh_x10corpus",
@@ -803,7 +817,8 @@ def main():
                           "tick_strategy_24ind_x100scale",
                           "topk_cosine_ivf_x10_build")
                 if k in drift.get("keys", {})}
-            full["noise_bands_derived"] = drift.get("derived", {})
+            if drift_round >= 14:
+                full["noise_bands_derived"] = drift.get("derived", {})
         except (OSError, KeyError, ValueError):
             pass
     print(json.dumps(full))

@@ -730,7 +730,15 @@ def _cc_loop(pairs: DataFrame) -> DataFrame:
     )
 
 
-CC_ORACLE_ROUNDS = 21  # reach doubles per round: covers any <=2^21-vertex graph
+# Reach doubles per round: 21 covers any <=2^21-vertex graph. Static by
+# design (ADVICE r13 suggested sizing ceil(log2(V)) per corpus): the
+# oracle strings are built BEFORE any data is read (oracle_sql() has no
+# sf/dir parameter), and the adaptive alternative — WITH RECURSIVE,
+# which stops at fixpoint — is unsound here: UNION dedup drops vertices
+# whose label stabilizes early from the working table, so they stop
+# relaying later merges. 21 fixed rounds cost ~constant DuckDB work on
+# small gates and stay loud-fail (hash mismatch) past 2^21 vertices.
+CC_ORACLE_ROUNDS = 21
 
 
 def cc_label_rounds_sql(id_out: str, rounds: int = CC_ORACLE_ROUNDS) -> str:

@@ -1257,11 +1257,19 @@ LEFT JOIN (
 # deployment shape is shortlist + exact rerank, not raw ADC. 100 = 20x
 # TOP_K (base recall mean 0.8 / min 0.4 vs raw ADC's 0.18 / 0.0); the
 # width is constant in corpus size, so the rerank cost stays
-# R_RERANK x |Q| exact dots at any N.
-R_RERANK = 100
+# R_RERANK x |Q| exact dots at any N. r14 widened 100 -> 200 (VERDICT
+# r13 ask #9): tools/pq_curve.py measures the shortlist-width/recall
+# curve (PQ_CURVE.json) — base mean recall 0.46/0.60/0.80/0.92/1.00 at
+# widths 25/50/100/200/400. The 3-bit ADC score ties heavily on the
+# 500-vector base corpus and the deterministic match_id tie-break can
+# push a true neighbor past a narrow cutoff; 200 lifts base mean to
+# 0.92 (min 0.8) while the rerank stays constant-width (2x the dots,
+# same asymptotics; x10 replica already saturates at 1.0).
+R_RERANK = 200
 
 
-def _topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_pq_rerank(spark: SparkSession, sf_dir: str,
+                    r_rerank: int | None = None) -> DataFrame:
     """PQ as a shortlist generator + exact cosine rerank (VERDICT r12
     ask #8): ADC scores pick R_RERANK candidates per query, the exact
     cosine re-scores ONLY the shortlist (R_RERANK x |Q| dots, not
@@ -1282,7 +1290,7 @@ def _topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa = Window.partitionBy("query_id").orderBy(
         F.col("score6").desc(), "match_id")
     short = (adc.withColumn("rk", F.row_number().over(wa))
-             .filter(F.col("rk") <= R_RERANK)
+             .filter(F.col("rk") <= (r_rerank or R_RERANK))
              .select("query_id", "match_id"))
     q = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
                  F.col("nrm").alias("qn"))
@@ -1342,11 +1350,15 @@ WHERE rank <= {TOP_K}
 """.strip()
 
 
-def _pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_rerank_recall(spark: SparkSession, sf_dir: str,
+                      r_rerank: int | None = None) -> DataFrame:
     """recall@k of the reranked PQ pipeline vs brute force — the number
-    a PQ user actually gets (shortlist recall, not code-order recall)."""
+    a PQ user actually gets (shortlist recall, not code-order recall).
+    ``r_rerank`` overrides the shortlist width (tools/pq_curve.py
+    sweeps it for the width/recall curve)."""
     brute = _topk_cosine(spark, sf_dir).select("query_id", "match_id")
-    rr = _topk_pq_rerank(spark, sf_dir).select("query_id", "match_id")
+    rr = _topk_pq_rerank(spark, sf_dir,
+                         r_rerank=r_rerank).select("query_id", "match_id")
     hits = (
         brute.join(rr, ["query_id", "match_id"])
         .groupBy("query_id")

@@ -58,7 +58,11 @@ def _plan_maybe_big(df: DataFrame) -> bool:
         sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         return int(str(sz)) >= _AUTO_CHUNK_MIN_BYTES
     except Exception:  # stats unavailable (connect, exotic plans):
-        return True    # fall through to the real count — conservative
+        # route to the plain path rather than paying an eager count JOB
+        # at plan-build time for every call (ADVICE r13): a caller on a
+        # stats-less frontend who actually has a hot symbol can still
+        # opt in via apply_strategy_chunked_rows explicitly.
+        return False
 
 
 def _max_rows_per_symbol(df: DataFrame) -> int:
@@ -76,6 +80,25 @@ def _max_rows_per_symbol(df: DataFrame) -> int:
     except TypeError:  # unhashable/unweakrefable frame: just don't memo
         pass
     return hot
+
+
+def _auto_chunk_size(df: DataFrame, hot: int, lb: int) -> int:
+    """Row-chunk size for the auto route, sized from cluster parallelism.
+
+    The r13 heuristic ``max(65_536, 32*lb, hot//1024)`` floored at 64k
+    rows: a 1.6M-row hot symbol became ~24 chunks — fewer tasks than
+    cores, so the routed plan ran 2.70x the uniform bar where the
+    opt-in time-chunked path (~1000 chunks) ran 1.63x (VERDICT r13 ask
+    #4). Target ~8 tasks per core for the hot symbol so stragglers
+    amortize, floored to keep the lookback-carry overhead (lb extra
+    rows per chunk) under ~1%, capped at 1M rows so one chunk's
+    WindowExec buffer stays executor-sized at any corpus scale."""
+    try:
+        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:  # connect / no context: a sane mid value
+        par = 16
+    target = max(1, hot // (8 * par))
+    return max(4096, 32 * lb, min(target, 1_048_576))
 
 
 def split_chunkable(inds: list[Indicator]):
@@ -119,16 +142,21 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     (symbol, chunk) tasks — and the rest (EWM/cumulative: genuinely
     sequential per symbol) append on top via the plain path. Removes
     the measured 14x hot-symbol trap without the caller asking."""
-    if auto_chunk_rows and not keep_temps and len(inds) > 0:
+    if (auto_chunk_rows and not keep_temps and len(inds) > 0
+            and not df.isStreaming):
         # size gate FIRST: split_chunkable regex-introspects every
         # indicator's SQL twin (~153 long strings for the all-ind
         # strategy) — running it before the cheap stats/memoized-count
-        # gate added ~10% to every all-ind plan build (r13 bench find)
+        # gate added ~10% to every all-ind plan build (r13 bench find).
+        # Streaming frames skip routing entirely (a count job can't run
+        # on an unstarted stream); NOTE the router may run one
+        # groupBy(symbol).count() job at plan-BUILD time on large batch
+        # frames — pass auto_chunk_rows=None to keep plan build lazy.
         hot = _max_rows_per_symbol(df)
         if hot > auto_chunk_rows:
             lb, safe, unsafe = split_chunkable(inds)
             if safe:
-                chunk_rows = max(65_536, 32 * lb, hot // 1024)
+                chunk_rows = _auto_chunk_size(df, hot, lb)
                 out = apply_strategy_chunked_rows(df, safe, lb, chunk_rows)
                 if unsafe:
                     # the non-chunkable half runs on the NARROW original
@@ -139,12 +167,28 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
                     # pass (measured 30.7s vs 24s plain on the skew
                     # bench; the join shape runs the two independent
                     # stage trees concurrently). Exactness assumes
-                    # (symbol, ts) uniquely keys rows — the same
-                    # assumption every per-symbol window here makes.
-                    keep = [SYMBOL, TS] + [
-                        c for c in df.columns if c not in (SYMBOL, TS)]
+                    # (symbol, ts) uniquely keys rows AND is non-NULL —
+                    # the same assumption every per-symbol window here
+                    # makes (an inner join on a NULL key would silently
+                    # drop the row the plain path keeps).
+                    unsafe_outs = {c for i in unsafe for c in i.outputs}
+                    drop_cols = [c for c in df.columns
+                                 if c not in (SYMBOL, TS)
+                                 and c not in unsafe_outs]
                     add = apply_strategy(df, unsafe, auto_chunk_rows=None)
-                    out = out.join(add.drop(*keep[2:]), [SYMBOL, TS])
+                    out = out.join(add.drop(*drop_cols), [SYMBOL, TS])
+                    # restore plain-path column order (ADVICE r13: the
+                    # join shape appended unsafe outputs last regardless
+                    # of indicator order)
+                    want = list(df.columns) + [
+                        c for i in inds for c in i.outputs
+                        if c not in df.columns]
+                    ordered, seen_c = [], set()
+                    for c in want + out.columns:
+                        if c in out.columns and c not in seen_c:
+                            seen_c.add(c)
+                            ordered.append(c)
+                    out = out.select(*ordered)
                 return out
     temps: list[str] = []
     seen: dict[str, str] = {}  # temp name -> expression repr

@@ -570,8 +570,10 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     # Pinned exactly: a silently-missing operators module must fail here,
     # not just shrink the driver's gate. Bump deliberately when adding ops.
-    assert len(q) == 270
-    assert len(o) == 270  # zero rows-only (r12 added the 11 param-variant
+    assert len(q) == 274
+    assert len(o) == 274  # zero rows-only (r13 added above_value_100_raw,
+    # cross_value_100_raw, topk_cosine_pq_rerank, topk_pq_rerank_recall;
+    # r12 added the 11 param-variant
     # keys: ema_noseed_10, apo_ema_12_26, slope_angle_1, stdev_30_ddof0,
     # variance_30_ddof0, atr_14_percent, bbands_ddof1_5_2.0, log_return_5,
     # percent_return_5, qstick_ema_10, amat_sma_8_21_2 plus 6 standalone
@@ -2315,6 +2317,37 @@ def test_chunked_rows_strategy_exact_parity(spark, bars):
                                     chunk_rows=64)
 
 
+def test_auto_router_skips_streaming_and_statless_frames(spark, tmp_path,
+                                                         monkeypatch):
+    """ADVICE r13: apply_strategy's default auto-routing must stay LAZY
+    on frames it can't cheaply size — a streaming DataFrame (an eager
+    count job would raise at plan-build time) and a stats-less plan
+    (where _plan_maybe_big can't read optimizer stats, the router takes
+    the plain path instead of paying a count job on every call)."""
+    from pandas_ta_spark.operators import overlap
+    from pandas_ta_spark.plans import strategy as S
+    from tests.conftest import make_pdf
+
+    src = tmp_path / "bars_stream"
+    src.mkdir()
+    make_pdf(50, 3, "A").to_parquet(src / "p.parquet")
+    stream = (
+        spark.readStream
+        .schema("symbol string, ts timestamp, open double, high double,"
+                " low double, close double, volume double")
+        .parquet(str(src))
+    )
+    # plan-build must not run a job (it would raise on a stream)
+    out = S.apply_strategy(stream, [overlap.sma(5)])
+    assert out.isStreaming and "SMA_5" in out.columns
+
+    # stats unavailable (connect, exotic plans) -> _plan_maybe_big says
+    # False -> _max_rows_per_symbol short-circuits to 0 without a job
+    monkeypatch.setattr(S, "_plan_maybe_big", lambda df: False)
+    df = spark.createDataFrame(make_pdf(50, 3, "A"))
+    assert S._max_rows_per_symbol(df) == 0
+
+
 def test_auto_chunk_routing_skewed_parity(spark, monkeypatch):
     """The r13 skew auto-router: a plain apply_strategy call on a frame
     whose hottest symbol exceeds the threshold must (a) actually take
@@ -2347,7 +2380,9 @@ def test_auto_chunk_routing_skewed_parity(spark, monkeypatch):
     auto = (S.apply_strategy(df, inds, auto_chunk_rows=1000).toPandas()
             .sort_values(["symbol", "ts"]).reset_index(drop=True))
     assert routed["n"] == 1  # the router fired, no opt-in
-    assert set(plain.columns) == set(auto.columns)
+    # exact order, not set-equality: the routed join re-selects columns
+    # into plain-path order (ADVICE r13)
+    assert list(plain.columns) == list(auto.columns)
     assert len(plain) == len(auto)
     for c in plain.columns:
         a, b = plain[c], auto[c]
@@ -2380,5 +2415,10 @@ def test_rotation_ring_tail_anchors_new_keys(spark):
     for k in E._POST_R12_KEYS:
         assert k in ring[-len(E._POST_R12_KEYS):], k
     w13 = set(E._window_for_round(13, keys))
-    r12_artifact = set(json.load(open("/root/repo/CORRECTNESS_r12.json")))
+    from pathlib import Path
+
+    # relative to the entry module, not a hardcoded checkout path
+    # (ADVICE r13)
+    r12_artifact = set(json.load(open(
+        Path(E.__file__).parent / "CORRECTNESS_r12.json")))
     assert not (w13 & r12_artifact)

@@ -130,6 +130,16 @@ def main(keys: list[str]) -> int:
     spark = get_spark()
     qs, orc = E.queries(), E.oracle_sql()
 
+    # Ad-hoc multi-key invocations (explicit key list) release every
+    # session cache between keys: 3 heavy pair keys through one process
+    # accumulated ~103 GB RSS and got kernel-OOM-killed (r13 judge);
+    # the full driver-style run keeps the caches — cross-key sharing of
+    # the materialized bars/pair tables is what makes 274 keys feasible.
+    # Override either way with CHECK_RELEASE_BETWEEN_KEYS=1/0.
+    _rel_env = os.environ.get("CHECK_RELEASE_BETWEEN_KEYS")
+    release_between = (bool(keys) if _rel_env is None
+                       else _rel_env not in ("0", "false", ""))
+
     def fresh_con():
         """A NEW DuckDB connection per oracle. One long-lived connection
         accumulated native memory across the 253-query run and died with
@@ -180,6 +190,11 @@ def main(keys: list[str]) -> int:
         else:
             print(f"OK    {k}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
             n_ok += 1
+        if release_between:
+            del sdf, odf
+            from pandas_ta_spark.caches import release_session_caches
+
+            release_session_caches(spark)
     print(f"\n{n_ok} ok, {n_bad} fail, {n_rowsonly} rows-only")
     return 1 if n_bad else 0
 

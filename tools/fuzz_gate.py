@@ -370,6 +370,33 @@ def run_profile(name: str, gen, keys: list[str], keep: bool,
             out["failures"][key] = msg[:500]
     if proc.returncode not in (0, 1):
         out["crash"] = (proc.stderr or proc.stdout)[-2000:]
+    # ONE retry for session-infrastructure crashes (Py4J gateway /
+    # collectToPython deaths): the r13 seed-2 tiny sweep recorded 7
+    # false FAILs that were JVM-session casualties, not value
+    # divergences — a fresh single-slice process adjudicates them.
+    infra = [k for k, m in out["failures"].items()
+             if m.startswith("spark error:") and any(
+                 s in m for s in ("Py4J", "EOF", "Connection",
+                                  "JavaGateway", "JVM"))]
+    if infra:
+        rp = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "check.py"),
+             *infra],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=5400)
+        out["infra_retried"] = {}
+        for line in rp.stdout.splitlines():
+            m = _LINE.match(line.strip())
+            if not m or m.group(2) not in infra:
+                continue
+            tag, key, msg = m.groups()
+            out["infra_retried"][key] = tag
+            if tag == "OK":
+                out["ok"] += 1
+                out["fail"] -= 1
+                out["failures"].pop(key, None)
+            else:  # still failing in a fresh session: keep, update msg
+                out["failures"][key] = msg[:500]
     if out["failures"]:
         _reexamine(d, out)
     if not keep:

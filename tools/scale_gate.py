@@ -143,6 +143,27 @@ HEAVY_PAIR_KEYS = {
 SLICE_TIMEOUT_HEAVY = 5400
 
 
+def _heavy_cpus() -> int:
+    """Heavy-slice parallelism: host cores capped at 16 (the measured
+    sweet spot), floored at 4."""
+    return max(4, min(16, (os.cpu_count() or 8)))
+
+
+def _heavy_mem_g() -> int:
+    """Heavy-slice driver heap: half of MemAvailable capped at 24g,
+    floored at 8g — an oversized heap on a small host thrashes/die
+    instead of computing (ADVICE r13)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_g = int(line.split()[1]) // (1024 * 1024)
+                    return max(8, min(24, avail_g // 2))
+    except OSError:
+        pass
+    return 24
+
+
 def _run_slice(slice_keys: list[str], env: dict,
                timeout: int = SLICE_TIMEOUT) -> dict[str, dict]:
     """One check.py subprocess over <=8 keys; parse per-key verdicts."""
@@ -233,8 +254,11 @@ def main() -> int:
     heavy = [k for k in todo if k in HEAVY_PAIR_KEYS]
     # heavy slices get a bigger local session: at 200k replica vectors
     # the pair join under check.py's default local[8]/8g thrashes where
-    # local[16]/24g computes the same 3.6M pairs in ~6 min (measured)
-    env_heavy = dict(env, CHECK_SPARK_CPUS="16", CHECK_DRIVER_MEM="24g")
+    # local[16]/24g computes the same 3.6M pairs in ~6 min (measured).
+    # Derived from the host with 16/24g as CAPS (ADVICE r13: a smaller
+    # gate host must not launch an oversized JVM that thrashes or dies).
+    env_heavy = dict(env, CHECK_SPARK_CPUS=str(_heavy_cpus()),
+                     CHECK_DRIVER_MEM=f"{_heavy_mem_g()}g")
     for lo in range(0, len(light), 8):
         results.update(_run_slice(light[lo:lo + 8], env))
     for k in heavy:
@@ -255,7 +279,11 @@ def main() -> int:
         for k in redo:
             if k not in HEAVY_PAIR_KEYS:
                 continue
-            for kk, v in _run_slice([k], env_heavy,
+            # retry under the DEFAULT gate env, not the heavy config —
+            # if the oversized JVM itself failed (host too small, heap
+            # OOM), rerunning the identical config reproduces the miss
+            # (ADVICE r13); the default env computes slower but fits.
+            for kk, v in _run_slice([k], env,
                                     timeout=SLICE_TIMEOUT_HEAVY).items():
                 prev = results.get(kk)
                 v["retried"] = True
