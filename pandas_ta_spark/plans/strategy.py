@@ -179,10 +179,17 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
                     out = out.join(add.drop(*drop_cols), [SYMBOL, TS])
                     # restore plain-path column order (ADVICE r13: the
                     # join shape appended unsafe outputs last regardless
-                    # of indicator order)
-                    want = list(df.columns) + [
-                        c for i in inds for c in i.outputs
-                        if c not in df.columns]
+                    # of indicator order). The plain path appends
+                    # expression finals in indicator order and THEN the
+                    # kernel outputs (run_kernels goes last), so mirror
+                    # that two-pass order, not flat indicator order.
+                    want = list(df.columns)
+                    for i in inds:
+                        want += [c for c in i.final if c not in want]
+                    for i in inds:
+                        if i.kernel is not None:
+                            want += [c for c in i.kernel.outputs
+                                     if c not in want]
                     ordered, seen_c = [], set()
                     for c in want + out.columns:
                         if c in out.columns and c not in seen_c:
