@@ -195,7 +195,11 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
                         if c in out.columns and c not in seen_c:
                             seen_c.add(c)
                             ordered.append(c)
-                    out = out.select(*ordered)
+                    # backtick-quote: bare-string select parses dotted
+                    # output names (CCI_14_0.015, BBL_5_2.0) as struct
+                    # field access
+                    out = out.select(
+                        *[F.col(f"`{c}`") for c in ordered])
                 return out
     temps: list[str] = []
     seen: dict[str, str] = {}  # temp name -> expression repr

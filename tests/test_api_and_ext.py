@@ -2400,6 +2400,31 @@ def test_auto_chunk_routing_skewed_parity(spark, monkeypatch):
     assert routed["n"] == 0
 
 
+def test_auto_chunk_routing_dotted_output_names(spark, monkeypatch):
+    """The routed reorder must survive output names containing dots
+    (CCI_14_0.015, BBL_5_2.0): a bare-string select parses them as
+    struct field access (r14 bench crash at HEAD e8d30a4)."""
+    from pandas_ta_spark.operators import momentum, overlap, volatility
+    from pandas_ta_spark.plans import strategy as S
+    from tests.conftest import make_pdf
+
+    df = spark.createDataFrame(make_pdf(1500, 7, "HOT")).repartition(2)
+    inds = [momentum.cci(14), volatility.bbands(), overlap.ema(10)]
+
+    plain = (S.apply_strategy(df, inds, auto_chunk_rows=None).toPandas()
+             .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    monkeypatch.setattr(S, "_AUTO_CHUNK_MIN_BYTES", 0)
+    auto = (S.apply_strategy(df, inds, auto_chunk_rows=500).toPandas()
+            .sort_values(["symbol", "ts"]).reset_index(drop=True))
+    assert list(plain.columns) == list(auto.columns)
+    for c in plain.columns:
+        a, b = plain[c], auto[c]
+        if a.dtype == object or c in ("symbol", "ts"):
+            assert (a == b).all(), c
+        else:
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
 def test_rotation_ring_tail_anchors_new_keys(spark):
     """Key additions append at the ring TAIL (after the r11 block), so
     the r12-era prefix keeps its phase and the r13 window stays disjoint
