@@ -225,6 +225,181 @@ def wroll_pd(x: pd.Series, weights: list[float], normalize: bool = True) -> pd.S
     return acc
 
 
+EPS = 2.220446049250313e-16  # float64 machine eps (non_zero_range twin)
+
+
+# --------------------------------------------------------------------------
+# Sequential-association rolling primitives (r14 ROLL absorption): these
+# replicate WindowExec's sliding-frame evaluation BIT-EXACTLY — Spark
+# rebuilds the aggregate per row by iterating the frame's rows in order
+# (SlidingWindowFunctionFrame + the aggregate's update expressions), so a
+# left-to-right vector loop over the window axis produces the identical
+# double at every row. Ops converted from window expressions to kernels
+# keep their r13 values exactly (np.sum's pairwise association flipped
+# 1e-6-grid ties on vwma/eom: 19/481 rows at sf0.01).
+# --------------------------------------------------------------------------
+
+def _swv_seq(v: np.ndarray, window: int, fn) -> np.ndarray:
+    """Like _swv_apply but fn receives the (rows x window) block for a
+    SEQUENTIAL (column-by-column) scan."""
+    return _swv_apply(v, window, fn)
+
+
+def roll_sum_seq_pd(x: pd.Series, n: int) -> pd.Series:
+    """Rolling sum, frame summed left-to-right (Spark/DuckDB frame
+    order). NaN poisons the frame — equivalent to the count>=n warmup
+    mask whenever NULLs mark incomplete inputs."""
+    v = x.to_numpy(dtype="float64")
+
+    def fn(w):
+        acc = w[:, 0].copy()
+        for j in range(1, n):
+            acc += w[:, j]
+        return acc
+
+    return pd.Series(_swv_seq(v, n, fn), index=x.index)
+
+
+def roll_mean_seq_pd(x: pd.Series, n: int) -> pd.Series:
+    """Rolling mean = sequential frame sum / n (Spark Average = sum /
+    count evaluated after the sequential updates)."""
+    v = x.to_numpy(dtype="float64")
+
+    def fn(w):
+        acc = w[:, 0].copy()
+        for j in range(1, n):
+            acc += w[:, j]
+        return acc / n
+
+    return pd.Series(_swv_seq(v, n, fn), index=x.index)
+
+
+def _welford_frame(w, x_start, n):
+    """Per-frame Welford state (Spark CentralMomentAgg/Covariance update
+    order, element by element): returns (xAvg, yAvg, ck, xMk, yMk) where
+    x is the global 1-based row position (x_start + j per column j) and
+    y the frame values. Bit-exact twin of regr_slope/regr_intercept/
+    corr over the sliding frame."""
+    rows = w.shape[0]
+    xAvg = np.zeros(rows)
+    yAvg = np.zeros(rows)
+    ck = np.zeros(rows)
+    xMk = np.zeros(rows)
+    yMk = np.zeros(rows)
+    for j in range(n):
+        k = float(j + 1)
+        xj = x_start + j
+        yj = w[:, j]
+        dx = xj - xAvg
+        dy = yj - yAvg
+        xAvg = xAvg + dx / k
+        yAvg = yAvg + dy / k
+        ck = ck + dx * (yj - yAvg)
+        xMk = xMk + dx * (xj - xAvg)
+        yMk = yMk + dy * (yj - yAvg)
+    return xAvg, yAvg, ck, xMk, yMk
+
+
+def _ols_frames(v: np.ndarray, n: int, combine) -> np.ndarray:
+    """Run the Welford twin over every sliding frame; ``combine`` maps
+    (xAvg, yAvg, ck, xMk, yMk, x_end) -> output vector. x positions are
+    the global 1-based row numbers (the SQL twins regress against
+    row_number() OVER the symbol order)."""
+    m = len(v)
+    out = np.full(m, np.nan)
+    if m < n:
+        return out
+    swv = np.lib.stride_tricks.sliding_window_view
+    for start in range(0, m - n + 1, _SWV_BLOCK):
+        stop = min(start + _SWV_BLOCK, m - n + 1)
+        block = swv(v[start:stop + n - 1], n)
+        # frame f (0-based within block) covers global rows
+        # [start+f+1 .. start+f+n] in 1-based row_number coordinates
+        x_start = np.arange(start + 1.0, start + 1.0 + (stop - start))
+        st = _welford_frame(block, x_start, n)
+        out[start + n - 1:stop + n - 1] = combine(*st, x_start + n - 1)
+    return out
+
+
+def nzr_np(a, b):
+    """numpy twin of momentum._nzr: a - b with exact zeros nudged to
+    machine eps (same op order as the Column/SQL twins)."""
+    d = a - b
+    return d + np.where(d == 0, EPS, 0.0)
+
+
+def div0_np(num, den):
+    """num / den with zero denominators -> NaN (the engines' non-ANSI
+    x/0 -> NULL; a NaN kernel output crosses Arrow as NULL)."""
+    with np.errstate(all="ignore"):
+        out = num / den
+    return np.where(den == 0, np.nan, out)
+
+
+def roll_ols_slope_pd(x: pd.Series, n: int) -> pd.Series:
+    """Rolling regr_slope(y, row_number) — bit-exact Welford twin of the
+    window expression (overlap.linreg mode 'slope')."""
+    def combine(xAvg, yAvg, ck, xMk, yMk, x_end):
+        with np.errstate(all="ignore"):
+            slope = ck / xMk
+        return np.where(xMk == 0, np.nan, slope)
+
+    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine),
+                     index=x.index)
+
+
+def roll_ols_fit_pd(x: pd.Series, n: int, at_offset: float) -> pd.Series:
+    """Rolling OLS fitted value regr_intercept + regr_slope * (rn +
+    at_offset) — bit-exact Welford twin of the linreg/cfo window
+    expressions. at_offset: 0 = endpoint (mode linreg / cfo), 1 = tsf,
+    1 - n = frame-start intercept."""
+    def combine(xAvg, yAvg, ck, xMk, yMk, x_end):
+        with np.errstate(all="ignore"):
+            slope = ck / xMk
+            icpt = yAvg - slope * xAvg
+            fit = icpt + slope * (x_end + at_offset)
+        return np.where(xMk == 0, np.nan, fit)
+
+    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine),
+                     index=x.index)
+
+
+def roll_std_welford_pd(x: pd.Series, n: int, ddof: int = 1) -> pd.Series:
+    """Rolling stddev via the per-frame Welford recursion — bit-exact
+    twin of Spark's stddev_samp/pop window aggregate (CentralMomentAgg
+    update order), for converted ops whose expression twin had NO
+    constant-frame guard (xsignals' raw zscore signal). Constant frames
+    give m2 == 0.0 exactly in the recursion, matching the engines."""
+    v = x.to_numpy(dtype="float64")
+
+    def fn(w):
+        rows = w.shape[0]
+        avg = np.zeros(rows)
+        m2 = np.zeros(rows)
+        for j in range(n):
+            xj = w[:, j]
+            delta = xj - avg
+            avg = avg + delta / float(j + 1)
+            m2 = m2 + delta * (xj - avg)
+        return np.sqrt(m2 / (n - ddof))
+
+    return pd.Series(_swv_apply(v, n, fn), index=x.index)
+
+
+def roll_corr_idx_pd(x: pd.Series, n: int) -> pd.Series:
+    """Rolling corr(y, row_number) — bit-exact Welford twin of the
+    window expression (momentum.cti, linreg mode 'r'). Zero variance ->
+    NaN (the engines' NULL on the zero denominator)."""
+    def combine(xAvg, yAvg, ck, xMk, yMk, x_end):
+        with np.errstate(all="ignore"):
+            den = np.sqrt(xMk * yMk)
+            r = ck / den
+        return np.where(den == 0, np.nan, r)
+
+    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine),
+                     index=x.index)
+
+
 def linreg_end_pd(x: pd.Series, n: int) -> pd.Series:
     """Rolling OLS fitted value at the frame's last row (the reference's
     ``linear_regression`` smoother — pandas_ta/overlap/linreg.py#linreg,
@@ -245,3 +420,5 @@ def linreg_end_pd(x: pd.Series, n: int) -> pd.Series:
         return icpt + slope * n
 
     return pd.Series(_swv_apply(v, n, fn), index=x.index)
+
+

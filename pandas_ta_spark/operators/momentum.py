@@ -92,10 +92,18 @@ def ao(fast: int = 5, slow: int = 34):
     """SMA(hl2,fast) - SMA(hl2,slow) — pandas_ta/momentum/ao.py#ao."""
     out = name("AO", fast, slow)
     med = f"_ao_med"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        m = (pdf["high"] + pdf["low"]) / 2
+        pdf[out] = roll_mean_seq_pd(m, fast) - roll_mean_seq_pd(m, slow)
+        return pdf
+
     return Indicator(
         "ao", [out], CAT,
-        stages=[{med: (F.col("high") + F.col("low")) / 2}],
-        final={out: roll(F.avg, med, fast) - roll(F.avg, med, slow)},
+        kernel=KernelSpec(fn, [out], ["high", "low"],
+                          carry_rows=max(fast, slow) - 1),
         sql_stages=[{med: "(high + low) / 2"}],
         sql_final={out: f"({sql_roll('avg', med, fast)}) - ({sql_roll('avg', med, slow)})"},
     )
@@ -123,17 +131,36 @@ def apo(fast: int = 12, slow: int = 26, mamode: str = "sma"):
         return Indicator("apo", [out], CAT,
                          kernel=KernelSpec(fn, [out], ["close"]),
                          sql_full=sql)
-    e = roll(F.avg, "close", fast) - roll(F.avg, "close", slow)
+    def fn_sma(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        c = pdf["close"]
+        pdf[out] = roll_mean_seq_pd(c, fast) - roll_mean_seq_pd(c, slow)
+        return pdf
+
     s = f"({sql_roll('avg', 'close', fast)}) - ({sql_roll('avg', 'close', slow)})"
-    return Indicator("apo", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("apo", [out], CAT,
+                     kernel=KernelSpec(fn_sma, [out], ["close"],
+                                       carry_rows=max(fast, slow) - 1),
+                     sql_final={out: s})
 
 
 def bias(length: int = 26):
     """c/SMA(c,n) - 1 — pandas_ta/momentum/bias.py#bias."""
     out = name("BIAS", "SMA", length)
-    e = F.col("close") / roll(F.avg, "close", length) - 1
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import div0_np, roll_mean_seq_pd
+
+        sm = roll_mean_seq_pd(pdf["close"], length)
+        pdf[out] = div0_np(pdf["close"], sm) - 1
+        return pdf
+
     s = f"close / ({sql_roll('avg', 'close', length)}) - 1"
-    return Indicator("bias", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("bias", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"],
+                                       carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def brar(length: int = 26):
@@ -213,18 +240,22 @@ def cfo(length: int = 9):
     pandas_ta/momentum/cfo.py#cfo."""
     out = name("CFO", length)
     rn = f"_cfo_rn"
-    x = F.col(rn)
-    sl = masked(F.regr_slope(F.col("close"), x).over(w_rows(length)), "close", length)
-    ic = masked(F.regr_intercept(F.col("close"), x).over(w_rows(length)), "close", length)
-    fit = ic + sl * x
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import div0_np, roll_ols_fit_pd
+
+        c = pdf["close"]
+        fit = roll_ols_fit_pd(c, length, 0.0)
+        pdf[out] = div0_np(100 * (c - fit), c)
+        return pdf
+
     wr = sql_w_rows(length)
     s_sl = sql_masked(f"regr_slope(close, {rn}) OVER ({wr})", "close", length)
     s_ic = sql_masked(f"regr_intercept(close, {rn}) OVER ({wr})", "close", length)
     s_fit = f"(({s_ic}) + ({s_sl}) * {rn})"
     return Indicator(
         "cfo", [out], CAT,
-        stages=[{rn: F.row_number().over(w_order()).cast("double")}],
-        final={out: 100 * (F.col("close") - fit) / F.col("close")},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
         sql_stages=[{rn: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={out: f"100 * (close - {s_fit}) / close"},
     )
@@ -235,10 +266,22 @@ def cg(length: int = 10):
     pandas_ta/momentum/cg.py#cg (weights n..1 oldest..newest)."""
     out = name("CG", length)
     weights = [float(i + 1) for i in range(length)]  # lag i gets i+1
-    num = wroll("close", weights, normalize=False)
-    e = -num / roll(F.sum, "close", length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, roll_sum_seq_pd, wroll_pd,
+        )
+
+        c = pdf["close"]
+        num = wroll_pd(c, weights, normalize=False)
+        pdf[out] = div0_np(-num, roll_sum_seq_pd(c, length))
+        return pdf
+
     s = f"-({sql_wroll('close', weights, normalize=False)}) / ({sql_roll('sum', 'close', length)})"
-    return Indicator("cg", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("cg", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close"],
+                                       carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def cmo(length: int = 14, drift: int = 1):
@@ -246,18 +289,26 @@ def cmo(length: int = 14, drift: int = 1):
     pandas_ta/momentum/cmo.py#cmo."""
     out = name("CMO", length)
     d = f"_cmo_d_{drift}"
-    up = F.when(F.col(d).isNull(), None).otherwise(F.greatest(F.col(d), F.lit(0.0)))
-    dn = F.when(F.col(d).isNull(), None).otherwise(F.greatest(-F.col(d), F.lit(0.0)))
-    su = roll(F.sum, up, length)
-    sd = roll(F.sum, dn, length)
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import div0_np, roll_sum_seq_pd
+
+        dd = pdf["close"].diff(drift)
+        su = roll_sum_seq_pd(np.maximum(dd, 0.0), length)
+        sd = roll_sum_seq_pd(np.maximum(-dd, 0.0), length)
+        pdf[out] = div0_np(100 * (su - sd), su + sd)
+        return pdf
+
     s_up = f"CASE WHEN {d} IS NULL THEN NULL ELSE greatest({d}, 0.0) END"
     s_dn = f"CASE WHEN {d} IS NULL THEN NULL ELSE greatest(-{d}, 0.0) END"
     s_su = sql_masked(f"sum({s_up}) OVER ({sql_w_rows(length)})", s_up, length)
     s_sd = sql_masked(f"sum({s_dn}) OVER ({sql_w_rows(length)})", s_dn, length)
     return Indicator(
         "cmo", [out], CAT,
-        stages=[{d: diff("close", drift)}],
-        final={out: 100 * (su - sd) / (su + sd)},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=drift + length - 1),
         sql_stages=[{d: sql_diff("close", drift)}],
         sql_final={out: f"100 * (({s_su}) - ({s_sd})) / (({s_su}) + ({s_sd}))"},
     )
@@ -287,12 +338,17 @@ def cti(length: int = 12):
     pandas_ta/momentum/cti.py#cti."""
     out = name("CTI", length)
     rn = "_cti_rn"
-    e = masked(F.corr(F.col("close"), F.col(rn)).over(w_rows(length)), "close", length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_corr_idx_pd
+
+        pdf[out] = roll_corr_idx_pd(pdf["close"], length)
+        return pdf
+
     s = sql_masked(f"corr(close, {rn}) OVER ({sql_w_rows(length)})", "close", length)
     return Indicator(
         "cti", [out], CAT,
-        stages=[{rn: F.row_number().over(w_order()).cast("double")}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
         sql_stages=[{rn: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={out: s},
     )
@@ -303,12 +359,20 @@ def er(length: int = 10, drift: int = 1):
     pandas_ta/momentum/er.py#er."""
     out = name("ER", length)
     ad = f"_er_absd_{drift}"
-    e = F.abs(diff("close", length)) / roll(F.sum, ad, length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import div0_np, roll_sum_seq_pd
+
+        c = pdf["close"]
+        den = roll_sum_seq_pd(c.diff(drift).abs(), length)
+        pdf[out] = div0_np(c.diff(length).abs(), den)
+        return pdf
+
     s = f"abs({sql_diff('close', length)}) / ({sql_roll('sum', ad, length)})"
     return Indicator(
         "er", [out], CAT,
-        stages=[{ad: F.abs(diff("close", drift))}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=max(length, drift + length - 1)),
         sql_stages=[{ad: f"abs({sql_diff('close', drift)})"}],
         sql_final={out: s},
     )
@@ -355,12 +419,24 @@ def psl(length: int = 12, drift: int = 1):
     pandas_ta/momentum/psl.py#psl."""
     out = name("PSL", length)
     d = f"_psl_pos_{drift}"
-    e = 100 * roll(F.sum, d, length) / length
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_ta_spark.functions.pdkernels import roll_sum_seq_pd
+
+        dd = pdf["close"].diff(drift)
+        # NULL diff counts as 0.0 (the expression twin's otherwise(0.0))
+        pos = pd.Series(np.where(dd > 0, 1.0, 0.0), index=dd.index)
+        pdf[out] = 100 * roll_sum_seq_pd(pos, length) / length
+        return pdf
+
     s = f"100 * ({sql_roll('sum', d, length)}) / {length}"
     return Indicator(
         "psl", [out], CAT,
-        stages=[{d: F.when(diff("close", drift) > 0, 1.0).otherwise(0.0)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=drift + length - 1),
         sql_stages=[{d: f"CASE WHEN ({sql_diff('close', drift)}) > 0 THEN 1.0 ELSE 0.0 END"}],
         sql_final={out: s},
     )
@@ -1104,25 +1180,30 @@ def fisher(length: int = 9, signal: int = 1):
     def fn(pdf):
         import numpy as np
 
+        import math
+
         hl2_ = ((pdf["high"] + pdf["low"]) / 2)
-        hh = hl2_.rolling(length).max().to_numpy()
-        ll = hl2_.rolling(length).min().to_numpy()
-        x = hl2_.to_numpy()
+        hh = hl2_.rolling(length).max().tolist()
+        ll = hl2_.rolling(length).min().tolist()
+        x = hl2_.tolist()
         n = len(pdf)
-        fish = np.full(n, np.nan)
+        fish = [math.nan] * n
         v = 0.0
         prev_f = 0.0
         for i in range(n):
-            if np.isnan(hh[i]):
+            if math.isnan(hh[i]):
                 continue
             rng = hh[i] - ll[i]
             if rng == 0:
                 rng = 0.001
             v = 0.66 * ((x[i] - ll[i]) / rng - 0.5) + 0.67 * v
             v = max(min(v, 0.999), -0.999)
-            f = 0.5 * (np.log((1 + v) / (1 - v)) + prev_f)
+            # np.log (not math.log): numpy's float64 ufunc is the ulp
+            # contract the recursive-CTE oracle was validated against
+            f = 0.5 * (float(np.log((1 + v) / (1 - v))) + prev_f)
             fish[i] = f
             prev_f = f
+        fish = np.asarray(fish, dtype="float64")
         pdf[o_f] = fish
         pdf[o_s] = pd_shift(fish, signal)
         return pdf
@@ -1176,7 +1257,7 @@ def rsx(length: int = 14):
     def fn(pdf):
         import numpy as np
 
-        c = pdf["close"].to_numpy()
+        c = pdf["close"].to_numpy().tolist()
         n = len(pdf)
         res = np.full(n, np.nan)
         f8 = f10 = v8 = 0.0
@@ -1303,37 +1384,43 @@ def stc(tclength: int = 10, fast: int = 12, slow: int = 26, factor: float = 0.5)
         n = len(pdf)
         import pandas as pd
 
+        import math
+
         s = pd.Series(line)
-        ll = s.rolling(tclength).min().to_numpy()
-        hh = s.rolling(tclength).max().to_numpy()
-        stoch1 = np.full(n, np.nan)
-        pf = np.full(n, np.nan)
-        prev_pf = np.nan
+        # python-list loop state: ndarray scalar indexing boxes a
+        # np.float64 per access (~3x interpreter cost); python floats
+        # are the same IEEE doubles, bit-identical arithmetic
+        ll = s.rolling(tclength).min().tolist()
+        hh = s.rolling(tclength).max().tolist()
+        linel = line.tolist()
+        stoch1 = [math.nan] * n
+        pf = [math.nan] * n
+        prev_pf = math.nan
         for i in range(n):
-            if np.isnan(hh[i]):
+            if math.isnan(hh[i]):
                 continue
             rng = hh[i] - ll[i]
-            stoch1[i] = 100 * (line[i] - ll[i]) / rng if rng > 0 else (
-                prev_pf if not np.isnan(prev_pf) else 0.0)
-            prev_pf = (stoch1[i] if np.isnan(prev_pf)
+            stoch1[i] = 100 * (linel[i] - ll[i]) / rng if rng > 0 else (
+                prev_pf if not math.isnan(prev_pf) else 0.0)
+            prev_pf = (stoch1[i] if math.isnan(prev_pf)
                        else prev_pf + factor * (stoch1[i] - prev_pf))
             pf[i] = prev_pf
         s2 = pd.Series(pf)
-        ll2 = s2.rolling(tclength).min().to_numpy()
-        hh2 = s2.rolling(tclength).max().to_numpy()
-        stc_arr = np.full(n, np.nan)
-        prev = np.nan
+        ll2 = s2.rolling(tclength).min().tolist()
+        hh2 = s2.rolling(tclength).max().tolist()
+        stc_arr = [math.nan] * n
+        prev = math.nan
         for i in range(n):
-            if np.isnan(hh2[i]):
+            if math.isnan(hh2[i]):
                 continue
             rng = hh2[i] - ll2[i]
             raw = 100 * (pf[i] - ll2[i]) / rng if rng > 0 else (
-                prev if not np.isnan(prev) else 0.0)
-            prev = raw if np.isnan(prev) else prev + factor * (raw - prev)
+                prev if not math.isnan(prev) else 0.0)
+            prev = raw if math.isnan(prev) else prev + factor * (raw - prev)
             stc_arr[i] = prev
-        pdf[o] = stc_arr
+        pdf[o] = np.asarray(stc_arr, dtype="float64")
         pdf[o_m] = line
-        pdf[o_s] = pf
+        pdf[o_s] = np.asarray(pf, dtype="float64")
         return pdf
 
     sql = _stc_oracle(o, o_m, o_s, tclength, fast, slow, factor)
@@ -1445,8 +1532,10 @@ def qqe(length: int = 14, smooth: int = 5, factor: float = 4.236):
         atr_rsi = (rsi_ma.diff(1)).abs()
         wilders = 2 * length - 1
         ma_atr = ema_pd(atr_rsi, wilders)
-        dar = (ema_pd(ma_atr, wilders) * factor).to_numpy()
-        m = rsi_ma.to_numpy()
+        import math
+
+        dar = (ema_pd(ma_atr, wilders) * factor).tolist()
+        m = rsi_ma.tolist()
         n = len(pdf)
         long_band = np.full(n, np.nan)
         short_band = np.full(n, np.nan)
@@ -1456,7 +1545,7 @@ def qqe(length: int = 14, smooth: int = 5, factor: float = 4.236):
         tr_ = 1
         started = False
         for i in range(n):
-            if np.isnan(m[i]) or np.isnan(dar[i]):
+            if math.isnan(m[i]) or math.isnan(dar[i]):
                 continue
             nl = m[i] - dar[i]
             ns = m[i] + dar[i]

@@ -88,8 +88,15 @@ def sma(length: int = 10, src: str = "close", large: bool | None = None):
     if large is None:
         large = length >= LARGE_WINDOW_THRESHOLD
     if not large:
+        def fn(pdf):
+            from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+            pdf[out] = roll_mean_seq_pd(pdf[src], length)
+            return pdf
+
         return Indicator("sma", [out], CAT,
-                         final={out: roll(F.avg, src, length)},
+                         kernel=KernelSpec(fn, [out], [src],
+                                           carry_rows=length - 1),
                          sql_final={out: sql_roll("avg", src, length)})
     s_c = f"_sma_{length}_cum"
     prev = F.lag(s_c, length).over(w_order())
@@ -126,11 +133,20 @@ def midprice(length: int = 2):
 def vwma(length: int = 10):
     """SMA(c*v,n)/SMA(v,n) — pandas_ta/overlap/vwma.py#vwma."""
     out = name("VWMA", length)
-    pv = F.col("close") * F.col("volume")
-    e = roll(F.sum, pv, length) / roll(F.sum, "volume", length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import div0_np, roll_sum_seq_pd
+
+        pdf[out] = div0_np(roll_sum_seq_pd(pdf["close"] * pdf["volume"], length),
+                           roll_sum_seq_pd(pdf["volume"], length))
+        return pdf
+
     s = (f"({sql_masked(f'sum(close * volume) OVER ({_wr(length)})', 'close * volume', length)})"
          f" / ({sql_roll('sum', 'volume', length)})")
-    return Indicator("vwma", [out], CAT, final={out: e}, sql_final={out: s})
+    return Indicator("vwma", [out], CAT,
+                     kernel=KernelSpec(fn, [out], ["close", "volume"],
+                                       carry_rows=length - 1),
+                     sql_final={out: s})
 
 
 def trima(length: int = 10):
@@ -140,10 +156,17 @@ def trima(length: int = 10):
     out = name("TRIMA", length)
     half = round(0.5 * (length + 1))
     tmp = f"_trima_{length}_inner"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        pdf[out] = roll_mean_seq_pd(roll_mean_seq_pd(pdf["close"], half), half)
+        return pdf
+
     return Indicator(
         "trima", [out], CAT,
-        stages=[{tmp: roll(F.avg, "close", half)}],
-        final={out: roll(F.avg, tmp, half)},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=2 * (half - 1)),
         sql_stages=[{tmp: sql_roll("avg", "close", half)}],
         sql_final={out: sql_roll("avg", tmp, half)},
     )
@@ -163,21 +186,25 @@ def linreg(length: int = 14, mode: str = "linreg"):
     kind = {"linreg": "LR", "slope": "LRm", "intercept": "LRb", "tsf": "LRtsf", "r": "LRr"}[mode]
     out = name(kind, length)
     tmp = f"_linreg_{length}_rn"
-    rn_col = F.row_number().over(w_order()).cast("double")
-    x = F.col(tmp)
-    slope_e = masked(F.regr_slope(F.col("close"), x).over(w_rows(length)), "close", length)
-    icpt_e = masked(F.regr_intercept(F.col("close"), x).over(w_rows(length)), "close", length)
-    r_e = masked(F.corr(F.col("close"), x).over(w_rows(length)), "close", length)
-    if mode == "slope":
-        fin = slope_e
-    elif mode == "intercept":
-        fin = icpt_e + slope_e * (x - length + 1)
-    elif mode == "r":
-        fin = r_e
-    elif mode == "tsf":
-        fin = icpt_e + slope_e * (x + 1)
-    else:
-        fin = icpt_e + slope_e * x
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            roll_corr_idx_pd, roll_ols_fit_pd, roll_ols_slope_pd,
+        )
+
+        c = pdf["close"]
+        if mode == "slope":
+            pdf[out] = roll_ols_slope_pd(c, length)
+        elif mode == "intercept":
+            pdf[out] = roll_ols_fit_pd(c, length, float(1 - length))
+        elif mode == "r":
+            pdf[out] = roll_corr_idx_pd(c, length)
+        elif mode == "tsf":
+            pdf[out] = roll_ols_fit_pd(c, length, 1.0)
+        else:
+            pdf[out] = roll_ols_fit_pd(c, length, 0.0)
+        return pdf
+
     wr = _wr(length)
     s_slope = sql_masked(f"regr_slope(close, {tmp}) OVER ({wr})", "close", length)
     s_icpt = sql_masked(f"regr_intercept(close, {tmp}) OVER ({wr})", "close", length)
@@ -194,8 +221,7 @@ def linreg(length: int = 14, mode: str = "linreg"):
         s_fin = f"({s_icpt}) + ({s_slope}) * {tmp}"
     return Indicator(
         "linreg", [out], CAT,
-        stages=[{tmp: rn_col}],
-        final={out: fin},
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
         sql_stages=[{tmp: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={out: s_fin},
     )
@@ -454,14 +480,28 @@ def hilo(high_length: int = 13, low_length: int = 21):
     o, ol, os_ = f"HILO_{suffix}", f"HILOl_{suffix}", f"HILOs_{suffix}"
     mhi_c, mlo_c, ev_c, st_c = (f"_hilo_mhi_{suffix}", f"_hilo_mlo_{suffix}",
                                 f"_hilo_ev_{suffix}", f"_hilo_st_{suffix}")
-    up_ev = F.col("close") > shift(mhi_c, 1)
-    dn_ev = F.col("close") < shift(mlo_c, 1)
-    ev = F.when(up_ev, F.col(mlo_c)).when(dn_ev, F.col(mhi_c))
-    st = F.when(up_ev, 1.0).when(dn_ev, -1.0)
-    from pandas_ta_spark.functions.windows import SQL_W_ALL, w_all
+    from pandas_ta_spark.functions.windows import SQL_W_ALL
 
-    band = F.last(ev_c, ignorenulls=True).over(w_all())
-    state = F.last(st_c, ignorenulls=True).over(w_all())
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        mhi = roll_mean_seq_pd(pdf["high"], high_length)
+        mlo = roll_mean_seq_pd(pdf["low"], low_length)
+        c = pdf["close"]
+        up = (c > mhi.shift(1)).to_numpy()  # NaN compares False = no event
+        dn = (c < mlo.shift(1)).to_numpy()
+        ev = np.where(up, mlo, np.where(dn, mhi, np.nan))
+        st = np.where(up, 1.0, np.where(dn, -1.0, np.nan))
+        band = pd.Series(ev, index=c.index).ffill().to_numpy()
+        state = pd.Series(st, index=c.index).ffill().to_numpy()
+        pdf[o] = band
+        pdf[ol] = np.where(state == 1.0, band, np.nan)
+        pdf[os_] = np.where(state == -1.0, band, np.nan)
+        return pdf
+
     s_mhi_p, s_mlo_p = sql_shift(mhi_c, 1), sql_shift(mlo_c, 1)
     s_up = f"(close > ({s_mhi_p}))"
     s_dn = f"(close < ({s_mlo_p}))"
@@ -471,14 +511,7 @@ def hilo(high_length: int = 13, low_length: int = 21):
     s_state = f"last_value({st_c} IGNORE NULLS) OVER ({SQL_W_ALL})"
     return Indicator(
         "hilo", [o, ol, os_], CAT,
-        stages=[{mhi_c: roll(F.avg, "high", high_length),
-                 mlo_c: roll(F.avg, "low", low_length)},
-                {ev_c: ev, st_c: st}],
-        final={
-            o: band,
-            ol: F.when(state == 1.0, band),
-            os_: F.when(state == -1.0, band),
-        },
+        kernel=KernelSpec(fn, [o, ol, os_], ["high", "low", "close"]),
         sql_stages=[{mhi_c: sql_roll("avg", "high", high_length),
                      mlo_c: sql_roll("avg", "low", low_length)},
                     {ev_c: s_ev, st_c: s_st}],

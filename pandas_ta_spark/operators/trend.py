@@ -89,21 +89,38 @@ def chop(length: int = 14, atr_length: int = 1, scalar: float = 100.0):
     pandas_ta/trend/chop.py#chop."""
     out = name("CHOP", length, atr_length, scalar)
     tr_c = "_chop_tr"
-    hh = roll(F.max, "high", length)
-    ll = roll(F.min, "low", length)
-    e = (
-        F.lit(scalar)
-        * F.log10(roll(F.sum, tr_c, length) / (hh - ll))
-        / F.log10(F.lit(float(length)))
-    )
+
+    def fn(pdf):
+        import math
+
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, roll_max_pd, roll_min_pd, roll_sum_seq_pd,
+        )
+
+        h, low, c = pdf["high"], pdf["low"], pdf["close"]
+        prevc = c.shift(1)
+        tr = np.maximum(np.maximum(h - low, (h - prevc).abs()),
+                        (low - prevc).abs())
+        arg = div0_np(roll_sum_seq_pd(tr, length),
+                      roll_max_pd(h, length) - roll_min_pd(low, length))
+        # engines' log10(x <= 0) -> NULL (non-ANSI); numpy would emit
+        # -inf/NaN-with-warning instead
+        with np.errstate(all="ignore"):
+            lg = np.where(arg > 0, np.log10(np.where(arg > 0, arg, 1.0)),
+                          np.nan)
+        pdf[out] = scalar * lg / math.log10(float(length))
+        return pdf
+
     s_hh = sql_roll("max", "high", length)
     s_ll = sql_roll("min", "low", length)
     s = (f"{scalar!r} * log10(({sql_roll('sum', tr_c, length)})"
          f" / (({s_hh}) - ({s_ll}))) / log10({float(length)!r})")
     return Indicator(
         "chop", [out], CAT,
-        stages=[{tr_c: _spark_true_range()}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["high", "low", "close"],
+                          carry_rows=length),
         sql_stages=[{tr_c: _sql_true_range()}],
         sql_final={out: s},
     )
@@ -221,15 +238,22 @@ def dpo(length: int = 20, centered: bool = True):
     t = length // 2 + 1
     sma_c = f"_dpo_sma_{length}"
     if centered:
-        e = F.col("close") - F.lead(sma_c, t).over(w_order())
         s = f"close - lead({sma_c}, {t}) OVER ({SQL_W_ORDER})"
     else:
-        e = F.col("close") - shift(sma_c, t)
         s = f"close - ({sql_shift(sma_c, t)})"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        sm = roll_mean_seq_pd(pdf["close"], length)
+        pdf[out] = pdf["close"] - sm.shift(-t if centered else t)
+        return pdf
+
     return Indicator(
         "dpo", [out], CAT,
-        stages=[{sma_c: roll(F.avg, "close", length)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=length - 1 + (0 if centered else t),
+                          lead_rows=t if centered else 0),
         sql_stages=[{sma_c: sql_roll("avg", "close", length)}],
         sql_final={out: s},
     )
@@ -255,10 +279,16 @@ def qstick(length: int = 10, mamode: str = "sma"):
         return Indicator("qstick", [out], CAT,
                          kernel=KernelSpec(fn, [out], ["open", "close"]),
                          sql_full=sql)
+    def fn_sma(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        pdf[out] = roll_mean_seq_pd(pdf["close"] - pdf["open"], length)
+        return pdf
+
     return Indicator(
         "qstick", [out], CAT,
-        stages=[{t: F.col("close") - F.col("open")}],
-        final={out: roll(F.avg, t, length)},
+        kernel=KernelSpec(fn_sma, [out], ["open", "close"],
+                          carry_rows=length - 1),
         sql_stages=[{t: "(close - open)"}],
         sql_final={out: sql_roll("avg", t, length)},
     )
@@ -268,15 +298,23 @@ def ttm_trend(length: int = 6):
     """close vs SMA(hl2, n): 1/-1 — pandas_ta/trend/ttm_trend.py."""
     out = name("TTM_TRND", length)
     t = "_ttm_avg"
-    hl2 = (F.col("high") + F.col("low")) / 2
-    avg = F.col(t)
-    e = F.when(avg.isNull(), None).when(F.col("close") > avg, 1.0).otherwise(-1.0)
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+
+        avg = roll_mean_seq_pd((pdf["high"] + pdf["low"]) / 2, length)
+        pdf[out] = np.where(np.isnan(avg), np.nan,
+                            np.where(pdf["close"] > avg, 1.0, -1.0))
+        return pdf
+
     s = (f"CASE WHEN {t} IS NULL THEN NULL"
          f" WHEN close > {t} THEN 1.0 ELSE -1.0 END")
     return Indicator(
         "ttm_trend", [out], CAT,
-        stages=[{t: masked(F.avg(hl2).over(w_rows(length)), "close", length)}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["high", "low", "close"],
+                          carry_rows=length - 1),
         sql_stages=[{t: sql_masked(
             f"avg((high + low) / 2) OVER ({sql_w_rows(length)})", "close", length)}],
         sql_final={out: s},
@@ -288,16 +326,24 @@ def vhf(length: int = 28, drift: int = 1):
     pandas_ta/trend/vhf.py#vhf (on close)."""
     out = name("VHF", length)
     t = "_vhf_absd"
-    hh = roll(F.max, "close", length)
-    ll = roll(F.min, "close", length)
-    e = F.abs(hh - ll) / roll(F.sum, t, length)
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, roll_max_pd, roll_min_pd, roll_sum_seq_pd,
+        )
+
+        c = pdf["close"]
+        num = (roll_max_pd(c, length) - roll_min_pd(c, length)).abs()
+        pdf[out] = div0_np(num, roll_sum_seq_pd(c.diff(drift).abs(), length))
+        return pdf
+
     s_hh = sql_roll("max", "close", length)
     s_ll = sql_roll("min", "close", length)
     s = f"abs(({s_hh}) - ({s_ll})) / ({sql_roll('sum', t, length)})"
     return Indicator(
         "vhf", [out], CAT,
-        stages=[{t: F.abs(diff("close", drift))}],
-        final={out: e},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=drift + length - 1),
         sql_stages=[{t: f"abs({sql_diff('close', drift)})"}],
         sql_final={out: s},
     )
@@ -481,13 +527,49 @@ def tsignals(fast: int = 8, slow: int = 21):
 
     # quantized MA-cross — base.py flag_quantize rationale (equal-MA
     # stretches put the true difference at exactly 0)
-    trend = flag_quantize(
-        masked(F.avg("close").over(w_rows(fast)), "close", fast)
-        - masked(F.avg("close").over(w_rows(slow)), "close", slow)) > 0
     s_trend = ("(" + sql_flag_quantize(
         f"({sql_roll('avg', 'close', fast)})"
         f" - ({sql_roll('avg', 'close', slow)})") + " > 0)")
-    return tsignals_of(trend, s_trend)
+
+    outs = ["TS_Trends", "TS_Trades", "TS_Entries", "TS_Exits"]
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+        from pandas_ta_spark.operators.base import np_flag_quantize
+
+        c = pdf["close"]
+        fq = np_flag_quantize(
+            (roll_mean_seq_pd(c, fast)
+             - roll_mean_seq_pd(c, slow)).to_numpy())
+        t = np.where(np.isnan(fq), np.nan, (fq > 0).astype("float64"))
+        prev = np.concatenate(([np.nan], t[:-1]))
+        trades = t - np.where(np.isnan(prev), 0.0, prev)
+        pdf[outs[0]] = t
+        pdf[outs[1]] = trades
+        pdf[outs[2]] = np.where(np.isnan(trades), np.nan,
+                                (trades == 1).astype("float64"))
+        pdf[outs[3]] = np.where(np.isnan(trades), np.nan,
+                                (trades == -1).astype("float64"))
+        return pdf
+
+    # SQL twin: identical strings to tsignals_of's oracle side
+    t = "_ts_trend"
+    s_prev = sql_shift(t, 1)
+    s_trades = f"({t} - coalesce({s_prev}, 0.0))"
+    return Indicator(
+        "tsignals", outs, CAT,
+        kernel=KernelSpec(fn, outs, ["close"],
+                          carry_rows=max(fast, slow)),
+        sql_stages=[{t: f"CAST({s_trend} AS DOUBLE)"}],
+        sql_final={
+            outs[0]: t,
+            outs[1]: s_trades,
+            outs[2]: f"CAST({s_trades} = 1 AS DOUBLE)",
+            outs[3]: f"CAST({s_trades} = -1 AS DOUBLE)",
+        },
+    )
 
 
 def tsignals_of(trend, s_trend: str):
@@ -553,12 +635,38 @@ def _run_bools(increasing_first: bool, fast_n: int, slow_n: int, length: int):
     return e, s_e, stages, sql_stages
 
 
+def _run_kernel(out, increasing_first: bool, fast_n: int, slow_n: int,
+                length: int):
+    """Arrow-kernel twin of _run_bools: three-valued NULL combinations
+    all coalesce to 0.0, which numpy's NaN-compares-False reproduces."""
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import roll_mean_seq_pd
+        from pandas_ta_spark.operators.base import np_flag_quantize
+
+        c = pdf["close"]
+        mf = roll_mean_seq_pd(c, fast_n)
+        ms = roll_mean_seq_pd(c, slow_n)
+        fq = np_flag_quantize((mf - mf.shift(length)).to_numpy())
+        sq = np_flag_quantize((ms - ms.shift(length)).to_numpy())
+        fi, fde = fq > 0, fq < 0
+        si, sde = sq > 0, sq < 0
+        if increasing_first:
+            e = (fi & sde) | (fi & si)
+        else:
+            e = (fde & si) | (fde & sde)
+        pdf[out] = e.astype("float64")
+        return pdf
+
+    return KernelSpec(fn, [out], ["close"],
+                      carry_rows=max(fast_n, slow_n) - 1 + length)
+
+
 def long_run(fast_n: int = 8, slow_n: int = 21, length: int = 2):
     out = name("LR", length)
     e, s_e, stages, sql_stages = _run_bools(True, fast_n, slow_n, length)
     return Indicator(
-        "long_run", [out], CAT, stages=stages,
-        final={out: F.coalesce(e.cast("double"), F.lit(0.0))},
+        "long_run", [out], CAT,
+        kernel=_run_kernel(out, True, fast_n, slow_n, length),
         sql_stages=sql_stages,
         sql_final={out: f"CAST(coalesce({s_e}, false) AS DOUBLE)"},
     )
@@ -568,8 +676,8 @@ def short_run(fast_n: int = 8, slow_n: int = 21, length: int = 2):
     out = name("SR", length)
     e, s_e, stages, sql_stages = _run_bools(False, fast_n, slow_n, length)
     return Indicator(
-        "short_run", [out], CAT, stages=stages,
-        final={out: F.coalesce(e.cast("double"), F.lit(0.0))},
+        "short_run", [out], CAT,
+        kernel=_run_kernel(out, False, fast_n, slow_n, length),
         sql_stages=sql_stages,
         sql_final={out: f"CAST(coalesce({s_e}, false) AS DOUBLE)"},
     )
@@ -584,15 +692,32 @@ def xsignals(length: int = 30, xa: float = 1.0, xb: float = -1.0):
 
     outs = ["XS_Trends", "XS_Trades", "XS_Entries", "XS_Exits"]
     sig_c, ev_c, st_c = "_xs_sig", "_xs_ev", "_xs_state"
-    sig = (F.col("close") - roll(F.avg, "close", length)) / roll(
-        F.stddev_samp, "close", length
-    )
-    prev = shift(sig_c, 1)
-    up = (F.col(sig_c) > xa) & (prev <= xa)
-    dn = (F.col(sig_c) < xb) & (prev >= xb)
-    ev = F.when(up, 1.0).when(dn, 0.0)
-    state = F.coalesce(F.last(ev_c, ignorenulls=True).over(w_all()), F.lit(0.0))
-    trades = state - F.coalesce(shift(st_c, 1), F.lit(0.0))
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, roll_mean_seq_pd, roll_std_welford_pd,
+        )
+
+        c = pdf["close"]
+        sig_v = div0_np(c - roll_mean_seq_pd(c, length),
+                        roll_std_welford_pd(c, length, 1))
+        prev_v = np.concatenate(([np.nan], sig_v[:-1]))
+        up = (sig_v > xa) & (prev_v <= xa)  # NaN compares False
+        dn = (sig_v < xb) & (prev_v >= xb)
+        ev = np.where(up, 1.0, np.where(dn, 0.0, np.nan))
+        state = (pd.Series(ev, index=c.index).ffill()
+                 .fillna(0.0).to_numpy())
+        prev_st = np.concatenate(([0.0], state[:-1]))
+        trades = state - prev_st
+        pdf[outs[0]] = state
+        pdf[outs[1]] = trades
+        pdf[outs[2]] = (trades == 1).astype("float64")
+        pdf[outs[3]] = (trades == -1).astype("float64")
+        return pdf
+
     s_sig = (f"((close - ({sql_roll('avg', 'close', length)}))"
              f" / ({sql_roll('stddev_samp', 'close', length)}))")
     s_prev = sql_shift(sig_c, 1)
@@ -603,13 +728,7 @@ def xsignals(length: int = 30, xa: float = 1.0, xb: float = -1.0):
     s_trades = f"({st_c} - coalesce({sql_shift(st_c, 1)}, 0.0))"
     return Indicator(
         "xsignals", outs, CAT,
-        stages=[{sig_c: sig}, {ev_c: ev}, {st_c: state}],
-        final={
-            outs[0]: F.col(st_c),
-            outs[1]: trades,
-            outs[2]: (trades == 1).cast("double"),
-            outs[3]: (trades == -1).cast("double"),
-        },
+        kernel=KernelSpec(fn, outs, ["close"]),
         sql_stages=[{sig_c: s_sig}, {ev_c: s_ev}, {st_c: s_state}],
         sql_final={
             outs[0]: st_c,
@@ -631,9 +750,9 @@ def psar(af0: float = 0.02, af: float = 0.02, max_af: float = 0.2):
     def fn(pdf):
         import numpy as np
 
-        high = pdf["high"].to_numpy()
-        low = pdf["low"].to_numpy()
-        close = pdf["close"].to_numpy()
+        high = pdf["high"].to_numpy().tolist()
+        low = pdf["low"].to_numpy().tolist()
+        close = pdf["close"].to_numpy().tolist()
         n = len(pdf)
         psar_l = np.full(n, np.nan)
         psar_s = np.full(n, np.nan)

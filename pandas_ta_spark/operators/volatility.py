@@ -244,12 +244,27 @@ def ui(length: int = 14, scalar: float = 100.0):
     pandas_ta/volatility/ui.py#ui."""
     out = name("UI", length)
     d = "_ui_d"
-    hh = roll(F.max, "close", length)
     s_hh = sql_roll("max", "close", length)
+
+    def fn(pdf):
+        import numpy as np
+
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, roll_max_pd, roll_sum_seq_pd,
+        )
+
+        import pandas as pd
+
+        c = pdf["close"]
+        hh = roll_max_pd(c, length)
+        dd = pd.Series(div0_np(scalar * (c - hh), hh) ** 2, index=c.index)
+        pdf[out] = np.sqrt(roll_sum_seq_pd(dd, length) / length)
+        return pdf
+
     return Indicator(
         "ui", [out], CAT,
-        stages=[{d: F.pow(F.lit(scalar) * (F.col("close") - hh) / hh, 2.0)}],
-        final={out: F.sqrt(roll(F.sum, d, length) / length)},
+        kernel=KernelSpec(fn, [out], ["close"],
+                          carry_rows=2 * (length - 1)),
         sql_stages=[{d: f"({scalar!r} * (close - ({s_hh})) / ({s_hh})) ** 2"}],
         sql_final={out: f"sqrt(({sql_roll('sum', d, length)}) / {length})"},
     )
@@ -259,17 +274,26 @@ def accbands(length: int = 20, c: float = 4.0):
     """Acceleration Bands — pandas_ta/volatility/accbands.py#accbands."""
     outs = [f"ACCB{x}_{length}" for x in ("L", "M", "U")]
     lo_c, hi_c = "_accb_lo", "_accb_hi"
-    ratio = _nzr(F.col("high"), F.col("low")) / _nzr(
-        F.col("high") + F.col("low"), F.lit(0.0)
-    )
     s_ratio = f"({_sql_nzr('high', 'low')} / {_sql_nzr('high + low', '0.0')})"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import nzr_np, roll_mean_seq_pd
+
+        import pandas as pd
+
+        h, low = pdf["high"], pdf["low"]
+        ratio = nzr_np(h, low) / nzr_np(h + low, 0.0)
+        pdf[outs[0]] = roll_mean_seq_pd(
+            pd.Series(low * (1 - c * ratio), index=h.index), length)
+        pdf[outs[1]] = roll_mean_seq_pd(pdf["close"], length)
+        pdf[outs[2]] = roll_mean_seq_pd(
+            pd.Series(h * (1 + c * ratio), index=h.index), length)
+        return pdf
+
     return Indicator(
         "accbands", outs, CAT,
-        stages=[{lo_c: F.col("low") * (1 - c * ratio),
-                 hi_c: F.col("high") * (1 + c * ratio)}],
-        final={outs[0]: roll(F.avg, lo_c, length),
-               outs[1]: roll(F.avg, "close", length),
-               outs[2]: roll(F.avg, hi_c, length)},
+        kernel=KernelSpec(fn, outs, ["high", "low", "close"],
+                          carry_rows=length - 1),
         sql_stages=[{lo_c: f"low * (1 - {c!r} * {s_ratio})",
                      hi_c: f"high * (1 + {c!r} * {s_ratio})"}],
         sql_final={outs[0]: sql_roll("avg", lo_c, length),

@@ -108,10 +108,22 @@ def cmf(length: int = 20):
     pandas_ta/volume/cmf.py#cmf."""
     out = name("CMF", length)
     t = "_cmf_mfv"
+
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, nzr_np, roll_sum_seq_pd,
+        )
+
+        h, low, c, v = pdf["high"], pdf["low"], pdf["close"], pdf["volume"]
+        mfv = (2 * c - h - low) / nzr_np(h, low) * v
+        pdf[out] = div0_np(roll_sum_seq_pd(mfv, length),
+                           roll_sum_seq_pd(v, length))
+        return pdf
+
     return Indicator(
         "cmf", [out], CAT,
-        stages=[{t: _mfv()}],
-        final={out: roll(F.sum, t, length) / roll(F.sum, "volume", length)},
+        kernel=KernelSpec(fn, [out], ["high", "low", "close", "volume"],
+                          carry_rows=length - 1),
         sql_stages=[{t: _MFV_S}],
         sql_final={out: f"({sql_roll('sum', t, length)}) / ({sql_roll('sum', 'volume', length)})"},
     )
@@ -139,16 +151,28 @@ def eom(length: int = 14, divisor: int = 100000000, drift: int = 1):
     """Ease of Movement — pandas_ta/volume/eom.py#eom."""
     out = name("EOM", length, divisor)
     t = "_eom_raw"
-    hl2 = (F.col("high") + F.col("low")) / 2
-    dist = hl2 - shift(hl2, drift)
-    br = (F.col("volume") / divisor) / _nzr(F.col("high"), F.col("low"))
     s_hl2 = "((high + low) / 2)"
     s_dist = f"({s_hl2} - ({sql_shift(s_hl2, drift)}))"
     s_br = f"((volume / {divisor}) / {_sql_nzr('high', 'low')})"
+    def fn(pdf):
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, nzr_np, roll_mean_seq_pd,
+        )
+
+        import pandas as pd
+
+        h, low, v = pdf["high"], pdf["low"], pdf["volume"]
+        hl2_v = (h + low) / 2
+        dist_v = hl2_v - hl2_v.shift(drift)
+        br_v = (v / divisor) / nzr_np(h, low)
+        raw = pd.Series(div0_np(dist_v, br_v), index=h.index)
+        pdf[out] = roll_mean_seq_pd(raw, length)
+        return pdf
+
     return Indicator(
         "eom", [out], CAT,
-        stages=[{t: dist / br}],
-        final={out: roll(F.avg, t, length)},
+        kernel=KernelSpec(fn, [out], ["high", "low", "volume"],
+                          carry_rows=drift + length - 1),
         sql_stages=[{t: f"{s_dist} / {s_br}"}],
         sql_final={out: sql_roll("avg", t, length)},
     )

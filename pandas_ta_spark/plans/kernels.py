@@ -44,6 +44,22 @@ MAX_GROUP_ROWS = int(os.environ.get("PTS_MAX_KERNEL_GROUP_ROWS", 20_000_000))
 CHUNK_ROWS = int(os.environ.get("PTS_KERNEL_CHUNK_ROWS", 5_000_000))
 
 
+def _maybe_exceeds_rows(df: DataFrame, rows: int) -> bool:
+    """Could ANY symbol group hold >= ``rows`` rows? Decided from the
+    optimizer's size ESTIMATE (parquet footers / cache metadata — no
+    job): an input under rows x 8 bytes cannot contain that many rows
+    at any layout, so small frames skip the epoch-chunked path — its
+    groupBy(symbol, epoch) costs an Exchange that the whole-group pass
+    avoids when the input is already hash(symbol)-clustered (bucketed
+    tables, the strategy's window stage). Unknown stats stay chunked:
+    the r13 behavior, and the memory-safe default."""
+    try:
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(str(sz)) >= rows * 8
+    except Exception:
+        return True
+
+
 def _out_schema(df: DataFrame, specs: list[KernelSpec]) -> StructType:
     existing = set(df.columns)
     new_fields = []
@@ -75,7 +91,8 @@ def run_kernels(
     chunk = CHUNK_ROWS if chunk_rows is None else chunk_rows
     if (all(c is not None for c in carries)
             and chunk > max(carries, default=0)
-            and chunk > max(leads, default=0)):
+            and chunk > max(leads, default=0)
+            and _maybe_exceeds_rows(df, chunk)):
         return _run_chunked(df, specs, chunk, max(carries), max(leads))
     out_schema = _out_schema(df, specs)
     runner = _make_runner(specs, MAX_GROUP_ROWS)

@@ -125,7 +125,8 @@ def split_chunkable(inds: list[Indicator]):
 
 
 def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = False,
-                   auto_chunk_rows: int | None = AUTO_CHUNK_ROWS) -> DataFrame:
+                   auto_chunk_rows: int | None = AUTO_CHUNK_ROWS,
+                   kernel_chunk_rows: int | None = None) -> DataFrame:
     """Append every indicator's output columns in one composite plan.
 
     Stage maps are merged ACROSS indicators layer by layer (an
@@ -153,6 +154,15 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
         # groupBy(symbol).count() job at plan-BUILD time on large batch
         # frames — pass auto_chunk_rows=None to keep plan build lazy.
         hot = _max_rows_per_symbol(df)
+        from pandas_ta_spark.plans.kernels import CHUNK_ROWS as _KCHUNK
+
+        if 0 < hot < _KCHUNK and kernel_chunk_rows is None:
+            # the router's (memoized) count proves every symbol group is
+            # epoch-sized: pin the kernel pass to whole-group execution,
+            # skipping _run_chunked's groupBy(symbol, epoch) layer (one
+            # Exchange + one row_number window) that the stats-only gate
+            # would conservatively keep
+            kernel_chunk_rows = 0
         if hot > auto_chunk_rows:
             lb, safe, unsafe = split_chunkable(inds)
             if safe:
@@ -238,7 +248,7 @@ def apply_strategy(df: DataFrame, inds: list[Indicator], keep_temps: bool = Fals
     # kernel outputs, so the reorder is safe.
     kernels = [i.kernel for i in inds if i.kernel is not None]
     if kernels:
-        df = run_kernels(df, kernels)
+        df = run_kernels(df, kernels, kernel_chunk_rows)
     return df
 
 
@@ -451,7 +461,11 @@ def _salt_apply_unsalt(u: DataFrame, inds: list[Indicator]) -> DataFrame:
     salted = u.withColumn("_sym", F.col(SYMBOL)).withColumn(
         SYMBOL, F.concat_ws("#", SYMBOL, F.col("_chk").cast("string"))
     )
-    out = apply_strategy(salted, inds, auto_chunk_rows=None)
+    # kernel_chunk_rows=0: the salted (symbol, chunk) groups are
+    # chunk-bounded by construction, so the kernel pass must not stack
+    # its own epoch-chunk layer (an extra Exchange) on top
+    out = apply_strategy(salted, inds, auto_chunk_rows=None,
+                         kernel_chunk_rows=0)
     return (
         out.filter(F.col("_carry") == 0)
         .withColumn(SYMBOL, F.col("_sym"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pandas_ta_spark.operators.base import Indicator
+from pandas_ta_spark.operators.base import Indicator, KernelSpec
 
 
 @dataclass
@@ -78,17 +78,14 @@ def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
     """Output-column rename (the reference's prefix/suffix/col_names
     kwargs; ``col_names`` is the positional full-rename tuple).
 
-    Expression-path indicators rename cleanly: outputs plus the
-    matching ``final``/``sql_final`` keys (stage temps are dropped
-    anyway). Kernel-path indicators bake their output names into the
-    Arrow kernel's frame, so renaming would desynchronize the plan —
-    refused loudly rather than silently misnamed."""
+    Expression-path indicators rename outputs plus the matching
+    ``final``/``sql_final`` keys (stage temps are dropped anyway).
+    Kernel-path indicators wrap the Arrow kernel so its output frame is
+    renamed after execution (r14: the ROLL absorption moved sma and
+    friends to kernels, which CommonStrategy's VOLUME_ prefix must
+    still rename)."""
     if not prefix and not suffix and not col_names:
         return ind
-    if ind.kernel is not None:
-        raise ValueError(
-            f"prefix/suffix/col_names not supported for kernel-path "
-            f"indicator {ind.key!r}")
 
     if col_names:
         if isinstance(col_names, str):
@@ -109,6 +106,25 @@ def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
             out = f"{out}_{suffix}"
         return out
 
+    kernel = None
+    if ind.kernel is not None:
+        k = ind.kernel
+        kmap = {c: rn(c) for c in k.outputs}
+        base_fn = k.fn
+
+        def fn2(pdf, _fn=base_fn, _m=kmap):
+            # run on a copy and splice back ONLY the renamed outputs: a
+            # global frame rename would clobber a sibling kernel's
+            # same-named column (CommonStrategy has SMA_20 and the
+            # VOLUME_-prefixed sma(20) in one pass)
+            sub = _fn(pdf.copy())
+            for old, new in _m.items():
+                pdf[new] = sub[old]
+            return pdf
+
+        kernel = KernelSpec(fn2, [rn(c) for c in k.outputs],
+                            k.inputs, k.carry_rows, k.lead_rows)
+
     return Indicator(
         ind.key,
         [rn(c) for c in ind.outputs],
@@ -119,7 +135,7 @@ def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
         sql_final=({rn(c): e for c, e in ind.sql_final.items()}
                    if ind.sql_final is not None else None),
         sql_full=ind.sql_full,
-        kernel=None,
+        kernel=kernel,
     )
 
 

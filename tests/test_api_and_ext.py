@@ -1532,16 +1532,22 @@ def test_chunked_strategy_rejects_deep_and_unbounded_expressions(bars):
         apply_strategy_chunked, expression_lookback,
     )
 
+    # expression-path depth rejection (wma(50): a 50-lag chain; sma
+    # became an Arrow kernel in r14's ROLL absorption, so the deep-sma
+    # refusal now comes from the kernel carry_rows check below)
     with _pytest.raises(ValueError, match="more history than"):
+        apply_strategy_chunked(bars, [overlap.wma(50)], lookback=30)
+    with _pytest.raises(ValueError, match="bounded-lookback"):
         apply_strategy_chunked(bars, [overlap.sma(50)], lookback=30)
     with _pytest.raises(ValueError, match="position-dependent|unbounded"):
         apply_strategy_chunked(bars, [overlap.vwap()], lookback=30)
     with _pytest.raises(ValueError, match="position-dependent|unbounded"):
         apply_strategy_chunked(bars, [trend.decay(5)], lookback=30)
-    # introspected depths: sma(20) reads 19 back (mask + frame), roc(10)
-    # lags 10; both must clear a lookback of 30 (the parity tests' setup)
-    assert expression_lookback(overlap.sma(20)) == 19
-    assert expression_lookback(overlap.sma(50)) == 49
+    # introspected depths: wma(20) lags 19 back (mask + lag chain);
+    # kernel-converted sma declares its history via carry_rows instead
+    assert expression_lookback(overlap.wma(20)) == 19
+    assert overlap.sma(20).kernel.carry_rows == 19
+    assert overlap.sma(50).kernel.carry_rows == 49
     assert expression_lookback(trend.decay(5)) is None
     # kernel-only execution: the SQL twin is oracle-only, so aroon's
     # positional-argmax oracle must not make it look unbounded (r11)
@@ -1579,13 +1585,24 @@ def test_expression_lookback_catches_framefree_and_rank_family():
     assert expression_lookback(Fake(
         "avg(x) OVER (PARTITION BY s ORDER BY ts "
         "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)")) == 9
-    # the real two-level-nesting case from the registry
+    # COMPOSED depth: a raw stage's lag(1) + a final 13-PRECEDING
+    # window = 14 rows of true history (per-stage maxima SUM — the old
+    # max-only reading under-counted stacked windows, e.g. hma).
+    # eom itself became an Arrow kernel in r14's ROLL absorption and
+    # now declares the same depth via carry_rows.
+    class Fake2(Fake):
+        def __init__(self):
+            self.sql_stages = [
+                {"t": f"(x - lag(x, 1) {over})"},
+                {"u": ("avg(t) OVER (PARTITION BY s ORDER BY ts "
+                       "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)")},
+            ]
+            self.sql_final = None
+
+    assert expression_lookback(Fake2()) == 14
     from pandas_ta_spark.registry import default_instance
 
-    # COMPOSED depth: the raw stage's lag(1) + the final's 13-PRECEDING
-    # window = 14 rows of true history (per-stage maxima SUM — the old
-    # max-only reading under-counted stacked windows, e.g. hma)
-    assert expression_lookback(default_instance("eom_14")) == 14
+    assert default_instance("eom_14").kernel.carry_rows == 14
 
 
 def test_chunked_strategy_validate_flags_undersized_chunk(bars):
@@ -2117,10 +2134,14 @@ def test_strategy_dataclass_surface(spark, bars, pdf_bars):
     with _pytest.raises(ValueError, match="unknown strategy"):
         resolve_strategy("not-a-category")
 
-    # prefix on a kernel-path indicator is refused, not silently wrong
-    with _pytest.raises(ValueError, match="kernel-path"):
-        resolve_strategy(pts.Strategy(
-            name="k", ta=[{"kind": "supertrend", "prefix": "X"}]))
+    # prefix on a kernel-path indicator renames its Arrow outputs (r14:
+    # the ROLL absorption moved many ops to kernels, so the old loud
+    # refusal became a supported wrap — see strategy_spec._renamed)
+    kinds = resolve_strategy(pts.Strategy(
+        name="k", ta=[{"kind": "supertrend", "prefix": "X"}]))
+    assert all(o.startswith("X_") for o in kinds[0].outputs)
+    assert kinds[0].kernel is not None
+    assert list(kinds[0].kernel.outputs) == list(kinds[0].outputs)
 
 
 def test_accessor_attribute_dispatch_and_col_names(spark, bars, pdf_bars):
