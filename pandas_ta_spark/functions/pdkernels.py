@@ -300,11 +300,15 @@ def _welford_frame(w, x_start, n):
     return xAvg, yAvg, ck, xMk, yMk
 
 
-def _ols_frames(v: np.ndarray, n: int, combine) -> np.ndarray:
+def _ols_frames(v: np.ndarray, n: int, combine, x0: float = 0.0) -> np.ndarray:
     """Run the Welford twin over every sliding frame; ``combine`` maps
     (xAvg, yAvg, ck, xMk, yMk, x_end) -> output vector. x positions are
     the global 1-based row numbers (the SQL twins regress against
-    row_number() OVER the symbol order)."""
+    row_number() OVER the symbol order). ``x0`` is the 0-based global
+    position of v[0]: under epoch-chunked execution each chunk sees only
+    a slice of the symbol's rows, and OLS rounding is shift-sensitive,
+    so the chunk must regress against the same global x as the whole
+    group (whole groups pass 0)."""
     m = len(v)
     out = np.full(m, np.nan)
     if m < n:
@@ -314,11 +318,22 @@ def _ols_frames(v: np.ndarray, n: int, combine) -> np.ndarray:
         stop = min(start + _SWV_BLOCK, m - n + 1)
         block = swv(v[start:stop + n - 1], n)
         # frame f (0-based within block) covers global rows
-        # [start+f+1 .. start+f+n] in 1-based row_number coordinates
-        x_start = np.arange(start + 1.0, start + 1.0 + (stop - start))
+        # [x0+start+f+1 .. x0+start+f+n] in 1-based row_number coordinates
+        x_start = np.arange(x0 + start + 1.0, x0 + start + 1.0 + (stop - start))
         st = _welford_frame(block, x_start, n)
         out[start + n - 1:stop + n - 1] = combine(*st, x_start + n - 1)
     return out
+
+
+def global_x0(pdf) -> float:
+    """0-based global row position of a kernel frame's first row:
+    _pts_rn0 under epoch-chunked execution (the runner hands kernels a
+    ts-sorted frame, and _pts_rn0 is monotone in ts), 0.0 for whole
+    groups. Shift-sensitive kernels (the OLS family) pass this as x0 so
+    chunked x equals whole-group x bit-for-bit."""
+    if "_pts_rn0" in pdf.columns:
+        return float(pdf["_pts_rn0"].iat[0])
+    return 0.0
 
 
 def nzr_np(a, b):
@@ -336,7 +351,7 @@ def div0_np(num, den):
     return np.where(den == 0, np.nan, out)
 
 
-def roll_ols_slope_pd(x: pd.Series, n: int) -> pd.Series:
+def roll_ols_slope_pd(x: pd.Series, n: int, x0: float = 0.0) -> pd.Series:
     """Rolling regr_slope(y, row_number) — bit-exact Welford twin of the
     window expression (overlap.linreg mode 'slope')."""
     def combine(xAvg, yAvg, ck, xMk, yMk, x_end):
@@ -344,11 +359,12 @@ def roll_ols_slope_pd(x: pd.Series, n: int) -> pd.Series:
             slope = ck / xMk
         return np.where(xMk == 0, np.nan, slope)
 
-    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine),
+    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine, x0),
                      index=x.index)
 
 
-def roll_ols_fit_pd(x: pd.Series, n: int, at_offset: float) -> pd.Series:
+def roll_ols_fit_pd(x: pd.Series, n: int, at_offset: float,
+                    x0: float = 0.0) -> pd.Series:
     """Rolling OLS fitted value regr_intercept + regr_slope * (rn +
     at_offset) — bit-exact Welford twin of the linreg/cfo window
     expressions. at_offset: 0 = endpoint (mode linreg / cfo), 1 = tsf,
@@ -360,7 +376,7 @@ def roll_ols_fit_pd(x: pd.Series, n: int, at_offset: float) -> pd.Series:
             fit = icpt + slope * (x_end + at_offset)
         return np.where(xMk == 0, np.nan, fit)
 
-    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine),
+    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine, x0),
                      index=x.index)
 
 
@@ -386,7 +402,7 @@ def roll_std_welford_pd(x: pd.Series, n: int, ddof: int = 1) -> pd.Series:
     return pd.Series(_swv_apply(v, n, fn), index=x.index)
 
 
-def roll_corr_idx_pd(x: pd.Series, n: int) -> pd.Series:
+def roll_corr_idx_pd(x: pd.Series, n: int, x0: float = 0.0) -> pd.Series:
     """Rolling corr(y, row_number) — bit-exact Welford twin of the
     window expression (momentum.cti, linreg mode 'r'). Zero variance ->
     NaN (the engines' NULL on the zero denominator)."""
@@ -396,7 +412,7 @@ def roll_corr_idx_pd(x: pd.Series, n: int) -> pd.Series:
             r = ck / den
         return np.where(den == 0, np.nan, r)
 
-    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine),
+    return pd.Series(_ols_frames(x.to_numpy(dtype="float64"), n, combine, x0),
                      index=x.index)
 
 

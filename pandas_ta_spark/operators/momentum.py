@@ -242,10 +242,12 @@ def cfo(length: int = 9):
     rn = f"_cfo_rn"
 
     def fn(pdf):
-        from pandas_ta_spark.functions.pdkernels import div0_np, roll_ols_fit_pd
+        from pandas_ta_spark.functions.pdkernels import (
+            div0_np, global_x0, roll_ols_fit_pd,
+        )
 
         c = pdf["close"]
-        fit = roll_ols_fit_pd(c, length, 0.0)
+        fit = roll_ols_fit_pd(c, length, 0.0, global_x0(pdf))
         pdf[out] = div0_np(100 * (c - fit), c)
         return pdf
 
@@ -340,9 +342,9 @@ def cti(length: int = 12):
     rn = "_cti_rn"
 
     def fn(pdf):
-        from pandas_ta_spark.functions.pdkernels import roll_corr_idx_pd
+        from pandas_ta_spark.functions.pdkernels import global_x0, roll_corr_idx_pd
 
-        pdf[out] = roll_corr_idx_pd(pdf["close"], length)
+        pdf[out] = roll_corr_idx_pd(pdf["close"], length, global_x0(pdf))
         return pdf
 
     s = sql_masked(f"corr(close, {rn}) OVER ({sql_w_rows(length)})", "close", length)

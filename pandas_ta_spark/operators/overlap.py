@@ -189,20 +189,21 @@ def linreg(length: int = 14, mode: str = "linreg"):
 
     def fn(pdf):
         from pandas_ta_spark.functions.pdkernels import (
-            roll_corr_idx_pd, roll_ols_fit_pd, roll_ols_slope_pd,
+            global_x0, roll_corr_idx_pd, roll_ols_fit_pd, roll_ols_slope_pd,
         )
 
         c = pdf["close"]
+        x0 = global_x0(pdf)
         if mode == "slope":
-            pdf[out] = roll_ols_slope_pd(c, length)
+            pdf[out] = roll_ols_slope_pd(c, length, x0)
         elif mode == "intercept":
-            pdf[out] = roll_ols_fit_pd(c, length, float(1 - length))
+            pdf[out] = roll_ols_fit_pd(c, length, float(1 - length), x0)
         elif mode == "r":
-            pdf[out] = roll_corr_idx_pd(c, length)
+            pdf[out] = roll_corr_idx_pd(c, length, x0)
         elif mode == "tsf":
-            pdf[out] = roll_ols_fit_pd(c, length, 1.0)
+            pdf[out] = roll_ols_fit_pd(c, length, 1.0, x0)
         else:
-            pdf[out] = roll_ols_fit_pd(c, length, 0.0)
+            pdf[out] = roll_ols_fit_pd(c, length, 0.0, x0)
         return pdf
 
     wr = _wr(length)

@@ -117,7 +117,10 @@ def _make_runner(specs: list[KernelSpec], max_rows: int | None = None):
     import pandas as pd
 
     fns = [s.fn for s in specs]
-    need = ["ts"]
+    # _pts_rn0 (global 0-based row position, present only under the
+    # epoch-chunked path) rides along so shift-sensitive kernels (the
+    # OLS family) can regress against the same global x as whole groups.
+    need = ["ts", "_pts_rn0"]
     for s in specs:
         for c in s.inputs:
             if c not in need:

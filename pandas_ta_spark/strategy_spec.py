@@ -112,12 +112,16 @@ def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
         kmap = {c: rn(c) for c in k.outputs}
         base_fn = k.fn
 
-        def fn2(pdf, _fn=base_fn, _m=kmap):
-            # run on a copy and splice back ONLY the renamed outputs: a
-            # global frame rename would clobber a sibling kernel's
+        def fn2(pdf, _fn=base_fn, _m=kmap, _in=tuple(k.inputs)):
+            # run on a narrow copy (ts + declared inputs + the chunk
+            # position column) and splice back ONLY the renamed outputs:
+            # a global frame rename would clobber a sibling kernel's
             # same-named column (CommonStrategy has SMA_20 and the
-            # VOLUME_-prefixed sma(20) in one pass)
-            sub = _fn(pdf.copy())
+            # VOLUME_-prefixed sma(20) in one pass), while copying the
+            # whole group frame doubled peak per-group memory at the
+            # 20M-row bound (ADVICE r14)
+            cols = [c for c in ("ts", "_pts_rn0", *_in) if c in pdf.columns]
+            sub = _fn(pdf[cols].copy())
             for old, new in _m.items():
                 pdf[new] = sub[old]
             return pdf
