@@ -253,6 +253,12 @@ class KernelSpec:
     # lead). Chunked execution carries this many LEADING rows of epoch
     # e+1 back into epoch e (plans/kernels.py _run_chunked).
     lead_rows: int = 0
+    # the kernel's FP rounding depends on each row's global position in
+    # its symbol's ts order (the OLS family regresses against
+    # row_number(); translation-invariant exactly, NOT in float64).
+    # Every chunked path must hand such kernels the global rank column
+    # (_pts_rn0) so chunked x equals whole-group x bit-for-bit.
+    pos_dependent: bool = False
 
 
 @dataclass

@@ -257,7 +257,8 @@ def cfo(length: int = 9):
     s_fit = f"(({s_ic}) + ({s_sl}) * {rn})"
     return Indicator(
         "cfo", [out], CAT,
-        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1,
+                          pos_dependent=True),
         sql_stages=[{rn: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={out: f"100 * (close - {s_fit}) / close"},
     )
@@ -350,7 +351,8 @@ def cti(length: int = 12):
     s = sql_masked(f"corr(close, {rn}) OVER ({sql_w_rows(length)})", "close", length)
     return Indicator(
         "cti", [out], CAT,
-        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1,
+                          pos_dependent=True),
         sql_stages=[{rn: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={out: s},
     )

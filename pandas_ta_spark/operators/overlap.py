@@ -222,7 +222,8 @@ def linreg(length: int = 14, mode: str = "linreg"):
         s_fin = f"({s_icpt}) + ({s_slope}) * {tmp}"
     return Indicator(
         "linreg", [out], CAT,
-        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1),
+        kernel=KernelSpec(fn, [out], ["close"], carry_rows=length - 1,
+                          pos_dependent=True),
         sql_stages=[{tmp: f"CAST(row_number() OVER ({SQL_W_ORDER}) AS DOUBLE)"}],
         sql_final={out: s_fin},
     )

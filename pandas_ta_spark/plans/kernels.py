@@ -46,18 +46,81 @@ CHUNK_ROWS = int(os.environ.get("PTS_KERNEL_CHUNK_ROWS", 5_000_000))
 
 def _maybe_exceeds_rows(df: DataFrame, rows: int) -> bool:
     """Could ANY symbol group hold >= ``rows`` rows? Decided from the
-    optimizer's size ESTIMATE (parquet footers / cache metadata — no
-    job): an input under rows x 8 bytes cannot contain that many rows
-    at any layout, so small frames skip the epoch-chunked path — its
-    groupBy(symbol, epoch) costs an Exchange that the whole-group pass
-    avoids when the input is already hash(symbol)-clustered (bucketed
-    tables, the strategy's window stage). Unknown stats stay chunked:
-    the r13 behavior, and the memory-safe default."""
+    optimizer's ESTIMATES (parquet footers / cache metadata — no job).
+    A defined rowCount (cached relations, CBO stats) answers exactly;
+    otherwise an input under rows x 8 bytes cannot contain that many
+    rows at any layout, so small frames skip the epoch-chunked path —
+    its groupBy(symbol, epoch) costs an Exchange that the whole-group
+    pass avoids when the input is already hash(symbol)-clustered
+    (bucketed tables, the strategy's window stage). Unknown stats stay
+    chunked: the r13 behavior, and the memory-safe default. Residual
+    risk (ADVICE r14): sizeInBytes is COMPRESSED bytes, so a
+    dictionary/RLE-heavy input below 8 B/row could skip chunking while
+    holding chunk-sized groups — bounded, not silent: the whole-group
+    runner hard-errors past MAX_GROUP_ROWS (20M rows ~ 1.3 GB) instead
+    of OOMing, and rowCount short-circuits the estimate wherever Spark
+    knows it."""
     try:
-        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        return int(str(sz)) >= rows * 8
+        st = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = st.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get())) >= rows
+        return int(str(st.sizeInBytes())) >= rows * 8
     except Exception:
         return True
+
+
+# Bucket width for the two-level rank (global_rn0): per-symbol ranks are
+# computed bucket-parallel; a bucket only bounds the per-task sort, never
+# correctness. One day of microseconds suits bar/tick data (1e3-1e5 rows
+# per symbol-day); override for exotic densities.
+RANK_BUCKET_US = int(os.environ.get("PTS_RANK_BUCKET_US",
+                                    86_400_000_000))
+
+
+def global_rn0(df: DataFrame, out: str = "_pts_rn0",
+               bucket_us: int | None = None) -> DataFrame:
+    """Append each row's 0-based position in its symbol's ts order —
+    ``row_number() OVER (PARTITION BY symbol ORDER BY ts) - 1`` — WITHOUT
+    buffering a whole symbol in one task (guide §2.5: the single-window
+    form serialized a hot symbol's entire history into one sort task,
+    measured as the whole critical-path gap between the row-chunked and
+    time-chunked skew paths: a ~7s straggler on a 1.6M-row hot symbol).
+
+    Two-level rank: rows rank within (symbol, time-bucket) groups in
+    parallel, and a per-symbol running sum over the tiny
+    (symbol, bucket, count) relation supplies each bucket's starting
+    offset (bucket = floor(unix_micros(ts) / bucket_us), monotone in ts
+    per symbol, so offset + within-bucket rank IS the global rank).
+    Exactness needs (symbol, ts) to uniquely order rows — the same
+    assumption the single-window form and every per-symbol window in
+    this engine make. Worst case (a symbol entirely inside one bucket)
+    degrades to the old bucket-serial sort, never to a wrong rank, and
+    the offset window always runs on the narrow 3-column count relation.
+    Output column order: df's columns, then ``out``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b_us = RANK_BUCKET_US if bucket_us is None else bucket_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = df.withColumn("_pts_bkt", F.floor(us / F.lit(b_us)).cast("long"))
+    wb = Window.partitionBy("symbol", "_pts_bkt").orderBy("ts")
+    counts = b.groupBy("symbol", "_pts_bkt").count()
+    woff = (Window.partitionBy("symbol").orderBy("_pts_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "_pts_off",
+        F.coalesce(F.sum("count").over(woff), F.lit(0)).cast("long"),
+    ).select("symbol", "_pts_bkt", "_pts_off")
+    ranked = (
+        b.withColumn("_pts_brn", F.row_number().over(wb))
+        .join(offs, ["symbol", "_pts_bkt"])
+        .withColumn(out, F.col("_pts_off") + F.col("_pts_brn") - F.lit(1))
+    )
+    # restore df's column order (the join fronts its keys); backticks:
+    # pass-through names may be dotted (BBL_5_2.0)
+    return ranked.select(*[F.col(f"`{c}`") for c in df.columns],
+                         F.col(out))
 
 
 def _out_schema(df: DataFrame, specs: list[KernelSpec]) -> StructType:
@@ -186,15 +249,18 @@ def _run_chunked(
     full warm-up context; carried rows' outputs are dropped afterwards.
     When a spec declares ``lead_rows`` (non-causal columns), the first
     `lead` rows of epoch e+1 are symmetrically carried BACK into epoch e.
-    Declarative all the way: one row_number window (shares the symbol
-    exchange) + filtered unions (carry/chunk overhead ratio) + one
-    groupBy(symbol, epoch) pass."""
-    from pyspark.sql import Window
+    Declarative all the way: one bucket-parallel rank (global_rn0 — a
+    single-window rank would serialize a hot symbol's entire history
+    into one sort task, the exact straggler this path exists to avoid)
+    + filtered unions (carry/chunk overhead ratio) + one
+    groupBy(symbol, epoch) pass. The rank's (symbol, bucket)
+    partitioning no longer satisfies the groupBy's clustering, so the
+    pass pays its own (symbol, epoch) exchange — which is what actually
+    PARALLELIZES a hot symbol's epochs (under the old shared symbol
+    exchange all of a hot symbol's epochs landed in one task)."""
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("symbol").orderBy("ts")
-    rn0 = F.row_number().over(w) - 1
-    tagged = df.withColumn("_pts_rn0", rn0)
+    tagged = global_rn0(df)
     base = tagged.withColumn(
         "_pts_epoch", (F.col("_pts_rn0") / chunk).cast("long")
     ).withColumn("_pts_carry", F.lit(False))

@@ -409,6 +409,14 @@ def apply_strategy_chunked(
     shuffles as ``apply_strategy``, each partition now chunk-sized.
     """
     _reject_unchunkable(inds, lookback)
+    if any(i.kernel is not None and getattr(i.kernel, "pos_dependent", False)
+           for i in inds):
+        # position-dependent kernels (OLS family) need the global rank
+        # to keep chunked x bit-identical to the whole-group x; only
+        # pay the rank subtree when such a kernel is present
+        from pandas_ta_spark.plans.kernels import global_rn0
+
+        df = global_rn0(df, out="_pts_rn0")
     # .cast: parquet TIMESTAMP_NTZ inputs — unix_micros wants TIMESTAMP
     us = F.unix_micros(F.col(TS).cast("timestamp"))
     # parse "N days"/"N hours" without relying on engine interval math
@@ -466,11 +474,14 @@ def _salt_apply_unsalt(u: DataFrame, inds: list[Indicator]) -> DataFrame:
     # its own epoch-chunk layer (an extra Exchange) on top
     out = apply_strategy(salted, inds, auto_chunk_rows=None,
                          kernel_chunk_rows=0)
-    return (
+    out = (
         out.filter(F.col("_carry") == 0)
         .withColumn(SYMBOL, F.col("_sym"))
         .drop("_sym", "_chk", "_carry")
     )
+    # the global rank (kept for position-dependent kernels) is plumbing,
+    # not output
+    return out.drop("_pts_rn0") if "_pts_rn0" in out.columns else out
 
 
 def _reject_unchunkable(inds: list[Indicator], lookback: int) -> None:
@@ -547,14 +558,16 @@ def apply_strategy_chunked_rows(
     and the trailing-``lookback`` carry always fills its successor's
     frames — bit-identical to the unchunked plan, count-free.
 
-    Plan shape: one cheap streaming window pass (row_number per symbol:
-    running function, no frame buffering; the per-symbol sort is the
-    same sort the strategy itself needs), a broadcast anti-filter is
-    unnecessary (carries to a chunk beyond the symbol's last row can't
-    exist: the filter keeps only tails whose successor chunk index
-    exists among the base rows), then the shared salt/apply/unsalt
-    tail. Determinism note: like every per-symbol window in this
-    engine, exactness assumes (symbol, ts) uniquely orders rows."""
+    Plan shape: one bucket-parallel rank (plans/kernels.global_rn0 —
+    r15: the previous single-window row_number buffered the WHOLE hot
+    symbol in one sort task, a ~7s straggler that made this path 2x
+    the time-chunked one on the 1.6M-row skew bench), a broadcast
+    anti-filter is unnecessary (carries to a chunk beyond the symbol's
+    last row can't exist: the filter keeps only tails whose successor
+    chunk index exists among the base rows), then the shared
+    salt/apply/unsalt tail. Determinism note: like every per-symbol
+    window in this engine, exactness assumes (symbol, ts) uniquely
+    orders rows."""
     if chunk_rows < max(lookback, 1):
         raise ValueError(
             f"chunk_rows={chunk_rows} < lookback={lookback}: non-last "
@@ -562,19 +575,24 @@ def apply_strategy_chunked_rows(
     _reject_unchunkable(inds, lookback)
     # single-subtree chunk assignment: each row EXPLODES into its own
     # chunk entry plus (when it sits in the trailing-lookback positions)
-    # a carry entry for chunk k+1 — no union, so the row_number window
+    # a carry entry for chunk k+1 — no union, so the rank subtree
     # evaluates ONCE per action (the union/succ-map shape re-ran the
     # per-symbol sort 3x: measured 9.3s -> 6.5s on the 1.6M-row skew
     # bench). Carries past a symbol's last chunk land in phantom
     # (symbol, chunk) groups holding only carry rows — computed over
     # <= lookback rows and fully dropped by the _carry filter, which is
     # cheaper than the broadcast successor map that suppressed them.
-    wsym = Window.partitionBy(SYMBOL).orderBy(TS)
-    # window exprs must resolve in their own Window node before the
-    # explode projection can reference them
-    base = df.withColumn("_rn0", F.row_number().over(wsym) - F.lit(1))
-    chk = F.floor(F.col("_rn0") / F.lit(chunk_rows)).cast("long")
-    pos = F.col("_rn0") % F.lit(chunk_rows)
+    from pandas_ta_spark.plans.kernels import global_rn0
+
+    # the rank stays aboard as _pts_rn0: position-dependent kernels (the
+    # OLS family, KernelSpec.pos_dependent) read it inside the salted
+    # pass so their x positions stay GLOBAL — without it each
+    # (symbol, chunk) group reseeds x at 1 and the fit differs from the
+    # plain path at the last ulp (caught by
+    # tests/test_r15_rank_and_router.py)
+    base = global_rn0(df, out="_pts_rn0")
+    chk = F.floor(F.col("_pts_rn0") / F.lit(chunk_rows)).cast("long")
+    pos = F.col("_pts_rn0") % F.lit(chunk_rows)
     pairs = F.array(
         F.struct(chk.alias("_chk"), F.lit(0).alias("_carry")),
         F.when(pos >= F.lit(chunk_rows - lookback),
@@ -586,6 +604,6 @@ def apply_strategy_chunked_rows(
             F.filter(pairs, lambda x: x.isNotNull())).alias("_pc"))
         .withColumn("_chk", F.col("_pc._chk"))
         .withColumn("_carry", F.col("_pc._carry"))
-        .drop("_pc", "_rn0")
+        .drop("_pc")
     )
     return _salt_apply_unsalt(u, inds)
