@@ -127,7 +127,8 @@ def _renamed(ind: Indicator, prefix: str | None, suffix: str | None,
             return pdf
 
         kernel = KernelSpec(fn2, [rn(c) for c in k.outputs],
-                            k.inputs, k.carry_rows, k.lead_rows)
+                            k.inputs, k.carry_rows, k.lead_rows,
+                            pos_dependent=k.pos_dependent)
 
     return Indicator(
         ind.key,

@@ -76,3 +76,31 @@ def test_row_chunked_strategy_exact_on_multiday_frame(spark):
         b = chunked[c].to_numpy()
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), (c, int((~same).sum()))
+
+
+def test_renamed_ols_kernel_keeps_pos_dependent(spark):
+    """A prefix-renamed OLS-family kernel must still be flagged
+    pos_dependent (the _renamed wrapper rebuilds the KernelSpec), so the
+    chunked strategy paths attach the global row position and renamed
+    chunked output stays bit-identical to the plain path."""
+    from pandas_ta_spark.plans.strategy import (
+        apply_strategy, apply_strategy_chunked_rows)
+    from pandas_ta_spark.registry import make
+    from pandas_ta_spark.strategy_spec import _renamed
+
+    ind = _renamed(make("linreg", length=14), "PRE", None)
+    assert ind.kernel is not None and ind.kernel.pos_dependent
+
+    inds = [ind, make("sma", length=20)]
+    df = _frame(spark, n=1200)
+    plain = (apply_strategy(df, inds, auto_chunk_rows=None)
+             .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True))
+    chunked = (apply_strategy_chunked_rows(df, inds, lookback=19,
+                                           chunk_rows=311)
+               .toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True))
+    assert "PRE_LR_14" in plain.columns
+    for c in ("PRE_LR_14", "SMA_20"):
+        a = plain[c].to_numpy()
+        b = chunked[c].to_numpy()
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), (c, int((~same).sum()))
