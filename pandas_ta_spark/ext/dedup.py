@@ -312,7 +312,15 @@ def _signature_ctes() -> str:
     definition of the Kirsch-Mitzenmacher MinHash signature + banding
     scheme on the oracle side (twin of _hashed_shingles/_minhash_sig/
     _banded on the Spark side). Shared by _pair_ctes AND the fuzzy-
-    contamination oracle so a scheme change cannot desynchronize them."""
+    contamination oracle so a scheme change cannot desynchronize them.
+
+    sig/banded are MATERIALIZED: DuckDB inlines plain CTEs at every
+    reference, and sig is referenced N_BANDS + 2 times (band rows +
+    the two verif joins) — inlined, each copy re-runs the whole
+    shingle->minhash pipeline with its own hash tables concurrently,
+    which spilled >80 GB of temp at x100-of-sf0.1 on a corpus whose
+    materialized sig is ~50 MB (the same multi-reference blowup the
+    r13 CC chain fix documented for l0..l21)."""
     mins = ",\n           ".join(
         f"min((h1 + {j} * h2) % 4294967296) AS mh{j}"
         for j in range(N_HASHES)
@@ -333,12 +341,12 @@ hashed AS (
            CAST('0x' || substr(md5(shingle), 17, 15) AS BIGINT) AS k
     FROM sh
 ),
-sig AS (
+sig AS MATERIALIZED (
     SELECT doc_id, {mins},
            list_distinct(list(k)) AS ks
     FROM hashed GROUP BY doc_id
 ),
-banded AS ({bands})"""
+banded AS MATERIALIZED ({bands})"""
 
 
 def _pair_ctes() -> str:
@@ -361,7 +369,7 @@ verif AS (
     JOIN sig a ON a.doc_id = c.doc_a
     JOIN sig b ON b.doc_id = c.doc_b
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT doc_a, doc_b, n_inter,
            n_inter / (na + nb - n_inter) AS jaccard
     FROM verif

@@ -422,22 +422,29 @@ def _neardup_ctes() -> str:
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
             f"    FROM n a JOIN n b ON {cond}")
     cand = "\n    UNION ALL\n    ".join(unions)
-    return f"""v AS (
+    # w/n/pairs are MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and n appears twice in EACH band's self-join (2 x
+    # ND_BANDS copies), w twice more in the pair scoring — inlined,
+    # every copy recomputes the 32 plane dots over the whole corpus
+    # with its own operator state (measured ~40 GB temp spill and a
+    # 1831s wall for semdedup_cc_clusters at x100-of-sf0.1, whose
+    # materialized w is ~150 MB).
+    return f"""v AS MATERIALIZED (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
-ndb AS (
+ndb AS MATERIALIZED (
     -- the corpus-adaptive band width (integer ladder, _nd_bits twin)
     SELECT {_nd_bits_sql('count(*)')} AS bits FROM v
 ),
-w AS (
+w AS MATERIALIZED (
     SELECT vec_id, e, sqrt({_dot_sql('e', 'e')}) AS nrm, {full_cols} FROM v
 ),
-n AS (
+n AS MATERIALIZED (
     -- slim join relation: ids + band prefixes only (the Spark twin's
     -- candidate join carries no vectors either)
     SELECT vec_id, {band_cols} FROM w
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT c.vec_a, c.vec_b,
            ({_dot_sql('va.e', 'vb.e')}) / (va.nrm * vb.nrm) AS score
     FROM ({cand}) c
